@@ -1,0 +1,163 @@
+"""Text-analysis primitives for a training-data pipeline, all as native
+Column expressions (JVM-side) so they survive a 100 TB corpus scan:
+
+- tokenization / token counting (whitespace + BPE-ish regex)
+- word n-gram shingles (the input to MinHash / Jaccard dedup)
+- language-ID via stopword-hit heuristic
+- quality scoring (length / punctuation / stopword / repetition ratios)
+- document fingerprinting (content hash + MinHash signatures)
+
+MinHash uses ``md5(seed || shingle)`` with lexicographic min so the exact
+same signature is computable by any ANSI-SQL engine (the DuckDB oracle).
+The engine-internal fast path uses ``xxhash64`` (see ``minhash_fast``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "de", "que", "por"],
+}
+
+# BPE-ish word/number/punct splitter (public GPT-2-style pattern, simplified
+# to what Java/DuckDB regex both support).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    t = F.trim(text.cast("string"))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens — a cheap proxy for LLM token count."""
+    return F.size(F.regexp_extract_all(text.cast("string"), F.lit(BPE_ISH_PATTERN), 0)).cast("bigint")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct). ``slice`` is 1-based."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax of per-language stopword hit counts; 'unknown' when all zero.
+    Ties break by language-code order (deterministic)."""
+    hits = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hits.values())
+    expr = F.when(best == 0, F.lit("unknown"))
+    for lang in sorted(STOPWORDS):
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards reasonable length and sentence
+    punctuation, penalizes non-alpha noise and token repetition.
+
+    score = 0.25*len_ok + 0.25*alpha_ratio + 0.25*distinct_ratio + 0.25*punct_ok
+    """
+    t = text.cast("string")
+    n = F.length(t)
+    toks = tokens(t)
+    n_toks = F.size(toks)
+    len_ok = F.when((n >= 100) & (n <= 20000), 1.0).otherwise(
+        F.least(n.cast("double") / 100.0, F.lit(1.0))
+    )
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z一-鿿]", ""))
+    alpha_ratio = F.when(n > 0, alpha.cast("double") / n).otherwise(0.0)
+    distinct_ratio = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)).cast("double") / n_toks
+    ).otherwise(0.0)
+    n_sentences = F.size(F.regexp_extract_all(t, F.lit(r"[.!?]"), 0))
+    punct_ok = F.when(n_toks > 0, F.least(n_sentences.cast("double") * 20.0 / n_toks, F.lit(1.0))).otherwise(0.0)
+    return F.round(
+        0.25 * len_ok + 0.25 * alpha_ratio + 0.25 * distinct_ratio + 0.25 * punct_ok, 6
+    )
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """Lowercase, strip non-alnum, collapse whitespace — the canonical form
+    hashed for exact-dup detection."""
+    t = F.lower(text.cast("string"))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def content_fingerprint(text: Column) -> Column:
+    """MD5 of the normalized text — portable across engines (oracle parity)."""
+    return F.md5(normalize_for_fingerprint(text))
+
+
+def minhash_signature(text: Column, n: int = 3, k: int = 16) -> Column:
+    """k-permutation MinHash over word n-gram shingles, hash = md5(seed||gram)
+    (lexicographic min of hex strings). Portable to any SQL engine; the
+    cluster fast path is ``minhash_fast``."""
+    grams = shingles(text, n)
+    sig = [
+        F.array_min(F.transform(grams, lambda g, i=i: F.md5(F.concat(F.lit(f"s{i}:"), g))))
+        for i in range(k)
+    ]
+    return F.array(*sig)
+
+
+def minhash_fast(text: Column, n: int = 3, k: int = 16) -> Column:
+    """xxhash64-based MinHash — ~5× cheaper than md5; engine-internal."""
+    grams = shingles(text, n)
+    sig = [
+        F.array_min(F.transform(grams, lambda g, i=i: F.xxhash64(F.lit(i), g)))
+        for i in range(k)
+    ]
+    return F.array(*sig)
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens using xxhash64 bit-votes.
+
+    For each of 64 bit positions, sum +1/-1 votes across token hashes and
+    set the bit when the vote is positive. Pure Column expressions
+    (aggregate over an array), no UDF.
+    """
+    toks = F.array_distinct(tokens(F.lower(text)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(b: int) -> Column:
+        # vote_b = sum over tokens of (bit set ? 1 : -1)
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1).cast("long") << b) != 0, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long") << b).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(bit_vote(b))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,112 @@
+"""Aggregation + top-k operators (SURVEY §2.5/§2.6, A1–A7 / T1–T5).
+
+All single-pass hash aggregations (map-side partial combine for free) or
+``TakeOrderedAndProject`` top-k (never a full sort). Every computed column
+is aliased so DataFrame output and ANSI-SQL oracle agree column-for-column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def market_summary(df: DataFrame, value_col: str = "change_percent") -> DataFrame:
+    """A1 (pacong/services/commodity_service.py:172-183): totals, avg change
+    (over non-null), gainer/loser/unchanged counts. One hash agg, no window."""
+    cp = F.col(value_col)
+    return df.agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.round(F.avg(cp), 2).alias("avg_change"),
+        F.sum(F.when(cp > 0, 1).otherwise(0)).cast("bigint").alias("gainers"),
+        F.sum(F.when(cp < 0, 1).otherwise(0)).cast("bigint").alias("losers"),
+        (
+            F.count(F.lit(1))
+            - F.sum(F.when(cp > 0, 1).otherwise(0))
+            - F.sum(F.when(cp < 0, 1).otherwise(0))
+        ).cast("bigint").alias("unchanged"),
+    )
+
+
+def category_stats(
+    df: DataFrame, category_col: str = "category", value_col: str = "change_percent"
+) -> DataFrame:
+    """A2 (commodity_service.py:186-199): per-category count + round(avg,2).
+    Spark avg ignores nulls — same semantics as the reference's explicit
+    non-null filter inside the loop."""
+    return (
+        df.groupBy(F.col(category_col).alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col(value_col)), 2).alias("avg_change"),
+        )
+        .orderBy("category")
+    )
+
+
+def category_histogram(df: DataFrame, category_col: str = "category") -> DataFrame:
+    """A3 (pacong/output/excel_writer.py:164-171): frequency-ordered counts;
+    category name tiebreak for determinism."""
+    return (
+        df.groupBy(F.col(category_col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "category")
+    )
+
+
+def top_k(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    ascending: bool = False,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """T1/T2 (commodity_service.py:127-157): filter non-null, order, limit.
+    Compiles to TakeOrderedAndProject — O(n) scan + per-partition heap, no
+    global sort. A unique tiebreaker keeps results deterministic under ties."""
+    v = F.col(value_col)
+    order = [v.asc() if ascending else v.desc()]
+    if tiebreaker:
+        order.append(F.col(tiebreaker).asc())
+    return df.filter(v.isNotNull()).orderBy(*order).limit(k)
+
+
+def rank_within_category(
+    df: DataFrame,
+    category_col: str,
+    value_col: str,
+    k: int | None = None,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """T3 (commodity_service.py:121-123): per-category sort by value desc
+    (nulls treated as 0 by the reference's ``x.current_price or 0``)."""
+    v = F.coalesce(F.col(value_col), F.lit(0)).desc()
+    order = [v] + ([F.col(tiebreaker).asc()] if tiebreaker else [])
+    w = Window.partitionBy(category_col).orderBy(*order)
+    out = df.withColumn("rank_in_category", F.row_number().over(w))
+    if k is not None:
+        out = out.filter(F.col("rank_in_category") <= k)
+    return out
+
+
+def minmax_avg(df: DataFrame, value_col: str) -> DataFrame:
+    """A4 (report artifact 最高价/最低价/平均价)."""
+    v = F.col(value_col)
+    return df.agg(
+        F.round(F.max(v), 6).alias("max_value"),
+        F.round(F.min(v), 6).alias("min_value"),
+        F.round(F.avg(v), 6).alias("avg_value"),
+    )
+
+
+def success_rate(metrics: DataFrame) -> DataFrame:
+    """A7 (base_scraper.py:161): scraped/(scraped+errors) per epoch."""
+    return metrics.groupBy("epoch").agg(
+        F.sum("scraped_count").cast("bigint").alias("scraped"),
+        F.sum("error_count").cast("bigint").alias("errors"),
+        F.round(
+            F.sum("scraped_count")
+            / (F.sum("scraped_count") + F.sum("error_count")),
+            6,
+        ).alias("success_rate"),
+    )

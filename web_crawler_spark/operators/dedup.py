@@ -1,0 +1,289 @@
+"""Deduplication operators (reference F8/J3 — pacong/data/processor.py:335-380
+— generalized to web-corpus scale).
+
+Shuffle discipline at 100 TB:
+
+* ``keep_latest`` — one hash-partition shuffle on the key, map-side partial
+  via AQE; a window with a single ``row_number`` (no second sort pass).
+* ``anti_join_seen`` — the frontier⟕̸seen equi-join. At 10^10 rows the seen
+  side is bucketed by ``url_hash``; a bloom pre-filter (``bloom_filter_agg``
+  / ``might_contain``) drops ~99% of already-seen URLs *before* the shuffle,
+  and the exact anti-join stays the source of truth (bloom false positives
+  would otherwise drop new URLs).
+* MinHash-LSH — band signatures → bucket-join → candidate pairs → exact
+  Jaccard verify. The bucket join is self-equi-join on (band_id, band_hash),
+  which AQE skew-split handles when one bucket is hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "timestamp",
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Within-batch dedup: keep the newest row per key, deterministic
+    tiebreak (reference keeps ``max(timestamp)``, processor.py:370)."""
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_duplicates(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "timestamp",
+    source_col: str = "source",
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Full reference semantics (processor.py:335-380): keep-latest per key
+    AND merge distinct sources into a comma-joined list. The reference uses
+    Python-set order (nondeterministic, SURVEY §2.13.5); the engine sorts."""
+    merged_sources = (
+        df.groupBy(*keys)
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set(F.col(source_col)))
+            ).alias("__merged_source"),
+            F.count(F.lit(1)).alias("__dup_count"),
+        )
+    )
+    latest = keep_latest(df, keys, ts_col, tiebreakers)
+    out = latest.join(merged_sources, on=keys, how="inner")
+    return (
+        out.withColumn(
+            source_col,
+            F.when(F.col("__dup_count") > 1, F.col("__merged_source")).otherwise(
+                F.col(source_col)
+            ),
+        )
+        .drop("__merged_source", "__dup_count")
+    )
+
+
+def anti_join_seen(
+    frontier: DataFrame,
+    seen: DataFrame,
+    key: str = "url_hash",
+    use_bloom: bool = True,
+    expected_seen: int = 10_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """New-URL discovery: frontier rows whose key is NOT in ``seen``.
+
+    The bloom pre-filter is an *optimization only*: rows the bloom calls
+    unseen are definitely unseen (no false negatives), rows it calls seen
+    still go through the exact anti-join.
+    """
+    if use_bloom:
+        bloom = seen.agg(
+            F.expr(
+                f"bloom_filter_agg({key}, cast({expected_seen} as bigint),"
+                f" cast({int(expected_seen * 8)} as bigint))"
+            ).alias("bf")
+        )
+        pre = frontier.join(bloom.hint("broadcast"))
+        definitely_new = pre.filter(~F.expr(f"might_contain(bf, {key})")).drop("bf")
+        maybe_seen = pre.filter(F.expr(f"might_contain(bf, {key})")).drop("bf")
+        checked = maybe_seen.join(seen.select(key), on=key, how="left_anti")
+        return definitely_new.unionByName(checked)
+    return frontier.join(seen.select(key), on=key, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale document dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized content hash; survivor = min(id)."""
+    withfp = df.withColumn("fingerprint", T.content_fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        withfp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + banded LSH, verified with
+    exact Jaccard over shingle sets.
+
+    Plan shape (scale-reviewed): signature is computed in one projection;
+    ``explode`` over `bands` rows/doc; self-join on (band, band_sig) finds
+    candidates — this is the only shuffle that grows with corpus size and
+    it shuffles doc *ids + signatures*, never full text. The exact-Jaccard
+    verify re-joins shingle sets only for candidate pairs.
+    """
+    rows_per_band = k // bands
+    mh = T.minhash_signature if portable_hash else T.minhash_fast
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        T.shingles(F.col(text_col), n).alias("grams"),
+        mh(F.col(text_col), n, k).alias("sig"),
+    ).filter(F.size("grams") > 0)
+
+    banded = sigs.select(
+        "id",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[i].cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "grams", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.grams").alias("grams_a"),
+            F.col("r.grams").alias("grams_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index
+    (explode → join on shingle → count common) — no pairwise cross join.
+    SQL-portable (the DuckDB oracle runs the same algebra)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    sizes = sh.select("id", F.size("grams").alias("n_grams"))
+    inv = sh.select("id", F.explode("grams").alias("gram"))
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs. Scale path: block on 4 16-bit sub-keys — two
+    docs within hamming distance ≤3 of each other on 64 bits must agree on
+    at least one of the 4 sub-keys (pigeonhole), so candidate generation is
+    4 equi-joins instead of a cross join."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), T.simhash64(F.col(text_col)).alias("simhash")
+    )
+    blocks = hashed.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.block", "bk.key")
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", T.hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

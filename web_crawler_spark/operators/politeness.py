@@ -1,0 +1,120 @@
+"""Frontier scheduling: crawl ordering + per-host politeness (SURVEY
+§2.2 F1–F7), the one operator family Spark lacks natively.
+
+Reference semantics being reproduced (pacong/core/base_scraper.py:112-143):
+sources are fetched strictly in seed-list order, with ``rate_limit_delay``
+seconds of sleep before every fetch after the first. Single-threaded, so
+global order == list order. The engine's fidelity contract (SURVEY §7.3) is
+*per-host* order + wave membership; cross-host interleaving is the
+parallelism we're buying.
+
+Scale design: each host lives in exactly one salt bucket per epoch (see
+``urltools.host_salt``), so the per-host ``row_number`` window never spans
+partitions, and hot hosts rotate buckets across epochs. The politeness
+schedule is a closed form — seq k fetches at ``epoch_start + (k-1)*delay``
+— because the delay is per-host constant (settings.yaml:17); no recursive
+cumulative window needed, which keeps it one shuffle + one sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def crawl_order(
+    frontier: DataFrame,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """F2: per-host fetch sequence = seed-list priority order, URL tiebreak.
+    Matches the reference's sequential `for` loop order within each host."""
+    w = Window.partitionBy(host_col).orderBy(F.col(priority_col).asc(), F.col(url_col).asc())
+    return frontier.withColumn("seq", F.row_number().over(w))
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    epoch_start: Column,
+    delay_seconds: float = 2.0,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """F3: assign each URL its earliest polite fetch timestamp.
+
+    scheduled_ts(host, seq) = epoch_start + (seq-1) * delay
+    (the reference sleeps *before* every source after the first —
+    base_scraper.py:117-119 — so seq 1 fetches at epoch_start).
+    """
+    ordered = crawl_order(frontier, host_col, priority_col, url_col)
+    return ordered.withColumn(
+        "scheduled_ts",
+        F.timestamp_add(
+            "SECOND",
+            ((F.col("seq") - 1) * F.lit(delay_seconds)).cast("bigint"),
+            epoch_start,
+        ),
+    )
+
+
+def politeness_check(
+    fetched: DataFrame,
+    delay_seconds: float = 2.0,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Audit operator: verify an executed fetch log respected per-host
+    politeness — ``lag(fetch_ts) over (partition by host order by seq)``
+    must precede each fetch by ≥ delay. Returns violations (empty = clean).
+    This is the north_rule's 'politeness via window functions over fetch
+    timestamps' stated as a checkable invariant."""
+    w = Window.partitionBy(host_col).orderBy(seq_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    return (
+        fetched.withColumn("prev_ts", prev)
+        .withColumn("gap_seconds", F.round(gap, 3))
+        .filter(F.col("prev_ts").isNotNull() & (gap < delay_seconds))
+    )
+
+
+def retry_eligible(
+    frontier: DataFrame,
+    now: Column,
+    max_retries: int = 3,
+    backoff_factor: float = 1.0,
+) -> DataFrame:
+    """F6/S2: urllib3-Retry semantics as columns — a row is fetchable when
+    its retry budget remains and its backoff window has elapsed
+    (backoff_factor * 2^(retries-1), base_scraper.py:202-206)."""
+    backoff = F.when(F.col("retries") == 0, F.lit(0.0)).otherwise(
+        F.lit(backoff_factor) * F.pow(F.lit(2.0), F.col("retries") - 1)
+    )
+    eligible = (F.col("retries") < max_retries) & (
+        F.col("last_attempt_ts").isNull()
+        | (
+            F.col("last_attempt_ts").cast("double") + backoff
+            <= now.cast("double")
+        )
+    )
+    return frontier.withColumn("eligible", eligible)
+
+
+def epoch_metrics(
+    fetched: DataFrame, epoch_col: str = "epoch", status_col: str = "status"
+) -> DataFrame:
+    """F7: per-(epoch, partition) counters → the metrics/lineage table
+    (reference ScrapingResult, pacong/data/models.py:225-246)."""
+    return (
+        fetched.withColumn("partition_id", F.spark_partition_id())
+        .groupBy(epoch_col, "partition_id")
+        .agg(
+            F.sum(F.when(F.col(status_col) == "ok", 1).otherwise(0)).cast("bigint").alias("scraped_count"),
+            F.sum(F.when(F.col(status_col) != "ok", 1).otherwise(0)).cast("bigint").alias("error_count"),
+            F.min("fetch_ts").alias("start_ts"),
+            F.max("fetch_ts").alias("end_ts"),
+        )
+    )

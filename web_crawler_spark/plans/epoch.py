@@ -1,0 +1,182 @@
+"""The crawl epoch loop (north_rule core; SURVEY §7.2.5).
+
+One epoch = one BFS wave:
+
+    frontier(epoch)
+      → canonicalize + hash                      (native exprs)
+      → ANTI-JOIN vs seen (+ bloom pre-filter)   [shuffle 1: by url_hash]
+      → repartition by salted host               [shuffle 2: by host-salt]
+      → per-host crawl order + politeness window (row_number / closed form)
+      → "fetch" = equi-join against the pages corpus on canonical_url
+        (the offline corpus replaces live HTTP — SURVEY §2.1 S1)
+      → extract (mapInPandas: tables / links / text)
+      → expand: resolved outlinks become epoch+1 frontier candidates
+      → commit fetched/seen/metrics snapshots    (EpochCatalog — resumable)
+
+Explicit repartitioning between expand and dedup is mandated by the
+north_rule — expand explodes by fan-out (skewed by page), dedup needs
+url_hash co-location, scheduling needs host co-location. Two shuffles,
+both visible in the plan, nothing else shuffles.
+
+A killed run resumes exactly: every table commit is manifest-gated and
+keyed by epoch, so re-running epoch K is idempotent (the catalog skips
+already-committed epochs) and epoch K+1 rebuilds its frontier from the
+committed epoch-K outlinks table.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import urltools as U
+from ..operators import dedup as D
+from ..operators import politeness as P
+from ..sources.catalog import EpochCatalog
+from . import extract as X
+
+EPOCH_CLOCK0 = datetime(2025, 7, 22, 9, 0, 0, tzinfo=timezone.utc)
+
+
+class CrawlEngine:
+    """Driver-side orchestration; all data paths stay distributed."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog_root: str,
+        pages: DataFrame,
+        delay_seconds: float = 2.0,
+        n_salts: int = 16,
+        max_depth: int = 2,
+        use_bloom: bool = True,
+    ):
+        self.spark = spark
+        self.catalog = EpochCatalog(catalog_root)
+        self.delay_seconds = delay_seconds
+        self.n_salts = n_salts
+        self.max_depth = max_depth
+        self.use_bloom = use_bloom
+        # corpus keyed by canonical URL (what the frontier joins against)
+        self.pages = U.with_url_columns(pages).select(
+            "canonical_url", "url_hash", "warc_ts", "html", "text", "lang"
+        ).dropDuplicates(["url_hash"])
+
+    # ------------------------------------------------------------------
+    def _epoch_start(self, epoch: int):
+        return F.lit(EPOCH_CLOCK0).cast("timestamp") + F.expr(
+            f"INTERVAL {epoch * 3600} SECONDS"
+        )
+
+    def _frontier_for(self, seeds: DataFrame, epoch: int) -> DataFrame:
+        """Seeds tagged for this epoch ∪ outlinks discovered in epoch-1."""
+        f = seeds.filter(F.col("epoch") == epoch).select(
+            "url", "source", "priority", "host", "canonical_url", "url_hash",
+            F.lit(0).alias("depth"),
+        )
+        prev = self.catalog.read(self.spark, "outlinks", upto_epoch=epoch - 1)
+        if prev is not None and self.max_depth > 0:
+            expanded = (
+                prev.filter((F.col("epoch") == epoch - 1) & (F.col("depth") < self.max_depth))
+                .select(
+                    F.col("resolved_url").alias("url"),
+                    F.lit("outlink").alias("source"),
+                    F.lit(1_000_000).alias("priority"),  # discovered < seeded
+                    (F.col("depth") + 1).alias("depth"),
+                )
+            )
+            expanded = U.with_url_columns(expanded).select(
+                "url", "source", "priority", "host", "canonical_url", "url_hash", "depth"
+            )
+            f = f.unionByName(expanded)
+        # within-wave dedup: first (priority, url) wins per canonical URL
+        return D.keep_latest(
+            f.withColumn("__neg_pri", -F.col("priority")),
+            keys=["url_hash"],
+            ts_col="__neg_pri",
+            tiebreakers=["url"],
+        ).drop("__neg_pri")
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, seeds: DataFrame, epoch: int) -> dict:
+        """Run one epoch; returns counters. Idempotent per epoch."""
+        if epoch in self.catalog.committed_epochs("fetched"):
+            return {"epoch": epoch, "skipped": True}
+
+        frontier = self._frontier_for(seeds, epoch)
+
+        # dedup vs seen  [shuffle: url_hash]
+        seen = self.catalog.read(self.spark, "seen", upto_epoch=epoch - 1)
+        if seen is not None:
+            frontier = D.anti_join_seen(frontier, seen, use_bloom=self.use_bloom)
+
+        # schedule  [shuffle: salted host]
+        frontier = frontier.withColumn(
+            "salt", U.host_salt(F.col("host"), F.lit(epoch), self.n_salts)
+        ).repartition(F.col("host"), F.col("salt"))
+        scheduled = P.politeness_schedule(
+            frontier, self._epoch_start(epoch), self.delay_seconds
+        )
+
+        # fetch = join against the offline corpus (broadcast-averse: both big)
+        fetched = scheduled.join(
+            self.pages.withColumnRenamed("url_hash", "p_hash"),
+            scheduled["canonical_url"] == self.pages["canonical_url"],
+            "left",
+        ).select(
+            scheduled["url"], scheduled["canonical_url"], scheduled["url_hash"],
+            scheduled["host"], scheduled["priority"], scheduled["depth"],
+            scheduled["seq"], scheduled["scheduled_ts"].alias("fetch_ts"),
+            self.pages["html"], self.pages["text"], self.pages["lang"],
+            F.when(self.pages["html"].isNotNull(), "ok").otherwise("error").alias("status"),
+            F.lit(epoch).alias("epoch"),
+        )
+        fetched = fetched.localCheckpoint()  # cut lineage; reused 4× below
+
+        ok = fetched.filter(F.col("status") == "ok")
+
+        # extract + expand
+        links = X.link_stage(ok.select(F.col("canonical_url").alias("url"), "html"))
+        outlinks = X.resolve_links(links).select(
+            F.col("url").alias("from_url"), "resolved_url",
+            F.lit(epoch).alias("epoch"),
+        )
+        outlinks = outlinks.join(
+            fetched.select(F.col("canonical_url").alias("from_url"), "depth"),
+            "from_url",
+        ).select("from_url", "resolved_url", "depth", "epoch")
+
+        extracted = X.commodity_table_stage(
+            ok.select(F.col("canonical_url").alias("url"), "html")
+        ).withColumn("epoch", F.lit(epoch))
+
+        # commit epoch snapshots (order matters: data first, seen last so a
+        # crash can never mark a URL seen without its fetched row committed)
+        self.catalog.commit_epoch("fetched", epoch, fetched.drop("html"))
+        self.catalog.commit_epoch("extracted", epoch, extracted)
+        self.catalog.commit_epoch("outlinks", epoch, outlinks.drop("epoch"))
+        metrics = P.epoch_metrics(fetched)
+        self.catalog.commit_epoch("metrics", epoch, metrics)
+        n_fetched = fetched.count()
+        n_ok = ok.count()
+        self.catalog.commit_epoch(
+            "seen", epoch,
+            fetched.select("url_hash", "canonical_url").withColumn(
+                "first_seen_epoch", F.lit(epoch)
+            ),
+            lineage={"fetched": n_fetched, "ok": n_ok},
+        )
+        return {"epoch": epoch, "fetched": n_fetched, "ok": n_ok}
+
+    def run(self, seeds: DataFrame, n_epochs: int = 3) -> list[dict]:
+        start = self.catalog.last_epoch("seen")
+        first = 0 if start is None else start + 1
+        results = []
+        for epoch in range(0, n_epochs):
+            if epoch < first:
+                results.append({"epoch": epoch, "skipped": True})
+                continue
+            results.append(self.run_epoch(seeds, epoch))
+        return results
