@@ -48,7 +48,7 @@ def clean_price(col: Column) -> Column:
         )
         .otherwise(s)
     )
-    return F.when(cleaned == "", F.lit(None)).otherwise(cleaned).cast("double")
+    return F.when(cleaned == "", F.lit(None)).otherwise(cleaned).try_cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +61,7 @@ def clean_percentage(col: Column) -> Column:
     divided by 100 (processor.py:104-108 — deliberate reference quirk)."""
     s = F.regexp_replace(F.trim(col.cast("string")), r"[^\d.,-]", "")
     s = F.replace(s, F.lit(","), F.lit("."))
-    v = F.when(s == "", F.lit(None)).otherwise(s).cast("double")
+    v = F.when(s == "", F.lit(None)).otherwise(s).try_cast("double")
     return F.when(F.abs(v) <= 100.0, v).otherwise(v / 100.0)
 
 
@@ -192,7 +192,7 @@ def parse_hq_payload(col: Column) -> dict[str, Column]:
 
     def _num(i: int) -> Column:
         raw = F.element_at(fields, i)
-        return F.when(raw == "", F.lit(0.0)).otherwise(raw.cast("double"))
+        return F.when(raw == "", F.lit(0.0)).otherwise(raw.try_cast("double"))
 
     return {
         "quote_time": F.element_at(fields, 1),
@@ -211,7 +211,7 @@ def parse_hq_payload(col: Column) -> dict[str, Column]:
 def extract_change_percent(col: Column) -> Column:
     return F.nullif(
         F.regexp_extract(col.cast("string"), r"([+-]?\d+\.?\d*)%", 1), F.lit("")
-    ).cast("double")
+    ).try_cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -265,4 +265,4 @@ def is_valid_url(col: Column) -> Column:
 
 
 def is_numeric_string(col: Column) -> Column:
-    return F.replace(col.cast("string"), F.lit(","), F.lit("")).cast("double").isNotNull()
+    return F.replace(col.cast("string"), F.lit(","), F.lit("")).try_cast("double").isNotNull()

@@ -116,20 +116,22 @@ def minhash_signature(text: Column, n: int = 3, k: int = 16) -> Column:
     (lexicographic min of hex strings). Portable to any SQL engine; the
     cluster fast path is ``minhash_fast``."""
     grams = shingles(text, n)
-    sig = [
-        F.array_min(F.transform(grams, lambda g, i=i: F.md5(F.concat(F.lit(f"s{i}:"), g))))
-        for i in range(k)
-    ]
+
+    def hasher(i: int):
+        return lambda g: F.md5(F.concat(F.lit(f"s{i}:"), g))
+
+    sig = [F.array_min(F.transform(grams, hasher(i))) for i in range(k)]
     return F.array(*sig)
 
 
 def minhash_fast(text: Column, n: int = 3, k: int = 16) -> Column:
     """xxhash64-based MinHash — ~5× cheaper than md5; engine-internal."""
     grams = shingles(text, n)
-    sig = [
-        F.array_min(F.transform(grams, lambda g, i=i: F.xxhash64(F.lit(i), g)))
-        for i in range(k)
-    ]
+
+    def hasher(i: int):
+        return lambda g: F.xxhash64(F.lit(i), g)
+
+    sig = [F.array_min(F.transform(grams, hasher(i))) for i in range(k)]
     return F.array(*sig)
 
 
@@ -145,13 +147,13 @@ def simhash64(text: Column) -> Column:
 
     def bit_vote(b: int) -> Column:
         # vote_b = sum over tokens of (bit set ? 1 : -1)
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1).cast("long") << b) != 0, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(1).cast("long") << b).otherwise(F.lit(0).cast("long"))
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+
+        def vote(acc: Column, h: Column) -> Column:
+            return acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+        votes = F.aggregate(hashes, F.lit(0), vote)
+        return F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
 
     out = F.lit(0).cast("long")
     for b in range(64):

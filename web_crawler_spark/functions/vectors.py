@@ -41,19 +41,16 @@ def lsh_bucket(a: Column, n_planes: int = 8, seed: int = 7) -> Column:
     bucket bit p = sign(sum_i coeff(p,i) * a[i])
     """
     idx = F.sequence(F.lit(0), F.size(a) - 1)
+
+    def signed(p: int):
+        return lambda x, i: F.when(
+            F.pmod(F.xxhash64(F.lit(seed + p), i), F.lit(2)) == 0, x.cast("double")
+        ).otherwise(-x.cast("double"))
+
     bucket = F.lit(0)
     for p in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(
-                a,
-                idx,
-                lambda x, i, p=p: F.when(
-                    F.pmod(F.xxhash64(F.lit(seed + p), i), F.lit(2)) == 0,
-                    x.cast("double"),
-                ).otherwise(-x.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+            F.zip_with(a, idx, signed(p)), F.lit(0.0), lambda acc, v: acc + v
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket

@@ -22,6 +22,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _seconds(c: Column) -> Column:
+    """Epoch seconds for TIMESTAMP and TIMESTAMP_NTZ alike (session tz UTC)."""
+    return c.cast("timestamp").cast("double")
+
+
 def crawl_order(
     frontier: DataFrame,
     host_col: str = "host",
@@ -73,7 +78,7 @@ def politeness_check(
     timestamps' stated as a checkable invariant."""
     w = Window.partitionBy(host_col).orderBy(seq_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    gap = _seconds(F.col(ts_col)) - _seconds(prev)
     return (
         fetched.withColumn("prev_ts", prev)
         .withColumn("gap_seconds", F.round(gap, 3))
@@ -96,8 +101,8 @@ def retry_eligible(
     eligible = (F.col("retries") < max_retries) & (
         F.col("last_attempt_ts").isNull()
         | (
-            F.col("last_attempt_ts").cast("double") + backoff
-            <= now.cast("double")
+            _seconds(F.col("last_attempt_ts")) + backoff
+            <= _seconds(now)
         )
     )
     return frontier.withColumn("eligible", eligible)

@@ -41,7 +41,7 @@ def numeric_range_rule(
     effective behavior for optional numeric fields)."""
 
     def check(c: Column) -> Column:
-        v = c.cast("double")
+        v = c.try_cast("double")
         ok = F.when(c.isNull(), F.lit(True)).otherwise(v.isNotNull())
         if min_val is not None:
             ok = ok & F.when(c.isNull(), F.lit(True)).otherwise(v >= min_val)

@@ -47,6 +47,11 @@ def process_commodity(raw: DataFrame, clock: Column) -> DataFrame:
         S.categorize(name, symbol).alias("category"),
         F.coalesce(F.col("source"), F.lit("")).alias("source"),
         S.coerce_timestamp(F.col("timestamp"), clock).alias("timestamp"),
+        # CommodityData optional fields (models.py:56-63) — absent in HTML
+        # table sources, present for API sources; kept nullable for V6
+        F.lit(None).cast("double").alias("high_price"),
+        F.lit(None).cast("double").alias("low_price"),
+        F.lit(None).cast("double").alias("previous_close"),
     )
     return out.filter((F.col("name") != "") & F.col("current_price").isNotNull())
 
