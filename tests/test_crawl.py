@@ -1,0 +1,199 @@
+"""Crawl-core tests (SURVEY §5.2.3/5/6): canonicalization, crawl-order vs
+the sequential oracle, politeness invariant, seen-set properties, bloom
+no-false-negatives, epoch resume."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import urltools as U
+from web_crawler_spark.operators import dedup as D
+from web_crawler_spark.operators import politeness as P
+
+
+# -- canonicalization --------------------------------------------------------
+
+CANON_CASES = [
+    ("HTTP://Example.COM/path", "http://example.com/path"),
+    ("http://example.com:80/path", "http://example.com/path"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/p#frag", "https://example.com/p"),
+    ("https://example.com/p?b=2&a=1", "https://example.com/p?a=1&b=2"),
+    ("https://EXAMPLE.com:443/p?z=9&a=1#f", "https://example.com/p?a=1&z=9"),
+]
+
+
+def test_canonicalize(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    got = [r["c"] for r in df.select(U.canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_url_hash_collapses_variants(spark):
+    variants = [
+        "https://Example.com/p?b=2&a=1",
+        "https://example.com:443/p?a=1&b=2#x",
+        "HTTPS://EXAMPLE.COM/p?b=2&a=1#y",
+    ]
+    df = U.with_url_columns(spark.createDataFrame([(u,) for u in variants], "url string"))
+    assert df.select("url_hash").distinct().count() == 1
+    assert df.select("host").distinct().collect()[0]["host"] == "example.com"
+
+
+# -- crawl order vs sequential oracle (base_scraper.py:112-143 semantics) ----
+
+
+def crawl_order_oracle(seeds):
+    """The reference loop: per host, fetch strictly in priority (list) order.
+    Returns {host: [url, ...]} in fetch order."""
+    by_host = {}
+    for url, host, priority in sorted(seeds, key=lambda s: (s[1], s[2], s[0])):
+        by_host.setdefault(host, []).append(url)
+    return by_host
+
+
+def test_crawl_order_matches_oracle(spark):
+    seeds = [
+        (f"https://{h}/p{i}", h, pri)
+        for h in ("a.com", "b.com")
+        for i, pri in enumerate([3, 1, 2, 5, 4])
+    ]
+    df = spark.createDataFrame(seeds, "url string, host string, priority int")
+    got = (
+        P.crawl_order(df)
+        .orderBy("host", "seq")
+        .select("host", "url")
+        .collect()
+    )
+    oracle = crawl_order_oracle(seeds)
+    for host in oracle:
+        engine_urls = [r["url"] for r in got if r["host"] == host]
+        assert engine_urls == oracle[host], host
+
+
+def test_politeness_schedule_and_audit(spark):
+    seeds = [(f"https://h.com/{i}", "h.com", i) for i in range(5)] + [
+        (f"https://g.com/{i}", "g.com", i) for i in range(3)
+    ]
+    df = spark.createDataFrame(seeds, "url string, host string, priority int")
+    sched = P.politeness_schedule(df, F.lit("2025-07-22 09:00:00").cast("timestamp"), 2.0)
+    rows = sched.orderBy("host", "seq").collect()
+    # seq k fetches at epoch_start + (k-1)*delay
+    for r in rows:
+        assert (r["scheduled_ts"].second + r["scheduled_ts"].minute * 60) == (r["seq"] - 1) * 2
+    # audit operator finds zero violations on its own schedule
+    fetched = sched.withColumnRenamed("scheduled_ts", "fetch_ts")
+    assert P.politeness_check(fetched, 2.0).count() == 0
+    # and detects an injected violation
+    bad = fetched.withColumn(
+        "fetch_ts",
+        F.when(F.col("seq") == 2, F.timestamp_add("SECOND", F.lit(-1), F.col("fetch_ts"))).otherwise(F.col("fetch_ts")),
+    )
+    assert P.politeness_check(bad, 2.0).count() == 2  # both hosts violated
+
+
+# -- seen-set / bloom properties ---------------------------------------------
+
+
+def test_anti_join_seen_property(spark):
+    """Every key admitted exactly once across epochs; bloom path ==
+    exact path (no false negatives can drop URLs)."""
+    import random
+
+    rng = random.Random(1234)
+    all_keys = [rng.randrange(10**12) for _ in range(5000)]
+    seen_keys = set(rng.sample(all_keys, 2000))
+    frontier = spark.createDataFrame(
+        [(k,) for k in all_keys], "url_hash long"
+    ).dropDuplicates(["url_hash"])
+    seen = spark.createDataFrame([(k,) for k in seen_keys], "url_hash long")
+
+    exact = D.anti_join_seen(frontier, seen, use_bloom=False)
+    bloomed = D.anti_join_seen(frontier, seen, use_bloom=True)
+    exact_set = {r["url_hash"] for r in exact.collect()}
+    bloom_set = {r["url_hash"] for r in bloomed.collect()}
+    assert exact_set == set(all_keys) - seen_keys
+    assert bloom_set == exact_set
+
+
+def test_keep_latest_dedup(spark):
+    rows = [
+        ("a", 1, "s1"), ("a", 3, "s2"), ("a", 2, "s3"),
+        ("b", 5, "s1"), ("b", 5, "s2"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts int, source string")
+    got = {r["k"]: (r["ts"], r["source"]) for r in D.keep_latest(df, ["k"], "ts", ["source"]).collect()}
+    assert got == {"a": (3, "s2"), "b": (5, "s2")}
+
+
+def test_merge_duplicates_sources_sorted(spark):
+    rows = [("a", 1, "z"), ("a", 2, "m"), ("b", 1, "q")]
+    df = spark.createDataFrame(rows, "k string, ts int, source string")
+    got = {r["k"]: r["source"] for r in D.merge_duplicates(df, ["k"], "ts", "source").collect()}
+    # duplicate keys merge sources sorted (engine determinism vs reference's
+    # python-set order); singletons keep their own source
+    assert got == {"a": "m,z", "b": "q"}
+
+
+# -- epoch loop: resume-exactly (SURVEY §5.2.6) -------------------------------
+
+
+@pytest.fixture()
+def catalog_dir():
+    d = tempfile.mkdtemp(prefix="wcs_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_epoch_resume_exactly(spark, catalog_dir):
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import generate_seeds
+
+    pages = generate_pages(spark, 120, seed=42).cache()
+    seeds = generate_seeds(spark, n_per_host=3, hot_factor=3, n_epochs=3).cache()
+
+    # full run
+    full_dir = catalog_dir + "/full"
+    eng1 = CrawlEngine(spark, full_dir, pages, max_depth=1, use_bloom=False)
+    eng1.run(seeds, n_epochs=3)
+
+    # killed-after-epoch-1 run, then resume
+    part_dir = catalog_dir + "/part"
+    eng2 = CrawlEngine(spark, part_dir, pages, max_depth=1, use_bloom=False)
+    eng2.run_epoch(seeds, 0)
+    eng2.run_epoch(seeds, 1)
+    # "crash" — new engine instance resumes from the committed manifest
+    eng3 = CrawlEngine(spark, part_dir, pages, max_depth=1, use_bloom=False)
+    results = eng3.run(seeds, n_epochs=3)
+    assert [r.get("skipped", False) for r in results] == [True, True, False]
+
+    for table in ("fetched", "seen", "extracted"):
+        a = eng1.catalog.read(spark, table)
+        b = eng3.catalog.read(spark, table)
+        cols = sorted(set(a.columns) - {"fetch_ts"})  # ts depends on epoch clock only — keep
+        assert a.count() == b.count(), table
+        assert (
+            a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+            and b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+        ), f"{table} differs after resume"
+
+
+def test_seen_admits_once_across_epochs(spark, catalog_dir):
+    """Cross-epoch duplicate seeds (1/3 of epoch>0 URLs repeat epoch 0's)
+    must be fetched exactly once."""
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import generate_seeds
+
+    pages = generate_pages(spark, 60, seed=42)
+    seeds = generate_seeds(spark, n_per_host=3, hot_factor=2, n_epochs=2)
+    eng = CrawlEngine(spark, catalog_dir + "/c", pages, max_depth=0, use_bloom=True)
+    eng.run(seeds, n_epochs=2)
+    fetched = eng.catalog.read(spark, "fetched")
+    dup = fetched.groupBy("url_hash").count().filter(F.col("count") > 1).count()
+    assert dup == 0

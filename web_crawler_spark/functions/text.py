@@ -48,11 +48,16 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct). ``slice`` is 1-based."""
+    """Word n-gram shingle array (distinct). ``slice`` is 1-based; texts
+    shorter than n words yield an empty array (Spark's sequence(1,0) counts
+    DOWN, so the short case must be guarded, not clamped)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    n_grams = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), n_grams)
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.array_distinct(grams)
+    return F.when(n_grams >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def stopword_hits(text: Column, lang: str) -> Column:

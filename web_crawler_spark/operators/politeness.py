@@ -77,12 +77,13 @@ def politeness_check(
     This is the north_rule's 'politeness via window functions over fetch
     timestamps' stated as a checkable invariant."""
     w = Window.partitionBy(host_col).orderBy(seq_col)
-    prev = F.lag(F.col(ts_col)).over(w)
-    gap = _seconds(F.col(ts_col)) - _seconds(prev)
     return (
-        fetched.withColumn("prev_ts", prev)
-        .withColumn("gap_seconds", F.round(gap, 3))
-        .filter(F.col("prev_ts").isNotNull() & (gap < delay_seconds))
+        fetched.withColumn("prev_ts", F.lag(F.col(ts_col)).over(w))
+        .withColumn(
+            "gap_seconds",
+            F.round(_seconds(F.col(ts_col)) - _seconds(F.col("prev_ts")), 3),
+        )
+        .filter(F.col("prev_ts").isNotNull() & (F.col("gap_seconds") < delay_seconds))
     )
 
 
