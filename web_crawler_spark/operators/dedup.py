@@ -206,12 +206,17 @@ def minhash_lsh_pairs(
     verify re-joins shingle sets only for candidate pairs.
     """
     rows_per_band = k // bands
-    mh = T.minhash_signature if portable_hash else T.minhash_fast
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        T.shingles(F.col(text_col), n).alias("grams"),
-        mh(F.col(text_col), n, k).alias("sig"),
-    ).filter(F.size("grams") > 0)
+    # two-step projection: grams materialized once, signature derived from
+    # the grams COLUMN (multiply-referenced alias → CollapseProject keeps it)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    grams_df = (
+        df.repartition(parallelism)  # small parquet inputs arrive 1-partition
+        .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+    sigs = grams_df.select(
+        "id", "grams", T.minhash_from_grams(F.col("grams"), k, portable_hash).alias("sig")
+    )
 
     banded = sigs.select(
         "id",
@@ -276,9 +281,11 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index
     (explode → join on shingle → count common) — no pairwise cross join.
     SQL-portable (the DuckDB oracle runs the same algebra)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams")
-    ).filter(F.size("grams") > 0)
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
     sizes = sh.select("id", F.size("grams").alias("n_grams"))
     inv = sh.select("id", F.explode("grams").alias("gram"))
     common = (
@@ -313,7 +320,7 @@ def simhash_dedup_pairs(
     docs within hamming distance ≤3 of each other on 64 bits must agree on
     at least one of the 4 sub-keys (pigeonhole), so candidate generation is
     4 equi-joins instead of a cross join."""
-    hashed = df.select(
+    hashed = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"), T.simhash64(F.col(text_col)).alias("simhash")
     )
     blocks = hashed.select(

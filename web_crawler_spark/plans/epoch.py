@@ -59,10 +59,16 @@ class CrawlEngine:
         self.n_salts = n_salts
         self.max_depth = max_depth
         self.use_bloom = use_bloom
-        # corpus keyed by canonical URL (what the frontier joins against)
-        self.pages = U.with_url_columns(pages).select(
-            "canonical_url", "url_hash", "warc_ts", "html", "text", "lang"
-        ).dropDuplicates(["url_hash"])
+        # corpus keyed by canonical URL (what the frontier joins against);
+        # localCheckpoint = "the keyed corpus table already exists" — on a
+        # real deployment this is the Iceberg pages table bucketed by
+        # url_hash, written once, not recomputed per epoch
+        self.pages = (
+            U.with_url_columns(pages)
+            .select("canonical_url", "url_hash", "warc_ts", "html", "text", "lang")
+            .dropDuplicates(["url_hash"])
+            .localCheckpoint()
+        )
 
     # ------------------------------------------------------------------
     def _epoch_start(self, epoch: int):
@@ -159,8 +165,11 @@ class CrawlEngine:
         self.catalog.commit_epoch("outlinks", epoch, outlinks.drop("epoch"))
         metrics = P.epoch_metrics(fetched)
         self.catalog.commit_epoch("metrics", epoch, metrics)
-        n_fetched = fetched.count()
-        n_ok = ok.count()
+        counts = fetched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        ).collect()[0]
+        n_fetched, n_ok = counts["n"], int(counts["ok"] or 0)
         self.catalog.commit_epoch(
             "seen", epoch,
             fetched.select("url_hash", "canonical_url").withColumn(
