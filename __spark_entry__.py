@@ -1066,6 +1066,274 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+# -- config-driven DSL / remaining scalar + set ops ---------------------------
+
+
+def _q_transform_dsl(spark, sf_dir):
+    from web_crawler_spark.plans import dsl
+
+    e = _t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("$"), (F.col("event_id") % 9000).cast("string"), F.lit(","),
+        F.lpad((F.col("user_id") % 100).cast("string"), 2, "0"), F.lit("/oz"),
+    )
+    return e.select(
+        "event_id",
+        raw.alias("raw"),
+        dsl.compile_transform(raw, "float").alias("as_float"),
+        dsl.compile_transform(raw, "strip_currency").alias("stripped"),
+        dsl.compile_transform(raw, "uppercase").alias("upper"),
+    )
+
+
+_SQL_TRANSFORM_DSL = """
+WITH t AS (
+  SELECT event_id,
+         concat('$', CAST(event_id % 9000 AS VARCHAR), ',',
+                lpad(CAST(user_id % 100 AS VARCHAR), 2, '0'), '/oz') AS raw
+  FROM events
+)
+SELECT event_id, raw,
+       CASE WHEN regexp_extract(replace(raw, ',', ''), '([0-9.]+)', 1) <> ''
+            THEN regexp_extract(replace(raw, ',', ''), '([0-9.]+)', 1)
+            ELSE raw END AS as_float,
+       regexp_replace(raw, '[^0-9.,]', '', 'g') AS stripped,
+       upper(raw) AS upper
+FROM t
+"""
+
+
+def _q_regex_parser(spark, sf_dir):
+    from web_crawler_spark.plans import dsl
+
+    e = _t(spark, sf_dir, "events")
+    body = F.concat(
+        F.lit("item: A"), (F.col("event_id") % 50).cast("string"),
+        F.lit(" price="), (F.col("user_id") % 500).cast("string"), F.lit(".25\n"),
+        F.lit("item: B"), (F.col("event_id") % 7).cast("string"),
+        F.lit(" price="), (F.col("user_id") % 9).cast("string"), F.lit(".75\n"),
+    )
+    df = e.select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    return dsl.regex_parser_stage(df, r"item: (\w+) price=([\d.]+)", ["name", "price"])
+
+
+_SQL_REGEX_PARSER = """
+WITH t AS (
+  SELECT concat('u', CAST(event_id AS VARCHAR)) AS url,
+         concat('item: A', CAST(event_id % 50 AS VARCHAR), ' price=',
+                CAST(user_id % 500 AS VARCHAR), '.25', chr(10),
+                'item: B', CAST(event_id % 7 AS VARCHAR), ' price=',
+                CAST(user_id % 9 AS VARCHAR), '.75', chr(10)) AS body
+  FROM events
+)
+SELECT url, m[1] AS name, m[2] AS price FROM (
+  SELECT url, unnest(list_zip(
+           regexp_extract_all(body, 'item: (\\w+) price=([0-9.]+)', 1),
+           regexp_extract_all(body, 'item: (\\w+) price=([0-9.]+)', 2))) AS m
+  FROM t)
+"""
+
+
+def _q_json_field_mapping(spark, sf_dir):
+    from web_crawler_spark.plans import dsl
+
+    e = _t(spark, sf_dir, "events")
+    body = F.concat(
+        F.lit('{"quotes": {"asset'), (F.col("event_id") % 25).cast("string"),
+        F.lit('": {"usd": "'), (F.col("user_id") % 400).cast("string"),
+        F.lit('.5", "chg": "'), (F.col("event_id") % 9).cast("string"),
+        F.lit('"}}}'),
+    )
+    pages = e.select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    cfg = {"json_path": "quotes",
+           "field_mapping": {"name": "name", "current_price": "usd", "change_percent": "chg"}}
+    return dsl.json_config_stage(pages, cfg)
+
+
+_SQL_JSON_FIELD_MAPPING = """
+WITH t AS (
+  SELECT concat('u', CAST(event_id AS VARCHAR)) AS url,
+         concat('asset', CAST(event_id % 25 AS VARCHAR)) AS name,
+         concat(CAST(user_id % 400 AS VARCHAR), '.5') AS current_price,
+         CAST(event_id % 9 AS VARCHAR) AS change_percent
+  FROM events
+)
+SELECT url, name, current_price, change_percent FROM t
+"""
+
+
+def _q_union_all(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit("batch_a").alias("batch"), "value"
+    )
+    b = e.filter(F.col("value") > 400).select(
+        "event_id", F.lit("batch_b").alias("batch"), "value"
+    )
+    return a.unionByName(b)
+
+
+_SQL_UNION_ALL = """
+SELECT event_id, 'batch_a' AS batch, value FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, 'batch_b' AS batch, value FROM events WHERE value > 400
+"""
+
+
+def _q_derive_change(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    amount = F.when(F.col("event_id") % 3 == 0, (F.col("event_id") % 70).cast("double") / 10.0)
+    pct = F.when(F.col("event_id") % 5 == 0, (F.col("user_id") % 30).cast("double"))
+    prev = F.when(F.col("event_id") % 4 != 0, (F.col("user_id") % 100 + 1).cast("double"))
+    return e.select(
+        "event_id",
+        S.derive_change_percent(amount, pct, prev).alias("change_percent"),
+    )
+
+
+_SQL_DERIVE_CHANGE = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 70 AS DOUBLE) / 10.0 END AS amount,
+         CASE WHEN event_id % 5 = 0 THEN CAST(user_id % 30 AS DOUBLE) END AS pct,
+         CASE WHEN event_id % 4 <> 0 THEN CAST(user_id % 100 + 1 AS DOUBLE) END AS prev
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN amount IS NOT NULL AND pct IS NULL AND prev IS NOT NULL AND prev <> 0
+            THEN amount / prev * 100.0 ELSE pct END AS change_percent
+FROM t
+"""
+
+
+def _q_spread_avg(spark, sf_dir):
+    from web_crawler_spark.plans import report as R
+
+    e = _t(spark, sf_dir, "events")
+    bid = (F.col("event_id") % 40000).cast("double") / 100.0
+    fx = e.select(
+        bid.alias("mid_price"),
+        bid.alias("bid_price"),
+        ((1 + F.col("user_id") % 10).cast("double") / 100.0).alias("spread"),
+    )
+    return R.forex_report(fx)
+
+
+_SQL_SPREAD_AVG = """
+WITH t AS (
+  SELECT CAST(event_id % 40000 AS DOUBLE) / 100.0 AS mid_price,
+         CAST(1 + user_id % 10 AS DOUBLE) / 100.0 AS spread
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+       ROUND(MAX(mid_price), 6) AS max_price,
+       ROUND(MIN(mid_price), 6) AS min_price,
+       ROUND(AVG(mid_price), 6) AS avg_price,
+       ROUND(AVG(spread), 4) AS avg_spread
+FROM t
+"""
+
+
+def _q_seed_expansion(spark, sf_dir):
+    """F1: multi-URL sources get _{i+1} name suffixes (simple_generic.py:
+    32-53); single-URL sources keep the bare name."""
+    e = _t(spark, sf_dir, "events")
+    src = e.select(
+        F.concat(F.lit("source_"), (F.col("user_id") % 40).cast("string")).alias("source"),
+        F.concat(F.lit("https://h"), (F.col("user_id") % 40).cast("string"),
+                 F.lit(".com/"), F.col("event_id").cast("string")).alias("url"),
+    ).dropDuplicates(["source", "url"])
+    w = Window.partitionBy("source").orderBy("url")
+    cnt = Window.partitionBy("source")
+    return src.select(
+        "url",
+        F.when(
+            F.count(F.lit(1)).over(cnt) > 1,
+            F.concat(F.col("source"), F.lit("_"), F.row_number().over(w).cast("string")),
+        ).otherwise(F.col("source")).alias("name"),
+        F.row_number().over(w).cast("int").alias("priority"),
+    )
+
+
+_SQL_SEED_EXPANSION = """
+WITH src AS (
+  SELECT DISTINCT concat('source_', CAST(user_id % 40 AS VARCHAR)) AS source,
+         concat('https://h', CAST(user_id % 40 AS VARCHAR), '.com/',
+                CAST(event_id AS VARCHAR)) AS url
+  FROM events
+)
+SELECT url,
+       CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1
+            THEN concat(source, '_', CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY url) AS VARCHAR))
+            ELSE source END AS name,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY url) AS INT) AS priority
+FROM src
+"""
+
+
+def _q_format_checks(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    url = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit("https://ok"), F.col("event_id").cast("string"), F.lit(".com/p")),
+    ).otherwise(F.lit("not a url"))
+    num = F.when(F.col("event_id") % 2 == 0, F.concat((F.col("event_id") % 900).cast("string"), F.lit(",5"))).otherwise(F.lit("x9"))
+    return e.select(
+        "event_id",
+        S.is_valid_url(url).cast("int").alias("url_ok"),
+        S.is_numeric_string(num).cast("int").alias("num_ok"),
+    )
+
+
+_SQL_FORMAT_CHECKS = """
+SELECT event_id,
+       CAST(event_id % 3 = 0 AS INT) AS url_ok,
+       CAST(event_id % 2 = 0 AS INT) AS num_ok
+FROM events
+"""
+
+
+def _q_standardize_name(spark, sf_dir):
+    names = ["Oil (WTI)", "Oil (Brent)", "Natural Gas", "RBOB Gasoline",
+             "Heating Oil", "Live Cattle", "Lean Hog", "Feeder Cattle",
+             "Gold", "Random  Thing"]
+    e = _t(spark, sf_dir, "events")
+    raw = F.element_at(
+        F.array(*[F.lit(n) for n in names]), (F.col("event_id") % 10 + 1).cast("int")
+    )
+    return e.select("event_id", raw.alias("raw_name"), S.standardize_name(raw).alias("name"))
+
+
+_SQL_STANDARDIZE_NAME = """
+WITH t AS (
+  SELECT event_id,
+         ['Oil (WTI)','Oil (Brent)','Natural Gas','RBOB Gasoline','Heating Oil',
+          'Live Cattle','Lean Hog','Feeder Cattle','Gold','Random  Thing'][event_id % 10 + 1] AS raw_name
+  FROM events
+)
+SELECT event_id, raw_name,
+  CASE trim(regexp_replace(raw_name, '\\s+', ' ', 'g'))
+    WHEN 'Oil (WTI)' THEN 'WTI原油'
+    WHEN 'Oil (Brent)' THEN '布伦特原油'
+    WHEN 'Natural Gas' THEN '天然气'
+    WHEN 'Natural Gas (Henry Hub)' THEN '天然气'
+    WHEN 'RBOB Gasoline' THEN 'RBOB汽油'
+    WHEN 'Heating Oil' THEN '取暖油'
+    WHEN 'Live Cattle' THEN '活牛'
+    WHEN 'Lean Hog' THEN '瘦肉猪'
+    WHEN 'Feeder Cattle' THEN '饲料牛'
+    ELSE trim(regexp_replace(raw_name, '\\s+', ' ', 'g'))
+  END AS name
+FROM t
+"""
+
+
 # -- rows-only queries (no SQL-expressible oracle) ---------------------------
 
 
@@ -1160,6 +1428,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x6_hq_parse": _q_hq_parse,
     "x8_percent_extract": _q_percent_extract,
     "x13_forex_derived": _q_forex_derived,
+    "x4_standardize_name": _q_standardize_name,
+    "x12_derive_change": _q_derive_change,
+    "x15_x16_format_checks": _q_format_checks,
+    # config-driven DSL (SURVEY §2.8 X9-X11, §2.1 S8, §2.12)
+    "x9_transform_dsl": _q_transform_dsl,
+    "x10_regex_parser": _q_regex_parser,
+    "s8_json_field_mapping": _q_json_field_mapping,
+    # set ops / seeds / report aggregates
+    "u1_union_all": _q_union_all,
+    "a5_spread_avg": _q_spread_avg,
+    "f1_seed_expansion": _q_seed_expansion,
     # validation (SURVEY §2.9)
     "v_validation_split": _q_validation_split,
     "a6_validation_summary": _q_validation_summary,
@@ -1211,6 +1490,15 @@ _ORACLES: dict[str, str] = {
     "x6_hq_parse": _SQL_HQ_PARSE,
     "x8_percent_extract": _SQL_PERCENT_EXTRACT,
     "x13_forex_derived": _SQL_FOREX_DERIVED,
+    "x4_standardize_name": _SQL_STANDARDIZE_NAME,
+    "x12_derive_change": _SQL_DERIVE_CHANGE,
+    "x15_x16_format_checks": _SQL_FORMAT_CHECKS,
+    "x9_transform_dsl": _SQL_TRANSFORM_DSL,
+    "x10_regex_parser": _SQL_REGEX_PARSER,
+    "s8_json_field_mapping": _SQL_JSON_FIELD_MAPPING,
+    "u1_union_all": _SQL_UNION_ALL,
+    "a5_spread_avg": _SQL_SPREAD_AVG,
+    "f1_seed_expansion": _SQL_SEED_EXPANSION,
     "v_validation_split": _SQL_VALIDATION_SPLIT,
     "a6_validation_summary": _SQL_VALIDATION_SUMMARY,
     "dd_doc_fingerprint": _SQL_DOC_FINGERPRINT,

@@ -56,6 +56,35 @@ def process_commodity(raw: DataFrame, clock: Column) -> DataFrame:
     return out.filter((F.col("name") != "") & F.col("current_price").isNotNull())
 
 
+def process_forex(raw: DataFrame, clock: Column) -> DataFrame:
+    """DataProcessor._process_forex_item (processor.py:296-333): pair split
+    (first '/' only), price cleaning, mid := current."""
+    pair_raw = F.coalesce(F.col("pair"), F.col("currency_pair"), F.lit(""))
+    has_slash = pair_raw.contains("/")
+    base = F.when(has_slash, F.trim(F.substring_index(pair_raw, "/", 1))).otherwise(
+        F.trim(F.coalesce(F.col("base_currency"), F.lit("")))
+    )
+    quote = F.when(
+        has_slash,
+        F.trim(F.expr("substring(pair_raw_c, instr(pair_raw_c, '/') + 1)")),
+    ).otherwise(F.trim(F.coalesce(F.col("quote_currency"), F.lit(""))))
+    pair = F.when(has_slash, pair_raw).otherwise(
+        F.when((base != "") & (quote != ""), F.concat(base, F.lit("/"), quote)).otherwise(pair_raw)
+    )
+    current = S.clean_price(F.coalesce(F.col("current_price"), F.col("price")))
+    return raw.withColumn("pair_raw_c", pair_raw).select(
+        pair.alias("pair"),
+        base.alias("base_currency"),
+        quote.alias("quote_currency"),
+        S.clean_price(F.col("bid_price")).alias("bid_price"),
+        S.clean_price(F.col("ask_price")).alias("ask_price"),
+        current.alias("mid_price"),
+        current.alias("current_price"),
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        S.coerce_timestamp(F.col("timestamp"), clock).alias("timestamp"),
+    )
+
+
 def run_full_analysis(
     pages: DataFrame, clock: Column, top_k: int = 5
 ) -> dict[str, DataFrame]:

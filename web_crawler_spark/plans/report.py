@@ -1,0 +1,113 @@
+"""Report sinks + console summary (SURVEY §2.1 S9–S13, §2.5/2.6 A/T ops).
+
+Reference: 16-column commodity CSV (pacong/output/csv_writer.py:36-41),
+11-column forex CSV (csv_writer.py:78-129), multi-sheet Excel = all + one
+sheet per category sorted by price desc + summary (excel_writer.py:20-87),
+console summary (pacong/main.py:114-163), raw-JSON checkpoint
+(base_scraper.py:164-178), run-result JSON (models.py:263-266).
+
+Spark-first: CSV/JSON sinks are ``df.write``; the "Excel sheets" become a
+category-partitioned parquet dataset (same grouping, queryable); the
+console summary is the one deliberate driver-side collect (few rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import aggregate as A
+
+# csv_writer.py:36-41 — the 16 fixed report columns
+COMMODITY_CSV_COLUMNS = [
+    "name", "chinese_name", "symbol", "category", "current_price",
+    "change_amount", "change_percent", "open_price", "high_price",
+    "low_price", "previous_close", "volume", "market_cap", "currency",
+    "source", "timestamp",
+]
+
+# csv_writer.py:78-129 — the 11 forex columns
+FOREX_CSV_COLUMNS = [
+    "pair", "base_currency", "quote_currency", "bid_price", "ask_price",
+    "mid_price", "spread", "change_amount", "change_percent", "source",
+    "timestamp",
+]
+
+
+def _ensure_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    out = df
+    for c in cols:
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast("string"))
+    return out.select(*cols)
+
+
+def write_commodity_csv(df: DataFrame, path: str) -> None:
+    """S9: fixed 16-column header CSV (utf-8; the reference's utf-8-sig BOM
+    is an Excel-ism — Spark writes utf-8, noted deviation)."""
+    _ensure_columns(df, COMMODITY_CSV_COLUMNS).coalesce(1).write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)
+
+
+def write_forex_csv(df: DataFrame, path: str) -> None:
+    """S10."""
+    _ensure_columns(df, FOREX_CSV_COLUMNS).coalesce(1).write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)
+
+
+def write_category_report(df: DataFrame, path: str) -> None:
+    """S11: category-partitioned dataset, rows ordered per category by
+    current_price desc (excel_writer.py:73-74 sheet sort) via a rank column
+    the reader can order on."""
+    ranked = A.rank_within_category(df, "category", "current_price", tiebreaker="name")
+    ranked.write.mode("overwrite").partitionBy("category").parquet(path)
+
+
+def write_raw_checkpoint(df: DataFrame, path: str, epoch: int) -> None:
+    """S12: raw scraped snapshot per epoch (base_scraper.save_raw_data);
+    epoch dir replaces the reference's timestamped filename."""
+    df.write.mode("overwrite").json(f"{path}/epoch={epoch}")
+
+
+def write_run_result(metrics: DataFrame, path: str) -> None:
+    """S13: ScrapingResult JSON → metrics table append as JSON lines."""
+    metrics.coalesce(1).write.mode("overwrite").json(path)
+
+
+def console_summary(results: dict[str, DataFrame], k: int = 5) -> str:
+    """main.py:114-163 print_summary — the one driver-side collect.
+    Returns the formatted text (caller prints/logs)."""
+    lines: list[str] = ["=" * 50, "市场总结 / Market Summary", "=" * 50]
+    summary = results["summary"].collect()[0]
+    lines.append(
+        f"总数 {summary['total_count']}  平均变化 {summary['avg_change']}%  "
+        f"上涨 {summary['gainers']}  下跌 {summary['losers']}  持平 {summary['unchanged']}"
+    )
+    lines.append("-" * 50)
+    lines.append("分类统计 / By category:")
+    for r in results["by_category"].collect():
+        lines.append(f"  {r['category']}: {r['n']} 条, 平均 {r['avg_change']}%")
+    lines.append("-" * 50)
+    lines.append(f"涨幅前{k} / Top gainers:")
+    for r in results["top_gainers"].limit(k).collect():
+        lines.append(f"  {r['name']}: +{r['change_percent']}%")
+    lines.append(f"跌幅前{k} / Top losers:")
+    for r in results["top_losers"].limit(k).collect():
+        lines.append(f"  {r['name']}: {r['change_percent']}%")
+    lines.append("=" * 50)
+    return "\n".join(lines)
+
+
+def forex_report(df: DataFrame) -> DataFrame:
+    """A4/A5: the forex txt-report stats block (reference artifact
+    forex_data_report_20250722_100356.txt): record count, max/min/avg price,
+    avg spread (excel_writer.py:186-190 — round 4, nulls skipped)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.round(F.max("mid_price"), 6).alias("max_price"),
+        F.round(F.min("mid_price"), 6).alias("min_price"),
+        F.round(F.avg("mid_price"), 6).alias("avg_price"),
+        F.round(F.avg("spread"), 4).alias("avg_spread"),
+    )
