@@ -1334,6 +1334,52 @@ FROM t
 """
 
 
+def _q_robots_filter(spark, sf_dir):
+    """RFC 9309 longest-match allow/disallow over a synthesized frontier."""
+    from web_crawler_spark.operators import robots as RB
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 4).cast("string"), F.lit(".com"))
+    path = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit("/private/"), F.col("event_id").cast("string")),
+    ).when(
+        F.col("event_id") % 3 == 1,
+        F.concat(F.lit("/private/annex/"), F.col("event_id").cast("string")),
+    ).otherwise(F.concat(F.lit("/pub/"), F.col("event_id").cast("string")))
+    frontier = e.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+        F.col("event_id"),
+    )
+    robots_txt = "User-agent: *\nDisallow: /private/\nAllow: /private/annex/\n"
+    robots_pages = frontier.sparkSession.createDataFrame(
+        [(f"h{i}.com", robots_txt) for i in range(2)], "host string, body string"
+    )  # h0/h1 have rules; h2/h3 have none
+    rules = RB.parse_robots(robots_pages)
+    return RB.apply_robots(frontier, rules, "anybot").select(
+        "event_id", "host", "canonical_url"
+    )
+
+
+_SQL_ROBOTS_FILTER = """
+WITH frontier AS (
+  SELECT event_id,
+         concat('h', CAST(user_id % 4 AS VARCHAR), '.com') AS host,
+         CASE WHEN event_id % 3 = 0 THEN concat('/private/', CAST(event_id AS VARCHAR))
+              WHEN event_id % 3 = 1 THEN concat('/private/annex/', CAST(event_id AS VARCHAR))
+              ELSE concat('/pub/', CAST(event_id AS VARCHAR)) END AS path
+  FROM events
+)
+SELECT event_id, host,
+       concat('https://', host, path) AS canonical_url
+FROM frontier
+WHERE host IN ('h2.com', 'h3.com')            -- no robots → allowed
+   OR event_id % 3 = 1                        -- /private/annex/ allow override
+   OR event_id % 3 = 2                        -- /pub/ unmatched → allowed
+"""
+
+
 # -- rows-only queries (no SQL-expressible oracle) ---------------------------
 
 
@@ -1420,6 +1466,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f8_anti_join_seen": _q_anti_join_seen,
     "f6_retry_backoff": _q_retry_backoff,
     "a7_success_rate": _q_success_rate,
+    "robots_filter": _q_robots_filter,
     # scalar semantics (SURVEY §2.8)
     "x1_clean_price": _q_clean_price,
     "x2_clean_percentage": _q_clean_percentage,
@@ -1483,6 +1530,7 @@ _ORACLES: dict[str, str] = {
     "f8_anti_join_seen": _SQL_ANTI_JOIN_SEEN,
     "f6_retry_backoff": _SQL_RETRY_BACKOFF,
     "a7_success_rate": _SQL_SUCCESS_RATE,
+    "robots_filter": _SQL_ROBOTS_FILTER,
     "x1_clean_price": _SQL_CLEAN_PRICE,
     "x2_clean_percentage": _SQL_CLEAN_PERCENTAGE,
     "x3_extract_symbol": _SQL_EXTRACT_SYMBOL,

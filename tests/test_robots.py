@@ -1,0 +1,117 @@
+"""robots.txt enforcement (north_rule operator — no reference analogue)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import urltools as U
+from web_crawler_spark.operators import robots as RB
+from web_crawler_spark.operators.robots import parse_robots_text
+from web_crawler_spark.sources.robots import ROBOTS_BODIES, generate_robots
+
+
+def test_parse_groups_and_delays():
+    rows = parse_robots_text("h", ROBOTS_BODIES["finance.sina.com.cn"])
+    agents = {r[1] for r in rows}
+    assert agents == {"sparkcrawl", "*"}
+    star_rules = [(r[2], r[3]) for r in rows if r[1] == "*"]
+    assert ("disallow", "/") in star_rules
+    sc = [(r[2], r[3], r[4]) for r in rows if r[1] == "sparkcrawl"]
+    assert ("disallow", "/internal/", None) in sc
+    assert any(r[0] == "crawl-delay" and r[2] == 0.5 for r in sc)
+
+
+def test_parse_empty_disallow_and_comments():
+    rows = parse_robots_text("h", ROBOTS_BODIES["api.coingecko.com"])
+    # empty Disallow emits nothing; unknown directives ignored
+    assert [r for r in rows if r[2] in ("allow", "disallow")] == []
+
+
+def _frontier(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return U.with_url_columns(df)
+
+
+def test_apply_robots_longest_match(spark):
+    rules = RB.parse_robots(generate_robots(spark))
+    urls = [
+        "https://markets.businessinsider.com/ok/page",
+        "https://markets.businessinsider.com/private/secret",
+        "https://markets.businessinsider.com/private/public-annex/x",  # allow override
+        "https://data.worldbank.org/seed/1",     # blocked
+        "https://data.worldbank.org/seed/10",    # prefix match → blocked
+        "https://data.worldbank.org/seed/2",     # allowed
+        "https://example-commodities.net/anything",  # no robots → allowed
+    ]
+    got = {r["url"] for r in RB.apply_robots(_frontier(spark, urls), rules, "sparkcrawl").collect()}
+    assert got == {
+        "https://markets.businessinsider.com/ok/page",
+        "https://markets.businessinsider.com/private/public-annex/x",
+        "https://data.worldbank.org/seed/2",
+        "https://example-commodities.net/anything",
+    }
+
+
+def test_agent_specific_group_wins(spark):
+    rules = RB.parse_robots(generate_robots(spark))
+    urls = [
+        "https://finance.sina.com.cn/quotes/x",      # * blocked, sparkcrawl ok
+        "https://finance.sina.com.cn/internal/y",    # sparkcrawl blocked
+    ]
+    ours = {r["url"] for r in RB.apply_robots(_frontier(spark, urls), rules, "sparkcrawl").collect()}
+    assert ours == {"https://finance.sina.com.cn/quotes/x"}
+    generic = {r["url"] for r in RB.apply_robots(_frontier(spark, urls), rules, "otherbot").collect()}
+    assert generic == set()  # '*' group: Disallow: /
+
+
+def test_crawl_delays(spark):
+    rules = RB.parse_robots(generate_robots(spark))
+    d = {r["host"]: r["delay_seconds"] for r in RB.crawl_delays(rules, "sparkcrawl", 2.0).collect()}
+    assert d["finance.sina.com.cn"] == 0.5   # agent-specific beats default
+    assert d["markets.businessinsider.com"] == 1.0
+
+
+def test_schedule_with_delays(spark):
+    rules = RB.parse_robots(generate_robots(spark))
+    delays = RB.crawl_delays(rules, "sparkcrawl", 2.0)
+    frontier = spark.createDataFrame(
+        [(f"https://markets.businessinsider.com/p{i}",
+          "markets.businessinsider.com", i) for i in range(4)]
+        + [(f"https://example-commodities.net/p{i}",
+            "example-commodities.net", i) for i in range(4)],
+        "url string, host string, priority int",
+    )
+    sched = RB.politeness_schedule_with_delays(
+        frontier, F.lit("2025-07-22 09:00:00").cast("timestamp"), delays, 2.0
+    )
+    rows = {(r["host"], r["seq"]): r["scheduled_ts"] for r in sched.collect()}
+    # hot host: crawl-delay 1s; default host: 2s
+    bi = "markets.businessinsider.com"
+    ec = "example-commodities.net"
+    assert (rows[(bi, 2)] - rows[(bi, 1)]).total_seconds() == 1.0
+    assert (rows[(ec, 2)] - rows[(ec, 1)]).total_seconds() == 2.0
+
+
+def test_engine_with_robots(spark, tmp_path):
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import generate_seeds
+
+    pages = generate_pages(spark, 60, seed=42)
+    seeds = generate_seeds(spark, n_per_host=4, hot_factor=2, n_epochs=1)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "cat"), pages, max_depth=0,
+        robots_pages=generate_robots(spark), agent="sparkcrawl",
+    )
+    eng.run(seeds, n_epochs=1)
+    fetched = eng.catalog.read(spark, "fetched")
+    by_status = {
+        (r["host"], r["status"]): r["n"]
+        for r in fetched.groupBy("host", "status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # worldbank /seed/1* denied (seeds are /seed/0../seed/3 → exactly /seed/1)
+    assert by_status.get(("data.worldbank.org", "robots_denied"), 0) == 1
+    # denied URLs are still in seen exactly once
+    seen = eng.catalog.read(spark, "seen")
+    assert seen.groupBy("url_hash").count().filter(F.col("count") > 1).count() == 0
+    # sina: '*' blocked but agent=sparkcrawl allowed except /internal/
+    assert ("finance.sina.com.cn", "robots_denied") not in by_status

@@ -1,0 +1,197 @@
+"""robots.txt enforcement (north_rule; absent in the reference — its only
+politeness is the fixed delay, pacong/config/settings.yaml:17).
+
+Implements the RFC 9309 core as relational algebra:
+
+* ``parse_robots`` — robots.txt bodies → a rules table
+  ``robots(host, agent, rule, path_prefix, crawl_delay)`` via one
+  mapInPandas pass (line-oriented parse, Python is appropriate here — the
+  robots corpus is tiny relative to the frontier).
+* ``apply_robots`` — frontier ⟕ rules on host; per-URL longest-matching
+  rule wins (Allow beats Disallow on equal length, empty Disallow = allow
+  all); URLs with no rules or no matching group pass. One broadcast join
+  (the rules table is ~KB/host) + one window.
+* ``crawl_delays`` — per-host Crawl-delay overrides for the politeness
+  scheduler.
+
+Scale: rules are per-HOST, so the join key equals the scheduling partition
+key — applying robots after the host repartition adds zero shuffles, and
+the rules side is broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("agent", T.StringType()),
+        T.StructField("rule", T.StringType()),        # allow | disallow
+        T.StructField("path_prefix", T.StringType()),
+        T.StructField("crawl_delay", T.DoubleType()),
+    ]
+)
+
+
+def parse_robots_text(host: str, text: str, agent: str = "*") -> list[tuple]:
+    """Line-oriented robots.txt parse → rule rows. Groups are selected by
+    User-agent; we keep every group's rows (tagged by agent) and let
+    ``apply_robots`` pick the most specific agent. Unknown directives are
+    ignored per RFC 9309 §2.2.3."""
+    rows: list[tuple] = []
+    current_agents: list[str] = []
+    group_open = False
+    crawl_delay: dict[str, float] = {}
+    for raw_line in (text or "").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if group_open:          # new group starts
+                current_agents = []
+                group_open = False
+            current_agents.append(value.lower())
+        elif key in ("allow", "disallow"):
+            group_open = True
+            for a in current_agents or ["*"]:
+                # empty Disallow == allow everything (classic robots idiom)
+                if value == "" and key == "disallow":
+                    continue
+                rows.append((host, a, key, value, crawl_delay.get(a)))
+        elif key == "crawl-delay":
+            group_open = True
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            for a in current_agents or ["*"]:
+                crawl_delay[a] = d
+                rows.append((host, a, "crawl-delay", "", d))
+    return rows
+
+
+def parse_robots(robots_pages: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """(host, body) → rules table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if isinstance(body, (bytes, bytearray)):
+                    body = bytes(body).decode("utf-8", errors="replace")
+                rows.extend(parse_robots_text(host, body))
+            yield pd.DataFrame(
+                rows, columns=["host", "agent", "rule", "path_prefix", "crawl_delay"]
+            )
+
+    return robots_pages.select(host_col, body_col).mapInPandas(gen, ROBOTS_SCHEMA)
+
+
+def apply_robots(
+    frontier: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    url_col: str = "canonical_url",
+) -> DataFrame:
+    """Filter the frontier to robots-allowed URLs.
+
+    Longest-match-wins over allow/disallow prefixes for the given agent
+    (falling back to the ``*`` group when no agent-specific group exists);
+    ties go to allow; URLs from hosts with no rules pass.
+    """
+    path = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
+    )
+    prefix_rules = rules.filter(
+        F.col("rule").isin("allow", "disallow")
+        & F.col("agent").isin(agent.lower(), "*")
+    ).select(
+        F.col("host").alias("r_host"),
+        "agent", "rule", "path_prefix",
+        F.length("path_prefix").alias("prefix_len"),
+        F.when(F.col("agent") == agent.lower(), 1).otherwise(0).alias("agent_specificity"),
+    )
+    # most specific agent group wins entirely (RFC 9309 §2.2.1)
+    best_agent = prefix_rules.groupBy("r_host").agg(
+        F.max("agent_specificity").alias("best_spec")
+    )
+    prefix_rules = prefix_rules.join(F.broadcast(best_agent), "r_host").filter(
+        F.col("agent_specificity") == F.col("best_spec")
+    )
+
+    joined = frontier.withColumn("__path", path).join(
+        F.broadcast(prefix_rules),
+        (F.col(host_col) == F.col("r_host"))
+        & F.col("__path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    w = Window.partitionBy(host_col, url_col).orderBy(
+        F.desc("prefix_len"),
+        F.when(F.col("rule") == "allow", 0).otherwise(1),  # allow wins ties
+    )
+    decided = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn(
+            "robots_allowed",
+            F.col("rule").isNull() | (F.col("rule") == "allow"),
+        )
+    )
+    return decided.filter(F.col("robots_allowed")).drop(
+        "__path", "__rn", "r_host", "agent", "rule", "path_prefix",
+        "prefix_len", "agent_specificity", "best_spec", "robots_allowed",
+    )
+
+
+def crawl_delays(rules: DataFrame, agent: str = "*",
+                 default_delay: float = 2.0) -> DataFrame:
+    """(host, delay_seconds): agent-specific Crawl-delay beats '*', beats
+    the default."""
+    d = rules.filter(F.col("rule") == "crawl-delay").select(
+        "host", "agent", "crawl_delay",
+        F.when(F.col("agent") == agent.lower(), 1).otherwise(0).alias("spec"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("spec"))
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("host", F.coalesce("crawl_delay", F.lit(default_delay)).alias("delay_seconds"))
+    )
+
+
+def politeness_schedule_with_delays(
+    frontier: DataFrame,
+    epoch_start,
+    delays: DataFrame,
+    default_delay: float = 2.0,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """F3 generalized: per-host Crawl-delay from robots (broadcast join)
+    replaces the global constant; schedule stays closed-form."""
+    from .politeness import crawl_order
+
+    ordered = crawl_order(frontier, host_col, priority_col, url_col)
+    with_delay = ordered.join(F.broadcast(delays), on=host_col, how="left").withColumn(
+        "delay_seconds", F.coalesce(F.col("delay_seconds"), F.lit(default_delay))
+    )
+    return with_delay.withColumn(
+        "scheduled_ts",
+        F.timestamp_add(
+            "MILLISECOND",
+            ((F.col("seq") - 1) * F.col("delay_seconds") * 1000).cast("bigint"),
+            epoch_start,
+        ),
+    )

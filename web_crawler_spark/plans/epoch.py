@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..functions import urltools as U
 from ..operators import dedup as D
 from ..operators import politeness as P
+from ..operators import robots as RB
 from ..sources.catalog import EpochCatalog
 from . import extract as X
 
@@ -52,6 +53,8 @@ class CrawlEngine:
         n_salts: int = 16,
         max_depth: int = 2,
         use_bloom: bool = True,
+        robots_pages: DataFrame | None = None,
+        agent: str = "sparkcrawl",
     ):
         self.spark = spark
         self.catalog = EpochCatalog(catalog_root)
@@ -59,6 +62,18 @@ class CrawlEngine:
         self.n_salts = n_salts
         self.max_depth = max_depth
         self.use_bloom = use_bloom
+        self.agent = agent
+        if robots_pages is not None:
+            # rules + per-host crawl delays: tiny tables, parsed once,
+            # broadcast into every epoch (a real deployment refreshes them
+            # on a TTL — the `robots` table of SURVEY §1.3)
+            self.robots_rules = RB.parse_robots(robots_pages).localCheckpoint()
+            self.delays = RB.crawl_delays(
+                self.robots_rules, agent, delay_seconds
+            ).localCheckpoint()
+        else:
+            self.robots_rules = None
+            self.delays = None
         # corpus keyed by canonical URL (what the frontier joins against);
         # localCheckpoint = "the keyed corpus table already exists" — on a
         # real deployment this is the Iceberg pages table bucketed by
@@ -118,13 +133,29 @@ class CrawlEngine:
         if seen is not None:
             frontier = D.anti_join_seen(frontier, seen, use_bloom=self.use_bloom)
 
+        # robots gate (north_rule): denied URLs are still committed to
+        # `seen` via a fetched row with status=robots_denied — admitted
+        # exactly once, never fetched
+        denied = None
+        if self.robots_rules is not None:
+            allowed = RB.apply_robots(frontier, self.robots_rules, self.agent)
+            denied = frontier.join(
+                allowed.select("url_hash"), "url_hash", "left_anti"
+            )
+            frontier = allowed
+
         # schedule  [shuffle: salted host]
         frontier = frontier.withColumn(
             "salt", U.host_salt(F.col("host"), F.lit(epoch), self.n_salts)
         ).repartition(F.col("host"), F.col("salt"))
-        scheduled = P.politeness_schedule(
-            frontier, self._epoch_start(epoch), self.delay_seconds
-        )
+        if self.delays is not None:
+            scheduled = RB.politeness_schedule_with_delays(
+                frontier, self._epoch_start(epoch), self.delays, self.delay_seconds
+            )
+        else:
+            scheduled = P.politeness_schedule(
+                frontier, self._epoch_start(epoch), self.delay_seconds
+            )
 
         # fetch = join against the offline corpus (broadcast-averse: both big)
         fetched = scheduled.join(
@@ -139,6 +170,19 @@ class CrawlEngine:
             F.when(self.pages["html"].isNotNull(), "ok").otherwise("error").alias("status"),
             F.lit(epoch).alias("epoch"),
         )
+        if denied is not None:
+            fetched = fetched.unionByName(
+                denied.select(
+                    "url", "canonical_url", "url_hash", "host", "priority", "depth",
+                    F.lit(None).cast("int").alias("seq"),
+                    F.lit(None).cast("timestamp").alias("fetch_ts"),
+                    F.lit(None).cast("binary").alias("html"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit("robots_denied").alias("status"),
+                    F.lit(epoch).alias("epoch"),
+                )
+            )
         fetched = fetched.localCheckpoint()  # cut lineage; reused 4× below
 
         ok = fetched.filter(F.col("status") == "ok")
