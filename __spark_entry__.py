@@ -1439,6 +1439,316 @@ def _q_crawl_epochs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# coverage completions: §2 rows not previously exposed as explicit queries
+# ---------------------------------------------------------------------------
+
+
+def _q_topk_losers(spark, sf_dir):
+    """T2 (commodity_service.py:149-157): top-k ascending."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return A.top_k(o, "o_totalprice", k=10, ascending=True, tiebreaker="o_orderkey")
+
+
+_SQL_TOPK_LOSERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice IS NOT NULL
+ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 10
+"""
+
+
+def _q_top_categories(spark, sf_dir):
+    """T4+T5 (main.py:150-156, excel_writer.py:170): frequency-ordered
+    categories truncated to the console display's top 5."""
+    return A.category_histogram(_t(spark, sf_dir, "events"), "event_type").limit(5)
+
+
+_SQL_TOP_CATEGORIES = """
+SELECT event_type AS category, COUNT(*) AS n FROM events
+GROUP BY event_type ORDER BY n DESC, category LIMIT 5
+"""
+
+
+def _q_required_fields(spark, sf_dir):
+    """P2 (simple_generic.py:132) header-row drop + P3 (generic_scraper.py:
+    181-183) required-fields predicate."""
+    from web_crawler_spark.plans import dsl
+
+    e = _t(spark, sf_dir, "events")
+    headers = F.array(F.lit("Name"), F.lit("Symbol"), F.lit("Commodity"))
+    name = F.when(
+        F.col("event_id") % 11 == 0,
+        F.element_at(headers, ((F.col("event_id") % 33) / F.lit(11)).cast("int") + 1),
+    ).otherwise(F.concat(F.lit("asset_"), (F.col("event_id") % 37).cast("string")))
+    price = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    df = e.select("event_id", name.alias("name"), price.alias("current_price"))
+    df = df.filter(~F.lower(F.col("name")).isin("name", "symbol", "commodity"))  # P2
+    return dsl.required_fields_filter(df, ["name", "current_price"])  # P3
+
+
+_SQL_REQUIRED_FIELDS = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN event_id % 11 = 0
+              THEN ['Name','Symbol','Commodity'][CAST((event_id % 33) / 11 AS INT) + 1]
+              ELSE concat('asset_', CAST(event_id % 37 AS VARCHAR)) END AS name,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS current_price
+  FROM events
+)
+SELECT event_id, name, current_price FROM t
+WHERE lower(name) NOT IN ('name','symbol','commodity')
+  AND name IS NOT NULL AND current_price IS NOT NULL
+"""
+
+
+def _q_report_projection(spark, sf_dir):
+    """P5 na.drop (worldbank.py:133-135) + P6 has-change filter
+    (commodity_service.py:139) + P7 fixed 16-column report projection
+    (csv_writer.py:52-69)."""
+    from web_crawler_spark.plans.report import COMMODITY_CSV_COLUMNS, _ensure_columns
+
+    e = _t(spark, sf_dir, "events")
+    df = e.select(
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("c"), (F.col("event_id") % 29).cast("string")))
+        .alias("name"),
+        F.col("value").alias("current_price"),
+        F.when(F.col("event_id") % 3 == 0, F.col("value") - 245.0).alias("change_percent"),
+        F.col("event_type").alias("category"),
+        F.lit("events").alias("source"),
+    )
+    df = df.na.drop(subset=["name"])  # P5
+    df = df.filter(F.col("change_percent").isNotNull())  # P6
+    return _ensure_columns(df, COMMODITY_CSV_COLUMNS)  # P7
+
+
+_SQL_REPORT_PROJECTION = """
+WITH t AS (
+  SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE concat('c', CAST(event_id % 29 AS VARCHAR)) END AS name,
+         value AS current_price,
+         CASE WHEN event_id % 3 = 0 THEN value - 245.0 END AS change_percent,
+         event_type AS category
+  FROM events
+)
+SELECT name, CAST(NULL AS VARCHAR) AS chinese_name, CAST(NULL AS VARCHAR) AS symbol,
+       category, current_price, CAST(NULL AS VARCHAR) AS change_amount, change_percent,
+       CAST(NULL AS VARCHAR) AS open_price, CAST(NULL AS VARCHAR) AS high_price,
+       CAST(NULL AS VARCHAR) AS low_price, CAST(NULL AS VARCHAR) AS previous_close,
+       CAST(NULL AS VARCHAR) AS volume, CAST(NULL AS VARCHAR) AS market_cap,
+       CAST(NULL AS VARCHAR) AS currency, 'events' AS source,
+       CAST(NULL AS VARCHAR) AS timestamp
+FROM t WHERE name IS NOT NULL AND change_percent IS NOT NULL
+"""
+
+
+def _q_field_cleaners(spark, sf_dir):
+    """X11 (generic_scraper.py:404-415): remove_currency /
+    normalize_whitespace / remove_html cleaners."""
+    from web_crawler_spark.plans import dsl
+
+    e = _t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("  <b>Price:</b> $"), (F.col("event_id") % 900).cast("string"),
+        F.lit(".50 &amp; fees \t x"), (F.col("user_id") % 4).cast("string"),
+    )
+    return e.select(
+        "event_id",
+        raw.alias("raw"),
+        dsl.compile_cleaner(raw, "remove_currency").alias("currency_stripped"),
+        dsl.compile_cleaner(raw, "normalize_whitespace").alias("ws_normalized"),
+        dsl.compile_cleaner(raw, "remove_html").alias("html_removed"),
+    )
+
+
+_SQL_FIELD_CLEANERS = """
+WITH t AS (
+  SELECT event_id,
+         concat('  <b>Price:</b> $', CAST(event_id % 900 AS VARCHAR),
+                '.50 &amp; fees ', chr(9), ' x', CAST(user_id % 4 AS VARCHAR)) AS raw
+  FROM events
+)
+SELECT event_id, raw,
+       regexp_replace(trim(raw), '[^0-9.,]', '', 'g') AS currency_stripped,
+       trim(regexp_replace(trim(raw), '\\s+', ' ', 'g')) AS ws_normalized,
+       replace(replace(replace(replace(replace(
+         regexp_replace(trim(raw), '<[^>]*>', '', 'g'),
+         '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&quot;', '"')
+       AS html_removed
+FROM t
+"""
+
+
+def _q_timestamp_coercion(spark, sf_dir):
+    """X14 (models.py:35-39,111-115): ISO-parse strings, deterministic
+    epoch clock replaces the reference's datetime.now() fallback."""
+    e = _t(spark, sf_dir, "events")
+    clock = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    raw = (
+        F.when(F.col("event_id") % 4 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 4 == 1, F.lit("not-a-date"))
+        .otherwise(F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss"))
+    )
+    return e.select("event_id", S.coerce_timestamp(raw, clock).alias("ts_coerced"))
+
+
+_SQL_TIMESTAMP_COERCION = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN event_id % 4 = 0 THEN NULL
+              WHEN event_id % 4 = 1 THEN 'not-a-date'
+              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw
+  FROM events
+)
+SELECT event_id,
+       COALESCE(TRY_CAST(raw AS TIMESTAMP), TIMESTAMP '2024-01-02 00:00:00') AS ts_coerced
+FROM t
+"""
+
+
+def _q_json_api_parse(spark, sf_dir):
+    """S7 (simple_generic.py:87-112): CoinGecko-shaped ``{coin: {usd: p}}``
+    JSON → (name, price) rows via from_json + explode(map)."""
+    e = _t(spark, sf_dir, "events")
+    body = F.concat(
+        F.lit('{"coin'), (F.col("event_id") % 25).cast("string"),
+        F.lit('": {"usd": '), (F.col("user_id") % 400).cast("string"), F.lit(".5}}"),
+    )
+    pages = e.select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    parsed = F.from_json(F.col("body"), "map<string,map<string,double>>")
+    return pages.select("url", F.explode(parsed).alias("name", "prices")).select(
+        "url", "name", F.col("prices")["usd"].alias("current_price")
+    )
+
+
+_SQL_JSON_API_PARSE = """
+SELECT concat('u', CAST(event_id AS VARCHAR)) AS url,
+       concat('coin', CAST(event_id % 25 AS VARCHAR)) AS name,
+       CAST(user_id % 400 AS DOUBLE) + 0.5 AS current_price
+FROM events
+"""
+
+
+def _q_error_isolation(spark, sf_dir):
+    """F5+F7 (base_scraper.py:140-143,152-162): per-source error isolation —
+    failed fetches contribute zero rows but are counted; success-rate per
+    source."""
+    e = _t(spark, sf_dir, "events")
+    per = e.select(
+        F.concat(F.lit("src_"), (F.col("user_id") % 12).cast("string")).alias("source"),
+        F.when(F.col("event_type") == "error", "error").otherwise("ok").alias("status"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("scraped_count"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
+        )
+        .withColumn(
+            "success_rate",
+            F.round(
+                F.col("scraped_count")
+                / (F.col("scraped_count") + F.col("error_count")),
+                4,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_ERROR_ISOLATION = """
+WITH t AS (
+  SELECT concat('src_', CAST(user_id % 12 AS VARCHAR)) AS source,
+         CASE WHEN event_type = 'error' THEN 'error' ELSE 'ok' END AS status
+  FROM events
+), g AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS scraped_count,
+         CAST(SUM(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+  FROM t GROUP BY source
+)
+SELECT source, scraped_count, error_count,
+       ROUND(CAST(scraped_count AS DOUBLE) / (scraped_count + error_count), 4) AS success_rate
+FROM g ORDER BY source
+"""
+
+
+def _q_business_rules(spark, sf_dir):
+    """V6+V7 (validator.py:231-275): cross-field business-logic checks as
+    boolean columns; counts per violated rule."""
+    e = _t(spark, sf_dir, "events")
+    df = e.select(
+        "event_id",
+        F.col("value").alias("current_price"),
+        F.when(F.col("event_id") % 6 == 0, F.col("value") + 0.5)
+        .otherwise(F.col("value")).alias("value"),
+        (F.col("value") + (F.col("event_id") % 5).cast("double")).alias("high_price"),
+        (F.col("value") - (F.col("user_id") % 7).cast("double") + 2.0).alias("low_price"),
+        ((F.col("value") - 245.0) / F.lit(2.0)).alias("change_percent"),
+    )
+    flags = [
+        (~ok).cast("int").alias(tag) for ok, tag in VAL.commodity_business_rules()
+    ]
+    return df.select("event_id", *flags)
+
+
+_SQL_BUSINESS_RULES = """
+WITH base AS (
+  SELECT event_id, user_id, value AS v FROM events
+), t AS (
+  SELECT event_id,
+         v AS current_price,
+         CASE WHEN event_id % 6 = 0 THEN v + 0.5 ELSE v END AS value,
+         v + CAST(event_id % 5 AS DOUBLE) AS high_price,
+         v - CAST(user_id % 7 AS DOUBLE) + 2.0 AS low_price,
+         (v - 245.0) / 2.0 AS change_percent
+  FROM base
+)
+SELECT event_id,
+  CAST(current_price IS NOT NULL AND current_price <> 0 AND value IS NOT NULL AND value <> 0
+       AND abs(current_price - value) > 0.001 AS INT) AS price_vs_value,
+  CAST(high_price IS NOT NULL AND high_price <> 0 AND low_price IS NOT NULL AND low_price <> 0
+       AND high_price < low_price AS INT) AS high_lt_low,
+  CAST(current_price IS NOT NULL AND current_price <> 0 AND high_price IS NOT NULL AND high_price <> 0
+       AND current_price > high_price AS INT) AS price_gt_high,
+  CAST(current_price IS NOT NULL AND current_price <> 0 AND low_price IS NOT NULL AND low_price <> 0
+       AND current_price < low_price AS INT) AS price_lt_low,
+  CAST(change_percent IS NOT NULL AND change_percent <> 0
+       AND abs(change_percent) > 50 AS INT) AS change_gt_50
+FROM t
+"""
+
+
+def _q_binary_metadata(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads + native-expression
+    metadata sniff (hashless subset so DuckDB can oracle it; the xxhash64
+    content_hash path is pytest-verified)."""
+    from web_crawler_spark.multimodal import binaryops as MM
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return MM.sniff_metadata(df).select("url", "media_type", "n_bytes", "magic")
+
+
+_SQL_BINARY_METADATA = """
+SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CASE WHEN left(text, 4) = 'RIFF' THEN 'riff'
+            WHEN left(text, 4) = 'GIF8' THEN 'gif'
+            ELSE 'unknown' END AS magic
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1500,6 +1810,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_minhash_lsh_pairs": _q_minhash_lsh,
     "ann_cosine_topk": _q_ann_cosine,
     "dd_embedding_dedup_pairs": _q_embedding_dedup,
+    # coverage completions (§2 rows previously folded into other queries)
+    "t2_topk_losers": _q_topk_losers,
+    "t4_t5_top_categories": _q_top_categories,
+    "p2_p3_required_fields": _q_required_fields,
+    "p5_p7_report_projection": _q_report_projection,
+    "x11_field_cleaners": _q_field_cleaners,
+    "x14_timestamp_coercion": _q_timestamp_coercion,
+    "s7_json_api_parse": _q_json_api_parse,
+    "f5_f7_error_isolation": _q_error_isolation,
+    "v6_v7_business_rules": _q_business_rules,
+    "mm_binary_metadata": _q_binary_metadata,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
@@ -1559,6 +1880,16 @@ _ORACLES: dict[str, str] = {
     "dd_minhash_lsh_pairs": _minhash_sql(),
     "ann_cosine_topk": _SQL_ANN_COSINE,
     "dd_embedding_dedup_pairs": _SQL_EMBEDDING_DEDUP,
+    "t2_topk_losers": _SQL_TOPK_LOSERS,
+    "t4_t5_top_categories": _SQL_TOP_CATEGORIES,
+    "p2_p3_required_fields": _SQL_REQUIRED_FIELDS,
+    "p5_p7_report_projection": _SQL_REPORT_PROJECTION,
+    "x11_field_cleaners": _SQL_FIELD_CLEANERS,
+    "x14_timestamp_coercion": _SQL_TIMESTAMP_COERCION,
+    "s7_json_api_parse": _SQL_JSON_API_PARSE,
+    "f5_f7_error_isolation": _SQL_ERROR_ISOLATION,
+    "v6_v7_business_rules": _SQL_BUSINESS_RULES,
+    "mm_binary_metadata": _SQL_BINARY_METADATA,
 }
 
 

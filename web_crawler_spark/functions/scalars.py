@@ -252,7 +252,7 @@ def forex_derived(bid: Column, ask: Column, base: Column, quote: Column) -> dict
 def coerce_timestamp(col: Column, epoch_clock: Column) -> Column:
     """ISO-parse strings; fall back to the injected epoch clock (the engine
     replaces the reference's nondeterministic ``datetime.now()``)."""
-    return F.coalesce(F.to_timestamp(col), epoch_clock)
+    return F.coalesce(F.try_to_timestamp(col), epoch_clock)
 
 
 # ---------------------------------------------------------------------------
