@@ -1723,6 +1723,44 @@ FROM t
 """
 
 
+def _q_categorize_bi(spark, sf_dir):
+    """X5b (business_insider.py:160-185): scraper-local categorize variant —
+    extra energy/agri keywords, no symbol fallback."""
+    p = _t(spark, sf_dir, "part")
+    markers = F.array(
+        F.lit("crude"), F.lit("lumber"), F.lit("milk"), F.lit("orange"),
+        F.lit("palm"), F.lit("rapeseed"), F.lit("rice"), F.lit("silver"),
+        F.lit("zinc"), F.lit("thing"),
+    )
+    name = F.concat(
+        F.col("p_type"), F.lit(" "),
+        F.element_at(markers, (F.col("p_partkey") % 10 + 1).cast("int")),
+    )
+    return p.select(
+        "p_partkey", name.alias("name"),
+        S.categorize_business_insider(name).alias("category"),
+    )
+
+
+_SQL_CATEGORIZE_BI = """
+WITH t AS (
+  SELECT p_partkey,
+         concat(p_type, ' ', ['crude','lumber','milk','orange','palm','rapeseed',
+                'rice','silver','zinc','thing'][p_partkey % 10 + 1]) AS name
+  FROM part
+)
+SELECT p_partkey, name,
+  CASE
+    WHEN regexp_matches(lower(name), 'oil|gas|gasoline|heating|brent|wti|crude') THEN '能源'
+    WHEN regexp_matches(lower(name), 'gold|silver|platinum|palladium') THEN '贵金属'
+    WHEN regexp_matches(lower(name), 'copper|aluminum|aluminium|zinc|nickel|lead|tin') THEN '工业金属'
+    WHEN regexp_matches(lower(name), 'corn|wheat|soybean|cotton|sugar|coffee|cocoa|cattle|hog|lumber|milk|orange|palm|rapeseed|rice') THEN '农产品'
+    ELSE '其他'
+  END AS category
+FROM t
+"""
+
+
 def _q_binary_metadata(spark, sf_dir):
     """Multimodal plumbing: opaque binary payloads + native-expression
     metadata sniff (hashless subset so DuckDB can oracle it; the xxhash64
@@ -1820,6 +1858,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s7_json_api_parse": _q_json_api_parse,
     "f5_f7_error_isolation": _q_error_isolation,
     "v6_v7_business_rules": _q_business_rules,
+    "x5b_categorize_bi": _q_categorize_bi,
     "mm_binary_metadata": _q_binary_metadata,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
@@ -1889,6 +1928,7 @@ _ORACLES: dict[str, str] = {
     "s7_json_api_parse": _SQL_JSON_API_PARSE,
     "f5_f7_error_isolation": _SQL_ERROR_ISOLATION,
     "v6_v7_business_rules": _SQL_BUSINESS_RULES,
+    "x5b_categorize_bi": _SQL_CATEGORIZE_BI,
     "mm_binary_metadata": _SQL_BINARY_METADATA,
 }
 
