@@ -138,6 +138,25 @@ def minhash_from_grams(grams: Column, k: int = 16, portable: bool = False) -> Co
     return F.array(*[F.array_min(F.transform(grams, hasher(i))) for i in range(k)])
 
 
+def minhash_from_hashes(ghash: Column, k: int = 16) -> Column:
+    """k-permutation MinHash over a *pre-hashed* shingle array
+    (``transform(grams, xxhash64)`` materialized once). Each permutation
+    re-hashes the 8-byte longs (``xxhash64(h, seed)``) instead of the full
+    shingle strings — string bytes are hashed exactly once per row no
+    matter how large k is. Same LSH quality (xxhash64 is uniform over
+    (long, seed)); ~3× cheaper than k string passes at k=16.
+
+    Like ``minhash_from_grams``: feed a materialized ``ghash`` column, not
+    an inline expression, so the base hashing runs once."""
+
+    def perm(i: int):
+        # closure factory, NOT `lambda h, i=i`: a default arg would raise the
+        # lambda's arity to 2 and transform() would bind the element INDEX
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    return F.array(*[F.array_min(F.transform(ghash, perm(i))) for i in range(k)])
+
+
 def minhash_signature(text: Column, n: int = 3, k: int = 16) -> Column:
     """Portable (md5) MinHash from raw text — convenience for small inputs;
     prefer minhash_from_grams in pipelines."""

@@ -199,28 +199,38 @@ def minhash_lsh_pairs(
     """Near-dup candidate pairs via MinHash + banded LSH, verified with
     exact Jaccard over shingle sets.
 
-    Plan shape (scale-reviewed): signature is computed in one projection;
-    ``explode`` over `bands` rows/doc; self-join on (band, band_sig) finds
-    candidates — this is the only shuffle that grows with corpus size and
-    it shuffles doc *ids + signatures*, never full text. The exact-Jaccard
-    verify re-joins shingle sets only for candidate pairs.
+    Plan shape (scale-reviewed): shingle strings are xxhash64-hashed ONCE
+    per row; the k permutations re-hash the 8-byte longs
+    (``minhash_from_hashes``). ``explode`` over `bands` rows/doc; self-join
+    on (band, band_sig) carries doc *ids + band hashes only* — never grams
+    or text; at 100 TB this shuffle is ~24 bytes/row × bands. The
+    exact-Jaccard verify re-joins shingle sets by id for the (tiny)
+    candidate-pair set only.
     """
     rows_per_band = k // bands
-    # two-step projection: grams materialized once, signature derived from
-    # the grams COLUMN (multiply-referenced alias → CollapseProject keeps it)
+    # grams materialized once (multiply-referenced alias → CollapseProject
+    # keeps it); persisted because both the signature path and the two
+    # verify joins read it
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     grams_df = (
         df.repartition(parallelism)  # small parquet inputs arrive 1-partition
         .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams"))
         .filter(F.size("grams") > 0)
+        .persist()
     )
-    sigs = grams_df.select(
-        "id", "grams", T.minhash_from_grams(F.col("grams"), k, portable_hash).alias("sig")
-    )
+    if portable_hash:
+        sigs = grams_df.select(
+            "id", T.minhash_from_grams(F.col("grams"), k, portable=True).alias("sig")
+        )
+    else:
+        hashed = grams_df.select(
+            "id",
+            F.transform("grams", lambda g: F.xxhash64(g)).alias("ghash"),
+        )
+        sigs = hashed.select("id", T.minhash_from_hashes(F.col("ghash"), k).alias("sig"))
 
     banded = sigs.select(
         "id",
-        "grams",
         F.explode(
             F.array(
                 *[
@@ -242,7 +252,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "grams", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -253,19 +263,19 @@ def minhash_lsh_pairs(
             & (F.col("l.band_sig") == F.col("r.band_sig"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.grams").alias("grams_a"),
-            F.col("r.grams").alias("grams_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    pairs = cand.join(
+        grams_df.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a"
+    ).join(
+        grams_df.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b"
+    )
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
     union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
