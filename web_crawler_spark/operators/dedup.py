@@ -209,25 +209,27 @@ def minhash_lsh_pairs(
     """
     rows_per_band = k // bands
     # grams materialized once (multiply-referenced alias → CollapseProject
-    # keeps it); persisted because both the signature path and the two
-    # verify joins read it
+    # keeps it); the persisted `base` feeds both the signature path and the
+    # two verify joins. Fast path: gram strings are hashed ONCE and dropped
+    # — banding, shuffling, and the Jaccard verify all run on 8-byte longs
+    # (|A∩B|/|A∪B| is identical over the distinct hash sets; a 64-bit
+    # collision inside one doc pair is ~2^-64).
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     grams_df = (
         df.repartition(parallelism)  # small parquet inputs arrive 1-partition
         .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams"))
         .filter(F.size("grams") > 0)
-        .persist()
     )
     if portable_hash:
-        sigs = grams_df.select(
+        base = grams_df.persist()
+        sigs = base.select(
             "id", T.minhash_from_grams(F.col("grams"), k, portable=True).alias("sig")
         )
     else:
-        hashed = grams_df.select(
-            "id",
-            F.transform("grams", lambda g: F.xxhash64(g)).alias("ghash"),
-        )
-        sigs = hashed.select("id", T.minhash_from_hashes(F.col("ghash"), k).alias("sig"))
+        base = grams_df.select(
+            "id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
+        ).persist()
+        sigs = base.select("id", T.minhash_from_hashes(F.col("grams"), k).alias("sig"))
 
     banded = sigs.select(
         "id",
@@ -268,9 +270,9 @@ def minhash_lsh_pairs(
     )
 
     pairs = cand.join(
-        grams_df.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a"
+        base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a"
     ).join(
-        grams_df.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b"
+        base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b"
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
     union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
