@@ -1786,6 +1786,77 @@ FROM documents
 """
 
 
+def _stateful_stream_run(spark, sf_dir, build, sink_name):
+    """Bounded harness for the applyInPandasWithState operators: events →
+    temp parquet → availableNow file stream → memory sink → result DF."""
+    import tempfile
+
+    frontier = _frontier_df(spark, sf_dir).withColumn(
+        "arrival_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    src = tempfile.mkdtemp(prefix=f"{sink_name}_src_")
+    frontier.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+def _q_stateful_politeness(spark, sf_dir):
+    """F3 as applyInPandasWithState: per-host pacing clock in the state
+    store. Bounded single-batch run == the window-function schedule, which
+    is exactly what the oracle computes."""
+    from web_crawler_spark.streaming.stateful import stateful_politeness_schedule
+
+    return _stateful_stream_run(
+        spark, sf_dir,
+        lambda s: stateful_politeness_schedule(s, delay_seconds=2.0),
+        "st_pace_sink",
+    )
+
+
+_SQL_STATEFUL_POLITENESS = f"""
+WITH f AS ({_FRONTIER_SQL}),
+r AS (
+  SELECT host, url,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, url) AS INT) AS seq
+  FROM f
+)
+SELECT host, url, seq,
+       TIMESTAMP '2024-01-01 00:00:00' + (seq - 1) * INTERVAL 2 SECOND AS scheduled_ts
+FROM r
+"""
+
+
+def _q_stateful_seen(spark, sf_dir):
+    """F8 as applyInPandasWithState: exactly-once key admission. Keyed on
+    host here so the admitted row is key-derived (deterministic); emits one
+    row per distinct host."""
+    from web_crawler_spark.streaming.stateful import stateful_seen_filter
+
+    def build(stream):
+        keyed = stream.select(
+            "host", F.concat(F.lit("https://"), F.col("host"), F.lit("/")).alias("url")
+        )
+        return stateful_seen_filter(keyed, key_col="host")
+
+    return _stateful_stream_run(spark, sf_dir, build, "st_seen_sink")
+
+
+_SQL_STATEFUL_SEEN = f"""
+WITH f AS ({_FRONTIER_SQL})
+SELECT DISTINCT host, concat('https://', host, '/') AS url FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1860,6 +1931,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v6_v7_business_rules": _q_business_rules,
     "x5b_categorize_bi": _q_categorize_bi,
     "mm_binary_metadata": _q_binary_metadata,
+    "st_stateful_politeness": _q_stateful_politeness,
+    "st_stateful_seen": _q_stateful_seen,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
@@ -1930,6 +2003,8 @@ _ORACLES: dict[str, str] = {
     "v6_v7_business_rules": _SQL_BUSINESS_RULES,
     "x5b_categorize_bi": _SQL_CATEGORIZE_BI,
     "mm_binary_metadata": _SQL_BINARY_METADATA,
+    "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
+    "st_stateful_seen": _SQL_STATEFUL_SEEN,
 }
 
 

@@ -1,0 +1,92 @@
+"""Custom stateful streaming operators (applyInPandasWithState): state must
+carry ACROSS micro-batches — the thing stateless windows cannot do."""
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def _start_file_stream_query(spark, src_dir, build, name):
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    return q
+
+
+def test_stateful_politeness_across_batches(spark, tmp_path):
+    from web_crawler_spark.streaming.stateful import stateful_politeness_schedule
+
+    src = str(tmp_path / "urls_src")
+    t0 = "2024-01-01 00:00:00"
+    batch1 = spark.createDataFrame(
+        [("h.com", "u1", 1, t0), ("h.com", "u2", 2, t0), ("h.com", "u3", 3, t0)],
+        "host string, url string, priority int, arrival_ts string",
+    ).withColumn("arrival_ts", F.to_timestamp("arrival_ts"))
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    q = _start_file_stream_query(
+        spark, src, lambda s: stateful_politeness_schedule(s, delay_seconds=2.0), "t_pace"
+    )
+    q.processAllAvailable()
+
+    batch2 = spark.createDataFrame(
+        [("h.com", "u4", 1, t0), ("h.com", "u5", 2, t0)],
+        "host string, url string, priority int, arrival_ts string",
+    ).withColumn("arrival_ts", F.to_timestamp("arrival_ts"))
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    # file source lists by modification time at second granularity
+    time.sleep(1.1)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        r["url"]: (r["seq"], str(r["scheduled_ts"]))
+        for r in spark.sql("select * from t_pace").collect()
+    }
+    # batch 1: first fetch at arrival, then +2s spacing
+    assert rows["u1"] == (1, "2024-01-01 00:00:00")
+    assert rows["u2"] == (2, "2024-01-01 00:00:02")
+    assert rows["u3"] == (3, "2024-01-01 00:00:04")
+    # batch 2 arrives at the same wall time but the host's pacing clock
+    # persisted in the state store: scheduling continues at +6s, +8s
+    assert rows["u4"] == (4, "2024-01-01 00:00:06")
+    assert rows["u5"] == (5, "2024-01-01 00:00:08")
+
+
+def test_stateful_seen_filter_across_batches(spark, tmp_path):
+    from web_crawler_spark.streaming.stateful import stateful_seen_filter
+
+    src = str(tmp_path / "seen_src")
+    batch1 = spark.createDataFrame(
+        [(1, "https://a.com/1"), (2, "https://a.com/2"), (2, "https://a.com/2")],
+        "url_hash long, url string",
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    q = _start_file_stream_query(spark, src, stateful_seen_filter, "t_seen")
+    q.processAllAvailable()
+
+    batch2 = spark.createDataFrame(
+        [(2, "https://a.com/2"), (3, "https://a.com/3")],
+        "url_hash long, url string",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["url_hash"], r["url"])
+        for r in spark.sql("select * from t_seen").collect()
+    )
+    # each url_hash admitted exactly once across the stream lifetime:
+    # within-batch dup of 2 collapsed, cross-batch dup of 2 filtered
+    assert got == [(1, "https://a.com/1"), (2, "https://a.com/2"), (3, "https://a.com/3")]

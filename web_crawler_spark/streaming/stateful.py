@@ -1,0 +1,113 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+These are the Structured-Streaming twins of the engine's two stateful crawl
+primitives (SURVEY §2.2 F3/F8):
+
+* ``stateful_politeness_schedule`` — per-host fetch pacing whose state
+  (last scheduled fetch + sequence counter) carries ACROSS micro-batches.
+  The batch engine computes the same schedule with window functions inside
+  one epoch (operators/politeness.py); a stream has no epoch boundary, so
+  the host's pacing clock must live in the state store. One state row per
+  host (~16 bytes) — at 10^8 hosts this is RocksDB-backed and partitioned
+  by the same host key the shuffle already uses.
+
+* ``stateful_seen_filter`` — first-occurrence-only URL admission: the
+  streaming seen-set. One boolean state row per url_hash; unbounded by
+  design (it IS the seen-set). The batch engine's persistent ``seen``
+  table + anti-join stays the cross-restart source of truth; this operator
+  serves the continuously-fed frontier case the reference's in-memory
+  dedup dict (processor.py:349-361) handles for a single run.
+
+Both emit in append mode and are deterministic given per-batch input
+(rows within a (host, batch) are ordered by (priority, url) before pacing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+POLITENESS_OUT_SCHEMA = (
+    "host string, url string, seq int, scheduled_ts timestamp"
+)
+_POLITENESS_STATE_SCHEMA = "last_sched double, seq int"
+
+
+def stateful_politeness_schedule(
+    urls: DataFrame,
+    delay_seconds: float = 2.0,
+    host_col: str = "host",
+    url_col: str = "url",
+    arrival_col: str = "arrival_ts",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """F3 as a stateful stream: ``scheduled_ts = max(arrival, last + delay)``
+    per host, with ``last``/``seq`` persisted in the state store so pacing
+    continues seamlessly from one micro-batch to the next."""
+    delay = float(delay_seconds)
+
+    def pace(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        last_sched: Any
+        if state.exists:
+            last_sched, seq = state.get
+        else:
+            last_sched, seq = None, 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([priority_col, url_col], kind="mergesort")
+            for u, t in zip(pdf[url_col], pdf[arrival_col]):
+                ts = t.timestamp() if hasattr(t, "timestamp") else float(t)
+                sched = ts if last_sched is None else max(ts, last_sched + delay)
+                seq += 1
+                last_sched = sched
+                rows.append((host, u, seq, pd.Timestamp(sched, unit="s")))
+        state.update((last_sched, seq))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["host", "url", "seq", "scheduled_ts"]
+            )
+
+    return urls.groupBy(host_col).applyInPandasWithState(
+        pace,
+        POLITENESS_OUT_SCHEMA,
+        _POLITENESS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_seen_filter(urls: DataFrame, key_col: str = "url_hash") -> DataFrame:
+    """F8 as a stateful stream: admit each key exactly once across the whole
+    stream lifetime (state = one boolean per key). Within-batch duplicates
+    collapse to the first row (deterministic: groups arrive sorted by the
+    shuffle, and only ``iloc[[0]]`` of the first non-empty chunk is kept)."""
+    out_schema = urls.schema
+
+    def first_only(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            for _ in pdfs:  # drain (already admitted)
+                pass
+            return
+        emitted = False
+        for pdf in pdfs:
+            if not emitted and len(pdf):
+                state.update((True,))
+                emitted = True
+                yield pdf.iloc[[0]]
+
+    return urls.groupBy(key_col).applyInPandasWithState(
+        first_only,
+        out_schema,
+        "seen boolean",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
