@@ -818,11 +818,9 @@ FROM documents ORDER BY doc_id
 
 def _q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return (
-        D.exact_dedup(d, "text", "doc_id")
-        .select("doc_id", "fingerprint")
-        .orderBy("doc_id")
-    )
+    # no orderBy: the driver's value-hash compare is order-insensitive and a
+    # global sort would be the only all-to-one exchange in this plan
+    return D.exact_dedup(d, "text", "doc_id").select("doc_id", "fingerprint")
 
 
 _SQL_EXACT_DEDUP = """

@@ -183,6 +183,48 @@ def test_epoch_resume_exactly(spark, catalog_dir):
         ), f"{table} differs after resume"
 
 
+def test_resume_after_mid_epoch_crash(spark, catalog_dir):
+    """Crash BETWEEN the fetched commit and the seen commit of an epoch:
+    `seen` commits last, so resume must RE-RUN that epoch (per-table commits
+    are idempotent) and end with every table complete — not skip it."""
+    import json
+    import os
+
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import generate_seeds
+
+    pages = generate_pages(spark, 120, seed=42).cache()
+    seeds = generate_seeds(spark, n_per_host=3, hot_factor=3, n_epochs=2).cache()
+
+    full_dir = catalog_dir + "/full2"
+    eng1 = CrawlEngine(spark, full_dir, pages, max_depth=1, use_bloom=False)
+    eng1.run(seeds, n_epochs=2)
+
+    crash_dir = catalog_dir + "/crash"
+    eng2 = CrawlEngine(spark, crash_dir, pages, max_depth=1, use_bloom=False)
+    eng2.run_epoch(seeds, 0)
+    eng2.run_epoch(seeds, 1)
+    # simulate the crash window: epoch 1 committed everywhere EXCEPT seen
+    for table in ("seen", "extracted"):
+        mpath = os.path.join(crash_dir, table, "_manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m["epochs"] = [e for e in m["epochs"] if e != 1]
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+
+    eng3 = CrawlEngine(spark, crash_dir, pages, max_depth=1, use_bloom=False)
+    results = eng3.run(seeds, n_epochs=2)
+    assert [r.get("skipped", False) for r in results] == [True, False]
+
+    for table in ("fetched", "seen", "extracted", "metrics"):
+        a = eng1.catalog.read(spark, table)
+        b = eng3.catalog.read(spark, table)
+        assert b is not None and a.count() == b.count(), table
+        assert sorted(eng3.catalog.committed_epochs(table)) == [0, 1], table
+
+
 def test_seen_admits_once_across_epochs(spark, catalog_dir):
     """Cross-epoch duplicate seeds (1/3 of epoch>0 URLs repeat epoch 0's)
     must be fetched exactly once."""

@@ -122,8 +122,14 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def run_epoch(self, seeds: DataFrame, epoch: int) -> dict:
-        """Run one epoch; returns counters. Idempotent per epoch."""
-        if epoch in self.catalog.committed_epochs("fetched"):
+        """Run one epoch; returns counters. Idempotent per epoch.
+
+        The skip guard checks ``seen`` — the LAST table committed — not
+        ``fetched``: a crash between the fetched and seen commits must
+        re-run the epoch (each per-table commit is itself idempotent, so
+        already-committed tables are kept and only the missing ones are
+        written)."""
+        if epoch in self.catalog.committed_epochs("seen"):
             return {"epoch": epoch, "skipped": True}
 
         frontier = self._frontier_for(seeds, epoch)
@@ -203,16 +209,29 @@ class CrawlEngine:
         ).withColumn("epoch", F.lit(epoch))
 
         # commit epoch snapshots (order matters: data first, seen last so a
-        # crash can never mark a URL seen without its fetched row committed)
-        self.catalog.commit_epoch("fetched", epoch, fetched.drop("html"))
-        self.catalog.commit_epoch("extracted", epoch, extracted)
-        self.catalog.commit_epoch("outlinks", epoch, outlinks.drop("epoch"))
-        metrics = P.epoch_metrics(fetched)
-        self.catalog.commit_epoch("metrics", epoch, metrics)
-        counts = fetched.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-        ).collect()[0]
+        # crash can never mark a URL seen without its fetched row committed).
+        # The four data commits touch independent table dirs/manifests and
+        # all derive from the checkpointed `fetched` — submit them as
+        # concurrent Spark jobs; only `seen` waits behind the barrier.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _counts():
+            return fetched.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+            ).collect()[0]
+
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            futures = [
+                ex.submit(self.catalog.commit_epoch, "fetched", epoch, fetched.drop("html")),
+                ex.submit(self.catalog.commit_epoch, "extracted", epoch, extracted),
+                ex.submit(self.catalog.commit_epoch, "outlinks", epoch, outlinks.drop("epoch")),
+                ex.submit(self.catalog.commit_epoch, "metrics", epoch, P.epoch_metrics(fetched)),
+            ]
+            counts_future = ex.submit(_counts)
+            for fut in futures:
+                fut.result()  # barrier: all data tables committed before seen
+            counts = counts_future.result()
         n_fetched, n_ok = counts["n"], int(counts["ok"] or 0)
         self.catalog.commit_epoch(
             "seen", epoch,
