@@ -1784,6 +1784,33 @@ FROM documents
 """
 
 
+def _q_frontier_telemetry(spark, sf_dir):
+    """A8 (engine addition per SURVEY §2.5): frontier cardinality + skew
+    telemetry — distinct URL/host counts and the hot-host ratio that drives
+    the salting decision. (The production path also keeps
+    approx_count_distinct sketches; the exact counts here are the
+    oracle-checkable contract.)"""
+    f = _frontier_df(spark, sf_dir)
+    per_host = f.groupBy("host").agg(F.count_distinct("url").alias("n_urls"))
+    return per_host.agg(
+        F.sum("n_urls").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.max("n_urls").alias("max_urls_per_host"),
+        F.round(F.avg("n_urls"), 2).alias("avg_urls_per_host"),
+    )
+
+
+_SQL_FRONTIER_TELEMETRY = f"""
+WITH f AS ({_FRONTIER_SQL}),
+ph AS (SELECT host, COUNT(DISTINCT url) AS n_urls FROM f GROUP BY host)
+SELECT CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(MAX(n_urls) AS BIGINT) AS max_urls_per_host,
+       ROUND(AVG(n_urls), 2) AS avg_urls_per_host
+FROM ph
+"""
+
+
 def _stateful_stream_run(spark, sf_dir, build, sink_name):
     """Bounded harness for the applyInPandasWithState operators: events →
     temp parquet → availableNow file stream → memory sink → result DF."""
@@ -1931,6 +1958,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_binary_metadata": _q_binary_metadata,
     "st_stateful_politeness": _q_stateful_politeness,
     "st_stateful_seen": _q_stateful_seen,
+    "a8_frontier_telemetry": _q_frontier_telemetry,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
@@ -2003,6 +2031,7 @@ _ORACLES: dict[str, str] = {
     "mm_binary_metadata": _SQL_BINARY_METADATA,
     "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
     "st_stateful_seen": _SQL_STATEFUL_SEEN,
+    "a8_frontier_telemetry": _SQL_FRONTIER_TELEMETRY,
 }
 
 
