@@ -1418,10 +1418,10 @@ def _q_crawl_epochs(spark, sf_dir):
 
     from web_crawler_spark.plans.epoch import CrawlEngine
     from web_crawler_spark.sources.pages import generate_pages
-    from web_crawler_spark.sources.seeds import generate_seeds
+    from web_crawler_spark.sources.seeds import seeds_from_pages
 
     pages = generate_pages(spark, 240, seed=42)
-    seeds = generate_seeds(spark, n_per_host=4, hot_factor=5, n_epochs=3)
+    seeds = seeds_from_pages(spark, 240, n_per_host=4, hot_factor=5, n_epochs=3)
     root = tempfile.mkdtemp(prefix="crawl_epochs_")
     engine = CrawlEngine(spark, root, pages, max_depth=1)
     engine.run(seeds, n_epochs=3)

@@ -183,6 +183,29 @@ def test_epoch_resume_exactly(spark, catalog_dir):
         ), f"{table} differs after resume"
 
 
+def test_epoch_fetch_hits_and_extraction(spark, catalog_dir):
+    """Corpus-aligned seeds must produce real fetch HITS through the epoch
+    engine — status=ok rows carry html and the extraction stage emits rows.
+    (Guards the seed/corpus URL-space alignment: disjoint spaces would make
+    every fetch an error and extraction silently empty.)"""
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import seeds_from_pages
+
+    pages = generate_pages(spark, 240, seed=42).cache()
+    seeds = seeds_from_pages(spark, 240, n_per_host=4, hot_factor=5, n_epochs=2)
+
+    eng = CrawlEngine(spark, catalog_dir + "/hits", pages, max_depth=1)
+    stats = eng.run(seeds, n_epochs=2)
+    assert all(s["ok"] > 0 for s in stats), stats
+    # misses exist too (every 6th seed URL points past the corpus): F5
+    assert any(s["fetched"] > s["ok"] for s in stats), stats
+    extracted = eng.catalog.read(spark, "extracted")
+    assert extracted is not None and extracted.count() > 0
+    outlinks = eng.catalog.read(spark, "outlinks")
+    assert outlinks is not None and outlinks.count() > 0  # links pages hit
+
+
 def test_resume_after_mid_epoch_crash(spark, catalog_dir):
     """Crash BETWEEN the fetched commit and the seen commit of an epoch:
     `seen` commits last, so resume must RE-RUN that epoch (per-table commits

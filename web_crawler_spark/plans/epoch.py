@@ -163,6 +163,19 @@ class CrawlEngine:
                 frontier, self._epoch_start(epoch), self.delay_seconds
             )
 
+        # rebalance BEFORE the fetch join: politeness legitimately skews
+        # partitioning by (host, salt) — a hot host is one partition — but
+        # nothing downstream needs host-locality. Explicit repartition on
+        # url_hash (fixed N, so AQE can't coalesce it away) spreads the
+        # fetch join, extraction, and every commit across all cores. The
+        # rows are still slim here (no html) so this shuffle is cheap; at
+        # 100 TB it is the same url_hash bucketing the corpus join needs.
+        # 4× overpartitioning keeps each python extraction task short (a
+        # straggler costs 1/4 of a wave, and busy-host noise hurts long
+        # Arrow tasks most)
+        par = self.spark.sparkContext.defaultParallelism
+        scheduled = scheduled.repartition(par * 4, F.col("url_hash"))
+
         # fetch = join against the offline corpus (broadcast-averse: both big)
         fetched = scheduled.join(
             self.pages.withColumnRenamed("url_hash", "p_hash"),
