@@ -82,6 +82,7 @@ def crawl_throughput(spark, n_pages: int, n_seeds_per_host: int, hot: int) -> di
         "urls_fetched_ok": n_ok,
         "wall_sec": round(wall, 2),
         "urls_per_sec": round(fetched / wall, 1),
+        "considered_per_sec": round(n_urls / wall, 1),
     }
 
 
