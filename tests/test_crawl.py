@@ -206,6 +206,40 @@ def test_epoch_fetch_hits_and_extraction(spark, catalog_dir):
     assert outlinks is not None and outlinks.count() > 0  # links pages hit
 
 
+def test_per_host_epoch_budget_defers(spark, catalog_dir):
+    """max_per_host_per_epoch: a hot host's overflow is deferred to the
+    next epoch (bounded per-host state), not dropped."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import seeds_from_pages
+
+    pages = generate_pages(spark, 240, seed=42).cache()
+    # hot host gets 30 URLs/epoch, others 6 — budget of 10 forces deferral
+    seeds = seeds_from_pages(spark, 240, n_per_host=6, hot_factor=5, n_epochs=2)
+
+    eng = CrawlEngine(
+        spark, catalog_dir + "/budget", pages, max_depth=0, use_bloom=False,
+        max_per_host_per_epoch=10,
+    )
+    eng.run(seeds, n_epochs=2)
+
+    fetched = eng.catalog.read(spark, "fetched")
+    per = fetched.groupBy("epoch", "host").count().collect()
+    assert all(r["count"] <= 10 for r in per), per
+
+    deferred = eng.catalog.read(spark, "deferred")
+    assert deferred is not None
+    d0 = deferred.filter(F.col("epoch") == 0)
+    assert d0.count() > 0  # hot host overflowed epoch 0's budget
+    # ...and the deferred URLs were actually fetched in epoch 1
+    refetched = fetched.filter(F.col("epoch") == 1).join(
+        d0.select("url_hash"), "url_hash"
+    )
+    assert refetched.count() > 0
+
+
 def test_resume_after_mid_epoch_crash(spark, catalog_dir):
     """Crash BETWEEN the fetched commit and the seen commit of an epoch:
     `seen` commits last, so resume must RE-RUN that epoch (per-table commits

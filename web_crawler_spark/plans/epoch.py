@@ -55,6 +55,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         robots_pages: DataFrame | None = None,
         agent: str = "sparkcrawl",
+        max_per_host_per_epoch: int | None = None,
     ):
         self.spark = spark
         self.catalog = EpochCatalog(catalog_root)
@@ -63,6 +64,12 @@ class CrawlEngine:
         self.max_depth = max_depth
         self.use_bloom = use_bloom
         self.agent = agent
+        # per-host crawl budget: a hot host's frontier slice beyond this is
+        # DEFERRED to the next epoch, not dropped. This is what bounds the
+        # one deliberately-skewed partition (per-host ordering) at 10^10
+        # scale — politeness alone already caps useful fetches per epoch
+        # (epoch_window / delay), so scheduling more is wasted state.
+        self.max_per_host_per_epoch = max_per_host_per_epoch
         if robots_pages is not None:
             # rules + per-host crawl delays: tiny tables, parsed once,
             # broadcast into every epoch (a real deployment refreshes them
@@ -97,6 +104,13 @@ class CrawlEngine:
             "url", "source", "priority", "host", "canonical_url", "url_hash",
             F.lit(0).alias("depth"),
         )
+        deferred = self.catalog.read(self.spark, "deferred", upto_epoch=epoch - 1)
+        if deferred is not None:
+            carried = deferred.filter(F.col("epoch") == epoch - 1).select(
+                "url", F.lit("deferred").alias("source"), "priority", "host",
+                "canonical_url", "url_hash", "depth",
+            )
+            f = f.unionByName(carried)
         prev = self.catalog.read(self.spark, "outlinks", upto_epoch=epoch - 1)
         if prev is not None and self.max_depth > 0:
             expanded = (
@@ -162,6 +176,17 @@ class CrawlEngine:
             scheduled = P.politeness_schedule(
                 frontier, self._epoch_start(epoch), self.delay_seconds
             )
+
+        # per-host epoch budget: overflow (seq > budget) is deferred to the
+        # next epoch's frontier with its priority intact — bounded state
+        # per host per epoch, nothing lost
+        deferred_out = None
+        if self.max_per_host_per_epoch is not None:
+            budget = self.max_per_host_per_epoch
+            deferred_out = scheduled.filter(F.col("seq") > budget).select(
+                "url", "priority", "host", "canonical_url", "url_hash", "depth"
+            )
+            scheduled = scheduled.filter(F.col("seq") <= budget)
 
         # rebalance BEFORE the fetch join: politeness legitimately skews
         # partitioning by (host, salt) — a hot host is one partition — but
@@ -234,13 +259,17 @@ class CrawlEngine:
                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
             ).collect()[0]
 
-        with ThreadPoolExecutor(max_workers=5) as ex:
+        with ThreadPoolExecutor(max_workers=6) as ex:
             futures = [
                 ex.submit(self.catalog.commit_epoch, "fetched", epoch, fetched.drop("html")),
                 ex.submit(self.catalog.commit_epoch, "extracted", epoch, extracted),
                 ex.submit(self.catalog.commit_epoch, "outlinks", epoch, outlinks.drop("epoch")),
                 ex.submit(self.catalog.commit_epoch, "metrics", epoch, P.epoch_metrics(fetched)),
             ]
+            if deferred_out is not None:
+                futures.append(
+                    ex.submit(self.catalog.commit_epoch, "deferred", epoch, deferred_out)
+                )
             counts_future = ex.submit(_counts)
             for fut in futures:
                 fut.result()  # barrier: all data tables committed before seen
