@@ -1410,6 +1410,32 @@ def _q_extract_pipeline(spark, sf_dir):
     return results["by_category"]
 
 
+def _q_crawl_budget_epochs(spark, sf_dir):
+    """Per-host epoch budget + overflow deferral through the full engine:
+    per-epoch per-host fetch counts, all ≤ the budget (rows-only check;
+    deferral conservation is pytest-verified)."""
+    import tempfile
+
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import seeds_from_pages
+
+    pages = generate_pages(spark, 240, seed=42)
+    seeds = seeds_from_pages(spark, 240, n_per_host=6, hot_factor=5, n_epochs=2)
+    root = tempfile.mkdtemp(prefix="crawl_budget_")
+    engine = CrawlEngine(
+        spark, root, pages, max_depth=0, use_bloom=False,
+        max_per_host_per_epoch=10,
+    )
+    engine.run(seeds, n_epochs=2)
+    fetched = engine.catalog.read(spark, "fetched")
+    return (
+        fetched.groupBy("epoch", "host")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("epoch", "host")
+    )
+
+
 def _q_crawl_epochs(spark, sf_dir):
     """Three crawl epochs over synthetic pages+seeds; returns per-epoch
     per-host fetch counts (rows-only check; ordering invariants are
@@ -1965,6 +1991,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": _q_ann_ivf,
     "crawl_extract_pipeline": _q_extract_pipeline,
     "crawl_epochs_e2e": _q_crawl_epochs,
+    "crawl_budget_epochs": _q_crawl_budget_epochs,
 }
 
 _ORACLES: dict[str, str] = {
