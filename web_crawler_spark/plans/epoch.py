@@ -146,6 +146,19 @@ class CrawlEngine:
         if epoch in self.catalog.committed_epochs("seen"):
             return {"epoch": epoch, "skipped": True}
 
+        import os as _os
+        import sys as _sys
+        import time as _time
+        _trace = _os.environ.get("SPARK_CRAWL_TRACE") == "1"
+        _tmark = [_time.time()]
+
+        def _phase(label):
+            if _trace:
+                now = _time.time()
+                print(f"[epoch {epoch}] {label}: {now - _tmark[0]:.1f}s",
+                      file=_sys.stderr)
+                _tmark[0] = now
+
         frontier = self._frontier_for(seeds, epoch)
 
         # dedup vs seen  [shuffle: url_hash]
@@ -228,6 +241,7 @@ class CrawlEngine:
                 )
             )
         fetched = fetched.localCheckpoint()  # cut lineage; reused 4× below
+        _phase("materialize fetched")
 
         ok = fetched.filter(F.col("status") == "ok")
 
@@ -251,6 +265,7 @@ class CrawlEngine:
         # The four data commits touch independent table dirs/manifests and
         # all derive from the checkpointed `fetched` — submit them as
         # concurrent Spark jobs; only `seen` waits behind the barrier.
+        import os as _os
         from concurrent.futures import ThreadPoolExecutor
 
         def _counts():
@@ -259,7 +274,8 @@ class CrawlEngine:
                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
             ).collect()[0]
 
-        with ThreadPoolExecutor(max_workers=6) as ex:
+        commit_lanes = int(_os.environ.get("SPARK_CRAWL_COMMIT_LANES", "6"))
+        with ThreadPoolExecutor(max_workers=commit_lanes) as ex:
             futures = [
                 ex.submit(self.catalog.commit_epoch, "fetched", epoch, fetched.drop("html")),
                 ex.submit(self.catalog.commit_epoch, "extracted", epoch, extracted),
@@ -274,6 +290,7 @@ class CrawlEngine:
             for fut in futures:
                 fut.result()  # barrier: all data tables committed before seen
             counts = counts_future.result()
+        _phase("data commits")
         n_fetched, n_ok = counts["n"], int(counts["ok"] or 0)
         self.catalog.commit_epoch(
             "seen", epoch,
@@ -282,6 +299,7 @@ class CrawlEngine:
             ),
             lineage={"fetched": n_fetched, "ok": n_ok},
         )
+        _phase("seen commit")
         return {"epoch": epoch, "fetched": n_fetched, "ok": n_ok}
 
     def run(self, seeds: DataFrame, n_epochs: int = 3) -> list[dict]:

@@ -68,11 +68,15 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
-def _commodity_table_html(rng: random.Random) -> str:
-    """Class 1: Business-Insider shape with junk rows the filters must drop."""
+def _commodity_table_html(rng: random.Random, scale: int = 1) -> str:
+    """Class 1: Business-Insider shape with junk rows the filters must drop.
+    ``scale`` multiplies page size (realistic pages are tens of KB; scale=1
+    keeps the original byte-identical fixture output)."""
     rows = ['<tr><th>Commodity</th><th>Price</th><th>Change</th></tr>']
     n = rng.randint(5, len(COMMODITIES))
-    for name, sym, base in rng.sample(COMMODITIES, n):
+    if scale > 1:
+        n += (scale - 1) * len(COMMODITIES)
+    for name, sym, base in [COMMODITIES[rng.randrange(len(COMMODITIES))] for _ in range(n)] if scale > 1 else rng.sample(COMMODITIES, n):
         price = round(base * (1 + rng.uniform(-0.05, 0.05)), 2)
         pct = round(rng.uniform(-4, 4), 2)
         sign = "+" if pct >= 0 else ""
@@ -88,10 +92,13 @@ def _commodity_table_html(rng: random.Random) -> str:
     return "<html><body><h1>Markets</h1><table>" + "".join(rows) + "</table></body></html>"
 
 
-def _simple_table_html(rng: random.Random) -> str:
+def _simple_table_html(rng: random.Random, scale: int = 1) -> str:
     """Class 2: generic 2-col name/price table with a header row."""
     rows = ["<tr><td>Name</td><td>Price</td></tr>"]
-    for name, _sym, base in rng.sample(COMMODITIES, rng.randint(3, 10)):
+    n = rng.randint(3, 10)
+    if scale > 1:
+        n += (scale - 1) * len(COMMODITIES)
+    for name, _sym, base in [COMMODITIES[rng.randrange(len(COMMODITIES))] for _ in range(n)] if scale > 1 else rng.sample(COMMODITIES, n):
         rows.append(f"<tr><td>{name}</td><td>${base * (1 + rng.uniform(-0.02, 0.02)):.2f}</td></tr>")
     return "<html><body><table>" + "".join(rows) + "</table></body></html>"
 
@@ -112,8 +119,11 @@ def _hq_payload(rng: random.Random) -> str:
     )
 
 
-def _links_html(rng: random.Random, host: str) -> str:
-    links = [
+def _links_html(rng: random.Random, host: str, scale: int = 1) -> str:
+    links = scale > 1 and [
+        f"https://{host}/page{rng.randint(0, 99)}" for _ in range((scale - 1) * 6)
+    ] or []
+    links += [
         f"https://{host}/page{rng.randint(0, 99)}",
         f"/section/{rng.randint(0, 9)}/item",
         f"relative/{rng.randint(0, 9)}.html",
@@ -125,8 +135,15 @@ def _links_html(rng: random.Random, host: str) -> str:
     return f"<html><body><p>Index page with outlinks.</p>{body}</body></html>"
 
 
-def _nasty_html(rng: random.Random) -> str:
+def _nasty_html(rng: random.Random, scale: int = 1) -> str:
     """Class 6: nested tables, entities, CJK, whitespace runs."""
+    if scale > 1:
+        blocks = "".join(
+            f"<table><tr><td>块{rng.randint(0, 999)}</td><td>{rng.uniform(1, 999):.2f}</td>"
+            f"<td>+{rng.uniform(0, 5):.1f}%</td></tr></table>"
+            for _ in range((scale - 1) * 8)
+        )
+        return "<html><body>" + blocks + "<p>  空白   run&nbsp; 混合 CJK  </p></body></html>"
     return (
         "<html><body><table><tr><td>Outer   A&amp;B</td><td>"
         "<table><tr><td>内部表格</td><td>1,234.56</td><td>+0.5%</td></tr></table>"
@@ -145,10 +162,15 @@ _CLASS_BUILDERS = [
 ]
 
 
-def _build_page(i: int, seed: int) -> tuple[str, datetime, bytes, str, str]:
+def _build_page(i: int, seed: int, scale: int = 1) -> tuple[str, datetime, bytes, str, str]:
     rng = random.Random((seed << 20) ^ i)
     cls, builder, host, lang = _CLASS_BUILDERS[i % len(_CLASS_BUILDERS)]
-    html = builder(rng, host) if cls == "links" else builder(rng)
+    if cls == "links":
+        html = builder(rng, host, scale)
+    elif cls in ("json_api", "hq_str"):
+        html = builder(rng)  # API payloads stay small at any scale
+    else:
+        html = builder(rng, scale)
     # URL variants that canonicalize identically (F-1 dup-variant requirement)
     variant = i % 4
     path = f"/{cls}/{i // len(_CLASS_BUILDERS)}"
@@ -166,13 +188,15 @@ def _build_page(i: int, seed: int) -> tuple[str, datetime, bytes, str, str]:
 
 
 def generate_pages(spark: SparkSession, n_pages: int = 1000, seed: int = 42,
-                   partitions: int | None = None) -> DataFrame:
-    """Distributed corpus synthesis: spark.range → mapInPandas(build)."""
+                   partitions: int | None = None, scale: int = 1) -> DataFrame:
+    """Distributed corpus synthesis: spark.range → mapInPandas(build).
+    ``scale`` multiplies page size (~400 B at 1, ~N*2 KB at N) — scale=1 is
+    byte-identical to the original fixture."""
     base = spark.range(0, n_pages, numPartitions=partitions or max(8, n_pages // 50_000))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_build_page(int(i), seed) for i in pdf["id"]]
+            rows = [_build_page(int(i), seed, scale) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
