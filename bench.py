@@ -132,9 +132,12 @@ def main() -> None:
     }
 
     # crawl throughput (BASELINE.json metric) — moderate size per-round
+    # proportions chosen so the hot host's per-epoch seed slice stays
+    # below its distinct-page pool (heavy collapse would understate the
+    # fetch work): 60k pages = 20k per hot-host class pair, 1.5k*10 seeds
     result["crawl"] = crawl_throughput(
-        spark, n_pages=int(os.environ.get("BENCH_PAGES", "20000")),
-        n_seeds_per_host=int(os.environ.get("BENCH_SEEDS", "2000")), hot=10,
+        spark, n_pages=int(os.environ.get("BENCH_PAGES", "60000")),
+        n_seeds_per_host=int(os.environ.get("BENCH_SEEDS", "1500")), hot=10,
     )
     spark.stop()
 
