@@ -1810,6 +1810,115 @@ FROM documents
 """
 
 
+def _q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 pattern: 3-way join → per-order revenue → top-10. Catalyst
+    broadcast-joins the filtered customer side; top-k compiles to
+    TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+_SQL_TPCH_Q3 = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def _q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 pattern: 6-table star join → per-nation revenue. The tiny
+    nation/region dims broadcast; the fact-side joins shuffle on keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == o["o_orderkey"])
+        .join(s, (F.col("l_suppkey") == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_SQL_TPCH_Q5 = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def _q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 pattern: pure scan-filter-agg — the predicate-pushdown /
+    whole-stage-codegen showcase (filters reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_SQL_TPCH_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
 def _q_frontier_telemetry(spark, sf_dir):
     """A8 (engine addition per SURVEY §2.5): frontier cardinality + skew
     telemetry — distinct URL/host counts and the hot-host ratio that drives
@@ -1985,6 +2094,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_stateful_politeness": _q_stateful_politeness,
     "st_stateful_seen": _q_stateful_seen,
     "a8_frontier_telemetry": _q_frontier_telemetry,
+    "tpch_q3_shipping_priority": _q_tpch_q3,
+    "tpch_q5_local_supplier": _q_tpch_q5,
+    "tpch_q6_forecast_revenue": _q_tpch_q6,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
@@ -2059,6 +2171,9 @@ _ORACLES: dict[str, str] = {
     "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
     "st_stateful_seen": _SQL_STATEFUL_SEEN,
     "a8_frontier_telemetry": _SQL_FRONTIER_TELEMETRY,
+    "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
+    "tpch_q5_local_supplier": _SQL_TPCH_Q5,
+    "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
 }
 
 
