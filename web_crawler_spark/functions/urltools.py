@@ -30,6 +30,10 @@ def canonicalize_url(col: Column) -> Column:
     - empty path → ``/``
     - query params sorted bytewise (param order never distinguishes URLs)
     - fragment dropped
+    - unparseable host (e.g. all-numeric labels java.net.URI rejects) →
+      fall back to the RAW url string: distinct junk URLs must stay
+      distinct in the seen-set rather than collide on a NULL canonical
+      (validity gating is X15's job, not canonicalization's)
     """
     url = col.cast("string")
     proto = url_protocol(url)
@@ -49,7 +53,8 @@ def canonicalize_url(col: Column) -> Column:
     query_part = F.when(
         query.isNull() | (query == ""), F.lit("")
     ).otherwise(F.concat(F.lit("?"), sorted_query))
-    return F.concat(proto, F.lit("://"), host, port_part, path, query_part)
+    canonical = F.concat(proto, F.lit("://"), host, port_part, path, query_part)
+    return F.coalesce(canonical, url)
 
 
 def url_hash(canonical: Column) -> Column:
