@@ -202,3 +202,21 @@ def test_cli_list_scrapers():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0 and "business_insider" in r.stdout
+
+
+def test_cli_sql_mode(tmp_path):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "web_crawler_spark.cli",
+         "--tables-dir", "/root/testdata/sf0.001",
+         "--sql",
+         "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    assert {l["l_returnflag"] for l in lines} == {"A", "N", "R"}
+    assert all(l["n"] > 0 for l in lines)

@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--catalog", default=None, help="epoch-catalog root (enables crawl mode)")
     p.add_argument("--master", default=None)
     p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--sql", default=None, metavar="QUERY",
+                   help="ad-hoc SQL over the crawl catalog (--catalog tables "
+                        "fetched/extracted/outlinks/metrics/seen/deferred as "
+                        "views) and/or --tables-dir parquet tables; prints "
+                        "JSON lines")
+    p.add_argument("--tables-dir", default=None,
+                   help="directory of <name>.parquet tables to register as views")
     return p
 
 
@@ -54,6 +61,30 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="web_crawler_spark.cli", master=args.master)
     if not args.verbose:
         spark.sparkContext.setLogLevel("ERROR")
+
+    if args.sql:
+        # analytics entry: the engine's tables are just tables — any SQL
+        # the reference's fixed pipeline could answer (and any it couldn't)
+        # runs here through Catalyst
+        import glob
+        import os as _os
+
+        if args.tables_dir:
+            for pq in glob.glob(_os.path.join(args.tables_dir, "*.parquet")):
+                name = _os.path.basename(pq)[: -len(".parquet")]
+                spark.read.parquet(pq).createOrReplaceTempView(name)
+        if args.catalog:
+            from .sources.catalog import EpochCatalog
+
+            cat = EpochCatalog(args.catalog)
+            for t in ("fetched", "extracted", "outlinks", "metrics", "seen", "deferred"):
+                df = cat.read(spark, t)
+                if df is not None:
+                    df.createOrReplaceTempView(t)
+        for line in spark.sql(args.sql).toJSON().collect():
+            print(line)
+        spark.stop()
+        return 0
 
     clock = F.lit("2025-07-22 10:00:00").cast("timestamp")
     pages = generate_pages(spark, args.pages_count)
