@@ -1810,6 +1810,34 @@ FROM documents
 """
 
 
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split, stratification
+    audited per language — re-running the pipeline must land every doc in
+    the SAME split (no leakage), so membership is md5(key)-percentile, not
+    rand()."""
+    from web_crawler_spark.functions import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    split = SP.dataset_split(d, "doc_id", train=0.8, val=0.1)
+    return (
+        split.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+_SQL_DATASET_SPLIT = """
+WITH t AS (
+  SELECT lang,
+         TRY_CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 4)) AS INT) % 100 AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n
+FROM t GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
 def _q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 pattern: 3-way join → per-order revenue → top-10. Catalyst
     broadcast-joins the filtered customer side; top-k compiles to
@@ -2097,6 +2125,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3_shipping_priority": _q_tpch_q3,
     "tpch_q5_local_supplier": _q_tpch_q5,
     "tpch_q6_forecast_revenue": _q_tpch_q6,
+    "tx_dataset_split": _q_dataset_split,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
@@ -2174,6 +2203,7 @@ _ORACLES: dict[str, str] = {
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
+    "tx_dataset_split": _SQL_DATASET_SPLIT,
 }
 
 

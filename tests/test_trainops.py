@@ -142,3 +142,33 @@ def test_multimodal_plumbing(spark):
     assert all(len(r["features"]) == 8 for r in feats)
     with pytest.raises(Exception):
         decode_image_stage(pages).collect()  # stub raises NotImplementedError
+
+
+def test_dataset_split_deterministic_and_leak_free(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions import sampling as SP
+
+    d = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    s1 = SP.dataset_split(d, "doc_id", train=0.8, val=0.1)
+    s2 = SP.dataset_split(d, "doc_id", train=0.8, val=0.1)
+    # identical membership on re-run (no rand())
+    assert s1.exceptAll(s2).count() == 0
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # hash-percentile fractions are approximate at finite n, exact over buckets
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+
+    samp = SP.stratified_sample(
+        d.withColumn("lang", (F.col("doc_id") % 3).cast("string")),
+        "lang", 0.2, "doc_id",
+    )
+    again = SP.stratified_sample(
+        d.withColumn("lang", (F.col("doc_id") % 3).cast("string")),
+        "lang", 0.2, "doc_id",
+    )
+    assert samp.exceptAll(again).count() == 0  # same keys survive every run
+    per = {r["lang"]: r["n"] for r in samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert abs(n / (5000 / 3) - 0.2) < 0.05, (lang, n)

@@ -1,0 +1,57 @@
+"""Deterministic dataset splitting / sampling for training-data pipelines.
+
+A training corpus needs train/val/test membership that is (a) stable
+across runs and engine versions, (b) a pure function of the record key so
+re-crawled or re-processed documents land in the SAME split (no
+train/test leakage when the pipeline is re-run), and (c) computable by
+any engine (the DuckDB oracle checks it bit-for-bit). ``rand()``-based
+splits violate all three.
+
+Bucket = first 16 bits of md5(salt || key) → [0, n_buckets). md5 keeps it
+ANSI-SQL-portable; the engine-internal fast path can swap xxhash64
+(``pmod(xxhash64(key), n)``) without changing the API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "split") -> Column:
+    """Stable bucket in [0, n_buckets) from the first 16 md5 bits."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_buckets).alias("bucket")
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign train/val/test membership by hashed key percentile. The test
+    fraction is the remainder; fractions are exact over the bucket space
+    (percent granularity)."""
+    b = hash_bucket(F.col(key_col), 100, salt)
+    t_hi = int(round(train * 100))
+    v_hi = t_hi + int(round(val * 100))
+    label = (
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test")
+    )
+    return df.withColumn(out_col, label)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a hash-percentile slice of
+    each stratum (same keys survive on every run — unlike ``sampleBy``)."""
+    b = hash_bucket(F.concat(F.col(strata_col), F.col(key_col).cast("string")), 100, salt)
+    return df.filter(b < int(round(fraction * 100)))
