@@ -1838,6 +1838,69 @@ FROM t GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """Training-corpus hygiene: emails / phones / IPv4s → <TAG>
+    placeholders (regexp_replace chain, JVM-side)."""
+    e = _t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("Contact u"), F.col("user_id").cast("string"),
+        F.lit("@mail"), (F.col("event_id") % 7).cast("string"),
+        F.lit(".com or +1 555-"),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("user_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("event_id") % 256).cast("string"),
+        F.lit("."), (F.col("user_id") % 256).cast("string"), F.lit(" bye"),
+    )
+    return e.select("event_id", raw.alias("raw"), T.scrub_pii(raw).alias("scrubbed"))
+
+
+_SQL_PII_SCRUB = """
+WITH t AS (
+  SELECT event_id,
+         concat('Contact u', CAST(user_id AS VARCHAR), '@mail',
+                CAST(event_id % 7 AS VARCHAR), '.com or +1 555-',
+                lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0'), '-',
+                lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0'),
+                ' from 10.0.', CAST(event_id % 256 AS VARCHAR), '.',
+                CAST(user_id % 256 AS VARCHAR), ' bye') AS raw
+  FROM events
+)
+SELECT event_id, raw,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g') AS scrubbed
+FROM t
+"""
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 8-gram with the
+    'benchmark' slice (docs with doc_id % 97 == 0 stand in for an eval
+    suite). Benchmark shingles broadcast; the corpus side is a scan."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    return T.contaminated_doc_ids(d, bench, n=8).orderBy("doc_id")
+
+
+_SQL_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, greatest(len(w)-7, 0) + 1)]) AS grams
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(grams) AS gram FROM sh WHERE len(grams) > 0
+), bench AS (
+  SELECT DISTINCT gram FROM inv WHERE doc_id % 97 = 0
+)
+SELECT DISTINCT i.doc_id FROM inv i JOIN bench b USING (gram) ORDER BY doc_id
+"""
+
+
 def _q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 pattern: 3-way join → per-order revenue → top-10. Catalyst
     broadcast-joins the filtered customer side; top-k compiles to
@@ -2126,6 +2189,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5_local_supplier": _q_tpch_q5,
     "tpch_q6_forecast_revenue": _q_tpch_q6,
     "tx_dataset_split": _q_dataset_split,
+    "tx_pii_scrub": _q_pii_scrub,
+    "dd_contamination_check": _q_contamination,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
@@ -2204,6 +2269,8 @@ _ORACLES: dict[str, str] = {
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
     "tx_dataset_split": _SQL_DATASET_SPLIT,
+    "tx_pii_scrub": _SQL_PII_SCRUB,
+    "dd_contamination_check": _SQL_CONTAMINATION,
 }
 
 

@@ -172,3 +172,41 @@ def test_dataset_split_deterministic_and_leak_free(spark):
     per = {r["lang"]: r["n"] for r in samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     for lang, n in per.items():
         assert abs(n / (5000 / 3) - 0.2) < 0.05, (lang, n)
+
+
+def test_pii_scrub_and_contamination(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp.example.org end",),
+            ("call +44 020-555-1234 now",),
+            ("host 192.168.0.1 up, not 1234.5 or a.b.c.d",),
+            ("clean text stays untouched",),
+        ],
+        "t string",
+    )
+    got = [r["s"] for r in df.select(T.scrub_pii(F.col("t")).alias("s")).collect()]
+    assert got[0] == "mail <EMAIL> end"
+    assert got[1] == "call <PHONE> now"
+    assert got[2] == "host <IPV4> up, not 1234.5 or a.b.c.d"
+    assert got[3] == "clean text stays untouched"
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),
+            (2, "completely unrelated words about markets and gold prices today ok"),
+            (3, "we saw the quick brown fox jumps over the lazy dog tonight too"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("benchmark says the quick brown fox jumps over the lazy dog tonight",)],
+        "text string",
+    )
+    hit = sorted(
+        r["doc_id"] for r in T.contaminated_doc_ids(docs, bench, n=8).collect()
+    )
+    assert hit == [1, 3]  # doc 2 shares no 8-gram with the benchmark

@@ -196,3 +196,54 @@ def simhash64(text: Column) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus hygiene: PII scrubbing + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = [
+    # (tag, java-and-duckdb-compatible regex)
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"),
+    ("IPV4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / IPv4s with ``<TAG>`` placeholders —
+    standard pretraining-corpus hygiene. Pure regexp_replace chain:
+    JVM-side, codegen'd, and expressible verbatim in the SQL oracle. Order
+    matters: emails first (their local parts can contain digits a phone
+    pattern would partially eat)."""
+    out = text.cast("string")
+    for tag, pattern in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, f"<{tag}>")
+    return out
+
+
+def contaminated_doc_ids(
+    docs,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+):
+    """Benchmark decontamination: ids of docs sharing any word n-gram with
+    the benchmark set. The benchmark side is tiny (eval suites are KBs) →
+    its distinct shingles broadcast; the corpus side explodes shingles and
+    broadcast-joins — no shuffle of corpus text, scales as a scan at 100 TB.
+    The standard n=8..13 window (e.g. GPT-3 appendix C used 13-grams)."""
+    bench_grams = (
+        benchmark.select(F.explode(shingles(F.col(bench_text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .select(id_col)
+        .distinct()
+    )
