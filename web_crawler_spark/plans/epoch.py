@@ -52,7 +52,7 @@ class CrawlEngine:
         delay_seconds: float = 2.0,
         n_salts: int = 16,
         max_depth: int = 2,
-        use_bloom: bool = True,
+        use_bloom: bool | str = "auto",
         robots_pages: DataFrame | None = None,
         agent: str = "sparkcrawl",
         max_per_host_per_epoch: int | None = None,
@@ -91,6 +91,19 @@ class CrawlEngine:
             .dropDuplicates(["url_hash"])
             .localCheckpoint()
         )
+
+    # ------------------------------------------------------------------
+    def _bloom_decision(self) -> bool:
+        """use_bloom="auto": the bloom pre-filter costs a build pass +
+        broadcast per epoch, which only pays once `seen` is big enough that
+        skipping the anti-join shuffle for ~99% of rows beats that cost.
+        The seen size comes from the commit lineage in the manifest — no
+        Spark job."""
+        if self.use_bloom != "auto":
+            return bool(self.use_bloom)
+        lineage = self.catalog.manifest("seen").get("lineage", {})
+        seen_rows = sum(e.get("fetched", 0) for e in lineage.values())
+        return seen_rows >= 500_000
 
     # ------------------------------------------------------------------
     def _epoch_start(self, epoch: int):
@@ -164,7 +177,9 @@ class CrawlEngine:
         # dedup vs seen  [shuffle: url_hash]
         seen = self.catalog.read(self.spark, "seen", upto_epoch=epoch - 1)
         if seen is not None:
-            frontier = D.anti_join_seen(frontier, seen, use_bloom=self.use_bloom)
+            frontier = D.anti_join_seen(
+                frontier, seen, use_bloom=self._bloom_decision()
+            )
 
         # robots gate (north_rule): denied URLs are still committed to
         # `seen` via a fetched row with status=robots_denied — admitted
