@@ -296,3 +296,27 @@ def test_seen_admits_once_across_epochs(spark, catalog_dir):
     fetched = eng.catalog.read(spark, "fetched")
     dup = fetched.groupBy("url_hash").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_empty_epoch_is_graceful(spark, catalog_dir):
+    """An epoch whose entire frontier is already seen (fully-duplicate
+    seeds) must commit empty snapshots and keep the loop running — empty
+    partitions are a classic distributed-engine crash site."""
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import seeds_from_pages
+
+    pages = generate_pages(spark, 120, seed=42).cache()
+    seeds = seeds_from_pages(spark, 120, n_per_host=4, hot_factor=3, n_epochs=1)
+    replay = seeds.unionByName(seeds.withColumn("epoch", F.lit(1)))
+
+    eng = CrawlEngine(spark, catalog_dir + "/empty", pages, max_depth=0, use_bloom=False)
+    stats = eng.run(replay, n_epochs=2)
+    assert stats[0]["fetched"] > 0
+    assert stats[1] == {"epoch": 1, "fetched": 0, "ok": 0}
+    # the empty epoch is COMMITTED (resume must not re-run it)
+    assert eng.catalog.committed_epochs("seen") == [0, 1]
+    eng2 = CrawlEngine(spark, catalog_dir + "/empty", pages, max_depth=0, use_bloom=False)
+    assert eng2.run(replay, n_epochs=2) == [
+        {"epoch": 0, "skipped": True}, {"epoch": 1, "skipped": True}
+    ]

@@ -90,3 +90,38 @@ def test_stateful_seen_filter_across_batches(spark, tmp_path):
     # each url_hash admitted exactly once across the stream lifetime:
     # within-batch dup of 2 collapsed, cross-batch dup of 2 filtered
     assert got == [(1, "https://a.com/1"), (2, "https://a.com/2"), (3, "https://a.com/3")]
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: an event arriving
+    after the watermark has passed its window must be DROPPED, not merged —
+    the bounded-state contract of streaming_market_summary."""
+    from web_crawler_spark.streaming import events as SE
+
+    src = str(tmp_path / "late_src")
+    batch1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", "click", 250.0),
+            (2, "2024-01-01 06:00:00", "click", 260.0),  # advances watermark to 04:00
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    q = _start_file_stream_query(
+        spark, src, lambda s: SE.streaming_market_summary(s, window="1 hour", watermark="2 hours"),
+        "t_late",
+    )
+    q.processAllAvailable()
+
+    batch2 = spark.createDataFrame(
+        [(3, "2024-01-01 00:20:00", "click", 240.0)],  # 00:00 window, long past watermark
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {str(r["window_start"]): r["n"] for r in spark.sql("select * from t_late").collect()}
+    # the 00:00 window finalized with ONLY event 1; the late event 3 was dropped
+    assert rows.get("2024-01-01 00:00:00") == 1, rows
