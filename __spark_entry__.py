@@ -1838,6 +1838,70 @@ FROM t GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def _q_header_sniff(spark, sf_dir):
+    """S6 (worldbank.py:98-119 + 102-112): adaptive header-row discovery —
+    sheets arrive with a variable-length preamble; the first row containing
+    the 'Commodity' marker is the header, rows below it parse as data with
+    the right-to-left latest-non-empty value scan (P8)."""
+    e = _t(spark, sf_dir, "events")
+    sheet = (F.col("event_id") % 5).cast("int")
+    row_idx = F.floor(F.col("event_id") / 5).cast("int")
+    h = sheet + 1  # per-sheet preamble length 1..5
+    cells = (
+        F.when(row_idx < h, F.array(F.lit("World Bank report"), F.lit(""), F.lit(""), F.lit("")))
+        .when(row_idx == h, F.array(F.lit("Commodity"), F.lit("Unit"), F.lit("2023"), F.lit("2024")))
+        .otherwise(
+            F.array(
+                F.concat(F.lit("item_"), sheet.cast("string"), F.lit("_"), row_idx.cast("string")),
+                F.lit("kg"),
+                ((F.col("event_id") % 900) + 1).cast("string"),
+                F.when(row_idx % 3 == 0, F.lit("")).otherwise(
+                    ((F.col("user_id") % 700) + 1).cast("string")
+                ),
+            )
+        )
+    )
+    rows = e.select(sheet.alias("sheet"), row_idx.alias("row_idx"), cells.alias("cells"))
+    hdr = (
+        rows.filter(F.array_contains("cells", "Commodity"))
+        .groupBy("sheet")
+        .agg(F.min("row_idx").alias("h"))
+    )
+    data = rows.join(hdr, "sheet").filter(F.col("row_idx") > F.col("h"))
+    latest = F.coalesce(
+        F.nullif(F.col("cells")[3], F.lit("")), F.nullif(F.col("cells")[2], F.lit(""))
+    ).try_cast("double")
+    return data.select(
+        "sheet", "row_idx", F.col("cells")[0].alias("name"), latest.alias("latest_value")
+    )
+
+
+_SQL_HEADER_SNIFF = """
+WITH rows AS (
+  SELECT CAST(event_id % 5 AS INT) AS sheet,
+         CAST(event_id // 5 AS INT) AS row_idx,
+         CASE
+           WHEN event_id // 5 < event_id % 5 + 1
+             THEN ['World Bank report', '', '', '']
+           WHEN event_id // 5 = event_id % 5 + 1
+             THEN ['Commodity', 'Unit', '2023', '2024']
+           ELSE ['item_' || CAST(event_id % 5 AS VARCHAR) || '_' || CAST(event_id // 5 AS VARCHAR),
+                 'kg',
+                 CAST(event_id % 900 + 1 AS VARCHAR),
+                 CASE WHEN (event_id // 5) % 3 = 0 THEN '' ELSE CAST(user_id % 700 + 1 AS VARCHAR) END]
+         END AS cells
+  FROM events
+), hdr AS (
+  SELECT sheet, MIN(row_idx) AS h FROM rows
+  WHERE list_contains(cells, 'Commodity') GROUP BY sheet
+)
+SELECT r.sheet, r.row_idx, r.cells[1] AS name,
+       TRY_CAST(COALESCE(NULLIF(r.cells[4], ''), NULLIF(r.cells[3], '')) AS DOUBLE) AS latest_value
+FROM rows r JOIN hdr USING (sheet)
+WHERE r.row_idx > hdr.h
+"""
+
+
 def _q_pii_scrub(spark, sf_dir):
     """Training-corpus hygiene: emails / phones / IPv4s → <TAG>
     placeholders (regexp_replace chain, JVM-side)."""
@@ -2191,6 +2255,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
+    "s6_header_sniff": _q_header_sniff,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
@@ -2271,6 +2336,7 @@ _ORACLES: dict[str, str] = {
     "tx_dataset_split": _SQL_DATASET_SPLIT,
     "tx_pii_scrub": _SQL_PII_SCRUB,
     "dd_contamination_check": _SQL_CONTAMINATION,
+    "s6_header_sniff": _SQL_HEADER_SNIFF,
 }
 
 
