@@ -1838,6 +1838,49 @@ FROM t GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def _host_edges(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 12).cast("string"),
+            F.lit(".com/p/"), F.col("event_id").cast("string"),
+        ).alias("from_url"),
+        F.concat(
+            F.lit("https://h"), ((F.col("user_id") + F.col("event_id")) % 12).cast("string"),
+            F.lit(".com/q/"), F.col("event_id").cast("string"),
+        ).alias("resolved_url"),
+    )
+
+
+def _q_host_graph(spark, sf_dir):
+    """Outlink host graph: (src_host, dst_host, n_links) — the crawl
+    planner's edge list (self-loops dropped)."""
+    from web_crawler_spark.operators import graph as G
+
+    return G.host_graph(_host_edges(spark, sf_dir))
+
+
+_SQL_HOST_GRAPH = """
+WITH e AS (
+  SELECT concat('h', CAST(user_id % 12 AS VARCHAR), '.com') AS src_host,
+         concat('h', CAST((user_id + event_id) % 12 AS VARCHAR), '.com') AS dst_host
+  FROM events
+)
+SELECT src_host, dst_host, COUNT(*) AS n_links FROM e
+WHERE src_host <> dst_host GROUP BY src_host, dst_host
+"""
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """Iterative PageRank over the host graph (crawl prioritization signal)
+    — DataFrame join-agg power iteration with lineage checkpoints; rows-only
+    check (iterative algorithms are the driver contract's non-SQL class)."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = G.host_graph(_host_edges(spark, sf_dir))
+    return G.pagerank(edges, iterations=10).orderBy(F.desc("rank"), "node")
+
+
 def _q_header_sniff(spark, sf_dir):
     """S6 (worldbank.py:98-119 + 102-112): adaptive header-row discovery —
     sheets arrive with a variable-length preamble; the first row containing
@@ -2256,6 +2299,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
     "s6_header_sniff": _q_header_sniff,
+    "gr_host_graph": _q_host_graph,
+    "gr_host_pagerank": _q_host_pagerank,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
@@ -2337,6 +2382,7 @@ _ORACLES: dict[str, str] = {
     "tx_pii_scrub": _SQL_PII_SCRUB,
     "dd_contamination_check": _SQL_CONTAMINATION,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
+    "gr_host_graph": _SQL_HOST_GRAPH,
 }
 
 

@@ -320,3 +320,36 @@ def test_empty_epoch_is_graceful(spark, catalog_dir):
     assert eng2.run(replay, n_epochs=2) == [
         {"epoch": 0, "skipped": True}, {"epoch": 1, "skipped": True}
     ]
+
+
+def test_host_graph_and_pagerank(spark):
+    """Graph analytics over outlinks: edge aggregation + iterative PageRank
+    (ring → uniform ranks; hub → sink dominates; mass conserved)."""
+    from web_crawler_spark.operators import graph as G
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://b.com/x"),
+            ("https://a.com/2", "https://b.com/y"),
+            ("https://b.com/1", "https://c.com/z"),
+            ("https://c.com/1", "https://a.com/w"),
+            ("https://a.com/3", "https://a.com/self"),  # self-loop dropped
+        ],
+        "from_url string, resolved_url string",
+    )
+    edges = {(r["src_host"], r["dst_host"]): r["n_links"] for r in G.host_graph(links).collect()}
+    assert edges == {("a.com", "b.com"): 2, ("b.com", "c.com"): 1, ("c.com", "a.com"): 1}
+
+    ring = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    ranks = {r["node"]: r["rank"] for r in G.pagerank(ring, 20).collect()}
+    assert all(abs(v - 1.0) < 1e-6 for v in ranks.values()), ranks
+
+    hub = spark.createDataFrame(
+        [("a", "c", 1), ("b", "c", 1)], "src_host string, dst_host string, n_links long"
+    )
+    hr = {r["node"]: r["rank"] for r in G.pagerank(hub, 30).collect()}
+    assert hr["c"] > hr["a"] == hr["b"]
+    assert abs(sum(hr.values()) - 3.0) < 1e-4  # dangling mass redistributed

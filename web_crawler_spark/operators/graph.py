@@ -1,0 +1,95 @@
+"""Host-graph analytics over the committed ``outlinks`` table — the crawl
+planner's prioritization signals (which hosts to budget next epoch).
+
+The reference has no graph ops (its frontier is depth-1, SURVEY §2.2 note);
+these generalize the outlink expansion the north rule adds. Everything is
+DataFrame algebra: edge aggregation is one shuffle; PageRank is the classic
+iterative join-agg loop with ``localCheckpoint`` every few rounds to cut
+lineage (the standard Spark pattern for iteration — without it the plan
+doubles per round and the driver OOMs on plan strings long before data).
+
+At 100 TB the host graph is tiny relative to the corpus (~10^7 hosts), so
+iterations run on an aggregated edge list that fits comfortably in one
+shuffle stage; ranks broadcast back against the frontier for scheduling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import urltools as U
+
+
+def host_graph(
+    outlinks: DataFrame,
+    from_col: str = "from_url",
+    to_col: str = "resolved_url",
+) -> DataFrame:
+    """(src_host, dst_host, n_links) edge list; self-loops dropped."""
+    src = U.url_host(F.col(from_col))
+    dst = U.url_host(F.col(to_col))
+    return (
+        outlinks.select(src.alias("src_host"), dst.alias("dst_host"))
+        .filter(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = "n_links",
+) -> DataFrame:
+    """Weighted PageRank with uniform teleport over the node set.
+
+    Dangling mass (nodes with no out-edges) is redistributed uniformly each
+    iteration so the ranks keep summing to n_nodes (the power-iteration
+    invariant); returns (node, rank) with rank rounded to 6 decimals.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.cast("double").alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # edge transition probability src→dst
+    trans = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    ).localCheckpoint()
+
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            trans.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+        )
+        total_inflow = F.sum("inflow")
+        # dangling mass = total rank (n_nodes) minus what flowed through edges
+        flowed = contribs.agg(total_inflow.alias("t")).collect()[0]["t"] or 0.0
+        dangling = n_nodes - flowed
+        base = (1.0 - damping) + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (i + 1) % 3 == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()  # cut the iterative lineage
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
