@@ -1135,6 +1135,65 @@ SELECT url, m[1] AS name, m[2] AS price FROM (
 """
 
 
+def _q_css_selector(spark, sf_dir):
+    """X9 CSS-selector extraction mode (generic_scraper.py:140-229):
+    container select + per-field selector/attribute/regex/transform rules
+    over synthesized HTML pages, via the mapInPandas CSS stage. The junk
+    second row exercises the container filter; every third page omits the
+    change cell (select_one miss → NULL field)."""
+    from web_crawler_spark.plans.extract import css_config_stage
+
+    e = _t(spark, sf_dir, "events")
+    change_cell = F.when(
+        F.col("event_id") % 3 != 0,
+        F.concat(
+            F.lit("<td><span>+"), (F.col("user_id") % 90).cast("string"),
+            F.lit("%</span></td>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<table><tbody><tr class="item"><td><a href="/sym'),
+        F.col("event_id").cast("string"),
+        F.lit('">name'), (F.col("event_id") % 50).cast("string"),
+        F.lit('</a></td><td><span>$'), (F.col("event_id") % 9000).cast("string"),
+        F.lit(","), F.lpad((F.col("user_id") % 100).cast("string"), 2, "0"),
+        F.lit(".75</span></td>"), change_cell,
+        F.lit("</tr><tr><td>junk header</td></tr></tbody></table>"),
+    )
+    pages = e.select(
+        F.concat(F.lit("http://ex.com/"), F.col("event_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    config = {
+        "extraction": {
+            "container": "tr.item",
+            "fields": {
+                "name": {"selector": "td:first-child a", "transform": "uppercase"},
+                "href": {"selector": "td a", "attribute": "href"},
+                "price": {
+                    "selector": "td:nth-child(2) span",
+                    "regex": r"\$([\d,\.]+)",
+                    "transform": "float",
+                },
+                "change": "td:nth-child(3) span",
+            },
+        },
+    }
+    return css_config_stage(pages, config)
+
+
+_SQL_CSS_SELECTOR = """
+SELECT concat('http://ex.com/', CAST(event_id AS VARCHAR)) AS url,
+       upper(concat('name', CAST(event_id % 50 AS VARCHAR))) AS name,
+       concat('/sym', CAST(event_id AS VARCHAR)) AS href,
+       concat(CAST(event_id % 9000 AS VARCHAR),
+              lpad(CAST(user_id % 100 AS VARCHAR), 2, '0'), '.75') AS price,
+       CASE WHEN event_id % 3 <> 0
+            THEN concat('+', CAST(user_id % 90 AS VARCHAR), '%') END AS change
+FROM events
+"""
+
+
 def _q_json_field_mapping(spark, sf_dir):
     from web_crawler_spark.plans import dsl
 
@@ -1391,6 +1450,21 @@ def _q_simhash_pairs(spark, sf_dir):
 def _q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def _q_embedding_lsh_pairs(spark, sf_dir):
+    """The SCALE path for embedding near-dup: LSH-bucketed candidates +
+    exact cosine verify (no all-pairs join; auto_n_planes bucket sizing).
+    Every 7th embedding is re-inserted under a shifted id — identical
+    vectors always share a bucket, so the expected (i, i+10^6) pairs are
+    deterministic. Rows-only check; brute-force dd_embedding_dedup_pairs
+    is the exact-baseline oracle this approximates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    corpus = emb.unionByName(dup)
+    return SIM.pairwise_cosine_dedup(corpus, threshold=0.999).orderBy("id_a", "id_b")
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -2257,6 +2331,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x15_x16_format_checks": _q_format_checks,
     # config-driven DSL (SURVEY §2.8 X9-X11, §2.1 S8, §2.12)
     "x9_transform_dsl": _q_transform_dsl,
+    "x9_css_selector": _q_css_selector,
     "x10_regex_parser": _q_regex_parser,
     "s8_json_field_mapping": _q_json_field_mapping,
     # set ops / seeds / report aggregates
@@ -2304,6 +2379,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
+    "dd_embedding_lsh_pairs": _q_embedding_lsh_pairs,
     "ann_ivf_topk": _q_ann_ivf,
     "crawl_extract_pipeline": _q_extract_pipeline,
     "crawl_epochs_e2e": _q_crawl_epochs,
@@ -2344,6 +2420,7 @@ _ORACLES: dict[str, str] = {
     "x12_derive_change": _SQL_DERIVE_CHANGE,
     "x15_x16_format_checks": _SQL_FORMAT_CHECKS,
     "x9_transform_dsl": _SQL_TRANSFORM_DSL,
+    "x9_css_selector": _SQL_CSS_SELECTOR,
     "x10_regex_parser": _SQL_REGEX_PARSER,
     "s8_json_field_mapping": _SQL_JSON_FIELD_MAPPING,
     "u1_union_all": _SQL_UNION_ALL,

@@ -94,6 +94,134 @@ def test_lsh_topk_recall(spark):
     assert len(set(exact) & set(approx)) >= 4
 
 
+def test_ivf_topk_recall_and_shuffle_free_assignment(spark):
+    import random
+
+    rng = random.Random(13)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>").cache()
+    q = vecs[7][1]
+    exact = [r["vec_id"] for r in SIM.cosine_topk(df, q, k=10).collect()]
+    res = SIM.ivf_topk(df, q, k=10, n_centroids=8, n_probe=4)
+    approx = [r["vec_id"] for r in res.collect()]
+    assert approx[0] == 7                      # self-match survives probing
+    assert len(set(exact) & set(approx)) >= 4  # statistical recall floor
+    # the scale contract: centroid assignment is an argmin EXPRESSION —
+    # no join, no Exchange anywhere in the physical plan (the only plan
+    # nodes besides the scan are project/filter/top-k)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_ivf_topk_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert SIM.ivf_topk(df, [0.0] * 4, k=5).collect() == []
+
+
+def test_auto_n_planes_scales_with_corpus():
+    assert SIM.auto_n_planes(1_000) == 6          # floor
+    assert SIM.auto_n_planes(1_000_000) == 12     # ~256/bucket
+    assert SIM.auto_n_planes(10_000_000_000) == 26
+    # bucket population n / 2^planes stays bounded as n grows
+    for n in (10**6, 10**8, 10**10):
+        assert n / 2 ** SIM.auto_n_planes(n) <= 512
+
+
+def test_pairwise_cosine_dedup_bucketed(spark):
+    # two exact dup pairs + noise; LSH-bucketed candidates must find both
+    # (identical vectors always share a bucket)
+    import random
+
+    rng = random.Random(17)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100, base[4]), (101, base[9])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.pairwise_cosine_dedup(df, threshold=0.999).collect()
+    }
+    assert (4, 100) in pairs and (9, 101) in pairs
+
+
+def test_pairwise_cosine_dedup_bucket_cap(spark):
+    # 60 identical vectors = one degenerate bucket → cap drops it entirely
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)]
+    rows += [(200, [0.0, 1.0, 0.0, 0.0]), (201, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = SIM.pairwise_cosine_dedup(
+        df, threshold=0.999, n_planes=6, max_bucket=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (200, 201) in got                       # small bucket intact
+    assert all(a >= 200 for a, _ in got), got      # hot bucket dropped
+    # without the cap the hot bucket contributes 60*59/2 pairs
+    uncapped = SIM.pairwise_cosine_dedup(df, threshold=0.999, n_planes=6).count()
+    assert uncapped == 60 * 59 // 2 + 1
+
+
+def test_ngram_jaccard_df_cap(spark):
+    # every doc shares one hot shingle ('common word seq'); distinct tails.
+    # With max_df, the hot gram is dropped: candidate pairs collapse to the
+    # genuinely-similar pair only.
+    docs = [(i, f"common word seq tail{i} x{i} y{i}") for i in range(40)]
+    docs += [(100, "common word seq tail1 x1 z"), ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = D.ngram_jaccard_pairs(df, threshold=0.2, max_df=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(1, 100)}, got
+    # candidate explosion bound: the inverted-index join after the cap
+    # carries no gram with df>5, so join fan-out ≤ C(5,2) per gram
+    uncapped_pairs = D.ngram_jaccard_pairs(df, threshold=0.0).count()
+    assert uncapped_pairs == 41 * 40 // 2  # hot shingle joins everything
+
+
+def test_simhash_stage_matches_column_formulation(spark):
+    """The one-pass numpy vote kernel is bit-identical to the pure-Column
+    simhash64 (tokens+xxhash64 stay JVM-side; only the 64 vote passes
+    collapse), including empty/null/repeated-token rows."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, None),
+        (4, "a b a b a"),
+        (5, "单 字 token mix 123 !?"),
+    ] + [(10 + i, f"doc body {i} common words shared tail") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["simhash"] for r in D.simhash_stage(df).collect()}
+    want = {
+        r["id"]: r["simhash"]
+        for r in df.select(
+            F.col("doc_id").alias("id"), T.simhash64(F.col("text")).alias("simhash")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bloom_sizing_from_lineage(spark):
+    # auto-sized bloom keeps fpp low when the seen set outgrows the old
+    # fixed default's comfort zone; property: measured fpp < 5%
+    from web_crawler_spark.operators.dedup import (
+        bloom_filter_stage,
+        bloom_size_bits,
+        build_bloom,
+    )
+
+    assert bloom_size_bits(1_000_000) == 1 << 24
+    assert bloom_size_bits(10_000_000) == 1 << 27
+    assert bloom_size_bits(100) == 1 << 23          # floor
+    assert bloom_size_bits(10**10) == 1 << 30       # cap = per-bucket handoff
+    seen = spark.range(200_000).select(F.xxhash64("id").alias("url_hash"))
+    bloom = build_bloom(seen, expected_keys=200_000)
+    fresh = (
+        spark.range(300_000, 350_000)
+        .select(F.xxhash64("id").alias("url_hash"))
+    )
+    hits = bloom_filter_stage(fresh, bloom).filter(F.col("might_be_seen")).count()
+    assert hits / 50_000 < 0.05, hits
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([("a b  c",), ("",), ("one-two 3",)], "text string")
     rows = df.select(

@@ -41,6 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "JSON lines")
     p.add_argument("--tables-dir", default=None,
                    help="directory of <name>.parquet tables to register as views")
+    p.add_argument("--config", default=None, metavar="SETTINGS_YAML",
+                   help="reference-shape settings.yaml (pacong/core/config.py"
+                        ":88-133): seeds the frontier from enabled scrapers, "
+                        "applies scraping.rate_limit_delay and "
+                        "output.reports_dir (+ PACONG_* env overrides)")
+    p.add_argument("--dump-seeds", action="store_true",
+                   help="with --config: print the expanded seed frontier as "
+                        "JSON lines and exit")
     return p
 
 
@@ -49,8 +57,35 @@ KNOWN_SCRAPERS = ["business_insider", "simple_coingecko", "sina_finance", "world
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    settings = None
+    if args.config:
+        from .config import Config
+
+        settings = Config(args.config)
+        # file (and PACONG_* env) values become the CLI defaults; explicit
+        # flags still win because argparse defaults are only overridden here
+        # when the user left them untouched
+        defaults = build_parser().parse_args([])
+        if args.rate_limit_delay == defaults.rate_limit_delay:
+            args.rate_limit_delay = float(
+                settings.get("scraping.rate_limit_delay", args.rate_limit_delay)
+            )
+        if args.output_dir == defaults.output_dir:
+            args.output_dir = settings.get("output.reports_dir", args.output_dir)
+        if args.scrapers == defaults.scrapers:
+            enabled = [
+                name for name, cfg in settings.scraper_configs().items()
+                if cfg.get("enabled", True)
+            ]
+            if enabled:
+                args.scrapers = enabled
+
     if args.list_scrapers:
-        print("\n".join(KNOWN_SCRAPERS))
+        if settings is not None:
+            print("\n".join(settings.scraper_configs()))
+        else:
+            print("\n".join(KNOWN_SCRAPERS))
         return 0
 
     from .plans import pipeline as PL
@@ -86,6 +121,18 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
 
+    if args.dump_seeds:
+        if settings is None:
+            print("--dump-seeds requires --config", file=sys.stderr)
+            spark.stop()
+            return 2
+        from .config import seeds_from_settings
+
+        for line in seeds_from_settings(spark, settings).toJSON().collect():
+            print(line)
+        spark.stop()
+        return 0
+
     clock = F.lit("2025-07-22 10:00:00").cast("timestamp")
     pages = generate_pages(spark, args.pages_count)
 
@@ -93,7 +140,12 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.epoch import CrawlEngine
         from .sources.seeds import generate_seeds
 
-        seeds = generate_seeds(spark, n_per_host=5, hot_factor=10, n_epochs=args.epochs)
+        if settings is not None:
+            from .config import seeds_from_settings
+
+            seeds = seeds_from_settings(spark, settings)
+        else:
+            seeds = generate_seeds(spark, n_per_host=5, hot_factor=10, n_epochs=args.epochs)
         engine = CrawlEngine(spark, args.catalog, pages,
                              delay_seconds=args.rate_limit_delay)
         stats = engine.run(seeds, n_epochs=args.epochs)

@@ -52,6 +52,14 @@ def stratified_sample(
     salt: str = "sample",
 ) -> DataFrame:
     """Deterministic per-stratum sample: keep a hash-percentile slice of
-    each stratum (same keys survive on every run — unlike ``sampleBy``)."""
-    b = hash_bucket(F.concat(F.col(strata_col), F.col(key_col).cast("string")), 100, salt)
+    each stratum (same keys survive on every run — unlike ``sampleBy``).
+
+    The \\x1f unit separator between stratum and key prevents boundary
+    aliasing: without it (strata='ab', key='c') and (strata='a', key='bc')
+    hash identically, correlating keep/drop decisions across strata."""
+    b = hash_bucket(
+        F.concat(F.col(strata_col), F.lit("\x1f"), F.col(key_col).cast("string")),
+        100,
+        salt,
+    )
     return df.filter(b < int(round(fraction * 100)))

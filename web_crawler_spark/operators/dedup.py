@@ -72,19 +72,41 @@ def merge_duplicates(
     )
 
 
-def build_bloom(seen: DataFrame, key: str = "url_hash", m_bits: int = 1 << 23,
-                n_hashes: int = 4) -> bytes:
+_BLOOM_MIN_BITS = 1 << 23        # 1 MiB floor (~10^6 keys at ~1% fpp)
+_BLOOM_MAX_BITS = 1 << 30        # 128 MiB broadcast ceiling
+
+
+def bloom_size_bits(expected_keys: int) -> int:
+    """Size the bitmap from the seen-set cardinality: ~10 bits/key keeps
+    fpp ≈ 1.2% with 4 probes ((1-e^{-kn/m})^k). Rounded up to a power of
+    two, floored at 2^23, capped at 2^30 — beyond ~10^8 keys a single
+    broadcast bloom stops being the right shape and the per-bucket variant
+    (bloom per url_hash bucket of the partitioned seen table) takes over;
+    the cap makes that boundary explicit instead of silently saturating."""
+    need = max(_BLOOM_MIN_BITS, expected_keys * 10)
+    return min(_BLOOM_MAX_BITS, 1 << (need - 1).bit_length())
+
+
+def build_bloom(seen: DataFrame, key: str = "url_hash",
+                m_bits: int | None = None, n_hashes: int = 4,
+                expected_keys: int | None = None) -> bytes:
     """Distributed bloom build: each partition sets bits into a local numpy
     bitmap (Arrow-batched), partial bitmaps are OR-merged treeward. Keys are
     already 64-bit hashes (xxhash64), so the j-th probe is a cheap mix:
     ``h_j = h * C_j  (odd constants), bit = (h_j >> 8) mod m``.
 
-    m_bits=2^23 (1 MiB) holds ~10^6 keys at ~1% fpp; at 10^10-frontier
-    scale this becomes a per-bucket bloom keyed by the same url_hash bucket
-    the seen table is partitioned on (bounded memory per partition), the
-    merge/broadcast protocol is unchanged.
+    ``m_bits`` defaults to ``bloom_size_bits(n)`` with *n* from
+    ``expected_keys`` (pass the manifest/lineage seen-row count at scale —
+    epoch checkpoints already carry it) or a ``count()`` of the seen side,
+    so the filter no longer saturates when the seen set outgrows a fixed
+    bitmap. Callers that need portability of the bit layout pin m_bits
+    explicitly.
     """
     import numpy as np
+
+    if m_bits is None:
+        n_keys = expected_keys if expected_keys is not None else seen.count()
+        m_bits = bloom_size_bits(n_keys)
 
     mixers = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
               0x27D4EB2F165667C5][:n_hashes]
@@ -117,13 +139,18 @@ def build_bloom(seen: DataFrame, key: str = "url_hash", m_bits: int = 1 << 23,
 
 def bloom_filter_stage(
     df: DataFrame, bloom_bytes: bytes, key: str = "url_hash",
-    m_bits: int = 1 << 23, n_hashes: int = 4, out_col: str = "might_be_seen",
+    m_bits: int | None = None, n_hashes: int = 4, out_col: str = "might_be_seen",
 ) -> DataFrame:
     """Membership probe as a vectorized mapInPandas stage (bitmap broadcast
-    once per executor via closure capture)."""
+    once per executor via closure capture). ``m_bits`` defaults to the size
+    encoded by the bitmap itself (len*8), so auto-sized blooms need no
+    side-channel."""
     import numpy as np
 
     from pyspark.sql.types import BooleanType, StructField, StructType
+
+    if m_bits is None:
+        m_bits = len(bloom_bytes) * 8
 
     mixers = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
               0x27D4EB2F165667C5][:n_hashes]
@@ -149,18 +176,21 @@ def anti_join_seen(
     seen: DataFrame,
     key: str = "url_hash",
     use_bloom: bool = True,
-    m_bits: int = 1 << 23,
+    m_bits: int | None = None,
+    expected_keys: int | None = None,
 ) -> DataFrame:
     """New-URL discovery: frontier rows whose key is NOT in ``seen``.
 
     The bloom pre-filter is an *optimization only*: rows the bloom calls
     unseen are definitely unseen (no false negatives) and skip the shuffle
     entirely; rows it calls seen still go through the exact anti-join, so
-    false positives can never drop a new URL.
+    false positives can never drop a new URL. The bitmap is auto-sized from
+    ``expected_keys`` (pass the checkpoint manifest's seen-row count) or a
+    count of the seen side — see ``bloom_size_bits``.
     """
     if use_bloom:
-        bloom_bytes = build_bloom(seen, key, m_bits)
-        probed = bloom_filter_stage(frontier, bloom_bytes, key, m_bits)
+        bloom_bytes = build_bloom(seen, key, m_bits, expected_keys=expected_keys)
+        probed = bloom_filter_stage(frontier, bloom_bytes, key)
         definitely_new = probed.filter(~F.col("might_be_seen")).drop("might_be_seen")
         maybe_seen = probed.filter(F.col("might_be_seen")).drop("might_be_seen")
         checked = maybe_seen.join(seen.select(key), on=key, how="left_anti")
@@ -220,15 +250,19 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams"))
         .filter(F.size("grams") > 0)
     )
+    # localCheckpoint (not persist): materialized once for the 3 downstream
+    # uses, lineage truncated, and the cached blocks are reclaimed by the
+    # ContextCleaner once the DataFrame is unreferenced — repeated calls in
+    # a long-lived session no longer accumulate cache for the app lifetime
     if portable_hash:
-        base = grams_df.persist()
+        base = grams_df.localCheckpoint(eager=True)
         sigs = base.select(
             "id", T.minhash_from_grams(F.col("grams"), k, portable=True).alias("sig")
         )
     else:
         base = grams_df.select(
             "id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
-        ).persist()
+        ).localCheckpoint(eager=True)
         sigs = base.select("id", T.minhash_from_hashes(F.col("grams"), k).alias("sig"))
 
     banded = sigs.select(
@@ -289,10 +323,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index
     (explode → join on shingle → count common) — no pairwise cross join.
-    SQL-portable (the DuckDB oracle runs the same algebra)."""
+    SQL-portable (the DuckDB oracle runs the same algebra).
+
+    ``max_df`` is the stop-shingle cap for corpus scale: a shingle shared
+    by d documents contributes d·(d-1)/2 join rows, so ONE shingle in 10^6
+    docs is a 5·10^11-pair hot key. With ``max_df`` set, grams with
+    document frequency > max_df are dropped from the inverted index before
+    the self-join (common shingles carry ~no dedup signal anyway). This
+    bounds per-gram join fan-out at max_df²/2; pairs supported only by
+    stop-shingles are missed — an explicit recall trade, and the exact
+    uncapped form remains the oracle-checked baseline."""
     sh = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams"))
@@ -300,6 +344,14 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select("id", F.size("grams").alias("n_grams"))
     inv = sh.select("id", F.explode("grams").alias("gram"))
+    if max_df is not None:
+        rare = (
+            inv.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("gram")
+        )
+        inv = inv.join(rare, "gram")
     common = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
@@ -322,6 +374,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_stage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id, simhash) via ONE Arrow-batched vote accumulation.
+
+    Bit-identical to the pure-Column ``T.simhash64`` (the oracle-portable
+    reference formulation), but the 64 per-bit vote passes collapse into a
+    single numpy kernel: tokenization + xxhash64 stay JVM-side (so the hash
+    values are exactly Spark's), the mapInPandas stage only popcount-votes
+    over the pre-hashed arrays — np.add.reduceat per bitplane, O(64·T) C
+    ops instead of a 64-branch codegen tree re-walking the array per bit.
+    No shuffle; scans (id, text) only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as ST
+
+    hashes = F.transform(
+        F.array_distinct(T.tokens(F.lower(F.col(text_col)))),
+        lambda t: F.xxhash64(t),
+    )
+    proj = df.select(F.col(id_col).alias("id"), hashes.alias("h"))
+    schema = ST.StructType(
+        [
+            ST.StructField("id", df.schema[id_col].dataType),
+            ST.StructField(out_col, ST.LongType()),
+        ]
+    )
+
+    def votes_kernel(lens: "np.ndarray", flat: "np.ndarray") -> "np.ndarray":
+        out = np.zeros(len(lens), dtype=np.uint64)
+        idx = np.flatnonzero(lens > 0)
+        if idx.size == 0:
+            return out.view(np.int64)
+        lens_ne = lens[idx]
+        starts = np.zeros(idx.size, dtype=np.int64)
+        np.cumsum(lens_ne[:-1], out=starts[1:])
+        u = flat.view(np.uint64)
+        for b in range(64):
+            bit = ((u >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(bit, starts)
+            # vote_b = set_bits - unset_bits = 2*sums - len; bit set iff > 0
+            out[idx] |= (2 * sums - lens_ne > 0).astype(np.uint64) << np.uint64(b)
+        return out.view(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            # null text → null hash array → simhash 0, matching the Column
+            # formulation (aggregate(null)=null, when(null>0)→otherwise(0))
+            arrs = [None if x is None else np.asarray(x, dtype=np.int64)
+                    for x in pdf["h"]]
+            lens = np.fromiter(
+                (0 if a is None else len(a) for a in arrs),
+                dtype=np.int64, count=len(arrs),
+            )
+            if lens.sum():
+                flat = np.concatenate([a for a in arrs if a is not None and len(a)])
+            else:
+                flat = np.empty(0, dtype=np.int64)
+            yield pd.DataFrame({"id": pdf["id"], out_col: votes_kernel(lens, flat)})
+
+    return proj.mapInPandas(gen, schema)
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -332,8 +452,10 @@ def simhash_dedup_pairs(
     docs within hamming distance ≤3 of each other on 64 bits must agree on
     at least one of the 4 sub-keys (pigeonhole), so candidate generation is
     4 equi-joins instead of a cross join."""
-    hashed = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col).alias("id"), T.simhash64(F.col(text_col)).alias("simhash")
+    hashed = simhash_stage(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+        text_col,
+        id_col,
     )
     blocks = hashed.select(
         "id",

@@ -65,6 +65,9 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty edge set: no nodes, no ranks (avoids dangling/n_nodes 0-div)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # edge transition probability src→dst
     trans = e.join(out_w, "src").select(
@@ -73,10 +76,14 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for i in range(iterations):
+        # materialize contribs once per iteration: the dangling-mass scalar
+        # collect below and the rank update both consume it, and without the
+        # checkpoint the join-agg would recompute for each
         contribs = (
             trans.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+            .localCheckpoint(eager=True)
         )
         total_inflow = F.sum("inflow")
         # dangling mass = total rank (n_nodes) minus what flowed through edges

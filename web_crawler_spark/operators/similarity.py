@@ -8,13 +8,22 @@
   the query's bucket (+ optional multiprobe neighbors). Cuts the scan by
   ~2^n_planes at a small recall cost — the scale path.
 - ``ivf_topk``         IVF-style coarse quantizer built from a sampled set of
-  centroid rows: assign each vector to its nearest centroid once (a write-
-  time transform at scale), probe the closest ``n_probe`` centroids.
+  centroid rows: assign each vector to its nearest centroid via an argmin
+  over a broadcast array-of-centroids EXPRESSION (zero joins, zero
+  shuffles, no row inflation), probe the closest ``n_probe`` centroids.
+
+Bucket counts scale with the corpus: when ``n_planes`` is not given it is
+derived as ``max(6, ceil(log2(n)) - 8)`` — ~2^8 vectors per bucket — so the
+within-bucket candidate join stays linear-ish as the corpus grows instead
+of quadratic-in-(n/2^6). Callers at scale pass ``corpus_size`` (a known
+manifest count) to avoid the extra count job.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
@@ -22,6 +31,13 @@ from ..functions import vectors as V
 
 def _query_lit(query_vec: list[float]):
     return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def auto_n_planes(n_rows: int, floor: int = 6) -> int:
+    """Bucket-count sizing: aim for ~2^8 vectors per bucket, never fewer
+    than 2^floor buckets. log2(10^6)-8 → 12 planes / 4096 buckets;
+    log2(10^10)-8 → 25 planes — candidate-join work stays bounded."""
+    return max(floor, math.ceil(math.log2(max(n_rows, 2))) - 8)
 
 
 def cosine_topk(
@@ -48,11 +64,14 @@ def lsh_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 6,
+    n_planes: int | None = None,
     multiprobe: int = 1,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Probe the query's LSH bucket plus all buckets within ``multiprobe``
     bit flips (rank-1 multiprobe = n_planes+1 buckets)."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus_size if corpus_size is not None else df.count())
     q = _query_lit(query_vec)
     bucketed = df.withColumn("bucket", V.lsh_bucket(F.col(vec_col), n_planes))
     qb = bucketed.sparkSession.range(1).select(
@@ -82,33 +101,60 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF with deterministic sampled centroids (ids hashed by seed — a
     stand-in for k-means at small scale; at 100 TB the centroid set is
-    trained offline and broadcast, exactly as here)."""
-    centroids = (
+    trained offline and broadcast, exactly as here).
+
+    Centroid ASSIGNMENT is an argmin over an array-of-centroids literal:
+    ``array_min(transform(centroids, c -> struct(l2(vec, c.cvec), c.cid)))``
+    — struct ordering gives (distance, cid) ties exactly like the former
+    row_number window, but with zero joins, zero shuffles, and no 16× row
+    inflation; the stage stays embarrassingly parallel whole-stage codegen.
+    """
+    cent_rows = (
         df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .orderBy(F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(1_000_003)))
         .limit(n_centroids)
-    )
-    q = _query_lit(query_vec)
-    # nearest centroid per vector (broadcast join: centroids are tiny)
-    assigned = (
-        df.join(F.broadcast(centroids))
-        .withColumn("cdist", V.l2_distance(F.col(vec_col), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("cdist", "cid")),
-        )
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cid")
-    )
-    probe_cids = [
-        r["cid"]
-        for r in centroids.withColumn("qdist", V.l2_distance(F.col("cvec"), q))
-        .orderBy("qdist", "cid")
-        .limit(n_probe)
         .collect()
+    )
+    if not cent_rows:
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("cosine")
+        ).limit(0)
+    q = _query_lit(query_vec)
+
+    cent_arr = F.array(*[
+        F.struct(
+            F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            F.lit(r["cid"]).alias("cid"),
+        )
+        for r in cent_rows
+    ])
+    nearest = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                V.l2_distance(F.col(vec_col), c["cvec"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+
+    # probe set: driver-side argsort over the same IEEE double fold the JVM
+    # expression uses (element-order sum, then sqrt) — bit-identical
+    def l2(u) -> float:
+        acc = 0.0
+        for x, y in zip(u, query_vec):
+            acc += (float(x) - float(y)) ** 2
+        return math.sqrt(acc)
+
+    probe_cids = [
+        cid for cid, _ in sorted(
+            ((r["cid"], l2(r["cvec"])) for r in cent_rows),
+            key=lambda t: (t[1], t[0]),
+        )[:n_probe]
     ]
     return (
-        assigned.filter(F.col("cid").isin(probe_cids))
+        df.withColumn("cid", nearest)
+        .filter(F.col("cid").isin(probe_cids))
         .select(
             F.col(id_col),
             F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine"),
@@ -123,15 +169,34 @@ def pairwise_cosine_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int | None = None,
+    corpus_size: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucket candidates then exact cosine —
-    same verify-after-blocking discipline as MinHash-LSH text dedup."""
+    same verify-after-blocking discipline as MinHash-LSH text dedup.
+
+    ``n_planes`` defaults to ``auto_n_planes(n)`` so bucket population stays
+    ~2^8 as the corpus grows. ``max_bucket`` (per-bucket candidate cap, the
+    df-cap trick) drops overfull buckets from candidate generation — at
+    100 TB a degenerate bucket (e.g. near-zero vectors all hashing
+    together) would otherwise be a quadratic hot key; dropped buckets trade
+    recall for a bounded join, and the drop is explicit, not silent.
+    """
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus_size if corpus_size is not None else df.count())
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         V.lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
+    if max_bucket is not None:
+        sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
+        bucketed = (
+            bucketed.join(sizes, "bucket")
+            .filter(F.col("n_bucket") <= max_bucket)
+            .drop("n_bucket")
+        )
     cand = (
         bucketed.alias("a")
         .join(

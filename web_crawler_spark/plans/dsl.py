@@ -213,6 +213,13 @@ class SourceRegistry:
                 out = regex_parser_stage(
                     pages, config["pattern"], config["fields"]
                 )
+            elif kind == "html":
+                # X9 CSS path (generic_scraper.py:140-229): container select
+                # + per-field selector/attribute/regex/transform rules in a
+                # mapInPandas stage; cleaning/validation stay native below
+                from .extract import css_config_stage
+
+                out = css_config_stage(pages, config)
             else:
                 raise ValueError(f"unknown parser kind: {kind}")
             cleaning = config.get("cleaning", {})

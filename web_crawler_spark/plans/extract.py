@@ -36,7 +36,16 @@ from pyspark.sql import types as T
 
 
 class _TableParser(HTMLParser):
-    """Collect (cells per row per table) + links + visible text in one pass."""
+    """Collect (cells per row per table) + links + visible text in one pass.
+
+    Malformed-HTML recovery (HTML5 implied end tags, the behavior of
+    bs4+lxml/html5lib on real crawl HTML): ``_scope`` tracks the open
+    table/tr/td nesting, and a new ``<tr>`` closes any open cell/row of the
+    *current* table (a nested table's rows are untouched because the scope
+    walk stops at 'table'); ``<td>/<th>`` close an open sibling cell;
+    ``</tr>``/``</table>`` close whatever is still open inside them.
+    Well-formed documents take the exact round-1 strict path.
+    """
 
     _SKIP_TEXT_IN = {"script", "style"}
 
@@ -46,9 +55,32 @@ class _TableParser(HTMLParser):
         self._open_tables: list[list[list[str]]] = []
         self._open_rows: list[list[str]] = []      # row shared by open tables
         self._open_cells: list[list[str]] = []     # text chunks per open cell
+        self._scope: list[str] = []                # open table/tr/td nesting
         self.links: list[str] = []
         self._text_chunks: list[str] = []
         self._suppress = 0
+
+    # -- implied-end-tag helpers --------------------------------------------
+
+    def _close_cell(self) -> None:
+        self._scope.pop()
+        chunks = self._open_cells.pop()
+        # get_text(strip=True): strip each chunk, join non-empty with ''
+        text = "".join(c.strip() for c in chunks)
+        if self._open_rows:
+            self._open_rows[-1].append(text)
+
+    def _close_row(self) -> None:
+        self._scope.pop()
+        if self._open_rows:
+            self._open_rows.pop()
+
+    def _imply_end(self, closers: tuple[str, ...]) -> None:
+        while self._scope and self._scope[-1] in closers:
+            if self._scope[-1] == "tr":
+                self._close_row()
+            else:
+                self._close_cell()
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in self._SKIP_TEXT_IN:
@@ -58,14 +90,20 @@ class _TableParser(HTMLParser):
             t: list[list[str]] = []
             self.tables.append(t)
             self._open_tables.append(t)
+            self._scope.append("table")
         elif tag == "tr" and self._open_tables:
+            self._imply_end(("td", "th", "tr"))
             row: list[str] = []
             self._open_rows.append(row)
             for t in self._open_tables:
                 t.append(row)
-        elif tag in ("td", "th") and self._open_rows:
-            chunks: list[str] = []
-            self._open_cells.append(chunks)
+            self._scope.append("tr")
+        elif tag in ("td", "th"):
+            self._imply_end(("td", "th"))
+            if self._open_rows:
+                chunks: list[str] = []
+                self._open_cells.append(chunks)
+                self._scope.append(tag)
         elif tag == "a":
             for k, v in attrs:
                 if k == "href" and v:
@@ -76,15 +114,17 @@ class _TableParser(HTMLParser):
             self._suppress = max(0, self._suppress - 1)
             return
         if tag == "table" and self._open_tables:
+            self._imply_end(("td", "th", "tr"))
             self._open_tables.pop()
-        elif tag == "tr" and self._open_rows:
-            self._open_rows.pop()
-        elif tag in ("td", "th") and self._open_cells:
-            chunks = self._open_cells.pop()
-            # get_text(strip=True): strip each chunk, join non-empty with ''
-            text = "".join(c.strip() for c in chunks)
-            if self._open_rows:
-                self._open_rows[-1].append(text)
+            if self._scope and self._scope[-1] == "table":
+                self._scope.pop()
+        elif tag == "tr":
+            self._imply_end(("td", "th"))
+            if self._scope and self._scope[-1] == "tr":
+                self._close_row()
+        elif tag in ("td", "th"):
+            if self._scope and self._scope[-1] in ("td", "th"):
+                self._close_cell()
 
     def handle_data(self, data: str) -> None:
         if self._suppress:
@@ -171,6 +211,90 @@ def extract_text(html: str) -> str:
     """The byte-identity contract column (input_hint): stripped visible text
     chunks joined with single spaces, scripts/styles skipped."""
     return parse_html(html).text
+
+
+# ---------------------------------------------------------------------------
+# X9 CSS-selector extraction (generic_scraper.py:140-247 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _transform_value(value: str, transform: str) -> str:
+    """generic_scraper._transform_value (233-246), byte-for-byte: float =
+    first [\\d.,]+ run after comma-strip else the original string."""
+    if transform == "float":
+        numbers = re.findall(r"[\d.,]+", value.replace(",", ""))
+        return numbers[0] if numbers else value
+    if transform == "lowercase":
+        return value.lower()
+    if transform == "uppercase":
+        return value.upper()
+    if transform == "strip_currency":
+        return re.sub(r"[^\d.,]", "", value)
+    return value
+
+
+def _extract_field_value(container, rule):
+    """generic_scraper._extract_field_value (190-229): str rule = selector →
+    get_text(strip=True); dict rule = optional selector (miss → None) /
+    attribute pull / regex group(1) / transform; falsy values → None."""
+    from . import cssdom
+
+    if isinstance(rule, str):
+        element = cssdom.select_one(container, rule)
+        return element.get_text(strip=True) if element else None
+    if isinstance(rule, dict):
+        selector = rule.get("selector")
+        attribute = rule.get("attribute")
+        regex_pattern = rule.get("regex")
+        transform = rule.get("transform")
+        if selector:
+            element = cssdom.select_one(container, selector)
+            if not element:
+                return None
+        else:
+            element = container
+        if attribute:
+            value = element.get(attribute)
+        else:
+            value = element.get_text(strip=True)
+        if not value:
+            return None
+        if regex_pattern:
+            m = re.search(regex_pattern, str(value))
+            value = m.group(1) if m else None
+        if value and transform:
+            value = _transform_value(value, transform)
+        return value
+    return None
+
+
+def extract_config_items(
+    html: str, extraction: dict, required_fields: list[str] | None = None
+) -> list[dict]:
+    """generic_scraper._parse_html (140-188): select item containers by CSS
+    (default scan = every tr/div/li in document order), extract each field
+    by rule, keep items that carry every required field (default ['name'],
+    generic_scraper.py:179)."""
+    from . import cssdom
+
+    root = cssdom.parse_dom(html)
+    container_selector = extraction.get("container")
+    if container_selector:
+        containers = cssdom.select(root, container_selector)
+    else:
+        containers = cssdom.find_all(root, ["tr", "div", "li"])
+    field_rules: dict = extraction.get("fields", {})
+    required = required_fields if required_fields is not None else ["name"]
+    out = []
+    for container in containers:
+        item: dict = {}
+        for field_name, rule in field_rules.items():
+            value = _extract_field_value(container, rule)
+            if value:
+                item[field_name] = value
+        if all(f in item for f in required):
+            out.append(item)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +393,37 @@ def text_stage(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("url", "html").mapInPandas(gen, TEXT_SCHEMA)
+
+
+def css_config_stage(pages: DataFrame, config: dict) -> DataFrame:
+    """X9 config-driven HTML extraction: pages(url, html) → one row per
+    extracted item with a string column per configured field.
+
+    The per-page work (CSS container select + field rules,
+    generic_scraper.py:140-229) runs in a mapInPandas Arrow stage — the
+    only Python in the plan, batched, shuffle-free, scanning (url, html)
+    only. Cleaning / validation stay native Column expressions downstream
+    (SourceRegistry.build). At 100 TB this stage is embarrassingly
+    parallel; HTML bytes never shuffle.
+    """
+    extraction = config.get("extraction", {})
+    field_names = list(extraction.get("fields", {}).keys())
+    required = config.get("required_fields")
+    schema = T.StructType(
+        [T.StructField("url", T.StringType())]
+        + [T.StructField(f, T.StringType()) for f in field_names]
+    )
+    cols = ["url", *field_names]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for item in extract_config_items(_decode(html), extraction, required):
+                    rows.append((url, *[item.get(f) for f in field_names]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(gen, schema)
 
 
 def resolve_links(links: DataFrame, base_col: str = "url", link_col: str = "link") -> DataFrame:

@@ -35,6 +35,11 @@ def _lock_for(path: str) -> threading.Lock:
         return _path_locks.setdefault(path, threading.Lock())
 
 
+class RequestValidationError(ValueError):
+    """Client-input failure → HTTP 400. A bare ValueError escaping the
+    Spark pipeline itself is an internal failure and maps to 500."""
+
+
 class ScrapeService:
     """Holds the SparkSession + offline corpus; executes one /scrape call."""
 
@@ -51,7 +56,9 @@ class ScrapeService:
         from .plans import report as R
 
         if not (_SAFE_SEGMENT.match(user_id or "") and _SAFE_SEGMENT.match(session_id or "")):
-            raise ValueError("user_id/session_id must match [A-Za-z0-9_-]{1,64}")
+            raise RequestValidationError(
+                "user_id/session_id must match [A-Za-z0-9_-]{1,64}"
+            )
         out_dir = f"{self.reports_root}/{user_id}/{session_id}"
         clock = F.lit(self.clock_iso).cast("timestamp")
         results = PL.run_full_analysis(self.pages, clock)
@@ -95,13 +102,16 @@ def make_server(service: ScrapeService, host: str = "127.0.0.1",
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError as ex:
+                    raise RequestValidationError(f"invalid JSON body: {ex}") from ex
                 result = service.scrape(
                     req.get("user_id", ""), req.get("session_id", ""),
                     req.get("scraper_names"),
                 )
                 self._json(200, result)
-            except ValueError as ex:
+            except RequestValidationError as ex:
                 self._json(400, {"error": str(ex)})
             except Exception as ex:  # mirror reference F5: isolate, report
                 self._json(500, {"error": str(ex)})
