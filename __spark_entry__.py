@@ -1143,7 +1143,13 @@ def _q_css_selector(spark, sf_dir):
     change cell (select_one miss → NULL field)."""
     from web_crawler_spark.plans.extract import css_config_stage
 
-    e = _t(spark, sf_dir, "events")
+    # repartition the slim event rows BEFORE synthesizing html so the
+    # python parse stage fans out across all cores (the tiny parquet scan
+    # otherwise arrives in a handful of partitions and serializes the
+    # mapInPandas work)
+    e = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     change_cell = F.when(
         F.col("event_id") % 3 != 0,
         F.concat(
@@ -1912,6 +1918,111 @@ FROM t GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality flags (Rae et al. 2021): integer-exact word
+    count / mean-word-length / alpha-ratio filters as one shuffle-free
+    projection over the documents scan."""
+    from web_crawler_spark.operators import corpus as C
+
+    return C.gopher_quality(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_SQL_GOPHER_QUALITY = """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_words,
+       coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0) AS sum_word_len,
+       len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha_words,
+       len(toks) BETWEEN 50 AND 100000 AS flag_word_count,
+       len(toks) > 0
+         AND coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0)
+             BETWEEN 3 * len(toks) AND 10 * len(toks) AS flag_mean_len,
+       len(toks) > 0
+         AND 5 * len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+             >= 4 * len(toks) AS flag_alpha_ratio,
+       (len(toks) BETWEEN 50 AND 100000)
+         AND (len(toks) > 0
+              AND coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0)
+                  BETWEEN 3 * len(toks) AND 10 * len(toks))
+         AND (len(toks) > 0
+              AND 5 * len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                  >= 4 * len(toks)) AS flag_pass
+FROM w ORDER BY doc_id
+"""
+
+
+def _q_repetition(spark, sf_dir):
+    """Repetition signal: modal token share per document (Gopher repetition
+    family, unigram case); flag at ≥10% by integer compare."""
+    from web_crawler_spark.operators import corpus as C
+
+    return C.top_unigram_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word
+), r AS (
+  SELECT doc_id, word, cnt,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS n_words,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word) AS rn
+  FROM c
+)
+SELECT doc_id, word AS top_word, cnt AS top_count, n_words,
+       cnt * 100 >= 10 * n_words AS flag_repetitive
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def _q_chunk_dedup(spark, sf_dir):
+    """Exact duplicated-chunk accounting (Lee et al. 2022, chunk variant):
+    every 5th document is re-inserted under a shifted id so corpus-level
+    chunk duplication is exercised deterministically; the window shuffles
+    16-byte md5 fingerprints, never chunk text."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100_000)
+    )
+    return C.chunk_dedup_stats(d.unionByName(dup)).orderBy("doc_id")
+
+
+_SQL_CHUNK_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+), t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM corpus WHERE trim(text) <> ''
+), x AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / 20.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM t
+), c AS (
+  SELECT doc_id, chunk_idx,
+         md5(array_to_string(toks[(chunk_idx * 20 + 1):(chunk_idx * 20 + 20)], ' ')) AS fp
+  FROM x
+), r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _host_edges(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -2373,6 +2484,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
+    "tx_gopher_quality": _q_gopher_quality,
+    "tx_repetition": _q_repetition,
+    "dd_chunk_dedup": _q_chunk_dedup,
     "s6_header_sniff": _q_header_sniff,
     "gr_host_graph": _q_host_graph,
     "gr_host_pagerank": _q_host_pagerank,
@@ -2458,6 +2572,9 @@ _ORACLES: dict[str, str] = {
     "tx_dataset_split": _SQL_DATASET_SPLIT,
     "tx_pii_scrub": _SQL_PII_SCRUB,
     "dd_contamination_check": _SQL_CONTAMINATION,
+    "tx_gopher_quality": _SQL_GOPHER_QUALITY,
+    "tx_repetition": _SQL_REPETITION,
+    "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "gr_host_graph": _SQL_HOST_GRAPH,
 }

@@ -39,6 +39,13 @@ HEADLINE = [
     "tx_token_count",
     "tx_langid",
     "ann_cosine_topk",
+    # round 2: the formerly-unbenched similarity/simhash paths, so the
+    # scale-audited fixes (argmin IVF, bucketed LSH, one-pass simhash) are
+    # measured every round, not just plan-audited
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dd_simhash_pairs",
+    "x9_css_selector",
 ]
 
 
@@ -123,7 +130,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline suite wall time (15 queries: relational + crawl + dedup + text + ann)",
+        "metric": "headline suite wall time (19 queries: relational + crawl + dedup + text + ann + css-extract)",
         "value": total,
         "unit": "sec",
         "queries": timings,

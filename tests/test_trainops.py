@@ -177,6 +177,48 @@ def test_ngram_jaccard_df_cap(spark):
     assert uncapped_pairs == 41 * 40 // 2  # hot shingle joins everything
 
 
+def test_corpus_quality_operators(spark):
+    """Gopher flags / repetition / chunk dedup on hand-computed fixtures."""
+    from web_crawler_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["word"] * 30 + [f"tok{i}" for i in range(30)])),  # 60 words
+            (2, "a b c"),                                # too short, thin words
+            (3, " ".join(f"w{i}" for i in range(50))),   # 50 distinct 2-3 char words
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    g = {r["doc_id"]: r for r in C.gopher_quality(docs).collect()}
+    assert g[1]["n_words"] == 60 and g[1]["flag_word_count"]
+    assert g[1]["flag_alpha_ratio"] and g[1]["flag_mean_len"] and g[1]["flag_pass"]
+    assert g[2]["n_words"] == 3 and not g[2]["flag_word_count"]
+    assert not g[2]["flag_mean_len"]          # mean len 1 < 3
+    assert g[4]["n_words"] == 0 and not g[4]["flag_pass"]
+
+    r = {x["doc_id"]: x for x in C.top_unigram_stats(docs).collect()}
+    assert r[1]["top_word"] == "word" and r[1]["top_count"] == 30
+    assert r[1]["flag_repetitive"]            # 30/60 = 50% ≥ 10%
+    assert r[3]["top_count"] == 1 and not r[3]["flag_repetitive"]  # 1/50 < 10%
+    assert r[3]["top_word"] == "w0"           # lexicographic tiebreak
+    assert 4 not in r                         # empty doc → no tokens
+
+    # doc 10 repeats doc 1's text → all its chunks are dups; doc 11 novel
+    cd_docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"c{i}" for i in range(45))),   # 3 chunks (20/20/5)
+            (10, " ".join(f"c{i}" for i in range(45))),
+            (11, " ".join(f"n{i}" for i in range(25))),  # 2 chunks
+        ],
+        "doc_id long, text string",
+    )
+    cd = {x["doc_id"]: x for x in C.chunk_dedup_stats(cd_docs).collect()}
+    assert cd[1]["n_chunks"] == 3 and cd[1]["n_dup_chunks"] == 0
+    assert cd[10]["n_chunks"] == 3 and cd[10]["n_dup_chunks"] == 3
+    assert cd[11]["n_chunks"] == 2 and cd[11]["n_dup_chunks"] == 0
+
+
 def test_simhash_stage_matches_column_formulation(spark):
     """The one-pass numpy vote kernel is bit-identical to the pure-Column
     simhash64 (tokens+xxhash64 stay JVM-side; only the 64 vote passes

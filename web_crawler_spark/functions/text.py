@@ -102,6 +102,56 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def gopher_quality_flags(text: Column) -> list[Column]:
+    """Gopher-style (Rae et al. 2021, public) document quality signals as
+    INTEGER/BOOLEAN columns — integer algebra only, so the DuckDB oracle
+    is bit-exact (no float rounding to disagree on):
+
+    * n_words, sum_word_len (mean word length = sum/n, bounds checked as
+      3n ≤ sum ≤ 10n without division),
+    * n_alpha_words (words containing ≥1 [A-Za-z]; Gopher requires ≥80%:
+      5*n_alpha ≥ 4*n),
+    * flag_word_count  (50 ≤ n_words ≤ 100_000),
+    * flag_mean_len    (3 ≤ mean word length ≤ 10),
+    * flag_alpha_ratio (≥80% words contain an alphabetic char),
+    * flag_pass        (all of the above).
+
+    One projection, no shuffle — at 100 TB this annotates the scan.
+    """
+    toks = tokens(text)
+    n_words = F.size(toks).cast("bigint")
+    sum_len = F.coalesce(
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)),
+        F.lit(0).cast("bigint"),
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("bigint")
+    flag_wc = (n_words >= 50) & (n_words <= 100_000)
+    flag_ml = (n_words > 0) & (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)
+    flag_ar = (n_words > 0) & (5 * n_alpha >= 4 * n_words)
+    return [
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        flag_wc.alias("flag_word_count"),
+        flag_ml.alias("flag_mean_len"),
+        flag_ar.alias("flag_alpha_ratio"),
+        (flag_wc & flag_ml & flag_ar).alias("flag_pass"),
+    ]
+
+
+def word_chunks(text: Column, chunk_words: int = 20) -> Column:
+    """Consecutive ``chunk_words``-word chunk strings (the unit for exact
+    substring-style dedup à la Lee et al. 2022 "Deduplicating Training
+    Data", public — at chunk granularity). Last partial chunk kept."""
+    toks = tokens(text)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " ")
+    )
+    return F.when(n_chunks >= 1, chunks).otherwise(F.array().cast("array<string>"))
+
+
 def normalize_for_fingerprint(text: Column) -> Column:
     """Lowercase, strip non-alnum, collapse whitespace — the canonical form
     hashed for exact-dup detection."""

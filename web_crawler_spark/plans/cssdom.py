@@ -29,6 +29,7 @@ around it stays JVM-side.
 
 from __future__ import annotations
 
+import functools
 import re
 from html.parser import HTMLParser
 
@@ -262,7 +263,11 @@ def _split_selector(selector: str) -> list[list[tuple[str, str]]]:
     return groups
 
 
+@functools.lru_cache(maxsize=1024)
 def _parse_selector(selector: str) -> list[list[tuple[str, _Compound]]]:
+    """Parsed-selector cache: config selectors are a handful of distinct
+    strings applied to millions of pages — parsing once per executor
+    instead of once per page/container matters in the mapInPandas loop."""
     groups = [
         [(comb, _parse_compound(tok)) for comb, tok in chain]
         for chain in _split_selector(selector)
