@@ -2058,12 +2058,55 @@ WHERE src_host <> dst_host GROUP BY src_host, dst_host
 
 def _q_host_pagerank(spark, sf_dir):
     """Iterative PageRank over the host graph (crawl prioritization signal)
-    — DataFrame join-agg power iteration with lineage checkpoints; rows-only
-    check (iterative algorithms are the driver contract's non-SQL class)."""
+    — DataFrame join-agg power iteration with lineage checkpoints. Round 2:
+    oracle-CHECKED by unrolling the 10 power iterations into chained DuckDB
+    CTEs (_pagerank_sql) — the 'iterative ⇒ rows-only' exemption is no
+    longer claimed for this op."""
     from web_crawler_spark.operators import graph as G
 
     edges = G.host_graph(_host_edges(spark, sf_dir))
     return G.pagerank(edges, iterations=10).orderBy(F.desc("rank"), "node")
+
+
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power iteration over the synthetic host graph — the exact
+    algebra of operators/graph.py::pagerank (weighted transitions, uniform
+    teleport, dangling-mass redistribution) as 3 CTEs per iteration."""
+    d = repr(damping)
+    head = """
+WITH e AS (
+  SELECT src_host AS src, dst_host AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT concat('h', CAST(user_id % 12 AS VARCHAR), '.com') AS src_host,
+           concat('h', CAST((user_id + event_id) % 12 AS VARCHAR), '.com') AS dst_host
+    FROM events
+  ) WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+trans AS (
+  SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM e
+),
+r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT t.dst, SUM(t.p * r.rank) AS inflow
+  FROM trans t JOIN r{i-1} r ON t.src = r.node GROUP BY t.dst
+),
+f{i} AS MATERIALIZED (SELECT COALESCE(SUM(inflow), 0.0) AS flowed FROM c{i}),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0 - {d}) + {d} * ((nn.n - f{i}.flowed) / nn.n)
+           + {d} * COALESCE(c.inflow, 0.0) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN f{i}
+  LEFT JOIN c{i} c ON c.dst = n.node
+)""")
+    parts.append(f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}
+ORDER BY rank DESC, node""")
+    return "".join(parts)
 
 
 def _q_header_sniff(spark, sf_dir):
@@ -2575,6 +2618,7 @@ _ORACLES: dict[str, str] = {
     "tx_gopher_quality": _SQL_GOPHER_QUALITY,
     "tx_repetition": _SQL_REPETITION,
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
+    "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "gr_host_graph": _SQL_HOST_GRAPH,
 }

@@ -265,6 +265,64 @@ def component_throughput(spark) -> dict:
     out["extract_rows"] = rows
     out["extract_wall_sec"] = round(w2, 2)
     out["extract_pages_per_sec"] = round(n_pages / w2, 1)
+
+    # round-2 components: the paths rebuilt this round, measured so the
+    # scale claims are numbers, not plan audits.
+    # simhash: one-pass Arrow vote kernel over ~120k docs
+    from web_crawler_spark.operators.dedup import simhash_stage
+
+    n_docs = int(os.environ.get("BENCH_COMPONENT_DOCS", "600000"))
+    docs = spark.range(0, n_docs, 1, par * 2).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}_"), ((F.col("id") + j) % 5000).cast("string"))
+                for j in range(40)
+            ],
+        ).alias("text"),
+    ).localCheckpoint()
+    simhash_stage(docs.limit(2000)).count()  # warm
+    t0 = _t.time()
+    # bit_count keeps the forcing agg inside long range (ANSI overflow-safe)
+    simhash_stage(docs).agg(F.sum(F.bit_count("simhash"))).collect()
+    w3 = _t.time() - t0
+    out["simhash_docs"] = n_docs
+    out["simhash_wall_sec"] = round(w3, 2)
+    out["simhash_docs_per_sec"] = round(n_docs / w3, 1)
+
+    # css extraction: the X9 config-driven DOM/selector path
+    from web_crawler_spark.plans.extract import css_config_stage
+
+    n_css = int(os.environ.get("BENCH_COMPONENT_CSS_PAGES", "240000"))
+    css_pages = spark.range(0, n_css, 1, par * 2).select(
+        F.concat(F.lit("http://b/"), F.col("id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<table><tbody><tr class="item"><td><a href="/s'),
+            F.col("id").cast("string"),
+            F.lit('">name</a></td><td><span>$'),
+            (F.col("id") % 9000).cast("string"),
+            F.lit(".25</span></td><td><span>+1%</span></td></tr>"
+                  "<tr><td>junk</td></tr></tbody></table>"),
+        ).alias("html"),
+    ).localCheckpoint()
+    css_cfg = {
+        "extraction": {
+            "container": "tr.item",
+            "fields": {
+                "name": {"selector": "td:first-child a", "transform": "uppercase"},
+                "price": {"selector": "td:nth-child(2) span", "regex": r"\$([\d.]+)"},
+            },
+        },
+    }
+    css_config_stage(css_pages.limit(2000), css_cfg).count()  # warm
+    t0 = _t.time()
+    css_config_stage(css_pages, css_cfg).count()
+    w4 = _t.time() - t0
+    out["css_pages"] = n_css
+    out["css_wall_sec"] = round(w4, 2)
+    out["css_pages_per_sec"] = round(n_css / w4, 1)
+
     # the pair-level summary key used by the efficiency computation
     out["urls_per_sec"] = out["frontier_rows_per_sec"]
     return out
