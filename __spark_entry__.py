@@ -2023,6 +2023,82 @@ FROM r GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _versioned_pages(spark, sf_dir):
+    """Synthetic versioned page table (url, warc_ts, text): ~3000 URLs ×
+    up to 4 recrawls; warc_ts unique per fetch (base + event_id seconds);
+    content revs change every OTHER version (rev = version//2), so the
+    change stream has a deterministic T,F,T,F pattern."""
+    e = _t(spark, sf_dir, "events")
+    url = F.concat(F.lit("https://ex.com/p"), (F.col("event_id") % 3000).cast("string"))
+    warc_ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("2025-01-01 00:00:00")) + F.col("event_id")
+    )
+    rev = F.floor(F.col("event_id") / 3000 / 2).cast("string")
+    text = F.concat(
+        F.lit("body "), (F.col("event_id") % 3000).cast("string"),
+        F.lit(" rev"), rev,
+    )
+    return e.select(url.alias("url"), warc_ts.alias("warc_ts"), text.alias("text"))
+
+
+def _q_snapshot_asof(spark, sf_dir):
+    """Corpus-as-of-T cut over the versioned page table: latest warc_ts ≤
+    cutoff per url (training-data release / reproducible dataset view)."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    pages = _versioned_pages(spark, sf_dir)
+    cutoff = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("2025-01-01 00:00:00")) + F.lit(5000)
+    )
+    return SN.snapshot_asof(pages, cutoff).orderBy("url")
+
+
+_SQL_SNAPSHOT_ASOF = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS warc_ts,
+         concat('body ', CAST(event_id % 3000 AS VARCHAR),
+                ' rev', CAST(CAST(floor(event_id / 3000 / 2) AS BIGINT) AS VARCHAR)) AS text
+  FROM events
+), r AS (
+  SELECT url, warc_ts, text,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+  FROM pages
+  WHERE warc_ts <= TIMESTAMP '2025-01-01 00:00:00' + (5000 * INTERVAL 1 SECOND)
+)
+SELECT url, warc_ts, text FROM r WHERE rn = 1 ORDER BY url
+"""
+
+
+def _q_change_detection(spark, sf_dir):
+    """Recrawl change stream: per-URL version chain with fingerprint-lag
+    change bits — refresh scheduling skips unchanged fetches."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    return SN.change_detection(_versioned_pages(spark, sf_dir)).orderBy(
+        "key", "version_no"
+    )
+
+
+_SQL_CHANGE_DETECTION = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS key,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         md5(trim(regexp_replace(regexp_replace(lower(
+           concat('body ', CAST(event_id % 3000 AS VARCHAR),
+                  ' rev', CAST(CAST(floor(event_id / 3000 / 2) AS BIGINT) AS VARCHAR))
+         ), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM events
+)
+SELECT key, ts, fingerprint,
+       ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts) AS version_no,
+       (LAG(fingerprint) OVER (PARTITION BY key ORDER BY ts) IS NULL
+        OR fingerprint <> LAG(fingerprint) OVER (PARTITION BY key ORDER BY ts))
+         AS changed
+FROM pages ORDER BY key, version_no
+"""
+
+
 def _host_edges(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -2530,6 +2606,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_gopher_quality": _q_gopher_quality,
     "tx_repetition": _q_repetition,
     "dd_chunk_dedup": _q_chunk_dedup,
+    "crawl_snapshot_asof": _q_snapshot_asof,
+    "crawl_change_detection": _q_change_detection,
     "s6_header_sniff": _q_header_sniff,
     "gr_host_graph": _q_host_graph,
     "gr_host_pagerank": _q_host_pagerank,
@@ -2618,6 +2696,8 @@ _ORACLES: dict[str, str] = {
     "tx_gopher_quality": _SQL_GOPHER_QUALITY,
     "tx_repetition": _SQL_REPETITION,
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
+    "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
+    "crawl_change_detection": _SQL_CHANGE_DETECTION,
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "gr_host_graph": _SQL_HOST_GRAPH,

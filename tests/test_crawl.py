@@ -322,6 +322,35 @@ def test_empty_epoch_is_graceful(spark, catalog_dir):
     ]
 
 
+def test_snapshot_asof_and_change_detection(spark):
+    """Crawl-history ops: as-of cut keeps the latest version ≤ cutoff per
+    url; change bits flag only genuinely-changed recrawls."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "2025-01-01 00:00:00", "alpha"),
+            ("u1", "2025-01-02 00:00:00", "alpha"),       # unchanged recrawl
+            ("u1", "2025-01-03 00:00:00", "beta"),        # changed, after cutoff
+            ("u2", "2025-01-01 12:00:00", "gamma"),
+            ("u3", "2025-01-04 00:00:00", "delta"),       # entirely after cutoff
+        ],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    snap = {r["url"]: r["text"] for r in SN.snapshot_asof(pages, "2025-01-02 12:00:00").collect()}
+    assert snap == {"u1": "alpha", "u2": "gamma"}   # u3 not yet crawled at T
+
+    ch = [
+        (r["key"], r["version_no"], r["changed"])
+        for r in SN.change_detection(pages).orderBy("key", "version_no").collect()
+    ]
+    assert ch == [
+        ("u1", 1, True), ("u1", 2, False), ("u1", 3, True),
+        ("u2", 1, True), ("u3", 1, True),
+    ]
+
+
 def test_host_graph_and_pagerank(spark):
     """Graph analytics over outlinks: edge aggregation + iterative PageRank
     (ring → uniform ranks; hub → sink dominates; mass conserved)."""
