@@ -227,6 +227,16 @@ def component_throughput(spark) -> dict:
 
     par = spark.sparkContext.defaultParallelism
     out = {}
+    # BENCH_COMPONENT_ONLY=frontier,css → run a subset (short windows dodge
+    # neighbor-load bursts on this multi-tenant host; a full 4-component
+    # run is ~2 min and the tail components absorb whatever burst arrives)
+    only = {
+        c.strip()
+        for c in os.environ.get(
+            "BENCH_COMPONENT_ONLY", "frontier,extract,simhash,css"
+        ).split(",")
+        if c.strip()
+    }
 
     n_urls = int(os.environ.get("BENCH_COMPONENT_URLS", "12000000"))
     urls = spark.range(0, n_urls, 1, par * 2).select(
@@ -243,28 +253,30 @@ def component_throughput(spark) -> dict:
     # memory bus, so shuffle bytes/sec cannot scale with lanes here (on a
     # real cluster each node brings its own disks/NIC — it scales with
     # the cluster, which is what the north rule measures).
-    keyed = UT.with_url_columns(urls)
-    keyed.limit(1000).agg(F.sum(F.col("url_hash").cast("double"))).collect()  # warm codegen
-    t0 = _t.time()
-    keyed.agg(F.sum(F.col("url_hash").cast("double")), F.count(F.lit(1))).collect()
-    w1 = _t.time() - t0
-    out["frontier_rows"] = n_urls
-    out["frontier_wall_sec"] = round(w1, 2)
-    out["frontier_rows_per_sec"] = round(n_urls / w1, 1)
+    if "frontier" in only:
+        keyed = UT.with_url_columns(urls)
+        keyed.limit(1000).agg(F.sum(F.col("url_hash").cast("double"))).collect()  # warm codegen
+        t0 = _t.time()
+        keyed.agg(F.sum(F.col("url_hash").cast("double")), F.count(F.lit(1))).collect()
+        w1 = _t.time() - t0
+        out["frontier_rows"] = n_urls
+        out["frontier_wall_sec"] = round(w1, 2)
+        out["frontier_rows_per_sec"] = round(n_urls / w1, 1)
 
     n_pages = int(os.environ.get("BENCH_COMPONENT_PAGES", "240000"))
-    pages = generate_pages(
-        spark, n_pages, seed=42, partitions=par * 4, scale=5
-    ).localCheckpoint()
-    p = pages.select("url", "html")
-    X.commodity_table_stage(p.limit(2000)).count()  # warm python workers
-    t0 = _t.time()
-    rows = X.commodity_table_stage(p).count()
-    w2 = _t.time() - t0
-    out["extract_pages"] = n_pages
-    out["extract_rows"] = rows
-    out["extract_wall_sec"] = round(w2, 2)
-    out["extract_pages_per_sec"] = round(n_pages / w2, 1)
+    if "extract" in only:
+        pages = generate_pages(
+            spark, n_pages, seed=42, partitions=par * 4, scale=5
+        ).localCheckpoint()
+        p = pages.select("url", "html")
+        X.commodity_table_stage(p.limit(2000)).count()  # warm python workers
+        t0 = _t.time()
+        rows = X.commodity_table_stage(p).count()
+        w2 = _t.time() - t0
+        out["extract_pages"] = n_pages
+        out["extract_rows"] = rows
+        out["extract_wall_sec"] = round(w2, 2)
+        out["extract_pages_per_sec"] = round(n_pages / w2, 1)
 
     # round-2 components: the paths rebuilt this round, measured so the
     # scale claims are numbers, not plan audits.
@@ -272,6 +284,8 @@ def component_throughput(spark) -> dict:
     from web_crawler_spark.operators.dedup import simhash_stage
 
     n_docs = int(os.environ.get("BENCH_COMPONENT_DOCS", "600000"))
+    if "simhash" not in only:
+        n_docs = 0
     docs = spark.range(0, n_docs, 1, par * 2).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
@@ -281,20 +295,23 @@ def component_throughput(spark) -> dict:
                 for j in range(40)
             ],
         ).alias("text"),
-    ).localCheckpoint()
-    simhash_stage(docs.limit(2000)).count()  # warm
-    t0 = _t.time()
-    # bit_count keeps the forcing agg inside long range (ANSI overflow-safe)
-    simhash_stage(docs).agg(F.sum(F.bit_count("simhash"))).collect()
-    w3 = _t.time() - t0
-    out["simhash_docs"] = n_docs
-    out["simhash_wall_sec"] = round(w3, 2)
-    out["simhash_docs_per_sec"] = round(n_docs / w3, 1)
+    ).localCheckpoint() if n_docs else None
+    if "simhash" in only:
+        simhash_stage(docs.limit(2000)).count()  # warm
+        t0 = _t.time()
+        # bit_count keeps the forcing agg inside long range (ANSI overflow-safe)
+        simhash_stage(docs).agg(F.sum(F.bit_count("simhash"))).collect()
+        w3 = _t.time() - t0
+        out["simhash_docs"] = n_docs
+        out["simhash_wall_sec"] = round(w3, 2)
+        out["simhash_docs_per_sec"] = round(n_docs / w3, 1)
 
     # css extraction: the X9 config-driven DOM/selector path
     from web_crawler_spark.plans.extract import css_config_stage
 
     n_css = int(os.environ.get("BENCH_COMPONENT_CSS_PAGES", "240000"))
+    if "css" not in only:
+        n_css = 0
     css_pages = spark.range(0, n_css, 1, par * 2).select(
         F.concat(F.lit("http://b/"), F.col("id").cast("string")).alias("url"),
         F.concat(
@@ -305,7 +322,7 @@ def component_throughput(spark) -> dict:
             F.lit(".25</span></td><td><span>+1%</span></td></tr>"
                   "<tr><td>junk</td></tr></tbody></table>"),
         ).alias("html"),
-    ).localCheckpoint()
+    ).localCheckpoint() if n_css else None
     css_cfg = {
         "extraction": {
             "container": "tr.item",
@@ -315,16 +332,17 @@ def component_throughput(spark) -> dict:
             },
         },
     }
-    css_config_stage(css_pages.limit(2000), css_cfg).count()  # warm
-    t0 = _t.time()
-    css_config_stage(css_pages, css_cfg).count()
-    w4 = _t.time() - t0
-    out["css_pages"] = n_css
-    out["css_wall_sec"] = round(w4, 2)
-    out["css_pages_per_sec"] = round(n_css / w4, 1)
+    if "css" in only:
+        css_config_stage(css_pages.limit(2000), css_cfg).count()  # warm
+        t0 = _t.time()
+        css_config_stage(css_pages, css_cfg).count()
+        w4 = _t.time() - t0
+        out["css_pages"] = n_css
+        out["css_wall_sec"] = round(w4, 2)
+        out["css_pages_per_sec"] = round(n_css / w4, 1)
 
     # the pair-level summary key used by the efficiency computation
-    out["urls_per_sec"] = out["frontier_rows_per_sec"]
+    out["urls_per_sec"] = out.get("frontier_rows_per_sec", 0.0)
     return out
 
 

@@ -245,24 +245,33 @@ def minhash_lsh_pairs(
     # (|A∩B|/|A∪B| is identical over the distinct hash sets; a 64-bit
     # collision inside one doc pair is ~2^-64).
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    grams_df = (
-        df.repartition(parallelism)  # small parquet inputs arrive 1-partition
-        .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams"))
-        .filter(F.size("grams") > 0)
-    )
     # localCheckpoint (not persist): materialized once for the 3 downstream
     # uses, lineage truncated, and the cached blocks are reclaimed by the
     # ContextCleaner once the DataFrame is unreferenced — repeated calls in
     # a long-lived session no longer accumulate cache for the app lifetime
     if portable_hash:
-        base = grams_df.localCheckpoint(eager=True)
+        base = (
+            df.repartition(parallelism)  # small parquet inputs arrive 1-partition
+            .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams"))
+            .filter(F.size("grams") > 0)
+            .localCheckpoint(eager=True)
+        )
         sigs = base.select(
             "id", T.minhash_from_grams(F.col("grams"), k, portable=True).alias("sig")
         )
     else:
-        base = grams_df.select(
-            "id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
-        ).localCheckpoint(eager=True)
+        # fast path: shingle strings hashed ONCE (xxhash64) then dropped —
+        # banding, shuffling, and the Jaccard verify run on 8-byte longs.
+        # (Token-tuple hashing via element_at was tried and measured 2-4×
+        # SLOWER than array_join+one-hash: variable-index element_at inside
+        # a higher-order lambda defeats codegen; negative result kept out.)
+        base = (
+            df.repartition(parallelism)
+            .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("g"))
+            .filter(F.size("g") > 0)
+            .select("id", F.transform("g", lambda g: F.xxhash64(g)).alias("grams"))
+            .localCheckpoint(eager=True)
+        )
         sigs = base.select("id", T.minhash_from_hashes(F.col("grams"), k).alias("sig"))
 
     banded = sigs.select(
