@@ -7,6 +7,7 @@ import subprocess
 import sys
 
 import yaml
+from pyspark.sql import functions as F
 
 from web_crawler_spark.config import Config, seeds_from_settings
 
@@ -106,6 +107,50 @@ def test_cli_config_dump_seeds(tmp_path):
     }
     hosts = {l["host"] for l in lines}
     assert hosts == {"finance.example.com", "api.example.com"}
+
+
+def test_run_config_sources_css_json_over_corpus(spark):
+    """The factory loop: an html (X9 CSS) scraper and a json (S8) scraper,
+    both config-compiled, extract from the same offline corpus."""
+    from web_crawler_spark.config import Config
+    from web_crawler_spark.plans.pipeline import run_config_sources
+    from web_crawler_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 60)
+    settings = Config(None)
+    settings.set("generic_scrapers.css_commodities", {
+        "enabled": True,
+        "parser": "html",
+        "extraction": {
+            "container": "table tr",
+            "fields": {
+                "name": "td:first-child",
+                "price": {"selector": "td:nth-child(2)", "transform": "float"},
+                "change": "td:nth-child(3)",
+            },
+        },
+        "validation": {"required_fields": ["name", "price"],
+                       "formats": {"price": "number"}},
+    })
+    settings.set("simple_scrapers.coins", {
+        "enabled": True,
+        "parser": "json",
+        "field_mapping": {"name": "name", "current_price": "usd"},
+    })
+    settings.set("simple_scrapers.off", {"enabled": False, "parser": "json"})
+
+    outs = run_config_sources(pages, settings)
+    assert set(outs) == {"css_commodities", "coins"}
+    css = outs["css_commodities"].collect()
+    # header rows ('Price' fails the number format) are dropped; data rows
+    # from both commodity_table and simple_table page classes extract
+    assert len(css) > 20
+    assert all(r.price.replace(".", "").isdigit() for r in css)
+    names = {r.name for r in css}
+    assert "Copper" in names or "Milk" in names
+    coins = outs["coins"].filter(F.col("current_price").isNotNull()).collect()
+    assert len(coins) > 5                      # json_api pages parsed
+    assert all(float(r.current_price) > 0 for r in coins)
 
 
 def test_cli_list_scrapers_from_config(tmp_path):

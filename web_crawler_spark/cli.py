@@ -151,6 +151,13 @@ def main(argv: list[str] | None = None) -> int:
         stats = engine.run(seeds, n_epochs=args.epochs)
         print(json.dumps({"crawl": stats}))
 
+    if settings is not None:
+        # config-driven sources (reference factory loop): each enabled
+        # scraper with a parser key runs its compiled DSL transform over
+        # the corpus and lands in its own parquet output
+        for name, df in PL.run_config_sources(pages, settings).items():
+            df.write.mode("overwrite").parquet(f"{args.output_dir}/sources/{name}")
+
     results = PL.run_full_analysis(pages, clock)
     if args.output_format in ("csv", "both"):
         R.write_commodity_csv(results["commodities"], f"{args.output_dir}/commodities_csv")

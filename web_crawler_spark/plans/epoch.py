@@ -93,17 +93,19 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------
+    def _seen_rows_from_lineage(self) -> int:
+        """Seen-set cardinality from the commit lineage in the manifest —
+        no Spark job."""
+        lineage = self.catalog.manifest("seen").get("lineage", {})
+        return sum(e.get("fetched", 0) for e in lineage.values())
+
     def _bloom_decision(self) -> bool:
         """use_bloom="auto": the bloom pre-filter costs a build pass +
         broadcast per epoch, which only pays once `seen` is big enough that
-        skipping the anti-join shuffle for ~99% of rows beats that cost.
-        The seen size comes from the commit lineage in the manifest — no
-        Spark job."""
+        skipping the anti-join shuffle for ~99% of rows beats that cost."""
         if self.use_bloom != "auto":
             return bool(self.use_bloom)
-        lineage = self.catalog.manifest("seen").get("lineage", {})
-        seen_rows = sum(e.get("fetched", 0) for e in lineage.values())
-        return seen_rows >= 500_000
+        return self._seen_rows_from_lineage() >= 500_000
 
     # ------------------------------------------------------------------
     def _epoch_start(self, epoch: int):
@@ -177,8 +179,13 @@ class CrawlEngine:
         # dedup vs seen  [shuffle: url_hash]
         seen = self.catalog.read(self.spark, "seen", upto_epoch=epoch - 1)
         if seen is not None:
+            # expected_keys from the manifest lineage: the bloom bitmap is
+            # sized to the seen-set without a count() job (dedup.py::
+            # bloom_size_bits — no more fixed-capacity saturation)
             frontier = D.anti_join_seen(
-                frontier, seen, use_bloom=self._bloom_decision()
+                frontier, seen,
+                use_bloom=self._bloom_decision(),
+                expected_keys=self._seen_rows_from_lineage(),
             )
 
         # robots gate (north_rule): denied URLs are still committed to

@@ -116,6 +116,35 @@ def run_full_analysis(
     }
 
 
+def run_config_sources(pages: DataFrame, settings) -> dict[str, DataFrame]:
+    """Config-driven extraction over the offline corpus — the engine's
+    equivalent of the reference's factory loop (scrapers/factory.py +
+    main.py --scrapers): every enabled scraper config that declares a
+    ``parser`` (html = X9 CSS rules, json = S8 json_path/field_mapping,
+    regex = X10) compiles through SourceRegistry into a DataFrame
+    transform and runs against the same pages.
+
+    Returns {scraper_name: DataFrame}. The pages are exposed with both an
+    ``html`` column (CSS path) and a string ``body`` alias (json/regex
+    paths), matching the stage defaults.
+    """
+    from .dsl import SourceRegistry
+
+    prepared = pages.select(
+        "url",
+        F.col("html"),
+        F.col("html").cast("string").alias("body"),
+    )
+    registry = SourceRegistry()
+    out: dict[str, DataFrame] = {}
+    for name, cfg in settings.scraper_configs().items():
+        if not cfg.get("enabled", True) or "parser" not in cfg:
+            continue
+        registry.register(name, cfg)
+        out[name] = registry.build(name)(prepared)
+    return out
+
+
 def write_report(results: dict[str, DataFrame], out_dir: str) -> None:
     """S9/S11 sinks: CSV report (16-col projection equivalent) + partitioned
     parquet by category (the Excel one-sheet-per-category analogue)."""
