@@ -2421,6 +2421,67 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 """
 
 
+def _q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 pattern (adapted to the synthetic schema): join + dual
+    conditional aggregation — high/low-priority line counts per return
+    flag. Exercises map-side combine over a shuffled equi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 pattern: conditional-revenue ratio over a fact-dim join in
+    a date window — one broadcastable dim, one global agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    promo = F.col("p_type").startswith("PROMO")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(promo, rev).otherwise(0.0)) / F.sum(rev), 4
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_SQL_TPCH_Q14 = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
 def _q_frontier_telemetry(spark, sf_dir):
     """A8 (engine addition per SURVEY §2.5): frontier cardinality + skew
     telemetry — distinct URL/host counts and the hot-host ratio that drives
@@ -2600,6 +2661,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3_shipping_priority": _q_tpch_q3,
     "tpch_q5_local_supplier": _q_tpch_q5,
     "tpch_q6_forecast_revenue": _q_tpch_q6,
+    "tpch_q12_priority_shipping": _q_tpch_q12,
+    "tpch_q14_promo_revenue": _q_tpch_q14,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -2690,6 +2753,8 @@ _ORACLES: dict[str, str] = {
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
+    "tpch_q12_priority_shipping": _SQL_TPCH_Q12,
+    "tpch_q14_promo_revenue": _SQL_TPCH_Q14,
     "tx_dataset_split": _SQL_DATASET_SPLIT,
     "tx_pii_scrub": _SQL_PII_SCRUB,
     "dd_contamination_check": _SQL_CONTAMINATION,
