@@ -1,0 +1,89 @@
+"""Physical-plan regression tests — the scale-design contracts asserted as
+plan shapes, so a refactor that silently breaks pushdown / broadcast /
+top-k compilation fails CI instead of surviving as a 100× regression at
+cluster scale. (Counterpart of the `.explain("formatted")` audits in
+BENCH/BASELINE.md.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_filter_pushdown_and_column_pruning(spark):
+    """TPC-H q6 pattern: filters reach the parquet scan (PushedFilters) and
+    the read schema prunes to the referenced columns only."""
+    import __spark_entry__ as E
+
+    df = E.queries()["tpch_q6_forecast_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+    # ReadSchema prunes: a 2-measure agg must not read the whole lineitem row
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_small_dim_broadcasts(spark):
+    """J1 and q14: the dim side compiles to BroadcastHashJoin — no
+    shuffle-hash/sort-merge join for a broadcastable side."""
+    import __spark_entry__ as E
+
+    for q in ("j1_broadcast_join", "tpch_q14_promo_revenue"):
+        plan = _plan(E.queries()[q](spark, SF))
+        assert "BroadcastHashJoin" in plan, f"{q}: {plan[:800]}"
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    """T1 top-k must be TakeOrderedAndProject, not a global sort."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["t1_topk_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full sort node
+
+
+def test_extraction_stage_is_shuffle_free(spark):
+    """The mapInPandas HTML extraction stage adds NO Exchange of its own —
+    html bytes never shuffle (the input repartition, when present, happens
+    on slim pre-extraction rows upstream)."""
+    from web_crawler_spark.plans.extract import text_stage
+
+    pages = spark.createDataFrame(
+        [("u1", b"<p>hello</p>")], "url string, html binary"
+    )
+    plan = _plan(text_stage(pages))
+    assert "Exchange" not in plan
+
+
+def test_gopher_quality_is_pure_projection(spark):
+    """Corpus quality flags annotate the scan: no Exchange, no Python."""
+    from web_crawler_spark.operators.corpus import gopher_quality
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(gopher_quality(df))
+    assert "Exchange" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_minhash_band_join_shuffles_slim_rows(spark):
+    """The MinHash LSH band self-join must not carry gram arrays through
+    the join — only (id, band, band_sig) reach the SortMergeJoin/
+    ShuffledHashJoin inputs."""
+    from web_crawler_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(df))
+    # the band-join keys appear...
+    assert "band_sig" in plan
+    # ...and the join inputs do not project the grams array: every Exchange
+    # below a join carries only slim columns (id/band/band_sig)
+    for seg in plan.split("Exchange")[1:]:
+        first_line = seg.splitlines()[0]
+        if "band_sig" in first_line:
+            assert "grams" not in first_line
