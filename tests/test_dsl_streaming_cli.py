@@ -176,6 +176,35 @@ def test_streaming_extract_matches_batch(spark, tmp_path):
     assert batch_rows.exceptAll(stream_rows).count() == 0
 
 
+def test_streaming_css_extract_matches_batch(spark, tmp_path):
+    """The X9 CSS config-driven extraction stage runs unchanged on a
+    stream (mapInPandas is streaming-capable) — stream result == batch."""
+    from web_crawler_spark.plans.extract import css_config_stage
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.streaming import events as SE
+
+    config = {
+        "extraction": {
+            "container": "table tr",
+            "fields": {
+                "name": "td:first-child",
+                "price": {"selector": "td:nth-child(2)", "transform": "float"},
+            },
+        },
+        "required_fields": ["name", "price"],
+    }
+    src = str(tmp_path / "css_pages_src")
+    generate_pages(spark, 24, seed=7).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    SE.run_query_to_memory(css_config_stage(stream, config), "t_css")
+    stream_rows = spark.sql("select * from t_css")
+    batch_rows = css_config_stage(spark.read.parquet(src), config)
+    assert batch_rows.count() > 0
+    assert stream_rows.exceptAll(batch_rows).count() == 0
+    assert batch_rows.exceptAll(stream_rows).count() == 0
+
+
 def test_cli_end_to_end(tmp_path):
     import subprocess
     import sys
