@@ -863,7 +863,15 @@ def _q_langid(spark, sf_dir):
 
 
 def _langid_sql() -> str:
-    hit_exprs = []
+    """Generated from the SAME STOPWORDS/SCRIPT_RANGES tables the Spark
+    expression uses — extending a language updates both engines."""
+    hit_exprs = [
+        "length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace",
+    ]
+    for code, rng in T.SCRIPT_RANGES:
+        hit_exprs.append(
+            f"length(regexp_replace(text, '[^{rng}]', '', 'g')) AS s_{code}"
+        )
     for lang in sorted(T.STOPWORDS):
         words = ",".join(f"'{w}'" for w in T.STOPWORDS[lang])
         hit_exprs.append(
@@ -872,7 +880,10 @@ def _langid_sql() -> str:
         )
     langs = sorted(T.STOPWORDS)
     best = "greatest(" + ",".join(f"h_{x}" for x in langs) + ")"
-    case = f"CASE WHEN {best} = 0 THEN 'unknown' "
+    case = "CASE "
+    for code, _rng in T.SCRIPT_RANGES:
+        case += f"WHEN 5 * s_{code} > n_nonspace THEN '{code}' "
+    case += f"WHEN {best} = 0 THEN 'unknown' "
     for lang in langs:
         case += f"WHEN h_{lang} = {best} THEN '{lang}' "
     case += "ELSE 'unknown' END"

@@ -289,6 +289,26 @@ def test_langid_stopwords(spark):
     assert got == ["en", "de", "fr", "unknown"]
 
 
+def test_langid_script_detection(spark):
+    """CJK/kana/hangul text is identified by script ratio (stopwords can't
+    see unsegmented text); mixed mostly-Latin text falls through to the
+    stopword argmax; kana beats kanji for Japanese."""
+    rows = [
+        (1, "这是一个中文句子没有空格也可以识别"),
+        (2, "これは日本語の文章ですカタカナもある"),       # kana + kanji → ja
+        (3, "한국어 문장은 한글로 씁니다"),
+        (4, "the price of gold is down and that is that"),
+        (5, "il prezzo che non sono per una con di"),       # it stopwords
+        (6, "o preço para um não mais com em os as"),       # pt stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", T.detect_language(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "zh", 2: "ja", 3: "ko", 4: "en", 5: "it", 6: "pt"}
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [("Hello,  World!",), ("hello world",)], "text string"

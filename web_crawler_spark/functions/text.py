@@ -23,7 +23,20 @@ STOPWORDS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"],
     "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "que"],
     "es": ["el", "la", "los", "las", "es", "un", "una", "de", "que", "por"],
+    "it": ["il", "lo", "gli", "che", "di", "non", "per", "con", "sono", "una"],
+    "pt": ["o", "os", "as", "em", "um", "uma", "para", "com", "não", "mais"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "voor", "naar", "ook"],
 }
+
+# Script-detection ranges for languages whitespace-stopwords can't see
+# (CJK text rarely space-delimits): checked by character ratio BEFORE the
+# stopword argmax. Kana before Han — Japanese text contains kanji too.
+# (lang, char-class) in priority order; threshold = >20% of non-space chars.
+SCRIPT_RANGES = [
+    ("ko", "가-힣"),       # Hangul syllables U+AC00–U+D7A3
+    ("ja", "぀-ヿ"),       # Hiragana+Katakana U+3040–U+30FF
+    ("zh", "一-鿿"),       # CJK Unified U+4E00–U+9FFF
+]
 
 # BPE-ish word/number/punct splitter (public GPT-2-style pattern, simplified
 # to what Java/DuckDB regex both support).
@@ -67,11 +80,26 @@ def stopword_hits(text: Column, lang: str) -> Column:
 
 
 def detect_language(text: Column) -> Column:
-    """Argmax of per-language stopword hit counts; 'unknown' when all zero.
-    Ties break by language-code order (deterministic)."""
+    """Two-stage language ID, all native expressions:
+
+    1. script ratio (SCRIPT_RANGES): if >20% of non-space characters fall
+       in a script's range (integer compare, 5·n_script > n_nonspace),
+       that language wins — whitespace stopwords can't see CJK text;
+    2. else argmax of per-language stopword hit counts; 'unknown' when all
+       zero. Ties break by language-code order (deterministic).
+
+    The DuckDB oracle (_langid_sql) is GENERATED from the same STOPWORDS /
+    SCRIPT_RANGES tables, so extending either updates both engines."""
+    t = text.cast("string")
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
     hits = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
     best = F.greatest(*hits.values())
-    expr = F.when(best == 0, F.lit("unknown"))
+    expr = None
+    for lang, rng in SCRIPT_RANGES:
+        n_script = F.length(F.regexp_replace(t, f"[^{rng}]", ""))
+        cond = 5 * n_script > nonspace
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    expr = expr.when(best == 0, F.lit("unknown"))
     for lang in sorted(STOPWORDS):
         expr = expr.when(hits[lang] == best, F.lit(lang))
     return expr.otherwise(F.lit("unknown"))
