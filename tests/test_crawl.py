@@ -322,6 +322,53 @@ def test_empty_epoch_is_graceful(spark, catalog_dir):
     ]
 
 
+def test_catalog_compaction_and_vacuum(spark, tmp_path):
+    """Iceberg-style maintenance: compaction rewrites committed epochs into
+    few files without changing results, epoch boundaries, or resume
+    semantics; vacuum reclaims unreferenced dirs; later commits land in
+    live epoch dirs and read correctly alongside the compacted set."""
+    import glob
+    import os
+
+    from web_crawler_spark.sources.catalog import EpochCatalog
+
+    cat = EpochCatalog(str(tmp_path / "cat"))
+    for e in range(3):
+        df = spark.range(e * 100, (e + 1) * 100, 1, 8).select(
+            F.col("id"), F.lit(f"v{e}").alias("val")
+        )
+        cat.commit_epoch("t", e, df, lineage={"fetched": 100})
+    before = cat.read(spark, "t").orderBy("id").collect()
+    files_before = len(glob.glob(str(tmp_path / "cat/t/epoch=*/part-*.parquet")))
+    assert files_before >= 24  # 3 epochs × 8 partitions
+
+    stats = cat.compact(spark, "t")
+    assert stats["compacted_epochs"] == 3
+    after = cat.read(spark, "t").orderBy("id").collect()
+    assert after == before
+    files_after = len(
+        glob.glob(str(tmp_path / "cat/t/_compact_g1/epoch=*/*.parquet"))
+    )
+    assert files_after <= 6  # few files per epoch now
+
+    removed = cat.vacuum("t")
+    assert len(removed) == 3  # the 3 live epoch dirs
+    assert cat.read(spark, "t").orderBy("id").collect() == before
+    # epoch-scoped reads still resolve through the compacted rewrite
+    assert cat.read(spark, "t", upto_epoch=1).count() == 200
+
+    # a post-compaction commit lands live and unions with the compacted set
+    cat.commit_epoch("t", 3, spark.range(300, 350).select(
+        F.col("id"), F.lit("v3").alias("val")), lineage={"fetched": 50})
+    assert cat.read(spark, "t").count() == 350
+    assert cat.committed_epochs("t") == [0, 1, 2, 3]
+    # second compaction folds the new epoch in; old generation vacuumed
+    cat.compact(spark, "t")
+    removed2 = cat.vacuum("t")
+    assert any("_compact_g1" in p for p in removed2)
+    assert cat.read(spark, "t").count() == 350
+
+
 def test_snapshot_asof_and_change_detection(spark):
     """Crawl-history ops: as-of cut keeps the latest version ≤ cutoff per
     url; change bits flag only genuinely-changed recrawls."""

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "JSON lines")
     p.add_argument("--tables-dir", default=None,
                    help="directory of <name>.parquet tables to register as views")
+    p.add_argument("--compact", action="store_true",
+                   help="with --catalog: compact + vacuum every table "
+                        "(Iceberg rewrite-data-files/expire-snapshots "
+                        "equivalent), print stats, exit")
     p.add_argument("--config", default=None, metavar="SETTINGS_YAML",
                    help="reference-shape settings.yaml (pacong/core/config.py"
                         ":88-133): seeds the frontier from enabled scrapers, "
@@ -118,6 +122,24 @@ def main(argv: list[str] | None = None) -> int:
                     df.createOrReplaceTempView(t)
         for line in spark.sql(args.sql).toJSON().collect():
             print(line)
+        spark.stop()
+        return 0
+
+    if args.compact:
+        if not args.catalog:
+            print("--compact requires --catalog", file=sys.stderr)
+            spark.stop()
+            return 2
+        from .sources.catalog import EpochCatalog
+
+        cat = EpochCatalog(args.catalog)
+        stats = []
+        for t in ("fetched", "extracted", "outlinks", "metrics", "seen", "deferred"):
+            if cat.committed_epochs(t):
+                s = cat.compact(spark, t)
+                s["vacuumed"] = len(cat.vacuum(t))
+                stats.append(s)
+        print(json.dumps({"compaction": stats}))
         spark.stop()
         return 0
 

@@ -73,12 +73,103 @@ class EpochCatalog:
     def read(
         self, spark: SparkSession, table: str, upto_epoch: int | None = None
     ) -> DataFrame | None:
-        """Union of committed epochs (≤ upto_epoch), epoch column attached."""
-        epochs = self.committed_epochs(table)
+        """Union of committed epochs (≤ upto_epoch), epoch column attached.
+        Epochs covered by a committed compaction read from the compacted
+        rewrite; later epochs read from their live epoch dirs."""
+        m = self.manifest(table)
+        epochs = sorted(m["epochs"])
         if upto_epoch is not None:
             epochs = [e for e in epochs if e <= upto_epoch]
         if not epochs:
             return None
-        paths = [os.path.join(self.root, table, f"epoch={e}") for e in epochs]
-        df = spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)
+        comp = m.get("compaction")
+        tdir = os.path.join(self.root, table)
+        frames = []
+        if comp:
+            cdir = os.path.join(tdir, comp["dir"])
+            compacted = [e for e in epochs if e <= comp["upto"]]
+            live = [e for e in epochs if e > comp["upto"]]
+            if compacted:
+                frames.append(
+                    spark.read.option("basePath", cdir).parquet(
+                        *[os.path.join(cdir, f"epoch={e}") for e in compacted]
+                    )
+                )
+        else:
+            live = epochs
+        if live:
+            frames.append(
+                spark.read.option("basePath", tdir).parquet(
+                    *[os.path.join(tdir, f"epoch={e}") for e in live]
+                )
+            )
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
         return df.withColumn("epoch", F.col("epoch").cast("int"))
+
+    # -- maintenance (Iceberg rewrite-data-files / expire-snapshots) --------
+    def compact(
+        self, spark: SparkSession, table: str, files_per_epoch: int = 1
+    ) -> dict:
+        """Small-file compaction: rewrite every committed epoch's data into
+        ``files_per_epoch`` files per epoch under a new generation dir,
+        then commit the rewrite in the manifest (atomic replace — readers
+        see either the old file set or the new one, never a mix). Epoch
+        boundaries and lineage are untouched, so resume semantics are
+        identical; only the physical file layout changes.
+
+        This is the per-epoch small-file problem every long crawl hits: an
+        epoch commit writes one file per shuffle partition, so a year of
+        hourly epochs at 32-way parallelism is ~280k files/table. At scale
+        this maps to Iceberg's rewriteDataFiles; here the rewrite is a
+        per-epoch coalesce. Old dirs become unreferenced garbage —
+        reclaim with ``vacuum``.
+        """
+        m = self.manifest(table)
+        epochs = sorted(m["epochs"])
+        if not epochs:
+            return {"table": table, "compacted_epochs": 0}
+        df = self.read(spark, table)
+        gen = (m.get("compaction") or {}).get("gen", 0) + 1
+        tdir = os.path.join(self.root, table)
+        cdir_name = f"_compact_g{gen}"
+        cdir = os.path.join(tdir, cdir_name)
+        if os.path.exists(cdir):  # leftovers from a killed compaction
+            shutil.rmtree(cdir)
+        (
+            df.repartition(max(1, len(epochs) * files_per_epoch), "epoch")
+            .write.partitionBy("epoch")
+            .mode("overwrite")
+            .parquet(cdir)
+        )
+        m = self.manifest(table)  # re-read: commits may have landed meanwhile
+        m["compaction"] = {"gen": gen, "upto": max(epochs), "dir": cdir_name}
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+        return {"table": table, "compacted_epochs": len(epochs), "gen": gen}
+
+    def vacuum(self, table: str) -> list[str]:
+        """Delete data no committed reader can reach: live epoch dirs whose
+        epochs are covered by the committed compaction, and compaction dirs
+        of older generations. Returns the removed paths."""
+        m = self.manifest(table)
+        comp = m.get("compaction")
+        if not comp:
+            return []
+        tdir = os.path.join(self.root, table)
+        removed = []
+        for e in m["epochs"]:
+            if e <= comp["upto"]:
+                edir = os.path.join(tdir, f"epoch={e}")
+                if os.path.exists(edir):
+                    shutil.rmtree(edir)
+                    removed.append(edir)
+        for name in os.listdir(tdir):
+            if name.startswith("_compact_g") and name != comp["dir"]:
+                path = os.path.join(tdir, name)
+                shutil.rmtree(path)
+                removed.append(path)
+        return removed
