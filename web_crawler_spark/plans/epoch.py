@@ -56,6 +56,7 @@ class CrawlEngine:
         robots_pages: DataFrame | None = None,
         agent: str = "sparkcrawl",
         max_per_host_per_epoch: int | None = None,
+        target_rows_per_task: int = 500,
     ):
         self.spark = spark
         self.catalog = EpochCatalog(catalog_root)
@@ -70,6 +71,8 @@ class CrawlEngine:
         # scale — politeness alone already caps useful fetches per epoch
         # (epoch_window / delay), so scheduling more is wasted state.
         self.max_per_host_per_epoch = max_per_host_per_epoch
+        # sizing target for the url_hash rebalance (see _rebalance_width)
+        self.target_rows_per_task = target_rows_per_task
         if robots_pages is not None:
             # rules + per-host crawl delays: tiny tables, parsed once,
             # broadcast into every epoch (a real deployment refreshes them
@@ -98,6 +101,27 @@ class CrawlEngine:
         no Spark job."""
         lineage = self.catalog.manifest("seen").get("lineage", {})
         return sum(e.get("fetched", 0) for e in lineage.values())
+
+    def _rebalance_width(self) -> int:
+        """Partition width for the url_hash rebalance, sized from the
+        PREVIOUS epoch's fetched count in the manifest lineage (no Spark
+        job): ~target_rows_per_task rows per task, clamped to [par, 4·par].
+
+        The fixed 4·par width is right at cluster scale (short Arrow tasks
+        absorb stragglers) but at small epoch sizes it splinters the work
+        into tasks of a few hundred rows where per-task scheduling
+        dominates the wall clock. Cold start (epoch 0, no lineage) keeps
+        the conservative 4·par.
+        """
+        par = self.spark.sparkContext.defaultParallelism
+        lineage = self.catalog.manifest("fetched").get("lineage", {})
+        if not lineage:
+            return par * 4
+        last_epoch = max(int(k) for k in lineage)
+        last_rows = lineage[str(last_epoch)].get("fetched", 0)
+        if not last_rows:
+            return par * 4
+        return max(par, min(par * 4, -(-last_rows // self.target_rows_per_task)))
 
     def _bloom_decision(self) -> bool:
         """use_bloom="auto": the bloom pre-filter costs a build pass +
@@ -230,11 +254,11 @@ class CrawlEngine:
         # fetch join, extraction, and every commit across all cores. The
         # rows are still slim here (no html) so this shuffle is cheap; at
         # 100 TB it is the same url_hash bucketing the corpus join needs.
-        # 4× overpartitioning keeps each python extraction task short (a
-        # straggler costs 1/4 of a wave, and busy-host noise hurts long
-        # Arrow tasks most)
-        par = self.spark.sparkContext.defaultParallelism
-        scheduled = scheduled.repartition(par * 4, F.col("url_hash"))
+        # Width is lineage-informed (_rebalance_width): ~target rows/task,
+        # capped at 4× parallelism — overpartitioning keeps each python
+        # extraction task short at scale, while small epochs stop paying
+        # per-task scheduling for few-hundred-row tasks
+        scheduled = scheduled.repartition(self._rebalance_width(), F.col("url_hash"))
 
         # fetch = join against the offline corpus (broadcast-averse: both big)
         fetched = scheduled.join(
