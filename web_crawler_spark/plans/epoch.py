@@ -291,8 +291,16 @@ class CrawlEngine:
 
         ok = fetched.filter(F.col("status") == "ok")
 
-        # extract + expand
-        links = X.link_stage(ok.select(F.col("canonical_url").alias("url"), "html"))
+        # extract + expand: ONE python parse per page yields both table
+        # rows and outlinks (combined_extract_stage); materialized before
+        # the split so neither branch re-runs the Arrow stage. The
+        # materialized rows are slim (no html).
+        combined = X.combined_extract_stage(
+            ok.select(F.col("canonical_url").alias("url"), "html")
+        ).localCheckpoint()
+        _phase("extract (one-pass)")
+
+        links = combined.filter(F.col("link").isNotNull()).select("url", "link")
         outlinks = X.resolve_links(links).select(
             F.col("url").alias("from_url"), "resolved_url",
             F.lit(epoch).alias("epoch"),
@@ -302,8 +310,8 @@ class CrawlEngine:
             "from_url",
         ).select("from_url", "resolved_url", "depth", "epoch")
 
-        extracted = X.commodity_table_stage(
-            ok.select(F.col("canonical_url").alias("url"), "html")
+        extracted = combined.filter(F.col("name").isNotNull()).select(
+            "url", "name", "price", "change"
         ).withColumn("epoch", F.lit(epoch))
 
         # commit epoch snapshots (order matters: data first, seen last so a

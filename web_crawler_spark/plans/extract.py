@@ -154,8 +154,12 @@ def extract_commodity_rows(html: str) -> list[dict]:
     """business_insider row semantics (business_insider.py:114-158):
     ≥3 cells; name filters (P1); first later cell with digits → price
     (comma-stripped regex); first later cell with % or +/- → change."""
+    return _commodity_rows_from_parser(parse_html(html))
+
+
+def _commodity_rows_from_parser(parsed: _TableParser) -> list[dict]:
     out = []
-    for table in parse_html(html).tables:
+    for table in parsed.tables:
         for cells in table:
             if len(cells) < 3:
                 continue
@@ -365,6 +369,42 @@ def simple_table_stage(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "name", "current_price"])
 
     return pages.select("url", "html").mapInPandas(gen, SIMPLE_SCHEMA)
+
+
+COMBINED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("change", T.StringType()),
+        T.StructField("link", T.StringType()),
+    ]
+)
+
+
+def combined_extract_stage(pages: DataFrame) -> DataFrame:
+    """ONE HTML parse per page emitting BOTH commodity-table rows (link
+    NULL) and outlink rows (name/price NULL) — the streaming parser
+    collects tables and hrefs in the same pass, so the separate
+    link_stage + commodity_table_stage plans were paying the parse twice.
+    Callers split the result by null-ness of `link`; materialize it
+    (localCheckpoint) before splitting or each branch re-runs the stage.
+    Row semantics are byte-identical to the two dedicated stages."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                parsed = parse_html(_decode(html))
+                for r in _commodity_rows_from_parser(parsed):
+                    rows.append((url, r["name"], r["price"], r["change"], None))
+                for link in parsed.links:
+                    rows.append((url, None, None, None, link))
+            yield pd.DataFrame(
+                rows, columns=["url", "name", "price", "change", "link"]
+            )
+
+    return pages.select("url", "html").mapInPandas(gen, COMBINED_SCHEMA)
 
 
 def link_stage(pages: DataFrame) -> DataFrame:
