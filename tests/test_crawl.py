@@ -369,6 +369,29 @@ def test_catalog_compaction_and_vacuum(spark, tmp_path):
     assert cat.read(spark, "t").count() == 350
 
 
+def test_auto_compaction_mid_crawl_preserves_resume(spark, tmp_path):
+    """compact_every folds maintenance into the epoch loop; a later resume
+    still skips committed epochs and reads the full history."""
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import generate_seeds
+
+    pages = generate_pages(spark, 120)
+    seeds = generate_seeds(spark, n_per_host=3, hot_factor=2, n_epochs=3)
+    root = str(tmp_path / "cat")
+    eng = CrawlEngine(spark, root, pages, max_depth=0, use_bloom=False,
+                      compact_every=2)
+    stats = eng.run(seeds, n_epochs=3)
+    assert [s.get("skipped", False) for s in stats] == [False] * 3
+    assert eng.catalog.manifest("seen").get("compaction", {}).get("upto") == 1
+    total = eng.catalog.read(spark, "seen").count()
+    # resume skips all three epochs and the compacted reads still resolve
+    eng2 = CrawlEngine(spark, root, pages, max_depth=0, use_bloom=False)
+    assert all(s["skipped"] for s in eng2.run(seeds, n_epochs=3))
+    assert eng2.catalog.read(spark, "seen").count() == total
+    assert eng2.catalog.committed_epochs("seen") == [0, 1, 2]
+
+
 def test_snapshot_asof_and_change_detection(spark):
     """Crawl-history ops: as-of cut keeps the latest version ≤ cutoff per
     url; change bits flag only genuinely-changed recrawls."""

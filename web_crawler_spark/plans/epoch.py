@@ -57,6 +57,7 @@ class CrawlEngine:
         agent: str = "sparkcrawl",
         max_per_host_per_epoch: int | None = None,
         target_rows_per_task: int = 500,
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.catalog = EpochCatalog(catalog_root)
@@ -73,6 +74,9 @@ class CrawlEngine:
         self.max_per_host_per_epoch = max_per_host_per_epoch
         # sizing target for the url_hash rebalance (see _rebalance_width)
         self.target_rows_per_task = target_rows_per_task
+        # auto-maintenance: compact+vacuum every N committed epochs (the
+        # long-crawl small-file control; None = manual / CLI --compact)
+        self.compact_every = compact_every
         if robots_pages is not None:
             # rules + per-host crawl delays: tiny tables, parsed once,
             # broadcast into every epoch (a real deployment refreshes them
@@ -365,4 +369,10 @@ class CrawlEngine:
                 results.append({"epoch": epoch, "skipped": True})
                 continue
             results.append(self.run_epoch(seeds, epoch))
+            if self.compact_every and (epoch + 1) % self.compact_every == 0:
+                for table in ("fetched", "extracted", "outlinks",
+                              "metrics", "seen", "deferred"):
+                    if self.catalog.committed_epochs(table):
+                        self.catalog.compact(self.spark, table)
+                        self.catalog.vacuum(table)
         return results

@@ -87,14 +87,16 @@ class EpochCatalog:
         frames = []
         if comp:
             cdir = os.path.join(tdir, comp["dir"])
-            compacted = [e for e in epochs if e <= comp["upto"]]
+            # a committed epoch with ZERO rows leaves no epoch=K subdir in
+            # the compacted rewrite (partitionBy writes nothing for it) —
+            # skip missing paths, they contribute no rows by construction
+            cpaths = [
+                p for e in epochs if e <= comp["upto"]
+                if os.path.exists(p := os.path.join(cdir, f"epoch={e}"))
+            ]
             live = [e for e in epochs if e > comp["upto"]]
-            if compacted:
-                frames.append(
-                    spark.read.option("basePath", cdir).parquet(
-                        *[os.path.join(cdir, f"epoch={e}") for e in compacted]
-                    )
-                )
+            if cpaths:
+                frames.append(spark.read.option("basePath", cdir).parquet(*cpaths))
         else:
             live = epochs
         if live:
@@ -103,6 +105,8 @@ class EpochCatalog:
                     *[os.path.join(tdir, f"epoch={e}") for e in live]
                 )
             )
+        if not frames:
+            return None  # every committed epoch was empty and compacted away
         df = frames[0]
         for f in frames[1:]:
             df = df.unionByName(f)
