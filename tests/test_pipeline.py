@@ -113,3 +113,45 @@ def test_rank_within_category(spark):
     assert ranks[("a", 3.0)] == 1 and ranks[("a", 1.0)] == 2
     # None → treated as 0 (reference `x.current_price or 0`)
     assert ranks[("a", None)] == 3
+
+
+def test_warc_export_roundtrip(spark, tmp_path):
+    """WARC/1.0 export: records parse back with byte-correct Content-Length
+    and payload identity; record IDs deterministic across re-export."""
+    import glob
+    import re
+
+    from web_crawler_spark.plans.report import warc_records, write_warc
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/x", "2025-07-22 10:00:00", "<p>héllo wörld</p>"),
+            ("https://b.com/y", "2025-07-22 10:00:02", "<table><tr><td>1</td></tr></table>"),
+        ],
+        "canonical_url string, fetch_ts string, html string",
+    ).withColumn("fetch_ts", F.col("fetch_ts").cast("timestamp"))
+
+    out = str(tmp_path / "warc")
+    write_warc(pages, out)
+    text = ""
+    for f in sorted(glob.glob(out + "/part-*")):
+        with open(f, "rb") as fh:
+            text += fh.read().decode("utf-8")  # binary: keep \r\n intact
+    records = [r for r in text.split("WARC/1.0\r\n") if r.strip()]
+    assert len(records) == 2
+    by_uri = {}
+    for r in records:
+        uri = re.search(r"WARC-Target-URI: (\S+)", r).group(1)
+        clen = int(re.search(r"Content-Length: (\d+)", r).group(1))
+        body = r.split("\r\n\r\n", 1)[1].rstrip("\r\n")
+        by_uri[uri] = (clen, body)
+    clen_a, body_a = by_uri["https://a.com/x"]
+    assert body_a == "<p>héllo wörld</p>"
+    assert clen_a == len(body_a.encode("utf-8"))  # octet length, not chars
+    assert "WARC-Date: 2025-07-22T10:00:00Z" in records[0] + records[1]
+
+    # determinism: same input → same record ids
+    ids1 = sorted(re.findall(r"WARC-Record-ID: (\S+)", text))
+    r2 = warc_records(pages).orderBy("url").collect()
+    ids2 = sorted(re.findall(r"WARC-Record-ID: (\S+)", "".join(x["record"] for x in r2)))
+    assert ids1 == ids2

@@ -111,3 +111,65 @@ def forex_report(df: DataFrame) -> DataFrame:
         F.round(F.avg("mid_price"), 6).alias("avg_price"),
         F.round(F.avg("spread"), 4).alias("avg_spread"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC export (Common-Crawl interop sink — engine addition; the input_hint
+# pages are Common-Crawl-style, so the natural EXPORT format is WARC/1.0
+# response records)
+# ---------------------------------------------------------------------------
+
+
+def warc_records(
+    fetched: DataFrame,
+    url_col: str = "canonical_url",
+    ts_col: str = "fetch_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """WARC/1.0 response records as one string column ``record`` — pure
+    Column concat, no UDF; a scan-shaped export at any corpus size.
+
+    Caveat (documented contract): the payload rides through a string
+    column, so this export is faithful for UTF-8 page bodies (the
+    synthetic corpus and the byte-identity fixtures are UTF-8).
+    ``Content-Length`` is the payload's OCTET length (UTF-8 bytes), per
+    the WARC spec, not the char count. WARC-Record-ID is a deterministic
+    urn:uuid derived from md5(url, ts) — re-exports are stable.
+    """
+    url = F.col(url_col)
+    body = F.col(html_col).cast("string")
+    h = F.md5(F.concat_ws("|", url, F.col(ts_col).cast("string")))
+    record_id = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"), F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12), F.lit(">"),
+    )
+    crlf = F.lit("\r\n")
+    record = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: response"), crlf,
+        F.lit("WARC-Target-URI: "), url, crlf,
+        F.lit("WARC-Date: "),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"), crlf,
+        F.lit("WARC-Record-ID: "), record_id, crlf,
+        F.lit("Content-Type: text/html"), crlf,
+        F.lit("Content-Length: "), F.octet_length(body).cast("string"), crlf,
+        crlf, body, crlf, crlf,
+    )
+    return fetched.filter(body.isNotNull()).select(
+        url.alias("url"), record.alias("record")
+    )
+
+
+def write_warc(
+    fetched: DataFrame, path: str,
+    url_col: str = "canonical_url", ts_col: str = "fetch_ts",
+    html_col: str = "html",
+) -> None:
+    """Write WARC records as text part-files (one record per row; WARC
+    readers treat a file as a record stream, so partitioned text output IS
+    a sharded WARC set — the standard Common Crawl layout)."""
+    warc_records(fetched, url_col, ts_col, html_col).select("record").write.mode(
+        "overwrite"
+    ).text(path)
