@@ -1458,6 +1458,13 @@ WHERE host IN ('h2.com', 'h3.com')            -- no robots → allowed
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over documents. Honesty note on recall: the
+    4×16-bit pigeonhole blocking GUARANTEES completeness only for hamming
+    ≤ 3; at max_hamming=18 the blocking is an LSH-style candidate filter
+    (pairs disagreeing on all 4 sub-keys are not generated) — i.e. this
+    operator is "pairs within hamming 18 that share a 16-bit quarter",
+    the standard simhash-at-scale trade. Exact-regime (≤3) behavior is
+    pinned by test_trainops.py::test_simhash_hamming."""
     d = _t(spark, sf_dir, "documents")
     return D.simhash_dedup_pairs(d, "text", "doc_id", max_hamming=18).orderBy(
         "id_a", "id_b"
