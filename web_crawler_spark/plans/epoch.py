@@ -161,7 +161,11 @@ class CrawlEngine:
                 .select(
                     F.col("resolved_url").alias("url"),
                     F.lit("outlink").alias("source"),
-                    F.lit(1_000_000).alias("priority"),  # discovered < seeded
+                    # BFS-with-priority: discovered URLs rank after every
+                    # seed (base 10^6), and within the discovered class
+                    # shallower rings rank first — a deferred depth-2 link
+                    # can never outrank a fresh depth-1 link
+                    (F.lit(1_000_000) + F.col("depth") + 1).cast("int").alias("priority"),
                     (F.col("depth") + 1).alias("depth"),
                 )
             )
