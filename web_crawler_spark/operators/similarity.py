@@ -67,15 +67,20 @@ def lsh_topk(
     n_planes: int | None = None,
     multiprobe: int = 1,
     corpus_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Probe the query's LSH bucket plus all buckets within ``multiprobe``
-    bit flips (rank-1 multiprobe = n_planes+1 buckets)."""
+    bit flips (rank-1 multiprobe = n_planes+1 buckets). ``portable=True``
+    buckets with the md5-parity planes (``V.lsh_bucket_portable``) so a SQL
+    oracle can reproduce the exact probe set; default is the xxhash64 fast
+    path."""
     if n_planes is None:
         n_planes = auto_n_planes(corpus_size if corpus_size is not None else df.count())
+    bucket_fn = V.lsh_bucket_portable if portable else V.lsh_bucket
     q = _query_lit(query_vec)
-    bucketed = df.withColumn("bucket", V.lsh_bucket(F.col(vec_col), n_planes))
+    bucketed = df.withColumn("bucket", bucket_fn(F.col(vec_col), n_planes))
     qb = bucketed.sparkSession.range(1).select(
-        V.lsh_bucket(q, n_planes).alias("qbucket")
+        bucket_fn(q, n_planes).alias("qbucket")
     ).collect()[0]["qbucket"]
     probes = {qb} | ({qb ^ (1 << p) for p in range(n_planes)} if multiprobe else set())
     return (
@@ -98,6 +103,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """IVF with deterministic sampled centroids (ids hashed by seed — a
     stand-in for k-means at small scale; at 100 TB the centroid set is
@@ -109,12 +115,21 @@ def ivf_topk(
     row_number window, but with zero joins, zero shuffles, and no 16× row
     inflation; the stage stays embarrassingly parallel whole-stage codegen.
     """
-    cent_rows = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy(F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(1_000_003)))
-        .limit(n_centroids)
-        .collect()
-    )
+    cent_sel = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    if portable:
+        # md5-string ordering is computable by any SQL engine (the oracle);
+        # distances are rounded to 6 decimals before the argmin/probe sort so
+        # double-accumulation-order differences across engines can't flip a
+        # near-tie assignment.
+        cent_sel = cent_sel.orderBy(
+            F.md5(F.concat(F.lit(f"ivf{seed}:"), F.col("cid").cast("string"))),
+            F.col("cid"),
+        )
+    else:
+        cent_sel = cent_sel.orderBy(
+            F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(1_000_003))
+        )
+    cent_rows = cent_sel.limit(n_centroids).collect()
     if not cent_rows:
         return df.select(
             F.col(id_col), F.lit(0.0).alias("cosine")
@@ -128,11 +143,15 @@ def ivf_topk(
         )
         for r in cent_rows
     ])
+    def dist_expr(c):
+        d = V.l2_distance(F.col(vec_col), c["cvec"])
+        return F.round(d, 6) if portable else d
+
     nearest = F.array_min(
         F.transform(
             cent_arr,
             lambda c: F.struct(
-                V.l2_distance(F.col(vec_col), c["cvec"]).alias("d"),
+                dist_expr(c).alias("d"),
                 c["cid"].alias("cid"),
             ),
         )
@@ -144,7 +163,8 @@ def ivf_topk(
         acc = 0.0
         for x, y in zip(u, query_vec):
             acc += (float(x) - float(y)) ** 2
-        return math.sqrt(acc)
+        d = math.sqrt(acc)
+        return round(d, 6) if portable else d
 
     probe_cids = [
         cid for cid, _ in sorted(
@@ -172,6 +192,7 @@ def pairwise_cosine_dedup(
     n_planes: int | None = None,
     corpus_size: int | None = None,
     max_bucket: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucket candidates then exact cosine —
     same verify-after-blocking discipline as MinHash-LSH text dedup.
@@ -185,10 +206,11 @@ def pairwise_cosine_dedup(
     """
     if n_planes is None:
         n_planes = auto_n_planes(corpus_size if corpus_size is not None else df.count())
+    bucket_fn = V.lsh_bucket_portable if portable else V.lsh_bucket
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        V.lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        bucket_fn(F.col(vec_col), n_planes).alias("bucket"),
     )
     if max_bucket is not None:
         sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
