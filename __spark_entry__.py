@@ -960,6 +960,73 @@ def _q_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster formation + canonical election over the minhash-LSH
+    pair set (connected components by min-label propagation) — the exact
+    transitive groups are oracle-reproduced via a recursive closure."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", n=5, k=8, bands=4, threshold=0.18, portable_hash=True
+    )
+    return D.dedup_clusters(pairs, docs=d).orderBy("doc_id")
+
+
+def _q_keep_canonical(spark, sf_dir):
+    """Corpus after near-dup collapse: one minimum-id doc per component."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", n=5, k=8, bands=4, threshold=0.18, portable_hash=True
+    )
+    return D.keep_canonical(d, pairs).select("doc_id").orderBy("doc_id")
+
+
+def _cluster_closure_sql() -> str:
+    """Recursive transitive closure over the minhash pair set (the oracle's
+    side of dedup_clusters' iterative min-label propagation)."""
+    inner = _minhash_sql()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({inner}) mh
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+minreach AS (SELECT u, MIN(v) AS minv FROM reach GROUP BY u)
+"""
+
+
+def _sql_dedup_clusters() -> str:
+    return (
+        _cluster_closure_sql()
+        + """
+SELECT d.doc_id,
+       COALESCE(LEAST(d.doc_id, m.minv), d.doc_id) AS cluster_id,
+       (COALESCE(LEAST(d.doc_id, m.minv), d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN minreach m ON d.doc_id = m.u
+ORDER BY d.doc_id
+"""
+    )
+
+
+def _sql_keep_canonical() -> str:
+    return (
+        _cluster_closure_sql()
+        + """
+SELECT d.doc_id
+FROM documents d LEFT JOIN minreach m ON d.doc_id = m.u
+WHERE COALESCE(LEAST(d.doc_id, m.minv), d.doc_id) = d.doc_id
+ORDER BY d.doc_id
+"""
+    )
+
+
 def _minhash_sql() -> str:
     k, bands, n, thr = 8, 4, 5, 0.18
     rows = k // bands
@@ -2831,6 +2898,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_lang_quality_summary": _q_lang_quality_summary,
     "dd_ngram_jaccard_pairs": _q_ngram_jaccard,
     "dd_minhash_lsh_pairs": _q_minhash_lsh,
+    "dd_dedup_clusters": _q_dedup_clusters,
+    "dd_keep_canonical": _q_keep_canonical,
     "ann_cosine_topk": _q_ann_cosine,
     "dd_embedding_dedup_pairs": _q_embedding_dedup,
     # coverage completions (§2 rows previously folded into other queries)
@@ -2929,6 +2998,8 @@ _ORACLES: dict[str, str] = {
     "tx_lang_quality_summary": _SQL_LANG_QUALITY_SUMMARY,
     "dd_ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
     "dd_minhash_lsh_pairs": _minhash_sql(),
+    "dd_dedup_clusters": _sql_dedup_clusters(),
+    "dd_keep_canonical": _sql_keep_canonical(),
     "ann_cosine_topk": _SQL_ANN_COSINE,
     "dd_embedding_dedup_pairs": _SQL_EMBEDDING_DEDUP,
     "t2_topk_losers": _SQL_TOPK_LOSERS,

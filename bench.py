@@ -227,6 +227,23 @@ def component_throughput(spark) -> dict:
 
     par = spark.sparkContext.defaultParallelism
     out = {}
+    # Best-of-N trials per component (BENCH_COMPONENT_TRIALS, default 1;
+    # scaling pairs should use >=3): the host is multi-tenant and a single
+    # trial can absorb a neighbor-load burst mid-window, turning a 0.8-
+    # efficiency kernel into an apparent 0.2 (or 3.3). min-wall over N
+    # trials estimates the unloaded cost; N is recorded in the output so
+    # the methodology is visible, not cherry-picked.
+    trials = max(1, int(os.environ.get("BENCH_COMPONENT_TRIALS", "1")))
+    out["trials"] = trials
+
+    def best_wall(run) -> float:
+        walls = []
+        for _ in range(trials):
+            t0 = _t.time()
+            run()
+            walls.append(_t.time() - t0)
+        return min(walls)
+
     # BENCH_COMPONENT_ONLY=frontier,css → run a subset (short windows dodge
     # neighbor-load bursts on this multi-tenant host; a full 4-component
     # run is ~2 min and the tail components absorb whatever burst arrives)
@@ -256,9 +273,11 @@ def component_throughput(spark) -> dict:
     if "frontier" in only:
         keyed = UT.with_url_columns(urls)
         keyed.limit(1000).agg(F.sum(F.col("url_hash").cast("double"))).collect()  # warm codegen
-        t0 = _t.time()
-        keyed.agg(F.sum(F.col("url_hash").cast("double")), F.count(F.lit(1))).collect()
-        w1 = _t.time() - t0
+        w1 = best_wall(
+            lambda: keyed.agg(
+                F.sum(F.col("url_hash").cast("double")), F.count(F.lit(1))
+            ).collect()
+        )
         out["frontier_rows"] = n_urls
         out["frontier_wall_sec"] = round(w1, 2)
         out["frontier_rows_per_sec"] = round(n_urls / w1, 1)
@@ -270,9 +289,13 @@ def component_throughput(spark) -> dict:
         ).localCheckpoint()
         p = pages.select("url", "html")
         X.commodity_table_stage(p.limit(2000)).count()  # warm python workers
-        t0 = _t.time()
-        rows = X.commodity_table_stage(p).count()
-        w2 = _t.time() - t0
+        rows = 0
+
+        def _run_extract():
+            nonlocal rows
+            rows = X.commodity_table_stage(p).count()
+
+        w2 = best_wall(_run_extract)
         out["extract_pages"] = n_pages
         out["extract_rows"] = rows
         out["extract_wall_sec"] = round(w2, 2)
@@ -298,10 +321,10 @@ def component_throughput(spark) -> dict:
     ).localCheckpoint() if n_docs else None
     if "simhash" in only:
         simhash_stage(docs.limit(2000)).count()  # warm
-        t0 = _t.time()
         # bit_count keeps the forcing agg inside long range (ANSI overflow-safe)
-        simhash_stage(docs).agg(F.sum(F.bit_count("simhash"))).collect()
-        w3 = _t.time() - t0
+        w3 = best_wall(
+            lambda: simhash_stage(docs).agg(F.sum(F.bit_count("simhash"))).collect()
+        )
         out["simhash_docs"] = n_docs
         out["simhash_wall_sec"] = round(w3, 2)
         out["simhash_docs_per_sec"] = round(n_docs / w3, 1)
@@ -334,9 +357,7 @@ def component_throughput(spark) -> dict:
     }
     if "css" in only:
         css_config_stage(css_pages.limit(2000), css_cfg).count()  # warm
-        t0 = _t.time()
-        css_config_stage(css_pages, css_cfg).count()
-        w4 = _t.time() - t0
+        w4 = best_wall(lambda: css_config_stage(css_pages, css_cfg).count())
         out["css_pages"] = n_css
         out["css_wall_sec"] = round(w4, 2)
         out["css_pages_per_sec"] = round(n_css / w4, 1)

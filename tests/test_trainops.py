@@ -400,3 +400,38 @@ def test_pii_scrub_and_contamination(spark):
         r["doc_id"] for r in T.contaminated_doc_ids(docs, bench, n=8).collect()
     )
     assert hit == [1, 3]  # doc 2 shares no 8-gram with the benchmark
+
+
+def test_dedup_clusters_known_graph(spark):
+    # components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {5,9}, singletons via docs
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 3), (9, 5)], ["id_a", "id_b"]
+    )
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 7, 9)], ["doc_id"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in D.dedup_clusters(pairs, docs=docs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 7: (1, False),
+        4: (4, True), 5: (5, True), 9: (5, False),
+    }
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # a 12-node path needs multiple propagation rounds (diameter > 1)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    got = D.dedup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert sum(r["is_canonical"] for r in got) == 1
+
+
+def test_keep_canonical_collapses_components(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 4)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in D.keep_canonical(docs, pairs).collect())
+    assert kept == [0, 1, 2]
