@@ -1693,6 +1693,81 @@ ORDER BY cosine DESC, a.vec_id LIMIT 10
 """
 
 
+def _q_knn_join(spark, sf_dir):
+    """Batch k-NN: top-3 cosine neighbors of EVERY embedding (brute-force
+    block-nested-loop + per-query top-k window — the exact baseline whose
+    output contract knn_join_lsh reproduces at scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_join(emb, k=3).orderBy("vec_id", F.desc("cosine"), "nb_id")
+
+
+_SQL_KNN_JOIN = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS nb_id,
+         ROUND({{cos}}, 6) AS cosine
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, nb_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nb_id) AS rnk
+  FROM scored
+)
+SELECT vec_id, nb_id, cosine FROM ranked WHERE rnk <= 3
+ORDER BY vec_id, cosine DESC, nb_id
+""".format(cos=_sql_cosine("a.v", "b.v"))
+
+
+def _q_knn_join_lsh_md5(spark, sf_dir):
+    """LSH-bucketed batch k-NN with md5-parity planes: every vector probes
+    its own bucket + rank-1 bit flips; the exact candidate and top-k sets
+    are oracle-reproduced."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_join_lsh(
+        emb, k=3, n_planes=_ANN_N_PLANES, multiprobe=1, portable=True
+    ).orderBy("vec_id", F.desc("cosine"), "nb_id")
+
+
+def _sql_knn_join_lsh_md5(k: int = 3) -> str:
+    bucket = V.duckdb_lsh_bucket_sql("embedding", _ANN_N_PLANES)
+    cos = _sql_cosine("q.v", "c.v")
+    probes = ", ".join(
+        ["(bucket)"] + [f"(xor(bucket, {1 << p}))" for p in range(_ANN_N_PLANES)]
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+),
+probes AS (
+  SELECT vec_id, v, p.pb AS bucket
+  FROM b, LATERAL (VALUES {probes}) AS p(pb)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id, c.vec_id AS nb_id, ROUND({cos}, 6) AS cosine
+  FROM probes q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT vec_id, nb_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nb_id) AS rnk
+  FROM cand
+)
+SELECT vec_id, nb_id, cosine FROM ranked WHERE rnk <= {k}
+ORDER BY vec_id, cosine DESC, nb_id
+"""
+
+
+def _q_ann_ivf_trained(spark, sf_dir):
+    """IVF top-k over kmeans-TRAINED centroids (distributed Lloyd's: argmin
+    assignment + posexplode mean update). Rows-only: float mean accumulation
+    order is engine-specific, so the trained centroid set has no exact SQL
+    twin; recall-vs-bruteforce is pinned by pytest instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(emb, n_centroids=8, iters=3)
+    return SIM.ivf_topk(
+        emb, _query_vector(spark, sf_dir), k=10, centroids=cents, n_probe=3
+    )
+
+
 def _q_simhash_pairs_md5(spark, sf_dir):
     """simhash_dedup_pairs portable twin: 60-bit md5 token hashes, 4×15-bit
     pigeonhole blocks — the one-pass Arrow vote kernel runs the same, and
@@ -2935,12 +3010,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_host_pagerank": _q_host_pagerank,
     # oracle-checked portable twins of the xxhash64 similarity fast paths
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
+    "ann_knn_join": _q_knn_join,
+    "ann_knn_join_lsh_md5": _q_knn_join_lsh_md5,
     "ann_ivf_topk_md5": _q_ann_ivf_md5,
     "dd_embedding_lsh_pairs_md5": _q_embedding_lsh_pairs_md5,
     "dd_simhash_pairs_md5": _q_simhash_pairs_md5,
     # rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs)
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
+    "ann_ivf_trained_topk": _q_ann_ivf_trained,
     "dd_embedding_lsh_pairs": _q_embedding_lsh_pairs,
     "ann_ivf_topk": _q_ann_ivf,
     "crawl_extract_pipeline": _q_extract_pipeline,
@@ -3033,6 +3111,8 @@ _ORACLES: dict[str, str] = {
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "gr_host_graph": _SQL_HOST_GRAPH,
     "ann_lsh_topk_md5": _sql_ann_lsh_md5(),
+    "ann_knn_join": _SQL_KNN_JOIN,
+    "ann_knn_join_lsh_md5": _sql_knn_join_lsh_md5(),
     "ann_ivf_topk_md5": _sql_ann_ivf_md5(),
     "dd_embedding_lsh_pairs_md5": _sql_embedding_lsh_pairs_md5(),
     "dd_simhash_pairs_md5": _sql_simhash_pairs_md5(),

@@ -151,3 +151,82 @@ def test_portable_lsh_topk_contains_query_row(spark):
     ids = [r["vec_id"] for r in out]
     assert 0 in ids  # identical vector always lands in the query bucket
     assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_knn_join_matches_bruteforce_python(spark):
+    import itertools
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return round(num / den, 6)
+
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    got = {
+        (r["vec_id"], r["nb_id"]): r["cosine"]
+        for r in SIM.knn_join(df, k=2).collect()
+    }
+    want = {}
+    for vid, vec in VECS:
+        nbs = sorted(
+            ((cos(vec, v2), -i2) for i2, v2 in VECS if i2 != vid), reverse=True
+        )[:2]
+        for c, negi in nbs:
+            want[(vid, -negi)] = c
+    assert got == want
+
+
+def test_knn_join_lsh_recall_vs_exact(spark):
+    import random
+
+    rng = random.Random(5)
+    data = [
+        (i, [rng.gauss(cl, 0.15) for _ in range(8)])
+        for i, cl in ((j, j % 3) for j in range(90))
+    ]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"]).repartition(4)
+    exact = {
+        (r["vec_id"], r["nb_id"]) for r in SIM.knn_join(df, k=3).collect()
+    }
+    approx = {
+        (r["vec_id"], r["nb_id"])
+        for r in SIM.knn_join_lsh(df, k=3, n_planes=4, multiprobe=1).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # bucketed candidates, rank-1 multiprobe
+
+
+def test_kmeans_centroids_converge_on_blobs(spark):
+    import random
+
+    rng = random.Random(11)
+    centers = [[0.0] * 4, [10.0] * 4, [-10.0, 10.0, -10.0, 10.0]]
+    data = [
+        (i, [c + rng.gauss(0, 0.2) for c in centers[i % 3]])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"]).repartition(4)
+    cents = SIM.kmeans_centroids(df, n_centroids=3, iters=6)
+    assert len(cents) == 3
+    # every true center has a trained centroid within 0.5 L2
+    for tc in centers:
+        best = min(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(tc, cv)))
+            for _, cv in cents
+        )
+        assert best < 0.5, (tc, cents)
+
+
+def test_ivf_topk_with_trained_centroids(spark):
+    import random
+
+    rng = random.Random(7)
+    data = [
+        (i, [rng.gauss(i % 4, 0.1) for _ in range(6)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"]).repartition(4)
+    cents = SIM.kmeans_centroids(df, n_centroids=4, iters=4)
+    q = data[0][1]
+    got = SIM.ivf_topk(df, q, k=5, centroids=cents, n_probe=2).collect()
+    assert got[0]["vec_id"] == 0  # the query row itself tops the list
+    assert len(got) == 5

@@ -104,10 +104,13 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     portable: bool = False,
+    centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """IVF with deterministic sampled centroids (ids hashed by seed — a
-    stand-in for k-means at small scale; at 100 TB the centroid set is
-    trained offline and broadcast, exactly as here).
+    stand-in for k-means at small scale), or a pre-trained centroid set via
+    ``centroids=[(cid, [float, ...]), ...]`` — feed it
+    :func:`kmeans_centroids` output; at 100 TB the trained set is exactly
+    this broadcast list.
 
     Centroid ASSIGNMENT is an argmin over an array-of-centroids literal:
     ``array_min(transform(centroids, c -> struct(l2(vec, c.cvec), c.cid)))``
@@ -115,6 +118,11 @@ def ivf_topk(
     row_number window, but with zero joins, zero shuffles, and no 16× row
     inflation; the stage stays embarrassingly parallel whole-stage codegen.
     """
+    if centroids is not None:
+        cent_list = [(cid, [float(x) for x in cv]) for cid, cv in centroids]
+        return _ivf_probe(
+            df, query_vec, k, vec_col, id_col, n_probe, cent_list, portable
+        )
     cent_sel = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     if portable:
         # md5-string ordering is computable by any SQL engine (the oracle);
@@ -134,14 +142,32 @@ def ivf_topk(
         return df.select(
             F.col(id_col), F.lit(0.0).alias("cosine")
         ).limit(0)
+    cent_list = [(r["cid"], [float(x) for x in r["cvec"]]) for r in cent_rows]
+    return _ivf_probe(df, query_vec, k, vec_col, id_col, n_probe, cent_list, portable)
+
+
+def _ivf_probe(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    vec_col: str,
+    id_col: str,
+    n_probe: int,
+    cent_list: list[tuple],
+    portable: bool,
+) -> DataFrame:
+    """Argmin assignment + probe over a broadcast centroid list (shared by
+    the sampled and the kmeans-trained entry points)."""
+    if not cent_list:
+        return df.select(F.col(id_col), F.lit(0.0).alias("cosine")).limit(0)
     q = _query_lit(query_vec)
 
     cent_arr = F.array(*[
         F.struct(
-            F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
-            F.lit(r["cid"]).alias("cid"),
+            F.array(*[F.lit(x) for x in cv]).alias("cvec"),
+            F.lit(cid).alias("cid"),
         )
-        for r in cent_rows
+        for cid, cv in cent_list
     ])
     def dist_expr(c):
         d = V.l2_distance(F.col(vec_col), c["cvec"])
@@ -168,7 +194,7 @@ def ivf_topk(
 
     probe_cids = [
         cid for cid, _ in sorted(
-            ((r["cid"], l2(r["cvec"])) for r in cent_rows),
+            ((cid, l2(cv)) for cid, cv in cent_list),
             key=lambda t: (t[1], t[0]),
         )[:n_probe]
     ]
@@ -232,3 +258,179 @@ def pairwise_cosine_dedup(
         )
     )
     return cand.filter(F.col("cosine") >= threshold)
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Batch k-NN: the top-k cosine neighbors of EVERY vector (not one
+    query) — the primitive behind embedding-cluster dedup, retrieval-based
+    decontamination, and semantic grouping of a training corpus.
+
+    Brute-force baseline: block-nested-loop self-join + per-query top-k
+    window. Exact, oracle-checkable, O(n·m); right up to ~10^5 queries ×
+    full corpus. At 100 TB use :func:`knn_join_lsh` (same output contract)
+    — this exact variant stays the recall oracle over samples.
+
+    Returns (vec_id, nb_id, cosine) with ties broken by nb_id, neighbors
+    ordered best-first per query.
+    """
+    from pyspark.sql import Window
+
+    q = (queries if queries is not None else df).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("qv")
+    )
+    c = df.select(F.col(id_col).alias("nb_id"), F.col(vec_col).alias("cv"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.col("nb_id")
+    )
+    return (
+        q.join(c, F.col("vec_id") != F.col("nb_id"))
+        .select(
+            "vec_id",
+            "nb_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def knn_join_lsh(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int | None = None,
+    multiprobe: int = 1,
+    corpus_size: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH-bucketed batch k-NN — the 100 TB path for :func:`knn_join`.
+
+    Every vector is bucketed once; the QUERY side explodes to its own
+    bucket plus rank-``multiprobe`` bit-flip neighbors (n_planes+1 probe
+    rows per query at rank 1), then an equi-join on the bucket id generates
+    candidates and a per-query top-k window ranks them. The shuffle carries
+    (id, bucket) probe rows and (id, bucket, vec) corpus rows — candidate
+    work is sum over buckets of |queries_probing_b| × |bucket_b|, i.e.
+    ~(n_planes+1)·n·2^-n_planes·n, bounded by the auto-scaled plane count
+    (~2^8 vectors/bucket). Recall is tunable with ``multiprobe``; the exact
+    :func:`knn_join` over a sample is the recall oracle.
+    """
+    from pyspark.sql import Window
+
+    if n_planes is None:
+        n_planes = auto_n_planes(
+            corpus_size if corpus_size is not None else df.count()
+        )
+    bucket_fn = V.lsh_bucket_portable if portable else V.lsh_bucket
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        bucket_fn(F.col(vec_col), n_planes).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    flips = F.array(
+        F.col("bucket"),
+        *([
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(n_planes)
+        ] if multiprobe else []),
+    )
+    probes = base.select(
+        F.col("id").alias("vec_id"),
+        F.col("vec").alias("qv"),
+        F.explode(flips).alias("bucket"),
+    )
+    cand = probes.join(
+        base.select(
+            F.col("id").alias("nb_id"),
+            F.col("vec").alias("cv"),
+            "bucket",
+        ),
+        "bucket",
+    ).filter(F.col("vec_id") != F.col("nb_id"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.col("nb_id"))
+    return (
+        cand.select(
+            "vec_id",
+            "nb_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["vec_id", "nb_id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[tuple]:
+    """Distributed Lloyd's iterations for the IVF coarse quantizer — the
+    trained replacement for :func:`ivf_topk`'s hash-sampled stand-in.
+
+    Per iteration: (1) assignment is the same zero-join argmin over the
+    broadcast array-of-centroids expression ivf_topk uses (embarrassingly
+    parallel, whole-stage codegen); (2) the update is posexplode →
+    groupBy(cid, pos).avg — the shuffle carries (cid, pos, val) triples
+    (≈ corpus × dim × 12 B with map-side partial aggregation), never whole
+    vectors, and is skew-free because pos spreads every cluster over dim
+    keys. Centroids (k × d doubles) come back to the driver each round —
+    they ARE the broadcast side at any scale. Empty clusters keep their
+    previous centroid. Returns [(cid, [float, ...]), ...] for feeding
+    ``ivf_topk(centroids=...)``.
+    """
+    cent_rows = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(1_000_003)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(cent_rows)]
+    if not cents:
+        return []
+    vecs = df.select(F.col(vec_col).alias("vec")).localCheckpoint(eager=True)
+    for _ in range(iters):
+        cent_arr = F.array(*[
+            F.struct(
+                F.array(*[F.lit(x) for x in cv]).alias("cvec"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in cents
+        ])
+        nearest = F.array_min(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    V.l2_distance(F.col("vec"), c["cvec"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"]
+        means = (
+            vecs.select(nearest.alias("cid"), F.posexplode("vec"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        updated = {r["cid"]: [float(x) for x in r["cvec"]] for r in means}
+        cents = [(cid, updated.get(cid, cv)) for cid, cv in cents]
+    return cents
