@@ -2250,6 +2250,88 @@ FROM t GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def _q_term_stats(spark, sf_dir):
+    """Inverted-index rollup: per-term document frequency + collection
+    frequency over the postings build (explode → (term, doc) agg → term
+    agg), top-20 terms by df."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.term_stats(d)
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+        .select("term", "df", F.col("cf").cast("long").alias("cf"))
+    )
+
+
+_SQL_TERM_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE trim(text) <> ''
+),
+p AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tdf AS (SELECT term, doc_id, count(*) AS tf FROM p GROUP BY term, doc_id)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tdf GROUP BY term
+ORDER BY df DESC, term LIMIT 20
+"""
+
+
+_BM25_TERMS = ["spark", "window", "join"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for a 3-term query — zero-shuffle plan (per-term
+    tf as array expressions, idf constants folded from a 1-row stats agg,
+    TakeOrderedAndProject)."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.bm25_topk(d, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+def _sql_bm25_topk() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(tk, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_exprs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # same IEEE fold as the engine: idf_i = ln(1+(n-df+0.5)/(df+0.5)),
+    # norm = k1*(1-b+b*dl/avgdl), score = sum_i idf_i*tf_i*(k1+1)/(tf_i+norm)
+    parts = " + ".join(
+        f"(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * {k1 + 1.0}"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * ({1.0 - b} + {b} * dl / s.avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+),
+tfd AS (
+  SELECT doc_id, len(tk) AS dl,
+         {tf_exprs}
+  FROM toks
+),
+s AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_exprs}
+  FROM tfd
+)
+SELECT doc_id, ROUND({parts}, 6) AS score
+FROM tfd, s
+WHERE ({parts}) > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality flags (Rae et al. 2021): integer-exact word
     count / mean-word-length / alpha-ratio filters as one shuffle-free
@@ -3002,6 +3084,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_contamination_check": _q_contamination,
     "tx_gopher_quality": _q_gopher_quality,
     "tx_repetition": _q_repetition,
+    "tx_term_stats": _q_term_stats,
+    "tx_bm25_topk": _q_bm25_topk,
     "dd_chunk_dedup": _q_chunk_dedup,
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
@@ -3104,6 +3188,8 @@ _ORACLES: dict[str, str] = {
     "dd_contamination_check": _SQL_CONTAMINATION,
     "tx_gopher_quality": _SQL_GOPHER_QUALITY,
     "tx_repetition": _SQL_REPETITION,
+    "tx_term_stats": _SQL_TERM_STATS,
+    "tx_bm25_topk": _sql_bm25_topk(),
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,

@@ -435,3 +435,57 @@ def test_keep_canonical_collapses_components(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 4)], ["id_a", "id_b"])
     kept = sorted(r["doc_id"] for r in D.keep_canonical(docs, pairs).collect())
     assert kept == [0, 1, 2]
+
+
+def test_inverted_index_and_term_stats(spark):
+    from web_crawler_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b b d"), (2, "A  a")], ["doc_id", "text"]
+    )
+    postings = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in C.inverted_index(docs).collect()
+    }
+    assert postings == {
+        ("a", 0): 2, ("b", 0): 1, ("c", 0): 1,
+        ("b", 1): 2, ("d", 1): 1, ("a", 2): 2,
+    }
+    stats = {r["term"]: (r["df"], r["cf"]) for r in C.term_stats(docs).collect()}
+    assert stats == {"a": (2, 4), "b": (2, 3), "c": (1, 1), "d": (1, 1)}
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from web_crawler_spark.operators import corpus as C
+
+    corpus = [
+        (0, "spark join window join"),
+        (1, "table scan spark"),
+        (2, "window window window group"),
+        (3, "filter sort order"),
+    ]
+    terms, k1, b = ["spark", "window"], 1.2, 0.75
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+
+    toks = [t.split() for _, t in corpus]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    want = []
+    for (did, _), tk in zip(corpus, toks):
+        s = 0.0
+        for term in terms:
+            tf = tk.count(term)
+            df = sum(1 for t2 in toks if term in t2)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0:
+            want.append((did, round(s, 6)))
+    want.sort(key=lambda t: (-t[1], t[0]))
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in C.bm25_topk(docs, terms, k=10, k1=k1, b=b).collect()
+    ]
+    assert got == want

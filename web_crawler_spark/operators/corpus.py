@@ -98,3 +98,114 @@ def chunk_dedup_stats(
             F.sum((F.col("__rn") > 1).cast("bigint")).alias("n_dup_chunks"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Postings build: (term, doc_id, tf) — the classic search-index shape,
+    as one explode + combiner-friendly agg. The shuffle key is (term,
+    doc_id) so no single reducer sees a whole hot term; downstream
+    per-term rollups (df, cf) re-shuffle by term only AFTER the per-doc
+    collapse has shrunk the data to one row per (term, doc). At 100 TB the
+    output is written partitioned/bucketed by term hash — bucket-join-able
+    against query workloads with no further shuffle."""
+    toks = T.tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-term corpus stats over the postings: document frequency and
+    collection frequency — the idf side of any ranking function."""
+    return (
+        inverted_index(df, text_col, id_col)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval, shuffle-free.
+
+    Query terms are a handful of literals, so per-doc term frequencies are
+    computed as array expressions over the token array (``size(filter(
+    toks, t -> t = term))``) — no explode, no postings join. The plan is:
+
+    1. one combiner-friendly scan → scalar aggregates N, avgdl, and per-term
+       df (count of docs with tf>0) collected to the driver (1 row);
+    2. idf folded into literal constants;
+    3. one more scan computing score = Σ_t idf_t·tf_t·(k1+1)/(tf_t +
+       k1·(1−b+b·dl/avgdl)) as a single projection, then
+       TakeOrderedAndProject for the top-k.
+
+    Zero shuffles at any corpus size — both stages are embarrassingly
+    parallel; the only cross-partition traffic is the 1-row stats agg and
+    the k-row heap merge. idf uses the Robertson–Spärck Jones form
+    ln(1 + (N − df + 0.5)/(df + 0.5)), non-negative for df ≤ N.
+    Scores round to 6 decimals (cross-engine double parity).
+    """
+    import math as _m
+
+    toks = T.tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("dl"),
+    )
+    tf_cols = [
+        F.size(F.filter(F.col("toks"), lambda t: t == F.lit(term))).alias(f"tf{i}")
+        for i, term in enumerate(query_terms)
+    ]
+    tfd = base.select("doc_id", "dl", *tf_cols)
+    stats = tfd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    if n == 0:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    avgdl = stats["sum_dl"] / n
+    idf = [
+        _m.log(1.0 + (n - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5))
+        for i in range(len(query_terms))
+    ]
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        part = F.lit(idf[i]) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    return (
+        tfd.select("doc_id", score.alias("raw"))
+        .filter(F.col("raw") > 0)
+        .select("doc_id", F.round("raw", 6).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
