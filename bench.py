@@ -46,6 +46,12 @@ HEADLINE = [
     "ann_ivf_topk",
     "dd_simhash_pairs",
     "x9_css_selector",
+    # round-2 additions: batch k-NN join (Arrow bucket+score kernels),
+    # near-dup cluster formation over the fast minhash pairs, and the
+    # zero-shuffle BM25 retrieval
+    "ann_knn_join_lsh_fast",
+    "dd_dedup_clusters_fast",
+    "tx_bm25_topk",
 ]
 
 
@@ -120,6 +126,23 @@ def main() -> None:
 
     qs["dd_minhash_lsh_pairs_fast"] = _mh_fast
 
+    def _knn_fast(spark, sf_dir):
+        from web_crawler_spark.operators.similarity import knn_join_lsh
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return knn_join_lsh(emb, k=3, multiprobe=1)
+
+    qs["ann_knn_join_lsh_fast"] = _knn_fast
+
+    def _clusters_fast(spark, sf_dir):
+        from web_crawler_spark.operators.dedup import dedup_clusters
+
+        df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        pairs = minhash_lsh_pairs(df, n=5, k=16, bands=4, threshold=0.5)
+        return dedup_clusters(pairs, docs=df)
+
+    qs["dd_dedup_clusters_fast"] = _clusters_fast
+
     # warmup: JIT/codegen/scan caches out of the timed region
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
@@ -130,7 +153,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline suite wall time (19 queries: relational + crawl + dedup + text + ann + css-extract)",
+        "metric": "headline suite wall time (22 queries: relational + crawl + dedup + clusters + text + ann/knn + bm25 + css-extract)",
         "value": total,
         "unit": "sec",
         "queries": timings,
