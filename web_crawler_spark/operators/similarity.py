@@ -17,6 +17,20 @@ derived as ``max(6, ceil(log2(n)) - 8)`` — ~2^8 vectors per bucket — so the
 within-bucket candidate join stays linear-ish as the corpus grows instead
 of quadratic-in-(n/2^6). Callers at scale pass ``corpus_size`` (a known
 manifest count) to avoid the extra count job.
+
+Two execution paths per approximate operator, same plan shape:
+
+* ``portable=True`` — every float fold and hash is a Column expression a
+  SQL oracle reproduces verbatim (md5-parity planes, HOF left-fold
+  cosine). This is the driver-certified path.
+* default (fast) — the per-row array arithmetic moves into Arrow-batched
+  numpy kernels (``_arrow_bucket_stage``: one (rows×dim)·(dim×planes)
+  matmul per batch; ``_arrow_cosine_stage``: one einsum per candidate
+  batch). Interpreted higher-order-function expressions cost ~10 µs/row
+  of boxing — they never enter whole-stage codegen — so this is the
+  100 TB path. The fast path uses the SAME md5-parity planes, so bucket
+  ids (and therefore candidate sets) agree with the certified variant;
+  only the last-ulp float summation order differs, hidden by round-6.
 """
 
 from __future__ import annotations
@@ -76,12 +90,21 @@ def lsh_topk(
     path."""
     if n_planes is None:
         n_planes = auto_n_planes(corpus_size if corpus_size is not None else df.count())
-    bucket_fn = V.lsh_bucket_portable if portable else V.lsh_bucket
     q = _query_lit(query_vec)
-    bucketed = df.withColumn("bucket", bucket_fn(F.col(vec_col), n_planes))
-    qb = bucketed.sparkSession.range(1).select(
-        bucket_fn(q, n_planes).alias("qbucket")
-    ).collect()[0]["qbucket"]
+    if portable:
+        bucketed = df.withColumn(
+            "bucket", V.lsh_bucket_portable(F.col(vec_col), n_planes)
+        )
+        qb = bucketed.sparkSession.range(1).select(
+            V.lsh_bucket_portable(q, n_planes).alias("qbucket")
+        ).collect()[0]["qbucket"]
+    else:
+        # Arrow bucketing for the corpus; the single query bucket is the
+        # same md5-parity projection computed driver-side (no job)
+        bucketed = _arrow_bucket_stage(df, n_planes, id_col, vec_col).select(
+            F.col("id").alias(id_col), F.col("vec").alias(vec_col), "bucket"
+        )
+        qb = _py_lsh_bucket(query_vec, n_planes)
     probes = {qb} | ({qb ^ (1 << p) for p in range(n_planes)} if multiprobe else set())
     return (
         bucketed.filter(F.col("bucket").isin(*probes))
@@ -92,6 +115,28 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def _py_lsh_bucket(vec: list[float], n_planes: int, seed: int = 7) -> int:
+    """Driver-side twin of the md5-parity sign projection (one query
+    vector — no reason to launch a job). Matches ``_arrow_bucket_stage``
+    and ``V.lsh_bucket_portable`` bit for bit on sign decisions up to
+    float summation order: the numpy kernel sums with pairwise order,
+    this and the Column fold sum left-to-right — a near-zero projection
+    could in principle flip, which is exactly the multiprobe's job."""
+    import hashlib
+
+    bucket = 0
+    for p in range(n_planes):
+        acc = 0.0
+        for i, x in enumerate(vec):
+            nib = int(
+                hashlib.md5(f"lsh{seed}:{p}:{i}".encode()).hexdigest()[0], 16
+            )
+            acc += float(x) if nib % 2 == 0 else -float(x)
+        if acc > 0:
+            bucket += 1 << p
+    return bucket
 
 
 def ivf_topk(
@@ -232,12 +277,16 @@ def pairwise_cosine_dedup(
     """
     if n_planes is None:
         n_planes = auto_n_planes(corpus_size if corpus_size is not None else df.count())
-    bucket_fn = V.lsh_bucket_portable if portable else V.lsh_bucket
-    bucketed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        bucket_fn(F.col(vec_col), n_planes).alias("bucket"),
-    )
+    if portable:
+        bucketed = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            V.lsh_bucket_portable(F.col(vec_col), n_planes).alias("bucket"),
+        )
+    else:
+        # Arrow sign-projection bucketing (same md5-parity planes as the
+        # portable variant — bucket ids agree; interpreted-HOF cost gone)
+        bucketed = _arrow_bucket_stage(df, n_planes, id_col, vec_col)
     if max_bucket is not None:
         sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
         bucketed = (
@@ -251,13 +300,27 @@ def pairwise_cosine_dedup(
             bucketed.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
+    )
+    if portable:
+        scored = cand.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(V.cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
         )
-    )
-    return cand.filter(F.col("cosine") >= threshold)
+    else:
+        scored = _arrow_cosine_stage(
+            cand.select(
+                F.col("a.id").alias("vec_id"),
+                F.col("b.id").alias("nb_id"),
+                F.col("a.vec").alias("qv"),
+                F.col("b.vec").alias("cv"),
+            )
+        ).select(
+            F.col("vec_id").alias("id_a"),
+            F.col("nb_id").alias("id_b"),
+            "cosine",
+        )
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def knn_join(
