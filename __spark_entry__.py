@@ -2250,6 +2250,44 @@ FROM t GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def _q_salted_join(spark, sf_dir):
+    """Skew-safe equi-join: lineitem joined to a 3-row dim on l_returnflag
+    (maximal skew — every row hits one of 3 keys) through the salt trick,
+    then aggregated; output is provably identical to the plain join (the
+    oracle runs the unsalted SQL)."""
+    from web_crawler_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("qty")
+    )
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("w", F.ascii("l_returnflag").cast("double"))
+    )
+    return (
+        salted_join(li, dim, "l_returnflag", n_salts=8)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("qty") * F.col("w")), 4).alias("weighted_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_SALTED_JOIN = """
+WITH dim AS (
+  SELECT DISTINCT l_returnflag, CAST(ascii(l_returnflag) AS DOUBLE) AS w
+  FROM lineitem
+)
+SELECT li.l_returnflag, COUNT(*) AS n,
+       ROUND(SUM(CAST(li.l_quantity AS DOUBLE) * dim.w), 4) AS weighted_qty
+FROM lineitem li JOIN dim ON li.l_returnflag = dim.l_returnflag
+GROUP BY li.l_returnflag ORDER BY li.l_returnflag
+"""
+
+
 def _q_term_stats(spark, sf_dir):
     """Inverted-index rollup: per-term document frequency + collection
     frequency over the postings build (explode → (term, doc) agg → term
@@ -2835,6 +2873,42 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 """
 
 
+def _q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 pattern (large-volume orders): groupBy-HAVING on the fact
+    → join back to orders → top-20. Exercises the agg-then-semi-join shape
+    (the HAVING set is small, so at scale the join back is broadcast-able
+    — AQE converts it after the agg shrinks the side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice"), 4).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DOUBLE)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DOUBLE)) > 300
+)
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS total_price, sum_qty
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
+ORDER BY total_price DESC, o_orderkey LIMIT 20
+"""
+
+
 def _q_tpch_q12(spark, sf_dir):
     """TPC-H Q12 pattern (adapted to the synthetic schema): join + dual
     conditional aggregation — high/low-priority line counts per return
@@ -3079,6 +3153,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6_forecast_revenue": _q_tpch_q6,
     "tpch_q12_priority_shipping": _q_tpch_q12,
     "tpch_q14_promo_revenue": _q_tpch_q14,
+    "tpch_q18_large_volume": _q_tpch_q18,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -3086,6 +3161,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_repetition": _q_repetition,
     "tx_term_stats": _q_term_stats,
     "tx_bm25_topk": _q_bm25_topk,
+    "sk_salted_join": _q_salted_join,
     "dd_chunk_dedup": _q_chunk_dedup,
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
@@ -3183,6 +3259,7 @@ _ORACLES: dict[str, str] = {
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
     "tpch_q12_priority_shipping": _SQL_TPCH_Q12,
     "tpch_q14_promo_revenue": _SQL_TPCH_Q14,
+    "tpch_q18_large_volume": _SQL_TPCH_Q18,
     "tx_dataset_split": _SQL_DATASET_SPLIT,
     "tx_pii_scrub": _SQL_PII_SCRUB,
     "dd_contamination_check": _SQL_CONTAMINATION,
@@ -3190,6 +3267,7 @@ _ORACLES: dict[str, str] = {
     "tx_repetition": _SQL_REPETITION,
     "tx_term_stats": _SQL_TERM_STATS,
     "tx_bm25_topk": _sql_bm25_topk(),
+    "sk_salted_join": _SQL_SALTED_JOIN,
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,

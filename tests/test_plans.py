@@ -87,3 +87,33 @@ def test_minhash_band_join_shuffles_slim_rows(spark):
         first_line = seg.splitlines()[0]
         if "band_sig" in first_line:
             assert "grams" not in first_line
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.skew import salted_join
+
+    # deliberately skewed: 90% of rows share one key
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"cold{i}") for i in range(1000)],
+        ["id", "k"],
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.5)] + [(f"cold{i}", float(i)) for i in range(0, 1000, 10)],
+        ["k", "w"],
+    )
+    plain = big.join(dim, "k", "inner").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    salted = salted_join(big, dim, "k", n_salts=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched big rows exactly once
+    big2 = big.union(spark.createDataFrame([(9999, "nomatch")], ["id", "k"]))
+    left = salted_join(big2, dim, "k", n_salts=4, how="left")
+    assert left.filter(F.col("k") == "nomatch").count() == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salted_join(big, dim, "k", how="full")

@@ -489,3 +489,47 @@ def test_bm25_matches_python_reference(spark):
         for r in C.bm25_topk(docs, terms, k=10, k1=k1, b=b).collect()
     ]
     assert got == want
+
+
+def test_dedup_clusters_matches_union_find_property(spark):
+    """Random pair graphs: min-label propagation == union-find reference."""
+    import random
+
+    def union_find_labels(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node id in the component
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(members) for members in comp.values() for n in members}
+
+    rng = random.Random(13)
+    for trial in range(4):
+        n_nodes = rng.randint(5, 40)
+        nodes = list(range(n_nodes))
+        n_pairs = rng.randint(0, n_nodes * 2)
+        pairs = [
+            tuple(rng.sample(nodes, 2)) for _ in range(n_pairs)
+        ]
+        docs = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+        if pairs:
+            pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        else:
+            pdf = spark.createDataFrame([], "id_a int, id_b int")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in D.dedup_clusters(pdf, docs=docs).collect()
+        }
+        want = union_find_labels(pairs, nodes)
+        assert got == want, (trial, pairs)
