@@ -117,3 +117,43 @@ def test_salted_join_equals_plain_join(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         salted_join(big, dim, "k", how="full")
+
+
+def test_bm25_scoring_stage_is_shuffle_free(spark):
+    """bm25_topk's scoring scan: per-term tf as array expressions + a
+    TakeOrderedAndProject — the ONLY exchange in the plan is the top-k's
+    final single-partition merge (no hash-partition shuffle, no join)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["tx_bm25_topk"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_knn_join_lsh_single_bucket_join(spark):
+    """knn_join_lsh: exactly one equi-join (on the bucket id) and one
+    window shuffle (per-query top-k) — no cross join, no nested-loop."""
+    from web_crawler_spark.operators.similarity import knn_join_lsh
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    plan = _plan(knn_join_lsh(emb, k=3, n_planes=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation is a single equi-join on bucket
+    n_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin")
+    assert n_joins == 1, plan[:2000]
+
+
+def test_ivf_trained_assignment_is_join_free(spark):
+    """ivf_topk(centroids=trained): the assignment+probe stage must stay
+    the zero-join argmin expression (same contract as the sampled path)."""
+    from web_crawler_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    cents = kmeans_centroids(emb, n_centroids=4, iters=1)
+    q = [0.0] * len(cents[0][1])
+    plan = _plan(ivf_topk(emb, q, k=5, centroids=cents, n_probe=2))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
