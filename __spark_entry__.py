@@ -2637,6 +2637,85 @@ ORDER BY rank DESC, node""")
     return "".join(parts)
 
 
+def _q_xlsx_scan(spark, sf_dir):
+    """S6 on REAL xlsx bytes (worldbank.py:60-119): a workbook is built
+    deterministically from the part table with the stdlib SpreadsheetML
+    writer (variable preamble per sheet), parsed back DISTRIBUTED via the
+    binaryFile + mapInPandas scan, header-sniffed on the 'Commodity'
+    marker, and the latest non-null value extracted right-to-left — the
+    oracle recomputes the expected rows from the same part table, so the
+    whole parse path is value-certified."""
+    import tempfile
+
+    from web_crawler_spark.sources.xlsx import write_xlsx, xlsx_scan
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+        .limit(200)
+        .collect()
+    )
+
+    def data_rows(offset, null_mod, mult):
+        return [
+            [
+                r["p_name"],
+                float(r["p_partkey"] + offset),
+                None if r["p_partkey"] % null_mod == 0 else float(r["p_partkey"] * mult),
+            ]
+            for r in p
+        ]
+
+    sheets = {
+        "Monthly Prices": [
+            ["World Bank Commodity Price Data", None, None],
+            ["(monthly series)", None, None],
+            ["Commodity", "2023", "2024"],
+            *data_rows(0, 3, 2),
+        ],
+        "Annual Prices": [
+            ["(annual series)", None, None],
+            ["Commodity", "2023", "2024"],
+            *data_rows(1, 4, 3),
+        ],
+    }
+    d = tempfile.mkdtemp(prefix="xlsx_scan_")
+    write_xlsx(os.path.join(d, "cmo.xlsx"), sheets)
+
+    rows = xlsx_scan(spark, d, sheets=["Monthly Prices", "Annual Prices"])
+    hdr = (
+        rows.filter(F.col("cells")[0] == "Commodity")
+        .groupBy("sheet")
+        .agg(F.min("row_idx").alias("h"))
+    )
+    latest = F.coalesce(F.col("cells")[2], F.col("cells")[1]).try_cast("double")
+    return (
+        rows.join(hdr, "sheet")
+        .filter(F.col("row_idx") > F.col("h"))
+        .select("sheet", F.col("cells")[0].alias("name"), latest.alias("latest_value"))
+        .orderBy("sheet", "name", "latest_value")
+    )
+
+
+_SQL_XLSX_SCAN = """
+WITH p AS (
+  SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 200
+)
+SELECT * FROM (
+  SELECT 'Monthly Prices' AS sheet, p_name AS name,
+         CASE WHEN p_partkey % 3 = 0 THEN CAST(p_partkey AS DOUBLE)
+              ELSE CAST(p_partkey * 2 AS DOUBLE) END AS latest_value
+  FROM p
+  UNION ALL
+  SELECT 'Annual Prices', p_name,
+         CASE WHEN p_partkey % 4 = 0 THEN CAST(p_partkey + 1 AS DOUBLE)
+              ELSE CAST(p_partkey * 3 AS DOUBLE) END
+  FROM p
+) ORDER BY sheet, name, latest_value
+"""
+
+
 def _q_header_sniff(spark, sf_dir):
     """S6 (worldbank.py:98-119 + 102-112): adaptive header-row discovery —
     sheets arrive with a variable-length preamble; the first row containing
@@ -3166,6 +3245,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
     "s6_header_sniff": _q_header_sniff,
+    "s6_xlsx_scan": _q_xlsx_scan,
     "gr_host_graph": _q_host_graph,
     "gr_host_pagerank": _q_host_pagerank,
     # oracle-checked portable twins of the xxhash64 similarity fast paths
@@ -3273,6 +3353,7 @@ _ORACLES: dict[str, str] = {
     "crawl_change_detection": _SQL_CHANGE_DETECTION,
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
+    "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,
     "ann_lsh_topk_md5": _sql_ann_lsh_md5(),
     "ann_knn_join": _SQL_KNN_JOIN,

@@ -173,3 +173,47 @@ def write_warc(
     warc_records(fetched, url_col, ts_col, html_col).select("record").write.mode(
         "overwrite"
     ).text(path)
+
+
+def write_commodity_workbook(df: DataFrame, path: str, k_summary: int = 5) -> None:
+    """S11 on REAL xlsx bytes (excel_writer.py:20-87): one 全部商品 sheet
+    (all rows), one sheet per category sorted by current_price desc (name
+    tiebreak), and a 统计摘要 summary sheet — written with the stdlib
+    SpreadsheetML writer (`sources/xlsx.py`), no xlsx library required.
+
+    Workbook assembly is a driver-side collect by design: the reference's
+    report is a human-sized artifact (hundreds of rows); the distributed
+    analogue for big outputs stays `write_category_report` (partitioned
+    parquet)."""
+    from ..sources.xlsx import write_xlsx
+
+    cols = ["name", "category", "current_price", "change_percent", "source"]
+    rows = (
+        _ensure_columns(df, cols)
+        .select(*cols)
+        .orderBy(F.desc("current_price"), "name")
+        .collect()
+    )
+    header = ["商品名称", "分类", "当前价格", "涨跌幅%", "来源"]
+    def sheet_rows(rws):
+        return [header] + [
+            [r["name"], r["category"], r["current_price"], r["change_percent"], r["source"]]
+            for r in rws
+        ]
+
+    sheets: dict[str, list[list]] = {"全部商品": sheet_rows(rows)}
+    by_cat: dict[str, list] = {}
+    for r in rows:
+        by_cat.setdefault(r["category"] or "未分类", []).append(r)
+    for cat in sorted(by_cat):
+        sheets[cat] = sheet_rows(by_cat[cat])
+    sheets["统计摘要"] = [
+        ["指标", "值"],
+        ["总数", float(len(rows))],
+        ["分类数", float(len(by_cat))],
+        *[
+            [f"Top{i + 1}", r["name"]]
+            for i, r in enumerate(rows[:k_summary])
+        ],
+    ]
+    write_xlsx(path, sheets)

@@ -1,0 +1,257 @@
+"""Minimal XLSX reader/writer on the stdlib (zipfile + ElementTree).
+
+XLSX is a zip of XML parts (ECMA-376 SpreadsheetML). The container has no
+xlsx library, but none is needed for the reference's usage surface:
+
+* read — ``pacong/scrapers/worldbank.py:60-119`` downloads a workbook and
+  iterates 4 named sheets with header sniffing; cells are strings and
+  numbers (no formulas evaluated, no styles consulted).
+* write — ``pacong/data/excel_writer.py:20-87`` writes an all-goods sheet,
+  per-category sheets, and a summary sheet of strings/numbers.
+
+This module implements exactly that subset: inline/shared strings,
+numeric/boolean cells, sheet enumeration in workbook order on read;
+inline-string + number cells on write. Round-trips itself and parses the
+standard layout produced by common writers (shared-strings table, r=""
+cell refs, skipped empty cells).
+
+``xlsx_scan`` distributes the parse: workbooks load as Spark ``binaryFile``
+rows and each is parsed inside an Arrow-batched ``mapInPandas`` stage —
+(path, sheet, row_idx, cells array<string>) — so a directory of thousands
+of workbooks parses in parallel with no driver involvement.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+_NS_MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_NS_REL_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+_CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
+
+
+def _col_index(ref: str) -> int:
+    """'A'→0, 'B'→1, ..., 'AA'→26 (cell ref column letters)."""
+    n = 0
+    for ch in ref:
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def read_xlsx(data: bytes) -> dict[str, list[list]]:
+    """Parse workbook bytes → {sheet_name: rows}, rows as lists padded to
+    the sheet's max column; numbers come back as float, strings as str,
+    booleans as bool, empty cells as None. Sheets keep workbook order
+    (dicts preserve insertion order)."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+
+    def xml(name: str):
+        return ET.fromstring(zf.read(name))
+
+    # shared strings (optional part)
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        for si in xml("xl/sharedStrings.xml"):
+            shared.append(
+                "".join(t.text or "" for t in si.iter(f"{{{_NS_MAIN}}}t"))
+            )
+
+    # sheet name -> part path via workbook rels
+    rels = {
+        rel.get("Id"): rel.get("Target")
+        for rel in xml("xl/_rels/workbook.xml.rels")
+    }
+    out: dict[str, list[list]] = {}
+    wb = xml("xl/workbook.xml")
+    for sheet in wb.iter(f"{{{_NS_MAIN}}}sheet"):
+        name = sheet.get("name")
+        target = rels[sheet.get(_NS_REL_ATTR)]
+        part = "xl/" + target.lstrip("/").removeprefix("xl/")
+        rows: list[tuple[int, dict[int, object]]] = []
+        max_col = -1
+        ws = xml(part)
+        for row_el in ws.iter(f"{{{_NS_MAIN}}}row"):
+            r_idx = int(row_el.get("r", len(rows) + 1)) - 1
+            cells: dict[int, object] = {}
+            next_col = 0
+            for c in row_el.iter(f"{{{_NS_MAIN}}}c"):
+                ref = c.get("r")
+                if ref:
+                    m = _CELL_REF.match(ref)
+                    col = _col_index(m.group(1)) if m else next_col
+                else:
+                    col = next_col
+                next_col = col + 1
+                t = c.get("t", "n")
+                v_el = c.find(f"{{{_NS_MAIN}}}v")
+                if t == "inlineStr":
+                    is_el = c.find(f"{{{_NS_MAIN}}}is")
+                    val: object = "".join(
+                        e.text or "" for e in is_el.iter(f"{{{_NS_MAIN}}}t")
+                    ) if is_el is not None else None
+                elif v_el is None or v_el.text is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v_el.text)]
+                elif t == "b":
+                    val = v_el.text == "1"
+                elif t == "str":
+                    val = v_el.text
+                else:
+                    val = float(v_el.text)
+                if val is not None:
+                    cells[col] = val
+                    max_col = max(max_col, col)
+            rows.append((r_idx, cells))
+        dense: list[list] = []
+        for r_idx, cells in rows:
+            while len(dense) < r_idx:
+                dense.append([None] * (max_col + 1))
+            dense.append([cells.get(i) for i in range(max_col + 1)])
+        out[name] = dense
+    return out
+
+
+def _cell_xml(col: int, row: int, val) -> str:
+    letters = ""
+    c = col + 1
+    while c:
+        c, rem = divmod(c - 1, 26)
+        letters = chr(65 + rem) + letters
+    ref = f"{letters}{row + 1}"
+    if val is None:
+        return ""
+    if isinstance(val, bool):
+        return f'<c r="{ref}" t="b"><v>{int(val)}</v></c>'
+    if isinstance(val, (int, float)):
+        return f'<c r="{ref}"><v>{val!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(val))}</t></is></c>'
+
+
+def xlsx_bytes(sheets: dict[str, list[list]]) -> bytes:
+    """Serialize {sheet_name: rows} → workbook bytes (inline strings,
+    repr()-roundtripped numbers — read_xlsx(xlsx_bytes(s)) == s up to
+    int→float)."""
+    buf = io.BytesIO()
+    names = list(sheets)
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        overrides = "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.'
+            'spreadsheetml.worksheet+xml"/>'
+            for i in range(len(names))
+        )
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            f"{overrides}</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        sheet_els = "".join(
+            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, n in enumerate(names)
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<workbook xmlns="{_NS_MAIN}" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f"<sheets>{sheet_els}</sheets></workbook>",
+        )
+        rel_els = "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            f"{rel_els}</Relationships>",
+        )
+        for i, name in enumerate(names):
+            row_xml = "".join(
+                f'<row r="{r + 1}">'
+                + "".join(_cell_xml(c, r, v) for c, v in enumerate(row))
+                + "</row>"
+                for r, row in enumerate(sheets[name])
+            )
+            zf.writestr(
+                f"xl/worksheets/sheet{i + 1}.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<worksheet xmlns="{_NS_MAIN}">'
+                f"<sheetData>{row_xml}</sheetData></worksheet>",
+            )
+    return buf.getvalue()
+
+
+def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
+    with open(path, "wb") as f:
+        f.write(xlsx_bytes(sheets))
+
+
+def xlsx_scan(spark, path: str, sheets: list[str] | None = None):
+    """Distributed workbook scan: ``binaryFile`` rows → Arrow-batched parse
+    → (path, sheet, row_idx, cells array<string>). Cells stringify (floats
+    via repr — lossless round-trip); empty cells are NULL entries. One
+    workbook parses within one task; a directory of workbooks is the
+    parallel unit (matching how a 100 TB archive of crawled workbooks
+    shards: file-granular)."""
+    import pandas as pd
+
+    from pyspark.sql import types as ST
+
+    want = set(sheets) if sheets is not None else None
+    schema = ST.StructType(
+        [
+            ST.StructField("path", ST.StringType()),
+            ST.StructField("sheet", ST.StringType()),
+            ST.StructField("row_idx", ST.IntegerType()),
+            ST.StructField("cells", ST.ArrayType(ST.StringType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"path": [], "sheet": [], "row_idx": [], "cells": []}
+            for path_val, content in zip(pdf["path"], pdf["content"]):
+                for sheet_name, rows in read_xlsx(bytes(content)).items():
+                    if want is not None and sheet_name not in want:
+                        continue
+                    for r_idx, row in enumerate(rows):
+                        out["path"].append(path_val)
+                        out["sheet"].append(sheet_name)
+                        out["row_idx"].append(r_idx)
+                        out["cells"].append(
+                            [
+                                None
+                                if v is None
+                                else (repr(v) if isinstance(v, float) else str(v))
+                                for v in row
+                            ]
+                        )
+            yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(gen, schema)
+    )
