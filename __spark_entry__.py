@@ -2250,6 +2250,74 @@ FROM t GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def _q_corpus_pipeline(spark, sf_dir):
+    """The composite training-corpus pipeline, END-TO-END value-certified:
+    near-dup collapse (minhash-LSH pairs → connected components → keep the
+    min-id canonical) → exact dedup (normalized-content md5, keep min id)
+    → Gopher quality gate → deterministic train/val/test split. Every stage
+    is individually oracle-checked elsewhere; this query certifies their
+    COMPOSITION — the thing a user actually runs over a crawl corpus."""
+    from web_crawler_spark.functions import sampling as SMP
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", n=5, k=8, bands=4, threshold=0.18, portable_hash=True
+    )
+    survivors = D.exact_dedup(D.keep_canonical(d, pairs)).drop("fingerprint")
+    passed = survivors.join(
+        C.gopher_quality(survivors).filter(F.col("flag_pass")).select("doc_id"),
+        "doc_id",
+    )
+    return (
+        SMP.dataset_split(passed, "doc_id")
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_corpus_pipeline() -> str:
+    return (
+        _cluster_closure_sql()
+        + r"""
+, canon AS (
+  SELECT d.* FROM documents d LEFT JOIN minreach m ON d.doc_id = m.u
+  WHERE COALESCE(LEAST(d.doc_id, m.minv), d.doc_id) = d.doc_id
+),
+fp AS (
+  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                    '\s+', ' ', 'g'))) AS fpr
+  FROM canon
+),
+ex AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fpr ORDER BY doc_id) rn FROM fp
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM ex
+),
+passed AS (
+  SELECT doc_id, lang FROM q
+  WHERE len(toks) BETWEEN 50 AND 100000
+    AND len(toks) > 0
+    AND coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0)
+        BETWEEN 3 * len(toks) AND 10 * len(toks)
+    AND 5 * len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+        >= 4 * len(toks)
+)
+SELECT doc_id, lang,
+       CASE WHEN TRY_CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 4)) AS INT) % 100 < 80 THEN 'train'
+            WHEN TRY_CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 4)) AS INT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM passed ORDER BY doc_id
+"""
+    )
+
+
 def _q_salted_join(spark, sf_dir):
     """Skew-safe equi-join: lineitem joined to a 3-row dim on l_returnflag
     (maximal skew — every row hits one of 3 keys) through the salt trick,
@@ -3241,6 +3309,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_term_stats": _q_term_stats,
     "tx_bm25_topk": _q_bm25_topk,
     "sk_salted_join": _q_salted_join,
+    "tx_corpus_pipeline": _q_corpus_pipeline,
     "dd_chunk_dedup": _q_chunk_dedup,
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
@@ -3348,6 +3417,7 @@ _ORACLES: dict[str, str] = {
     "tx_term_stats": _SQL_TERM_STATS,
     "tx_bm25_topk": _sql_bm25_topk(),
     "sk_salted_join": _SQL_SALTED_JOIN,
+    "tx_corpus_pipeline": _sql_corpus_pipeline(),
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,
