@@ -128,3 +128,36 @@ def test_write_commodity_workbook_s11(spark, tmp_path):
     assert [r[0] for r in wb["贵金属"][1:]] == ["Gold", "Silver"]  # price desc
     assert wb["统计摘要"][1] == ["总数", 3.0]
     assert wb["统计摘要"][3] == ["Top1", "Gold"]
+
+
+def test_excel_config_stage_via_registry(spark, tmp_path):
+    """'excel' parser kind end-to-end through SourceRegistry: workbook
+    bytes -> header sniff -> latest-value scan -> registry cleaning."""
+    from web_crawler_spark.plans.dsl import SourceRegistry
+    from web_crawler_spark.sources.xlsx import write_xlsx
+
+    write_xlsx(
+        str(tmp_path / "cmo.xlsx"),
+        {
+            "Monthly Prices": [
+                ["World Bank preamble", None, None],
+                ["Commodity", "2023", "2024"],
+                ["Crude oil, avg", 41.26, 69.07],
+                ["Gold", 1770.25, None],       # latest falls back to 2023
+                ["notes: n/a", None, None],    # no numeric -> dropped
+            ],
+            "Ignored Sheet": [["Commodity", "x"], ["Zinc", 1.0]],
+        },
+    )
+    reg = SourceRegistry()
+    reg.register(
+        "worldbank",
+        {
+            "parser": "excel",
+            "sheets": ["Monthly Prices"],
+            "header_marker": "Commodity",
+        },
+    )
+    pages = spark.read.format("binaryFile").load(str(tmp_path)).select("path", "content")
+    out = {r["name"]: r["latest_value"] for r in reg.build("worldbank")(pages).collect()}
+    assert out == {"Crude oil, avg": 69.07, "Gold": 1770.25}

@@ -220,6 +220,13 @@ class SourceRegistry:
                 from .extract import css_config_stage
 
                 out = css_config_stage(pages, config)
+            elif kind == "excel":
+                # S6 worldbank path (worldbank.py:60-161): the input rows
+                # carry (path, content binary) workbook bytes; header-sniff
+                # + latest-value scan per configured sheet
+                from ..sources.xlsx import excel_config_stage
+
+                out = excel_config_stage(pages, config)
             else:
                 raise ValueError(f"unknown parser kind: {kind}")
             cleaning = config.get("cleaning", {})

@@ -209,11 +209,21 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
 
 def xlsx_scan(spark, path: str, sheets: list[str] | None = None):
     """Distributed workbook scan: ``binaryFile`` rows → Arrow-batched parse
-    → (path, sheet, row_idx, cells array<string>). Cells stringify (floats
-    via repr — lossless round-trip); empty cells are NULL entries. One
-    workbook parses within one task; a directory of workbooks is the
-    parallel unit (matching how a 100 TB archive of crawled workbooks
-    shards: file-granular)."""
+    → (path, sheet, row_idx, cells array<string>). One workbook parses
+    within one task; a directory of workbooks is the parallel unit
+    (matching how a 100 TB archive of crawled workbooks shards:
+    file-granular)."""
+    return xlsx_rows_stage(
+        spark.read.format("binaryFile").load(path).select("path", "content"),
+        sheets,
+    )
+
+
+def xlsx_rows_stage(df, sheets: list[str] | None = None):
+    """The parse stage alone: a DataFrame with (path string, content
+    binary) → (path, sheet, row_idx, cells array<string>). Cells stringify
+    (floats via repr — lossless round-trip); empty cells are NULL
+    entries."""
     import pandas as pd
 
     from pyspark.sql import types as ST
@@ -249,9 +259,40 @@ def xlsx_scan(spark, path: str, sheets: list[str] | None = None):
                         )
             yield pd.DataFrame(out)
 
-    return (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("path", "content")
-        .mapInPandas(gen, schema)
+    return df.select("path", "content").mapInPandas(gen, schema)
+
+
+def excel_config_stage(df, config: dict):
+    """Config-driven workbook extraction (the reference's worldbank flow,
+    worldbank.py:60-161, as a SourceRegistry parser kind): input rows carry
+    (path, content binary); per ``config``:
+
+    * ``sheets``: sheet-name allowlist (workbook order preserved);
+    * ``header_marker`` (default 'Commodity'): the header row is the first
+      row whose FIRST cell equals the marker (worldbank.py:102-112 header
+      sniffing); rows above are preamble, rows below are data;
+    * output: (path, sheet, name, latest_value) — name from column 0,
+      latest_value the right-to-left first parseable number
+      (worldbank.py:137-146 'latest non-null').
+    """
+    from pyspark.sql import functions as F
+
+    rows = xlsx_rows_stage(df, config.get("sheets"))
+    marker = config.get("header_marker", "Commodity")
+    hdr = (
+        rows.filter(F.col("cells")[0] == marker)
+        .groupBy("path", "sheet")
+        .agg(F.min("row_idx").alias("__h"))
     )
+    data = rows.join(hdr, ["path", "sheet"]).filter(F.col("row_idx") > F.col("__h"))
+    latest = F.aggregate(
+        F.reverse(F.slice(F.col("cells"), 2, 1_000_000)),
+        F.lit(None).cast("double"),
+        lambda acc, c: F.coalesce(acc, c.try_cast("double")),
+    )
+    return data.select(
+        "path",
+        "sheet",
+        F.col("cells")[0].alias("name"),
+        latest.alias("latest_value"),
+    ).filter(F.col("name").isNotNull() & F.col("latest_value").isNotNull())
