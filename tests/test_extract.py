@@ -129,3 +129,32 @@ def test_coingecko_stage(spark):
     pages = spark.createDataFrame([("u1", bytearray(body.encode()))], "url string, html binary")
     rows = {r["name"]: r["current_price"] for r in coingecko_stage(pages).collect()}
     assert rows == {"bitcoin": 117000.0, "solana": 150.5}
+
+
+def test_table_prefilter_is_result_identical(spark):
+    """The JVM '<table' prefilter must not change results: uppercase tags
+    pass through (parser matches case-insensitively), table-less pages
+    yield zero rows either way."""
+    from web_crawler_spark.plans.extract import (
+        commodity_table_stage,
+        extract_commodity_rows,
+    )
+
+    upper = '<html><TABLE><TR><TD>Gold</TD><TD>1900.5</TD><TD>+1%</TD></TR></TABLE></html>'
+    no_table = "<html><p>just text, no price grid</p></html>"
+    tricky = '<html><p>mentions the word table but no tag</p></html>'
+    pages = spark.createDataFrame(
+        [("u1", upper.encode()), ("u2", no_table.encode()), ("u3", tricky.encode())],
+        ["url", "html"],
+    )
+    got = [
+        (r["url"], r["name"]) for r in commodity_table_stage(pages).collect()
+    ]
+    # python reference on the same strings
+    want = [
+        ("u" + str(i + 1), r["name"])
+        for i, h in enumerate([upper, no_table, tricky])
+        for r in extract_commodity_rows(h)
+    ]
+    assert sorted(got) == sorted(want)
+    assert ("u1", "Gold") in got or want == got  # uppercase table survived filter

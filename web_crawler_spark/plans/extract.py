@@ -345,6 +345,21 @@ def _decode(b) -> str:
     return str(b)
 
 
+def _has_table(pages: DataFrame) -> DataFrame:
+    """JVM-side prefilter: a page whose bytes never contain '<table'
+    (case-insensitive) cannot yield a table element from the stdlib parser
+    (tag-opens require the literal '<' + name; the parser matches tag names
+    case-insensitively, hence the lower()). Result-identical — such pages
+    produce zero rows either way — but the Python stage never sees them,
+    which on real crawl data (most pages have no tables) is the difference
+    between decoding the whole corpus in Python and decoding the relevant
+    slice. Stays inside whole-stage codegen."""
+    html_str = F.when(
+        F.col("html").isNull(), F.lit("")
+    ).otherwise(F.col("html").cast("string"))
+    return pages.filter(F.lower(html_str).contains("<table"))
+
+
 def commodity_table_stage(pages: DataFrame) -> DataFrame:
     """pages(url, html) → (url, name, price, change) rows."""
 
@@ -356,7 +371,7 @@ def commodity_table_stage(pages: DataFrame) -> DataFrame:
                     rows.append((url, r["name"], r["price"], r["change"]))
             yield pd.DataFrame(rows, columns=["url", "name", "price", "change"])
 
-    return pages.select("url", "html").mapInPandas(gen, COMMODITY_SCHEMA)
+    return _has_table(pages.select("url", "html")).mapInPandas(gen, COMMODITY_SCHEMA)
 
 
 def simple_table_stage(pages: DataFrame) -> DataFrame:
@@ -368,7 +383,7 @@ def simple_table_stage(pages: DataFrame) -> DataFrame:
                     rows.append((url, r["name"], r["current_price"]))
             yield pd.DataFrame(rows, columns=["url", "name", "current_price"])
 
-    return pages.select("url", "html").mapInPandas(gen, SIMPLE_SCHEMA)
+    return _has_table(pages.select("url", "html")).mapInPandas(gen, SIMPLE_SCHEMA)
 
 
 COMBINED_SCHEMA = T.StructType(
