@@ -2619,6 +2619,53 @@ FROM pages ORDER BY key, version_no
 """
 
 
+def _q_recrawl_priority(spark, sf_dir):
+    """Refresh scheduling over the versioned page table: change-rate ×
+    staleness priority (Cho & Garcia-Molina), top-50 next recrawls."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    return (
+        SN.recrawl_priority(
+            _versioned_pages(spark, sf_dir), "2025-01-02 00:00:00"
+        )
+        .orderBy(F.desc("priority"), "url")
+        .limit(50)
+    )
+
+
+_SQL_RECRAWL_PRIORITY = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS key,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         md5(trim(regexp_replace(regexp_replace(lower(
+           concat('body ', CAST(event_id % 3000 AS VARCHAR),
+                  ' rev', CAST(CAST(floor(event_id / 3000 / 2) AS BIGINT) AS VARCHAR))
+         ), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM events
+),
+chain AS (
+  SELECT key, ts,
+         (LAG(fingerprint) OVER w IS NULL
+          OR fingerprint <> LAG(fingerprint) OVER w) AS changed
+  FROM pages WINDOW w AS (PARTITION BY key ORDER BY ts)
+),
+per AS (
+  SELECT key AS url,
+         COUNT(*) AS n_versions,
+         CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) - 1 AS BIGINT) AS n_changes,
+         epoch(MAX(ts)) AS last_e,
+         epoch(MAX(ts)) - epoch(MIN(ts)) AS span_sec
+  FROM chain GROUP BY key
+)
+SELECT url, n_versions, n_changes,
+       CAST(epoch(TIMESTAMP '2025-01-02 00:00:00') - last_e AS BIGINT) AS staleness_sec,
+       ROUND(
+         (CASE WHEN span_sec > 0 THEN CAST(n_changes AS DOUBLE) / span_sec ELSE 0 END)
+         * (epoch(TIMESTAMP '2025-01-02 00:00:00') - last_e), 6) AS priority
+FROM per ORDER BY priority DESC, url LIMIT 50
+"""
+
+
 def _host_edges(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -3313,6 +3360,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_chunk_dedup": _q_chunk_dedup,
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
+    "crawl_recrawl_priority": _q_recrawl_priority,
     "s6_header_sniff": _q_header_sniff,
     "s6_xlsx_scan": _q_xlsx_scan,
     "gr_host_graph": _q_host_graph,
@@ -3421,6 +3469,7 @@ _ORACLES: dict[str, str] = {
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,
+    "crawl_recrawl_priority": _SQL_RECRAWL_PRIORITY,
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,

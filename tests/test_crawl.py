@@ -452,3 +452,31 @@ def test_host_graph_and_pagerank(spark):
     hr = {r["node"]: r["rank"] for r in G.pagerank(hub, 30).collect()}
     assert hr["c"] > hr["a"] == hr["b"]
     assert abs(sum(hr.values()) - 3.0) < 1e-4  # dangling mass redistributed
+
+
+def test_recrawl_priority_semantics(spark):
+    """Change-rate × staleness: a frequently-changing URL outranks a
+    static one; single-fetch URLs have zero priority (no evidence)."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    rows = []
+    # churner: 4 fetches over 300s, content changes every fetch
+    for i in range(4):
+        rows.append(("https://a/churn", f"2025-01-01 00:0{i}:40", f"body v{i}"))
+    # static: 4 fetches, same content
+    for i in range(4):
+        rows.append(("https://a/static", f"2025-01-01 00:0{i}:40", "same body"))
+    # single fetch
+    rows.append(("https://a/once", "2025-01-01 00:00:40", "only"))
+    df = spark.createDataFrame(rows, ["url", "ts", "text"]).withColumn(
+        "warc_ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        r["url"]: r
+        for r in SN.recrawl_priority(df, "2025-01-01 01:00:00", ts_col="warc_ts").collect()
+    }
+    assert out["https://a/churn"]["n_changes"] == 3
+    assert out["https://a/static"]["n_changes"] == 0
+    assert out["https://a/once"]["priority"] == 0.0
+    assert out["https://a/churn"]["priority"] > out["https://a/static"]["priority"]
+    assert out["https://a/static"]["priority"] == 0.0

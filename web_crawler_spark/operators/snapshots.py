@@ -70,3 +70,46 @@ def change_detection(
         )
         .drop("__prev")
     )
+
+
+def recrawl_priority(
+    df: DataFrame,
+    now,
+    ts_col: str = "warc_ts",
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Refresh scheduling from crawl history (the change-rate × staleness
+    policy of Cho & Garcia-Molina, "Effective Page Refresh Policies for Web
+    Crawlers" — public): URLs that change often and haven't been fetched
+    lately get recrawled first.
+
+    Per URL over the version chain: ``n_changes`` = content changes after
+    the first fetch (fingerprint-lag bits from :func:`change_detection`),
+    ``rate`` = n_changes / observed span seconds (0 for single-fetch URLs
+    — no evidence, lowest priority), ``staleness_sec`` = now − last fetch,
+    ``priority`` = round(rate × staleness, 6). One hash-partition shuffle
+    on the URL key (the chain window), then a combiner-friendly agg —
+    epoch arithmetic only, so the number is identical on any engine."""
+    chain = change_detection(df, ts_col, key_col, text_col)
+    now_col = now if isinstance(now, Column) else F.lit(now).cast("timestamp")
+    per = chain.groupBy(F.col("key").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        (F.sum(F.col("changed").cast("long")) - 1).alias("n_changes"),
+        F.max("ts").alias("__last"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("span_sec"),
+    )
+    staleness = F.unix_timestamp(now_col) - F.unix_timestamp(F.col("__last"))
+    rate = F.when(
+        F.col("span_sec") > 0,
+        F.col("n_changes").cast("double") / F.col("span_sec"),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        key_col,
+        "n_versions",
+        "n_changes",
+        staleness.cast("long").alias("staleness_sec"),
+        F.round(rate * staleness, 6).alias("priority"),
+    )
