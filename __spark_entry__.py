@@ -2619,6 +2619,64 @@ FROM pages ORDER BY key, version_no
 """
 
 
+def _q_sitemap_scan(spark, sf_dir):
+    """Sitemap ingestion on REAL bytes: an index + two child sitemaps (one
+    gzipped) are generated deterministically from the customer table,
+    parsed back via the distributed binaryFile + mapInPandas scan, and the
+    oracle recomputes every (kind, loc, lastmod) row from the same table —
+    the whole protocol parse (urlset/sitemapindex/gzip) is value-certified."""
+    import tempfile
+
+    from web_crawler_spark.sources.sitemap import sitemap_bytes, sitemap_scan
+
+    keys = [
+        r["c_custkey"]
+        for r in _t(spark, sf_dir, "customer").select("c_custkey").orderBy("c_custkey").collect()
+    ]
+    d = tempfile.mkdtemp(prefix="sitemap_scan_")
+    with open(os.path.join(d, "sm_index.xml"), "wb") as f:
+        f.write(
+            sitemap_bytes(
+                [
+                    ("https://ex.com/sm_a.xml", "2024-12-01"),
+                    ("https://ex.com/sm_b.xml.gz", None),
+                ],
+                index=True,
+            )
+        )
+    with open(os.path.join(d, "sm_a.xml"), "wb") as f:
+        f.write(
+            sitemap_bytes(
+                [(f"https://ex.com/c{k}", "2025-01-01") for k in keys if k % 2 == 0]
+            )
+        )
+    with open(os.path.join(d, "sm_b.xml.gz"), "wb") as f:
+        f.write(
+            sitemap_bytes(
+                [(f"https://ex.com/c{k}", None) for k in keys if k % 2 == 1],
+                gz=True,
+            )
+        )
+    return (
+        sitemap_scan(spark, d)
+        .select("kind", "loc", "lastmod")
+        .orderBy("kind", "loc")
+    )
+
+
+_SQL_SITEMAP_SCAN = """
+SELECT kind, loc, lastmod FROM (
+  SELECT 'sitemap' AS kind, 'https://ex.com/sm_a.xml' AS loc, '2024-12-01' AS lastmod
+  UNION ALL
+  SELECT 'sitemap', 'https://ex.com/sm_b.xml.gz', NULL
+  UNION ALL
+  SELECT 'url', concat('https://ex.com/c', CAST(c_custkey AS VARCHAR)),
+         CASE WHEN c_custkey % 2 = 0 THEN '2025-01-01' ELSE NULL END
+  FROM customer
+) ORDER BY kind, loc
+"""
+
+
 def _q_recrawl_priority(spark, sf_dir):
     """Refresh scheduling over the versioned page table: change-rate ×
     staleness priority (Cho & Garcia-Molina), top-50 next recrawls."""
@@ -3361,6 +3419,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
     "crawl_recrawl_priority": _q_recrawl_priority,
+    "s_sitemap_scan": _q_sitemap_scan,
     "s6_header_sniff": _q_header_sniff,
     "s6_xlsx_scan": _q_xlsx_scan,
     "gr_host_graph": _q_host_graph,
@@ -3470,6 +3529,7 @@ _ORACLES: dict[str, str] = {
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,
     "crawl_recrawl_priority": _SQL_RECRAWL_PRIORITY,
+    "s_sitemap_scan": _SQL_SITEMAP_SCAN,
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,

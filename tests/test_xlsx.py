@@ -161,3 +161,26 @@ def test_excel_config_stage_via_registry(spark, tmp_path):
     pages = spark.read.format("binaryFile").load(str(tmp_path)).select("path", "content")
     out = {r["name"]: r["latest_value"] for r in reg.build("worldbank")(pages).collect()}
     assert out == {"Crude oil, avg": 69.07, "Gold": 1770.25}
+
+
+def test_sitemap_scan_distributed(spark, tmp_path):
+    from web_crawler_spark.sources.sitemap import sitemap_bytes, sitemap_scan
+
+    (tmp_path / "a.xml").write_bytes(
+        sitemap_bytes([("https://s/1", "2025-02-03"), ("https://s/2", None)])
+    )
+    (tmp_path / "b.xml.gz").write_bytes(
+        sitemap_bytes([("https://s/3", None)], gz=True)
+    )
+    (tmp_path / "idx.xml").write_bytes(
+        sitemap_bytes([("https://s/a.xml", None)], index=True)
+    )
+    out = sitemap_scan(spark, str(tmp_path)).collect()
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], set()).add(r["loc"])
+    assert by_kind["url"] == {"https://s/1", "https://s/2", "https://s/3"}
+    assert by_kind["sitemap"] == {"https://s/a.xml"}
+    lastmods = {r["loc"]: r["lastmod"] for r in out}
+    assert lastmods["https://s/1"] == "2025-02-03"
+    assert lastmods["https://s/2"] is None
