@@ -115,3 +115,25 @@ def test_engine_with_robots(spark, tmp_path):
     assert seen.groupBy("url_hash").count().filter(F.col("count") > 1).count() == 0
     # sina: '*' blocked but agent=sparkcrawl allowed except /internal/
     assert ("finance.sina.com.cn", "robots_denied") not in by_status
+
+
+def test_sitemap_directive_and_locations(spark):
+    """Sitemap: lines are group-independent (RFC 9309 'other records') and
+    surface through sitemap_locations regardless of surrounding groups."""
+    from web_crawler_spark.operators import robots as RB
+
+    body = (
+        "User-agent: googlebot\nDisallow: /private\n"
+        "Sitemap: https://h1/sm.xml\n"
+        "\nUser-agent: *\nAllow: /\nSitemap: https://h1/sm2.xml.gz\n"
+    )
+    pages = spark.createDataFrame([("h1", body), ("h2", "Disallow: /x")], ["host", "body"])
+    rules = RB.parse_robots(pages)
+    locs = {
+        (r["host"], r["sitemap_url"])
+        for r in RB.sitemap_locations(rules).collect()
+    }
+    assert locs == {("h1", "https://h1/sm.xml"), ("h1", "https://h1/sm2.xml.gz")}
+    # pre-existing rule kinds unaffected
+    kinds = {r["rule"] for r in rules.collect()}
+    assert {"disallow", "allow", "sitemap"} <= kinds

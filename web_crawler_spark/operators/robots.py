@@ -76,7 +76,22 @@ def parse_robots_text(host: str, text: str, agent: str = "*") -> list[tuple]:
             for a in current_agents or ["*"]:
                 crawl_delay[a] = d
                 rows.append((host, a, "crawl-delay", "", d))
+        elif key == "sitemap" and value:
+            # Sitemap: is group-independent (sitemaps.org protocol; RFC
+            # 9309 treats it as an "other record" that applies globally)
+            rows.append((host, "*", "sitemap", value, None))
     return rows
+
+
+def sitemap_locations(rules: DataFrame) -> DataFrame:
+    """(host, sitemap_url) from parsed robots rules — feed the locations to
+    ``sources.sitemap.sitemap_scan`` (or the fetch join) to seed the
+    frontier from robots-advertised sitemaps."""
+    return (
+        rules.filter(F.col("rule") == "sitemap")
+        .select("host", F.col("path_prefix").alias("sitemap_url"))
+        .distinct()
+    )
 
 
 def parse_robots(robots_pages: DataFrame, host_col: str = "host",
