@@ -384,6 +384,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_domain_blocklist(spark, sf_dir):
+    """UT1/C4-style domain blocklist gate (operators/urlfilter.py): hosts
+    synthesized from documents (some with a cdn. subdomain, some on .net),
+    blocklist = every ``srcN.example.com`` with N % 3 == 0 plus the parent
+    domain ``example.net`` — so the query exercises exact-host, subdomain,
+    and parent-domain suffix matches in one oracle. The plan is
+    max_labels-1 chained broadcast hash joins: zero shuffles."""
+    from web_crawler_spark.operators import urlfilter as UF
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.lower(F.col("source")),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("net")).otherwise(F.lit("com")),
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string")).alias("url"),
+    )
+    srcs = d.select(F.lower("source").alias("s")).distinct()
+    blocked = (
+        srcs.filter(F.regexp_extract("s", r"(\d+)$", 1).cast("int") % 3 == 0)
+        .select(F.concat(F.col("s"), F.lit(".example.com")).alias("domain"))
+        .unionByName(spark.range(1).select(F.lit("example.net").alias("domain")))
+    )
+    kept = UF.domain_blocklist_filter(urls, blocked, url_col="url")
+    return kept.select(
+        "doc_id", U.url_host(F.col("url")).alias("host")
+    ).orderBy("doc_id")
+
+
+_SQL_DOMAIN_BLOCKLIST = r"""
+WITH urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END) || lower(source)
+           || '.example.' || (CASE WHEN doc_id % 4 = 0 THEN 'net' ELSE 'com' END) AS host
+  FROM documents
+), blocked AS (
+  SELECT DISTINCT lower(source) || '.example.com' AS domain
+  FROM documents
+  WHERE TRY_CAST(regexp_extract(lower(source), '(\d+)$', 1) AS INT) % 3 = 0
+  UNION
+  SELECT 'example.net' AS domain
+)
+SELECT u.doc_id, u.host
+FROM urls u
+WHERE NOT EXISTS (
+  SELECT 1 FROM blocked b
+  WHERE u.host = b.domain OR u.host LIKE '%.' || b.domain
+)
+ORDER BY u.doc_id
+"""
+
+
 def _q_crawl_order(spark, sf_dir):
     return P.crawl_order(_frontier_df(spark, sf_dir)).select("host", "seq", "url")
 
@@ -3349,6 +3404,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f6_retry_backoff": _q_retry_backoff,
     "a7_success_rate": _q_success_rate,
     "robots_filter": _q_robots_filter,
+    "url_domain_blocklist": _q_domain_blocklist,
     # scalar semantics (SURVEY §2.8)
     "x1_clean_price": _q_clean_price,
     "x2_clean_percentage": _q_clean_percentage,
@@ -3465,6 +3521,7 @@ _ORACLES: dict[str, str] = {
     "f6_retry_backoff": _SQL_RETRY_BACKOFF,
     "a7_success_rate": _SQL_SUCCESS_RATE,
     "robots_filter": _SQL_ROBOTS_FILTER,
+    "url_domain_blocklist": _SQL_DOMAIN_BLOCKLIST,
     "x1_clean_price": _SQL_CLEAN_PRICE,
     "x2_clean_percentage": _SQL_CLEAN_PERCENTAGE,
     "x3_extract_symbol": _SQL_EXTRACT_SYMBOL,
