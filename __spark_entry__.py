@@ -2598,6 +2598,57 @@ FROM r GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_chunk_dedup_rewrite(spark, sf_dir):
+    """Sub-document dedup REWRITE (Lee et al. 2022 / CCNet span removal):
+    same duplicated corpus as dd_chunk_dedup, but the operator returns the
+    cleaned documents — later instances of corpus-duplicate 20-word chunks
+    cut, text reassembled in chunk order, fully-recycled docs kept with
+    clean_text=''. Certifies the rewrite itself, not just the counts."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100_000)
+    )
+    return C.remove_duplicate_chunks(d.unionByName(dup)).orderBy("doc_id")
+
+
+_SQL_CHUNK_DEDUP_REWRITE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+), t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM corpus WHERE trim(text) <> ''
+), x AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / 20.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM t
+), c AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(toks[(chunk_idx * 20 + 1):(chunk_idx * 20 + 20)], ' ') AS chunk
+  FROM x
+), r AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+), agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_chunks,
+         SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed,
+         string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx) AS clean_text
+  FROM r GROUP BY doc_id
+)
+SELECT corpus.doc_id,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       COALESCE(agg.n_chunks, 0) AS n_chunks,
+       COALESCE(agg.n_removed, 0) AS n_removed
+FROM corpus LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _versioned_pages(spark, sf_dir):
     """Synthetic versioned page table (url, warc_ts, text): ~3000 URLs ×
     up to 4 recrawls; warc_ts unique per fetch (base + event_id seconds);
@@ -3472,6 +3523,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_salted_join": _q_salted_join,
     "tx_corpus_pipeline": _q_corpus_pipeline,
     "dd_chunk_dedup": _q_chunk_dedup,
+    "dd_chunk_dedup_rewrite": _q_chunk_dedup_rewrite,
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
     "crawl_recrawl_priority": _q_recrawl_priority,
@@ -3583,6 +3635,7 @@ _ORACLES: dict[str, str] = {
     "sk_salted_join": _SQL_SALTED_JOIN,
     "tx_corpus_pipeline": _sql_corpus_pipeline(),
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
+    "dd_chunk_dedup_rewrite": _SQL_CHUNK_DEDUP_REWRITE,
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,
     "crawl_recrawl_priority": _SQL_RECRAWL_PRIORITY,

@@ -100,6 +100,86 @@ def chunk_dedup_stats(
     )
 
 
+def remove_duplicate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 20,
+    policy: str = "keep_first",
+    max_df: int = 1,
+) -> DataFrame:
+    """Sub-document exact dedup (Lee et al. 2022 "Deduplicating Training
+    Data" / CCNet duplicated-span removal): REWRITES each document with
+    corpus-wide duplicate k-word chunks removed, instead of only counting
+    them (``chunk_dedup_stats``).
+
+    Policies:
+    - ``keep_first`` (C4-flavored): the globally-first instance of a chunk
+      in (doc_id, chunk_idx) order survives; every later instance is cut.
+    - ``drop_common`` (CCNet-flavored): every instance of a chunk whose
+      corpus document-frequency exceeds ``max_df`` is cut — including the
+      first (boilerplate killer: nav bars, cookie banners, license
+      headers).
+
+    Returns all input rows as ``(doc_id, clean_text, n_chunks,
+    n_removed)``; a fully-recycled document comes back with
+    ``clean_text = ''``, never silently dropped.
+
+    Scale shape: two data shuffles, both inherent to the semantics — the
+    chunk window partitions on the 16-byte md5 fingerprint (uniform key;
+    chunk text rides once), and reassembly groups by doc_id. The rebuild
+    is a sort of ≤ n_chunks structs per doc inside one agg — no join back
+    to the exploded set. Skew: a boilerplate chunk shared by 10^6 docs is
+    one window partition; ``drop_common`` evaluates only ``count(*)`` over
+    it (no per-row rank needed), and ``keep_first``'s row_number over a
+    hot fingerprint is the same discipline every dedup window in
+    ``operators/dedup.py`` already carries.
+    """
+    if policy not in ("keep_first", "drop_common"):
+        raise ValueError(f"policy must be 'keep_first' or 'drop_common', got {policy!r}")
+    chunks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(T.word_chunks(F.col(text_col), chunk_words)).alias(
+            "chunk_idx", "chunk"
+        ),
+    ).withColumn("__fp", F.md5(F.col("chunk")))
+    if policy == "keep_first":
+        w = Window.partitionBy("__fp").orderBy("doc_id", "chunk_idx")
+        flagged = chunks.withColumn("__keep", F.row_number().over(w) == 1)
+    else:
+        w = Window.partitionBy("__fp")
+        flagged = chunks.withColumn("__keep", F.count(F.lit(1)).over(w) <= max_df)
+    rebuilt = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((~F.col("__keep")).cast("bigint")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "__keep", "chunk"))
+                        ),
+                        lambda s: s["__keep"],
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame,
     text_col: str = "text",
