@@ -2649,6 +2649,52 @@ ORDER BY doc_id
 """
 
 
+def _q_corpus_mix(spark, sf_dir):
+    """Token-budget corpus mixing (SlimPajama/Pile-style): per-source
+    budgets derived from the source id ((n % 3 + 1) × 1000 tokens —
+    integer-exact both engines), documents admitted in deterministic
+    md5-shuffled order until each source's budget is spent. The admitted
+    set, per-doc token counts, and running totals are all certified."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    budgets = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 3 + 1) * 1000
+            ).cast("bigint").alias("token_budget"),
+        )
+    )
+    return C.corpus_mix(d, budgets).orderBy("doc_id")
+
+
+_SQL_CORPUS_MIX = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         md5('mix:' || CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord_key, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+), budgets AS (
+  SELECT source,
+         CAST((TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 3 + 1) * 1000 AS BIGINT) AS b
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+FROM cum c JOIN budgets b USING (source)
+WHERE c.cum_tokens - c.n_tokens < b.b
+ORDER BY c.doc_id
+"""
+
+
 def _versioned_pages(spark, sf_dir):
     """Synthetic versioned page table (url, warc_ts, text): ~3000 URLs ×
     up to 4 recrawls; warc_ts unique per fetch (base + event_id seconds);
@@ -3524,6 +3570,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_corpus_pipeline": _q_corpus_pipeline,
     "dd_chunk_dedup": _q_chunk_dedup,
     "dd_chunk_dedup_rewrite": _q_chunk_dedup_rewrite,
+    "tx_corpus_mix": _q_corpus_mix,
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
     "crawl_recrawl_priority": _q_recrawl_priority,
@@ -3636,6 +3683,7 @@ _ORACLES: dict[str, str] = {
     "tx_corpus_pipeline": _sql_corpus_pipeline(),
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
     "dd_chunk_dedup_rewrite": _SQL_CHUNK_DEDUP_REWRITE,
+    "tx_corpus_mix": _SQL_CORPUS_MIX,
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,
     "crawl_recrawl_priority": _SQL_RECRAWL_PRIORITY,

@@ -1,0 +1,51 @@
+"""corpus_mix / corpus_mix_sampled (operators/corpus.py): token-budget
+source mixing. Exact variant: greedy cut in deterministic md5 order,
+overshoot bounded by one document per source. Sampled variant: window-free
+md5-percentile admission, deterministic across runs."""
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.operators import corpus as C
+
+
+def _corpus(spark):
+    # source A: 10 docs x 10 tokens; source B: 5 docs x 4 tokens
+    rows = [(i, "A", " ".join(f"w{i}_{j}" for j in range(10))) for i in range(10)]
+    rows += [(100 + i, "B", " ".join(f"b{i}_{j}" for j in range(4))) for i in range(5)]
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def _budgets(spark, a, b):
+    return spark.createDataFrame([("A", a), ("B", b)], ["source", "token_budget"])
+
+
+def test_exact_mix_greedy_cut_and_overshoot_bound(spark):
+    mix = C.corpus_mix(_corpus(spark), _budgets(spark, 35, 1000)).collect()
+    a = [r for r in mix if r.source == "A"]
+    b = [r for r in mix if r.source == "B"]
+    # A: 10-token docs against a 35-token budget -> exactly 4 admitted
+    # (cum-n_tokens = 0,10,20,30 < 35; the 5th starts at 40)
+    assert len(a) == 4 and sum(r.n_tokens for r in a) == 40
+    # B: budget exceeds the source -> everything admitted
+    assert len(b) == 5 and sum(r.n_tokens for r in b) == 20
+    # deterministic: same admit set on re-run
+    again = C.corpus_mix(_corpus(spark), _budgets(spark, 35, 1000)).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in mix)
+
+
+def test_zero_budget_admits_nothing(spark):
+    mix = C.corpus_mix(_corpus(spark), _budgets(spark, 0, 0))
+    assert mix.count() == 0
+
+
+def test_sampled_mix_deterministic_and_rate_capped(spark):
+    corpus = _corpus(spark)
+    m1 = sorted(r.doc_id for r in C.corpus_mix_sampled(corpus, _budgets(spark, 50, 1000)).collect())
+    m2 = sorted(r.doc_id for r in C.corpus_mix_sampled(corpus, _budgets(spark, 50, 1000)).collect())
+    assert m1 == m2  # no RNG state: md5-percentile membership
+    # rate caps at 1.0: budget >= total admits the whole source
+    full = C.corpus_mix_sampled(corpus, _budgets(spark, 1000, 1000))
+    assert full.count() == 15
+    # sampled set is a subset of the corpus with source-consistent rows
+    ids = {r.doc_id for r in corpus.collect()}
+    assert set(m1) <= ids

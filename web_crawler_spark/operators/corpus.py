@@ -100,6 +100,115 @@ def chunk_dedup_stats(
     )
 
 
+def corpus_mix(
+    df: DataFrame,
+    budgets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    budget_col: str = "token_budget",
+    order_seed: str = "mix",
+) -> DataFrame:
+    """Token-budget corpus mixing (SlimPajama / Pile-style source
+    weighting): admit documents per source, in a deterministic md5-shuffled
+    order, until the source's token budget is exhausted. A document is
+    admitted iff the budget is not yet spent when it STARTS (so the mix
+    slightly overshoots by at most one document per source — the standard
+    greedy cut), giving an exact, re-run-stable selection with no RNG
+    state: the same corpus + budgets table always yields the same mix.
+
+    ``budgets`` is a tiny (source, token_budget) table — broadcast joined.
+
+    Scale shape: one window partitioned by source. Source cardinality is
+    small by construction (a mix has tens of sources), so a 90%-of-corpus
+    source is a genuinely hot partition — for that regime use the
+    two-pass percentile variant ``corpus_mix_sampled`` below, which needs
+    no window at all. This exact variant is the oracle-certified
+    reference semantics; both make identical admit decisions as the
+    sampled rate → budget/total.
+    """
+    ord_key = F.md5(
+        F.concat(F.lit(order_seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        T.token_count(F.col(text_col)).alias("n_tokens"),
+        ord_key.alias("__ord"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    dim = F.broadcast(
+        budgets.select(
+            F.col(source_col).alias("source"),
+            F.col(budget_col).cast("bigint").alias("__budget"),
+        )
+    )
+    return (
+        cum.join(dim, "source")
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("__budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+def corpus_mix_sampled(
+    df: DataFrame,
+    budgets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    budget_col: str = "token_budget",
+    order_seed: str = "mix",
+) -> DataFrame:
+    """Window-free scale path for ``corpus_mix``: pass 1 aggregates total
+    tokens per source (map-side combinable, rows = #sources, collected to
+    the driver); pass 2 keeps a document iff its deterministic md5
+    percentile < budget/total for its source. Embarrassingly parallel —
+    no hot source partition — at the cost of hitting the budget in
+    expectation rather than exactly (binomial spread ~sqrt(n) documents).
+    Admission is by-document md5-percentile (same discipline as
+    ``functions/sampling.py``), so re-runs and engine ports agree."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        T.token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    totals = {
+        r["source"]: r["total"]
+        for r in toks.groupBy("source").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    bmap = {
+        r["source"]: r["__b"]
+        for r in budgets.select(
+            F.col(source_col).alias("source"), F.col(budget_col).cast("double").alias("__b")
+        ).collect()
+    }
+    rate = F.create_map(
+        *[
+            x
+            for s, tot in sorted(totals.items())
+            for x in (F.lit(s), F.lit(min(1.0, bmap.get(s, 0.0) / tot) if tot else 0.0))
+        ]
+    )
+    pct = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(order_seed), F.lit(":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(0xFFFFFFFF))
+    )
+    return toks.filter(pct < rate[F.col("source")]).select("doc_id", "source", "n_tokens")
+
+
 def remove_duplicate_chunks(
     df: DataFrame,
     text_col: str = "text",
