@@ -52,6 +52,11 @@ HEADLINE = [
     "ann_knn_join_lsh_fast",
     "dd_dedup_clusters_fast",
     "tx_bm25_topk",
+    # late round-2 additions: webtext corpus gates (domain blocklist,
+    # sub-document dedup rewrite, token-budget source mixing)
+    "url_domain_blocklist",
+    "dd_chunk_dedup_rewrite",
+    "tx_corpus_mix",
 ]
 
 
@@ -153,7 +158,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline suite wall time (22 queries: relational + crawl + dedup + clusters + text + ann/knn + bm25 + css-extract)",
+        "metric": "headline suite wall time (25 queries: relational + crawl + dedup + clusters + text + ann/knn + bm25 + css-extract + corpus gates)",
         "value": total,
         "unit": "sec",
         "queries": timings,
