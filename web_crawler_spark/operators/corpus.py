@@ -356,6 +356,11 @@ def bm25_topk(
     """
     import math as _m
 
+    if not query_terms:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+
     toks = T.tokens(F.lower(F.col(text_col)))
     base = df.select(
         F.col(id_col).alias("doc_id"),

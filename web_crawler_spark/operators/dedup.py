@@ -17,10 +17,16 @@ Shuffle discipline at 100 TB:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+
+# Telemetry from the most recent dedup_clusters call: rounds used,
+# changed-label count per round, and whether propagation converged.
+LAST_CLUSTER_STATS: dict = {}
 
 
 def keep_latest(
@@ -565,6 +571,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """Near-dup cluster formation: connected components over a pair set
     (from minhash_lsh_pairs / simhash_dedup_pairs / ngram_jaccard_pairs /
@@ -592,6 +599,13 @@ def dedup_clusters(
     components are diameter-bounded by construction (every member is within
     one verify-threshold hop of a canonical), and the per-round plan is two
     hash joins + one partial agg, all AQE-skew-splittable.
+
+    Convergence is observable, not assumed: per-round changed-label counts
+    land in module-level ``LAST_CLUSTER_STATS`` (rounds / changed_per_round
+    / converged), the loop exits early the first round nothing changes, and
+    a component whose diameter exceeds ``max_iters`` (a pathological chain)
+    warns — or raises when ``strict=True`` — instead of silently returning
+    unconverged labels.
     """
     e = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
@@ -606,6 +620,8 @@ def dedup_clusters(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    changed_per_round: list[int] = []
+    changed = 0
     for _ in range(max_iters):
         nb_min = (
             edges.join(labels.withColumnRenamed("id", "u"), "u")
@@ -623,10 +639,28 @@ def dedup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("chg")).limit(1).count()
+        changed = new_labels.filter(F.col("chg")).count()
+        changed_per_round.append(changed)
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    LAST_CLUSTER_STATS.clear()
+    LAST_CLUSTER_STATS.update(
+        {
+            "rounds": len(changed_per_round),
+            "changed_per_round": changed_per_round,
+            "converged": changed == 0,
+        }
+    )
+    if changed != 0:
+        msg = (
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — component diameter exceeds "
+            "max_iters; raise max_iters or pre-contract the pair graph"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     clustered = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")

@@ -508,9 +508,20 @@ def _arrow_bucket_stage(
         for pdf in batches:
             if not len(pdf):
                 continue
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            proj = v @ signs(v.shape[1]).T
-            bucket = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+            # Dirty-input parity with the portable Column path: a NULL
+            # embedding gets bucket NULL (dropped by the bucket equi-join)
+            # instead of raising in np.stack; ragged lengths are grouped by
+            # dim so each row buckets against signs of its own dimension.
+            vecs = pdf[vec_col].to_numpy()
+            lens = np.array([-1 if v is None else len(v) for v in vecs])
+            bucket = np.full(len(pdf), None, dtype=object)
+            for dim in np.unique(lens):
+                if dim <= 0:
+                    continue
+                idx = np.nonzero(lens == dim)[0]
+                v = np.stack(vecs[idx]).astype(np.float64)
+                proj = v @ signs(int(dim)).T
+                bucket[idx] = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
             yield pd.DataFrame(
                 {"id": pdf[id_col], "vec": pdf[vec_col], "bucket": bucket}
             )
@@ -539,17 +550,26 @@ def _arrow_cosine_stage(cand: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
-            c = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
-            num = np.einsum("ij,ij->i", q, c)
-            den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(den > 0, num / den, 0.0)
+            # NULL or dim-mismatched pairs score cosine NULL (filtered by
+            # any downstream threshold) rather than raising in np.stack.
+            qs = pdf["qv"].to_numpy()
+            cs = pdf["cv"].to_numpy()
+            qlen = np.array([-1 if v is None else len(v) for v in qs])
+            clen = np.array([-2 if v is None else len(v) for v in cs])
+            cos = np.full(len(pdf), None, dtype=object)
+            ok = np.nonzero((qlen > 0) & (qlen == clen))[0]
+            if len(ok):
+                q = np.stack(qs[ok]).astype(np.float64)
+                c = np.stack(cs[ok]).astype(np.float64)
+                num = np.einsum("ij,ij->i", q, c)
+                den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos[ok] = np.round(np.where(den > 0, num / den, 0.0), 6)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "nb_id": pdf["nb_id"],
-                    "cosine": np.round(cos, 6),
+                    "cosine": cos,
                 }
             )
 

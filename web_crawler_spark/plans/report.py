@@ -201,12 +201,17 @@ def write_commodity_workbook(df: DataFrame, path: str, k_summary: int = 5) -> No
             for r in rws
         ]
 
+    from ..sources.xlsx import safe_sheet_name
+
     sheets: dict[str, list[list]] = {"全部商品": sheet_rows(rows)}
     by_cat: dict[str, list] = {}
     for r in rows:
         by_cat.setdefault(r["category"] or "未分类", []).append(r)
+    # Category strings are scraped input: sanitize to Excel's sheet-name
+    # rules and dedupe against the reserved 全部商品/统计摘要 sheets.
+    taken = {"全部商品", "统计摘要"}
     for cat in sorted(by_cat):
-        sheets[cat] = sheet_rows(by_cat[cat])
+        sheets[safe_sheet_name(cat, taken)] = sheet_rows(by_cat[cat])
     sheets["统计摘要"] = [
         ["指标", "值"],
         ["总数", float(len(rows))],

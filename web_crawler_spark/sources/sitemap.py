@@ -23,13 +23,24 @@ from xml.etree import ElementTree as ET
 
 _NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
 
+# Decompressed-size ceiling for .xml.gz sitemaps. The protocol caps an
+# uncompressed sitemap at 50 MB; a hostile archive (gzip bomb) from a real
+# crawl must not be able to OOM an executor, so the bound is enforced here
+# rather than trusted.
+MAX_SITEMAP_BYTES = 64 * 1024 * 1024
 
-def parse_sitemap(data: bytes) -> list[dict]:
+
+def parse_sitemap(data: bytes, max_bytes: int = MAX_SITEMAP_BYTES) -> list[dict]:
     """Bytes (optionally gzipped) → entry dicts. Unknown/missing fields are
     None; entries keep document order. Tolerates the no-namespace variant
-    some generators emit."""
+    some generators emit. Gzip input is decompressed through a bounded
+    reader: payloads expanding past ``max_bytes`` raise ValueError instead
+    of ballooning executor memory."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gf:
+            data = gf.read(max_bytes + 1)
+        if len(data) > max_bytes:
+            raise ValueError(f"sitemap exceeds {max_bytes} decompressed bytes")
     root = ET.fromstring(data)
 
     def tag(name: str) -> list[str]:
@@ -85,7 +96,12 @@ def sitemap_bytes(
 
 def sitemap_rows_stage(df):
     """(path, content binary) → (sitemap_path, kind, loc, lastmod,
-    changefreq, priority) — one sitemap per task-row, Arrow-batched."""
+    changefreq, priority) — one sitemap per task-row, Arrow-batched.
+
+    Per-file error isolation (the F5 discipline the fetch path follows,
+    engine.py:83-90 in the reference): one malformed/truncated/oversized
+    sitemap yields a single kind='error' row carrying the exception text in
+    ``loc`` instead of failing the whole Spark stage."""
     import pandas as pd
 
     from pyspark.sql import types as ST
@@ -106,7 +122,15 @@ def sitemap_rows_stage(df):
             out = {k: [] for k in
                    ("sitemap_path", "kind", "loc", "lastmod", "changefreq", "priority")}
             for path, content in zip(pdf["path"], pdf["content"]):
-                for e in parse_sitemap(bytes(content)):
+                try:
+                    entries = parse_sitemap(bytes(content))
+                except Exception as exc:  # noqa: BLE001 — isolate any bad file
+                    entries = [{
+                        "kind": "error",
+                        "loc": f"{type(exc).__name__}: {exc}",
+                        "lastmod": None, "changefreq": None, "priority": None,
+                    }]
+                for e in entries:
                     out["sitemap_path"].append(path)
                     for k in ("kind", "loc", "lastmod", "changefreq", "priority"):
                         out[k].append(e[k])

@@ -29,6 +29,29 @@ import zipfile
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
 
+# escape() alone covers text nodes; attribute values additionally need the
+# quote escaped or a '"' in a sheet name yields malformed workbook.xml.
+_ATTR_ENTITIES = {'"': "&quot;"}
+
+# Excel sheet-name contract: ≤31 chars, none of []:*?/\ .
+_SHEET_FORBIDDEN = re.compile(r"[\[\]:*?/\\]")
+
+
+def safe_sheet_name(name: str, taken: set[str] | None = None) -> str:
+    """Sanitize an arbitrary (e.g. scraped-category) string into a legal,
+    unique Excel sheet name: forbidden chars → '_', truncated to 31,
+    empty → 'Sheet', collisions suffixed '~2', '~3', …"""
+    n = _SHEET_FORBIDDEN.sub("_", str(name)).strip() or "Sheet"
+    n = n[:31]
+    if taken is not None:
+        base, i = n, 1
+        while n in taken:
+            i += 1
+            suffix = f"~{i}"
+            n = base[: 31 - len(suffix)] + suffix
+        taken.add(n)
+    return n
+
 _NS_MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _NS_REL_ATTR = (
     "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
@@ -44,11 +67,19 @@ def _col_index(ref: str) -> int:
     return n - 1
 
 
-def read_xlsx(data: bytes) -> dict[str, list[list]]:
+def read_xlsx(data: bytes, max_cells: int = 10_000_000) -> dict[str, list[list]]:
     """Parse workbook bytes → {sheet_name: rows}, rows as lists padded to
     the sheet's max column; numbers come back as float, strings as str,
     booleans as bool, empty cells as None. Sheets keep workbook order
-    (dicts preserve insertion order)."""
+    (dicts preserve insertion order).
+
+    The output is DENSE (rows padded to max row/col seen), so a hostile
+    workbook with one cell at a huge sparse ref (e.g. XFD1048576) would
+    materialize rows×cols cells; sheets whose dense extent exceeds
+    ``max_cells`` raise ValueError instead — xlsx_rows_stage isolates that
+    to an ``__error__`` row. Date handling is out of the subset contract:
+    dates surface as their raw serial floats (1900- and 1904-epoch
+    workbooks alike — workbookPr date1904 is intentionally not consulted)."""
     zf = zipfile.ZipFile(io.BytesIO(data))
 
     def xml(name: str):
@@ -109,6 +140,12 @@ def read_xlsx(data: bytes) -> dict[str, list[list]]:
                     cells[col] = val
                     max_col = max(max_col, col)
             rows.append((r_idx, cells))
+        max_row = max((r for r, _ in rows), default=-1)
+        if (max_row + 1) * (max_col + 1) > max_cells:
+            raise ValueError(
+                f"sheet {name!r} dense extent {max_row + 1}x{max_col + 1} "
+                f"exceeds max_cells={max_cells}"
+            )
         dense: list[list] = []
         for r_idx, cells in rows:
             while len(dense) < r_idx:
@@ -164,7 +201,7 @@ def xlsx_bytes(sheets: dict[str, list[list]]) -> bytes:
             "</Relationships>",
         )
         sheet_els = "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name="{escape(n, _ATTR_ENTITIES)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )
         zf.writestr(
@@ -223,7 +260,11 @@ def xlsx_rows_stage(df, sheets: list[str] | None = None):
     """The parse stage alone: a DataFrame with (path string, content
     binary) → (path, sheet, row_idx, cells array<string>). Cells stringify
     (floats via repr — lossless round-trip); empty cells are NULL
-    entries."""
+    entries.
+
+    Per-workbook error isolation: a corrupt/truncated workbook yields one
+    row (sheet='__error__', row_idx=-1, cells=[message]) instead of failing
+    the stage — same F5 discipline as the fetch and sitemap paths."""
     import pandas as pd
 
     from pyspark.sql import types as ST
@@ -242,7 +283,15 @@ def xlsx_rows_stage(df, sheets: list[str] | None = None):
         for pdf in batches:
             out = {"path": [], "sheet": [], "row_idx": [], "cells": []}
             for path_val, content in zip(pdf["path"], pdf["content"]):
-                for sheet_name, rows in read_xlsx(bytes(content)).items():
+                try:
+                    workbook = read_xlsx(bytes(content))
+                except Exception as exc:  # noqa: BLE001 — isolate bad workbook
+                    out["path"].append(path_val)
+                    out["sheet"].append("__error__")
+                    out["row_idx"].append(-1)
+                    out["cells"].append([f"{type(exc).__name__}: {exc}"])
+                    continue
+                for sheet_name, rows in workbook.items():
                     if want is not None and sheet_name not in want:
                         continue
                     for r_idx, row in enumerate(rows):
