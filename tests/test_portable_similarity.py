@@ -230,3 +230,83 @@ def test_ivf_topk_with_trained_centroids(spark):
     got = SIM.ivf_topk(df, q, k=5, centroids=cents, n_probe=2).collect()
     assert got[0]["vec_id"] == 0  # the query row itself tops the list
     assert len(got) == 5
+
+
+def test_knn_join_lsh_modes_agree_and_auto_rule(spark):
+    """probe_carry='vector' and ='rejoin' are two physical plans for the
+    same logical operator — identical output; 'auto' picks by density."""
+    import random
+
+    rng = random.Random(5)
+    data = [
+        (i, [rng.gauss(cl, 0.15) for _ in range(8)])
+        for i, cl in ((j, j % 3) for j in range(90))
+    ]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"]).repartition(4)
+
+    def run(**kw):
+        return sorted(
+            (r["vec_id"], r["nb_id"], r["cosine"])
+            for r in SIM.knn_join_lsh(df, k=3, n_planes=4, **kw).collect()
+        )
+
+    carry = run(probe_carry="vector")
+    rejoin = run(probe_carry="rejoin")
+    assert carry == rejoin and len(carry) > 0
+    # auto: 90 rows / 2^4 buckets = 5.6 > 1 → vector; 90 / 2^9 < 1 → rejoin
+    assert run(probe_carry="auto") == carry
+    hi = sorted(
+        (r["vec_id"], r["nb_id"])
+        for r in SIM.knn_join_lsh(
+            df, k=3, n_planes=9, probe_carry="auto"
+        ).collect()
+    )
+    assert hi == sorted(
+        (r["vec_id"], r["nb_id"])
+        for r in SIM.knn_join_lsh(
+            df, k=3, n_planes=9, probe_carry="rejoin"
+        ).collect()
+    )
+
+
+def test_knn_join_lsh_rejoin_no_vector_crosses_bucket_join(spark):
+    """Plan-shape contract for probe_carry='rejoin': the exchanges feeding
+    the bucket equi-join carry only (id, bucket) — the embedding column
+    re-joins by id strictly after candidate generation."""
+    import random
+
+    rng = random.Random(7)
+    data = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"]).repartition(4)
+    out = SIM.knn_join_lsh(df, k=2, n_planes=8, probe_carry="rejoin")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the bucket join is the first join in the plan (innermost); its two
+    # child exchanges must not ship any vector column
+    lines = plan.splitlines()
+    join_idx = [
+        i for i, ln in enumerate(lines)
+        if "Join" in ln and "bucket" in ln
+    ]
+    assert join_idx, plan
+    bucket_join_region = "\n".join(lines[join_idx[-1]:])
+    for ln in bucket_join_region.splitlines():
+        if "Exchange hashpartitioning(bucket" in ln:
+            assert "vec" not in ln and "qv" not in ln and "cv" not in ln, ln
+    # and the hashpartitioning(bucket) exchanges exist and are slim
+    assert "Exchange hashpartitioning(bucket" in bucket_join_region
+
+
+def test_partial_topk_stage_is_pure_subset_filter(spark):
+    scored = spark.createDataFrame(
+        [
+            ("q1", f"n{i}", 1.0 - i * 0.01) for i in range(30)
+        ] + [("q2", "nx", None), ("q2", "ny", 0.5)],
+        ["vec_id", "nb_id", "cosine"],
+    ).repartition(1)
+    kept = SIM._partial_topk_stage(scored, 3).collect()
+    by_q = {}
+    for r in kept:
+        by_q.setdefault(r["vec_id"], []).append((r["nb_id"], r["cosine"]))
+    assert sorted(by_q["q1"]) == [("n0", 1.0), ("n1", 0.99), ("n2", 0.98)]
+    # NULL cosine sheds first but survives when under k rows total
+    assert ("ny", 0.5) in by_q["q2"]

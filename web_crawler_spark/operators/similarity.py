@@ -373,25 +373,53 @@ def knn_join_lsh(
     multiprobe: int = 1,
     corpus_size: int | None = None,
     portable: bool = False,
+    probe_carry: str = "auto",
 ) -> DataFrame:
     """LSH-bucketed batch k-NN — the 100 TB path for :func:`knn_join`.
 
-    Every vector is bucketed once; the QUERY side explodes to its own
-    bucket plus rank-``multiprobe`` bit-flip neighbors (n_planes+1 probe
-    rows per query at rank 1), then an equi-join on the bucket id generates
-    candidates and a per-query top-k window ranks them. The shuffle carries
-    (id, bucket) probe rows and (id, bucket, vec) corpus rows — candidate
-    work is sum over buckets of |queries_probing_b| × |bucket_b|, i.e.
-    ~(n_planes+1)·n·2^-n_planes·n, bounded by the auto-scaled plane count
-    (~2^8 vectors/bucket). Recall is tunable with ``multiprobe``; the exact
-    :func:`knn_join` over a sample is the recall oracle.
+    Every corpus vector is bucketed ONCE (its own sign signature); the
+    QUERY side probes its own bucket plus rank-``multiprobe`` bit-flip
+    neighbors (n_planes+1 probe buckets per query at rank 1). An equi-join
+    on the bucket id generates candidates; a per-query top-k ranks them.
+    Candidate work is |probes|·d where density d = corpus/2^n_planes
+    (auto-sized to ~2^8), and because the corpus is single-bucketed while a
+    query's probe buckets are pairwise distinct, a (query, neighbor) pair
+    is generated at most once — no dedup pass is needed or performed.
+
+    ``probe_carry`` picks which plan moves the vectors, because the two
+    regimes invert the byte math (per query: v = vector bytes, p =
+    n_planes+1 probes, d = bucket density):
+
+    * ``"vector"``: probe rows carry qv through the bucket exchange —
+      vector bytes shuffled ≈ p·v (qv to each probed bucket partition)
+      + 1·v (corpus side); scoring is bucket-local and only slim
+      (vec_id, nb_id, cosine) rows leave it. Optimal when d ≥ 1: any
+      re-join alternative must move a vector per candidate PAIR, i.e.
+      ≥ p·d·v bytes. This is the k-NN recall regime the auto-sized planes
+      target (d ≈ 256), so "vector" is the auto choice there —
+      pair-cardinality vector traffic at d=256 would be ~256× heavier.
+    * ``"rejoin"``: both bucket-join sides are slim (id, bucket) — NO
+      vector column crosses the bucket-join exchange (the gram re-join
+      pattern of dedup.py::minhash_lsh_pairs); the candidate id-pairs then
+      re-join cv by nb_id and qv by vec_id. Vector bytes ≈ 2·v + p·d·v
+      (the second re-join's probe side carries the first vector at pair
+      cardinality), which beats "vector" exactly when d < 1 — the
+      high-selectivity regime (planes sized ABOVE auto so most probe
+      buckets are empty or singleton; pairs ≪ probes), e.g. near-dup
+      detection over embeddings with tight buckets.
+    * ``"auto"``: d < 1 → "rejoin", else "vector".
+
+    Either plan feeds a per-batch partial top-k (`_partial_topk_stage`) so
+    the final per-query window shuffles ≤ k rows per (query, Arrow batch)
+    instead of all p·d candidates. Recall is tunable with ``multiprobe``;
+    the exact :func:`knn_join` over a sample is the recall oracle.
     """
     from pyspark.sql import Window
 
+    n_rows = None
     if n_planes is None:
-        n_planes = auto_n_planes(
-            corpus_size if corpus_size is not None else df.count()
-        )
+        n_rows = corpus_size if corpus_size is not None else df.count()
+        n_planes = auto_n_planes(n_rows)
     if portable:
         base = df.select(
             F.col(id_col).alias("id"),
@@ -404,6 +432,10 @@ def knn_join_lsh(
         base = _arrow_bucket_stage(
             df, n_planes, id_col, vec_col
         ).localCheckpoint(eager=True)
+    if probe_carry == "auto":
+        if n_rows is None:
+            n_rows = corpus_size if corpus_size is not None else df.count()
+        probe_carry = "rejoin" if n_rows / (1 << n_planes) < 1.0 else "vector"
     flips = F.array(
         F.col("bucket"),
         *([
@@ -411,19 +443,45 @@ def knn_join_lsh(
             for p in range(n_planes)
         ] if multiprobe else []),
     )
-    probes = base.select(
-        F.col("id").alias("vec_id"),
-        F.col("vec").alias("qv"),
-        F.explode(flips).alias("bucket"),
-    )
-    cand = probes.join(
-        base.select(
-            F.col("id").alias("nb_id"),
-            F.col("vec").alias("cv"),
-            "bucket",
-        ),
-        "bucket",
-    ).filter(F.col("vec_id") != F.col("nb_id"))
+    if probe_carry == "rejoin":
+        probes = base.select(
+            F.col("id").alias("vec_id"), F.explode(flips).alias("bucket")
+        )
+        pair_ids = probes.join(
+            base.select(F.col("id").alias("nb_id"), "bucket"), "bucket"
+        ).filter(F.col("vec_id") != F.col("nb_id")).select("vec_id", "nb_id")
+        vecs = base.select("id", "vec")
+        cand = (
+            pair_ids.join(
+                vecs.select(F.col("id").alias("nb_id"), F.col("vec").alias("cv")),
+                "nb_id",
+            )
+            .join(
+                vecs.select(
+                    F.col("id").alias("vec_id"), F.col("vec").alias("qv")
+                ),
+                "vec_id",
+            )
+            .select("vec_id", "nb_id", "qv", "cv")
+        )
+    else:
+        probes = base.select(
+            F.col("id").alias("vec_id"),
+            F.col("vec").alias("qv"),
+            F.explode(flips).alias("bucket"),
+        )
+        cand = (
+            probes.join(
+                base.select(
+                    F.col("id").alias("nb_id"),
+                    F.col("vec").alias("cv"),
+                    "bucket",
+                ),
+                "bucket",
+            )
+            .filter(F.col("vec_id") != F.col("nb_id"))
+            .select("vec_id", "nb_id", "qv", "cv")
+        )
     if portable:
         # HOF left-fold cosine: bit-matches the SQL oracle's fold
         scored = cand.select(
@@ -437,16 +495,42 @@ def knn_join_lsh(
         # the Arrow-batched numpy kernel ~10 ns/pair. Same round-6 output
         # (numpy pairwise summation can differ in the last ulp — the
         # portable variant keeps the fold the oracle reproduces).
-        scored = _arrow_cosine_stage(
-            cand.select("vec_id", "nb_id", "qv", "cv")
-        )
+        scored = _arrow_cosine_stage(cand)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.col("nb_id"))
     return (
-        scored.dropDuplicates(["vec_id", "nb_id"])
+        _partial_topk_stage(scored, k)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def _partial_topk_stage(scored: DataFrame, k: int) -> DataFrame:
+    """Map-side combine for the per-query top-k window: within each Arrow
+    batch, keep only the k best (cosine desc, nb_id asc) rows per vec_id.
+    The window's Exchange then moves ≤ k rows per (query, batch) instead of
+    every scored candidate (~n_planes·density per query). Pure subset
+    filter — a global top-k row is in the top-k of every subset containing
+    it, so the window output is unchanged (NULL cosines from dirty-input
+    rows sort last and are shed first)."""
+
+    schema = scored.schema
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield (
+                pdf.sort_values(
+                    ["vec_id", "cosine", "nb_id"],
+                    ascending=[True, False, True],
+                    na_position="last",
+                )
+                .groupby("vec_id", sort=False)
+                .head(k)
+            )
+
+    return scored.mapInPandas(gen, schema)
 
 
 def _arrow_bucket_stage(
