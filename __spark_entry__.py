@@ -2829,6 +2829,61 @@ SELECT kind, loc, lastmod FROM (
 """
 
 
+def _q_warc_scan(spark, sf_dir):
+    """WARC ingest on REAL bytes: three .warc.gz shards (one gzip member
+    per record, the Common Crawl layout) are generated deterministically
+    from the customer table, parsed back via the distributed binaryFile +
+    mapInPandas scan (Content-Length framing + HTTP header split), and
+    the oracle recomputes every (url, http_status, body) row from the
+    same table — the whole read path is value-certified."""
+    import tempfile
+
+    from web_crawler_spark.sources.warc import (
+        warc_gz_bytes,
+        warc_record_bytes,
+        warc_scan,
+    )
+
+    rows = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="warc_scan_")
+    shards: list[list[bytes]] = [[], [], []]
+    for r in rows:
+        body = f"<html><body>c{r['c_custkey']}:{r['c_name']}</body></html>".encode()
+        shards[r["c_custkey"] % 3].append(
+            warc_record_bytes(
+                f"https://ex.com/c{r['c_custkey']}", "2025-01-01T00:00:00Z", body
+            )
+        )
+    for i, recs in enumerate(shards):
+        with open(os.path.join(d, f"shard_{i}.warc.gz"), "wb") as f:
+            f.write(warc_gz_bytes(recs))
+    return (
+        warc_scan(spark, d)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            "url",
+            "http_status",
+            F.col("payload").cast("string").alias("body"),
+        )
+        .orderBy("url")
+    )
+
+
+_SQL_WARC_SCAN = """
+SELECT concat('https://ex.com/c', CAST(c_custkey AS VARCHAR)) AS url,
+       CAST(200 AS INTEGER) AS http_status,
+       concat('<html><body>c', CAST(c_custkey AS VARCHAR), ':', c_name,
+              '</body></html>') AS body
+FROM customer
+ORDER BY url
+"""
+
+
 def _q_recrawl_priority(spark, sf_dir):
     """Refresh scheduling over the versioned page table: change-rate ×
     staleness priority (Cho & Garcia-Molina), top-50 next recrawls."""
@@ -3531,7 +3586,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk_md5": _q_ann_ivf_md5,
     "dd_embedding_lsh_pairs_md5": _q_embedding_lsh_pairs_md5,
     "dd_simhash_pairs_md5": _q_simhash_pairs_md5,
-    # --- tier 2: driver-certified green in CORRECTNESS_r01/r02.json ---
+    # --- tier 2: new this round (position >50 keeps the tier-1 snapshot
+    # intact; certify in the next round's rotation) + driver-certified
+    # green in CORRECTNESS_r01/r02.json ---
+    "s_warc_scan": _q_warc_scan,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -3684,6 +3742,7 @@ _ORACLES: dict[str, str] = {
     "crawl_change_detection": _SQL_CHANGE_DETECTION,
     "crawl_recrawl_priority": _SQL_RECRAWL_PRIORITY,
     "s_sitemap_scan": _SQL_SITEMAP_SCAN,
+    "s_warc_scan": _SQL_WARC_SCAN,
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,

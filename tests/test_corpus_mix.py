@@ -49,3 +49,27 @@ def test_sampled_mix_deterministic_and_rate_capped(spark):
     # sampled set is a subset of the corpus with source-consistent rows
     ids = {r.doc_id for r in corpus.collect()}
     assert set(m1) <= ids
+
+
+def test_sampled_mix_high_source_cardinality(spark):
+    # per-domain weighting regime: 10k sources must not explode the plan
+    # (rates are a broadcast-joined DataFrame, not a create_map literal)
+    n = 10_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("dom"), (F.col("id") % n).cast("string")).alias("source"),
+        F.lit("one two three four").alias("text"),
+    )
+    budgets = spark.range(n).select(
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias("source"),
+        # even ids: full budget; odd ids: zero budget
+        F.when(F.col("id") % 2 == 0, F.lit(100)).otherwise(F.lit(0)).alias("token_budget"),
+    )
+    mix = C.corpus_mix_sampled(corpus, budgets)
+    rows = mix.collect()
+    assert len(rows) == n // 2
+    assert all(int(r.source[3:]) % 2 == 0 for r in rows)
+    # sources absent from the budgets table admit nothing
+    half = budgets.filter(F.col("source").isin(["dom0", "dom2"]))
+    small = C.corpus_mix_sampled(corpus, half).collect()
+    assert sorted(r.source for r in small) == ["dom0", "dom2"]

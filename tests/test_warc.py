@@ -1,0 +1,128 @@
+"""WARC/WET read path (sources/warc.py): Content-Length framing, HTTP
+header split on response records, gzip-member transport, per-file error
+isolation, and the export→ingest roundtrip against plans/report.write_warc."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.sources import warc as W
+
+
+def _mk_archive() -> bytes:
+    """warcinfo + request + response (HTTP message, body contains the
+    CRLF CRLF separator) + conversion — the four Common Crawl shapes."""
+    recs = [
+        W.warc_record_bytes(
+            "urn:x", "2025-01-01T00:00:00Z", b"software: test\r\n",
+            warc_type="warcinfo", content_type="application/warc-fields",
+        ),
+        W.warc_record_bytes(
+            "https://ex.com/a", "2025-01-01T00:00:01Z",
+            b"GET /a HTTP/1.1\r\nHost: ex.com\r\n\r\n",
+            warc_type="request", content_type="application/http; msgtype=request",
+        ),
+        W.warc_record_bytes(
+            "https://ex.com/a", "2025-01-01T00:00:02Z",
+            b"<p>body with\r\n\r\nembedded separator</p>",
+        ),
+        W.warc_record_bytes(
+            "https://ex.com/a", "2025-01-01T00:00:03Z",
+            "body with\n\nembedded separator".encode(),
+            warc_type="conversion", content_type="text/plain",
+        ),
+    ]
+    return b"".join(recs)
+
+
+def test_parse_warc_framing_and_http_split():
+    recs = W.parse_warc(_mk_archive())
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "request", "response", "conversion"
+    ]
+    resp = recs[2]
+    # HTTP headers are stripped, status surfaced, body byte-identical —
+    # including the CRLF CRLF inside it (Content-Length framing, not split)
+    assert resp["http_status"] == 200
+    assert resp["payload"] == b"<p>body with\r\n\r\nembedded separator</p>"
+    assert recs[3]["payload"].decode() == "body with\n\nembedded separator"
+    assert resp["url"] == "https://ex.com/a"
+    assert resp["warc_date"] == "2025-01-01T00:00:02Z"
+    # request records stay raw (request messages start with the method
+    # token, not HTTP/ — only response messages get the header split)
+    assert recs[1]["payload"].startswith(b"GET /a HTTP/1.1")
+
+
+def test_parse_warc_gzip_members_and_whole_file():
+    raw = _mk_archive()
+    # Common Crawl layout: one gzip member per record
+    members = W.warc_gz_bytes(
+        [W.warc_record_bytes("https://ex.com/a", "2025-01-01T00:00:02Z", b"<p>x</p>")] * 3
+    )
+    assert len(W.parse_warc(members)) == 3
+    # whole-file gzip
+    assert len(W.parse_warc(gzip.compress(raw, mtime=0))) == 4
+
+
+def test_parse_warc_bounded_decompression():
+    bomb = gzip.compress(b"\x00" * (1 << 20), mtime=0)
+    try:
+        W.parse_warc(bomb, max_bytes=1 << 16)
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        assert "decompressed" in str(exc)
+
+
+def test_parse_warc_truncated_raises():
+    data = _mk_archive()[:-20]
+    try:
+        W.parse_warc(data)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_warc_scan_error_isolation(spark, tmp_path):
+    good = tmp_path / "good.warc"
+    good.write_bytes(_mk_archive())
+    (tmp_path / "bad.warc").write_bytes(b"WARC/1.0\r\nContent-Length: zzz\r\n\r\n")
+    rows = W.warc_scan(spark, str(tmp_path)).collect()
+    errs = [r for r in rows if r.warc_type == "error"]
+    assert len(errs) == 1 and "bad.warc" in errs[0].warc_path
+    assert len([r for r in rows if r.warc_type == "response"]) == 1
+
+
+def test_export_ingest_roundtrip(spark, tmp_path):
+    """write_warc (column-side export) → warc_scan reads back the same
+    (url, body) set — the Common-Crawl interop loop closes."""
+    from web_crawler_spark.plans.report import write_warc
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/x", "2025-07-22 10:00:00", "<p>héllo wörld</p>"),
+            ("https://b.com/y", "2025-07-22 10:00:02", "<table><tr><td>1</td></tr></table>"),
+        ],
+        "canonical_url string, fetch_ts string, html string",
+    ).withColumn("fetch_ts", F.col("fetch_ts").cast("timestamp"))
+    out = str(tmp_path / "warc_out")
+    write_warc(pages, out)
+
+    back = W.warc_pages(spark, out).orderBy("url").collect()
+    assert [(r.url, bytes(r.html).decode("utf-8")) for r in back] == [
+        ("https://a.com/x", "<p>héllo wörld</p>"),
+        ("https://b.com/y", "<table><tr><td>1</td></tr></table>"),
+    ]
+    assert str(back[0].warc_ts) == "2025-07-22 10:00:00"
+
+
+def test_wet_text(spark, tmp_path):
+    (tmp_path / "f.warc.gz").write_bytes(
+        W.warc_gz_bytes([
+            W.warc_record_bytes(
+                "https://ex.com/a", "2025-01-01T00:00:03Z", "extracted tëxt".encode(),
+                warc_type="conversion", content_type="text/plain",
+            )
+        ])
+    )
+    rows = W.wet_text(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0].text == "extracted tëxt"

@@ -171,28 +171,29 @@ def corpus_mix_sampled(
     no hot source partition — at the cost of hitting the budget in
     expectation rather than exactly (binomial spread ~sqrt(n) documents).
     Admission is by-document md5-percentile (same discipline as
-    ``functions/sampling.py``), so re-runs and engine ports agree."""
+    ``functions/sampling.py``), so re-runs and engine ports agree.
+
+    The per-source admission rates are a broadcast-joined DataFrame
+    (one row per source), not a ``create_map`` literal — source
+    cardinality can be 10^5+ (per-domain weighting) without the plan
+    exploding; the rates side is the output of a map-side-combinable
+    agg so its row count IS the source count, always the small side."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
         T.token_count(F.col(text_col)).alias("n_tokens"),
     )
-    totals = {
-        r["source"]: r["total"]
-        for r in toks.groupBy("source").agg(F.sum("n_tokens").alias("total")).collect()
-    }
-    bmap = {
-        r["source"]: r["__b"]
-        for r in budgets.select(
-            F.col(source_col).alias("source"), F.col(budget_col).cast("double").alias("__b")
-        ).collect()
-    }
-    rate = F.create_map(
-        *[
-            x
-            for s, tot in sorted(totals.items())
-            for x in (F.lit(s), F.lit(min(1.0, bmap.get(s, 0.0) / tot) if tot else 0.0))
-        ]
+    totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("__total"))
+    bdf = budgets.select(
+        F.col(source_col).alias("source"),
+        F.col(budget_col).cast("double").alias("__b"),
+    )
+    rates = totals.join(bdf, "source", "left").select(
+        "source",
+        F.when(F.col("__total") > 0,
+               F.least(F.lit(1.0), F.coalesce(F.col("__b"), F.lit(0.0)) / F.col("__total")))
+        .otherwise(F.lit(0.0))
+        .alias("__rate"),
     )
     pct = (
         F.conv(
@@ -206,7 +207,11 @@ def corpus_mix_sampled(
         ).cast("double")
         / F.lit(float(0xFFFFFFFF))
     )
-    return toks.filter(pct < rate[F.col("source")]).select("doc_id", "source", "n_tokens")
+    return (
+        toks.join(F.broadcast(rates), "source")
+        .filter(pct < F.col("__rate"))
+        .select("doc_id", "source", "n_tokens")
+    )
 
 
 def remove_duplicate_chunks(

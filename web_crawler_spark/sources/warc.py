@@ -1,0 +1,242 @@
+"""WARC / WET read path (ISO 28500, the Common Crawl container) on the
+stdlib — the ingest half of the engine's Common-Crawl interop (the export
+half is ``plans/report.py::warc_records`` / ``write_warc``).
+
+The reference crawler fetches live HTTP (pacong/core/engine.py:60-96); a
+100 TB-corpus engine ingests the same pages from WARC archives instead, so
+this module parses real WARC/1.0 record streams:
+
+* record framing by ``Content-Length`` octets (payloads may legally contain
+  the ``CRLF CRLF`` separator, so splitting on it would be wrong),
+* ``response`` records whose payload is a full HTTP message
+  (``Content-Type: application/http``) — the HTTP header block is split
+  off, the status code surfaced, and the entity body returned,
+* ``conversion`` records (WET extracted-text files) and bare
+  ``text/html`` payloads (this engine's own export) returned as-is,
+* gzip transport, including the Common-Crawl layout of one gzip member
+  per record — stdlib ``GzipFile`` reads concatenated members as one
+  stream, and decompression is bounded so a hostile archive cannot OOM
+  an executor (same discipline as ``sources/sitemap.py``).
+
+``warc_scan`` distributes the parse exactly like ``sitemap_scan``: archive
+files load as ``binaryFile`` rows and each parses inside an Arrow-batched
+``mapInPandas`` stage with per-file error isolation (one corrupt archive
+yields a single warc_type='error' row instead of failing the stage — the
+F5 discipline, engine.py:83-90 in the reference).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+# Decompressed-size ceiling per archive file. Common Crawl caps .warc.gz
+# shards at ~1 GiB compressed / <5 GiB raw; a single binaryFile task must
+# hold the decompressed shard, so the bound is a memory contract, not a
+# format limit. Callers ingesting bigger shards lower the split size
+# upstream instead of raising this blindly.
+MAX_WARC_BYTES = 1024 * 1024 * 1024
+
+
+def _gunzip_bounded(data: bytes, max_bytes: int) -> bytes:
+    """Decompress (possibly multi-member) gzip with a hard output bound."""
+    out, total = [], 0
+    with gzip.GzipFile(fileobj=io.BytesIO(data)) as gf:
+        while True:
+            chunk = gf.read(1 << 20)
+            if not chunk:
+                break
+            total += len(chunk)
+            if total > max_bytes:
+                raise ValueError(f"WARC exceeds {max_bytes} decompressed bytes")
+            out.append(chunk)
+    return b"".join(out)
+
+
+def _split_http_payload(payload: bytes):
+    """HTTP message → (status code or None, entity body). Tolerates a
+    missing header block (returns the payload unchanged)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, payload
+    cut = payload.find(b"\r\n\r\n")
+    if cut == -1:
+        return None, payload
+    head = payload[:cut].decode("latin-1", "replace")
+    status = None
+    first = head.split("\r\n", 1)[0].split()
+    if len(first) >= 2 and first[1].isdigit():
+        status = int(first[1])
+    return status, payload[cut + 4 :]
+
+
+def parse_warc(data: bytes, max_bytes: int = MAX_WARC_BYTES) -> list[dict]:
+    """WARC bytes (optionally gzipped) → record dicts in document order:
+    ``{warc_type, url, warc_date, content_type, http_status, payload}``.
+    ``payload`` for response records is the HTTP entity body (headers
+    stripped); for everything else the raw record block. A malformed
+    record raises — per-FILE isolation lives in the scan stage, keeping
+    this function an honest parser for tests and fixtures."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_bounded(data, max_bytes)
+    records, pos, n = [], 0, len(data)
+    while pos < n:
+        # inter-record gap: CRLF pairs per spec, plus bare LFs (this
+        # engine's own text-sink export emits one per row)
+        while pos < n and data[pos] in b"\r\n":
+            pos += 1
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC version line at offset {pos}")
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end == -1:
+            raise ValueError("truncated WARC header block")
+        headers = {}
+        for line in data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError as exc:
+            raise ValueError(f"bad Content-Length: {exc}") from exc
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError("truncated WARC payload")
+        payload = data[body_start : body_start + clen]
+        pos = body_start + clen
+        warc_type = headers.get("warc-type", "")
+        content_type = headers.get("content-type", "")
+        status = None
+        if content_type.lower().startswith("application/http"):
+            status, payload = _split_http_payload(payload)
+        url = headers.get("warc-target-uri") or None
+        if url and url.startswith("<") and url.endswith(">"):
+            url = url[1:-1]  # some writers angle-bracket the URI
+        records.append(
+            {
+                "warc_type": warc_type,
+                "url": url,
+                "warc_date": headers.get("warc-date"),
+                "content_type": content_type or None,
+                "http_status": status,
+                "payload": payload,
+            }
+        )
+    return records
+
+
+def warc_record_bytes(
+    url: str,
+    date: str,
+    body: bytes,
+    warc_type: str = "response",
+    content_type: str = "application/http; msgtype=response",
+    http_status: int = 200,
+) -> bytes:
+    """One WARC/1.0 record as bytes — fixture/export helper mirroring the
+    column-side ``plans/report.py::warc_records``. response records wrap
+    the body in a minimal HTTP/1.1 message (the Common Crawl shape);
+    other types carry the body raw."""
+    if warc_type == "response" and content_type.lower().startswith("application/http"):
+        payload = (
+            f"HTTP/1.1 {http_status} OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+    else:
+        payload = body
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {warc_type}\r\nWARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def warc_gz_bytes(records: list[bytes]) -> bytes:
+    """Concatenate records as one gzip member each — the Common Crawl
+    .warc.gz layout (readers can seek to a member boundary and start)."""
+    return b"".join(gzip.compress(r, mtime=0) for r in records)
+
+
+def warc_rows_stage(df):
+    """(path, content binary) → (warc_path, warc_type, url, warc_date,
+    content_type, http_status, payload binary) — one archive per task-row,
+    Arrow-batched. A corrupt/oversized archive isolates to a single
+    warc_type='error' row carrying the exception text in ``url``."""
+    import pandas as pd
+
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("warc_path", ST.StringType()),
+            ST.StructField("warc_type", ST.StringType()),
+            ST.StructField("url", ST.StringType()),
+            ST.StructField("warc_date", ST.StringType()),
+            ST.StructField("content_type", ST.StringType()),
+            ST.StructField("http_status", ST.IntegerType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    cols = ("warc_type", "url", "warc_date", "content_type", "http_status", "payload")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"warc_path": []}
+            out.update({k: [] for k in cols})
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    recs = parse_warc(bytes(content))
+                except Exception as exc:  # noqa: BLE001 — isolate any bad file
+                    recs = [{
+                        "warc_type": "error",
+                        "url": f"{type(exc).__name__}: {exc}",
+                        "warc_date": None, "content_type": None,
+                        "http_status": None, "payload": None,
+                    }]
+                for r in recs:
+                    out["warc_path"].append(path)
+                    for k in cols:
+                        out[k].append(r[k])
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(gen, schema)
+
+
+def warc_scan(spark, path: str):
+    return warc_rows_stage(
+        spark.read.format("binaryFile").load(path).select("path", "content")
+    )
+
+
+def warc_pages(spark, path: str):
+    """WARC response records → the engine's pages shape (input_hint):
+    (url, warc_ts timestamp, html binary). WET ``conversion`` records from
+    the same path land as (url, warc_ts, text) via ``wet_text`` instead."""
+    from pyspark.sql import functions as F
+
+    return (
+        warc_scan(spark, path)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            "url",
+            F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+            F.col("payload").alias("html"),
+        )
+    )
+
+
+def wet_text(spark, path: str):
+    """WET extracted-text records → (url, warc_ts, text string)."""
+    from pyspark.sql import functions as F
+
+    return (
+        warc_scan(spark, path)
+        .filter(F.col("warc_type") == "conversion")
+        .select(
+            "url",
+            F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+            F.col("payload").cast("string").alias("text"),
+        )
+    )
