@@ -2695,6 +2695,29 @@ ORDER BY c.doc_id
 """
 
 
+def _q_corpus_mix_bpe(spark, sf_dir):
+    """Exact-token budget mixing: same greedy-cut semantics as
+    tx_corpus_mix but denominated in REAL subword tokens from the
+    committed-vocab BPE tokenizer (functions/bpe.py, Arrow-batched count
+    stage). Rows-only: DuckDB cannot run the BPE encoder, but the
+    tokenizer itself is pinned by golden pytests (tests/test_bpe.py) and
+    the mix semantics by the tx_corpus_mix exact oracle."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    budgets = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 3 + 1) * 1000
+            ).cast("bigint").alias("token_budget"),
+        )
+    )
+    return C.corpus_mix(d, budgets, token_counter="bpe").orderBy("doc_id")
+
+
 def _versioned_pages(spark, sf_dir):
     """Synthetic versioned page table (url, warc_ts, text): ~3000 URLs ×
     up to 4 recrawls; warc_ts unique per fetch (base + event_id seconds);
@@ -3641,6 +3664,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_ngram_jaccard_pairs": _q_ngram_jaccard,
     "dd_minhash_lsh_pairs": _q_minhash_lsh,
     # --- rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs) ---
+    "tx_corpus_mix_bpe": _q_corpus_mix_bpe,
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
     "ann_ivf_trained_topk": _q_ann_ivf_trained,

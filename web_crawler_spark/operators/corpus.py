@@ -100,6 +100,37 @@ def chunk_dedup_stats(
     )
 
 
+def _token_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    token_counter: str,
+) -> DataFrame:
+    """(doc_id, source, n_tokens) under the chosen counting unit. "ws"
+    stays a codegen Column expression; "bpe" inserts one Arrow-batched
+    count stage (functions/bpe.py) BEFORE the projection so only three
+    slim columns flow into the mix shuffle either way."""
+    if token_counter == "ws":
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            T.token_count(F.col(text_col)).alias("n_tokens"),
+        )
+    if token_counter == "bpe":
+        from ..functions.bpe import bpe_count_stage
+
+        counted = bpe_count_stage(
+            df.select(id_col, source_col, text_col), text_col, "__bpe_n"
+        )
+        return counted.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.col("__bpe_n").alias("n_tokens"),
+        )
+    raise ValueError(f"unknown token_counter {token_counter!r} (want 'ws' or 'bpe')")
+
+
 def corpus_mix(
     df: DataFrame,
     budgets: DataFrame,
@@ -108,6 +139,7 @@ def corpus_mix(
     source_col: str = "source",
     budget_col: str = "token_budget",
     order_seed: str = "mix",
+    token_counter: str = "ws",
 ) -> DataFrame:
     """Token-budget corpus mixing (SlimPajama / Pile-style source
     weighting): admit documents per source, in a deterministic md5-shuffled
@@ -126,15 +158,17 @@ def corpus_mix(
     no window at all. This exact variant is the oracle-certified
     reference semantics; both make identical admit decisions as the
     sampled rate → budget/total.
+
+    ``token_counter``: the unit the budgets are denominated in —
+    ``"ws"`` (whitespace proxy, a Column expression, stays in codegen) or
+    ``"bpe"`` (exact subword count via the committed-vocab BPE tokenizer,
+    one Arrow-batched mapInPandas stage; see ``functions/bpe.py``). Both
+    produce the same (doc_id, source, n_tokens) frame, so everything
+    downstream — window, greedy cut, oracle semantics — is identical.
     """
-    ord_key = F.md5(
-        F.concat(F.lit(order_seed), F.lit(":"), F.col(id_col).cast("string"))
-    )
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(source_col).alias("source"),
-        T.token_count(F.col(text_col)).alias("n_tokens"),
-        ord_key.alias("__ord"),
+    toks = _token_frame(df, text_col, id_col, source_col, token_counter).withColumn(
+        "__ord",
+        F.md5(F.concat(F.lit(order_seed), F.lit(":"), F.col("doc_id").cast("string"))),
     )
     w = (
         Window.partitionBy("source")
@@ -163,6 +197,7 @@ def corpus_mix_sampled(
     source_col: str = "source",
     budget_col: str = "token_budget",
     order_seed: str = "mix",
+    token_counter: str = "ws",
 ) -> DataFrame:
     """Window-free scale path for ``corpus_mix``: pass 1 aggregates total
     tokens per source (map-side combinable, rows = #sources, collected to
@@ -178,11 +213,11 @@ def corpus_mix_sampled(
     cardinality can be 10^5+ (per-domain weighting) without the plan
     exploding; the rates side is the output of a map-side-combinable
     agg so its row count IS the source count, always the small side."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(source_col).alias("source"),
-        T.token_count(F.col(text_col)).alias("n_tokens"),
-    )
+    toks = _token_frame(df, text_col, id_col, source_col, token_counter)
+    if token_counter != "ws":
+        # toks feeds both the totals agg and the admission filter; a Python
+        # count stage (bpe) should run once, not once per consumer
+        toks = toks.localCheckpoint(eager=True)
     totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("__total"))
     bdf = budgets.select(
         F.col(source_col).alias("source"),
