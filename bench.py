@@ -57,6 +57,11 @@ HEADLINE = [
     "url_domain_blocklist",
     "dd_chunk_dedup_rewrite",
     "tx_corpus_mix",
+    # round-3 additions: WARC ingest (Common-Crawl read path: gzip-member
+    # split + Content-Length framing + HTTP header strip, distributed
+    # binaryFile scan) and exact-token BPE budget mixing (Arrow count stage)
+    "s_warc_scan",
+    "tx_corpus_mix_bpe",
 ]
 
 
@@ -158,7 +163,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline suite wall time (25 queries: relational + crawl + dedup + clusters + text + ann/knn + bm25 + css-extract + corpus gates)",
+        "metric": "headline suite wall time (27 queries: relational + crawl + dedup + clusters + text + ann/knn + bm25 + css-extract + corpus gates + warc ingest + bpe mix)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -115,6 +115,23 @@ def test_export_ingest_roundtrip(spark, tmp_path):
     assert str(back[0].warc_ts) == "2025-07-22 10:00:00"
 
 
+def test_wet_export_ingest_roundtrip(spark, tmp_path):
+    """write_wet → wet_text: the extracted-text interop loop closes too."""
+    from web_crawler_spark.plans.report import write_wet
+
+    docs = spark.createDataFrame(
+        [("https://a.com/x", "2025-07-22 10:00:00", "extracted tëxt\nline two")],
+        "canonical_url string, fetch_ts string, text string",
+    ).withColumn("fetch_ts", F.col("fetch_ts").cast("timestamp"))
+    out = str(tmp_path / "wet_out")
+    write_wet(docs, out)
+    back = W.wet_text(spark, out).collect()
+    assert len(back) == 1
+    assert back[0].text == "extracted tëxt\nline two"
+    assert back[0].url == "https://a.com/x"
+    assert str(back[0].warc_ts) == "2025-07-22 10:00:00"
+
+
 def test_wet_text(spark, tmp_path):
     (tmp_path / "f.warc.gz").write_bytes(
         W.warc_gz_bytes([

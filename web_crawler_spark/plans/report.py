@@ -175,6 +175,52 @@ def write_warc(
     ).text(path)
 
 
+def wet_records(
+    extracted: DataFrame,
+    url_col: str = "canonical_url",
+    ts_col: str = "fetch_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """WET ``conversion`` records (the Common Crawl extracted-text sidecar
+    format) as one string column ``record`` — same pure-Column shape and
+    UTF-8/octet-length contract as ``warc_records``; the export twin of
+    ``sources/warc.py::wet_text``."""
+    url = F.col(url_col)
+    body = F.col(text_col).cast("string")
+    h = F.md5(F.concat_ws("|", F.lit("wet"), url, F.col(ts_col).cast("string")))
+    record_id = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"), F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12), F.lit(">"),
+    )
+    crlf = F.lit("\r\n")
+    record = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: conversion"), crlf,
+        F.lit("WARC-Target-URI: "), url, crlf,
+        F.lit("WARC-Date: "),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"), crlf,
+        F.lit("WARC-Record-ID: "), record_id, crlf,
+        F.lit("Content-Type: text/plain"), crlf,
+        F.lit("Content-Length: "), F.octet_length(body).cast("string"), crlf,
+        crlf, body, crlf, crlf,
+    )
+    return extracted.filter(body.isNotNull()).select(
+        url.alias("url"), record.alias("record")
+    )
+
+
+def write_wet(
+    extracted: DataFrame, path: str,
+    url_col: str = "canonical_url", ts_col: str = "fetch_ts",
+    text_col: str = "text",
+) -> None:
+    wet_records(extracted, url_col, ts_col, text_col).select("record").write.mode(
+        "overwrite"
+    ).text(path)
+
+
 def write_commodity_workbook(df: DataFrame, path: str, k_summary: int = 5) -> None:
     """S11 on REAL xlsx bytes (excel_writer.py:20-87): one 全部商品 sheet
     (all rows), one sheet per category sorted by current_price desc (name
