@@ -384,6 +384,72 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_surt_key(spark, sf_dir):
+    """SURT urlkey (functions/urltools.surt_key — the Common-Crawl CDX
+    index key): multi-label host with a www prefix and mixed case, unsorted
+    query, fragment; the oracle recomputes the label reversal generically
+    with DuckDB list functions (not a literal), so the transform itself is
+    certified, not just one constructed answer."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".News.Example.COM/Doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+    return d.select(
+        F.col("doc_id"), U.surt_key(url).alias("urlkey")
+    ).orderBy("doc_id")
+
+
+_SQL_SURT_KEY = """
+SELECT doc_id,
+       concat(
+         array_to_string(
+           list_reverse(string_split(
+             concat(lower(source), '.news.example.com'), '.')), ','),
+         ')/doc/', CAST(doc_id AS VARCHAR),
+         '?', array_to_string(list_sort(string_split('b=2&a=1', '&')), '&')
+       ) AS urlkey
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_cdx_index(spark, sf_dir):
+    """CDX(J) index rows (sources/cdx.cdx_records) over capture rows
+    synthesized from documents — urlkey/ts14/digest/length all certified
+    value-for-value, including the (urlkey, ts) index order."""
+    from web_crawler_spark.sources.cdx import cdx_records
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.lower(F.col("source")),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.col("text").cast("binary").alias("html"),
+    )
+    return cdx_records(pages).orderBy("urlkey", "ts")
+
+
+_SQL_CDX_INDEX = """
+SELECT concat('com,example,', lower(source), ')/doc/',
+              CAST(doc_id AS VARCHAR)) AS urlkey,
+       strftime(to_timestamp(1700000000 + doc_id), '%Y%m%d%H%M%S') AS ts,
+       concat('https://', lower(source), '.example.com/doc/',
+              CAST(doc_id AS VARCHAR)) AS url,
+       'text/html' AS mime, 200 AS status,
+       md5(text) AS digest, strlen(text) AS length
+FROM documents ORDER BY urlkey, ts
+"""
+
+
 def _q_domain_blocklist(spark, sf_dir):
     """UT1/C4-style domain blocklist gate (operators/urlfilter.py): hosts
     synthesized from documents (some with a cdn. subdomain, some on .net),
@@ -3613,6 +3679,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # intact; certify in the next round's rotation) + driver-certified
     # green in CORRECTNESS_r01/r02.json ---
     "s_warc_scan": _q_warc_scan,
+    "cc_surt_key": _q_surt_key,
+    "cc_cdx_index": _q_cdx_index,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -3767,6 +3835,8 @@ _ORACLES: dict[str, str] = {
     "crawl_recrawl_priority": _SQL_RECRAWL_PRIORITY,
     "s_sitemap_scan": _SQL_SITEMAP_SCAN,
     "s_warc_scan": _SQL_WARC_SCAN,
+    "cc_surt_key": _SQL_SURT_KEY,
+    "cc_cdx_index": _SQL_CDX_INDEX,
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,

@@ -69,7 +69,19 @@ def _run_query(spark, name, fn):
     t0 = time.time()
     df = fn(spark, SF_DIR)
     n = df.count()
-    return time.time() - t0, n
+    sec = time.time() - t0
+    # Release this query's state before the next leg: localCheckpoint RDD
+    # blocks are freed by the JVM ContextCleaner only once the Python-side
+    # DataFrame refs are collected — without an explicit gc the suite
+    # accumulates every prior query's checkpoint blocks in the executor
+    # heap and late heavy legs degrade 5-8x (measured: dd_dedup_clusters
+    # 8.7 s standalone vs 64 s as leg 21 of 27).
+    del df
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    return sec, n
 
 
 def crawl_throughput(spark, n_pages: int, n_seeds_per_host: int, hot: int,

@@ -57,6 +57,50 @@ def canonicalize_url(col: Column) -> Column:
     return F.coalesce(canonical, url)
 
 
+def surt_key(col: Column) -> Column:
+    """SURT urlkey (Sort-friendly URI Reordering Transform — the Internet
+    Archive / Common Crawl CDX index key, e.g. pywb ``canonicalize``):
+    ``http://www.Example.com:8080/Path?b=2&a=1#f`` →
+    ``com,example:8080)/path?a=1&b=2``.
+
+    - host lowercased, leading ``www`` (optionally digit-suffixed) label
+      stripped, dot-separated labels reversed and comma-joined
+    - non-default port kept after the reversed host (``:8080``), default
+      ports (http:80/https:443) dropped
+    - ``)`` separates host from the lowercased path (empty path → ``/``)
+    - query params sorted bytewise, fragment dropped, protocol dropped
+      (CDX keys are scheme-agnostic so http/https revisits collide)
+    - unparseable URL → lowercased raw string (same never-NULL discipline
+      as :func:`canonicalize_url`: junk keys must stay distinct, not
+      collapse onto NULL)
+
+    Pure Column expressions — the urlkey is computed for every fetched page
+    when building a CDX index, so it must stay inside whole-stage codegen.
+    """
+    url = col.cast("string")
+    proto = url_protocol(url)
+    host = url_host(url)
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    authority = F.try_parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = ((proto == "http") & (port == "80")) | (
+        (proto == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    raw_path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.lower(F.when(raw_path == "", F.lit("/")).otherwise(raw_path))
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    query_part = F.when(
+        query.isNull() | (query == ""), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), sorted_query))
+    key = F.concat(rev_host, port_part, F.lit(")"), path, query_part)
+    return F.coalesce(key, F.lower(url))
+
+
 def url_hash(canonical: Column) -> Column:
     """64-bit dedup key over the canonical URL. xxhash64 is JVM-native and
     collision-safe enough for a 10^10 seen-set when paired with the exact
