@@ -450,6 +450,69 @@ FROM documents ORDER BY urlkey, ts
 """
 
 
+def _q_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation (operators/graph.anchor_text_summary — the
+    search-index in-link signal): per-target link counts, distinct in-link
+    hosts, and the most frequent normalized anchor phrase with a
+    deterministic tie-break. Anchors synthesized from documents exercise
+    the normalization (upper-case + doubled spaces) and the empty-anchor
+    drop; the oracle replicates the full two-level aggregation."""
+    from web_crawler_spark.operators import graph as G
+
+    d = _t(spark, sf_dir, "documents")
+    anchors = d.select(
+        F.concat(
+            F.lit("https://s"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("from_url"),
+        F.concat(
+            F.lit("https://t"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/d/"),
+            (F.col("doc_id") % 37).cast("string"),
+        ).alias("resolved_url"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.upper(F.col("source")),
+                F.lit("  Page "),
+                (F.col("doc_id") % 3).cast("string"),
+            )
+        ).alias("anchor"),
+    )
+    return G.anchor_text_summary(anchors).orderBy("target")
+
+
+_SQL_ANCHOR_TEXT = """
+WITH a AS (
+  SELECT concat('https://t', CAST(doc_id % 7 AS VARCHAR),
+                '.example.com/d/', CAST(doc_id % 37 AS VARCHAR)) AS target,
+         regexp_replace(trim(lower(
+           CASE WHEN doc_id % 13 = 0 THEN ''
+                ELSE concat(upper(source), '  Page ',
+                            CAST(doc_id % 3 AS VARCHAR)) END)),
+           '\\s+', ' ', 'g') AS anchor,
+         concat('s', CAST(doc_id % 11 AS VARCHAR), '.example.org')
+           AS src_host
+  FROM documents
+), f AS (SELECT * FROM a WHERE anchor <> ''),
+pa AS (SELECT target, anchor, count(*) AS cnt FROM f GROUP BY 1, 2),
+top AS (
+  SELECT target, anchor AS top_anchor, cnt AS top_anchor_count,
+         sum(cnt) OVER (PARTITION BY target) AS n_links,
+         count(*) OVER (PARTITION BY target) AS n_anchors,
+         row_number() OVER (PARTITION BY target
+                            ORDER BY cnt DESC, anchor) AS rn
+  FROM pa
+), hosts AS (SELECT target, count(DISTINCT src_host) AS n_hosts
+             FROM f GROUP BY 1)
+SELECT t.target, t.n_links, h.n_hosts, t.n_anchors,
+       t.top_anchor, t.top_anchor_count
+FROM top t JOIN hosts h USING (target) WHERE rn = 1 ORDER BY target
+"""
+
+
 def _q_domain_blocklist(spark, sf_dir):
     """UT1/C4-style domain blocklist gate (operators/urlfilter.py): hosts
     synthesized from documents (some with a cdn. subdomain, some on .net),
@@ -3681,6 +3744,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_warc_scan": _q_warc_scan,
     "cc_surt_key": _q_surt_key,
     "cc_cdx_index": _q_cdx_index,
+    "gr_anchor_text": _q_anchor_text,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -3837,6 +3901,7 @@ _ORACLES: dict[str, str] = {
     "s_warc_scan": _SQL_WARC_SCAN,
     "cc_surt_key": _SQL_SURT_KEY,
     "cc_cdx_index": _SQL_CDX_INDEX,
+    "gr_anchor_text": _SQL_ANCHOR_TEXT,
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,

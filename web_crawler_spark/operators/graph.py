@@ -100,3 +100,77 @@ def pagerank(
         if (i + 1) % 3 == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint()  # cut the iterative lineage
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def anchor_text_summary(
+    anchors: DataFrame,
+    target_col: str = "resolved_url",
+    anchor_col: str = "anchor",
+    source_col: str = "from_url",
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic search-index /
+    link-graph signal: what *other* pages call a URL (anchor text is often
+    a better document title than the document's own ``<title>``, and the
+    in-link host fan-in is a spam/authority feature).
+
+    Input is the resolved outlink table with anchor text
+    (``plans/extract.anchor_stage`` → ``resolve_links``). Anchor text is
+    normalized (lowercase, whitespace collapsed); rows with empty anchors
+    (image links, icon links) are dropped before aggregation.
+
+    Returns one row per target URL:
+    ``(target, n_links, n_hosts, n_anchors, top_anchor, top_anchor_count)``
+    where ``top_anchor`` is the most frequent normalized anchor with a
+    deterministic lexicographic tie-break (min over ``(-cnt, anchor)`` —
+    a plain struct-min aggregate, no window).
+
+    Scale shape: two hash aggregations and one distinct-count, all keyed
+    (or re-keyed) on ``target`` — partial map-side combine everywhere, no
+    window over the raw edge set, no collect_list of anchors. At 10^11
+    edges the (target, anchor) pre-aggregation shrinks the second shuffle
+    to ~unique anchor phrases per target (bounded by vocabulary, not
+    in-degree), and hot targets (a nav-bar link on every page of a big
+    host) stay one-combiner-row per distinct phrase.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(anchor_col))), r"\s+", " ")
+    a = anchors.select(
+        F.col(target_col).alias("target"),
+        norm.alias("anchor"),
+        U.url_host(F.col(source_col)).alias("src_host"),
+    ).filter(
+        F.col("target").isNotNull() & (F.col("anchor") != F.lit(""))
+    )
+    per_anchor = a.groupBy("target", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = (
+        per_anchor.groupBy("target")
+        .agg(
+            F.sum("cnt").alias("n_links"),
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("anchor").alias("anchor"),
+                )
+            ).alias("_top"),
+        )
+        .select(
+            "target",
+            "n_links",
+            "n_anchors",
+            F.col("_top.anchor").alias("top_anchor"),
+            (-F.col("_top.neg_cnt")).alias("top_anchor_count"),
+        )
+    )
+    hosts = a.groupBy("target").agg(
+        F.count_distinct("src_host").alias("n_hosts")
+    )
+    return top.join(hosts, "target").select(
+        "target",
+        "n_links",
+        "n_hosts",
+        "n_anchors",
+        "top_anchor",
+        "top_anchor_count",
+    )

@@ -57,6 +57,8 @@ class _TableParser(HTMLParser):
         self._open_cells: list[list[str]] = []     # text chunks per open cell
         self._scope: list[str] = []                # open table/tr/td nesting
         self.links: list[str] = []
+        self.anchors: list[tuple[str, str]] = []   # (href, anchor text)
+        self._open_anchor: tuple[str, list[str]] | None = None
         self._text_chunks: list[str] = []
         self._suppress = 0
 
@@ -105,13 +107,28 @@ class _TableParser(HTMLParser):
                 self._open_cells.append(chunks)
                 self._scope.append(tag)
         elif tag == "a":
+            # A new <a> implies the end of any open one (browsers auto-close
+            # nested anchors; nesting is illegal HTML).
+            self._close_anchor()
             for k, v in attrs:
                 if k == "href" and v:
                     self.links.append(v)
+                    self._open_anchor = (v, [])
+                    break
+
+    def _close_anchor(self) -> None:
+        if self._open_anchor is not None:
+            href, chunks = self._open_anchor
+            text = " ".join(" ".join(c.split()) for c in chunks if c.strip())
+            self.anchors.append((href, text))
+            self._open_anchor = None
 
     def handle_endtag(self, tag: str) -> None:
         if tag in self._SKIP_TEXT_IN:
             self._suppress = max(0, self._suppress - 1)
+            return
+        if tag == "a":
+            self._close_anchor()
             return
         if tag == "table" and self._open_tables:
             self._imply_end(("td", "th", "tr"))
@@ -131,6 +148,8 @@ class _TableParser(HTMLParser):
             return
         for chunks in self._open_cells:
             chunks.append(data)
+        if self._open_anchor is not None:
+            self._open_anchor[1].append(data)
         if data.strip():
             self._text_chunks.append(data.strip())
 
@@ -143,6 +162,7 @@ def parse_html(html: str) -> _TableParser:
     p = _TableParser()
     p.feed(html)
     p.close()
+    p._close_anchor()  # unclosed <a> at EOF keeps its accumulated text
     return p
 
 
@@ -209,6 +229,15 @@ def extract_simple_rows(html: str) -> list[dict]:
 
 def extract_links(html: str) -> list[str]:
     return parse_html(html).links
+
+
+def extract_anchors(html: str) -> list[tuple[str, str]]:
+    """(href, anchor text) pairs in document order. Hrefs match
+    :func:`extract_links` exactly (same attribute walk); anchor text is the
+    whitespace-normalized visible text between ``<a>`` and its (possibly
+    implied) close — nested ``<a>`` auto-closes the open one, an unclosed
+    trailing ``<a>`` keeps what it accumulated."""
+    return parse_html(html).anchors
 
 
 def extract_text(html: str) -> str:
@@ -435,6 +464,32 @@ def link_stage(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "link"])
 
     return pages.select("url", "html").mapInPandas(gen, LINKS_SCHEMA)
+
+
+ANCHORS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("link", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ]
+)
+
+
+def anchor_stage(pages: DataFrame) -> DataFrame:
+    """(url, link, anchor) outlink rows with the anchor's visible text —
+    the input of anchor-text aggregation (the classic search-index signal:
+    what *other* pages call a target). Hrefs match :func:`link_stage`
+    exactly; feed through :func:`resolve_links` for absolute targets."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for href, anchor in extract_anchors(_decode(html)):
+                    rows.append((url, href, anchor))
+            yield pd.DataFrame(rows, columns=["url", "link", "anchor"])
+
+    return pages.select("url", "html").mapInPandas(gen, ANCHORS_SCHEMA)
 
 
 def text_stage(pages: DataFrame) -> DataFrame:
