@@ -513,6 +513,73 @@ FROM top t JOIN hosts h USING (target) WHERE rn = 1 ORDER BY target
 """
 
 
+def _q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects — pointer doubling,
+    5 slim self-joins cover 32 hops): chains of length 1-4 synthesized
+    from documents plus a deliberate 2-cycle; final_url/hops/resolved all
+    certified against a DuckDB recursive-CTE walk with the same hop cap.
+    resolved is cast to int for cross-engine hash stability."""
+    from web_crawler_spark.operators import redirects as R
+
+    d = _t(spark, sf_dir, "documents")
+    base = "https://r.example.com/"
+    p = F.col("doc_id") % 5
+    fetches = d.select(
+        F.concat(F.lit(base + "u/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.when(p > 0, F.lit(301)).otherwise(F.lit(200)).alias("status"),
+        F.when(
+            p > 0,
+            F.concat(
+                F.lit(base + "u/"), (F.col("doc_id") - 1).cast("string")
+            ),
+        ).alias("redirect_to"),
+    )
+    cyc = spark.createDataFrame(
+        [
+            (base + "cycA", 302, base + "cycB"),
+            (base + "cycB", 302, base + "cycA"),
+        ],
+        "url string, status int, redirect_to string",
+    )
+    edges = R.redirect_edges(fetches.unionByName(cyc))
+    return (
+        R.resolve_redirects(edges)
+        .withColumn("resolved", F.col("resolved").cast("int"))
+        .orderBy("url")
+    )
+
+
+_SQL_REDIRECT_RESOLVE = """
+WITH RECURSIVE f AS (
+  SELECT concat('https://r.example.com/u/', CAST(doc_id AS VARCHAR)) AS url,
+         CASE WHEN doc_id % 5 > 0 THEN 301 ELSE 200 END AS status,
+         CASE WHEN doc_id % 5 > 0
+              THEN concat('https://r.example.com/u/',
+                          CAST(doc_id - 1 AS VARCHAR)) END AS redirect_to
+  FROM documents
+  UNION ALL
+  SELECT 'https://r.example.com/cycA', 302, 'https://r.example.com/cycB'
+  UNION ALL
+  SELECT 'https://r.example.com/cycB', 302, 'https://r.example.com/cycA'
+), e AS (
+  SELECT url AS src, min(redirect_to) AS dst FROM f
+  WHERE status BETWEEN 300 AND 399 AND redirect_to IS NOT NULL GROUP BY 1
+), walk AS (
+  SELECT src AS url, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e
+  UNION ALL
+  SELECT w.url, e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.cur WHERE w.hops < 32
+)
+SELECT url, cur AS final_url, hops,
+       CAST(cur NOT IN (SELECT src FROM e) AS INT) AS resolved
+FROM walk
+QUALIFY row_number() OVER (PARTITION BY url ORDER BY hops DESC) = 1
+ORDER BY url
+"""
+
+
 def _q_domain_blocklist(spark, sf_dir):
     """UT1/C4-style domain blocklist gate (operators/urlfilter.py): hosts
     synthesized from documents (some with a cdn. subdomain, some on .net),
@@ -3745,6 +3812,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_surt_key": _q_surt_key,
     "cc_cdx_index": _q_cdx_index,
     "gr_anchor_text": _q_anchor_text,
+    "cc_redirect_resolve": _q_redirect_resolve,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -3902,6 +3970,7 @@ _ORACLES: dict[str, str] = {
     "cc_surt_key": _SQL_SURT_KEY,
     "cc_cdx_index": _SQL_CDX_INDEX,
     "gr_anchor_text": _SQL_ANCHOR_TEXT,
+    "cc_redirect_resolve": _SQL_REDIRECT_RESOLVE,
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
