@@ -580,6 +580,53 @@ ORDER BY url
 """
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm): add-1 bigram model
+    trained on the doc_id%10<8 slice of documents, every document scored.
+    Per-bigram log-probs are fixed-point int64 (floor(ln*1e6)) so the
+    per-doc sum is integer arithmetic — exact across engines and partition
+    orders; avg_logprob is a division of exact ints. Held-out docs
+    exercise the unseen-bigram smoothing path."""
+    from web_crawler_spark.operators import lm as L
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 < 8)
+    bigrams, contexts, v = L.train_bigram_lm(train)
+    return (
+        L.score_docs(d, bigrams, contexts, v, alpha=1.0)
+        .select("doc_id", "n_bigrams", "logprob_fp", "avg_logprob")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_LM_PERPLEXITY = """
+WITH tok AS (
+  SELECT doc_id,
+         ['<s>'] || regexp_extract_all(lower(text), '[a-z0-9]+') || ['</s>']
+           AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM tok, LATERAL unnest(generate_series(1, len(w)-1)) AS t(i)
+), train AS (SELECT * FROM bg WHERE doc_id % 10 < 8),
+cnt AS (SELECT w1, w2, count(*) AS c FROM train GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS ctx_c FROM train GROUP BY 1),
+v AS (SELECT count(DISTINCT t) + 1 AS vs
+      FROM (SELECT w1 AS t FROM train UNION ALL SELECT w2 FROM train)),
+lp AS (
+  SELECT bg.doc_id,
+         CAST(floor(ln(
+           (COALESCE(cnt.c, 0) + 1.0)
+           / (COALESCE(ctx.ctx_c, 0) + 1.0 * (SELECT vs FROM v))
+         ) * 1000000) AS BIGINT) AS lp
+  FROM bg LEFT JOIN cnt USING (w1, w2) LEFT JOIN ctx USING (w1)
+)
+SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS logprob_fp,
+       sum(lp) / (count(*) * 1000000.0) AS avg_logprob
+FROM lp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_domain_blocklist(spark, sf_dir):
     """UT1/C4-style domain blocklist gate (operators/urlfilter.py): hosts
     synthesized from documents (some with a cdn. subdomain, some on .net),
@@ -3813,6 +3860,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_cdx_index": _q_cdx_index,
     "gr_anchor_text": _q_anchor_text,
     "cc_redirect_resolve": _q_redirect_resolve,
+    "tx_lm_perplexity": _q_lm_perplexity,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -3971,6 +4019,7 @@ _ORACLES: dict[str, str] = {
     "cc_cdx_index": _SQL_CDX_INDEX,
     "gr_anchor_text": _SQL_ANCHOR_TEXT,
     "cc_redirect_resolve": _SQL_REDIRECT_RESOLVE,
+    "tx_lm_perplexity": _SQL_LM_PERPLEXITY,
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
