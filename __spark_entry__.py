@@ -1269,6 +1269,19 @@ def _q_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(pairs, docs=d).orderBy("doc_id")
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """Same transitive near-dup groups, computed with the alternating
+    large-star/small-star contraction (Kiveris et al. 2014) instead of
+    min-label propagation - O(log^2 n) rounds on any component shape; the
+    oracle (the same recursive closure) certifies both algorithms agree
+    with the true components."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", n=5, k=8, bands=4, threshold=0.18, portable_hash=True
+    )
+    return D.dedup_clusters(pairs, docs=d, algorithm="star").orderBy("doc_id")
+
+
 def _q_keep_canonical(spark, sf_dir):
     """Corpus after near-dup collapse: one minimum-id doc per component."""
     d = _t(spark, sf_dir, "documents")
@@ -3861,6 +3874,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_anchor_text": _q_anchor_text,
     "cc_redirect_resolve": _q_redirect_resolve,
     "tx_lm_perplexity": _q_lm_perplexity,
+    "dd_dedup_clusters_star": _q_dedup_clusters_star,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4020,6 +4034,7 @@ _ORACLES: dict[str, str] = {
     "gr_anchor_text": _SQL_ANCHOR_TEXT,
     "cc_redirect_resolve": _SQL_REDIRECT_RESOLVE,
     "tx_lm_perplexity": _SQL_LM_PERPLEXITY,
+    "dd_dedup_clusters_star": _sql_dedup_clusters(),
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,

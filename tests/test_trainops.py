@@ -533,3 +533,44 @@ def test_dedup_clusters_matches_union_find_property(spark):
         }
         want = union_find_labels(pairs, nodes)
         assert got == want, (trial, pairs)
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """algorithm='star' (large-star/small-star) == union-find on random
+    graphs + the adversarial chain where propagation needs diameter
+    rounds: a 60-node path resolves within the default 25-round budget
+    because contraction is O(log^2 n), not O(diameter)."""
+    import random
+
+    # adversarial chain, diameter 59 > max_iters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["id_a", "id_b"]
+    )
+    got = D.dedup_clusters(pairs, algorithm="star").collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 60 and sum(r["is_canonical"] for r in got) == 1
+    assert D.LAST_CLUSTER_STATS["converged"] is True
+    assert D.LAST_CLUSTER_STATS["rounds"] <= 8
+
+    rng = random.Random(29)
+    for trial in range(3):
+        nodes = list(range(rng.randint(5, 30)))
+        pairs = [
+            tuple(rng.sample(nodes, 2))
+            for _ in range(rng.randint(0, len(nodes) * 2))
+        ]
+        docs = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+        pdf = (
+            spark.createDataFrame(pairs, ["id_a", "id_b"])
+            if pairs
+            else spark.createDataFrame([], "id_a int, id_b int")
+        )
+        lab = {
+            r["doc_id"]: r["cluster_id"]
+            for r in D.dedup_clusters(pdf, docs=docs).collect()
+        }
+        star = {
+            r["doc_id"]: r["cluster_id"]
+            for r in D.dedup_clusters(pdf, docs=docs, algorithm="star").collect()
+        }
+        assert star == lab, (trial, pairs)

@@ -564,6 +564,82 @@ def simhash_dedup_pairs(
     )
 
 
+def _star_components(edges: DataFrame, max_iters: int) -> tuple[DataFrame, list[int], bool]:
+    """Alternating large-star/small-star contraction [Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"] — O(log² n) rounds on
+    ANY graph shape, including the chain-shaped adversarial components
+    where min-label propagation needs diameter rounds.
+
+    Input: symmetric edge list (u, v), both directions present. Output:
+    (id, label) with label = component minimum, for every non-min node;
+    plus per-round edge-count telemetry and a converged flag.
+
+    Each star step is one groupBy(u) min + one re-join — the same two
+    shuffles per round as label propagation, but the edge set *contracts*
+    toward a star on the component min instead of propagating one hop.
+    """
+    e = (
+        edges.select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds: list[int] = []
+    converged = False
+    prev_fp = None
+    for _ in range(max_iters):
+        # large-star: for each u, attach strictly larger neighbors to
+        # m = min(N(u) ∪ {u}); symmetric closure keeps both directions.
+        mins = e.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("u"), F.col("_mn")).alias("m")
+        )
+        big = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        e = (
+            big.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(big.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: key each edge by its larger endpoint; attach the
+        # smaller neighbors and the key itself to the minimum.
+        directed = e.filter(F.col("v") < F.col("u"))
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        sm = directed.join(mins, "u")
+        small = (
+            sm.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(sm.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        e = (
+            small.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(small.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # convergence: edge-set fingerprint (count + order-free hash sum)
+        fp = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI mode overflows a long sum of 64-bit hashes
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        rounds.append(int(fp["n"]))
+        if prev_fp == (fp["n"], fp["h"]):
+            converged = True
+            break
+        prev_fp = (fp["n"], fp["h"])
+    labels = (
+        e.filter(F.col("v") < F.col("u"))
+        .select(F.col("u").alias("id"), F.col("v").alias("label"))
+    )
+    return labels, rounds, converged
+
+
 def dedup_clusters(
     pairs: DataFrame,
     docs: DataFrame | None = None,
@@ -572,6 +648,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iters: int = 25,
     strict: bool = False,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Near-dup cluster formation: connected components over a pair set
     (from minhash_lsh_pairs / simhash_dedup_pairs / ngram_jaccard_pairs /
@@ -595,10 +672,13 @@ def dedup_clusters(
     component (one doc near-dup to millions) is exactly the case the
     alternating large-star/small-star contraction [Kiveris et al., "Connected
     Components in MapReduce and Beyond"] bounds to O(log^2 n) rounds — this
-    implementation keeps the simpler min-propagation because dedup
-    components are diameter-bounded by construction (every member is within
-    one verify-threshold hop of a canonical), and the per-round plan is two
-    hash joins + one partial agg, all AQE-skew-splittable.
+    implementation keeps the simpler min-propagation as the default because
+    dedup components are diameter-bounded by construction (every member is
+    within one verify-threshold hop of a canonical), and the per-round plan
+    is two hash joins + one partial agg, all AQE-skew-splittable. For
+    adversarial shapes pass ``algorithm="star"`` — the large-star/small-star
+    contraction itself (:func:`_star_components`), which converges in
+    O(log² n) rounds on a chain where propagation needs diameter rounds.
 
     Convergence is observable, not assumed: per-round changed-label counts
     land in module-level ``LAST_CLUSTER_STATS`` (rounds / changed_per_round
@@ -613,6 +693,57 @@ def dedup_clusters(
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+
+    if algorithm == "star":
+        star_labels, round_sizes, conv = _star_components(edges, max_iters)
+        mins = star_labels.select(F.col("label")).distinct()
+        labels = star_labels.unionByName(
+            mins.select(F.col("label").alias("id"), "label")
+        )
+        # isolated self-pair nodes (id_a == id_b only) never appear in a
+        # star edge; restore them as their own component
+        allnodes = edges.select(F.col("u").alias("id")).distinct()
+        labels = (
+            allnodes.join(labels, "id", "left")
+            .select(
+                "id", F.coalesce("label", F.col("id")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        LAST_CLUSTER_STATS.clear()
+        LAST_CLUSTER_STATS.update(
+            {
+                "algorithm": "star",
+                "rounds": len(round_sizes),
+                "edges_per_round": round_sizes,
+                "converged": conv,
+            }
+        )
+        if not conv:
+            msg = (
+                f"dedup_clusters(star) did not reach an edge fixpoint in "
+                f"{max_iters} rounds"
+            )
+            if strict:
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        clustered = labels.select(
+            F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+        )
+        if docs is not None:
+            clustered = (
+                docs.select(id_col)
+                .join(clustered, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("cluster_id", F.col(id_col)).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
+        return clustered.withColumn(
+            "is_canonical", F.col(id_col) == F.col("cluster_id")
+        )
 
     labels = (
         edges.select(F.col("u").alias("id"))
