@@ -627,6 +627,79 @@ FROM lp GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_crawl_traps(spark, sf_dir):
+    """Crawler-trap family detection (operators/urlfilter.detect_crawl_traps):
+    a calendar-style trap family (500 distinct URLs, 5 distinct content
+    fingerprints), borderline benign families (exactly min_family URLs but
+    all-distinct content — must NOT flag), and sub-threshold families.
+    Family normalization, both distinct counts, and the trap predicate are
+    all oracle-replicated."""
+    from web_crawler_spark.operators import urlfilter as UF
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    trap = d.select(
+        F.concat(F.lit("https://trap.example.com/cal/2020/"), did).alias("url"),
+        F.md5(F.col("source")).alias("fp"),
+    )
+    benign = d.select(
+        F.concat(
+            F.lit("https://ok"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/articles/"),
+            did,
+        ).alias("url"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    rare = d.select(
+        F.concat(
+            F.lit("https://h"), did, F.lit(".example.com/about")
+        ).alias("url"),
+        F.md5(did).alias("fp"),
+    )
+    pages = trap.unionByName(benign).unionByName(rare)
+    return (
+        UF.detect_crawl_traps(
+            pages, fingerprint_col="fp", min_family=100, max_content_ratio=0.10
+        )
+        .withColumn("is_trap", F.col("is_trap").cast("int"))
+        .orderBy("family")
+    )
+
+
+_SQL_CRAWL_TRAPS = """
+WITH pages AS (
+  SELECT concat('trap.example.com',
+                regexp_replace(concat('/cal/2020/', CAST(doc_id AS VARCHAR)),
+                               '[0-9]+', 'N', 'g')) AS family,
+         concat('https://trap.example.com/cal/2020/',
+                CAST(doc_id AS VARCHAR)) AS url,
+         md5(source) AS fp
+  FROM documents
+  UNION ALL
+  SELECT concat('ok', CAST(doc_id % 5 AS VARCHAR), '.example.com',
+                regexp_replace(concat('/articles/', CAST(doc_id AS VARCHAR)),
+                               '[0-9]+', 'N', 'g')),
+         concat('https://ok', CAST(doc_id % 5 AS VARCHAR),
+                '.example.com/articles/', CAST(doc_id AS VARCHAR)),
+         md5(text)
+  FROM documents
+  UNION ALL
+  SELECT concat('h', CAST(doc_id AS VARCHAR), '.example.com/about'),
+         concat('https://h', CAST(doc_id AS VARCHAR), '.example.com/about'),
+         md5(CAST(doc_id AS VARCHAR))
+  FROM documents
+)
+SELECT family,
+       count(DISTINCT url) AS n_urls,
+       count(DISTINCT fp) AS n_content,
+       CAST(count(DISTINCT url) >= 100
+            AND count(DISTINCT fp) <= count(DISTINCT url) * 0.10 AS INT)
+         AS is_trap
+FROM pages GROUP BY family ORDER BY family
+"""
+
+
 def _q_domain_blocklist(spark, sf_dir):
     """UT1/C4-style domain blocklist gate (operators/urlfilter.py): hosts
     synthesized from documents (some with a cdn. subdomain, some on .net),
@@ -3875,6 +3948,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_redirect_resolve": _q_redirect_resolve,
     "tx_lm_perplexity": _q_lm_perplexity,
     "dd_dedup_clusters_star": _q_dedup_clusters_star,
+    "url_crawl_traps": _q_crawl_traps,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4035,6 +4109,7 @@ _ORACLES: dict[str, str] = {
     "cc_redirect_resolve": _SQL_REDIRECT_RESOLVE,
     "tx_lm_perplexity": _SQL_LM_PERPLEXITY,
     "dd_dedup_clusters_star": _sql_dedup_clusters(),
+    "url_crawl_traps": _SQL_CRAWL_TRAPS,
     "gr_host_pagerank": _pagerank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,

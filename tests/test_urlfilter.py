@@ -76,3 +76,58 @@ def test_pattern_filter_extensions_and_regex(spark):
         df, deny_extensions=[".jpg", "png"], deny_patterns=[r"wp-login"]
     )
     assert sorted(r.id for r in out.collect()) == [3, 5]
+
+
+def test_crawl_trap_detection_and_filter(spark):
+    from web_crawler_spark.operators.urlfilter import (
+        detect_crawl_traps,
+        filter_trapped_urls,
+        url_family,
+    )
+
+    rows = (
+        # calendar trap: 30 URLs, one content fingerprint
+        [(f"https://t.com/cal/2024/{i:02d}", "same") for i in range(30)]
+        # benign archive: 30 URLs, all-distinct content
+        + [(f"https://ok.com/post/{i}", f"fp{i}") for i in range(30)]
+        # below min_family
+        + [("https://ok.com/about", "about")]
+    )
+    pages = spark.createDataFrame(rows, "url string, fp string")
+    traps = detect_crawl_traps(
+        pages, fingerprint_col="fp", min_family=20, max_content_ratio=0.2
+    )
+    got = {r["family"]: r for r in traps.collect()}
+    assert got["t.com/cal/N/N"]["is_trap"] is True
+    assert got["t.com/cal/N/N"]["n_urls"] == 30
+    assert got["t.com/cal/N/N"]["n_content"] == 1
+    assert got["ok.com/post/N"]["is_trap"] is False
+    assert got["ok.com/about"]["is_trap"] is False
+
+    kept = filter_trapped_urls(pages, traps)
+    urls = {r["url"] for r in kept.collect()}
+    assert len(urls) == 31 and all("t.com" not in u for u in urls)
+    # trap side is broadcast: frontier must not shuffle
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+    # URL-explosion-only mode (no fingerprint column)
+    t2 = detect_crawl_traps(pages, min_family=25)
+    got2 = {r["family"]: r["is_trap"] for r in t2.collect()}
+    assert got2["t.com/cal/N/N"] is True and got2["ok.com/about"] is False
+
+
+def test_url_family_normalization(spark):
+    from web_crawler_spark.operators.urlfilter import url_family
+
+    df = spark.createDataFrame(
+        [
+            ("https://A.com/Page/123?x=1#f",),
+            ("https://a.com/page/999",),
+            ("https://a.com",),  # empty path -> '/'
+        ],
+        ["url"],
+    )
+    fams = [r["f"] for r in df.select(url_family("url").alias("f")).collect()]
+    assert fams[0] == fams[1] == "a.com/page/N"
+    assert fams[2] == "a.com/"

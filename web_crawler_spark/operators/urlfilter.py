@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import urltools as U
@@ -121,3 +121,83 @@ def url_pattern_filter(
         for p in deny_patterns:
             pred = pred & ~url.rlike(p)
     return df.filter(pred)
+
+
+def url_family(url: Column | str) -> Column:
+    """Trap-family key for a URL: ``host + path`` with every digit run
+    collapsed to ``N`` and the query/fragment dropped. Calendar archives
+    (``/2024/01/05``), paginated facets (``/page/7341``) and numeric
+    session paths all collapse onto one family; distinct legitimate
+    sections stay distinct. Pure Column expressions (computed for every
+    frontier URL — must stay inside codegen)."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = U.url_host(c)
+    raw = F.coalesce(F.try_parse_url(c.cast("string"), F.lit("PATH")), F.lit(""))
+    path = F.when(raw == "", F.lit("/")).otherwise(raw)
+    norm = F.regexp_replace(F.lower(path), "[0-9]+", "N")
+    return F.concat(host, norm)
+
+
+def detect_crawl_traps(
+    pages: DataFrame,
+    url_col: str = "url",
+    fingerprint_col: str | None = None,
+    min_family: int = 100,
+    max_content_ratio: float = 0.10,
+) -> DataFrame:
+    """Crawler-trap families: URL groups with explosive distinct-URL
+    counts and (when a content fingerprint is available) almost no
+    distinct content behind them — calendar traps, session-id explosions,
+    faceted-search combinatorics. The reference crawls a fixed seed list
+    and cannot hit traps; any open-web frontier must gate on them or a
+    single mis-configured host eats the politeness budget.
+
+    Returns one row per family:
+    ``(family, n_urls, n_content, is_trap)`` where ``is_trap`` is true
+    when the family has ≥ ``min_family`` distinct URLs and, if
+    ``fingerprint_col`` is given, ≤ ``max_content_ratio`` distinct
+    fingerprints per URL (URL-explosion alone flags when no fingerprint
+    is supplied).
+
+    One hash aggregation keyed on the family — the family key is computed
+    in codegen, distinct counts partial-aggregate map-side, and the output
+    is family-cardinality-sized (tiny next to the frontier), so the trap
+    table broadcast-joins back in :func:`filter_trapped_urls`.
+    """
+    fam = pages.select(
+        url_family(url_col).alias("family"),
+        F.col(url_col).alias("_url"),
+        *(
+            [F.col(fingerprint_col).alias("_fp")]
+            if fingerprint_col
+            else []
+        ),
+    )
+    aggs = [F.count_distinct(F.col("_url")).alias("n_urls")]
+    if fingerprint_col:
+        aggs.append(F.count_distinct(F.col("_fp")).alias("n_content"))
+    else:
+        aggs.append(F.lit(None).cast("long").alias("n_content"))
+    out = fam.groupBy("family").agg(*aggs)
+    trap = F.col("n_urls") >= F.lit(min_family)
+    if fingerprint_col:
+        trap = trap & (
+            F.col("n_content")
+            <= F.col("n_urls") * F.lit(max_content_ratio)
+        )
+    return out.withColumn("is_trap", trap)
+
+
+def filter_trapped_urls(
+    frontier: DataFrame, traps: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop frontier URLs whose family is a detected trap. The trap table
+    is family-cardinality-sized → broadcast anti-join; the frontier never
+    shuffles."""
+    t = F.broadcast(
+        traps.filter("is_trap").select(F.col("family").alias("_trap_fam"))
+    )
+    out = frontier.join(
+        t, url_family(url_col) == F.col("_trap_fam"), "left_anti"
+    )
+    return out
