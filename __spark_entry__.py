@@ -3369,6 +3369,58 @@ ORDER BY rank DESC, node""")
     return "".join(parts)
 
 
+def _q_host_hits(spark, sf_dir):
+    """HITS hubs/authorities over the host graph (operators/graph.hits) -
+    L1-normalized power iteration, oracle-checked by unrolling the 10
+    iterations into chained DuckDB CTEs like the pagerank twin."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = G.host_graph(_host_edges(spark, sf_dir))
+    return G.hits(edges, iterations=10).orderBy("node")
+
+
+def _hits_sql(iterations: int = 10) -> str:
+    """Unrolled HITS power iteration (two half-steps per round, L1
+    normalization) - the exact algebra of operators/graph.py::hits."""
+    head = """
+WITH e AS (
+  SELECT src_host AS src, dst_host AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT concat('h', CAST(user_id % 12 AS VARCHAR), '.com') AS src_host,
+           concat('h', CAST((user_id + event_id) % 12 AS VARCHAR), '.com') AS dst_host
+    FROM events
+  ) WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, 1.0::DOUBLE AS val FROM nodes)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(e.w * s.val) AS v
+  FROM e JOIN h{i-1} s ON e.src = s.node GROUP BY e.dst
+),
+at{i} AS MATERIALIZED (SELECT SUM(v) AS s FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(r.v, 0.0) / t.s AS val
+  FROM nodes n CROSS JOIN at{i} t LEFT JOIN ar{i} r ON r.node = n.node
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(e.w * s.val) AS v
+  FROM e JOIN a{i} s ON e.dst = s.node GROUP BY e.src
+),
+ht{i} AS MATERIALIZED (SELECT SUM(v) AS s FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(r.v, 0.0) / t.s AS val
+  FROM nodes n CROSS JOIN ht{i} t LEFT JOIN hr{i} r ON r.node = n.node
+)""")
+    parts.append(f"""
+SELECT h.node, ROUND(h.val, 6) AS hub, ROUND(a.val, 6) AS authority
+FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node
+ORDER BY h.node""")
+    return "".join(parts)
+
+
 def _q_xlsx_scan(spark, sf_dir):
     """S6 on REAL xlsx bytes (worldbank.py:60-119): a workbook is built
     deterministically from the part table with the stdlib SpreadsheetML
@@ -3928,6 +3980,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s6_xlsx_scan": _q_xlsx_scan,
     "gr_host_graph": _q_host_graph,
     "gr_host_pagerank": _q_host_pagerank,
+    "gr_host_hits": _q_host_hits,
     "dd_dedup_clusters": _q_dedup_clusters,
     "dd_keep_canonical": _q_keep_canonical,
     "ann_cosine_topk": _q_ann_cosine,
@@ -4111,6 +4164,7 @@ _ORACLES: dict[str, str] = {
     "dd_dedup_clusters_star": _sql_dedup_clusters(),
     "url_crawl_traps": _SQL_CRAWL_TRAPS,
     "gr_host_pagerank": _pagerank_sql(),
+    "gr_host_hits": _hits_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

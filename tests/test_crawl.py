@@ -480,3 +480,31 @@ def test_recrawl_priority_semantics(spark):
     assert out["https://a/once"]["priority"] == 0.0
     assert out["https://a/churn"]["priority"] > out["https://a/static"]["priority"]
     assert out["https://a/static"]["priority"] == 0.0
+
+
+def test_hits_hubs_and_authorities(spark):
+    from web_crawler_spark.operators import graph as G
+
+    # h1,h2,h3 all link to "auth"; "hub" links to everything
+    edges = spark.createDataFrame(
+        [("h1", "auth", 1), ("h2", "auth", 1), ("h3", "auth", 1),
+         ("hub", "auth", 1), ("hub", "h1", 1), ("hub", "h2", 1),
+         ("hub", "h3", 1)],
+        ["src_host", "dst_host", "n_links"],
+    )
+    got = {r["node"]: r for r in G.hits(edges, iterations=15).collect()}
+    # auth is the top authority, hub the top hub
+    assert max(got.values(), key=lambda r: r["authority"])["node"] == "auth"
+    assert max(got.values(), key=lambda r: r["hub"])["node"] == "hub"
+    # L1 normalization: each score family sums to ~1
+    assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-4
+    assert abs(sum(r["authority"] for r in got.values()) - 1.0) < 1e-4
+    # auth has no out-links -> zero hub; hub has no in-links -> zero authority
+    assert got["auth"]["hub"] == 0.0 and got["hub"]["authority"] == 0.0
+
+
+def test_hits_empty_graph(spark):
+    from web_crawler_spark.operators import graph as G
+
+    edges = spark.createDataFrame([], "src_host string, dst_host string, n_links long")
+    assert G.hits(edges).count() == 0

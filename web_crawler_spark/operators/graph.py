@@ -174,3 +174,64 @@ def anchor_text_summary(
         "top_anchor",
         "top_anchor_count",
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = "n_links",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the host graph — the
+    complement of :func:`pagerank` in crawl prioritization: authorities
+    are content worth fetching, hubs are link pages worth re-crawling for
+    discovery.
+
+    Power iteration with L1 normalization after each half-step (sum-to-1:
+    avoids the sqrt of the textbook L2 while keeping the same fixpoint
+    direction; declared in the oracle). Per iteration: one join + keyed
+    agg per half-step on the aggregated host edge list (tiny next to the
+    corpus — same scale argument as pagerank), a 1-row total, and a
+    localCheckpoint to cut lineage. Returns (node, hub, authority) rounded
+    to 6 decimals for every node; nodes without in-edges get authority 0,
+    without out-edges hub 0.
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.count() == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    h = nodes.select("node", F.lit(1.0).alias("val"))
+
+    def _half(scores: DataFrame, key: str, other: str) -> DataFrame:
+        raw = (
+            e.join(scores.select(F.col("node").alias(other), "val"), other)
+            .groupBy(F.col(key).alias("node"))
+            .agg(F.sum(F.col("w") * F.col("val")).alias("v"))
+        )
+        total = raw.agg(F.sum("v")).collect()[0][0] or 1.0
+        return nodes.join(raw, "node", "left").select(
+            "node",
+            (F.coalesce("v", F.lit(0.0)) / F.lit(total)).alias("val"),
+        ).localCheckpoint()
+
+    a = h
+    for _ in range(iterations):
+        a = _half(h, "dst", "src")    # authority from in-link hubs
+        h = _half(a, "src", "dst")    # hub from out-link authorities
+    return (
+        h.select("node", F.round("val", 6).alias("hub"))
+        .join(
+            a.select("node", F.round("val", 6).alias("authority")), "node"
+        )
+    )
