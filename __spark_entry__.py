@@ -817,6 +817,31 @@ ORDER BY url
 """
 
 
+def _q_anti_join_seen_cuckoo(spark, sf_dir):
+    """Same new-URL discovery as f8_anti_join_seen, pre-filtered through the
+    sharded cuckoo filter (north-rule "bloom/cuckoo-filter URL-seen set";
+    deletion-capable counterpart of the bloom path). The filter is
+    optimization-only — no false negatives, exact anti-join behind it — so
+    the result is byte-identical to the plain anti-join and shares its
+    oracle. Reference: pacong/data/processor.py:335-380 (seen-dict dedup)."""
+    from web_crawler_spark.operators import cuckoo as CK
+
+    f = _frontier_df(spark, sf_dir).withColumn("url_hash", F.md5("url"))
+    e = _t(spark, sf_dir, "events")
+    seen = e.filter(F.col("event_id") % 2 == 0).select(
+        F.md5(
+            F.concat(
+                F.lit("https://host"), (F.col("user_id") % 20).cast("string"),
+                F.lit(".example.com/p/"), F.col("event_id").cast("string"),
+            )
+        ).alias("url_hash")
+    )
+    return (
+        CK.anti_join_seen_cuckoo(f, seen, key="url_hash", n_shards=8)
+        .select("url", "url_hash").orderBy("url")
+    )
+
+
 def _q_retry_backoff(spark, sf_dir):
     e = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -2822,6 +2847,139 @@ LIMIT 10
 """
 
 
+def _q_content_sniff(spark, sf_dir):
+    """Magic-byte MIME sniff + charset cascade (WHATWG sniffing, abridged)
+    over bodies synthesized from the documents table: each doc_id picks a
+    deterministic body shape (PNG/GIF/JPEG/GZIP prefix, HTML with a meta
+    charset — ISO or utf-8, with or without a UTF-8 BOM — or bare text).
+    The oracle is ground truth by construction: it derives the expected
+    (mime, charset) from the same doc_id arithmetic, so the whole sniff
+    cascade — magic precedence over text probes, BOM precedence over the
+    meta declaration — is value-certified end-to-end."""
+    from web_crawler_spark.functions import sniff as S
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    v = F.pmod(F.col("doc_id"), F.lit(6))
+    iso = F.pmod(F.col("doc_id"), F.lit(12)) == 10
+    bom = F.pmod(F.col("doc_id"), F.lit(12)) == 4
+    html_doc = F.concat(
+        F.when(iso, F.lit(
+            '<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=ISO-8859-1"></head><body>'))
+        .otherwise(F.lit('<!doctype html><html><head>'
+                         '<meta charset="utf-8"></head><body>')),
+        F.col("text"),
+    )
+    enc_text = F.encode(F.col("text"), "UTF-8")
+    body = (
+        F.when(v == 0, F.concat(F.lit(bytes.fromhex("89504E47")), enc_text))
+        .when(v == 1, F.concat(F.lit(bytes.fromhex("47494638")), enc_text))
+        .when(v == 2, F.concat(F.lit(bytes.fromhex("FFD8FF")), enc_text))
+        .when(v == 3, F.concat(F.lit(bytes.fromhex("1F8B")), enc_text))
+        .when(v == 4, F.when(bom, F.concat(F.lit(bytes.fromhex("EFBBBF")),
+                                           F.encode(html_doc, "UTF-8")))
+                       .otherwise(F.encode(html_doc, "UTF-8")))
+        .otherwise(enc_text)
+    )
+    return d.select(
+        "doc_id",
+        S.content_type_sniff(body).alias("mime"),
+        F.when(v == 4, S.detect_charset(body, html_doc))
+        .otherwise(F.lit(None).cast("string")).alias("charset"),
+    ).orderBy("doc_id")
+
+
+_SQL_CONTENT_SNIFF = """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'image/png'
+         WHEN 1 THEN 'image/gif'
+         WHEN 2 THEN 'image/jpeg'
+         WHEN 3 THEN 'application/gzip'
+         WHEN 4 THEN 'text/html'
+         ELSE 'application/octet-stream'
+       END AS mime,
+       CASE WHEN doc_id % 6 = 4 THEN
+         CASE WHEN doc_id % 12 = 10 THEN 'iso-8859-1' ELSE 'utf-8' END
+       END AS charset
+FROM documents WHERE trim(text) <> '' ORDER BY doc_id
+"""
+
+
+def _q_boilerplate(spark, sf_dir):
+    """Main-content extraction (jusText-style, Pomikálek 2011): documents
+    are sliced into 12-word blocks with a deterministic synthetic link
+    density, classified (link-dense → bad, long+stopword-dense → good,
+    else smoothed from the nearest decided neighbor via ignore-nulls
+    windows), and the good blocks are reassembled in order. The oracle
+    reproduces classification, smoothing, and reassembly — the rewritten
+    main_text itself is value-certified."""
+    from web_crawler_spark.functions import text as T
+    from web_crawler_spark.operators import boilerplate as B
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    blocks = d.select(
+        "doc_id",
+        F.posexplode(T.word_chunks(F.col("text"), 12)).alias("block_idx", "text"),
+    ).withColumn(
+        "link_density",
+        F.pmod(F.col("doc_id") * 31 + F.col("block_idx") * 7, F.lit(20)) / 20.0,
+    )
+    c = B.classify_blocks(
+        blocks, doc_col="doc_id", length_low=40, stopword_low=0.05
+    )
+    return B.main_content(c, doc_col="doc_id").orderBy("doc_id")
+
+
+_SQL_BOILERPLATE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+), x AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1)) AS block_idx
+  FROM t
+), b AS (
+  SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+         array_to_string(toks[(block_idx * 12 + 1):(block_idx * 12 + 12)], ' ') AS text,
+         ((doc_id * 31 + block_idx * 7) % 20) / 20.0 AS link_density
+  FROM x
+), f AS (
+  SELECT doc_id, block_idx, text,
+         CASE
+           WHEN link_density > 0.33 THEN 'bad'
+           WHEN len(text) >= 40 AND
+                len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w)))
+                / len(string_split_regex(lower(trim(text)), '\\s+')) >= 0.05
+             THEN 'good'
+           ELSE NULL
+         END AS raw
+  FROM b
+), s AS (
+  SELECT doc_id, block_idx, text, raw,
+         last_value(raw IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY block_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         first_value(raw IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY block_idx
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM f
+), cls AS (
+  SELECT doc_id, block_idx, text,
+         COALESCE(raw, CASE WHEN prev = 'good' OR nxt = 'good'
+                            THEN 'good' ELSE 'bad' END) AS block_class
+  FROM s
+)
+SELECT doc_id,
+       COALESCE(string_agg(text, CHR(10) || CHR(10) ORDER BY block_idx)
+                FILTER (WHERE block_class = 'good'), '') AS main_text,
+       COUNT(*) AS n_blocks,
+       COUNT(*) FILTER (WHERE block_class = 'good') AS n_good_blocks
+FROM cls GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality flags (Rae et al. 2021): integer-exact word
     count / mean-word-length / alpha-ratio filters as one shuffle-free
@@ -4002,6 +4160,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_lm_perplexity": _q_lm_perplexity,
     "dd_dedup_clusters_star": _q_dedup_clusters_star,
     "url_crawl_traps": _q_crawl_traps,
+    "f8_anti_join_seen_cuckoo": _q_anti_join_seen_cuckoo,
+    "tx_boilerplate": _q_boilerplate,
+    "s_content_sniff": _q_content_sniff,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4084,6 +4245,7 @@ _ORACLES: dict[str, str] = {
     "f2_crawl_order": _SQL_CRAWL_ORDER,
     "f3_politeness_schedule": _SQL_POLITENESS,
     "f8_anti_join_seen": _SQL_ANTI_JOIN_SEEN,
+    "f8_anti_join_seen_cuckoo": _SQL_ANTI_JOIN_SEEN,
     "f6_retry_backoff": _SQL_RETRY_BACKOFF,
     "a7_success_rate": _SQL_SUCCESS_RATE,
     "robots_filter": _SQL_ROBOTS_FILTER,
@@ -4143,6 +4305,8 @@ _ORACLES: dict[str, str] = {
     "tx_pii_scrub": _SQL_PII_SCRUB,
     "dd_contamination_check": _SQL_CONTAMINATION,
     "tx_gopher_quality": _SQL_GOPHER_QUALITY,
+    "tx_boilerplate": _SQL_BOILERPLATE,
+    "s_content_sniff": _SQL_CONTENT_SNIFF,
     "tx_repetition": _SQL_REPETITION,
     "tx_term_stats": _SQL_TERM_STATS,
     "tx_bm25_topk": _sql_bm25_topk(),
