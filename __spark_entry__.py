@@ -2847,6 +2847,96 @@ LIMIT 10
 """
 
 
+def _q_wat_export(spark, sf_dir):
+    """WAT metadata export (Common Crawl WARC/WET/WAT triple, third leg):
+    pages + outlinks synthesized from events, full record strings —
+    headers, urn:uuid record ids, the to_json envelope (title + sorted
+    A@/href links, empty Links for link-less pages) and the octet
+    Content-Length — value-certified against a DuckDB string-built twin."""
+    from web_crawler_spark.plans import report as R
+
+    e = _t(spark, sf_dir, "events")
+    ts = F.to_timestamp(F.lit("2025-01-01 00:00:00")) + F.make_interval(
+        secs=F.col("event_id").cast("double")
+    )
+    base = e.select(
+        F.concat(
+            F.lit("https://host"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/p/"), F.col("event_id").cast("string"),
+        ).alias("canonical_url"),
+        ts.alias("fetch_ts"),
+        F.concat(
+            F.lit("<html><head><title>Page "), F.col("event_id").cast("string"),
+            F.lit("</title></head><body>b</body></html>"),
+        ).alias("html"),
+        "event_id",
+    )
+    links = base.filter(F.col("event_id") % 5 != 0).select(
+        "canonical_url",
+        F.explode(
+            F.array(
+                F.concat(F.lit("https://t.example.com/"),
+                         (F.col("event_id") * 2).cast("string")),
+                F.concat(F.lit("https://t.example.com/"),
+                         (F.col("event_id") * 2 + 1).cast("string")),
+            )
+        ).alias("target"),
+    )
+    return R.wat_records(base, links).orderBy("url")
+
+
+_SQL_WAT_EXPORT = """
+WITH base AS (
+  SELECT concat('https://host', CAST(user_id % 20 AS VARCHAR),
+                '.example.com/p/', CAST(event_id AS VARCHAR)) AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         event_id
+  FROM events
+), parts AS (
+  SELECT url, event_id,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+         CAST(ts AS VARCHAR) AS ts_str,
+         CASE WHEN event_id % 5 = 0 THEN '[]'
+              ELSE concat('[{"path":"A@/href","url":"https://t.example.com/',
+                          CAST(event_id * 2 AS VARCHAR),
+                          '"},{"path":"A@/href","url":"https://t.example.com/',
+                          CAST(event_id * 2 + 1 AS VARCHAR), '"}]')
+         END AS links_json
+  FROM base
+), payloads AS (
+  SELECT url, wdate, ts_str,
+         concat('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"', url,
+                '","WARC-Date":"', wdate,
+                '","WARC-Type":"response"},"Payload-Metadata":'
+                '{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"Page ',
+                CAST(event_id AS VARCHAR), '"},"Links":', links_json,
+                '}}}}}') AS payload
+  FROM parts
+), ids AS (
+  SELECT url, wdate, payload,
+         md5(concat('wat|', url, '|', ts_str)) AS wh,
+         md5(concat(url, '|', ts_str)) AS rh
+  FROM payloads
+)
+SELECT url,
+       concat('WARC/1.0', chr(13), chr(10),
+              'WARC-Type: metadata', chr(13), chr(10),
+              'WARC-Target-URI: ', url, chr(13), chr(10),
+              'WARC-Date: ', wdate, chr(13), chr(10),
+              'WARC-Record-ID: <urn:uuid:', substr(wh,1,8), '-', substr(wh,9,4),
+              '-', substr(wh,13,4), '-', substr(wh,17,4), '-', substr(wh,21,12),
+              '>', chr(13), chr(10),
+              'WARC-Refers-To: <urn:uuid:', substr(rh,1,8), '-', substr(rh,9,4),
+              '-', substr(rh,13,4), '-', substr(rh,17,4), '-', substr(rh,21,12),
+              '>', chr(13), chr(10),
+              'Content-Type: application/json', chr(13), chr(10),
+              'Content-Length: ', CAST(strlen(payload) AS VARCHAR), chr(13), chr(10),
+              chr(13), chr(10), payload, chr(13), chr(10), chr(13), chr(10)
+       ) AS record
+FROM ids ORDER BY url
+"""
+
+
 def _q_content_sniff(spark, sf_dir):
     """Magic-byte MIME sniff + charset cascade (WHATWG sniffing, abridged)
     over bodies synthesized from the documents table: each doc_id picks a
@@ -4163,6 +4253,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f8_anti_join_seen_cuckoo": _q_anti_join_seen_cuckoo,
     "tx_boilerplate": _q_boilerplate,
     "s_content_sniff": _q_content_sniff,
+    "cc_wat_export": _q_wat_export,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4307,6 +4398,7 @@ _ORACLES: dict[str, str] = {
     "tx_gopher_quality": _SQL_GOPHER_QUALITY,
     "tx_boilerplate": _SQL_BOILERPLATE,
     "s_content_sniff": _SQL_CONTENT_SNIFF,
+    "cc_wat_export": _SQL_WAT_EXPORT,
     "tx_repetition": _SQL_REPETITION,
     "tx_term_stats": _SQL_TERM_STATS,
     "tx_bm25_topk": _sql_bm25_topk(),

@@ -143,3 +143,53 @@ def test_wet_text(spark, tmp_path):
     )
     rows = W.wet_text(spark, str(tmp_path)).collect()
     assert len(rows) == 1 and rows[0].text == "extracted tëxt"
+
+
+def test_wat_export_ingest_roundtrip(spark, tmp_path):
+    """write_wat → wat_metadata: the metadata leg of the WARC/WET/WAT
+    triple closes — title, sorted links, empty-links and no-title pages."""
+    from web_crawler_spark.plans.report import write_wat
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/x", "2025-07-22 10:00:00",
+             "<html><head><title> Página uno </title></head><body>x</body></html>"),
+            ("https://a.com/y", "2025-07-22 10:00:01",
+             "<html><body>no title here</body></html>"),
+        ],
+        "canonical_url string, fetch_ts string, html string",
+    ).withColumn("fetch_ts", F.col("fetch_ts").cast("timestamp"))
+    links = spark.createDataFrame(
+        [("https://a.com/x", "https://b.com/2"),
+         ("https://a.com/x", "https://b.com/10")],
+        "canonical_url string, target string",
+    )
+    out = str(tmp_path / "wat_out")
+    write_wat(pages, links, out)
+    back = {r.url: r for r in W.wat_metadata(spark, out).collect()}
+    assert set(back) == {"https://a.com/x", "https://a.com/y"}
+    x = back["https://a.com/x"]
+    assert x.title == "Página uno"           # whitespace-trimmed
+    assert x.links == ["https://b.com/10", "https://b.com/2"]  # string-sorted
+    assert str(x.warc_ts) == "2025-07-22 10:00:00"
+    y = back["https://a.com/y"]
+    assert y.title is None and y.links == []
+
+
+def test_wat_refers_to_matches_warc_record_id(spark):
+    """The WAT record's WARC-Refers-To equals the urn:uuid warc_records
+    assigns the same (url, ts) response record — shard cross-referencing
+    without a read-time join."""
+    from web_crawler_spark.plans.report import warc_records, wat_records
+
+    pages = spark.createDataFrame(
+        [("https://a.com/x", "2025-07-22 10:00:00", "<html><body>b</body></html>")],
+        "canonical_url string, fetch_ts string, html string",
+    ).withColumn("fetch_ts", F.col("fetch_ts").cast("timestamp"))
+    links = pages.select("canonical_url").withColumn("target", F.lit("https://b.com/"))
+    warc = warc_records(pages).collect()[0].record
+    wat = wat_records(pages, links).collect()[0].record
+    import re
+    rid = re.search(r"WARC-Record-ID: (<urn:uuid:[0-9a-f-]+>)", warc).group(1)
+    refers = re.search(r"WARC-Refers-To: (<urn:uuid:[0-9a-f-]+>)", wat).group(1)
+    assert rid == refers

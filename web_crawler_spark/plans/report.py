@@ -221,6 +221,100 @@ def write_wet(
     ).text(path)
 
 
+def wat_records(
+    fetched: DataFrame,
+    links: DataFrame,
+    url_col: str = "canonical_url",
+    ts_col: str = "fetch_ts",
+    html_col: str = "html",
+    target_col: str = "target",
+) -> DataFrame:
+    """WAT ``metadata`` records (the Common Crawl link/title-metadata
+    sidecar — the third of the WARC/WET/WAT triple) as one string column
+    ``record`` — pure Columns end-to-end: the JSON envelope is
+    ``to_json(struct(...))``, links are grouped with one keyed agg.
+
+    Envelope subset (declared): ``Envelope.WARC-Header-Metadata``
+    (URI/Date/Type) and ``Envelope.Payload-Metadata.HTTP-Response-
+    Metadata.HTML-Metadata`` with ``Head.Title`` (regexp over the page
+    head; omitted when the page has none — to_json drops null fields,
+    matching the reference WAT writer's absent-key behavior) and
+    ``Links`` as ``{"path": "A@/href", "url": target}`` entries sorted by
+    target URL (document order is not retained through the keyed agg;
+    sorting is the deterministic, re-export-stable choice).
+
+    ``WARC-Refers-To`` carries the same deterministic urn:uuid the
+    ``warc_records`` export assigns the response record, so a WAT shard
+    cross-references its WARC shard without any join at read time.
+    """
+    url = F.col(url_col)
+    body = F.col(html_col).cast("string")
+    grouped = links.groupBy(F.col(url_col)).agg(
+        F.array_sort(F.collect_list(F.col(target_col))).alias("_targets")
+    )
+    j = fetched.filter(body.isNotNull()).join(grouped, on=url_col, how="left")
+
+    title_raw = F.regexp_extract(body, r"(?is)<title[^>]*>\s*(.*?)\s*</title>", 1)
+    title = F.when(title_raw != "", title_raw)
+    targets = F.coalesce(F.col("_targets"), F.array().cast("array<string>"))
+    wdate = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+    html_meta = F.struct(
+        F.struct(title.alias("Title")).alias("Head"),
+        F.transform(
+            targets,
+            lambda t: F.struct(F.lit("A@/href").alias("path"), t.alias("url")),
+        ).alias("Links"),
+    )
+    envelope = F.struct(
+        F.struct(
+            url.alias("WARC-Target-URI"),
+            wdate.alias("WARC-Date"),
+            F.lit("response").alias("WARC-Type"),
+        ).alias("WARC-Header-Metadata"),
+        F.struct(
+            F.struct(html_meta.alias("HTML-Metadata"))
+            .alias("HTTP-Response-Metadata")
+        ).alias("Payload-Metadata"),
+    )
+    payload = F.to_json(F.struct(envelope.alias("Envelope")))
+
+    resp_h = F.md5(F.concat_ws("|", url, F.col(ts_col).cast("string")))
+    wat_h = F.md5(F.concat_ws("|", F.lit("wat"), url, F.col(ts_col).cast("string")))
+
+    def _uuid(h):
+        return F.concat(
+            F.lit("<urn:uuid:"),
+            F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-"),
+            F.substring(h, 13, 4), F.lit("-"), F.substring(h, 17, 4), F.lit("-"),
+            F.substring(h, 21, 12), F.lit(">"),
+        )
+
+    crlf = F.lit("\r\n")
+    record = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: metadata"), crlf,
+        F.lit("WARC-Target-URI: "), url, crlf,
+        F.lit("WARC-Date: "), wdate, crlf,
+        F.lit("WARC-Record-ID: "), _uuid(wat_h), crlf,
+        F.lit("WARC-Refers-To: "), _uuid(resp_h), crlf,
+        F.lit("Content-Type: application/json"), crlf,
+        F.lit("Content-Length: "), F.octet_length(payload).cast("string"), crlf,
+        crlf, payload, crlf, crlf,
+    )
+    return j.select(url.alias("url"), record.alias("record"))
+
+
+def write_wat(
+    fetched: DataFrame, links: DataFrame, path: str,
+    url_col: str = "canonical_url", ts_col: str = "fetch_ts",
+    html_col: str = "html", target_col: str = "target",
+) -> None:
+    wat_records(fetched, links, url_col, ts_col, html_col, target_col).select(
+        "record"
+    ).write.mode("overwrite").text(path)
+
+
 def write_commodity_workbook(df: DataFrame, path: str, k_summary: int = 5) -> None:
     """S11 on REAL xlsx bytes (excel_writer.py:20-87): one 全部商品 sheet
     (all rows), one sheet per category sorted by current_price desc (name

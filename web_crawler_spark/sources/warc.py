@@ -227,6 +227,38 @@ def warc_pages(spark, path: str):
     )
 
 
+def wat_metadata(spark, path: str):
+    """WAT ``metadata`` records → (url, warc_ts, title, links
+    array<string>): the JSON envelope is decoded JVM-side with
+    ``from_json`` against the declared envelope subset — no Python in the
+    payload path (the record framing already went through the shared
+    ``warc_rows_stage``). Records whose payload is not valid envelope
+    JSON yield NULL title/links (from_json's permissive contract), not a
+    failed stage."""
+    from pyspark.sql import functions as F
+
+    env_schema = (
+        "struct<Envelope: struct<"
+        "`WARC-Header-Metadata`: struct<`WARC-Target-URI`: string, "
+        "`WARC-Date`: string, `WARC-Type`: string>, "
+        "`Payload-Metadata`: struct<`HTTP-Response-Metadata`: struct<"
+        "`HTML-Metadata`: struct<Head: struct<Title: string>, "
+        "Links: array<struct<path: string, url: string>>>>>>>"
+    )
+    parsed = (
+        warc_scan(spark, path)
+        .filter(F.col("warc_type") == "metadata")
+        .withColumn("env", F.from_json(F.col("payload").cast("string"), env_schema))
+    )
+    html_meta = F.col("env.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata")
+    return parsed.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        html_meta.getField("Head").getField("Title").alias("title"),
+        F.transform(html_meta.getField("Links"), lambda l: l["url"]).alias("links"),
+    )
+
+
 def wet_text(spark, path: str):
     """WET extracted-text records → (url, warc_ts, text string)."""
     from pyspark.sql import functions as F
