@@ -1912,6 +1912,58 @@ def _q_robots_filter(spark, sf_dir):
     )
 
 
+def _q_politeness_per_host_delay(spark, sf_dir):
+    """F3 generalized to robots Crawl-delay: hosts h0/h1 publish 1.5 s /
+    3 s Crawl-delays (parsed from real robots.txt bytes), h2/h3 fall back
+    to the 2 s default; the closed-form per-host schedule is certified at
+    millisecond precision."""
+    from web_crawler_spark.operators import robots as RB
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 4).cast("string"), F.lit(".com"))
+    frontier = e.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.col("event_id").alias("priority"),
+    )
+    robots_pages = spark.createDataFrame(
+        [("h0.com", "User-agent: *\nCrawl-delay: 1.5\nDisallow: /x/\n"),
+         ("h1.com", "User-agent: *\nCrawl-delay: 3\n")],
+        "host string, body string",
+    )
+    delays = RB.crawl_delays(RB.parse_robots(robots_pages), "anybot", 2.0)
+    sched = RB.politeness_schedule_with_delays(
+        frontier, F.lit("2025-07-22 09:00:00").cast("timestamp"), delays, 2.0
+    )
+    return sched.select("host", "seq", "url", "delay_seconds", "scheduled_ts")
+
+
+_SQL_POLITENESS_PER_HOST = """
+WITH frontier AS (
+  SELECT concat('h', CAST(user_id % 4 AS VARCHAR), '.com') AS host,
+         concat('https://h', CAST(user_id % 4 AS VARCHAR), '.com/p/',
+                CAST(event_id AS VARCHAR)) AS url,
+         event_id AS priority
+  FROM events
+), ordered AS (
+  SELECT host, url,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, url) AS INT)
+           AS seq
+  FROM frontier
+)
+SELECT host, seq, url,
+       CASE host WHEN 'h0.com' THEN 1.5 WHEN 'h1.com' THEN 3.0 ELSE 2.0 END
+         AS delay_seconds,
+       TIMESTAMP '2025-07-22 09:00:00'
+         + CAST((seq - 1) * CASE host WHEN 'h0.com' THEN 1.5
+                                      WHEN 'h1.com' THEN 3.0
+                                      ELSE 2.0 END * 1000 AS BIGINT)
+           * INTERVAL 1 MILLISECOND AS scheduled_ts
+FROM ordered
+"""
+
+
 _SQL_ROBOTS_FILTER = """
 WITH frontier AS (
   SELECT event_id,
@@ -2844,6 +2896,63 @@ FROM tfd, s
 WHERE ({parts}) > 0
 ORDER BY score DESC, doc_id
 LIMIT 10
+"""
+
+
+def _q_canonical_dedup(spark, sf_dir):
+    """rel=canonical collapse over pages synthesized from events: every
+    3-group declares one canonical target — via no link (self-canonical),
+    a root-relative href, or an href-before-rel protocol-relative link —
+    so extraction (both attribute orders), resolution (origin join,
+    protocol join) and the self-canonical-first election are all
+    value-certified; the oracle derives targets from the same arithmetic."""
+    from web_crawler_spark.operators import dedup as D
+
+    e = _t(spark, sf_dir, "events")
+    h = (F.col("user_id") % 20).cast("string")
+    gid = (F.col("event_id") - F.col("event_id") % 3).cast("string")
+    v = F.col("event_id") % 3
+    pages = e.select(
+        F.concat(F.lit("https://host"), h, F.lit(".example.com/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.when(v == 0, F.lit("<html><head></head><body>x</body></html>"))
+        .when(v == 1, F.concat(
+            F.lit('<html><head><link rel="canonical" href="/p/'), gid,
+            F.lit('"></head><body>x</body></html>')))
+        .otherwise(F.concat(
+            F.lit('<html><head><link href="//host'), h,
+            F.lit(".example.com/p/"), gid,
+            F.lit('" rel=canonical></head><body>x</body></html>'))).alias("html"),
+    )
+    return (
+        D.canonical_url_dedup(pages)
+        .select("url", "canonical_target")
+        .orderBy("url")
+    )
+
+
+_SQL_CANONICAL_DEDUP = """
+WITH p AS (
+  SELECT concat('https://host', CAST(user_id % 20 AS VARCHAR), '.example.com')
+           AS origin,
+         event_id, event_id - event_id % 3 AS gid
+  FROM events
+), t AS (
+  SELECT concat(origin, '/p/', CAST(event_id AS VARCHAR)) AS url,
+         CASE WHEN event_id % 3 = 0
+              THEN concat(origin, '/p/', CAST(event_id AS VARCHAR))
+              ELSE concat(origin, '/p/', CAST(gid AS VARCHAR)) END
+           AS canonical_target
+  FROM p
+), r AS (
+  SELECT url, canonical_target,
+         ROW_NUMBER() OVER (
+           PARTITION BY canonical_target
+           ORDER BY CASE WHEN url = canonical_target THEN 0 ELSE 1 END, url
+         ) AS rn
+  FROM t
+)
+SELECT url, canonical_target FROM r WHERE rn = 1 ORDER BY url
 """
 
 
@@ -4254,6 +4363,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_boilerplate": _q_boilerplate,
     "s_content_sniff": _q_content_sniff,
     "cc_wat_export": _q_wat_export,
+    "cc_canonical_dedup": _q_canonical_dedup,
+    "f3_politeness_per_host_delay": _q_politeness_per_host_delay,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4399,6 +4510,8 @@ _ORACLES: dict[str, str] = {
     "tx_boilerplate": _SQL_BOILERPLATE,
     "s_content_sniff": _SQL_CONTENT_SNIFF,
     "cc_wat_export": _SQL_WAT_EXPORT,
+    "cc_canonical_dedup": _SQL_CANONICAL_DEDUP,
+    "f3_politeness_per_host_delay": _SQL_POLITENESS_PER_HOST,
     "tx_repetition": _SQL_REPETITION,
     "tx_term_stats": _SQL_TERM_STATS,
     "tx_bm25_topk": _sql_bm25_topk(),

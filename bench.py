@@ -62,6 +62,11 @@ HEADLINE = [
     # binaryFile scan) and exact-token BPE budget mixing (Arrow count stage)
     "s_warc_scan",
     "tx_corpus_mix_bpe",
+    # late round-3 additions: jusText boilerplate removal (the Arrow
+    # segmentation + ignore-nulls-window smoothing path) and the
+    # cuckoo-filter seen-set anti-join (sharded build + probe + exact join)
+    "tx_boilerplate",
+    "f8_anti_join_seen_cuckoo",
 ]
 
 
@@ -175,7 +180,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline suite wall time (27 queries: relational + crawl + dedup + clusters + text + ann/knn + bm25 + css-extract + corpus gates + warc ingest + bpe mix)",
+        "metric": "headline suite wall time (29 queries: relational + crawl + dedup + clusters + text + ann/knn + bm25 + css-extract + corpus gates + warc ingest + bpe mix + boilerplate + cuckoo seen-set)",
         "value": total,
         "unit": "sec",
         "queries": timings,

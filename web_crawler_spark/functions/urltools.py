@@ -57,6 +57,67 @@ def canonicalize_url(col: Column) -> Column:
     return F.coalesce(canonical, url)
 
 
+def resolve_url(base: Column, href: Column, max_updirs: int = 6) -> Column:
+    """RFC 3986 reference resolution as pure columns (the subset a crawl
+    meets in href/rel=canonical attributes):
+
+    - absolute (``scheme://``) → as-is
+    - protocol-relative (``//host/…``) → base protocol + href
+    - root-relative (``/path``) → base origin + href
+    - document-relative (``a/b``, ``./a``, ``../a``) → joined to the base
+      path's directory, then ``.``/``..`` segments collapsed by a bounded
+      chain of ``regexp_replace`` passes (``max_updirs`` levels — a fixed
+      expression, no loop; deeper towers than any real site nests resolve
+      partially and are left as-is rather than mis-resolved)
+    - empty/NULL href → NULL (caller coalesces to its fallback)
+
+    Fragments are stripped first (resolution targets a document).
+    """
+    b = base.cast("string")
+    h = F.regexp_replace(F.trim(href.cast("string")), r"#.*$", "")
+    proto = url_protocol(b)
+    authority = F.try_parse_url(b, F.lit("AUTHORITY"))
+    origin = F.concat(proto, F.lit("://"), authority)
+    base_path = F.coalesce(F.try_parse_url(b, F.lit("PATH")), F.lit("/"))
+    base_dir = F.when(
+        base_path.rlike("/"), F.regexp_replace(base_path, r"[^/]*$", "")
+    ).otherwise(F.lit("/"))
+
+    joined_rel = F.concat(origin, base_dir, h)
+    resolved = (
+        F.when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+        .when(h.rlike(r"^//"), F.concat(proto, F.lit(":"), h))
+        .when(h.rlike(r"^/"), F.concat(origin, h))
+        .when((h == "") | h.isNull(), F.lit(None).cast("string"))
+        .otherwise(joined_rel)
+    )
+    # Collapse '/./' then up to max_updirs levels of '/seg/../'.
+    resolved_path_fixed = F.regexp_replace(resolved, r"/\./", "/")
+    for _ in range(max_updirs):
+        resolved_path_fixed = F.regexp_replace(
+            resolved_path_fixed, r"/[^/.][^/]*/\.\./", "/"
+        )
+    return resolved_path_fixed
+
+
+def rel_canonical(html: Column) -> Column:
+    """href of ``<link rel="canonical" …>`` from the document head region
+    (first 4096 chars — the prescan discipline), both attribute orders;
+    NULL when absent. Pure regexp — stays in codegen."""
+    head = F.substring(html.cast("string"), 1, 4096)
+    m1 = F.regexp_extract(
+        head,
+        r"""(?is)<link\b[^>]*\brel\s*=\s*["']?canonical["']?[^>]*\bhref\s*=\s*["']?([^"'\s>]+)""",
+        1,
+    )
+    m2 = F.regexp_extract(
+        head,
+        r"""(?is)<link\b[^>]*\bhref\s*=\s*["']?([^"'\s>]+)["']?[^>]*\brel\s*=\s*["']?canonical""",
+        1,
+    )
+    return F.when(m1 != "", m1).when(m2 != "", m2)
+
+
 def surt_key(col: Column) -> Column:
     """SURT urlkey (Sort-friendly URI Reordering Transform — the Internet
     Archive / Common Crawl CDX index key, e.g. pywb ``canonicalize``):

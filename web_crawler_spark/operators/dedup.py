@@ -826,3 +826,40 @@ def keep_canonical(
         .select(F.col(id_col))
     )
     return docs.join(keep, id_col, "left_anti")
+
+
+def canonical_url_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    target_col: str = "canonical_target",
+) -> DataFrame:
+    """rel=canonical collapse (the duplicate-URL signal sites publish
+    themselves — print views, tracking-parameter variants, mirrors all
+    declare one canonical target): extract ``<link rel=canonical>`` from
+    the head, resolve it against the page URL (absolute / protocol- /
+    root- / document-relative), group by the resolved target, and keep
+    the self-canonical page when the group has one, else the smallest
+    URL (deterministic re-run-stable election).
+
+    One window over md5-groupable string keys — the page payload is
+    carried through a single hash-partition shuffle on the target (same
+    weight class as ``keep_latest``); extraction + resolution are pure
+    regexp/conditional columns in codegen.
+    """
+    from ..functions import urltools as U
+
+    target = F.coalesce(
+        U.resolve_url(F.col(url_col), U.rel_canonical(F.col(html_col))),
+        F.col(url_col),
+    )
+    with_target = pages.withColumn(target_col, target)
+    w = Window.partitionBy(target_col).orderBy(
+        F.when(F.col(url_col) == F.col(target_col), F.lit(0)).otherwise(F.lit(1)),
+        F.col(url_col),
+    )
+    return (
+        with_target.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
