@@ -3726,6 +3726,67 @@ ORDER BY rank DESC, node""")
     return "".join(parts)
 
 
+def _q_host_trustrank(spark, sf_dir):
+    """TrustRank over the host graph (Gyöngyi et al. 2004): teleport
+    restricted to trusted seeds h0/h1 — the link-spam demotion signal.
+    Oracle unrolls the 10 seed-personalized power iterations into chained
+    DuckDB CTEs with the identical dangling-to-seeds algebra."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = G.host_graph(_host_edges(spark, sf_dir))
+    seeds = spark.createDataFrame([("h0.com",), ("h1.com",)], "node string")
+    return G.trustrank(edges, seeds, iterations=10).orderBy(
+        F.desc("trust"), "node"
+    )
+
+
+def _trustrank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled seed-personalized power iteration — the exact algebra of
+    operators/graph.py::trustrank (uniform-over-seeds teleport, dangling
+    mass re-teleported through the seed vector, Σtrust = 1)."""
+    d = repr(damping)
+    head = """
+WITH e AS (
+  SELECT src_host AS src, dst_host AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT concat('h', CAST(user_id % 12 AS VARCHAR), '.com') AS src_host,
+           concat('h', CAST((user_id + event_id) % 12 AS VARCHAR), '.com') AS dst_host
+    FROM events
+  ) WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+sv AS (
+  SELECT node,
+         CASE WHEN node IN ('h0.com', 'h1.com') THEN 0.5::DOUBLE
+              ELSE 0.0::DOUBLE END AS s
+  FROM nodes
+),
+trans AS (
+  SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM e
+),
+r0 AS (SELECT node, s AS trust FROM sv)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT t.dst, SUM(t.p * r.trust) AS inflow
+  FROM trans t JOIN r{i-1} r ON t.src = r.node GROUP BY t.dst
+),
+f{i} AS MATERIALIZED (SELECT COALESCE(SUM(inflow), 0.0) AS flowed FROM c{i}),
+r{i} AS MATERIALIZED (
+  SELECT v.node,
+         (1.0 - {d}) * v.s
+           + {d} * (COALESCE(c.inflow, 0.0) + (1.0 - f{i}.flowed) * v.s)
+           AS trust
+  FROM sv v CROSS JOIN f{i}
+  LEFT JOIN c{i} c ON c.dst = v.node
+)""")
+    parts.append(f"""
+SELECT node, ROUND(trust, 6) AS trust FROM r{iterations}
+ORDER BY trust DESC, node""")
+    return "".join(parts)
+
+
 def _q_host_hits(spark, sf_dir):
     """HITS hubs/authorities over the host graph (operators/graph.hits) -
     L1-normalized power iteration, oracle-checked by unrolling the 10
@@ -4365,6 +4426,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_wat_export": _q_wat_export,
     "cc_canonical_dedup": _q_canonical_dedup,
     "f3_politeness_per_host_delay": _q_politeness_per_host_delay,
+    "gr_host_trustrank": _q_host_trustrank,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4534,6 +4596,7 @@ _ORACLES: dict[str, str] = {
     "url_crawl_traps": _SQL_CRAWL_TRAPS,
     "gr_host_pagerank": _pagerank_sql(),
     "gr_host_hits": _hits_sql(),
+    "gr_host_trustrank": _trustrank_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -508,3 +508,43 @@ def test_hits_empty_graph(spark):
 
     edges = spark.createDataFrame([], "src_host string, dst_host string, n_links long")
     assert G.hits(edges).count() == 0
+
+
+def test_trustrank_demotes_spam_farm(spark):
+    """Trust flows from seeds through endorsed links; a spam clique with
+    the same raw in-link count as a trusted page gets ~zero trust because
+    no seed path reaches it (Gyöngyi et al. 2004 semantics)."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        # seed -> good -> article chain, plus a 3-node spam clique that
+        # links to itself heavily and even links INTO good (which must
+        # not leak trust back out to the clique).
+        [("seed.com", "good.com", 5), ("good.com", "article.com", 3),
+         ("spam1.com", "spam2.com", 9), ("spam2.com", "spam3.com", 9),
+         ("spam3.com", "spam1.com", 9), ("spam1.com", "good.com", 1)],
+        ["src_host", "dst_host", "n_links"],
+    )
+    seeds = spark.createDataFrame([("seed.com",)], "node string")
+    got = {r["node"]: r["trust"] for r in G.trustrank(edges, seeds, 20).collect()}
+    assert got["good.com"] > got["article.com"] > 0
+    assert got["seed.com"] > 0                      # teleport keeps seeds warm
+    for s in ("spam1.com", "spam2.com", "spam3.com"):
+        assert got[s] == 0.0                        # unreachable from seeds
+    assert abs(sum(got.values()) - 1.0) < 1e-4      # total trust invariant
+
+
+def test_trustrank_seed_edge_cases(spark):
+    from web_crawler_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com", 1)], ["src_host", "dst_host", "n_links"]
+    )
+    # seeds not present in the graph are ignored -> empty effective set
+    ghost = spark.createDataFrame([("nowhere.com",)], "node string")
+    got = {r["node"]: r["trust"] for r in G.trustrank(edges, ghost).collect()}
+    assert got == {"a.com": 0.0, "b.com": 0.0}
+    # dangling seed: b has no out-edges; its mass re-teleports to itself
+    seeds = spark.createDataFrame([("b.com",)], "node string")
+    got = {r["node"]: r["trust"] for r in G.trustrank(edges, seeds, 10).collect()}
+    assert got["b.com"] > 0.9 and got["a.com"] == 0.0

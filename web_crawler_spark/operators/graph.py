@@ -235,3 +235,84 @@ def hits(
             a.select("node", F.round("val", 6).alias("authority")), "node"
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = "n_links",
+    seed_col: str = "node",
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, public paper):
+    PageRank with the teleport vector restricted to a trusted seed set —
+    the link-spam demotion signal a crawl frontier uses to deprioritize
+    farms that inflate raw in-link counts.
+
+    Algebra: ``r0 = s``; ``r_{k+1} = (1-d)·s + d·(Mᵀ r_k + dangling·s)``
+    where ``s`` is uniform over the seeds (Σs = 1) and dangling mass also
+    teleports through ``s`` (total trust stays 1 every round — spam nodes
+    reachable only via non-seed paths decay geometrically). Seeds not
+    present in the graph are ignored; an empty effective seed set returns
+    zero trust everywhere (nothing to propagate — explicit, not a 0-div).
+
+    Same shuffle shape as ``pagerank``: one weighted-transition build,
+    then per round one slim join + keyed agg, lineage-checkpointed.
+    Returns (node, trust) rounded to 6 decimals.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_nodes = (
+        seeds.select(F.col(seed_col).alias("node")).distinct()
+        .join(nodes, "node")
+        .localCheckpoint()
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        return nodes.select("node", F.lit(0.0).alias("trust"))
+    s_vec = nodes.join(
+        seed_nodes.withColumn("s", F.lit(1.0 / n_seeds)), "node", "left"
+    ).select("node", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")).localCheckpoint()
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    ).localCheckpoint()
+
+    ranks = s_vec.select("node", F.col("s").alias("trust"))
+    for i in range(iterations):
+        contribs = (
+            trans.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("trust")).alias("inflow"))
+            .localCheckpoint(eager=True)
+        )
+        flowed = contribs.agg(F.sum("inflow").alias("t")).collect()[0]["t"] or 0.0
+        dangling = 1.0 - flowed  # total trust is the invariant Σr = 1
+        ranks = (
+            s_vec.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("s")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                       + F.lit(dangling) * F.col("s"))
+                ).alias("trust"),
+            )
+        )
+        if (i + 1) % 3 == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.round("trust", 6).alias("trust"))
