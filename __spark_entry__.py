@@ -3179,6 +3179,40 @@ FROM cls GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_phrase_match(spark, sf_dir):
+    """Exact-phrase retrieval over positional postings: docs where 'table
+    scan' occurs at consecutive token offsets, with occurrence counts —
+    the consecutive-offset intersection is an array filter in codegen,
+    certified against a DuckDB list-ops twin."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.phrase_match(d, "table scan").orderBy("doc_id")
+
+
+_SQL_PHRASE_MATCH = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+), p AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(0, len(toks) - 1)) AS pos
+  FROM t
+), p0 AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS pos0 FROM p
+  WHERE term = 'table' GROUP BY doc_id
+), p1 AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS pos1 FROM p
+  WHERE term = 'scan' GROUP BY doc_id
+)
+SELECT doc_id,
+       len(list_filter(pos0, x -> list_contains(pos1, x + 1))) AS n_occurrences
+FROM p0 JOIN p1 USING (doc_id)
+WHERE len(list_filter(pos0, x -> list_contains(pos1, x + 1))) > 0
+ORDER BY doc_id
+"""
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality flags (Rae et al. 2021): integer-exact word
     count / mean-word-length / alpha-ratio filters as one shuffle-free
@@ -4427,6 +4461,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_canonical_dedup": _q_canonical_dedup,
     "f3_politeness_per_host_delay": _q_politeness_per_host_delay,
     "gr_host_trustrank": _q_host_trustrank,
+    "tx_phrase_match": _q_phrase_match,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4597,6 +4632,7 @@ _ORACLES: dict[str, str] = {
     "gr_host_pagerank": _pagerank_sql(),
     "gr_host_hits": _hits_sql(),
     "gr_host_trustrank": _trustrank_sql(),
+    "tx_phrase_match": _SQL_PHRASE_MATCH,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

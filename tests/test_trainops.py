@@ -574,3 +574,40 @@ def test_star_contraction_matches_label_propagation(spark):
             for r in D.dedup_clusters(pdf, docs=docs, algorithm="star").collect()
         }
         assert star == lab, (trial, pairs)
+
+
+def test_positional_index_and_phrase_match(spark):
+    from web_crawler_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big table scan is slow but table scan wins here"),
+            (2, "table without the phrase scan table"),
+            (3, "Table SCAN capitalized"),             # case-folded match
+            (4, "scan table reversed order"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {(r["term"], r["doc_id"]): r
+           for r in C.positional_index(docs).collect()}
+    assert idx[("table", 1)]["positions"] == [1, 6] and idx[("table", 1)]["tf"] == 2
+    assert idx[("scan", 4)]["positions"] == [0]
+
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in C.phrase_match(docs, "table scan").collect()}
+    assert got == {1: 2, 3: 1}
+
+    # 3-term phrase and a repeated-term phrase
+    got3 = {r["doc_id"]: r["n_occurrences"]
+            for r in C.phrase_match(docs, "big table scan").collect()}
+    assert got3 == {1: 1}
+    rep = spark.createDataFrame([(9, "go go go stop go go")],
+                                "doc_id long, text string")
+    got_rep = {r["doc_id"]: r["n_occurrences"]
+               for r in C.phrase_match(rep, "go go").collect()}
+    assert got_rep == {9: 3}  # overlapping starts 0, 1, and 4 all count
+
+    # empty phrase -> empty result frame with the contract schema
+    empty = C.phrase_match(docs, "   ")
+    assert empty.columns == ["doc_id", "n_occurrences"] and empty.count() == 0

@@ -443,3 +443,69 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(k)
     )
+
+
+def positional_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional postings: (term, doc_id, positions array<int>, tf) —
+    ``inverted_index`` extended with 0-based token offsets (the structure
+    phrase and proximity queries need). Same shuffle discipline: the
+    explode keys on (term, doc_id) so hot terms spread across reducers;
+    positions are collected sorted in-agg (no window)."""
+    toks = T.tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.posexplode(toks).alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+    )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval over the positional index: docs where the
+    phrase's terms occur at consecutive offsets; returns (doc_id,
+    n_occurrences) for matching docs.
+
+    Plan shape: one term-filtered positional-postings build, then n-1
+    slim equi-joins on doc_id (one row per (term, doc) — each carries
+    only that term's offset list), and the consecutive-offset check is an
+    array intersection in codegen (``filter`` + ``array_contains``), not
+    a self-join on positions. A phrase is 2-5 terms in practice, so the
+    join count is constant and every join input has already collapsed to
+    ≤1 row per doc."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        return df.select(F.col(id_col).alias("doc_id")).limit(0).withColumn(
+            "n_occurrences", F.lit(0).cast("bigint")
+        )
+    idx = positional_index(df, text_col, id_col).filter(
+        F.col("term").isin(terms)
+    )
+    joined = None
+    for i, t in enumerate(terms):
+        side = idx.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"pos_{i}")
+        )
+        joined = side if joined is None else joined.join(side, "doc_id")
+    def consecutive(p):
+        # statically unrolled conjunction — the phrase length is known at
+        # plan time, so this stays one codegen expression per start offset
+        cond = F.lit(True)
+        for i in range(1, len(terms)):
+            cond = cond & F.array_contains(F.col(f"pos_{i}"), p + i)
+        return cond
+
+    hit = F.filter(F.col("pos_0"), consecutive)
+    out = joined.select("doc_id", F.size(hit).cast("bigint").alias("n_occurrences"))
+    return out.filter(F.col("n_occurrences") > 0)
