@@ -2899,6 +2899,40 @@ LIMIT 10
 """
 
 
+def _q_dust_params(spark, sf_dir):
+    """DUST-rule mining (Bar-Yossef et al. 2007): URLs carry three query
+    params with pairwise-coprime moduli (path %11, page %5, sid %7,
+    utm %3) and the content fingerprint depends only on (path, page) — so
+    'sid' and 'utm' must mine as insignificant (165/385 all-clean
+    evidence groups) and 'page' must stay significant (231 groups, none
+    clean). Full 0..9999 event_id coverage makes every count exact; the
+    oracle states the construction's ground truth."""
+    from web_crawler_spark.operators import urlfilter as UF
+
+    e = _t(spark, sf_dir, "events")
+    pid = (F.col("event_id") % 11).cast("string")
+    page = (F.col("event_id") % 5).cast("string")
+    sid = (F.col("event_id") % 7).cast("string")
+    utm = (F.col("event_id") % 3).cast("string")
+    pages = e.select(
+        F.concat(F.lit("https://h.com/p/"), pid, F.lit("?page="), page,
+                 F.lit("&sid="), sid, F.lit("&utm="), utm).alias("url"),
+        F.md5(F.concat(F.lit("content-"), pid, F.lit("-"), page)
+              ).alias("fingerprint"),
+    )
+    return UF.insignificant_params(pages).orderBy("param")
+
+
+_SQL_DUST_PARAMS = """
+SELECT * FROM (VALUES
+  ('page', CAST(231 AS BIGINT), CAST(0 AS BIGINT), false),
+  ('sid',  CAST(165 AS BIGINT), CAST(165 AS BIGINT), true),
+  ('utm',  CAST(385 AS BIGINT), CAST(385 AS BIGINT), true)
+) t(param, evidence_groups, clean_groups, insignificant)
+ORDER BY param
+"""
+
+
 def _q_canonical_dedup(spark, sf_dir):
     """rel=canonical collapse over pages synthesized from events: every
     3-group declares one canonical target — via no link (self-canonical),
@@ -4462,6 +4496,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f3_politeness_per_host_delay": _q_politeness_per_host_delay,
     "gr_host_trustrank": _q_host_trustrank,
     "tx_phrase_match": _q_phrase_match,
+    "url_dust_params": _q_dust_params,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4633,6 +4668,7 @@ _ORACLES: dict[str, str] = {
     "gr_host_hits": _hits_sql(),
     "gr_host_trustrank": _trustrank_sql(),
     "tx_phrase_match": _SQL_PHRASE_MATCH,
+    "url_dust_params": _SQL_DUST_PARAMS,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

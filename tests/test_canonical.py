@@ -84,3 +84,35 @@ class TestCanonicalDedup:
         ], "url string, html string")
         kept = canonical_url_dedup(pages).collect()
         assert len(kept) == 1 and kept[0]["url"] == "https://a.com/a"
+
+
+class TestResolveUrlProperty:
+    def test_matches_urljoin_on_supported_subset(self, spark):
+        """Pin resolve_url to the stdlib urljoin on the forms it supports
+        (absolute, protocol-relative, root-relative, document-relative
+        with ./ and bounded ../ towers). Exclusions are the documented
+        contract: empty href (urljoin returns base, we return NULL) and
+        ../ towers deeper than max_updirs."""
+        import itertools
+        from urllib.parse import urljoin
+
+        bases = [
+            "https://a.example.com/",
+            "https://a.example.com/x.html",
+            "https://a.example.com/d1/",
+            "https://a.example.com/d1/d2/page.html",
+            "http://b.org/d1/d2/d3/deep.html",
+        ]
+        hrefs = [
+            "https://z.com/abs", "//cdn.z.com/pr", "/rooted", "/r/2.html",
+            "doc.html", "./doc.html", "sub/doc.html", "../doc.html",
+            "../../doc.html", "../sub/./doc.html", "a#frag", "../x#f",
+        ]
+        cases = [(b, h) for b, h in itertools.product(bases, hrefs)]
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(cases, "base string, href string")
+        got = [r[0] for r in
+               df.select(U.resolve_url(F.col("base"), F.col("href"))).collect()]
+        for (b, h), g in zip(cases, got):
+            want = urljoin(b, h.split("#")[0])
+            assert g == want, (b, h, g, want)

@@ -131,3 +131,47 @@ def test_url_family_normalization(spark):
     fams = [r["f"] for r in df.select(url_family("url").alias("f")).collect()]
     assert fams[0] == fams[1] == "a.com/page/N"
     assert fams[2] == "a.com/"
+
+
+def test_dust_param_mining_and_strip(spark):
+    """Insignificant-param mining: a tracking param (content never
+    changes) mines true, a pagination param (content changes) mines
+    false, and one counterexample group vetoes an otherwise-clean key."""
+    from web_crawler_spark.operators import urlfilter as UF
+
+    rows = []
+    # utm: 4 groups x 2 variants, fingerprint constant within each group
+    for b in range(4):
+        for u in range(2):
+            rows.append((f"https://s.com/a/{b}?utm={u}", f"fp-{b}"))
+    # page: 3 groups x 2 variants, fingerprint differs with page
+    for b in range(3):
+        for p in range(2):
+            rows.append((f"https://s.com/b/{b}?page={p}", f"fp-{b}-{p}"))
+    # mostly: clean in 3 groups but one counterexample -> vetoed
+    for b in range(3):
+        for v in range(2):
+            rows.append((f"https://s.com/c/{b}?mostly={v}", f"fp-c{b}"))
+    rows.append(("https://s.com/c/9?mostly=0", "fp-c9-a"))
+    rows.append(("https://s.com/c/9?mostly=1", "fp-c9-b"))
+
+    pages = spark.createDataFrame(rows, "url string, fingerprint string")
+    got = {r["param"]: r for r in UF.insignificant_params(pages, min_groups=3).collect()}
+    assert got["utm"]["insignificant"] is True
+    assert got["utm"]["evidence_groups"] == 4 and got["utm"]["clean_groups"] == 4
+    assert got["page"]["insignificant"] is False
+    assert got["mostly"]["insignificant"] is False      # 4 evidence, 3 clean
+    assert got["mostly"]["clean_groups"] == 3
+
+    stripped = UF.strip_params(
+        spark.createDataFrame(
+            [("https://s.com/a/1?utm=9&page=2",),
+             ("https://s.com/a/1?utm=9",),
+             ("https://s.com/plain",)], "url string"),
+        ["utm", "sid"],
+    ).collect()
+    assert [r["url"] for r in stripped] == [
+        "https://s.com/a/1?page=2",
+        "https://s.com/a/1",          # empty query drops the '?'
+        "https://s.com/plain",
+    ]

@@ -91,13 +91,19 @@ def resolve_url(base: Column, href: Column, max_updirs: int = 6) -> Column:
         .when((h == "") | h.isNull(), F.lit(None).cast("string"))
         .otherwise(joined_rel)
     )
-    # Collapse '/./' then up to max_updirs levels of '/seg/../'.
-    resolved_path_fixed = F.regexp_replace(resolved, r"/\./", "/")
+    # Collapse '/./' then up to max_updirs levels of '/seg/../'; finally
+    # clamp any leftover leading '../' at the root (browsers and urljoin
+    # both clamp: 'https://h/../x' resolves to 'https://h/x').
+    resolved_path_fixed = F.regexp_replace(resolved, r"/(?:\./)+", "/")
     for _ in range(max_updirs):
+        # the lookbehind keeps the collapse inside the path: without it
+        # '//host/../x' would match the authority as a path segment
         resolved_path_fixed = F.regexp_replace(
-            resolved_path_fixed, r"/[^/.][^/]*/\.\./", "/"
+            resolved_path_fixed, r"(?<![:/])/[^/.][^/]*/\.\./", "/"
         )
-    return resolved_path_fixed
+    return F.regexp_replace(
+        resolved_path_fixed, r"(://[^/]+)/(?:\.\./)+", "$1/"
+    )
 
 
 def rel_canonical(html: Column) -> Column:

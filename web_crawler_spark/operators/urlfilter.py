@@ -201,3 +201,108 @@ def filter_trapped_urls(
         t, url_family(url_col) == F.col("_trap_fam"), "left_anti"
     )
     return out
+
+
+def insignificant_params(
+    pages: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fingerprint",
+    min_groups: int = 3,
+) -> DataFrame:
+    """DUST-rule mining at the query-parameter level (Bar-Yossef et al.
+    2007, "Do Not Crawl in the DUST: Different URLs with Similar Text",
+    public paper): learn which query parameters NEVER change page content
+    — tracking tags (utm_*), session ids, affiliate codes — so the
+    canonicalizer can strip them corpus-wide instead of refetching every
+    variant.
+
+    Method: for each (param key, rest-of-URL) group where the key takes
+    ≥2 distinct values, check whether the content fingerprint stays
+    constant. A key is ``insignificant`` when it has ≥ ``min_groups``
+    such evidence groups and **every** one of them is content-clean (one
+    conservative counterexample keeps the param).
+
+    Plan: one explode over the parsed param list (slim (param, base, value,
+    fp) rows — the page payload never enters the shuffle), two keyed aggs:
+    (param, base) distinct-count collapse, then the per-param rollup.
+    Returns (param, evidence_groups, clean_groups, insignificant).
+    """
+    url = F.col(url_col).cast("string")
+    q = F.try_parse_url(url, F.lit("QUERY"))
+    params = F.split(q, "&")
+    exploded = (
+        pages.filter(q.isNotNull() & (q != ""))
+        .select(
+            F.col(fp_col).alias("fp"),
+            F.regexp_replace(url, r"\?.*$", "").alias("path_base"),
+            params.alias("all_params"),
+            F.explode(params).alias("kv"),
+        )
+        .withColumn("param", F.substring_index(F.col("kv"), "=", 1))
+        .withColumn("value", F.regexp_extract(F.col("kv"), r"^[^=]*=?(.*)$", 1))
+        .withColumn(
+            "base",
+            F.concat(
+                F.col("path_base"),
+                F.lit("?"),
+                F.array_join(
+                    F.array_sort(
+                        F.filter(
+                            F.col("all_params"),
+                            lambda p: ~p.startswith(
+                                F.concat(F.col("param"), F.lit("="))
+                            ),
+                        )
+                    ),
+                    "&",
+                ),
+            ),
+        )
+    )
+    groups = exploded.groupBy("param", "base").agg(
+        F.countDistinct("value").alias("nv"),
+        F.countDistinct("fp").alias("nfp"),
+    )
+    per = (
+        groups.filter(F.col("nv") >= 2)
+        .groupBy("param")
+        .agg(
+            F.count(F.lit(1)).alias("evidence_groups"),
+            F.sum(F.when(F.col("nfp") == 1, 1).otherwise(0)).alias("clean_groups"),
+        )
+    )
+    return per.select(
+        "param", "evidence_groups", "clean_groups",
+        (
+            (F.col("evidence_groups") >= min_groups)
+            & (F.col("clean_groups") == F.col("evidence_groups"))
+        ).alias("insignificant"),
+    )
+
+
+def strip_params(
+    frontier: DataFrame,
+    param_keys: list[str],
+    url_col: str = "url",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply mined DUST rules: remove the named query parameters from
+    every URL (pure columns — literal key array, no join). The rule list
+    is param *keys* (tens at most — it is the mined `insignificant=true`
+    set), so a literal array is the right shape, not a broadcast join.
+    Empty surviving query drops the '?' entirely."""
+    out_col = out_col or url_col
+    url = F.col(url_col).cast("string")
+    q = F.try_parse_url(url, F.lit("QUERY"))
+    keys = F.array(*[F.lit(k) for k in param_keys])
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: ~F.array_contains(keys, F.substring_index(p, "=", 1)),
+    )
+    path_base = F.regexp_replace(url, r"\?.*$", "")
+    rebuilt = F.when(
+        q.isNull() | (q == ""), url
+    ).when(
+        F.size(kept) == 0, path_base
+    ).otherwise(F.concat(path_base, F.lit("?"), F.array_join(kept, "&")))
+    return frontier.withColumn(out_col, rebuilt)
