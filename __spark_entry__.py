@@ -2899,6 +2899,51 @@ LIMIT 10
 """
 
 
+def _q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
+    whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
+    of it (0.5, right at the threshold), m3 is disjoint — the oracle
+    recomputes the distinct-fp self-join, sizes, and overlap ratio."""
+    from web_crawler_spark.operators import dedup as D
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("m"), (F.col("user_id") % 4).cast("string"))
+    cid = F.when(F.col("user_id") % 4 == 2,
+                 F.col("event_id") % 200 + 100).otherwise(F.col("event_id") % 200)
+    fp = F.when(F.col("user_id") % 4 == 3,
+                F.md5(F.concat(F.lit("d"), (F.col("event_id") % 200).cast("string"))))\
+         .otherwise(F.md5(F.concat(F.lit("c"), cid.cast("string"))))
+    pages = e.select(host.alias("host"), fp.alias("fingerprint"))
+    return D.mirror_candidates(pages).orderBy("host_a", "host_b")
+
+
+_SQL_MIRROR_HOSTS = """
+WITH hf AS (
+  SELECT DISTINCT concat('m', CAST(user_id % 4 AS VARCHAR)) AS host,
+         CASE WHEN user_id % 4 = 3
+              THEN md5(concat('d', CAST(event_id % 200 AS VARCHAR)))
+              WHEN user_id % 4 = 2
+              THEN md5(concat('c', CAST(event_id % 200 + 100 AS VARCHAR)))
+              ELSE md5(concat('c', CAST(event_id % 200 AS VARCHAR)))
+         END AS fp
+  FROM events
+), sizes AS (
+  SELECT host, COUNT(*) AS n FROM hf GROUP BY host
+), pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+  FROM hf a JOIN hf b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY a.host, b.host
+)
+SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+       ROUND(shared / least(sa.n, sb.n), 6) AS overlap
+FROM pairs
+JOIN sizes sa ON sa.host = host_a
+JOIN sizes sb ON sb.host = host_b
+WHERE shared >= 3 AND shared / least(sa.n, sb.n) >= 0.5
+ORDER BY host_a, host_b
+"""
+
+
 def _q_dust_params(spark, sf_dir):
     """DUST-rule mining (Bar-Yossef et al. 2007): URLs carry three query
     params with pairwise-coprime moduli (path %11, page %5, sid %7,
@@ -4497,6 +4542,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_host_trustrank": _q_host_trustrank,
     "tx_phrase_match": _q_phrase_match,
     "url_dust_params": _q_dust_params,
+    "dd_mirror_hosts": _q_mirror_hosts,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4669,6 +4715,7 @@ _ORACLES: dict[str, str] = {
     "gr_host_trustrank": _trustrank_sql(),
     "tx_phrase_match": _SQL_PHRASE_MATCH,
     "url_dust_params": _SQL_DUST_PARAMS,
+    "dd_mirror_hosts": _SQL_MIRROR_HOSTS,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

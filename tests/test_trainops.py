@@ -611,3 +611,34 @@ def test_positional_index_and_phrase_match(spark):
     # empty phrase -> empty result frame with the contract schema
     empty = C.phrase_match(docs, "   ")
     assert empty.columns == ["doc_id", "n_occurrences"] and empty.count() == 0
+
+
+def test_mirror_candidates(spark):
+    """Full mirror detected at overlap 1.0; partial overlap respects the
+    threshold; the boilerplate-fp cap keeps a universal error page from
+    pairing unrelated hosts."""
+    from web_crawler_spark.operators import dedup as D
+
+    rows = []
+    for i in range(10):
+        rows += [("h-a", f"fp{i}"), ("h-b", f"fp{i}")]       # full mirror
+    rows += [("h-c", f"fp{i}") for i in range(5)]            # half of h-a
+    rows += [("h-c", f"other{i}") for i in range(5)]
+    rows += [("h-d", f"unique{i}") for i in range(10)]       # disjoint
+    # universal boilerplate fp on every host (404 template)
+    for h in ("h-a", "h-b", "h-c", "h-d"):
+        rows.append((h, "boiler"))
+    pages = spark.createDataFrame(rows, "host string, fingerprint string")
+
+    got = {(r["host_a"], r["host_b"]): r
+           for r in D.mirror_candidates(pages, max_fp_hosts=3).collect()}
+    assert got[("h-a", "h-b")]["overlap"] == 1.0
+    assert got[("h-a", "h-b")]["shared"] == 10        # boiler fp excluded
+    assert got[("h-a", "h-c")]["overlap"] == 0.5
+    assert ("h-a", "h-d") not in got                  # boiler alone can't pair
+    assert all("h-d" not in k for k in got)
+
+    # raising the cap lets the boilerplate fp through -> h-d pairs appear
+    loose = D.mirror_candidates(pages, max_fp_hosts=10, min_shared=1,
+                                min_overlap=0.0).collect()
+    assert any("h-d" in (r["host_a"], r["host_b"]) for r in loose)

@@ -863,3 +863,57 @@ def canonical_url_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def mirror_candidates(
+    pages: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "fingerprint",
+    min_shared: int = 3,
+    min_overlap: float = 0.5,
+    max_fp_hosts: int = 50,
+) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder 1999, "Mirror, mirror on the
+    web", public method — content-level variant): host pairs whose page
+    fingerprint sets overlap heavily are mirrors/CDN twins — crawl one,
+    map the other, halve the fetch budget.
+
+    Plan: distinct slim (host, fp) rows; fps present on more than
+    ``max_fp_hosts`` hosts are dropped first (cross-host boilerplate —
+    empty pages, error templates — would otherwise pair every host with
+    every host: the same hot-key quadratic-blowup cap the minhash band
+    join and the n-gram join use, declared as a recall trade for
+    boilerplate-only mirrors). Then a fp-bucketed self-join (host_a <
+    host_b) → per-pair shared count → overlap = shared / min(|a|, |b|).
+
+    Returns (host_a, host_b, shared, n_a, n_b, overlap) for pairs with
+    ``shared ≥ min_shared`` and ``overlap ≥ min_overlap``.
+    """
+    hf = pages.select(
+        F.col(host_col).alias("host"), F.col(fp_col).alias("fp")
+    ).distinct()
+    fp_hosts = hf.groupBy("fp").agg(F.count(F.lit(1)).alias("n_hosts"))
+    slim = hf.join(
+        fp_hosts.filter(F.col("n_hosts") <= max_fp_hosts).select("fp"), "fp"
+    ).localCheckpoint()
+    sizes = slim.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    a = slim.select(F.col("fp"), F.col("host").alias("host_a"))
+    b = slim.select(F.col("fp"), F.col("host").alias("host_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("host", "host_a")
+                   .withColumnRenamed("n", "n_a"), "host_a")
+        .join(sizes.withColumnRenamed("host", "host_b")
+              .withColumnRenamed("n", "n_b"), "host_b")
+        .withColumn("overlap",
+                    F.col("shared") / F.least(F.col("n_a"), F.col("n_b")))
+    )
+    return out.filter(
+        (F.col("shared") >= min_shared) & (F.col("overlap") >= min_overlap)
+    ).select("host_a", "host_b", "shared", "n_a", "n_b",
+             F.round("overlap", 6).alias("overlap"))
