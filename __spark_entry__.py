@@ -2899,6 +2899,53 @@ LIMIT 10
 """
 
 
+def _q_merge_postings(spark, sf_dir):
+    """Incremental inverted-index maintenance: every 7th doc is modified,
+    every (11th ∧ not-7th) removed, every 13th re-added as a new doc —
+    the merge path (one anti-join on the old postings + delta-only
+    re-derive) must equal a full rebuild over the updated corpus, which
+    is exactly what the oracle computes directly."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = C.inverted_index(d)
+    changed = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" refreshed content")))
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+    )
+    removed = d.filter(
+        (F.col("doc_id") % 11 == 3) & (F.col("doc_id") % 7 != 0)
+    ).select("doc_id")
+    return (
+        C.merge_postings(old, changed, removed)
+        .select("term", "doc_id", "tf")
+        .orderBy("term", "doc_id")
+    )
+
+
+_SQL_MERGE_POSTINGS = """
+WITH corpus AS (
+  SELECT doc_id, text || ' refreshed content' AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 7 <> 0 AND NOT (doc_id % 11 = 3)
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+), t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM corpus WHERE trim(text) <> ''
+)
+SELECT term, doc_id, COUNT(*) AS tf FROM t
+GROUP BY term, doc_id ORDER BY term, doc_id
+"""
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -4543,6 +4590,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_phrase_match": _q_phrase_match,
     "url_dust_params": _q_dust_params,
     "dd_mirror_hosts": _q_mirror_hosts,
+    "tx_merge_postings": _q_merge_postings,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4716,6 +4764,7 @@ _ORACLES: dict[str, str] = {
     "tx_phrase_match": _SQL_PHRASE_MATCH,
     "url_dust_params": _SQL_DUST_PARAMS,
     "dd_mirror_hosts": _SQL_MIRROR_HOSTS,
+    "tx_merge_postings": _SQL_MERGE_POSTINGS,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -642,3 +642,25 @@ def test_mirror_candidates(spark):
     loose = D.mirror_candidates(pages, max_fp_hosts=10, min_shared=1,
                                 min_overlap=0.0).collect()
     assert any("h-d" in (r["host_a"], r["host_b"]) for r in loose)
+
+
+def test_merge_postings_equals_rebuild(spark):
+    from web_crawler_spark.operators import corpus as C
+
+    orig = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c d"), (4, "d e")],
+        "doc_id long, text string",
+    )
+    changed = spark.createDataFrame(
+        [(2, "b c changed"), (9, "brand new doc")], "doc_id long, text string"
+    )
+    removed = spark.createDataFrame([(3,)], "doc_id long")
+    merged = C.merge_postings(C.inverted_index(orig), changed, removed)
+
+    updated = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c changed"), (4, "d e"), (9, "brand new doc")],
+        "doc_id long, text string",
+    )
+    want = C.inverted_index(updated)
+    key = lambda r: (r["term"], r["doc_id"], r["tf"])
+    assert sorted(map(key, merged.collect())) == sorted(map(key, want.collect()))
