@@ -1258,9 +1258,10 @@ def _q_langid(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _langid_sql() -> str:
-    """Generated from the SAME STOPWORDS/SCRIPT_RANGES tables the Spark
-    expression uses — extending a language updates both engines."""
+def _langid_pieces() -> tuple[list[str], str]:
+    """(hit expressions, decision CASE) generated from the SAME
+    STOPWORDS/SCRIPT_RANGES tables the Spark expression uses — shared by
+    the tx_langid oracle and the host-report oracle."""
     hit_exprs = [
         "length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace",
     ]
@@ -1283,6 +1284,11 @@ def _langid_sql() -> str:
     for lang in langs:
         case += f"WHEN h_{lang} = {best} THEN '{lang}' "
     case += "ELSE 'unknown' END"
+    return hit_exprs, case
+
+
+def _langid_sql() -> str:
+    hit_exprs, case = _langid_pieces()
     return f"""
 WITH h AS (SELECT doc_id, lang, {", ".join(hit_exprs)} FROM documents)
 SELECT doc_id, lang, {case} AS predicted_lang FROM h ORDER BY doc_id
@@ -2896,6 +2902,86 @@ FROM tfd, s
 WHERE ({parts}) > 0
 ORDER BY score DESC, doc_id
 LIMIT 10
+"""
+
+
+def _q_host_report(spark, sf_dir):
+    """Per-host crawl-coverage rollup: pages synthesized from documents
+    (6 hosts; every doc_id%10<2 page is a recycled boilerplate duplicate),
+    language/quality/fingerprint all pure columns, dup attribution via
+    one fp window. The oracle rebuilds the full rollup — langid decision
+    CASE shared with the tx_langid oracle via _langid_pieces()."""
+    from web_crawler_spark.operators import aggregate as A
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 6).cast("string"),
+                 F.lit(".com/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 10 < 2, F.lit("recycled boilerplate page"))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return A.host_report(pages).orderBy("host")
+
+
+def _host_report_sql() -> str:
+    hit_exprs, case = _langid_pieces()
+    return f"""
+WITH pages AS (
+  SELECT concat('h', CAST(doc_id % 6 AS VARCHAR), '.com') AS host,
+         concat('https://h', CAST(doc_id % 6 AS VARCHAR), '.com/d/',
+                CAST(doc_id AS VARCHAR)) AS url,
+         CASE WHEN doc_id % 10 < 2 THEN 'recycled boilerplate page'
+              ELSE text END AS text
+  FROM documents
+), h AS (
+  SELECT host, url, text, {", ".join(hit_exprs)} FROM pages
+), l AS (
+  SELECT host, url, text, {case} AS lang FROM h
+), q AS (
+  SELECT host, url, lang, text, LENGTH(text) AS n,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM l
+), m AS (
+  SELECT host, url, lang, text, n, len(toks) AS n_toks,
+         LENGTH(regexp_replace(text, '[^A-Za-z一-鿿]', '', 'g')) AS alpha,
+         len(list_distinct(toks)) AS n_distinct,
+         len(regexp_extract_all(text, '[.!?]')) AS n_sent
+  FROM q
+), enr AS (
+  SELECT host, url, lang,
+         ROUND(
+           0.25 * (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                        ELSE least(n / 100.0, 1.0) END) +
+           0.25 * (CASE WHEN n > 0 THEN alpha * 1.0 / n ELSE 0.0 END) +
+           0.25 * (CASE WHEN n_toks > 0 THEN n_distinct * 1.0 / n_toks
+                        ELSE 0.0 END) +
+           0.25 * (CASE WHEN n_toks > 0 THEN least(n_sent * 20.0 / n_toks, 1.0)
+                        ELSE 0.0 END), 6) AS quality,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM m
+), flg AS (
+  SELECT host, url, lang, quality,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY url) > 1 AS is_dup
+  FROM enr
+), per AS (
+  SELECT host, COUNT(*) AS n_pages, COUNT(DISTINCT url) AS n_urls,
+         ROUND(AVG(quality), 6) AS avg_quality,
+         SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup
+  FROM flg GROUP BY host
+), lc AS (
+  SELECT host, lang, COUNT(*) AS n FROM flg GROUP BY host, lang
+), tl AS (
+  SELECT host, lang AS top_lang FROM (
+    SELECT host, lang,
+           ROW_NUMBER() OVER (PARTITION BY host ORDER BY n DESC, lang) AS rn
+    FROM lc
+  ) WHERE rn = 1
+)
+SELECT host, n_pages, n_urls, avg_quality, top_lang,
+       ROUND(n_dup * 1.0 / n_pages, 6) AS dup_rate
+FROM per JOIN tl USING (host) ORDER BY host
 """
 
 
@@ -4591,6 +4677,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dust_params": _q_dust_params,
     "dd_mirror_hosts": _q_mirror_hosts,
     "tx_merge_postings": _q_merge_postings,
+    "a9_host_report": _q_host_report,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4765,6 +4852,7 @@ _ORACLES: dict[str, str] = {
     "url_dust_params": _SQL_DUST_PARAMS,
     "dd_mirror_hosts": _SQL_MIRROR_HOSTS,
     "tx_merge_postings": _SQL_MERGE_POSTINGS,
+    "a9_host_report": _host_report_sql(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

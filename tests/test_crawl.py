@@ -548,3 +548,25 @@ def test_trustrank_seed_edge_cases(spark):
     seeds = spark.createDataFrame([("b.com",)], "node string")
     got = {r["node"]: r["trust"] for r in G.trustrank(edges, seeds, 10).collect()}
     assert got["b.com"] > 0.9 and got["a.com"] == 0.0
+
+
+def test_host_report(spark):
+    from web_crawler_spark.operators import aggregate as A
+
+    en = ("the crawler is a program that walks the web and it is written "
+          "for the purpose of fetching pages. It is careful and polite.")
+    de = ("der Hund und die Katze sind nicht ein Problem mit der Zeit und "
+          "das ist von der Sache nicht zu trennen.")
+    pages = spark.createDataFrame(
+        [("https://a.com/1", en), ("https://a.com/2", en + " More text."),
+         ("https://a.com/3", en),                     # exact dup of /1
+         ("https://b.com/1", de), ("https://b.com/2", de + " Noch mehr.")],
+        "url string, text string",
+    )
+    got = {r["host"]: r for r in A.host_report(pages).collect()}
+    a, b = got["a.com"], got["b.com"]
+    assert a["n_pages"] == 3 and a["n_urls"] == 3
+    assert a["top_lang"] == "en" and b["top_lang"] == "de"
+    assert a["dup_rate"] == pytest.approx(1 / 3)      # /3 duplicates /1
+    assert b["dup_rate"] == 0.0
+    assert 0.0 < a["avg_quality"] <= 1.0

@@ -110,3 +110,55 @@ def success_rate(metrics: DataFrame) -> DataFrame:
             6,
         ).alias("success_rate"),
     )
+
+
+def host_report(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host crawl-coverage rollup (the Common Crawl host-stats table
+    shape): page and distinct-URL counts, mean quality score, dominant
+    language, and the corpus-dedup attribution rate — everything a crawl
+    operator reads to budget a host's next epoch.
+
+    Plan: one enriched projection (language / quality / fingerprint are
+    pure column expressions), one fingerprint window for global dup
+    attribution (md5-only shuffle), then two keyed aggs — the (host,
+    lang) rollup collapses before its per-host argmax window, so the
+    window runs over ~languages-per-host rows, not pages.
+    ``top_lang`` ties break lexicographically (deterministic re-runs).
+    """
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+    from ..functions import urltools as U
+
+    base = pages.select(
+        U.url_host(F.col(url_col)).alias("host"),
+        F.col(url_col).alias("url"),
+        T.detect_language(F.col(text_col)).alias("lang"),
+        T.quality_score(F.col(text_col)).alias("quality"),
+        T.content_fingerprint(F.col(text_col)).alias("fp"),
+    )
+    dup_w = Window.partitionBy("fp").orderBy("url")
+    flagged = base.withColumn("is_dup", F.row_number().over(dup_w) > 1)
+    per_host = flagged.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("url").alias("n_urls"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum(F.col("is_dup").cast("bigint")).alias("n_dup_pages"),
+    )
+    lang_counts = flagged.groupBy("host", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lang_w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("lang"))
+    top_lang = (
+        lang_counts.withColumn("__rn", F.row_number().over(lang_w))
+        .filter(F.col("__rn") == 1)
+        .select("host", F.col("lang").alias("top_lang"))
+    )
+    return per_host.join(top_lang, "host").select(
+        "host", "n_pages", "n_urls", "avg_quality", "top_lang",
+        F.round(F.col("n_dup_pages") / F.col("n_pages"), 6).alias("dup_rate"),
+    )
