@@ -3425,6 +3425,42 @@ ORDER BY doc_id
 """
 
 
+def _q_proximity_match(spark, sf_dir):
+    """NEAR/k proximity retrieval: docs where 'scan' occurs within ±3
+    tokens of a 'table' anchor — anchored-NEAR semantics, the window test
+    an array exists in codegen; DuckDB list-lambda twin."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.proximity_match(d, ["table", "scan"], window=3).orderBy("doc_id")
+
+
+_SQL_PROXIMITY_MATCH = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+), p AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(0, len(toks) - 1)) AS pos
+  FROM t
+), p0 AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS pos0 FROM p
+  WHERE term = 'table' GROUP BY doc_id
+), p1 AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS pos1 FROM p
+  WHERE term = 'scan' GROUP BY doc_id
+)
+SELECT doc_id,
+       len(list_filter(pos0,
+           x -> len(list_filter(pos1, q -> q >= x - 3 AND q <= x + 3)) > 0))
+         AS n_anchors
+FROM p0 JOIN p1 USING (doc_id)
+WHERE len(list_filter(pos0,
+      x -> len(list_filter(pos1, q -> q >= x - 3 AND q <= x + 3)) > 0)) > 0
+ORDER BY doc_id
+"""
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality flags (Rae et al. 2021): integer-exact word
     count / mean-word-length / alpha-ratio filters as one shuffle-free
@@ -4678,6 +4714,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_mirror_hosts": _q_mirror_hosts,
     "tx_merge_postings": _q_merge_postings,
     "a9_host_report": _q_host_report,
+    "tx_proximity_match": _q_proximity_match,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4853,6 +4890,7 @@ _ORACLES: dict[str, str] = {
     "dd_mirror_hosts": _SQL_MIRROR_HOSTS,
     "tx_merge_postings": _SQL_MERGE_POSTINGS,
     "a9_host_report": _host_report_sql(),
+    "tx_proximity_match": _SQL_PROXIMITY_MATCH,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -664,3 +664,24 @@ def test_merge_postings_equals_rebuild(spark):
     want = C.inverted_index(updated)
     key = lambda r: (r["term"], r["doc_id"], r["tf"])
     assert sorted(map(key, merged.collect())) == sorted(map(key, want.collect()))
+
+
+def test_proximity_match(spark):
+    from web_crawler_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table big scan"),                      # within 2
+            (2, "table a b c d e f g h scan"),          # distance 9: out at w=3
+            (3, "scan then soon table"),                # order-free, distance 3
+            (4, "no anchor term here"),
+            (5, "table alone no second term"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_anchors"]
+           for r in C.proximity_match(docs, ["table", "scan"], window=3).collect()}
+    assert got == {1: 1, 3: 1}
+    wide = {r["doc_id"]: r["n_anchors"]
+            for r in C.proximity_match(docs, ["table", "scan"], window=20).collect()}
+    assert set(wide) == {1, 2, 3}

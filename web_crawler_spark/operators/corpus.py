@@ -540,3 +540,53 @@ def merge_postings(
     kept = old_postings.join(drop.distinct(), "doc_id", "left_anti")
     fresh = inverted_index(changed_docs, text_col, id_col)
     return kept.unionByName(fresh.select(*kept.columns))
+
+
+def proximity_match(
+    df: DataFrame,
+    terms: list[str] | str,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR/k retrieval (classic IR proximity operator): docs where every
+    query term occurs within ±``window`` tokens of an occurrence of the
+    FIRST term (the anchor — documented anchored-NEAR semantics; phrase
+    order is not required, use ``phrase_match`` for that). Returns
+    (doc_id, n_anchors) with the count of anchor positions satisfied.
+
+    Same plan shape as ``phrase_match``: term-filtered positional
+    postings, n-1 slim doc_id joins, and the window test is an array
+    ``exists`` per anchor offset — all codegen, no position self-join.
+    """
+    if isinstance(terms, str):
+        terms = [t for t in terms.lower().split() if t]
+    else:
+        terms = [t.lower() for t in terms if t]
+    if not terms:
+        return df.select(F.col(id_col).alias("doc_id")).limit(0).withColumn(
+            "n_anchors", F.lit(0).cast("bigint")
+        )
+    idx = positional_index(df, text_col, id_col).filter(F.col("term").isin(terms))
+    joined = None
+    for i, t in enumerate(terms):
+        side = idx.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"pos_{i}")
+        )
+        joined = side if joined is None else joined.join(side, "doc_id")
+
+    def near(p):
+        # NB: the inner lambda must stay unary — a default-arg capture
+        # (lambda q, _p=p:) raises Spark's HOF arity and silently binds
+        # the element index; p is loop-invariant so closure capture is safe
+        cond = F.lit(True)
+        for i in range(1, len(terms)):
+            cond = cond & F.exists(
+                F.col(f"pos_{i}"),
+                lambda q: (q >= p - window) & (q <= p + window),
+            )
+        return cond
+
+    hit = F.filter(F.col("pos_0"), near)
+    out = joined.select("doc_id", F.size(hit).cast("bigint").alias("n_anchors"))
+    return out.filter(F.col("n_anchors") > 0)
