@@ -4008,6 +4008,60 @@ ORDER BY rank DESC, node""")
     return "".join(parts)
 
 
+def _q_opic_update(spark, sf_dir):
+    """One OPIC round (Abiteboul et al. 2003) over the host graph with
+    h11's out-edges removed so the dangling-redistribution path is
+    exercised: cash 1.0 everywhere, distribute, bank, reprioritize. The
+    oracle computes the identical single-round algebra directly."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = G.host_graph(_host_edges(spark, sf_dir)).filter(
+        F.col("src_host") != "h11.com"
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("node"))
+        .unionByName(edges.select(F.col("dst_host").alias("node")))
+        .distinct()
+    )
+    cash = nodes.select(
+        "node", F.lit(1.0).alias("cash"), F.lit(0.0).alias("history")
+    )
+    out = G.opic_update(cash, edges)
+    return out.select(
+        "node", F.round("cash", 6).alias("cash"),
+        F.round("history", 6).alias("history"),
+        F.round("priority", 6).alias("priority"),
+    ).orderBy("node")
+
+
+_SQL_OPIC_UPDATE = """
+WITH e AS (
+  SELECT src_host AS src, dst_host AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT concat('h', CAST(user_id % 12 AS VARCHAR), '.com') AS src_host,
+           concat('h', CAST((user_id + event_id) % 12 AS VARCHAR), '.com') AS dst_host
+    FROM events
+  ) WHERE src_host <> dst_host AND src_host <> 'h11.com'
+  GROUP BY src_host, dst_host
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+trans AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM e),
+inflow AS (SELECT dst, SUM(p * 1.0) AS inflow FROM trans GROUP BY dst),
+dang AS (
+  SELECT COALESCE(SUM(1.0), 0.0) AS d FROM nodes
+  WHERE node NOT IN (SELECT src FROM e)
+)
+SELECT n.node,
+       ROUND(COALESCE(i.inflow, 0.0) + dang.d / nn.n, 6) AS cash,
+       ROUND(1.0, 6) AS history,
+       ROUND(1.0 + COALESCE(i.inflow, 0.0) + dang.d / nn.n, 6) AS priority
+FROM nodes n CROSS JOIN nn CROSS JOIN dang
+LEFT JOIN inflow i ON i.dst = n.node
+ORDER BY n.node
+"""
+
+
 def _q_host_trustrank(spark, sf_dir):
     """TrustRank over the host graph (Gyöngyi et al. 2004): teleport
     restricted to trusted seeds h0/h1 — the link-spam demotion signal.
@@ -4715,6 +4769,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_merge_postings": _q_merge_postings,
     "a9_host_report": _q_host_report,
     "tx_proximity_match": _q_proximity_match,
+    "gr_opic_update": _q_opic_update,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4891,6 +4946,7 @@ _ORACLES: dict[str, str] = {
     "tx_merge_postings": _SQL_MERGE_POSTINGS,
     "a9_host_report": _host_report_sql(),
     "tx_proximity_match": _SQL_PROXIMITY_MATCH,
+    "gr_opic_update": _SQL_OPIC_UPDATE,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

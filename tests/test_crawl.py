@@ -570,3 +570,34 @@ def test_host_report(spark):
     assert a["dup_rate"] == pytest.approx(1 / 3)      # /3 duplicates /1
     assert b["dup_rate"] == 0.0
     assert 0.0 < a["avg_quality"] <= 1.0
+
+
+def test_opic_update_conserves_cash(spark):
+    """One OPIC round: cash is conserved, banked into history, dangling
+    nodes redistribute uniformly, priority ranks the well-linked node up
+    and cash flows over multiple rounds stay conserved."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("b", "c", 2)],
+        ["src_host", "dst_host", "n_links"],
+    )  # c is dangling (no out-edges)
+    cash = spark.createDataFrame(
+        [("a", 1.0, 0.0), ("b", 1.0, 0.0), ("c", 1.0, 0.0)],
+        "node string, cash double, history double",
+    )
+    r1 = G.opic_update(cash, edges)
+    got = {r["node"]: r for r in r1.collect()}
+    total = sum(r["cash"] for r in got.values())
+    assert total == pytest.approx(3.0)              # conservation
+    assert got["c"]["cash"] > got["b"]["cash"] > 0  # c gets a->c, b->c, share
+    assert all(r["history"] == 1.0 for r in got.values())
+    assert got["c"]["priority"] == pytest.approx(1.0 + got["c"]["cash"])
+
+    # second round: history accumulates, cash still conserved
+    r2 = G.opic_update(r1.select("node", "cash", "history"), edges)
+    got2 = {r["node"]: r for r in r2.collect()}
+    assert sum(r["cash"] for r in got2.values()) == pytest.approx(3.0)
+    for n in got2:
+        assert got2[n]["history"] == pytest.approx(
+            got[n]["history"] + got[n]["cash"])

@@ -316,3 +316,71 @@ def trustrank(
         if (i + 1) % 3 == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("trust", 6).alias("trust"))
+
+
+def opic_update(
+    cash: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    cash_col: str = "cash",
+    history_col: str = "history",
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = "n_links",
+) -> DataFrame:
+    """One OPIC round (Abiteboul, Preda & Cobena 2003, "Adaptive On-Line
+    Page Importance Computation", public paper): every node distributes
+    its current cash across its out-edges (weight-proportional), banks
+    what it distributed into ``history``, and nodes with no out-edges
+    (dangling) redistribute uniformly over all nodes — the crawl-native
+    importance signal: no convergence wait, each crawl epoch runs exactly
+    one update and prioritizes by ``history + cash``.
+
+    Returns (node, cash, history, priority). Σcash is conserved every
+    round (the OPIC invariant). Plan: one broadcast-size out-weight agg,
+    one slim join + keyed agg per round — the same shuffle shape as one
+    pagerank iteration, but run once per epoch rather than to a fixed
+    point.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.cast("double").alias("w"),
+    )
+    c = cash.select(
+        F.col(node_col).alias("node"),
+        F.col(cash_col).cast("double").alias("cash"),
+        (F.col(history_col).cast("double") if history_col in cash.columns
+         else F.lit(0.0)).alias("history"),
+    ).localCheckpoint()
+    n_nodes = c.count()
+    if n_nodes == 0:
+        return c.select("node", "cash", "history",
+                        F.lit(0.0).alias("priority"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    )
+    inflow = (
+        trans.join(c.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("p") * F.col("cash")).alias("inflow"))
+    )
+    # dangling cash = cash held by nodes with no out-edges
+    dangling = (
+        c.join(out_w.select(F.col("src").alias("node")), "node", "left_anti")
+        .agg(F.sum("cash").alias("d")).collect()[0]["d"] or 0.0
+    )
+    share = dangling / n_nodes
+    return (
+        c.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+        .select(
+            "node",
+            (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(share))
+            .alias("cash"),
+            (F.col("history") + F.col("cash")).alias("history"),
+            (F.col("history") + F.col("cash")
+             + F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(share))
+            .alias("priority"),
+        )
+    )
