@@ -3032,6 +3032,91 @@ GROUP BY term, doc_id ORDER BY term, doc_id
 """
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Directional n-gram containment: every 4th document's 24-word
+    prefix is re-injected as its own doc — an excerpt with Jaccard ≈0.3
+    vs its source but containment 1.0, which only the directional score
+    surfaces. Oracle runs the identical inverted-index algebra."""
+    from web_crawler_spark.functions import text as T
+    from web_crawler_spark.operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(T.tokens(F.col("text")), 1, 24), " ").alias("text"),
+    )
+    corpus = d.unionByName(prefix)
+    return D.ngram_containment_pairs(corpus, n=5, threshold=0.9).orderBy(
+        "id_contained", "id_container"
+    )
+
+
+_SQL_CONTAINMENT_PAIRS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(string_split_regex(trim(text), '\\s+')[1:24], ' ') AS text
+  FROM documents WHERE doc_id % 4 = 0
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus
+  WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+4], ' ')
+                        for i in range(1, greatest(len(w) - 4, 0) + 1)]) AS grams
+  FROM toks
+), nonempty AS (SELECT * FROM sh WHERE len(grams) > 0),
+inv AS (SELECT doc_id, unnest(grams) AS gram FROM nonempty),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (SELECT doc_id, len(grams) AS n FROM nonempty),
+scored AS (
+  SELECT id_a, id_b, n_common, sa.n AS size_a, sb.n AS size_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT * FROM (
+  SELECT id_a AS id_contained, id_b AS id_container,
+         ROUND(n_common * 1.0 / size_a, 6) AS containment FROM scored
+  UNION ALL
+  SELECT id_b AS id_contained, id_a AS id_container,
+         ROUND(n_common * 1.0 / size_b, 6) AS containment FROM scored
+) WHERE containment >= 0.9
+ORDER BY id_contained, id_container
+"""
+
+
+def _q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (Arrow unicodedata stage): every doc gets
+    a decomposed 'caféÅngström' tail; the normalized text and its char
+    count are value-certified against DuckDB's nfc_normalize."""
+    from web_crawler_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" cafe\u0301 A\u030angstro\u0308m")).alias("text"),
+    )
+    out = T.nfc_stage(d, "text")
+    return out.select(
+        "doc_id", "text", F.length("text").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+_SQL_NFC_NORMALIZE = """
+SELECT doc_id,
+       nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+                     || 'ngstro' || chr(776) || 'm') AS text,
+       LENGTH(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+                            || 'ngstro' || chr(776) || 'm')) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -4770,6 +4855,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_host_report": _q_host_report,
     "tx_proximity_match": _q_proximity_match,
     "gr_opic_update": _q_opic_update,
+    "dd_containment_pairs": _q_containment_pairs,
+    "tx_nfc_normalize": _q_nfc_normalize,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -4947,6 +5034,8 @@ _ORACLES: dict[str, str] = {
     "a9_host_report": _host_report_sql(),
     "tx_proximity_match": _SQL_PROXIMITY_MATCH,
     "gr_opic_update": _SQL_OPIC_UPDATE,
+    "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
+    "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -685,3 +685,31 @@ def test_proximity_match(spark):
     wide = {r["doc_id"]: r["n_anchors"]
             for r in C.proximity_match(docs, ["table", "scan"], window=20).collect()}
     assert set(wide) == {1, 2, 3}
+
+
+def test_ngram_containment_directional(spark):
+    from web_crawler_spark.operators import dedup as D
+
+    full = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    excerpt = "alpha beta gamma delta epsilon zeta eta theta"  # 8-word prefix
+    docs = spark.createDataFrame(
+        [(1, full), (2, excerpt), (3, "totally different words here now ok yes")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_contained"], r["id_container"]): r["containment"]
+           for r in D.ngram_containment_pairs(docs, n=5, threshold=0.9).collect()}
+    assert got == {(2, 1): 1.0}   # excerpt fully inside full; NOT (1,2)
+
+
+def test_nfc_stage(spark):
+    from web_crawler_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, None), (4, "plain")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in T.nfc_stage(df, "text").collect()}
+    assert got[1] == "café" == got[2]      # decomposed composes; composed unchanged
+    assert len(got[1]) == 4          # e+U+0301 (2 cps) became U+00E9 (1 cp)
+    assert got[3] is None and got[4] == "plain"

@@ -325,3 +325,33 @@ def contaminated_doc_ids(
         .select(id_col)
         .distinct()
     )
+
+
+def nfc_stage(df, cols: list[str] | str):
+    """Unicode NFC normalization over the named string columns — the
+    canonical-composition pass a multilingual corpus needs before any
+    hash-based dedup (the same text arrives composed from one site and
+    decomposed from another; their md5s differ until normalized; CCNet
+    normalizes before everything for exactly this reason).
+
+    Spark has no built-in NFC expression, so this is one Arrow-batched
+    ``mapInPandas`` stage over the stdlib ``unicodedata`` — embarrassingly
+    parallel, no shuffle, schema-preserving. Non-string/NULL cells pass
+    through untouched.
+    """
+    import unicodedata
+
+    if isinstance(cols, str):
+        cols = [cols]
+    schema = df.schema
+
+    def norm(it):
+        for pdf in it:
+            for c in cols:
+                pdf[c] = pdf[c].map(
+                    lambda s: unicodedata.normalize("NFC", s)
+                    if isinstance(s, str) else s
+                )
+            yield pdf
+
+    return df.mapInPandas(norm, schema)

@@ -917,3 +917,64 @@ def mirror_candidates(
         (F.col("shared") >= min_shared) & (F.col("overlap") >= min_overlap)
     ).select("host_a", "host_b", "shared", "n_a", "n_b",
              F.round("overlap", 6).alias("overlap"))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional n-gram containment (Broder 1997's resemblance twin):
+    ``|grams(A) ∩ grams(B)| / |grams(A)|`` — catches quotes, article
+    copies, and prefix/suffix republications that symmetric Jaccard
+    misses (a 50-word excerpt inside a 5,000-word page has Jaccard ≈0.01
+    but containment 1.0).
+
+    Same inverted-index join as ``ngram_jaccard_pairs`` (no cross join,
+    same ``max_df`` stop-shingle cap); each unordered pair is scored once
+    and emitted per direction that clears the threshold, as
+    (id_contained, id_container, containment).
+    """
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"),
+                T.shingles(F.col(text_col), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+    sizes = sh.select("id", F.size("grams").alias("n_grams"))
+    inv = sh.select("id", F.explode("grams").alias("gram"))
+    if max_df is not None:
+        rare = (
+            inv.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("gram")
+        )
+        inv = inv.join(rare, "gram")
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"),
+              (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        common.join(sizes.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("n_grams", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_grams", "size_b"), "id_b")
+    )
+    a_in_b = scored.select(
+        F.col("id_a").alias("id_contained"),
+        F.col("id_b").alias("id_container"),
+        F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment"),
+    )
+    b_in_a = scored.select(
+        F.col("id_b").alias("id_contained"),
+        F.col("id_a").alias("id_container"),
+        F.round(F.col("n_common") / F.col("size_b"), 6).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
