@@ -601,3 +601,30 @@ def test_opic_update_conserves_cash(spark):
     for n in got2:
         assert got2[n]["history"] == pytest.approx(
             got[n]["history"] + got[n]["cash"])
+
+
+def test_seen_filter_cuckoo_engine_parity(spark, catalog_dir):
+    """The cuckoo seen-filter epoch path admits each URL exactly once and
+    fetches the identical URL set as the bloom path (both pre-filters are
+    optimization-only in front of the same exact anti-join)."""
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import generate_seeds
+
+    pages = generate_pages(spark, 60, seed=42).cache()
+    seeds = generate_seeds(spark, n_per_host=3, hot_factor=2, n_epochs=2)
+
+    ck = CrawlEngine(spark, catalog_dir + "/ck", pages, max_depth=0,
+                     seen_filter="cuckoo")
+    ck.run(seeds, n_epochs=2)
+    fetched_ck = ck.catalog.read(spark, "fetched")
+    assert fetched_ck.groupBy("url_hash").count().filter(
+        F.col("count") > 1).count() == 0
+
+    bl = CrawlEngine(spark, catalog_dir + "/bl", pages, max_depth=0,
+                     use_bloom=True)
+    bl.run(seeds, n_epochs=2)
+    a = {r["url_hash"] for r in fetched_ck.select("url_hash").collect()}
+    b = {r["url_hash"] for r in bl.catalog.read(spark, "fetched")
+         .select("url_hash").collect()}
+    assert a == b

@@ -53,6 +53,7 @@ class CrawlEngine:
         n_salts: int = 16,
         max_depth: int = 2,
         use_bloom: bool | str = "auto",
+        seen_filter: str = "bloom",
         robots_pages: DataFrame | None = None,
         agent: str = "sparkcrawl",
         max_per_host_per_epoch: int | None = None,
@@ -65,6 +66,14 @@ class CrawlEngine:
         self.n_salts = n_salts
         self.max_depth = max_depth
         self.use_bloom = use_bloom
+        # seen-set pre-filter family (north rule: "bloom/cuckoo-filter
+        # URL-seen set"): "bloom" (OR-mergeable bitmap, use_bloom gating
+        # applies) or "cuckoo" (sharded partial-key tables — deletion-
+        # capable, always on when selected). Either way the exact
+        # anti-join on url_hash stays the source of truth.
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
+        self.seen_filter = seen_filter
         self.agent = agent
         # per-host crawl budget: a hot host's frontier slice beyond this is
         # DEFERRED to the next epoch, not dropped. This is what bounds the
@@ -214,11 +223,23 @@ class CrawlEngine:
             # expected_keys from the manifest lineage: the bloom bitmap is
             # sized to the seen-set without a count() job (dedup.py::
             # bloom_size_bits — no more fixed-capacity saturation)
-            frontier = D.anti_join_seen(
-                frontier, seen,
-                use_bloom=self._bloom_decision(),
-                expected_keys=self._seen_rows_from_lineage(),
-            )
+            if self.seen_filter == "cuckoo":
+                from ..operators import cuckoo as CK
+
+                # url_hash IS the engine's URL identity (xxhash64 of the
+                # canonical), so the filter keys on it directly and the
+                # exact anti-join on the same column stays the truth
+                frontier = CK.anti_join_seen_cuckoo(
+                    frontier, seen.select("url_hash"),
+                    key="url_hash", hash_key="url_hash",
+                    expected_keys=self._seen_rows_from_lineage() or None,
+                )
+            else:
+                frontier = D.anti_join_seen(
+                    frontier, seen,
+                    use_bloom=self._bloom_decision(),
+                    expected_keys=self._seen_rows_from_lineage(),
+                )
 
         # robots gate (north_rule): denied URLs are still committed to
         # `seen` via a fetched row with status=robots_denied — admitted
