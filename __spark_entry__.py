@@ -3546,6 +3546,54 @@ ORDER BY doc_id
 """
 
 
+def _q_snippets(spark, sf_dir):
+    """KWIC snippet generation for terms {table, scan}: densest ±4-token
+    window (earliest on ties), all in-window hits bracketed, ellipses on
+    truncation — the rendered snippet STRING itself is value-certified
+    against a DuckDB list-lambda twin."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.snippets(d, ["table", "scan"], width=4).orderBy("doc_id")
+
+
+_SQL_SNIPPETS = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+), hits AS (
+  SELECT doc_id, w,
+         list_filter(generate_series(0, len(w) - 1),
+                     i -> list_contains(['table', 'scan'], lower(w[i + 1])))
+           AS positions
+  FROM t
+), nonempty AS (SELECT * FROM hits WHERE len(positions) > 0),
+best AS (
+  SELECT doc_id, w, positions,
+         list_sort(list_transform(positions, p -> struct_pack(
+           neg_score := -len(list_filter(positions,
+                             q -> q >= p - 4 AND q <= p + 4)),
+           pos := p)))[1].pos AS b
+  FROM nonempty
+), bounds AS (
+  SELECT doc_id, w, positions, b,
+         greatest(b - 4, 0) AS lo,
+         least(b + 4, len(w) - 1) AS hi
+  FROM best
+)
+SELECT doc_id,
+       CAST(len(positions) AS BIGINT) AS n_hits,
+       concat(
+         CASE WHEN lo > 0 THEN '... ' ELSE '' END,
+         array_to_string(list_transform(generate_series(lo, hi),
+           i -> CASE WHEN list_contains(positions, i)
+                     THEN '[' || w[i + 1] || ']' ELSE w[i + 1] END), ' '),
+         CASE WHEN hi < len(w) - 1 THEN ' ...' ELSE '' END
+       ) AS snippet
+FROM bounds ORDER BY doc_id
+"""
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality flags (Rae et al. 2021): integer-exact word
     count / mean-word-length / alpha-ratio filters as one shuffle-free
@@ -4857,6 +4905,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_opic_update": _q_opic_update,
     "dd_containment_pairs": _q_containment_pairs,
     "tx_nfc_normalize": _q_nfc_normalize,
+    "tx_snippets": _q_snippets,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -5036,6 +5085,7 @@ _ORACLES: dict[str, str] = {
     "gr_opic_update": _SQL_OPIC_UPDATE,
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
+    "tx_snippets": _SQL_SNIPPETS,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -713,3 +713,26 @@ def test_nfc_stage(spark):
     assert got[1] == "café" == got[2]      # decomposed composes; composed unchanged
     assert len(got[1]) == 4          # e+U+0301 (2 cps) became U+00E9 (1 cp)
     assert got[3] is None and got[4] == "plain"
+
+
+def test_snippets_kwic(spark):
+    from web_crawler_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb table cc dd ee ff gg hh scan table jj kk ll"),
+            (2, "no query words at all in here"),
+            (3, "table starts the doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           C.snippets(docs, ["table", "scan"], width=2).collect()}
+    assert set(got) == {1, 3}
+    # doc 1: hits at 2, 9, 10; densest window is around 9 or 10 (2 hits);
+    # earliest dense anchor is 9 -> window tokens 7..11, hits bracketed
+    assert got[1]["n_hits"] == 3
+    assert got[1]["snippet"] == "... gg hh [scan] [table] jj ..."
+    # doc 3: hit at 0, window clipped at the left edge — no leading
+    # ellipsis, but 'doc' (token 3) sits past the window -> trailing one
+    assert got[3]["snippet"] == "[table] starts the ..."

@@ -590,3 +590,67 @@ def proximity_match(
     hit = F.filter(F.col("pos_0"), near)
     out = joined.select("doc_id", F.size(hit).cast("bigint").alias("n_anchors"))
     return out.filter(F.col("n_anchors") > 0)
+
+
+def snippets(
+    df: DataFrame,
+    terms: list[str] | str,
+    width: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context snippet generation (the search-results display
+    op): for each doc containing any query term, render the best ±width-
+    token window — the one covering the most query-term hits, earliest
+    position on ties — with every query-term occurrence in the window
+    bracketed, and ellipses marking truncation.
+
+    Pure column expressions end-to-end (token array, hit-position filter,
+    per-hit window scoring, argmax via one array_sort of (−score, pos)
+    structs, highlight transform) — no Python, no shuffle beyond the scan;
+    a projection annotating search output at any corpus size. Returns
+    (doc_id, n_hits, snippet).
+    """
+    if isinstance(terms, str):
+        terms = [t for t in terms.lower().split() if t]
+    else:
+        terms = [t.lower() for t in terms if t]
+    tset = F.array(*[F.lit(t) for t in terms])
+
+    toks = T.tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - 1)
+    positions = F.filter(
+        idx, lambda i: F.array_contains(tset, F.lower(F.element_at(toks, i + 1)))
+    )
+    # score each hit position by hits inside its window; argmax via sort
+    scored = F.transform(
+        positions,
+        lambda p: F.struct(
+            (-F.size(F.filter(positions,
+                              lambda q: (q >= p - width) & (q <= p + width)))
+             ).alias("neg_score"),
+            p.alias("pos"),
+        ),
+    )
+    best = F.element_at(F.array_sort(scored), 1)["pos"]
+    lo = F.greatest(best - width, F.lit(0))
+    hi = F.least(best + width, n - 1)
+    window = F.transform(
+        F.sequence(lo, hi),
+        lambda i: F.when(
+            F.array_contains(positions, i),
+            F.concat(F.lit("["), F.element_at(toks, i + 1), F.lit("]")),
+        ).otherwise(F.element_at(toks, i + 1)),
+    )
+    snippet = F.concat(
+        F.when(lo > 0, F.lit("... ")).otherwise(F.lit("")),
+        F.array_join(window, " "),
+        F.when(hi < n - 1, F.lit(" ...")).otherwise(F.lit("")),
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(positions).cast("bigint").alias("n_hits"),
+        snippet.alias("snippet"),
+    )
+    return out.filter(F.col("n_hits") > 0)
