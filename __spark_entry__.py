@@ -1970,6 +1970,54 @@ FROM ordered
 """
 
 
+def _q_robots_wildcards(spark, sf_dir):
+    """RFC 9309 §2.2.3 special characters: '*' mid-pattern runs and the
+    trailing '$' end anchor — Disallow: /*.pdf$ must block exactly the
+    .pdf-final paths and /tmp*/x exactly the /tmp…/x paths; the oracle
+    states the construction's ground truth."""
+    from web_crawler_spark.operators import robots as RB
+
+    e = _t(spark, sf_dir, "events")
+    host = F.lit("w.com")
+    v = F.col("event_id") % 4
+    path = (
+        F.when(v == 0, F.concat(F.lit("/f/"), F.col("event_id").cast("string"),
+                                F.lit(".pdf")))
+        .when(v == 1, F.concat(F.lit("/f/"), F.col("event_id").cast("string"),
+                               F.lit(".pdfmore")))
+        .when(v == 2, F.concat(F.lit("/tmp"), F.col("event_id").cast("string"),
+                               F.lit("/x")))
+        .otherwise(F.concat(F.lit("/tmp"), F.col("event_id").cast("string"),
+                            F.lit("/y")))
+    )
+    frontier = e.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+        "event_id",
+    )
+    robots_pages = spark.createDataFrame(
+        [("w.com", "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*/x\n")],
+        "host string, body string",
+    )
+    rules = RB.parse_robots(robots_pages)
+    return RB.apply_robots(frontier, rules, "anybot").select(
+        "event_id", "canonical_url"
+    ).orderBy("event_id")
+
+
+_SQL_ROBOTS_WILDCARDS = """
+SELECT event_id,
+       concat('https://w.com',
+              CASE WHEN event_id % 4 = 1
+                   THEN concat('/f/', CAST(event_id AS VARCHAR), '.pdfmore')
+                   ELSE concat('/tmp', CAST(event_id AS VARCHAR), '/y') END)
+         AS canonical_url
+FROM events
+WHERE event_id % 4 IN (1, 3)
+ORDER BY event_id
+"""
+
+
 _SQL_ROBOTS_FILTER = """
 WITH frontier AS (
   SELECT event_id,
@@ -4906,6 +4954,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_containment_pairs": _q_containment_pairs,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
+    "robots_wildcards": _q_robots_wildcards,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -5086,6 +5135,7 @@ _ORACLES: dict[str, str] = {
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
+    "robots_wildcards": _SQL_ROBOTS_WILDCARDS,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -137,3 +137,40 @@ def test_sitemap_directive_and_locations(spark):
     # pre-existing rule kinds unaffected
     kinds = {r["rule"] for r in rules.collect()}
     assert {"disallow", "allow", "sitemap"} <= kinds
+
+
+def test_wildcard_and_anchor_patterns(spark):
+    """RFC 9309 §2.2.3: '*' spans any run, trailing '$' anchors the end;
+    regex metacharacters in paths stay literal; longest raw pattern still
+    wins (an Allow with a longer wildcard pattern overrides)."""
+    pages = spark.createDataFrame(
+        [("w.com",
+          "User-agent: *\n"
+          "Disallow: /*.pdf$\n"
+          "Disallow: /cgi*/run\n"
+          "Disallow: /a+b/\n"           # '+' literal, not regex
+          "Allow: /cgi-public*/run\n")],
+        "host string, body string",
+    )
+    rules = RB.parse_robots(pages)
+    urls = [
+        ("https://w.com/x/doc.pdf", False),       # *.pdf$ blocks
+        ("https://w.com/x/doc.pdf?v=1", True),    # query not in PATH; .pdf$ holds on path -> blocked? path is /x/doc.pdf
+        ("https://w.com/x/doc.pdfx", True),       # $ anchor respected
+        ("https://w.com/cgi-bin/run", False),     # /cgi*/run blocks
+        ("https://w.com/cgi-public/run", True),   # longer Allow wins
+        ("https://w.com/a+b/page", False),        # literal '+'
+        ("https://w.com/apb/page", True),         # '+' NOT a regex quantifier
+    ]
+    frontier = spark.createDataFrame(
+        [("w.com", u) for u, _ in urls], "host string, canonical_url string"
+    )
+    allowed = {r["canonical_url"]
+               for r in RB.apply_robots(frontier, rules, "anybot").collect()}
+    for u, want in urls:
+        if u == "https://w.com/x/doc.pdf?v=1":
+            continue  # asserted separately below
+        assert (u in allowed) == want, u
+    # the $ anchor applies to the PATH component: a query string does not
+    # un-anchor it (try_parse_url PATH strips the query)
+    assert "https://w.com/x/doc.pdf?v=1" not in allowed

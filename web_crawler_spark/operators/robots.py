@@ -128,12 +128,29 @@ def apply_robots(
     path = F.coalesce(
         F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
     )
+    # RFC 9309 §2.2.3 special characters: '*' matches any run, a TRAILING
+    # '$' anchors the end; everything else is literal. Patterns are
+    # compiled to regexes here (rule tables are broadcast-small);
+    # wildcard-free patterns keep the cheaper startswith path. Precedence
+    # stays "longest raw pattern wins" (the RFC's most-specific rule).
+    raw = F.col("path_prefix")
+    anchored = raw.endswith("$")
+    core = F.when(anchored, F.expr(
+        "substring(path_prefix, 1, length(path_prefix) - 1)")).otherwise(raw)
+    escaped = F.regexp_replace(core, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    as_regex = F.concat(
+        F.lit("^"),
+        F.regexp_replace(escaped, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
     prefix_rules = rules.filter(
         F.col("rule").isin("allow", "disallow")
         & F.col("agent").isin(agent.lower(), "*")
     ).select(
         F.col("host").alias("r_host"),
         "agent", "rule", "path_prefix",
+        (~raw.contains("*") & ~anchored).alias("is_plain"),
+        as_regex.alias("path_regex"),
         F.length("path_prefix").alias("prefix_len"),
         F.when(F.col("agent") == agent.lower(), 1).otherwise(0).alias("agent_specificity"),
     )
@@ -145,10 +162,12 @@ def apply_robots(
         F.col("agent_specificity") == F.col("best_spec")
     )
 
+    matched = F.when(
+        F.col("is_plain"), F.col("__path").startswith(F.col("path_prefix"))
+    ).otherwise(F.rlike(F.col("__path"), F.col("path_regex")))
     joined = frontier.withColumn("__path", path).join(
         F.broadcast(prefix_rules),
-        (F.col(host_col) == F.col("r_host"))
-        & F.col("__path").startswith(F.col("path_prefix")),
+        (F.col(host_col) == F.col("r_host")) & matched,
         "left",
     )
     w = Window.partitionBy(host_col, url_col).orderBy(
@@ -165,6 +184,7 @@ def apply_robots(
     )
     return decided.filter(F.col("robots_allowed")).drop(
         "__path", "__rn", "r_host", "agent", "rule", "path_prefix",
+        "is_plain", "path_regex",
         "prefix_len", "agent_specificity", "best_spec", "robots_allowed",
     )
 
