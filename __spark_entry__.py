@@ -3885,6 +3885,95 @@ def _versioned_pages(spark, sf_dir):
     return e.select(url.alias("url"), warc_ts.alias("warc_ts"), text.alias("text"))
 
 
+def _q_revalidation_plan(spark, sf_dir):
+    """RFC 9110 conditional-request plan from the crawl history: per-URL
+    If-None-Match (fingerprint-derived strong validator) +
+    If-Modified-Since (IMF-fixdate of the latest capture) — the refresh
+    crawl's bandwidth saver, one keep-latest window."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    return SN.revalidation_headers(_versioned_pages(spark, sf_dir)).orderBy("url")
+
+
+_SQL_REVALIDATION_PLAN = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         concat('body ', CAST(event_id % 3000 AS VARCHAR), ' rev',
+                CAST(CAST(floor(event_id / 3000 / 2) AS BIGINT) AS VARCHAR)) AS text
+  FROM events
+), latest AS (
+  SELECT url, ts, text,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts DESC) AS rn
+  FROM pages
+)
+SELECT url,
+       concat('"', md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), '"') AS if_none_match,
+       strftime(ts, '%a, %d %b %Y %H:%M:%S GMT') AS if_modified_since
+FROM latest WHERE rn = 1 ORDER BY url
+"""
+
+
+def _q_circuit_breaker(spark, sf_dir):
+    """Per-host circuit breaker over a synthesized fetch log: h0 all-503
+    and h3 all-429 trip, h1's alternating 200/503 sits exactly at the 0.5
+    threshold (trips), h2's sparse 404s and h4's 20% 500s stay closed —
+    4xx never counts. The oracle recomputes the trailing window."""
+    from web_crawler_spark.operators import politeness as P
+
+    e = _t(spark, sf_dir, "events")
+    h = F.col("user_id") % 6
+    status = (
+        F.when(h == 0, F.lit(503))
+        .when(h == 1, F.when(F.col("event_id") % 2 == 0, 503).otherwise(200))
+        .when(h == 2, F.when(F.col("event_id") % 10 == 0, 404).otherwise(200))
+        .when(h == 3, F.lit(429))
+        .when(h == 4, F.when(F.col("event_id") % 5 == 0, 500).otherwise(200))
+        .otherwise(F.lit(200))
+    )
+    log = e.select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".com")).alias("host"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2025-01-01 00:00:00")) + F.col("event_id")
+        ).alias("fetch_ts"),
+        status.cast("int").alias("status"),
+    )
+    return P.host_circuit_breaker(log).orderBy("host")
+
+
+_SQL_CIRCUIT_BREAKER = """
+WITH log AS (
+  SELECT concat('h', CAST(user_id % 6 AS VARCHAR), '.com') AS host,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND)
+           AS fetch_ts,
+         CASE user_id % 6
+           WHEN 0 THEN 503
+           WHEN 1 THEN CASE WHEN event_id % 2 = 0 THEN 503 ELSE 200 END
+           WHEN 2 THEN CASE WHEN event_id % 10 = 0 THEN 404 ELSE 200 END
+           WHEN 3 THEN 429
+           WHEN 4 THEN CASE WHEN event_id % 5 = 0 THEN 500 ELSE 200 END
+           ELSE 200
+         END AS status
+  FROM events
+), scored AS (
+  SELECT host, fetch_ts,
+         AVG(CASE WHEN status >= 500 OR status = 429 THEN 1.0 ELSE 0.0 END)
+           OVER (PARTITION BY host ORDER BY fetch_ts
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS err_rate,
+         COUNT(*) OVER (PARTITION BY host ORDER BY fetch_ts
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY fetch_ts DESC) AS rn
+  FROM log
+)
+SELECT host, n AS n_fetches, ROUND(err_rate, 6) AS trailing_error_rate,
+       (n >= 10 AND err_rate >= 0.5) AS breaker_open,
+       CASE WHEN n >= 10 AND err_rate >= 0.5
+            THEN fetch_ts + INTERVAL 300 SECOND END AS resume_ts
+FROM scored WHERE rn = 1 ORDER BY host
+"""
+
+
 def _q_snapshot_asof(spark, sf_dir):
     """Corpus-as-of-T cut over the versioned page table: latest warc_ts ≤
     cutoff per url (training-data release / reproducible dataset view)."""
@@ -4955,6 +5044,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
+    "crawl_revalidation_plan": _q_revalidation_plan,
+    "f7_circuit_breaker": _q_circuit_breaker,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -5136,6 +5227,8 @@ _ORACLES: dict[str, str] = {
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,
+    "crawl_revalidation_plan": _SQL_REVALIDATION_PLAN,
+    "f7_circuit_breaker": _SQL_CIRCUIT_BREAKER,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -628,3 +628,45 @@ def test_seen_filter_cuckoo_engine_parity(spark, catalog_dir):
     b = {r["url_hash"] for r in bl.catalog.read(spark, "fetched")
          .select("url_hash").collect()}
     assert a == b
+
+
+def test_circuit_breaker_semantics(spark):
+    from web_crawler_spark.operators import politeness as P
+
+    rows = []
+    # failing host: 12 straight 503s -> open, resume 300s after last
+    for i in range(12):
+        rows.append(("down.com", f"2025-01-01 00:00:{i:02d}", 503))
+    # healthy host with sparse 404s -> closed (4xx never counts)
+    for i in range(12):
+        rows.append(("ok.com", f"2025-01-01 00:00:{i:02d}",
+                     404 if i % 6 == 0 else 200))
+    # fresh host, only 3 fetches all 503 -> NOT open (window not full)
+    for i in range(3):
+        rows.append(("new.com", f"2025-01-01 00:00:{i:02d}", 503))
+    log = spark.createDataFrame(rows, "host string, fetch_ts string, status int") \
+        .withColumn("fetch_ts", F.col("fetch_ts").cast("timestamp"))
+    got = {r["host"]: r for r in P.host_circuit_breaker(log).collect()}
+    assert got["down.com"]["breaker_open"] is True
+    assert str(got["down.com"]["resume_ts"]) == "2025-01-01 00:05:11"
+    assert got["ok.com"]["breaker_open"] is False
+    assert got["ok.com"]["resume_ts"] is None
+    assert got["new.com"]["breaker_open"] is False  # insufficient evidence
+
+
+def test_revalidation_headers(spark):
+    from web_crawler_spark.operators import snapshots as SN
+
+    hist = spark.createDataFrame(
+        [("u1", "2025-01-01 10:00:00", "old content"),
+         ("u1", "2025-02-03 04:05:06", "new content"),
+         ("u2", "2025-01-01 00:00:00", "only version")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    got = {r["url"]: r for r in SN.revalidation_headers(hist).collect()}
+    assert got["u1"]["if_modified_since"] == "Mon, 03 Feb 2025 04:05:06 GMT"
+    assert got["u1"]["if_none_match"].startswith('"') and \
+           got["u1"]["if_none_match"].endswith('"')
+    # the validator tracks the LATEST capture's content
+    import hashlib
+    assert hashlib.md5(b"new content").hexdigest() in got["u1"]["if_none_match"]

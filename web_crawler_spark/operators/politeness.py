@@ -124,3 +124,56 @@ def epoch_metrics(
             F.max("fetch_ts").alias("end_ts"),
         )
     )
+
+
+def host_circuit_breaker(
+    fetch_log: DataFrame,
+    window_size: int = 10,
+    error_threshold: float = 0.5,
+    cooldown_seconds: float = 300.0,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-host circuit breaker over the fetch log: when a host's trailing
+    ``window_size``-fetch error rate reaches ``error_threshold``, the
+    breaker opens and the host is paused for ``cooldown_seconds`` from its
+    last attempt — the operational politeness rule that stops a crawler
+    from hammering a failing origin (and burning its own budget) when
+    errors are host-wide, not per-URL.
+
+    Error = any status ≥ 500 or status 429 (server distress / throttle);
+    4xx client errors don't trip the breaker. Returns one row per host:
+    (host, n_fetches, trailing_error_rate, breaker_open, resume_ts).
+    One per-host window over the log — same shuffle as crawl_order.
+    """
+    is_err = (
+        (F.col(status_col) >= 500) | (F.col(status_col) == 429)
+    ).cast("double")
+    w_trail = (
+        Window.partitionBy(host_col).orderBy(ts_col)
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    w_last = Window.partitionBy(host_col).orderBy(F.desc(ts_col))
+    scored = (
+        fetch_log.withColumn("__err_rate", F.avg(is_err).over(w_trail))
+        .withColumn("__n", F.count(F.lit(1)).over(w_trail))
+        .withColumn("__rn", F.row_number().over(w_last))
+    )
+    latest = scored.filter(F.col("__rn") == 1)
+    # a short log can't evidence a rate: require a full window before
+    # tripping (otherwise one early 503 on a fresh host opens the breaker)
+    open_ = (F.col("__n") >= window_size) & (
+        F.col("__err_rate") >= error_threshold
+    )
+    return latest.select(
+        F.col(host_col).alias("host"),
+        F.col("__n").alias("n_fetches"),
+        F.round("__err_rate", 6).alias("trailing_error_rate"),
+        open_.alias("breaker_open"),
+        F.when(
+            open_,
+            F.timestamp_add("SECOND", F.lit(int(cooldown_seconds)),
+                            F.col(ts_col)),
+        ).alias("resume_ts"),
+    )

@@ -113,3 +113,45 @@ def recrawl_priority(
         staleness.cast("long").alias("staleness_sec"),
         F.round(rate * staleness, 6).alias("priority"),
     )
+
+
+def revalidation_headers(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    etag_col: str | None = None,
+) -> DataFrame:
+    """HTTP revalidation plan for the next recrawl wave (RFC 9110
+    conditional requests — the mechanism that lets a refresh crawl spend
+    bytes only on pages that actually changed): for each URL, the
+    validators from its latest capture — ``If-None-Match`` from the
+    entity tag and ``If-Modified-Since`` from the capture time in
+    IMF-fixdate form.
+
+    ``etag_col`` names a stored server ETag when the ingest kept one; the
+    default derives a deterministic strong validator from the content
+    fingerprint (what this engine can recompute; a real deployment stores
+    the server's own ETag at fetch time and this column is it).
+
+    One keep-latest window on url — the same shuffle as snapshot_asof.
+    """
+    from ..functions.text import content_fingerprint
+
+    w = Window.partitionBy(url_col).orderBy(F.desc(ts_col))
+    latest = (
+        history.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    etag = (
+        F.col(etag_col) if etag_col
+        else content_fingerprint(F.col(text_col))
+    )
+    return latest.select(
+        F.col(url_col).alias("url"),
+        F.concat(F.lit('"'), etag, F.lit('"')).alias("if_none_match"),
+        F.date_format(
+            F.col(ts_col), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+        ).alias("if_modified_since"),
+    )
