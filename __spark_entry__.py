@@ -3974,6 +3974,63 @@ FROM scored WHERE rn = 1 ORDER BY host
 """
 
 
+def _q_sitemap_refresh(spark, sf_dir):
+    """Sitemap-lastmod × crawl-history staleness: every 5th URL's sitemap
+    entry declares a lastmod after its latest capture ('stale'), every
+    7th sitemap URL was never captured ('new'), lastmods mix both W3C
+    forms (date-only, full datetime) and one malformed value per 35th
+    entry contributes no evidence. The oracle recomputes the join."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    hist = _versioned_pages(spark, sf_dir)
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    k = F.col("event_id")
+    loc = F.when(k % 7 == 0,
+                 F.concat(F.lit("https://ex.com/new"), k.cast("string"))
+                 ).otherwise(
+                 F.concat(F.lit("https://ex.com/p"), k.cast("string")))
+    lastmod = (
+        F.when(k % 35 == 1, F.lit("not-a-date"))
+        .when(k % 5 == 0, F.lit("2025-02-01T00:00:00"))   # after every capture
+        .when(k % 5 == 1, F.lit("2024-12-31"))            # before every capture
+        .otherwise(F.lit(None).cast("string"))
+    )
+    entries = e.select(loc.alias("loc"), lastmod.alias("lastmod"))
+    return SN.sitemap_refresh_candidates(hist, entries).orderBy("url")
+
+
+_SQL_SITEMAP_REFRESH = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts
+  FROM events
+), latest AS (
+  SELECT url, max(ts) AS last_fetch_ts FROM pages GROUP BY url
+), entries AS (
+  SELECT CASE WHEN event_id % 7 = 0
+              THEN concat('https://ex.com/new', CAST(event_id AS VARCHAR))
+              ELSE concat('https://ex.com/p', CAST(event_id AS VARCHAR)) END AS loc,
+         CASE WHEN event_id % 35 = 1 THEN 'not-a-date'
+              WHEN event_id % 5 = 0 THEN '2025-02-01T00:00:00'
+              WHEN event_id % 5 = 1 THEN '2024-12-31'
+         END AS lastmod
+  FROM events WHERE event_id < 3000
+), joined AS (
+  SELECT e.loc, TRY_CAST(e.lastmod AS TIMESTAMP) AS lastmod_ts,
+         l.last_fetch_ts
+  FROM entries e LEFT JOIN latest l ON l.url = e.loc
+)
+SELECT loc AS url, last_fetch_ts, lastmod_ts,
+       CASE WHEN last_fetch_ts IS NULL THEN 'new'
+            WHEN lastmod_ts IS NOT NULL AND lastmod_ts > last_fetch_ts
+            THEN 'stale' END AS reason
+FROM joined
+WHERE (last_fetch_ts IS NULL)
+   OR (lastmod_ts IS NOT NULL AND lastmod_ts > last_fetch_ts)
+ORDER BY url
+"""
+
+
 def _q_snapshot_asof(spark, sf_dir):
     """Corpus-as-of-T cut over the versioned page table: latest warc_ts ≤
     cutoff per url (training-data release / reproducible dataset view)."""
@@ -5046,6 +5103,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_wildcards": _q_robots_wildcards,
     "crawl_revalidation_plan": _q_revalidation_plan,
     "f7_circuit_breaker": _q_circuit_breaker,
+    "crawl_sitemap_refresh": _q_sitemap_refresh,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -5229,6 +5287,7 @@ _ORACLES: dict[str, str] = {
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,
     "crawl_revalidation_plan": _SQL_REVALIDATION_PLAN,
     "f7_circuit_breaker": _SQL_CIRCUIT_BREAKER,
+    "crawl_sitemap_refresh": _SQL_SITEMAP_REFRESH,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

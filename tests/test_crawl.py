@@ -670,3 +670,26 @@ def test_revalidation_headers(spark):
     # the validator tracks the LATEST capture's content
     import hashlib
     assert hashlib.md5(b"new content").hexdigest() in got["u1"]["if_none_match"]
+
+
+def test_sitemap_refresh_candidates(spark):
+    from web_crawler_spark.operators import snapshots as SN
+
+    hist = spark.createDataFrame(
+        [("u1", "2025-01-10 00:00:00"),   # lastmod after -> stale
+         ("u1", "2025-01-05 00:00:00"),
+         ("u2", "2025-03-01 00:00:00"),   # lastmod before latest -> not a candidate
+         ("u3", "2025-01-01 00:00:00")],  # no parseable lastmod -> not a candidate
+        "url string, warc_ts string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    entries = spark.createDataFrame(
+        [("u1", "2025-02-01"),            # date-only W3C form, > 01-10
+         ("u2", "2025-01-15T00:00:00"),   # datetime form, < 03-01
+         ("u3", "not-a-date"),            # malformed: no evidence, never fails
+         ("u4", None),                    # never captured -> 'new'
+         ("u5", "2024-01-01")],           # never captured -> 'new' even w/ old lastmod
+        "loc string, lastmod string",
+    )
+    got = {r["url"]: r["reason"]
+           for r in SN.sitemap_refresh_candidates(hist, entries).collect()}
+    assert got == {"u1": "stale", "u4": "new", "u5": "new"}

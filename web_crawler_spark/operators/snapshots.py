@@ -155,3 +155,50 @@ def revalidation_headers(
             F.col(ts_col), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
         ).alias("if_modified_since"),
     )
+
+
+def sitemap_refresh_candidates(
+    history: DataFrame,
+    sitemap_entries: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+) -> DataFrame:
+    """Cross the sitemap's declared lastmod against the crawl history: the
+    refresh wave is (a) sitemap URLs never captured ('new') and (b) URLs
+    whose declared lastmod postdates the latest capture ('stale').
+    Entries without a parseable lastmod that were already captured are
+    NOT candidates (no evidence of change — the recrawl scheduler's
+    change-rate model owns those).
+
+    lastmod accepts both W3C forms (date-only and full datetime) via
+    try_to_timestamp — a malformed value never fails the stage, it just
+    contributes no staleness evidence. One keep-latest window + one
+    left join keyed on the URL.
+    """
+    w = Window.partitionBy(url_col).orderBy(F.desc(ts_col))
+    latest = (
+        history.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(url_col).alias(loc_col),
+                F.col(ts_col).alias("last_fetch_ts"))
+    )
+    lm = F.try_to_timestamp(F.col(lastmod_col))
+    joined = (
+        sitemap_entries.select(loc_col, lm.alias("lastmod_ts"))
+        .join(latest, loc_col, "left")
+    )
+    reason = (
+        F.when(F.col("last_fetch_ts").isNull(), F.lit("new"))
+        .when(
+            F.col("lastmod_ts").isNotNull()
+            & (F.col("lastmod_ts") > F.col("last_fetch_ts")),
+            F.lit("stale"),
+        )
+    )
+    return (
+        joined.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select(F.col(loc_col).alias("url"), "last_fetch_ts", "lastmod_ts", "reason")
+    )
