@@ -5064,18 +5064,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_host_hits": _q_host_hits,
     "dd_dedup_clusters": _q_dedup_clusters,
     "dd_keep_canonical": _q_keep_canonical,
-    "ann_cosine_topk": _q_ann_cosine,
-    "dd_embedding_dedup_pairs": _q_embedding_dedup,
+    "dd_simhash_pairs_md5": _q_simhash_pairs_md5,
+    "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
     "ann_knn_join_lsh_md5": _q_knn_join_lsh_md5,
     "ann_ivf_topk_md5": _q_ann_ivf_md5,
     "dd_embedding_lsh_pairs_md5": _q_embedding_lsh_pairs_md5,
-    "dd_simhash_pairs_md5": _q_simhash_pairs_md5,
     # --- tier 2: new this round (position >50 keeps the tier-1 snapshot
     # intact; certify in the next round's rotation) + driver-certified
     # green in CORRECTNESS_r01/r02.json ---
-    "s_warc_scan": _q_warc_scan,
+    "ann_cosine_topk": _q_ann_cosine,
+    "dd_embedding_dedup_pairs": _q_embedding_dedup,
     "cc_surt_key": _q_surt_key,
     "cc_cdx_index": _q_cdx_index,
     "gr_anchor_text": _q_anchor_text,
