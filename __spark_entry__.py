@@ -3524,6 +3524,98 @@ FROM cls GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_c4_filter(spark, sf_dir):
+    """C4 cleaning gate (Raffel et al. 2020 §2.2) over a deterministic
+    multi-line fixture: every doc carries a no-punctuation line and a
+    2-word line (always dropped), every 3rd a javascript line, every 4th
+    a cookie/privacy-policy line (dropped at line level), every 5th a
+    kept 'lorem ipsum' sentence (doc flag), every 7th a kept line with
+    braces (doc flag), every 11th a bad-word sentence (doc flag), plus
+    0–3 filler sentences so the min-sentence gate splits the corpus.
+    The oracle recomputes line filtering, reassembly, and every flag."""
+    from web_crawler_spark.operators import corpus as C
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.col("event_id")
+    i = k.cast("string")
+
+    def _opt(cond, text):
+        return F.when(cond, F.lit(text))
+
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("First sentence for doc "), i, F.lit(".")),
+        F.lit("no punctuation here"),
+        F.lit("Too short."),
+        _opt(k % 3 == 0, "Please enable javascript in your browser."),
+        _opt(k % 4 == 0, "This site uses cookies per the privacy policy."),
+        _opt(k % 5 == 0, "lorem ipsum dolor sit amet."),
+        _opt(k % 7 == 0, "Config sample with {braces} inside."),
+        _opt(k % 11 == 0, "This doc mentions badword1 openly."),
+        F.when(k % 2 == 0, F.concat(F.lit("Filler sentence one for doc "), i, F.lit("."))),
+        F.when(k % 3 == 1, F.concat(F.lit("Filler sentence two for doc "), i, F.lit("."))),
+        F.when(k % 5 == 2, F.concat(F.lit("Filler sentence three for doc "), i, F.lit("."))),
+    )
+    docs = e.select(k.alias("doc_id"), text.alias("text"))
+    return C.c4_clean(
+        docs, min_sentences=3, bad_words=("badword1", "badword2")
+    ).orderBy("doc_id")
+
+
+_SQL_C4_FILTER = """
+WITH docs AS (
+  SELECT event_id AS doc_id,
+         concat_ws(chr(10),
+           'First sentence for doc ' || event_id || '.',
+           'no punctuation here',
+           'Too short.',
+           CASE WHEN event_id % 3 = 0 THEN 'Please enable javascript in your browser.' END,
+           CASE WHEN event_id % 4 = 0 THEN 'This site uses cookies per the privacy policy.' END,
+           CASE WHEN event_id % 5 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+           CASE WHEN event_id % 7 = 0 THEN 'Config sample with {braces} inside.' END,
+           CASE WHEN event_id % 11 = 0 THEN 'This doc mentions badword1 openly.' END,
+           CASE WHEN event_id % 2 = 0 THEN 'Filler sentence one for doc ' || event_id || '.' END,
+           CASE WHEN event_id % 3 = 1 THEN 'Filler sentence two for doc ' || event_id || '.' END,
+           CASE WHEN event_id % 5 = 2 THEN 'Filler sentence three for doc ' || event_id || '.' END
+         ) AS text
+  FROM events WHERE event_id < 2000
+), split AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM docs
+), kept AS (
+  SELECT doc_id, text, len(ls) AS n_lines,
+         list_filter(ls, x ->
+           right(trim(x), 1) IN ('.', '!', '?', '"')
+           AND len(string_split_regex(trim(x), '\\s+')) >= 3
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'terms of use')
+           AND NOT contains(lower(x), 'privacy policy')
+           AND NOT contains(lower(x), 'cookie policy')
+           AND NOT contains(lower(x), 'uses cookies')
+           AND NOT contains(lower(x), 'use of cookies')
+         ) AS kl
+  FROM split
+), agg AS (
+  SELECT doc_id, text, n_lines,
+         array_to_string(kl, chr(10)) AS text_clean, len(kl) AS n_kept
+  FROM kept
+), flags AS (
+  SELECT doc_id, text_clean, n_lines, n_kept,
+         length(text_clean) - length(translate(text_clean, '.!?', '')) AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS flag_lorem,
+         contains(text_clean, '{') AS flag_brace,
+         len(list_intersect(string_split_regex(lower(text_clean), '\\s+'),
+                            ['badword1', 'badword2'])) > 0 AS flag_bad_word
+  FROM agg
+)
+SELECT doc_id, text_clean, n_lines, n_kept, n_sentences,
+       flag_lorem, flag_brace, flag_bad_word,
+       n_sentences < 3 AS flag_short,
+       NOT (flag_lorem OR flag_brace OR flag_bad_word OR n_sentences < 3)
+         AS passed
+FROM flags ORDER BY doc_id
+"""
+
+
 def _q_phrase_match(spark, sf_dir):
     """Exact-phrase retrieval over positional postings: docs where 'table
     scan' occurs at consecutive token offsets, with occurrence counts —
@@ -5085,6 +5177,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_crawl_traps": _q_crawl_traps,
     "f8_anti_join_seen_cuckoo": _q_anti_join_seen_cuckoo,
     "tx_boilerplate": _q_boilerplate,
+    "tx_c4_filter": _q_c4_filter,
     "s_content_sniff": _q_content_sniff,
     "cc_wat_export": _q_wat_export,
     "cc_canonical_dedup": _q_canonical_dedup,
@@ -5247,6 +5340,7 @@ _ORACLES: dict[str, str] = {
     "dd_contamination_check": _SQL_CONTAMINATION,
     "tx_gopher_quality": _SQL_GOPHER_QUALITY,
     "tx_boilerplate": _SQL_BOILERPLATE,
+    "tx_c4_filter": _SQL_C4_FILTER,
     "s_content_sniff": _SQL_CONTENT_SNIFF,
     "cc_wat_export": _SQL_WAT_EXPORT,
     "cc_canonical_dedup": _SQL_CANONICAL_DEDUP,

@@ -654,3 +654,80 @@ def snippets(
         snippet.alias("snippet"),
     )
     return out.filter(F.col("n_hits") > 0)
+
+
+# C4 policy-phrase line drops (Raffel et al. 2020 §2.2: cookie/ToS
+# boilerplate lines removed before the document gates).
+C4_POLICY_PHRASES = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+)
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple[str, ...] = (),
+    policy_phrases: tuple[str, ...] = C4_POLICY_PHRASES,
+) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2) as one shuffle-free projection.
+
+    Line stage (order-preserving): keep a line only if it ends in a
+    terminal punctuation mark (., !, ?, closing quote), has at least
+    ``min_words_per_line`` words, and does not contain "javascript" or a
+    policy phrase (cookie/ToS boilerplate) case-insensitively. Document
+    stage over the reassembled clean text: ``flag_lorem`` (raw text
+    contains "lorem ipsum"), ``flag_brace`` (clean text still carries
+    '{' — code, not prose), ``flag_bad_word`` (any clean-text token in
+    ``bad_words``), ``flag_short`` (fewer than ``min_sentences``
+    sentence terminators — counted via translate(), a deterministic
+    proxy for C4's sentence splitter). ``passed`` is the conjunction.
+
+    Everything is a column expression over the document row — the gate
+    annotates the scan with zero shuffles at any corpus size, and
+    Catalyst prunes unused flags. The 3-sentence-span dedup step of the
+    original pipeline is ``remove_duplicate_chunks`` (same module).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(x):
+        t = F.trim(x)
+        lx = F.lower(x)
+        ok = F.substring(t, -1, 1).isin(".", "!", "?", '"')
+        ok = ok & (F.size(F.split(t, r"\s+")) >= min_words_per_line)
+        ok = ok & ~lx.contains("javascript")
+        for p in policy_phrases:
+            ok = ok & ~lx.contains(p)
+        return ok
+
+    kept = F.filter(lines, _keep)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.length(clean) - F.length(F.translate(clean, ".!?", ""))
+    if bad_words:
+        flag_bad = F.arrays_overlap(
+            F.split(F.lower(clean), r"\s+"),
+            F.array(*[F.lit(w) for w in bad_words]),
+        )
+    else:
+        flag_bad = F.lit(False)
+    flag_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    flag_brace = clean.contains("{")
+    flag_short = n_sent < F.lit(min_sentences)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("text_clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        flag_lorem.alias("flag_lorem"),
+        flag_brace.alias("flag_brace"),
+        flag_bad.alias("flag_bad_word"),
+        flag_short.alias("flag_short"),
+        (~(flag_lorem | flag_brace | flag_bad | flag_short)).alias("passed"),
+    )
