@@ -2208,6 +2208,74 @@ ORDER BY cosine DESC, a.vec_id LIMIT 10
 """
 
 
+def _q_ann_pq_md5(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou et al. 2011) with md5-picked
+    codebooks: per-subspace argmin codes, codeword reconstruction, and
+    the round-6 ADC distance are all reproduced exactly by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(
+        emb, _query_vector(spark, sf_dir), k=10, m=8, n_codes=16,
+        portable=True,
+    )
+
+
+def _q_ann_pq(spark, sf_dir):
+    """Arrow-kernel twin of ann_pq_topk_md5 (same codebooks, same HALF_UP
+    round-6) — the 100 TB scan path; parity with the portable variant is
+    pytest-asserted, the driver records rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(emb, _query_vector(spark, sf_dir), k=10, m=8, n_codes=16)
+
+
+def _sql_ann_pq_md5(m: int = 8, n_codes: int = 16, seed: int = 77, dim: int = 64) -> str:
+    dsub = dim // m
+    sub_l2 = (
+        f"round(sqrt(list_sum(list_transform(range(1, {dsub} + 1), "
+        f"i -> power(CAST(e.embedding[subs.s * {dsub} + i] AS DOUBLE) "
+        f"- c.cvec[subs.s * {dsub} + i], 2)))), 6)"
+    )
+    adc = (
+        f"round(sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> power(q.qv[i] - f.rv[i], 2)))), 6)"
+    )
+    return f"""
+WITH picked AS (
+  SELECT embedding::DOUBLE[] AS cvec,
+         row_number() OVER (
+           ORDER BY md5(concat('pq{seed}:', CAST(vec_id AS VARCHAR))), vec_id
+         ) - 1 AS code
+  FROM embeddings
+  ORDER BY md5(concat('pq{seed}:', CAST(vec_id AS VARCHAR))), vec_id
+  LIMIT {n_codes}
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+subs AS (SELECT unnest(range(0, {m})) AS s),
+dists AS (
+  SELECT e.vec_id, subs.s, c.code, {sub_l2} AS d
+  FROM embeddings e CROSS JOIN subs CROSS JOIN picked c
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+recon AS (
+  SELECT codes.vec_id, codes.s,
+         c.cvec[codes.s * {dsub} + 1 : codes.s * {dsub} + {dsub}] AS piece
+  FROM codes JOIN picked c ON c.code = codes.code
+),
+flat AS (
+  SELECT vec_id, flatten(list(piece ORDER BY s)) AS rv
+  FROM recon GROUP BY vec_id
+)
+SELECT f.vec_id, {adc} AS adc_dist
+FROM flat f, q
+ORDER BY adc_dist, f.vec_id LIMIT 10
+"""
+
+
 def _q_knn_join(spark, sf_dir):
     """Batch k-NN: top-3 cosine neighbors of EVERY embedding (brute-force
     block-nested-loop + per-query top-k window — the exact baseline whose
@@ -2269,6 +2337,18 @@ ranked AS (
 SELECT vec_id, nb_id, cosine FROM ranked WHERE rnk <= {k}
 ORDER BY vec_id, cosine DESC, nb_id
 """
+
+
+def _q_ann_pq_trained(spark, sf_dir):
+    """PQ ADC top-k over Lloyd's-TRAINED codebooks (per-subspace k-means,
+    one fused shuffle per iteration). Rows-only: float mean accumulation
+    order is engine-specific, so the trained codebooks have no exact SQL
+    twin; quantization-error reduction is pinned by pytest instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(emb, m=8, n_codes=16, iters=2)
+    return SIM.pq_topk(
+        emb, _query_vector(spark, sf_dir), k=10, codebooks=books
+    )
 
 
 def _q_ann_ivf_trained(spark, sf_dir):
@@ -5162,6 +5242,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_knn_join": _q_knn_join,
     "ann_knn_join_lsh_md5": _q_knn_join_lsh_md5,
     "ann_ivf_topk_md5": _q_ann_ivf_md5,
+    "ann_pq_topk_md5": _q_ann_pq_md5,
     "dd_embedding_lsh_pairs_md5": _q_embedding_lsh_pairs_md5,
     # --- tier 2: new this round (position >50 keeps the tier-1 snapshot
     # intact; certify in the next round's rotation) + driver-certified
@@ -5251,7 +5332,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_corpus_mix_bpe": _q_corpus_mix_bpe,
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
+    "ann_pq_topk": _q_ann_pq,
     "ann_ivf_trained_topk": _q_ann_ivf_trained,
+    "ann_pq_trained_topk": _q_ann_pq_trained,
     "dd_embedding_lsh_pairs": _q_embedding_lsh_pairs,
     "ann_ivf_topk": _q_ann_ivf,
     "crawl_extract_pipeline": _q_extract_pipeline,
@@ -5389,6 +5472,7 @@ _ORACLES: dict[str, str] = {
     "ann_knn_join": _SQL_KNN_JOIN,
     "ann_knn_join_lsh_md5": _sql_knn_join_lsh_md5(),
     "ann_ivf_topk_md5": _sql_ann_ivf_md5(),
+    "ann_pq_topk_md5": _sql_ann_pq_md5(),
     "dd_embedding_lsh_pairs_md5": _sql_embedding_lsh_pairs_md5(),
     "dd_simhash_pairs_md5": _sql_simhash_pairs_md5(),
 }

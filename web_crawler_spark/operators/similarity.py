@@ -725,3 +725,239 @@ def kmeans_centroids(
         updated = {r["cid"]: [float(x) for x in r["cvec"]] for r in means}
         cents = [(cid, updated.get(cid, cv)) for cid, cv in cents]
     return cents
+
+
+# --- Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") ------------------------------------------------
+#
+# The missing piece between IVF (which prunes the SCAN) and a 10^10-vector
+# corpus (where even the pruned scan can't afford to read vectors): PQ
+# stores each vector as m one-byte codes (dim/m-dim subspace quantizers,
+# n_codes ≤ 256 words each), so a 768-dim float32 embedding (3 KB) becomes
+# m bytes, and query scoring reads ONLY the codes column via asymmetric
+# distance (ADC): d(q, x) ≈ l2(q, recon(x)) where recon concatenates the
+# chosen codewords. The codebooks are tiny (m × n_codes × dim/m doubles)
+# and broadcast as literal expressions — scoring is a pure projection with
+# zero joins/shuffles, exactly the ivf_topk argmin discipline.
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 77,
+) -> list[list[list[float]]]:
+    """Deterministic sampled codebooks: ``n_codes`` rows picked in md5
+    order (the ivf_topk portable pick discipline), each sliced into ``m``
+    contiguous subvectors — codebooks[s][c] is code c of subspace s. A
+    SQL oracle reproduces the pick verbatim; :func:`pq_train` refines
+    these with per-subspace Lloyd's iterations."""
+    rows = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(
+            F.md5(F.concat(F.lit(f"pq{seed}:"), F.col("cid").cast("string"))),
+            F.col("cid"),
+        )
+        .limit(n_codes)
+        .collect()
+    )
+    if not rows:
+        return []
+    dim = len(rows[0]["cvec"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [[float(x) for x in r["cvec"][s * dsub:(s + 1) * dsub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_nearest(vec, book: list[list[float]], s: int, dsub: int, portable: bool):
+    """Argmin code for subspace s — same zero-join array_min(struct(d, code))
+    expression shape as _ivf_probe's assignment."""
+    sub = F.slice(vec, s * dsub + 1, dsub)
+    entries = []
+    for c, cw in enumerate(book):
+        d = V.l2_distance(sub, F.array(*[F.lit(x) for x in cw]))
+        if portable:
+            d = F.round(d, 6)
+        entries.append(F.struct(d.alias("d"), F.lit(c).alias("code")))
+    return F.array_min(F.array(*entries))["code"]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    portable: bool = False,
+) -> DataFrame:
+    """(vec_id, codes array<int>) — the m-byte-per-vector index payload.
+    Pure projection: m × n_codes subspace distances per row inside one
+    select, no joins, no shuffles."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    codes = F.array(*[
+        _pq_nearest(F.col(vec_col), codebooks[s], s, dsub, portable)
+        for s in range(m)
+    ])
+    return df.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 77,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    portable: bool = False,
+) -> DataFrame:
+    """ADC top-k: encode each vector (argmin per subspace), reconstruct
+    from the chosen codewords, score l2(query, reconstruction) — one
+    shuffle-free projection + TakeOrderedAndProject. ``portable=True``
+    keeps every fold a round-6 Column expression the DuckDB oracle
+    reproduces; the default path runs one Arrow/numpy kernel per batch
+    (same codebooks, same HALF_UP round-6, so codes and distances agree —
+    pytest-asserted twin parity). At 100 TB the scan for this query reads
+    only the codes column once the encode is materialized; here encode +
+    score fuse into a single stage over the raw vectors."""
+    if codebooks is None:
+        codebooks = pq_codebooks(df, m, n_codes, vec_col, id_col, seed)
+    if not codebooks:
+        return df.select(
+            F.col(id_col).alias("vec_id"), F.lit(0.0).alias("adc_dist")
+        ).limit(0)
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    if not portable:
+        scored = _arrow_pq_stage(df, codebooks, query_vec, vec_col, id_col)
+        return scored.orderBy("adc_dist", "vec_id").limit(k)
+    recon_parts = []
+    for s in range(m):
+        code_s = _pq_nearest(F.col(vec_col), codebooks[s], s, dsub, True)
+        words = F.array(*[
+            F.array(*[F.lit(x) for x in cw]) for cw in codebooks[s]
+        ])
+        recon_parts.append(F.element_at(words, code_s + 1))
+    recon = F.concat(*recon_parts)
+    q = _query_lit(query_vec)
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(V.l2_distance(q, recon), 6).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
+    )
+
+
+def _arrow_pq_stage(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One numpy kernel per Arrow batch: per-subspace (rows × n_codes)
+    distance matrices → argmin codes (first-min tie = code order, matching
+    the struct-min), codeword gather → reconstruction, one einsum-free
+    squared-distance to the query. NULL or wrong-dim vectors route to
+    adc_dist NULL instead of failing the stage (the ADVICE null-route
+    discipline)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    mm, dsub = len(books), books[0].shape[1]
+    dim = mm * dsub
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def _round6(a):
+        return np.floor(a * 1e6 + 0.5) / 1e6  # HALF_UP, Spark F.round parity
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].tolist()
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            out = np.full(len(vecs), np.nan)
+            if ok.any():
+                X = np.stack([np.asarray(vecs[i], dtype=np.float64)
+                              for i in np.flatnonzero(ok)])
+                Xs = X.reshape(len(X), mm, dsub)
+                recon = np.empty_like(X)
+                for s in range(mm):
+                    d2 = ((Xs[:, s, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                    codes = np.argmin(_round6(np.sqrt(d2)), axis=1)
+                    recon[:, s * dsub:(s + 1) * dsub] = books[s][codes]
+                out[ok] = _round6(np.sqrt(((q[None, :] - recon) ** 2).sum(-1)))
+            yield pd.DataFrame({"vec_id": ids, "adc_dist": out})
+
+    schema = StructType([
+        StructField("vec_id", df.schema[id_col].dataType, True),
+        StructField("adc_dist", DoubleType(), True),
+    ])
+    slim = df.select(F.col(id_col), F.col(vec_col))
+    return slim.mapInPandas(gen, schema)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 77,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's refinement of :func:`pq_codebooks` — real PQ
+    training, all m subspaces fused into ONE job per iteration: the
+    assignment is the same zero-join argmin expression pq_encode uses
+    (computed once per row for every subspace), and the update shuffles
+    (s, code, pos, val) quadruples with map-side partial aggregation —
+    ≈ corpus × dim × 16 B, never whole vectors, skew-free because pos
+    spreads every codeword over dsub keys. The m × n_codes × dsub result
+    (tiny at any corpus size) returns to the driver each round — it IS
+    the broadcast side, exactly the kmeans_centroids discipline. Empty
+    codewords keep their previous value."""
+    books = pq_codebooks(df, m, n_codes, vec_col, id_col, seed)
+    if not books:
+        return []
+    dsub = len(books[0][0])
+    vecs = df.select(F.col(vec_col).alias("vec")).localCheckpoint(eager=True)
+    for _ in range(iters):
+        codes = F.array(*[
+            _pq_nearest(F.col("vec"), books[s], s, dsub, False)
+            for s in range(m)
+        ])
+        sub = F.floor(F.col("pos") / dsub).cast("int")
+        # codes must resolve in their own select: a posexplode in the same
+        # projection sends the struct-min through the Generate rewrite,
+        # which drops CreateStruct field names (FIELD_NOT_FOUND on "code")
+        rows = (
+            vecs.select(codes.alias("codes"), "vec")
+            .select("codes", F.posexplode("vec"))
+            .select(
+                sub.alias("s"),
+                F.element_at("codes", sub + 1).alias("code"),
+                F.col("pos"),
+                F.col("col").cast("double").alias("val"),
+            )
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("val").alias("mval"))
+            .collect()
+        )
+        newb = [[list(w) for w in bs] for bs in books]
+        for r in rows:
+            newb[r["s"]][r["code"]][r["pos"] - r["s"] * dsub] = float(r["mval"])
+        books = newb
+    return books
