@@ -4087,6 +4087,76 @@ FROM latest WHERE rn = 1 ORDER BY url
 """
 
 
+def _q_warc_revisit(spark, sf_dir):
+    """Dedup-aware WARC export over the versioned page chain: content
+    repeats every other version (rev = version//2), so v1/v3 become
+    body-less revisit records whose WARC-Refers-To resolves to the
+    v0/v2 response ids. The full record strings are value-certified."""
+    from web_crawler_spark.plans import report as RP
+
+    return RP.warc_revisit_records(
+        _versioned_pages(spark, sf_dir), payload_col="text"
+    ).orderBy("url", "warc_ts")
+
+
+_SQL_WARC_REVISIT = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         concat('body ', CAST(event_id % 3000 AS VARCHAR), ' rev',
+                CAST(CAST(floor(event_id / 3000 / 2) AS BIGINT) AS VARCHAR)) AS body
+  FROM events
+), d AS (
+  SELECT url, ts, body, md5(body) AS digest,
+         min(ts) OVER (PARTITION BY url, md5(body)) AS first_ts
+  FROM pages
+), ids AS (
+  SELECT *,
+         md5(concat(url, '|', CAST(ts AS VARCHAR))) AS h,
+         md5(concat(url, '|', CAST(first_ts AS VARCHAR))) AS rh,
+         chr(13) || chr(10) AS crlf,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+         strftime(first_ts, '%Y-%m-%dT%H:%M:%SZ') AS rdate
+  FROM d
+), built AS (
+  SELECT url, ts, digest, first_ts, crlf, wdate, rdate, body,
+         '<urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+           substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+           substr(h, 21, 12) || '>' AS rec_id,
+         '<urn:uuid:' || substr(rh, 1, 8) || '-' || substr(rh, 9, 4) || '-' ||
+           substr(rh, 13, 4) || '-' || substr(rh, 17, 4) || '-' ||
+           substr(rh, 21, 12) || '>' AS ref_id
+  FROM ids
+)
+SELECT url, ts AS warc_ts,
+       CASE WHEN ts > first_ts THEN 'revisit' ELSE 'response' END AS warc_type,
+       CASE WHEN ts > first_ts THEN
+         'WARC/1.0' || crlf ||
+         'WARC-Type: revisit' || crlf ||
+         'WARC-Target-URI: ' || url || crlf ||
+         'WARC-Date: ' || wdate || crlf ||
+         'WARC-Record-ID: ' || rec_id || crlf ||
+         'WARC-Refers-To: ' || ref_id || crlf ||
+         'WARC-Refers-To-Target-URI: ' || url || crlf ||
+         'WARC-Refers-To-Date: ' || rdate || crlf ||
+         'WARC-Profile: http://netpreservation.org/warc/1.0/revisit/identical-payload-digest' || crlf ||
+         'WARC-Payload-Digest: md5:' || digest || crlf ||
+         'Content-Length: 0' || crlf || crlf || crlf
+       ELSE
+         'WARC/1.0' || crlf ||
+         'WARC-Type: response' || crlf ||
+         'WARC-Target-URI: ' || url || crlf ||
+         'WARC-Date: ' || wdate || crlf ||
+         'WARC-Record-ID: ' || rec_id || crlf ||
+         'WARC-Payload-Digest: md5:' || digest || crlf ||
+         'Content-Type: text/html' || crlf ||
+         'Content-Length: ' || CAST(octet_length(encode(body)) AS VARCHAR) || crlf ||
+         crlf || body || crlf || crlf
+       END AS record
+FROM built ORDER BY url, ts
+"""
+
+
 def _q_circuit_breaker(spark, sf_dir):
     """Per-host circuit breaker over a synthesized fetch log: h0 all-503
     and h3 all-429 trip, h1's alternating 200/503 sits exactly at the 0.5
@@ -5278,6 +5348,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_revalidation_plan": _q_revalidation_plan,
     "f7_circuit_breaker": _q_circuit_breaker,
     "crawl_sitemap_refresh": _q_sitemap_refresh,
+    "cc_warc_revisit": _q_warc_revisit,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -5465,6 +5536,7 @@ _ORACLES: dict[str, str] = {
     "crawl_revalidation_plan": _SQL_REVALIDATION_PLAN,
     "f7_circuit_breaker": _SQL_CIRCUIT_BREAKER,
     "crawl_sitemap_refresh": _SQL_SITEMAP_REFRESH,
+    "cc_warc_revisit": _SQL_WARC_REVISIT,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

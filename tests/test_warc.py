@@ -193,3 +193,51 @@ def test_wat_refers_to_matches_warc_record_id(spark):
     rid = re.search(r"WARC-Record-ID: (<urn:uuid:[0-9a-f-]+>)", warc).group(1)
     refers = re.search(r"WARC-Refers-To: (<urn:uuid:[0-9a-f-]+>)", wat).group(1)
     assert rid == refers
+
+
+def test_warc_revisit_records_dedup_and_resolve(spark, tmp_path):
+    """Identical-payload recrawls become body-less revisit records whose
+    WARC-Refers-To resolves to the first capture's response record id."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.plans.report import warc_revisit_records
+    from web_crawler_spark.sources.warc import warc_scan
+
+    hist = spark.createDataFrame(
+        [("u1", "2025-01-01 00:00:00", "same body"),
+         ("u1", "2025-01-02 00:00:00", "same body"),     # revisit -> ts1
+         ("u1", "2025-01-03 00:00:00", "changed body"),  # new response
+         ("u1", "2025-01-04 00:00:00", "same body"),     # revisit -> ts1 (first occurrence)
+         ("u2", "2025-01-01 00:00:00", "same body")],    # other url: own response
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    recs = warc_revisit_records(hist, payload_col="text").collect()
+    by = {(r["url"], str(r["warc_ts"])): r for r in recs}
+    assert by[("u1", "2025-01-01 00:00:00")]["warc_type"] == "response"
+    assert by[("u1", "2025-01-03 00:00:00")]["warc_type"] == "response"
+    assert by[("u2", "2025-01-01 00:00:00")]["warc_type"] == "response"
+    r2 = by[("u1", "2025-01-02 00:00:00")]
+    r4 = by[("u1", "2025-01-04 00:00:00")]
+    assert r2["warc_type"] == "revisit" and r4["warc_type"] == "revisit"
+
+    def rid(rec, hdr):
+        return re.search(rf"{hdr}: (<urn:uuid:[^>]+>)", rec["record"]).group(1)
+
+    first_id = rid(by[("u1", "2025-01-01 00:00:00")], "WARC-Record-ID")
+    assert rid(r2, "WARC-Refers-To") == first_id
+    assert rid(r4, "WARC-Refers-To") == first_id  # refers to FIRST, not latest
+    assert "Content-Length: 0" in r2["record"]
+    assert "identical-payload-digest" in r2["record"]
+
+    # roundtrip through the engine's own WARC reader
+    out = str(tmp_path / "revisit_warc")
+    warc_revisit_records(hist, payload_col="text").select("record") \
+        .write.mode("overwrite").text(out)
+    back = warc_scan(spark, out).collect()
+    types = sorted(r["warc_type"] for r in back)
+    assert types == ["response", "response", "response", "revisit", "revisit"]
+    assert all(r["payload"] == b"" for r in back if r["warc_type"] == "revisit")
+    assert {bytes(r["payload"]) for r in back if r["warc_type"] == "response"} \
+        == {b"same body", b"changed body"}

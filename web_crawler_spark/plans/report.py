@@ -362,3 +362,88 @@ def write_commodity_workbook(df: DataFrame, path: str, k_summary: int = 5) -> No
         ],
     ]
     write_xlsx(path, sheets)
+
+
+def _urn_uuid(h):
+    """Deterministic <urn:uuid:...> from an md5 hex column (the
+    warc_records/wet_records id derivation, factored for revisit refs)."""
+    return F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"), F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12), F.lit(">"),
+    )
+
+
+def warc_revisit_records(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Dedup-aware WARC stream over a versioned crawl history (WARC/1.0
+    §6.7.2 identical-payload-digest — what Heritrix/Common Crawl write on
+    recrawl): the FIRST capture of each (url, payload-digest) is a full
+    ``response`` record carrying WARC-Payload-Digest; every later capture
+    with the same digest becomes a body-less ``revisit`` record whose
+    WARC-Refers-To / WARC-Refers-To-Date point at that first capture (the
+    same deterministic urn:uuid derivation, so the reference resolves in
+    re-exports). At 10^10 URLs this is the storage win of revisit dedup:
+    unchanged recrawls cost ~300 header bytes instead of the page body.
+
+    One shuffle: the (url, digest) window that elects the first capture.
+    Returns (url, warc_ts, warc_type, record).
+    """
+    from pyspark.sql import Window
+
+    url, ts = F.col(url_col), F.col(ts_col)
+    body = F.col(payload_col).cast("string")
+    digest = F.md5(body)
+    first_ts = F.min(ts).over(Window.partitionBy(url, digest))
+    rec_id = _urn_uuid(F.md5(F.concat_ws("|", url, ts.cast("string"))))
+    ref_id = _urn_uuid(
+        F.md5(F.concat_ws("|", url, F.col("__first_ts").cast("string")))
+    )
+    crlf = F.lit("\r\n")
+    wdate = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    ref_date = F.date_format(F.col("__first_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    response = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: response"), crlf,
+        F.lit("WARC-Target-URI: "), url, crlf,
+        F.lit("WARC-Date: "), wdate, crlf,
+        F.lit("WARC-Record-ID: "), rec_id, crlf,
+        F.lit("WARC-Payload-Digest: md5:"), F.col("__digest"), crlf,
+        F.lit("Content-Type: text/html"), crlf,
+        F.lit("Content-Length: "), F.octet_length(body).cast("string"), crlf,
+        crlf, body, crlf, crlf,
+    )
+    revisit = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: revisit"), crlf,
+        F.lit("WARC-Target-URI: "), url, crlf,
+        F.lit("WARC-Date: "), wdate, crlf,
+        F.lit("WARC-Record-ID: "), rec_id, crlf,
+        F.lit("WARC-Refers-To: "), ref_id, crlf,
+        F.lit("WARC-Refers-To-Target-URI: "), url, crlf,
+        F.lit("WARC-Refers-To-Date: "), ref_date, crlf,
+        F.lit("WARC-Profile: "
+              "http://netpreservation.org/warc/1.0/revisit/"
+              "identical-payload-digest"), crlf,
+        F.lit("WARC-Payload-Digest: md5:"), F.col("__digest"), crlf,
+        F.lit("Content-Length: 0"), crlf,
+        crlf, crlf,
+    )
+    is_revisit = ts > F.col("__first_ts")
+    return (
+        history.filter(body.isNotNull())
+        .withColumn("__digest", digest)
+        .withColumn("__first_ts", first_ts)
+        .select(
+            url.alias("url"),
+            ts.alias("warc_ts"),
+            F.when(is_revisit, F.lit("revisit"))
+            .otherwise(F.lit("response")).alias("warc_type"),
+            F.when(is_revisit, revisit).otherwise(response).alias("record"),
+        )
+    )
