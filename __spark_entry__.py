@@ -2845,6 +2845,48 @@ FROM t GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def _fq_weights(n: int = 64) -> list[float]:
+    """Deterministic stand-in for a pre-trained quality-model weight
+    vector (the real pipeline loads trained weights; the oracle needs
+    values both engines can fold identically)."""
+    return [((j * 37) % 21 - 10) / 10.0 for j in range(n)]
+
+
+def _q_quality_model(spark, sf_dir):
+    """fastText-style hashed linear quality classifier scoring: tokens
+    hash to 64 buckets (first 16 md5 bits), score = bias + mean bucket
+    weight, keep = score > threshold in raw-logit space. Scores, token
+    counts, and keep decisions are all certified."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.quality_model_score(
+        d, _fq_weights(), bias=0.05, threshold=0.02
+    ).orderBy("doc_id")
+
+
+def _sql_quality_model(n: int = 64) -> str:
+    wlist = "[" + ", ".join(repr(w) for w in _fq_weights(n)) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_sum(list_transform(toks, t ->
+           ({wlist})[TRY_CAST(concat('0x', substr(md5(concat('fq:', t)), 1, 4)) AS INT) % {n} + 1]
+         )) AS total
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN 0.05 + total / n_tokens ELSE 0.05 END, 6) AS score,
+       (CASE WHEN n_tokens > 0 THEN 0.05 + total / n_tokens ELSE 0.05 END) > 0.02 AS keep
+FROM s ORDER BY doc_id
+"""
+
+
 def _q_corpus_pipeline(spark, sf_dir):
     """The composite training-corpus pipeline, END-TO-END value-certified:
     near-dup collapse (minhash-LSH pairs → connected components → keep the
@@ -5349,6 +5391,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f7_circuit_breaker": _q_circuit_breaker,
     "crawl_sitemap_refresh": _q_sitemap_refresh,
     "cc_warc_revisit": _q_warc_revisit,
+    "tx_quality_model": _q_quality_model,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -5537,6 +5580,7 @@ _ORACLES: dict[str, str] = {
     "f7_circuit_breaker": _SQL_CIRCUIT_BREAKER,
     "crawl_sitemap_refresh": _SQL_SITEMAP_REFRESH,
     "cc_warc_revisit": _SQL_WARC_REVISIT,
+    "tx_quality_model": _sql_quality_model(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -59,3 +59,39 @@ def test_pure_projection_no_shuffle(spark):
     )
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quality_model_score_semantics(spark):
+    from web_crawler_spark.operators.corpus import quality_model_score
+
+    # one bucket: every token weighs w -> score = bias + w exactly
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           quality_model_score(df, weights=[0.5], bias=0.1,
+                               threshold=0.3).collect()}
+    assert got[1]["score"] == 0.6 and got[1]["keep"] is True
+    assert got[1]["n_tokens"] == 3
+    # empty/whitespace docs score the bias exactly (no NaN, no divide)
+    for d in (2, 3):
+        assert got[d]["n_tokens"] == 0
+        assert got[d]["score"] == 0.1 and got[d]["keep"] is False
+
+
+def test_quality_model_is_pure_projection_and_deterministic(spark):
+    from web_crawler_spark.operators.corpus import quality_model_score
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    w = [((j * 13) % 9 - 4) / 4.0 for j in range(16)]
+    q = quality_model_score(df, w)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    a = sorted((r["doc_id"], r["score"]) for r in q.collect())
+    b = sorted((r["doc_id"], r["score"])
+               for r in quality_model_score(df, w).collect())
+    assert a == b

@@ -731,3 +731,51 @@ def c4_clean(
         flag_short.alias("flag_short"),
         (~(flag_lorem | flag_brace | flag_bad | flag_short)).alias("passed"),
     )
+
+
+def quality_model_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "fq",
+) -> DataFrame:
+    """Model-based quality scoring (the CCNet/DCLM pipeline step): a
+    fastText-style linear classifier over hashing-trick bag-of-words —
+    each token hashes to a bucket (first 16 md5 bits, the dataset_split
+    discipline), the document score is ``bias + mean(weights[bucket])``,
+    and ``keep`` compares it to ``threshold`` in raw-logit space (no
+    transcendental in the certified columns — exp() differs across
+    engines in the last ulp; apply sigmoid downstream if a probability
+    is needed).
+
+    The weight vector is the PRE-TRAINED model (tens of KB — folded into
+    the plan as an array literal, the broadcast side at any scale);
+    scoring is one shuffle-free projection over the corpus scan, the
+    same zero-join discipline as bm25_topk's folded idf constants.
+    Empty documents score ``bias`` exactly.
+    """
+    n = len(weights)
+    if n == 0:
+        raise ValueError("weights must be non-empty")
+    toks = T.tokens(F.col(text_col))
+    W = F.array(*[F.lit(float(w)) for w in weights])
+
+    def tok_w(t):
+        h = F.md5(F.concat(F.lit(f"{salt}:"), t))
+        b = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n
+        return F.element_at(W, b + 1)
+
+    total = F.aggregate(F.transform(toks, tok_w), F.lit(0.0), lambda a, v: a + v)
+    n_tok = F.size(toks)
+    raw = F.when(n_tok > 0, F.lit(float(bias)) + total / n_tok).otherwise(
+        F.lit(float(bias))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(raw, 6).alias("score"),
+        (raw > F.lit(float(threshold))).alias("keep"),
+    )
