@@ -2845,6 +2845,108 @@ FROM t GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def _q_ngram_repetition(spark, sf_dir):
+    """Gopher bigram repetition over the documents table: top-bigram and
+    duplicated-bigram character fractions, count×length integer ratios
+    the oracle recomputes exactly (ties broken lexicographically)."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.ngram_repetition(d, n=2).orderBy("doc_id")
+
+
+_SQL_NGRAM_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, length(trim(text)) AS doc_chars,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), e AS (
+  SELECT doc_id, doc_chars, unnest(
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> concat(toks[i], ' ', toks[i + 1]))
+                ELSE CAST([] AS VARCHAR[]) END) AS ngram
+  FROM t
+), counts AS (
+  SELECT doc_id, doc_chars, ngram, COUNT(*) AS cnt
+  FROM e GROUP BY doc_id, doc_chars, ngram
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY cnt DESC, ngram ASC) AS rn
+  FROM counts
+)
+SELECT doc_id,
+       max(CASE WHEN rn = 1 THEN ngram END) AS top_ngram,
+       CASE WHEN doc_chars > 0
+            THEN COALESCE(max(CASE WHEN rn = 1 THEN cnt * length(ngram) END), 0)
+                 / doc_chars
+            ELSE 0.0 END AS top_ngram_char_frac,
+       CASE WHEN doc_chars > 0
+            THEN sum(CASE WHEN cnt > 1 THEN cnt * length(ngram) ELSE 0 END)
+                 / doc_chars
+            ELSE 0.0 END AS dup_ngram_char_frac
+FROM ranked GROUP BY doc_id, doc_chars ORDER BY doc_id
+"""
+
+
+def _q_dup_lines(spark, sf_dir):
+    """Gopher duplicate-line fractions over a deterministic multi-line
+    fixture: every even doc repeats a boilerplate line, every 3rd doc
+    carries a blank line (ignored), every 5th repeats its unique line
+    twice more — line/char fractions recomputed exactly by the oracle."""
+    from web_crawler_spark.operators import corpus as C
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.col("event_id")
+    i = k.cast("string")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("unique line for doc "), i),
+        F.lit("common boilerplate line"),
+        F.when(k % 2 == 0, F.lit("common boilerplate line")),
+        F.when(k % 3 == 0, F.lit("   ")),
+        F.when(k % 5 == 0, F.concat(F.lit("unique line for doc "), i)),
+        F.when(k % 5 == 0, F.concat(F.lit("unique line for doc "), i)),
+    )
+    docs = e.select(k.alias("doc_id"), text.alias("text"))
+    return C.duplicate_line_stats(docs).orderBy("doc_id")
+
+
+_SQL_DUP_LINES = """
+WITH docs AS (
+  SELECT event_id AS doc_id,
+         concat_ws(chr(10),
+           'unique line for doc ' || event_id,
+           'common boilerplate line',
+           CASE WHEN event_id % 2 = 0 THEN 'common boilerplate line' END,
+           CASE WHEN event_id % 3 = 0 THEN '   ' END,
+           CASE WHEN event_id % 5 = 0 THEN 'unique line for doc ' || event_id END,
+           CASE WHEN event_id % 5 = 0 THEN 'unique line for doc ' || event_id END
+         ) AS text
+  FROM events WHERE event_id < 2000
+), e AS (
+  SELECT doc_id, unnest(list_filter(
+           list_transform(string_split(text, chr(10)), x -> trim(x)),
+           x -> x <> '')) AS line
+  FROM docs
+), counts AS (
+  SELECT doc_id, line, length(line) AS chars, COUNT(*) AS cnt
+  FROM e GROUP BY doc_id, line
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_lines,
+       CASE WHEN sum(cnt) > 0
+            THEN sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / CAST(sum(cnt) AS DOUBLE)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN sum(cnt * chars) > 0
+            THEN sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END)
+                 / CAST(sum(cnt * chars) AS DOUBLE)
+            ELSE 0.0 END AS dup_line_char_frac
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _fq_weights(n: int = 64) -> list[float]:
     """Deterministic stand-in for a pre-trained quality-model weight
     vector (the real pipeline loads trained weights; the oracle needs
@@ -5392,6 +5494,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_sitemap_refresh": _q_sitemap_refresh,
     "cc_warc_revisit": _q_warc_revisit,
     "tx_quality_model": _q_quality_model,
+    "tx_ngram_repetition": _q_ngram_repetition,
+    "tx_dup_lines": _q_dup_lines,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -5581,6 +5685,8 @@ _ORACLES: dict[str, str] = {
     "crawl_sitemap_refresh": _SQL_SITEMAP_REFRESH,
     "cc_warc_revisit": _SQL_WARC_REVISIT,
     "tx_quality_model": _sql_quality_model(),
+    "tx_ngram_repetition": _SQL_NGRAM_REPETITION,
+    "tx_dup_lines": _SQL_DUP_LINES,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -779,3 +779,120 @@ def quality_model_score(
         F.round(raw, 6).alias("score"),
         (raw > F.lit(float(threshold))).alias("keep"),
     )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher n-gram repetition signals (Rae et al. 2021, Table A1):
+    per document, the character share of the single most frequent n-gram
+    (``top_ngram_char_frac`` — Gopher gates n=2,3,4 on this) and the
+    character share of all n-grams occurring more than once
+    (``dup_ngram_char_frac`` — Gopher gates n=5..10). Overlapping
+    occurrences each count (declared deterministic definition; Gopher's
+    prose is ambiguous on overlap). Fractions are integer-count ×
+    char-length ratios over the trimmed text length — exact in any
+    engine. Ties for the top n-gram break lexicographically.
+
+    Documents with fewer than n tokens produce no row (no n-grams — a
+    gate left-joins and treats absence as 0).
+
+    Shuffle shape: one explode to (doc_id, ngram) + combiner-friendly
+    agg, keys are (doc, ngram) so a globally hot n-gram ("of the") never
+    serializes a reducer — the top_unigram_stats discipline.
+    """
+    toks = T.tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.trim(F.col(text_col))).alias("doc_chars"),
+        F.explode(grams).alias("ngram"),
+    )
+    counts = exploded.groupBy("doc_id", "doc_chars", "ngram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("ngram"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .groupBy("doc_id", "doc_chars")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("ngram"))).alias("top_ngram"),
+            F.max(
+                F.when(F.col("__rn") == 1, F.col("cnt") * F.length("ngram"))
+            ).alias("__top_chars"),
+            F.sum(
+                F.when(
+                    F.col("cnt") > 1, F.col("cnt") * F.length("ngram")
+                ).otherwise(F.lit(0))
+            ).alias("__dup_chars"),
+        )
+        .select(
+            "doc_id",
+            "top_ngram",
+            F.when(
+                F.col("doc_chars") > 0,
+                F.coalesce(F.col("__top_chars"), F.lit(0)) / F.col("doc_chars"),
+            ).otherwise(F.lit(0.0)).alias("top_ngram_char_frac"),
+            F.when(
+                F.col("doc_chars") > 0,
+                F.col("__dup_chars") / F.col("doc_chars"),
+            ).otherwise(F.lit(0.0)).alias("dup_ngram_char_frac"),
+        )
+    )
+
+
+def duplicate_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher duplicate-line signals: the fraction of a document's lines
+    that are repeats of an earlier-or-later identical line
+    (``dup_line_frac``) and the character share those repeated lines
+    carry (``dup_line_char_frac``). Every occurrence of a line whose
+    count > 1 counts as duplicated (Gopher's definition). Blank lines
+    are ignored; documents with no non-blank lines produce no row. One (doc, line) agg — md5 of the line is the shuffled
+    key surrogate so long boilerplate lines don't inflate the exchange."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("line"),
+    )
+    per_line = lines.select(
+        "doc_id", F.md5(F.col("line")).alias("fp"), F.length("line").alias("chars")
+    )
+    counts = per_line.groupBy("doc_id", "fp", "chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("__dup"),
+            F.sum(F.col("cnt") * F.col("chars")).alias("__chars"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.col("chars")).otherwise(0)
+            ).alias("__dup_chars"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.when(F.col("n_lines") > 0, F.col("__dup") / F.col("n_lines"))
+            .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+            F.when(F.col("__chars") > 0, F.col("__dup_chars") / F.col("__chars"))
+            .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        )
+    )
