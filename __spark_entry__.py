@@ -2947,6 +2947,40 @@ FROM counts GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """LM training-sequence packing plan over the documents table:
+    md5-sharded, md5-ordered end-to-end layout into 128-token windows;
+    per-doc shard, offset, and first/last sequence index are all
+    integer-exact and certified."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.pack_sequences(d, seq_len=128, n_shards=8).orderBy("doc_id")
+
+
+_SQL_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END + 1
+              AS BIGINT) AS n_tokens,
+         TRY_CAST(concat('0x', substr(md5(concat('pack:', CAST(doc_id AS VARCHAR))), 1, 4)) AS INT) % 8 AS shard,
+         md5(concat('pack:', CAST(doc_id AS VARCHAR))) AS ord_key
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens,
+       (c - n_tokens) AS start_offset,
+       CAST(floor((c - n_tokens) / 128.0) AS BIGINT) AS first_seq,
+       CAST(floor((c - 1) / 128.0) AS BIGINT) AS last_seq
+FROM cum ORDER BY doc_id
+"""
+
+
 def _fq_weights(n: int = 64) -> list[float]:
     """Deterministic stand-in for a pre-trained quality-model weight
     vector (the real pipeline loads trained weights; the oracle needs
@@ -5496,6 +5530,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_quality_model": _q_quality_model,
     "tx_ngram_repetition": _q_ngram_repetition,
     "tx_dup_lines": _q_dup_lines,
+    "tx_pack_sequences": _q_pack_sequences,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -5687,6 +5722,7 @@ _ORACLES: dict[str, str] = {
     "tx_quality_model": _sql_quality_model(),
     "tx_ngram_repetition": _SQL_NGRAM_REPETITION,
     "tx_dup_lines": _SQL_DUP_LINES,
+    "tx_pack_sequences": _SQL_PACK_SEQUENCES,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -40,3 +40,43 @@ def test_duplicate_line_stats(spark):
     assert abs(r["dup_line_frac"] - 2 / 4) < 1e-12
     chars = len("keep me") + 2 * len("dup line") + len("unique tail")
     assert abs(r["dup_line_char_frac"] - (2 * len("dup line")) / chars) < 1e-12
+
+
+def test_pack_sequences_contiguous_within_shard(spark):
+    from web_crawler_spark.operators.corpus import pack_sequences
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        # 0..4 extra tokens per doc on top of a 10-token base
+        F.concat_ws(" ", *[F.when(F.col("id") % 5 >= i, F.lit(f"w{i}"))
+                           for i in range(5)],
+                    F.lit("a b c d e f g h i j")).alias("text"),
+    )
+    plan = pack_sequences(df, seq_len=16, n_shards=4).collect()
+    by_shard = {}
+    for r in plan:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        # offsets tile the shard exactly: no gaps, no overlaps
+        pos = 0
+        for r in rows:
+            assert r["start_offset"] == pos
+            pos += r["n_tokens"]
+            assert r["first_seq"] == r["start_offset"] // 16
+            assert r["last_seq"] == (r["start_offset"] + r["n_tokens"] - 1) // 16
+    # determinism: identical plan on re-run
+    again = pack_sequences(df, seq_len=16, n_shards=4).collect()
+    assert sorted(map(tuple, plan)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_empty_doc_occupies_eos_only(spark):
+    from web_crawler_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame([(1, ""), (2, "one two")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            pack_sequences(df, seq_len=8, n_shards=1).collect()}
+    assert rows[1]["n_tokens"] == 1       # just the EOS separator
+    assert rows[2]["n_tokens"] == 3

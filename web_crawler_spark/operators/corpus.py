@@ -896,3 +896,62 @@ def duplicate_line_stats(
             .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_seed: str = "pack",
+    token_counter: str = "ws",
+    eos_tokens: int = 1,
+) -> DataFrame:
+    """Training-sequence packing plan: lay documents end-to-end (each
+    followed by ``eos_tokens`` separator tokens) into fixed
+    ``seq_len``-token windows, the way LM training shards are packed.
+    Documents straddle sequence boundaries (standard packing — no
+    padding waste); the output is the PLAN — per document its shard,
+    token offset, and first/last sequence index — which a writer joins
+    with the tokenized text to emit shards. Deterministic: order within
+    a shard is md5(doc_id), so the same corpus always packs identically
+    (re-run- and engine-stable, no RNG).
+
+    Scale shape: a single global ordering would serialize the corpus
+    through one window partition; instead documents hash into
+    ``n_shards`` independent shards (the md5-bucket dataset_split
+    discipline) and the running-offset window runs per shard — at 100 TB
+    shards ARE the output files, and each is one partition of honest
+    window work. Integer arithmetic only.
+    """
+    from ..functions.sampling import hash_bucket
+
+    toks = _token_frame(
+        df.withColumn("__src", F.lit("")), text_col, id_col, "__src",
+        token_counter,
+    ).select(
+        "doc_id",
+        (F.col("n_tokens") + F.lit(int(eos_tokens))).alias("n_tokens"),
+    )
+    sharded = toks.withColumn(
+        "shard", hash_bucket(F.col("doc_id"), n_shards, salt=order_seed)
+    ).withColumn(
+        "__ord",
+        F.md5(F.concat(F.lit(f"{order_seed}:"), F.col("doc_id").cast("string"))),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sharded.withColumn("__cum", F.sum("n_tokens").over(w))
+    start = F.col("__cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        start.cast("bigint").alias("start_offset"),
+        F.floor(start / seq_len).cast("bigint").alias("first_seq"),
+        F.floor((F.col("__cum") - 1) / seq_len).cast("bigint").alias("last_seq"),
+    )
