@@ -4265,6 +4265,129 @@ FROM latest WHERE rn = 1 ORDER BY url
 """
 
 
+def _q_aimd_delay(spark, sf_dir):
+    """AIMD adaptive politeness replay over a synthesized fetch log:
+    every 11th fetch 503s, every 13th 429s, latency sweeps 0..899 ms
+    (slow ≥ 600 doubles the delay, fast success decays it additively).
+    Integer-millisecond fold — the oracle replays it bit-exactly via
+    list_reduce."""
+    from web_crawler_spark.operators import politeness as P
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    log = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host"),
+        k.alias("fetch_ts"),
+        F.when(k % 11 == 0, 503).when(k % 13 == 0, 429).otherwise(200)
+        .alias("status"),
+        ((k * 37) % 900).alias("latency_ms"),
+    )
+    return P.aimd_host_delay(log).orderBy("host")
+
+
+_SQL_AIMD_DELAY = """
+WITH log AS (
+  SELECT concat('h', CAST(user_id % 5 AS VARCHAR)) AS host,
+         event_id AS ts,
+         CASE WHEN event_id % 11 = 0 THEN 503
+              WHEN event_id % 13 = 0 THEN 429 ELSE 200 END AS status,
+         (event_id * 37) % 900 AS latency
+  FROM events
+), ev AS (
+  SELECT host, ts,
+         CASE WHEN status >= 500 OR status = 429 OR latency >= 600
+              THEN 1 ELSE 0 END AS bad
+  FROM log
+), g AS (
+  SELECT host, list(bad ORDER BY ts) AS flags FROM ev GROUP BY host
+)
+SELECT host,
+       CAST(len(flags) AS BIGINT) AS n_events,
+       CAST(list_sum(flags) AS BIGINT) AS n_backoffs,
+       CAST(list_reduce(list_prepend(1000, flags), (acc, b) ->
+         CASE WHEN b = 1 THEN least(60000, acc * 2)
+              ELSE greatest(250, acc - 100) END) AS BIGINT) AS delay_ms
+FROM g ORDER BY host
+"""
+
+
+def _q_robots_cache(spark, sf_dir):
+    """RFC 9309 robots cache states at a fixed 'now': per host-class the
+    fixture engineers fresh (recent 2xx), refetch_due (old 2xx),
+    unavailable_allow (latest 404), unreachable_disallow (recent 5xx),
+    and unreachable_stale_cache_ok (long-unreachable with a cached 2xx).
+    The oracle recomputes latest-fetch election, ages, and the state
+    CASE."""
+    from web_crawler_spark.operators import robots as R
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    h = k % 97
+    hc = h % 5
+    log = (
+        e.filter(
+            ~((hc == 4) & (k >= 5000)) & ~((hc == 2) & (k >= 5800))
+        )
+        .select(
+            F.concat(F.lit("host"), h.cast("string")).alias("host"),
+            F.timestamp_seconds(
+                F.unix_timestamp(F.lit("2025-01-01 00:00:00")) + k * 20
+            ).alias("fetch_ts"),
+            F.when((hc == 1) & (k >= 9000), 404)
+            .when((hc == 2) & (k >= 5000), 503)
+            .when(hc == 3, 503)
+            .otherwise(200)
+            .alias("status"),
+        )
+    )
+    return R.robots_cache_policy(
+        log, "2025-01-03 08:33:00", unreachable_grace_s=36_000
+    ).orderBy("host")
+
+
+_SQL_ROBOTS_CACHE = """
+WITH log AS (
+  SELECT concat('host', CAST(event_id % 97 AS VARCHAR)) AS host,
+         TIMESTAMP '2025-01-01 00:00:00'
+           + (event_id * 20 * INTERVAL 1 SECOND) AS ts,
+         CASE WHEN (event_id % 97) % 5 = 1 AND event_id >= 9000 THEN 404
+              WHEN (event_id % 97) % 5 = 2 AND event_id >= 5000 THEN 503
+              WHEN (event_id % 97) % 5 = 3 THEN 503
+              ELSE 200 END AS status
+  FROM events
+  WHERE NOT ((event_id % 97) % 5 = 4 AND event_id >= 5000)
+    AND NOT ((event_id % 97) % 5 = 2 AND event_id >= 5800)
+), latest AS (
+  SELECT host, ts, status,
+         row_number() OVER (PARTITION BY host ORDER BY ts DESC) AS rn,
+         max(CASE WHEN status BETWEEN 200 AND 299 THEN ts END)
+           OVER (PARTITION BY host) AS ok_ts
+  FROM log
+), s AS (
+  SELECT host, status AS last_status,
+         CAST(epoch(TIMESTAMP '2025-01-03 08:33:00') - epoch(ts) AS BIGINT)
+           AS age_s,
+         ok_ts
+  FROM latest WHERE rn = 1
+), st AS (
+  SELECT host, last_status, age_s,
+         CASE
+           WHEN last_status BETWEEN 200 AND 299 AND age_s <= 86400 THEN 'fresh'
+           WHEN last_status BETWEEN 200 AND 299 THEN 'refetch_due'
+           WHEN last_status BETWEEN 400 AND 499 THEN 'unavailable_allow'
+           WHEN age_s > 36000 AND ok_ts IS NOT NULL
+             THEN 'unreachable_stale_cache_ok'
+           WHEN age_s > 36000 THEN 'unavailable_allow'
+           ELSE 'unreachable_disallow'
+         END AS state
+  FROM s
+)
+SELECT host, CAST(last_status AS INT) AS last_status, age_s, state,
+       state IN ('refetch_due', 'unreachable_disallow') AS refetch_due
+FROM st ORDER BY host
+"""
+
+
 def _q_warc_revisit(spark, sf_dir):
     """Dedup-aware WARC export over the versioned page chain: content
     repeats every other version (rev = version//2), so v1/v3 become
@@ -5527,6 +5650,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f7_circuit_breaker": _q_circuit_breaker,
     "crawl_sitemap_refresh": _q_sitemap_refresh,
     "cc_warc_revisit": _q_warc_revisit,
+    "f3_aimd_delay": _q_aimd_delay,
+    "robots_cache_policy": _q_robots_cache,
     "tx_quality_model": _q_quality_model,
     "tx_ngram_repetition": _q_ngram_repetition,
     "tx_dup_lines": _q_dup_lines,
@@ -5719,6 +5844,8 @@ _ORACLES: dict[str, str] = {
     "f7_circuit_breaker": _SQL_CIRCUIT_BREAKER,
     "crawl_sitemap_refresh": _SQL_SITEMAP_REFRESH,
     "cc_warc_revisit": _SQL_WARC_REVISIT,
+    "f3_aimd_delay": _SQL_AIMD_DELAY,
+    "robots_cache_policy": _SQL_ROBOTS_CACHE,
     "tx_quality_model": _sql_quality_model(),
     "tx_ngram_repetition": _SQL_NGRAM_REPETITION,
     "tx_dup_lines": _SQL_DUP_LINES,

@@ -693,3 +693,58 @@ def test_sitemap_refresh_candidates(spark):
     got = {r["url"]: r["reason"]
            for r in SN.sitemap_refresh_candidates(hist, entries).collect()}
     assert got == {"u1": "stale", "u4": "new", "u5": "new"}
+
+
+def test_aimd_host_delay_replay(spark):
+    from web_crawler_spark.operators.politeness import aimd_host_delay
+
+    # h1: fast-ok, slow, ok, 503 -> 1000-100=900, *2=1800, -100=1700, *2=3400
+    log = spark.createDataFrame(
+        [("h1", 1, 200, 100), ("h1", 2, 200, 700),
+         ("h1", 3, 200, 100), ("h1", 4, 503, 100),
+         ("h2", 1, 200, 10)],
+        "host string, fetch_ts int, status int, latency_ms int",
+    )
+    got = {r["host"]: r for r in aimd_host_delay(log).collect()}
+    assert got["h1"]["delay_ms"] == 3400 and got["h1"]["n_backoffs"] == 2
+    assert got["h2"]["delay_ms"] == 900 and got["h2"]["n_backoffs"] == 0
+    # clamps: floor at min_ms, cap at max_ms
+    floor_log = spark.createDataFrame(
+        [("h", t, 200, 10) for t in range(20)],
+        "host string, fetch_ts int, status int, latency_ms int",
+    )
+    assert aimd_host_delay(floor_log).collect()[0]["delay_ms"] == 250
+    burst = spark.createDataFrame(
+        [("h", t, 503, 10) for t in range(10)],
+        "host string, fetch_ts int, status int, latency_ms int",
+    )
+    assert aimd_host_delay(burst).collect()[0]["delay_ms"] == 60_000
+
+
+def test_robots_cache_policy_states(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.robots import robots_cache_policy
+
+    log = spark.createDataFrame(
+        [("fresh.com", "2025-01-02 00:00:00", 200),
+         ("old.com", "2024-12-01 00:00:00", 200),
+         ("gone.com", "2025-01-02 00:00:00", 404),
+         ("down.com", "2025-01-01 23:00:00", 503),
+         ("down.com", "2025-01-01 00:00:00", 200),
+         ("longdown.com", "2024-11-01 00:00:00", 503),
+         ("longdown.com", "2024-10-01 00:00:00", 200),
+         ("neverup.com", "2024-11-01 00:00:00", 503)],
+        "host string, fetch_ts string, status int",
+    ).withColumn("fetch_ts", F.col("fetch_ts").cast("timestamp"))
+    got = {r["host"]: r for r in
+           robots_cache_policy(log, "2025-01-02 12:00:00").collect()}
+    assert got["fresh.com"]["state"] == "fresh"
+    assert got["old.com"]["state"] == "refetch_due"
+    assert got["old.com"]["refetch_due"] is True
+    assert got["gone.com"]["state"] == "unavailable_allow"
+    assert got["down.com"]["state"] == "unreachable_disallow"
+    assert got["down.com"]["refetch_due"] is True
+    # unreachable past the grace window: cached copy usable / allow without one
+    assert got["longdown.com"]["state"] == "unreachable_stale_cache_ok"
+    assert got["neverup.com"]["state"] == "unavailable_allow"

@@ -177,3 +177,62 @@ def host_circuit_breaker(
                             F.col(ts_col)),
         ).alias("resume_ts"),
     )
+
+
+def aimd_host_delay(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    status_col: str = "status",
+    latency_col: str = "latency_ms",
+    initial_ms: int = 1000,
+    min_ms: int = 250,
+    max_ms: int = 60_000,
+    dec_ms: int = 100,
+    slow_ms: int = 600,
+) -> DataFrame:
+    """Adaptive per-host politeness (AIMD — the TCP congestion-control
+    discipline applied to crawl delay, as in Heritrix's adaptive
+    politeness): replay each host's fetch history in timestamp order;
+    a fast success decreases the delay additively (``-dec_ms``, floored
+    at ``min_ms``), a slow response, 5xx, or 429 doubles it (capped at
+    ``max_ms``). All arithmetic is integer milliseconds, so the replay
+    is bit-exact in any engine.
+
+    The per-host history folds INSIDE one aggregation row —
+    ``aggregate(array_sort(collect_list(...)))`` — so the plan is a
+    single combiner-friendly groupBy(host): no iterative jobs, no
+    window, and the fold length is a host's fetch count within the
+    accounting window (bounded by the epoch budget), not the corpus.
+    Returns (host, n_events, n_backoffs, delay_ms).
+    """
+    bad = (
+        (F.col(status_col) >= 500)
+        | (F.col(status_col) == 429)
+        | (F.col(latency_col) >= slow_ms)
+    ).cast("int")
+    ev = fetch_log.select(
+        F.col(host_col).alias("host"),
+        F.struct(F.col(ts_col).alias("ts"), bad.alias("bad")).alias("e"),
+    )
+    agg = ev.groupBy("host").agg(
+        F.array_sort(F.collect_list("e")).alias("evs")
+    )
+    flags = F.transform(F.col("evs"), lambda s: s["bad"])
+    delay = F.aggregate(
+        flags,
+        F.lit(int(initial_ms)).cast("bigint"),
+        lambda acc, b: F.when(
+            b == 1, F.least(F.lit(int(max_ms)).cast("bigint"), acc * 2)
+        ).otherwise(
+            F.greatest(F.lit(int(min_ms)).cast("bigint"), acc - int(dec_ms))
+        ),
+    )
+    return agg.select(
+        "host",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.aggregate(
+            flags, F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("n_backoffs"),
+        delay.alias("delay_ms"),
+    )

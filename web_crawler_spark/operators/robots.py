@@ -230,3 +230,72 @@ def politeness_schedule_with_delays(
             epoch_start,
         ),
     )
+
+
+def robots_cache_policy(
+    fetch_log: DataFrame,
+    now,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    status_col: str = "status",
+    max_age_s: int = 86_400,
+    unreachable_grace_s: int = 30 * 86_400,
+) -> DataFrame:
+    """Per-host robots.txt cache state per RFC 9309 §2.3.1/§2.4 at time
+    ``now``: a 2xx copy is ``fresh`` for up to 24 hours then
+    ``refetch_due`` (§2.4 MAY-cache bound); a 4xx means robots is
+    *unavailable* → crawl anything (``unavailable_allow``, §2.3.1.3); a
+    5xx/timeout means *unreachable* → assume complete disallow
+    (``unreachable_disallow``, §2.3.1.4) until it has stayed unreachable
+    for a reasonably long period (``unreachable_grace_s``, the RFC's
+    30-day example), after which a previously cached copy MAY be used
+    (``unreachable_stale_cache_ok``) — or, with no cached copy ever,
+    crawling MAY proceed (``unavailable_allow``).
+
+    One keep-latest window over the fetch log + a per-host max over
+    successful fetches; integer-second arithmetic throughout.
+    Returns (host, last_status, age_s, state, refetch_due).
+    """
+    from pyspark.sql import Window
+
+    now_ts = F.lit(now).cast("timestamp")
+    w = Window.partitionBy(host_col).orderBy(F.desc(ts_col))
+    per_host = Window.partitionBy(host_col)
+    ok_ts = F.max(
+        F.when(
+            (F.col(status_col) >= 200) & (F.col(status_col) < 300),
+            F.col(ts_col),
+        )
+    ).over(per_host)
+    latest = (
+        fetch_log.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__ok_ts", ok_ts)
+        .filter(F.col("__rn") == 1)
+    )
+    age = (
+        now_ts.cast("long") - F.col(ts_col).cast("long")
+    ).alias("age_s")
+    st = F.col(status_col)
+    is_2xx = (st >= 200) & (st < 300)
+    is_4xx = (st >= 400) & (st < 500)
+    long_unreachable = (
+        now_ts.cast("long") - F.col(ts_col).cast("long")
+    ) > unreachable_grace_s
+    state = (
+        F.when(is_2xx & (age <= max_age_s), "fresh")
+        .when(is_2xx, "refetch_due")
+        .when(is_4xx, "unavailable_allow")
+        .when(
+            long_unreachable & F.col("__ok_ts").isNotNull(),
+            "unreachable_stale_cache_ok",
+        )
+        .when(long_unreachable, "unavailable_allow")
+        .otherwise("unreachable_disallow")
+    )
+    return latest.select(
+        F.col(host_col).alias("host"),
+        st.cast("int").alias("last_status"),
+        age.cast("bigint"),
+        state.alias("state"),
+        state.isin("refetch_due", "unreachable_disallow").alias("refetch_due"),
+    )
