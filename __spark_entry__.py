@@ -2947,6 +2947,33 @@ FROM counts GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_corpus_datasheet(spark, sf_dir):
+    """Corpus release datasheet: ROLLUP(source, lang) doc/token/char/
+    empty tallies in one grouping-set pass — per-cell, per-source, and
+    grand-total rows all certified (NULL keys mark subtotals)."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.corpus_datasheet(d).orderBy(
+        F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()
+    )
+
+
+_SQL_CORPUS_DATASHEET = r"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END)
+            AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty
+FROM documents
+GROUP BY ROLLUP (source, lang)
+ORDER BY source NULLS FIRST, lang NULLS FIRST
+"""
+
+
 def _q_pack_sequences(spark, sf_dir):
     """LM training-sequence packing plan over the documents table:
     md5-sharded, md5-ordered end-to-end layout into 128-token windows;
@@ -5656,6 +5683,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_ngram_repetition": _q_ngram_repetition,
     "tx_dup_lines": _q_dup_lines,
     "tx_pack_sequences": _q_pack_sequences,
+    "tx_corpus_datasheet": _q_corpus_datasheet,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -5850,6 +5878,7 @@ _ORACLES: dict[str, str] = {
     "tx_ngram_repetition": _SQL_NGRAM_REPETITION,
     "tx_dup_lines": _SQL_DUP_LINES,
     "tx_pack_sequences": _SQL_PACK_SEQUENCES,
+    "tx_corpus_datasheet": _SQL_CORPUS_DATASHEET,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -67,6 +67,15 @@ HEADLINE = [
     # cuckoo-filter seen-set anti-join (sharded build + probe + exact join)
     "tx_boilerplate",
     "f8_anti_join_seen_cuckoo",
+    # round-3 corpus/ANN additions: C4 line/doc gate (pure projection),
+    # hashed linear quality model (folded-weights projection), Gopher
+    # bigram repetition ((doc, ngram) agg), PQ ADC top-k (Arrow kernel),
+    # LM sequence packing (per-shard offset window)
+    "tx_c4_filter",
+    "tx_quality_model",
+    "tx_ngram_repetition",
+    "ann_pq_topk",
+    "tx_pack_sequences",
 ]
 
 
@@ -180,7 +189,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline suite wall time (29 queries: relational + crawl + dedup + clusters + text + ann/knn + bm25 + css-extract + corpus gates + warc ingest + bpe mix + boilerplate + cuckoo seen-set)",
+        "metric": "headline suite wall time (34 queries: relational + crawl + dedup + clusters + text + ann/knn/pq + bm25 + css-extract + corpus gates + warc ingest + bpe mix + boilerplate + cuckoo seen-set + c4/quality/repetition/packing)",
         "value": total,
         "unit": "sec",
         "queries": timings,

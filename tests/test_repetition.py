@@ -80,3 +80,23 @@ def test_pack_sequences_empty_doc_occupies_eos_only(spark):
             pack_sequences(df, seq_len=8, n_shards=1).collect()}
     assert rows[1]["n_tokens"] == 1       # just the EOS separator
     assert rows[2]["n_tokens"] == 3
+
+
+def test_corpus_datasheet_rollup_levels(spark):
+    from web_crawler_spark.operators.corpus import corpus_datasheet
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s1", "en"), (2, "", "s1", "en"),
+         (3, "c", "s1", "de"), (4, "d e f", "s2", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    rows = {(r["source"], r["lang"]): r for r in corpus_datasheet(df).collect()}
+    assert rows[("s1", "en")]["n_docs"] == 2
+    assert rows[("s1", "en")]["n_tokens"] == 2
+    assert rows[("s1", "en")]["n_empty"] == 1
+    # source subtotal and grand total come from the same single pass
+    assert rows[("s1", None)]["n_docs"] == 3
+    assert rows[("s1", None)]["n_tokens"] == 3
+    assert rows[(None, None)]["n_docs"] == 4
+    assert rows[(None, None)]["n_tokens"] == 6
+    assert rows[(None, None)]["n_chars"] == len("a b") + len("c") + len("d e f")

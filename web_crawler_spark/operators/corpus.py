@@ -955,3 +955,36 @@ def pack_sequences(
         F.floor(start / seq_len).cast("bigint").alias("first_seq"),
         F.floor((F.col("__cum") - 1) / seq_len).cast("bigint").alias("last_seq"),
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Dataset-documentation rollup (the "datasheet" every corpus release
+    ships): document/token/char counts and empty-document tallies per
+    (source, lang), per source, and corpus-wide in ONE pass via ROLLUP —
+    grouping-set aggregation is a single shuffle with map-side combine,
+    so the three granularities cost one scan, not three jobs. NULL group
+    keys mark the subtotal rows (standard ROLLUP semantics).
+    """
+    t = F.col(text_col)
+    return (
+        df.rollup(source_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count(t)).alias("n_tokens"),
+            F.sum(F.length(t)).alias("n_chars"),
+            F.sum((F.trim(t) == "").cast("bigint")).alias("n_empty"),
+        )
+        .select(
+            F.col(source_col).alias("source"),
+            F.col(lang_col).alias("lang"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("n_empty").cast("bigint").alias("n_empty"),
+        )
+    )
