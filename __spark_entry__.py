@@ -2276,6 +2276,53 @@ ORDER BY adc_dist, f.vec_id LIMIT 10
 """
 
 
+def _q_semdedup_md5(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) with md5-picked centroids: cluster
+    assignment, within-cluster cosine pruning at 0.35, and every row's
+    (cid, is_dup) verdict are reproduced exactly by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semdedup(
+        emb, n_clusters=12, threshold=0.35, portable=True
+    ).orderBy("vec_id")
+
+
+def _sql_semdedup_md5(n_clusters: int = 12, threshold: float = 0.35,
+                      seed: int = 91) -> str:
+    l2_assign = (
+        "round(sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1), "
+        "i -> power(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i], 2)))), 6)"
+    )
+    cos = _sql_cosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+    return f"""
+WITH cent AS (
+  SELECT embedding::DOUBLE[] AS cvec,
+         row_number() OVER (
+           ORDER BY md5(concat('sdd{seed}:', CAST(vec_id AS VARCHAR))), vec_id
+         ) - 1 AS cid
+  FROM embeddings
+  ORDER BY md5(concat('sdd{seed}:', CAST(vec_id AS VARCHAR))), vec_id
+  LIMIT {n_clusters}
+), dists AS (
+  SELECT e.vec_id, e.embedding, c.cid, {l2_assign} AS d
+  FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists)
+  WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id > b.vec_id
+  WHERE ROUND({cos}, 6) >= {threshold}
+)
+SELECT a.vec_id, a.cid, (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
 def _q_knn_join(spark, sf_dir):
     """Batch k-NN: top-3 cosine neighbors of EVERY embedding (brute-force
     block-nested-loop + per-query top-k window — the exact baseline whose
@@ -5641,6 +5688,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_knn_join_lsh_md5": _q_knn_join_lsh_md5,
     "ann_ivf_topk_md5": _q_ann_ivf_md5,
     "ann_pq_topk_md5": _q_ann_pq_md5,
+    "dd_semdedup_md5": _q_semdedup_md5,
     "dd_embedding_lsh_pairs_md5": _q_embedding_lsh_pairs_md5,
     # --- tier 2: new this round (position >50 keeps the tier-1 snapshot
     # intact; certify in the next round's rotation) + driver-certified
@@ -5887,6 +5935,7 @@ _ORACLES: dict[str, str] = {
     "ann_knn_join_lsh_md5": _sql_knn_join_lsh_md5(),
     "ann_ivf_topk_md5": _sql_ann_ivf_md5(),
     "ann_pq_topk_md5": _sql_ann_pq_md5(),
+    "dd_semdedup_md5": _sql_semdedup_md5(),
     "dd_embedding_lsh_pairs_md5": _sql_embedding_lsh_pairs_md5(),
     "dd_simhash_pairs_md5": _sql_simhash_pairs_md5(),
 }

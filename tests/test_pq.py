@@ -93,3 +93,41 @@ def test_train_reduces_quantization_error(emb):
     trained = pq_train(emb, m=4, n_codes=8, iters=2)
     assert len(trained) == 4 and len(trained[0]) == 8
     assert total_err(trained) < total_err(sampled)
+
+
+def test_semdedup_marks_higher_id_within_cluster(spark):
+    from web_crawler_spark.operators.similarity import semdedup
+
+    base = [1.0, 0.0, 2.0, 0.0, 0.0, 1.0, 0.5, 0.0]
+    other = [-1.0, 2.0, 0.0, 1.0, 0.0, -2.0, 0.0, 1.0]
+    rows = [(0, base), (1, other),
+            (2, base),                      # exact dup of 0 -> same cluster
+            (3, [x * 2.0 for x in base])]   # colinear: cosine 1.0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in
+           semdedup(df, n_clusters=2, threshold=0.99, portable=True).collect()}
+    assert len(got) == 4
+    assert got[0]["is_dup"] is False          # lowest id survives
+    assert got[2]["is_dup"] is True
+    assert got[0]["cid"] == got[2]["cid"]     # identical vector, same cluster
+    assert got[1]["is_dup"] is False
+    # colinear vector: cosine 1.0 but only a dup if it shares the cluster
+    if got[3]["cid"] == got[0]["cid"]:
+        assert got[3]["is_dup"] is True
+
+
+def test_semdedup_external_centroids_and_empty(spark):
+    from web_crawler_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.99, 0.01]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r["vec_id"]: r for r in
+           semdedup(df, centroids=cents, threshold=0.9).collect()}
+    assert got[7]["cid"] == 0 and got[8]["cid"] == 0 and got[9]["cid"] == 1
+    assert got[8]["is_dup"] is True and got[7]["is_dup"] is False
+    assert got[9]["is_dup"] is False
+    empty = df.limit(0)
+    assert semdedup(empty, n_clusters=4).count() == 0

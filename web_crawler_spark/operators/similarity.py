@@ -961,3 +961,98 @@ def pq_train(
             newb[r["s"]][r["code"]][r["pos"] - r["s"] * dsub] = float(r["mval"])
         books = newb
     return books
+
+
+def semdedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 91,
+    centroids: list[list[float]] | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup that buckets by
+    k-means cluster instead of LSH plane — assign every vector to its
+    nearest centroid (the same zero-join argmin expression ivf_topk
+    uses), compare pairs only WITHIN a cluster, and mark as duplicate
+    any item that has a lower-id neighbor with cosine ≥ ``threshold``
+    (the deterministic keep-lowest-id variant of the paper's per-cluster
+    pruning; transitive chains are the cluster-formation operator's job).
+    Returns (vec_id, cid, is_dup) for every input row.
+
+    Scale shape: assignment is shuffle-free; the within-cluster self-join
+    is the one quadratic-bounded step, bounded by cluster size — size
+    ``n_clusters`` like auto_n_planes (≈ corpus/2^8) so per-cluster work
+    stays constant as the corpus grows. ``centroids`` accepts a
+    kmeans_centroids / externally trained list; by default centroids are
+    md5-picked rows (portable — the oracle reproduces the pick) or
+    xxhash-picked (fast).
+    """
+    cent_sel = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    if centroids is not None:
+        cent_list = [(i, [float(x) for x in cv]) for i, cv in enumerate(centroids)]
+    else:
+        if portable:
+            cent_sel = cent_sel.orderBy(
+                F.md5(F.concat(F.lit(f"sdd{seed}:"), F.col("cid").cast("string"))),
+                F.col("cid"),
+            )
+        else:
+            cent_sel = cent_sel.orderBy(
+                F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(1_000_003))
+            )
+        rows = cent_sel.limit(n_clusters).collect()
+        cent_list = [
+            (i, [float(x) for x in r["cvec"]]) for i, r in enumerate(rows)
+        ]
+    if not cent_list:
+        return df.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(False).alias("is_dup"),
+        ).limit(0)
+    cent_arr = F.array(*[
+        F.struct(
+            F.array(*[F.lit(x) for x in cv]).alias("cvec"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in cent_list
+    ])
+
+    def dist_expr(c):
+        d = V.l2_distance(F.col(vec_col), c["cvec"])
+        return F.round(d, 6) if portable else d
+
+    nearest = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(dist_expr(c).alias("d"), c["cid"].alias("cid")),
+        )
+    )["cid"]
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
+        nearest.alias("cid"),
+    ).localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec")
+    )
+    cos = F.round(V.cosine(F.col("a_vec"), F.col("b_vec")), 6)
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") > F.col("b_id"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("__d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cid",
+            F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"),
+        )
+    )
