@@ -2864,6 +2864,54 @@ FROM documents
 """
 
 
+def _q_image_dims(spark, sf_dir):
+    """REAL image-header decode (stdlib-only, no media libs): the fixture
+    builds honest PNG (valid CRCs) / GIF89a / JFIF+SOF0 blobs with
+    dimensions derived from event_id, plus corrupt bytes every 13th row;
+    the Arrow parse stage recovers format/width/height, and the oracle
+    is ground-truth-by-construction (the planted arithmetic)."""
+    from web_crawler_spark.multimodal import binaryops as MM
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    slim = e.select("event_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for k in pdf["event_id"]:
+                k = int(k)
+                urls.append(f"img://{k}")
+                w, h = 16 + k % 64, 8 + k % 32
+                if k % 13 == 0:
+                    blobs.append(b"\x00corrupt" + k.to_bytes(4, "big"))
+                elif k % 3 == 0:
+                    blobs.append(MM.png_bytes(w, h))
+                elif k % 3 == 1:
+                    blobs.append(MM.gif_bytes(w, h))
+                else:
+                    blobs.append(MM.jpeg_bytes(w, h))
+            yield pd.DataFrame({"url": urls, "payload": blobs})
+
+    blobs = slim.mapInPandas(gen, "url string, payload binary")
+    return MM.image_dimensions(blobs).orderBy("url")
+
+
+_SQL_IMAGE_DIMS = """
+SELECT concat('img://', CAST(event_id AS VARCHAR)) AS url,
+       CASE WHEN event_id % 13 = 0 THEN 'unknown'
+            WHEN event_id % 3 = 0 THEN 'png'
+            WHEN event_id % 3 = 1 THEN 'gif'
+            ELSE 'jpeg' END AS format,
+       CASE WHEN event_id % 13 = 0 THEN NULL
+            ELSE CAST(16 + event_id % 64 AS INT) END AS width,
+       CASE WHEN event_id % 13 = 0 THEN NULL
+            ELSE CAST(8 + event_id % 32 AS INT) END AS height
+FROM events WHERE event_id < 1500 ORDER BY url
+"""
+
+
 def _q_dataset_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split, stratification
     audited per language — re-running the pipeline must land every doc in
@@ -5655,6 +5703,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v6_v7_business_rules": _q_business_rules,
     "x5b_categorize_bi": _q_categorize_bi,
     "mm_binary_metadata": _q_binary_metadata,
+    "mm_image_dims": _q_image_dims,
     "st_stateful_politeness": _q_stateful_politeness,
     "st_stateful_seen": _q_stateful_seen,
     "a8_frontier_telemetry": _q_frontier_telemetry,
@@ -5863,6 +5912,7 @@ _ORACLES: dict[str, str] = {
     "v6_v7_business_rules": _SQL_BUSINESS_RULES,
     "x5b_categorize_bi": _SQL_CATEGORIZE_BI,
     "mm_binary_metadata": _SQL_BINARY_METADATA,
+    "mm_image_dims": _SQL_IMAGE_DIMS,
     "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
     "st_stateful_seen": _SQL_STATEFUL_SEEN,
     "a8_frontier_telemetry": _SQL_FRONTIER_TELEMETRY,

@@ -736,3 +736,34 @@ def test_snippets_kwic(spark):
     # doc 3: hit at 0, window clipped at the left edge — no leading
     # ellipsis, but 'doc' (token 3) sits past the window -> trailing one
     assert got[3]["snippet"] == "[table] starts the ..."
+
+
+def test_image_header_decode_real_formats(spark):
+    from web_crawler_spark.multimodal.binaryops import (
+        gif_bytes,
+        image_dimensions,
+        jpeg_bytes,
+        parse_image_dims,
+        png_bytes,
+    )
+
+    rows = [("u1", png_bytes(320, 200)), ("u2", gif_bytes(2, 3)),
+            ("u3", jpeg_bytes(1024, 768)), ("u4", b"not an image"),
+            ("u5", None), ("u6", png_bytes(1, 1))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in image_dimensions(df).collect()}
+    assert (got["u1"]["format"], got["u1"]["width"], got["u1"]["height"]) == \
+        ("png", 320, 200)
+    assert (got["u2"]["width"], got["u2"]["height"]) == (2, 3)
+    assert (got["u3"]["format"], got["u3"]["width"], got["u3"]["height"]) == \
+        ("jpeg", 1024, 768)
+    assert got["u4"]["format"] == "unknown" and got["u4"]["width"] is None
+    assert got["u5"]["format"] == "unknown"
+    assert (got["u6"]["width"], got["u6"]["height"]) == (1, 1)
+    # the PNG builder emits a file a strict decoder accepts (valid CRCs)
+    import zlib
+    b = png_bytes(5, 4)
+    ihdr_crc = int.from_bytes(b[29:33], "big")
+    assert ihdr_crc == zlib.crc32(b[12:29]) & 0xFFFFFFFF
+    # truncated JPEG (SOI+EOI, no SOF) degrades to (jpeg, None, None)
+    assert parse_image_dims(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
