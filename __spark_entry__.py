@@ -2912,6 +2912,51 @@ FROM events WHERE event_id < 1500 ORDER BY url
 """
 
 
+def _q_audio_meta(spark, sf_dir):
+    """REAL RIFF/WAVE header decode: honest PCM WAV blobs (fmt + data
+    chunk walk) with channels/rate/bits/frames derived from event_id,
+    corrupt bytes every 11th row; ground-truth-by-construction oracle."""
+    from web_crawler_spark.multimodal import binaryops as MM
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1200)
+    slim = e.select("event_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for k in pdf["event_id"]:
+                k = int(k)
+                urls.append(f"wav://{k}")
+                if k % 11 == 0:
+                    blobs.append(b"RIFFnope" + k.to_bytes(4, "big"))
+                else:
+                    blobs.append(MM.wav_bytes(
+                        1 + k % 2, 8000 * (1 + k % 3), 8 * (1 + k % 2),
+                        10 + k % 50,
+                    ))
+            yield pd.DataFrame({"url": urls, "payload": blobs})
+
+    blobs = slim.mapInPandas(gen, "url string, payload binary")
+    return MM.audio_metadata(blobs).orderBy("url")
+
+
+_SQL_AUDIO_META = """
+SELECT concat('wav://', CAST(event_id AS VARCHAR)) AS url,
+       CASE WHEN event_id % 11 = 0 THEN 'unknown' ELSE 'wav' END AS format,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE CAST(1 + event_id % 2 AS INT) END AS channels,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE CAST(8000 * (1 + event_id % 3) AS INT) END AS sample_rate,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE CAST(8 * (1 + event_id % 2) AS INT) END AS bits_per_sample,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE CAST(10 + event_id % 50 AS BIGINT) END AS n_frames
+FROM events WHERE event_id < 1200 ORDER BY url
+"""
+
+
 def _q_dataset_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split, stratification
     audited per language — re-running the pipeline must land every doc in
@@ -5704,6 +5749,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x5b_categorize_bi": _q_categorize_bi,
     "mm_binary_metadata": _q_binary_metadata,
     "mm_image_dims": _q_image_dims,
+    "mm_audio_meta": _q_audio_meta,
     "st_stateful_politeness": _q_stateful_politeness,
     "st_stateful_seen": _q_stateful_seen,
     "a8_frontier_telemetry": _q_frontier_telemetry,
@@ -5913,6 +5959,7 @@ _ORACLES: dict[str, str] = {
     "x5b_categorize_bi": _SQL_CATEGORIZE_BI,
     "mm_binary_metadata": _SQL_BINARY_METADATA,
     "mm_image_dims": _SQL_IMAGE_DIMS,
+    "mm_audio_meta": _SQL_AUDIO_META,
     "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
     "st_stateful_seen": _SQL_STATEFUL_SEEN,
     "a8_frontier_telemetry": _SQL_FRONTIER_TELEMETRY,

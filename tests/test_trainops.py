@@ -767,3 +767,27 @@ def test_image_header_decode_real_formats(spark):
     assert ihdr_crc == zlib.crc32(b[12:29]) & 0xFFFFFFFF
     # truncated JPEG (SOI+EOI, no SOF) degrades to (jpeg, None, None)
     assert parse_image_dims(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+
+
+def test_wav_header_decode(spark):
+    from web_crawler_spark.multimodal.binaryops import (
+        audio_metadata,
+        parse_wav_meta,
+        wav_bytes,
+    )
+
+    rows = [("a1", wav_bytes(2, 44100, 16, 441)),
+            ("a2", wav_bytes(1, 8000, 8, 5)),
+            ("a3", b"RIFF\x10\x00\x00\x00AVI LIST"),   # RIFF but not WAVE
+            ("a4", None)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in audio_metadata(df).collect()}
+    a1 = got["a1"]
+    assert (a1["format"], a1["channels"], a1["sample_rate"],
+            a1["bits_per_sample"], a1["n_frames"]) == ("wav", 2, 44100, 16, 441)
+    assert got["a2"]["n_frames"] == 5
+    assert got["a3"]["format"] == "unknown"
+    assert got["a4"]["format"] == "unknown" and got["a4"]["channels"] is None
+    # odd-sized chunk padding honored by the chunk walk
+    blob = wav_bytes(1, 8000, 8, 3)  # 3-byte data chunk -> pad byte
+    assert parse_wav_meta(blob + b"")[4] == 3

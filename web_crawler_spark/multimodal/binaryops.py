@@ -223,3 +223,84 @@ def jpeg_bytes(w: int, h: int) -> bytes:
     sof0 = (b"\xff\xc0\x00\x11\x08" + h.to_bytes(2, "big")
             + w.to_bytes(2, "big") + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01")
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def parse_wav_meta(b: bytes):
+    """(format, channels, sample_rate, bits, n_frames) from a RIFF/WAVE
+    header — chunk walk to 'fmt ' and 'data'; ('unknown', None×4) for
+    anything unparseable. Stdlib-only, never raises."""
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return ("unknown", None, None, None, None)
+        i, n = 12, len(b)
+        ch = sr = bits = None
+        data_len = None
+        while i + 8 <= n:
+            tag = b[i:i + 4]
+            size = int.from_bytes(b[i + 4:i + 8], "little")
+            if tag == b"fmt " and i + 24 <= n:
+                ch = int.from_bytes(b[i + 10:i + 12], "little")
+                sr = int.from_bytes(b[i + 12:i + 16], "little")
+                bits = int.from_bytes(b[i + 22:i + 24], "little")
+            elif tag == b"data":
+                data_len = size
+            i += 8 + size + (size & 1)
+        if ch and sr and bits and data_len is not None:
+            frames = data_len // max(1, ch * (bits // 8))
+            return ("wav", ch, sr, bits, frames)
+    except Exception:
+        pass
+    return ("unknown", None, None, None, None)
+
+
+def audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched RIFF/WAVE header scan → (url, format, channels,
+    sample_rate, bits_per_sample, n_frames); header bytes only, corrupt
+    payloads null-route."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {"format": [], "channels": [], "sample_rate": [],
+                    "bits_per_sample": [], "n_frames": []}
+            for payload in pdf[payload_col]:
+                fmt, ch, sr, bits, fr = parse_wav_meta(bytes(payload or b""))
+                cols["format"].append(fmt)
+                cols["channels"].append(ch)
+                cols["sample_rate"].append(sr)
+                cols["bits_per_sample"].append(bits)
+                cols["n_frames"].append(fr)
+            yield pd.DataFrame(
+                {"url": pdf["url"],
+                 "format": cols["format"],
+                 "channels": pd.array(cols["channels"], dtype="Int32"),
+                 "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                 "bits_per_sample": pd.array(cols["bits_per_sample"], dtype="Int32"),
+                 "n_frames": pd.array(cols["n_frames"], dtype="Int64")}
+            )
+
+    return df.select("url", payload_col).mapInPandas(gen, AUDIO_META_SCHEMA)
+
+
+def wav_bytes(channels: int, sample_rate: int, bits: int, n_frames: int) -> bytes:
+    """Minimal VALID PCM WAV: RIFF + fmt + zeroed data chunk."""
+    import struct
+
+    block = channels * (bits // 8)
+    data = b"\x00" * (n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
