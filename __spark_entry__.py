@@ -4684,6 +4684,36 @@ FROM scored WHERE rn = 1 ORDER BY host
 """
 
 
+def _q_frontier_select(spark, sf_dir):
+    """Exact top-5000 frontier pick from 10k URLs across 20 priority
+    levels via histogram + boundary-level-only sort (no global sort);
+    the oracle is the plain ORDER BY ... LIMIT with the same
+    deterministic (priority DESC, md5(url)) ranking."""
+    from web_crawler_spark.plans.epoch import frontier_select
+
+    e = _t(spark, sf_dir, "events")
+    frontier = e.select(
+        F.concat(F.lit("https://h"), (F.col("event_id") % 7).cast("string"),
+                 F.lit(".com/p"), F.col("event_id").cast("string")).alias("url"),
+        (F.col("event_id") % 20).alias("priority"),
+    )
+    return frontier_select(frontier, 5000).orderBy("url")
+
+
+_SQL_FRONTIER_SELECT = """
+WITH frontier AS (
+  SELECT concat('https://h', CAST(event_id % 7 AS VARCHAR), '.com/p',
+                CAST(event_id AS VARCHAR)) AS url,
+         event_id % 20 AS priority
+  FROM events
+)
+SELECT url, priority FROM (
+  SELECT url, priority FROM frontier
+  ORDER BY priority DESC, md5(url), url LIMIT 5000
+) ORDER BY url
+"""
+
+
 def _q_sitemap_refresh(spark, sf_dir):
     """Sitemap-lastmod × crawl-history staleness: every 5th URL's sitemap
     entry declares a lastmod after its latest capture ('stale'), every
@@ -5819,6 +5849,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_revalidation_plan": _q_revalidation_plan,
     "f7_circuit_breaker": _q_circuit_breaker,
     "crawl_sitemap_refresh": _q_sitemap_refresh,
+    "f2_frontier_select": _q_frontier_select,
     "cc_warc_revisit": _q_warc_revisit,
     "f3_aimd_delay": _q_aimd_delay,
     "robots_cache_policy": _q_robots_cache,
@@ -6016,6 +6047,7 @@ _ORACLES: dict[str, str] = {
     "crawl_revalidation_plan": _SQL_REVALIDATION_PLAN,
     "f7_circuit_breaker": _SQL_CIRCUIT_BREAKER,
     "crawl_sitemap_refresh": _SQL_SITEMAP_REFRESH,
+    "f2_frontier_select": _SQL_FRONTIER_SELECT,
     "cc_warc_revisit": _SQL_WARC_REVISIT,
     "f3_aimd_delay": _SQL_AIMD_DELAY,
     "robots_cache_policy": _SQL_ROBOTS_CACHE,

@@ -748,3 +748,33 @@ def test_robots_cache_policy_states(spark):
     # unreachable past the grace window: cached copy usable / allow without one
     assert got["longdown.com"]["state"] == "unreachable_stale_cache_ok"
     assert got["neverup.com"]["state"] == "unavailable_allow"
+
+
+def test_frontier_select_exact_and_no_global_sort(spark):
+    from web_crawler_spark.plans.epoch import frontier_select
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 5).alias("priority"),
+    )
+    picked = frontier_select(df, 450)
+    rows = picked.collect()
+    assert len(rows) == 450
+    # all of levels 4 and 3 (200 each), 50 tie-broken seats from level 2
+    by_p = {}
+    for r in rows:
+        by_p[r["priority"]] = by_p.get(r["priority"], 0) + 1
+    assert by_p == {4: 200, 3: 200, 2: 50}
+    # the 50 boundary seats are the md5-first ones (deterministic)
+    import hashlib
+    lvl2 = sorted(
+        (f"u{i}" for i in range(1000) if i % 5 == 2),
+        key=lambda u: (hashlib.md5(u.encode()).hexdigest(), u),
+    )[:50]
+    assert sorted(r["url"] for r in rows if r["priority"] == 2) == sorted(lvl2)
+    # n >= total: pass-through, still no sort
+    assert frontier_select(df, 10_000).count() == 1000
+    # the plan sorts ONLY the boundary level: no global Sort over the
+    # unfiltered frontier (TakeOrdered applies to the pri==T subset)
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 1

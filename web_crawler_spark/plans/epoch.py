@@ -401,3 +401,47 @@ class CrawlEngine:
                         self.catalog.compact(self.spark, table)
                         self.catalog.vacuum(table)
         return results
+
+
+def frontier_select(
+    frontier: DataFrame,
+    n: int,
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """Exact top-``n`` frontier selection WITHOUT a global sort — the
+    epoch-budget pick from a 10^10-row priority frontier.
+
+    Semantics (deterministic): the n rows ranking first by
+    (priority DESC, md5(url) ASC, url ASC) — md5 gives a stable, engine-
+    portable shuffle within a priority level so one hot level doesn't
+    admit URLs in storage order.
+
+    Plan: (1) one combiner-friendly ``groupBy(priority).count()`` —
+    priority levels are few (ring depths, OPIC buckets), so the
+    histogram is tiny; (2) the driver walks it descending to find the
+    boundary level T and the remainder r; (3) levels above T pass by
+    FILTER (no sort anywhere); (4) only the boundary level — one level's
+    rows, not the frontier — goes through TakeOrderedAndProject for its
+    r tie-broken seats. A naive orderBy().limit() ranks all 10^10 rows;
+    this ranks one level.
+    """
+    pri = F.col(priority_col)
+    hist = sorted(
+        frontier.groupBy(pri.alias("__p")).count().collect(),
+        key=lambda r: r["__p"], reverse=True,
+    )
+    total = 0
+    boundary, remainder = None, 0
+    for row in hist:
+        if total + row["count"] >= n:
+            boundary, remainder = row["__p"], n - total
+            break
+        total += row["count"]
+    if boundary is None:
+        return frontier  # fewer than n rows: everything is selected
+    above = frontier.filter(pri > boundary)
+    tie = frontier.filter(pri == boundary).orderBy(
+        F.md5(F.col(url_col)), F.col(url_col)
+    ).limit(remainder)
+    return above.unionByName(tie)
