@@ -68,6 +68,10 @@ def test_arrow_kernel_null_routes_bad_vectors(spark, emb):
     ids = {r["vec_id"] for r in out}
     # bad rows sort last (NULL adc) but never fail the stage
     assert 0 in ids and len(out) >= 200
+    scored = {r["vec_id"]: r["adc_dist"] for r in out}
+    for bad_id in (900, 901):
+        if bad_id in scored:
+            assert scored[bad_id] is None  # SQL NULL, not NaN
 
 
 def test_train_reduces_quantization_error(emb):

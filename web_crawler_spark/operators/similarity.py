@@ -900,7 +900,16 @@ def _arrow_pq_stage(
                     codes = np.argmin(_round6(np.sqrt(d2)), axis=1)
                     recon[:, s * dsub:(s + 1) * dsub] = books[s][codes]
                 out[ok] = _round6(np.sqrt(((q[None, :] - recon) ** 2).sum(-1)))
-            yield pd.DataFrame({"vec_id": ids, "adc_dist": out})
+            # bad rows become SQL NULL (masked Float64), not NaN — NaN
+            # compares greater-than-everything in Spark sorts, NULL sorts
+            # last under asc which is what "no score" should do
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "adc_dist": pd.array(
+                    [out[i] if ok[i] else None for i in range(len(vecs))],
+                    dtype="Float64",
+                ),
+            })
 
     schema = StructType([
         StructField("vec_id", df.schema[id_col].dataType, True),
