@@ -4829,6 +4829,62 @@ FROM pages ORDER BY key, version_no
 """
 
 
+def _q_feed_scan(spark, sf_dir):
+    """RSS/Atom feed ingestion on REAL bytes: one RSS 2.0 file, one
+    gzipped Atom file, and one malformed file are generated from the
+    customer table, parsed back via the distributed binaryFile +
+    mapInPandas scan, and the oracle recomputes every
+    (feed_kind, item_url, title, pub_ts) row — RFC 822 / RFC 3339 dates
+    stay raw strings, and the bad file isolates to one error row."""
+    import gzip as _gz
+    import tempfile
+
+    from web_crawler_spark.sources.feeds import atom_bytes, feed_scan, rss_bytes
+
+    keys = [
+        r["c_custkey"]
+        for r in _t(spark, sf_dir, "customer").select("c_custkey").orderBy("c_custkey").collect()
+    ]
+    d = tempfile.mkdtemp(prefix="feed_scan_")
+    with open(os.path.join(d, "news.rss.xml"), "wb") as f:
+        f.write(rss_bytes([
+            (f"https://news.ex.com/a{k}", f"Story {k}",
+             "Mon, 06 Jan 2025 00:00:00 GMT")
+            for k in keys if k % 2 == 0
+        ]))
+    with open(os.path.join(d, "blog.atom.xml.gz"), "wb") as f:
+        f.write(_gz.compress(atom_bytes([
+            (f"https://blog.ex.com/p{k}", f"Post {k}", "2025-01-06T00:00:00Z")
+            for k in keys if k % 2 == 1
+        ])))
+    with open(os.path.join(d, "broken.xml"), "wb") as f:
+        f.write(b"<html><body>not a feed</body></html>")
+    return (
+        feed_scan(spark, d)
+        .select("feed_kind", "item_url", "title", "pub_ts")
+        .orderBy("feed_kind", "item_url")
+    )
+
+
+_SQL_FEED_SCAN = """
+SELECT feed_kind, item_url, title, pub_ts FROM (
+  SELECT 'rss' AS feed_kind,
+         concat('https://news.ex.com/a', CAST(c_custkey AS VARCHAR)) AS item_url,
+         concat('Story ', CAST(c_custkey AS VARCHAR)) AS title,
+         'Mon, 06 Jan 2025 00:00:00 GMT' AS pub_ts
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT 'atom',
+         concat('https://blog.ex.com/p', CAST(c_custkey AS VARCHAR)),
+         concat('Post ', CAST(c_custkey AS VARCHAR)),
+         '2025-01-06T00:00:00Z'
+  FROM customer WHERE c_custkey % 2 = 1
+  UNION ALL
+  SELECT 'error', 'ValueError: not a feed document: <html>', NULL, NULL
+) ORDER BY feed_kind, item_url
+"""
+
+
 def _q_sitemap_scan(spark, sf_dir):
     """Sitemap ingestion on REAL bytes: an index + two child sitemaps (one
     gzipped) are generated deterministically from the customer table,
@@ -5799,6 +5855,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_change_detection": _q_change_detection,
     "crawl_recrawl_priority": _q_recrawl_priority,
     "s_sitemap_scan": _q_sitemap_scan,
+    "s_feed_scan": _q_feed_scan,
     "s6_header_sniff": _q_header_sniff,
     "s6_xlsx_scan": _q_xlsx_scan,
     "gr_host_graph": _q_host_graph,
@@ -6021,6 +6078,7 @@ _ORACLES: dict[str, str] = {
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,
     "crawl_recrawl_priority": _SQL_RECRAWL_PRIORITY,
+    "s_feed_scan": _SQL_FEED_SCAN,
     "s_sitemap_scan": _SQL_SITEMAP_SCAN,
     "s_warc_scan": _SQL_WARC_SCAN,
     "cc_surt_key": _SQL_SURT_KEY,
