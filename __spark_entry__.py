@@ -4555,6 +4555,65 @@ FROM st ORDER BY host
 """
 
 
+def _q_incremental_fetch(spark, sf_dir):
+    """Incremental refresh crawl: the versioned history's latest captures
+    revalidate against a current corpus where every 3rd URL changed
+    content, every 10th vanished, and the rest are byte-identical —
+    304/200/404 statuses and the only-changed-rows-carry-bytes contract
+    are all certified."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    hist = _versioned_pages(spark, sf_dir)
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    k = F.col("event_id")
+    corpus = e.filter(k % 10 != 0).select(
+        F.concat(F.lit("https://ex.com/p"), k.cast("string")).alias("url"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("body "), k.cast("string"), F.lit(" rev9")),
+        ).otherwise(
+            # unchanged: byte-identical to the LATEST capture (every URL's
+            # latest version is rev1: v3//2 and v2//2 both = 1)
+            F.concat(F.lit("body "), k.cast("string"), F.lit(" rev1"))
+        ).alias("text"),
+    )
+    return SN.revalidation_fetch(hist, corpus).orderBy("url")
+
+
+_SQL_INCREMENTAL_FETCH = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         concat('body ', CAST(event_id % 3000 AS VARCHAR), ' rev',
+                CAST(CAST(floor(event_id / 3000 / 2) AS BIGINT) AS VARCHAR)) AS text
+  FROM events
+), latest AS (
+  SELECT url, ts AS prior_ts, md5(text) AS prior_fp FROM (
+    SELECT url, ts, text,
+           row_number() OVER (PARTITION BY url ORDER BY ts DESC) AS rn
+    FROM pages) WHERE rn = 1
+), corpus AS (
+  SELECT concat('https://ex.com/p', CAST(event_id AS VARCHAR)) AS url,
+         CASE WHEN event_id % 3 = 0
+              THEN concat('body ', CAST(event_id AS VARCHAR), ' rev9')
+              ELSE concat('body ', CAST(event_id AS VARCHAR), ' rev1')
+         END AS text
+  FROM events WHERE event_id < 3000 AND event_id % 10 <> 0
+), j AS (
+  SELECT l.url, l.prior_ts, l.prior_fp, c.text AS cur_text
+  FROM latest l LEFT JOIN corpus c ON c.url = l.url
+)
+SELECT url,
+       CASE WHEN cur_text IS NULL THEN 404
+            WHEN md5(cur_text) = prior_fp THEN 304
+            ELSE 200 END AS status,
+       prior_ts,
+       CASE WHEN cur_text IS NOT NULL AND md5(cur_text) <> prior_fp
+            THEN cur_text END AS body
+FROM j ORDER BY url
+"""
+
+
 def _q_warc_revisit(spark, sf_dir):
     """Dedup-aware WARC export over the versioned page chain: content
     repeats every other version (rev = version//2), so v1/v3 become
@@ -5908,6 +5967,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_sitemap_refresh": _q_sitemap_refresh,
     "f2_frontier_select": _q_frontier_select,
     "cc_warc_revisit": _q_warc_revisit,
+    "crawl_incremental_fetch": _q_incremental_fetch,
     "f3_aimd_delay": _q_aimd_delay,
     "robots_cache_policy": _q_robots_cache,
     "tx_quality_model": _q_quality_model,
@@ -6107,6 +6167,7 @@ _ORACLES: dict[str, str] = {
     "crawl_sitemap_refresh": _SQL_SITEMAP_REFRESH,
     "f2_frontier_select": _SQL_FRONTIER_SELECT,
     "cc_warc_revisit": _SQL_WARC_REVISIT,
+    "crawl_incremental_fetch": _SQL_INCREMENTAL_FETCH,
     "f3_aimd_delay": _SQL_AIMD_DELAY,
     "robots_cache_policy": _SQL_ROBOTS_CACHE,
     "tx_quality_model": _sql_quality_model(),

@@ -778,3 +778,25 @@ def test_frontier_select_exact_and_no_global_sort(spark):
     # unfiltered frontier (TakeOrdered applies to the pri==T subset)
     plan = picked._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") == 1
+
+
+def test_revalidation_fetch_statuses(spark):
+    from web_crawler_spark.operators.snapshots import revalidation_fetch
+
+    hist = spark.createDataFrame(
+        [("u1", "2025-01-01 00:00:00", "old"),
+         ("u1", "2025-01-02 00:00:00", "same content"),
+         ("u2", "2025-01-01 00:00:00", "will change"),
+         ("u3", "2025-01-01 00:00:00", "will vanish")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    corpus = spark.createDataFrame(
+        [("u1", "same content"), ("u2", "changed now")],
+        "url string, text string",
+    )
+    got = {r["url"]: r for r in revalidation_fetch(hist, corpus).collect()}
+    # validator compares against the LATEST capture, not any older one
+    assert got["u1"]["status"] == 304 and got["u1"]["body"] is None
+    assert got["u2"]["status"] == 200 and got["u2"]["body"] == "changed now"
+    assert got["u3"]["status"] == 404 and got["u3"]["body"] is None
+    assert str(got["u1"]["prior_ts"]) == "2025-01-02 00:00:00"

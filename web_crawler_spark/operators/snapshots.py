@@ -202,3 +202,54 @@ def sitemap_refresh_candidates(
         .filter(F.col("reason").isNotNull())
         .select(F.col(loc_col).alias("url"), "last_fetch_ts", "lastmod_ts", "reason")
     )
+
+
+def revalidation_fetch(
+    history: DataFrame,
+    corpus: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conditional-GET refresh crawl against the current corpus — the
+    incremental-crawl step the recrawl scheduler feeds: per URL, the
+    latest capture's content validator (md5 fingerprint — the
+    If-None-Match the revalidation_headers op would send) joins the
+    corpus's current content, and the fetch result is
+
+    * ``304`` — validator matches: body NULL, bandwidth saved (at
+      real-web change rates this is most of the refresh wave, which is
+      why revisit-dedup + 304s dominate incremental crawl economics);
+    * ``200`` — content changed: body carried forward to extraction;
+    * ``404`` — URL no longer in the corpus.
+
+    One keep-latest window over the history + one url-keyed join; only
+    changed rows carry bytes downstream, so extraction cost is
+    proportional to CHANGE, not corpus size.
+    Returns (url, status, prior_ts, body).
+    """
+    w = Window.partitionBy(url_col).orderBy(F.desc(ts_col))
+    latest = (
+        history.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("prior_ts"),
+            F.md5(F.col(text_col)).alias("prior_fp"),
+        )
+    )
+    cur = corpus.select(
+        F.col(url_col).alias("url"), F.col(text_col).alias("__cur_text")
+    )
+    joined = latest.join(cur, "url", "left")
+    status = (
+        F.when(F.col("__cur_text").isNull(), F.lit(404))
+        .when(F.md5(F.col("__cur_text")) == F.col("prior_fp"), F.lit(304))
+        .otherwise(F.lit(200))
+    )
+    return joined.select(
+        "url",
+        status.alias("status"),
+        "prior_ts",
+        F.when(status == 200, F.col("__cur_text")).alias("body"),
+    )
