@@ -4743,6 +4743,44 @@ FROM scored WHERE rn = 1 ORDER BY host
 """
 
 
+def _q_idn_hosts(spark, sf_dir):
+    """IDN → punycode host identity: a frontier mixing ASCII hosts with
+    four internationalized domains (every 4th row cycles bücher.de /
+    пример.рф / münchen.example.com / café.fr); the ASCII majority stays
+    on the pure-column path, the non-ASCII subset goes through the idna
+    stage, and the oracle is ground truth by construction (RFC 3490
+    reference encodings)."""
+    from web_crawler_spark.functions.urltools import idn_host_stage
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.col("event_id")
+    host = (
+        F.when(k % 8 == 1, F.lit("Bücher.de"))
+        .when(k % 8 == 3, F.lit("пример.рф"))
+        .when(k % 8 == 5, F.lit("münchen.example.com"))
+        .when(k % 8 == 7, F.lit("café.fr"))
+        .otherwise(F.concat(F.lit("Host"), (k % 50).cast("string"), F.lit(".com")))
+    )
+    df = e.select(k.alias("event_id"), host.alias("host"))
+    return idn_host_stage(df).orderBy("event_id")
+
+
+_SQL_IDN_HOSTS = """
+SELECT event_id,
+       CASE WHEN event_id % 8 = 1 THEN 'Bücher.de'
+            WHEN event_id % 8 = 3 THEN 'пример.рф'
+            WHEN event_id % 8 = 5 THEN 'münchen.example.com'
+            WHEN event_id % 8 = 7 THEN 'café.fr'
+            ELSE concat('Host', CAST(event_id % 50 AS VARCHAR), '.com') END AS host,
+       CASE WHEN event_id % 8 = 1 THEN 'xn--bcher-kva.de'
+            WHEN event_id % 8 = 3 THEN 'xn--e1afmkfd.xn--p1ai'
+            WHEN event_id % 8 = 5 THEN 'xn--mnchen-3ya.example.com'
+            WHEN event_id % 8 = 7 THEN 'xn--caf-dma.fr'
+            ELSE concat('host', CAST(event_id % 50 AS VARCHAR), '.com') END AS ascii_host
+FROM events WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
 def _q_frontier_select(spark, sf_dir):
     """Exact top-5000 frontier pick from 10k URLs across 20 priority
     levels via histogram + boundary-level-only sort (no global sort);
@@ -5966,6 +6004,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f7_circuit_breaker": _q_circuit_breaker,
     "crawl_sitemap_refresh": _q_sitemap_refresh,
     "f2_frontier_select": _q_frontier_select,
+    "url_idn_hosts": _q_idn_hosts,
     "cc_warc_revisit": _q_warc_revisit,
     "crawl_incremental_fetch": _q_incremental_fetch,
     "f3_aimd_delay": _q_aimd_delay,
@@ -6166,6 +6205,7 @@ _ORACLES: dict[str, str] = {
     "f7_circuit_breaker": _SQL_CIRCUIT_BREAKER,
     "crawl_sitemap_refresh": _SQL_SITEMAP_REFRESH,
     "f2_frontier_select": _SQL_FRONTIER_SELECT,
+    "url_idn_hosts": _SQL_IDN_HOSTS,
     "cc_warc_revisit": _SQL_WARC_REVISIT,
     "crawl_incremental_fetch": _SQL_INCREMENTAL_FETCH,
     "f3_aimd_delay": _SQL_AIMD_DELAY,

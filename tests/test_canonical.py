@@ -116,3 +116,26 @@ class TestResolveUrlProperty:
         for (b, h), g in zip(cases, got):
             want = urljoin(b, h.split("#")[0])
             assert g == want, (b, h, g, want)
+
+
+def test_idn_host_stage_split_paths(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions.urltools import idn_host_stage
+
+    df = spark.createDataFrame(
+        [(1, "Bücher.de"), (2, "EXAMPLE.com"), (3, "пример.рф"),
+         (4, "trailing.dot."), (5, "café.fr")],
+        "id long, host string",
+    )
+    got = {r["id"]: r["ascii_host"] for r in idn_host_stage(df).collect()}
+    assert got[1] == "xn--bcher-kva.de"
+    assert got[2] == "example.com"          # ASCII path: lowercase only
+    assert got[3] == "xn--e1afmkfd.xn--p1ai"
+    assert got[4] == "trailing.dot."        # ASCII path untouched beyond case
+    assert got[5] == "xn--caf-dma.fr"
+    # unencodable non-ASCII host passes through lowercased, never raises
+    bad = spark.createDataFrame([(9, "ü" + "x" * 80 + ".com")],
+                                "id long, host string")
+    out = idn_host_stage(bad).collect()[0]["ascii_host"]
+    assert out.startswith("ü") and out.endswith(".com")

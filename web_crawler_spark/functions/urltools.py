@@ -191,3 +191,47 @@ def host_salt(host: Column, epoch: Column, n_salts: int = 16) -> Column:
     within an epoch) but the assignment rotates across epochs, spreading a
     persistent hot host across the cluster over time."""
     return F.pmod(F.xxhash64(host, epoch), F.lit(n_salts))
+
+
+def idn_host_stage(df, host_col: str = "host", out_col: str = "ascii_host"):
+    """IDN → punycode host normalization (RFC 3490, stdlib ``idna``
+    codec): internationalized hostnames must map to their ASCII
+    (xn--…) form before URL identity is computed, or 'bücher.de' and
+    'xn--bcher-kva.de' crawl as two different hosts.
+
+    Punycode is an algorithmic transform no SQL engine expresses, so
+    this is an Arrow-batched stage — but it runs on the FILTERED
+    non-ASCII subset only: the caller keeps ASCII hosts (the vast
+    majority of a real frontier) on the pure-column path and unions
+    back. Hosts that fail to encode (bare labels over 63 chars, empty
+    labels) pass through lowercased-unchanged rather than failing the
+    stage. Lowercasing applies in both paths, matching
+    ``canonicalize_url``'s host handling.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as ST
+
+    non_ascii = df.filter(F.col(host_col).rlike(r"[^\x00-\x7F]"))
+    ascii_side = df.filter(~F.col(host_col).rlike(r"[^\x00-\x7F]")).withColumn(
+        out_col, F.lower(F.col(host_col))
+    )
+    schema = ST.StructType(
+        list(df.schema) + [ST.StructField(out_col, ST.StringType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            encoded = []
+            for h in pdf[host_col]:
+                h = (h or "").strip().lower().rstrip(".")
+                try:
+                    encoded.append(h.encode("idna").decode("ascii"))
+                except Exception:
+                    encoded.append(h)
+            out = pdf.copy()
+            out[out_col] = pd.array(encoded, dtype="string")
+            yield out
+
+    return non_ascii.mapInPandas(gen, schema).unionByName(ascii_side)
