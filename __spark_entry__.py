@@ -788,6 +788,34 @@ FROM ordered
 """
 
 
+def _q_politeness_lanes(spark, sf_dir):
+    """F3 with per-host connection parallelism (3 polite lanes/host,
+    Heritrix toe-thread style): lane = (seq-1) mod 3, fire time advances
+    every 3 URLs — per-host throughput ×3 while each connection honors
+    the 2 s delay. Lane and timestamp are certified per URL."""
+    sched = P.politeness_schedule_lanes(
+        _frontier_df(spark, sf_dir),
+        F.lit("2025-07-22 09:00:00").cast("timestamp"),
+        2.0,
+        n_connections=3,
+    )
+    return sched.select("host", "seq", "lane", "url", "scheduled_ts")
+
+
+_SQL_POLITENESS_LANES = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+ordered AS (
+  SELECT host, url,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, url) AS INT) AS seq
+  FROM frontier
+)
+SELECT host, seq, CAST((seq - 1) % 3 AS INT) AS lane, url,
+       TIMESTAMP '2025-07-22 09:00:00'
+         + INTERVAL (CAST(floor((seq - 1) / 3) AS BIGINT) * 2) SECOND AS scheduled_ts
+FROM ordered
+"""
+
+
 def _q_anti_join_seen(spark, sf_dir):
     f = _frontier_df(spark, sf_dir).withColumn("url_hash", F.md5("url"))
     e = _t(spark, sf_dir, "events")
@@ -6032,6 +6060,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": _q_canonicalize,
     "f2_crawl_order": _q_crawl_order,
     "f3_politeness_schedule": _q_politeness_schedule,
+    "f3_politeness_lanes": _q_politeness_lanes,
     "f8_anti_join_seen": _q_anti_join_seen,
     "f6_retry_backoff": _q_retry_backoff,
     "a7_success_rate": _q_success_rate,
@@ -6097,6 +6126,7 @@ _ORACLES: dict[str, str] = {
     "url_canonicalize": _SQL_CANONICALIZE,
     "f2_crawl_order": _SQL_CRAWL_ORDER,
     "f3_politeness_schedule": _SQL_POLITENESS,
+    "f3_politeness_lanes": _SQL_POLITENESS_LANES,
     "f8_anti_join_seen": _SQL_ANTI_JOIN_SEEN,
     "f8_anti_join_seen_cuckoo": _SQL_ANTI_JOIN_SEEN,
     "f6_retry_backoff": _SQL_RETRY_BACKOFF,

@@ -155,3 +155,37 @@ def test_warc_export_roundtrip(spark, tmp_path):
     r2 = warc_records(pages).orderBy("url").collect()
     ids2 = sorted(re.findall(r"WARC-Record-ID: (\S+)", "".join(x["record"] for x in r2)))
     assert ids1 == ids2
+
+
+def test_jsonl_shard_sink_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.plans.report import write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(1, "hello \"quoted\" text", "en", ["a", "b"]),
+         (2, "unicode: bücher ✓", "de", []),
+         (3, None, None, None)],
+        "doc_id long, text string, lang string, tags array<string>",
+    ).repartition(2)
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(df, out)
+    import glob
+    import gzip
+    import json as J
+
+    parts = glob.glob(out + "/part-*.gz")
+    assert len(parts) == 2  # shard count = partitioning
+    rows = []
+    for p in parts:
+        with gzip.open(p, "rt") as f:
+            rows += [J.loads(line) for line in f if line.strip()]
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["text"] == 'hello "quoted" text'
+    assert by_id[1]["tags"] == ["a", "b"]
+    assert by_id[2]["text"] == "unicode: bücher ✓"
+    assert "text" not in by_id[3]  # JSON omits nulls (to_json contract)
+    # spark.read.json round-trips it too
+    back = spark.read.json(out)
+    assert back.count() == 3
+    assert back.filter(F.col("doc_id") == 2).collect()[0]["lang"] == "de"

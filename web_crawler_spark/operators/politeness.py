@@ -236,3 +236,36 @@ def aimd_host_delay(
         ).alias("n_backoffs"),
         delay.alias("delay_ms"),
     )
+
+
+def politeness_schedule_lanes(
+    frontier: DataFrame,
+    epoch_start,
+    delay_seconds: float = 2.0,
+    n_connections: int = 2,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """F3 generalized to per-host connection parallelism (what production
+    crawlers actually run: 2–4 polite lanes per host, each lane pacing
+    its own delay — Heritrix's 'toe threads per queue'): URL seq s takes
+    lane (s-1) mod c and fires at epoch_start + floor((s-1)/c) · delay.
+    Still closed-form window math over the per-host order — no new
+    shuffle vs the single-lane schedule, and per-host throughput scales
+    ×c while each connection individually honors the delay.
+    Returns the ordered frontier + (lane, scheduled_ts).
+    """
+    c = int(n_connections)
+    if c < 1:
+        raise ValueError("n_connections must be >= 1")
+    ordered = crawl_order(frontier, host_col, priority_col, url_col)
+    s0 = F.col("seq") - 1
+    return ordered.withColumn("lane", (s0 % c).cast("int")).withColumn(
+        "scheduled_ts",
+        F.timestamp_add(
+            "SECOND",
+            (F.floor(s0 / c) * F.lit(delay_seconds)).cast("bigint"),
+            epoch_start,
+        ),
+    )

@@ -447,3 +447,20 @@ def warc_revisit_records(
             F.when(is_revisit, revisit).otherwise(response).alias("record"),
         )
     )
+
+
+def write_jsonl_shards(
+    df: DataFrame, path: str, compress: bool = True
+) -> None:
+    """LLM-corpus interchange sink (the Dolma/OLMo convention: gzipped
+    JSONL shards, one document object per line): every row serializes
+    JVM-side via ``to_json(struct(*))`` — no Python in the path — and the
+    partitioned text write IS the shard layout (one .json.gz part-file
+    per partition, so shard count = partitioning, controlled upstream
+    with repartition). Readable back by any JSONL consumer or
+    ``spark.read.json``."""
+    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    writer = out.write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.text(path)
