@@ -4642,6 +4642,97 @@ FROM j ORDER BY url
 """
 
 
+def _q_refresh_pipeline(spark, sf_dir):
+    """The refresh wave END-TO-END (the crawl-side analogue of
+    tx_corpus_pipeline's certified composition): Cho–Garcia-Molina
+    recrawl priority × conditional-GET revalidation against the churned
+    corpus × the resulting action per URL — 200→ingest (re-extract +
+    response record), 304→revisit_record (headers only), 404→tombstone.
+    Every stage was individually certified; this certifies what a
+    refresh crawl actually runs, in one plan."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    hist = _versioned_pages(spark, sf_dir)
+    pri = SN.recrawl_priority(hist, "2025-01-02 00:00:00").select(
+        "url", "priority"
+    )
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    k = F.col("event_id")
+    corpus = e.filter(k % 10 != 0).select(
+        F.concat(F.lit("https://ex.com/p"), k.cast("string")).alias("url"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("body "), k.cast("string"), F.lit(" rev9")),
+        ).otherwise(
+            F.concat(F.lit("body "), k.cast("string"), F.lit(" rev1"))
+        ).alias("text"),
+    )
+    fetches = SN.revalidation_fetch(hist, corpus).select("url", "status")
+    action = (
+        F.when(F.col("status") == 404, "tombstone")
+        .when(F.col("status") == 304, "revisit_record")
+        .otherwise("ingest")
+    )
+    return (
+        pri.join(fetches, "url")
+        .select("url", "priority", "status", action.alias("action"))
+        .orderBy("url")
+    )
+
+
+_SQL_REFRESH_PIPELINE = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         concat('body ', CAST(event_id % 3000 AS VARCHAR), ' rev',
+                CAST(CAST(floor(event_id / 3000 / 2) AS BIGINT) AS VARCHAR)) AS text
+  FROM events
+), chain AS (
+  SELECT url, ts,
+         (LAG(fp) OVER w IS NULL OR fp <> LAG(fp) OVER w) AS changed
+  FROM (
+    SELECT url, ts,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+    FROM pages)
+  WINDOW w AS (PARTITION BY url ORDER BY ts)
+), pri AS (
+  SELECT url,
+         ROUND(
+           (CASE WHEN epoch(MAX(ts)) - epoch(MIN(ts)) > 0
+                 THEN CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) - 1 AS DOUBLE)
+                      / (epoch(MAX(ts)) - epoch(MIN(ts)))
+                 ELSE 0 END)
+           * (epoch(TIMESTAMP '2025-01-02 00:00:00') - epoch(MAX(ts))), 6)
+           AS priority
+  FROM chain GROUP BY url
+), latest AS (
+  SELECT url, md5(text) AS prior_fp FROM (
+    SELECT url, text, row_number() OVER (PARTITION BY url ORDER BY ts DESC) AS rn
+    FROM pages) WHERE rn = 1
+), corpus AS (
+  SELECT concat('https://ex.com/p', CAST(event_id AS VARCHAR)) AS url,
+         CASE WHEN event_id % 3 = 0
+              THEN concat('body ', CAST(event_id AS VARCHAR), ' rev9')
+              ELSE concat('body ', CAST(event_id AS VARCHAR), ' rev1')
+         END AS text
+  FROM events WHERE event_id < 3000 AND event_id % 10 <> 0
+), st AS (
+  SELECT l.url,
+         CASE WHEN c.text IS NULL THEN 404
+              WHEN md5(c.text) = l.prior_fp THEN 304
+              ELSE 200 END AS status
+  FROM latest l LEFT JOIN corpus c ON c.url = l.url
+)
+SELECT p.url, p.priority, st.status,
+       CASE WHEN st.status = 404 THEN 'tombstone'
+            WHEN st.status = 304 THEN 'revisit_record'
+            ELSE 'ingest' END AS action
+FROM pri p JOIN st ON st.url = p.url
+ORDER BY p.url
+"""
+
+
 def _q_warc_revisit(spark, sf_dir):
     """Dedup-aware WARC export over the versioned page chain: content
     repeats every other version (rev = version//2), so v1/v3 become
@@ -6035,6 +6126,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_idn_hosts": _q_idn_hosts,
     "cc_warc_revisit": _q_warc_revisit,
     "crawl_incremental_fetch": _q_incremental_fetch,
+    "crawl_refresh_pipeline": _q_refresh_pipeline,
     "f3_aimd_delay": _q_aimd_delay,
     "robots_cache_policy": _q_robots_cache,
     "tx_quality_model": _q_quality_model,
@@ -6238,6 +6330,7 @@ _ORACLES: dict[str, str] = {
     "url_idn_hosts": _SQL_IDN_HOSTS,
     "cc_warc_revisit": _SQL_WARC_REVISIT,
     "crawl_incremental_fetch": _SQL_INCREMENTAL_FETCH,
+    "crawl_refresh_pipeline": _SQL_REFRESH_PIPELINE,
     "f3_aimd_delay": _SQL_AIMD_DELAY,
     "robots_cache_policy": _SQL_ROBOTS_CACHE,
     "tx_quality_model": _sql_quality_model(),
