@@ -816,6 +816,40 @@ FROM ordered
 """
 
 
+def _q_frontier_gini(spark, sf_dir):
+    """Frontier-skew telemetry: exact Gini of per-host queue depths over
+    a deliberately skewed frontier (hot host = user_id%20==0 gets every
+    5th extra URL) — the drift alarm for the salted-partitioning /
+    per-host-budget machinery. Sorted-rank identity, integer-exact."""
+    from web_crawler_spark.operators.aggregate import frontier_gini
+
+    e = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("event_id") % 5 == 0, 0).otherwise(F.col("user_id") % 20)
+    frontier = e.select(F.concat(F.lit("h"), hot.cast("string")).alias("host"))
+    return frontier_gini(frontier)
+
+
+_SQL_FRONTIER_GINI = """
+WITH frontier AS (
+  SELECT concat('h', CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                               ELSE user_id % 20 END AS VARCHAR)) AS host
+  FROM events
+), depths AS (
+  SELECT host, COUNT(*) AS depth FROM frontier GROUP BY host
+), ranked AS (
+  SELECT depth,
+         row_number() OVER (ORDER BY depth, host) AS i,
+         COUNT(*) OVER () AS n
+  FROM depths
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(depth) AS BIGINT) AS n_urls,
+       ROUND(SUM((2 * i - n - 1) * depth)
+             / (CAST(ANY_VALUE(n) AS DOUBLE) * SUM(depth)), 6) AS gini
+FROM ranked
+"""
+
+
 def _q_anti_join_seen(spark, sf_dir):
     f = _frontier_df(spark, sf_dir).withColumn("url_hash", F.md5("url"))
     e = _t(spark, sf_dir, "events")
@@ -6055,6 +6089,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_stateful_politeness": _q_stateful_politeness,
     "st_stateful_seen": _q_stateful_seen,
     "a8_frontier_telemetry": _q_frontier_telemetry,
+    "a8_frontier_gini": _q_frontier_gini,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6272,6 +6307,7 @@ _ORACLES: dict[str, str] = {
     "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
     "st_stateful_seen": _SQL_STATEFUL_SEEN,
     "a8_frontier_telemetry": _SQL_FRONTIER_TELEMETRY,
+    "a8_frontier_gini": _SQL_FRONTIER_GINI,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

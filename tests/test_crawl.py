@@ -800,3 +800,18 @@ def test_revalidation_fetch_statuses(spark):
     assert got["u2"]["status"] == 200 and got["u2"]["body"] == "changed now"
     assert got["u3"]["status"] == 404 and got["u3"]["body"] is None
     assert str(got["u1"]["prior_ts"]) == "2025-01-02 00:00:00"
+
+
+def test_frontier_gini_known_values(spark):
+    from web_crawler_spark.operators.aggregate import frontier_gini
+
+    even = spark.createDataFrame(
+        [(f"h{i % 4}",) for i in range(40)], "host string")
+    r = frontier_gini(even).collect()[0]
+    assert r["n_hosts"] == 4 and r["n_urls"] == 40 and r["gini"] == 0.0
+    # one host owns 97 of 100 urls: G approaches 1
+    skew = spark.createDataFrame(
+        [("hot",)] * 97 + [("a",), ("b",), ("c",)], "host string")
+    r = frontier_gini(skew).collect()[0]
+    # exact: depths [1,1,1,97], n=4 -> sum((2i-5)*x)= -3-1+1+3*97=288; /(4*100)=0.72
+    assert r["gini"] == 0.72

@@ -162,3 +162,39 @@ def host_report(
         "host", "n_pages", "n_urls", "avg_quality", "top_lang",
         F.round(F.col("n_dup_pages") / F.col("n_pages"), 6).alias("dup_rate"),
     )
+
+
+def frontier_gini(
+    frontier,
+    host_col: str = "host",
+):
+    """Scheduling-fairness telemetry: the Gini coefficient of per-host
+    frontier queue depths — 0 = perfectly even hosts, →1 = one host owns
+    the frontier (the skew the salted partitioning and per-host budgets
+    exist to absorb; alert when it drifts up between epochs).
+
+    Computed exactly via the sorted-rank identity
+    G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over depths sorted ascending —
+    one groupBy(host) count, one window over the (tiny) per-host depth
+    table, one 1-row agg. Integer arithmetic until the final division.
+    Returns a 1-row frame (n_hosts, n_urls, gini).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    depths = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("depth")
+    )
+    w = Window.orderBy("depth", "host")
+    ranked = depths.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("depth").cast("bigint").alias("n_urls"),
+        F.round(
+            F.sum((F.lit(2) * F.col("i") - F.col("n") - 1) * F.col("depth"))
+            / (F.first("n") * F.sum("depth")),
+            6,
+        ).alias("gini"),
+    )
