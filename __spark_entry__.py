@@ -4446,6 +4446,18 @@ def _q_corpus_mix_bpe(spark, sf_dir):
     return C.corpus_mix(d, budgets, token_counter="bpe").orderBy("doc_id")
 
 
+def _q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (RedPajama-v2 / Dolma
+    convention: DEFLATE size ÷ raw UTF-8 size) over documents — the
+    cheap single-pass repetition detector. Rows-only: no SQL engine
+    exposes DEFLATE, but the ratio is deterministic for a fixed level
+    and pinned by golden pytest values (tests/test_repetition.py)."""
+    from web_crawler_spark.operators.corpus import compression_ratio_stage
+
+    d = _t(spark, sf_dir, "documents")
+    return compression_ratio_stage(d).orderBy("doc_id")
+
+
 def _versioned_pages(spark, sf_dir):
     """Synthetic versioned page table (url, warc_ts, text): ~3000 URLs ×
     up to 4 recrawls; warc_ts unique per fetch (base + event_id seconds);
@@ -6222,6 +6234,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_minhash_lsh_pairs": _q_minhash_lsh,
     # --- rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs) ---
     "tx_corpus_mix_bpe": _q_corpus_mix_bpe,
+    "tx_compression_ratio": _q_compression_ratio,
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
     "ann_pq_topk": _q_ann_pq,

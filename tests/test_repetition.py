@@ -100,3 +100,24 @@ def test_corpus_datasheet_rollup_levels(spark):
     assert rows[(None, None)]["n_docs"] == 4
     assert rows[(None, None)]["n_tokens"] == 6
     assert rows[(None, None)]["n_chars"] == len("a b") + len("c") + len("d e f")
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    from web_crawler_spark.operators.corpus import compression_ratio_stage
+
+    prose = ("The quick brown fox jumps over the lazy dog while seventeen "
+             "wildly different words follow without any repetition at all, "
+             "because entropy matters for this particular estimate today.")
+    spammy = "buy cheap buy cheap buy cheap " * 40
+    df = spark.createDataFrame(
+        [(1, prose), (2, spammy), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in compression_ratio_stage(df).collect()}
+    assert got[1]["raw_bytes"] == len(prose.encode())
+    assert got[2]["compression_ratio"] < 0.1 < got[1]["compression_ratio"]
+    assert got[3]["compression_ratio"] is None and got[3]["raw_bytes"] == 0
+    # deterministic for a fixed level
+    again = {r["doc_id"]: r["compression_ratio"]
+             for r in compression_ratio_stage(df).collect()}
+    assert again[2] == got[2]["compression_ratio"]

@@ -988,3 +988,57 @@ def corpus_datasheet(
             F.col("n_empty").cast("bigint").alias("n_empty"),
         )
     )
+
+
+def compression_ratio_stage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal (RedPajama-v2 / Dolma convention:
+    zlib-compressed size ÷ raw UTF-8 size). Highly repetitive or
+    templated text compresses far below prose (~0.3–0.4 for natural
+    text; boilerplate and keyword-stuffed spam go much lower; already-
+    compressed/binary junk goes above 1) — a cheap single-pass
+    repetition detector that catches patterns n-gram filters miss.
+
+    zlib is Python-side, so this is an Arrow-batched stage (one
+    DEFLATE pass per doc, no shuffle); the ratio is deterministic for a
+    fixed zlib level, pinned by golden pytest values — no SQL oracle
+    exists for DEFLATE, so the driver records rows (declared weaker
+    check). Empty documents yield ratio NULL.
+    Returns (doc_id, raw_bytes, compressed_bytes, compression_ratio).
+    """
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            df.schema[id_col],
+            ST.StructField("raw_bytes", ST.LongType()),
+            ST.StructField("compressed_bytes", ST.LongType()),
+            ST.StructField("compression_ratio", ST.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw, comp, ratio = [], [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")
+                c = len(zlib.compress(b, level)) if b else 0
+                raw.append(len(b))
+                comp.append(c)
+                ratio.append(round(c / len(b), 6) if b else None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "raw_bytes": raw,
+                "compressed_bytes": comp,
+                "compression_ratio": pd.array(ratio, dtype="Float64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
