@@ -4377,6 +4377,73 @@ ORDER BY doc_id
 """
 
 
+def _q_span_dedup_rewrite(spark, sf_dir):
+    """Exact substring dedup over OVERLAPPING 10-token windows (Lee et al.
+    2021 ExactSubstr semantics): every 5th document re-inserted under a
+    shifted id AND a 3-token prefix ('copied excerpt :') so its duplicate
+    span sits at a different token offset — the alignment case the
+    non-overlapping chunk rewrite provably misses. The globally-first
+    instance survives; the shifted copy is cut back to its unique prefix.
+    Certifies the rewritten text, token counts, and removed-position
+    counts exactly."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(100_000)).alias("doc_id"),
+        F.concat(F.lit("copied excerpt : "), F.col("text")).alias("text"),
+    )
+    return C.remove_duplicate_spans(
+        d.select("doc_id", "text").unionByName(dup), window_words=10
+    ).orderBy("doc_id")
+
+
+_SQL_SPAN_DEDUP_REWRITE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'copied excerpt : ' || text AS text
+  FROM documents WHERE doc_id % 5 = 0
+), t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM corpus
+), g AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 10)) AS gpos
+  FROM t WHERE len(toks) >= 10
+), r AS (
+  SELECT doc_id, gpos,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(array_to_string(toks[(gpos + 1):(gpos + 10)], ' '))
+           ORDER BY doc_id, gpos) AS rn
+  FROM g
+), rm AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(gpos, gpos + 9)) AS pos
+  FROM r WHERE rn > 1
+), tok AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS pos, toks
+  FROM t WHERE len(toks) > 0
+), kept AS (
+  SELECT tok.doc_id,
+         string_agg(tok.toks[tok.pos + 1], ' ' ORDER BY tok.pos) AS clean_text
+  FROM tok LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.pos = rm.pos
+  WHERE rm.pos IS NULL
+  GROUP BY tok.doc_id
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n_removed FROM rm GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(kept.clean_text, '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cnt.n_removed, 0) AS BIGINT) AS n_removed
+FROM t
+LEFT JOIN kept USING (doc_id)
+LEFT JOIN cnt USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _q_corpus_mix(spark, sf_dir):
     """Token-budget corpus mixing (SlimPajama/Pile-style): per-source
     budgets derived from the source id ((n % 3 + 1) × 1000 tokens —
@@ -6113,6 +6180,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_corpus_pipeline": _q_corpus_pipeline,
     "dd_chunk_dedup": _q_chunk_dedup,
     "dd_chunk_dedup_rewrite": _q_chunk_dedup_rewrite,
+    "dd_span_dedup_rewrite": _q_span_dedup_rewrite,
     "tx_corpus_mix": _q_corpus_mix,
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
@@ -6344,6 +6412,7 @@ _ORACLES: dict[str, str] = {
     "tx_corpus_pipeline": _sql_corpus_pipeline(),
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
     "dd_chunk_dedup_rewrite": _SQL_CHUNK_DEDUP_REWRITE,
+    "dd_span_dedup_rewrite": _SQL_SPAN_DEDUP_REWRITE,
     "tx_corpus_mix": _SQL_CORPUS_MIX,
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,

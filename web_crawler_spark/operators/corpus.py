@@ -329,6 +329,82 @@ def remove_duplicate_chunks(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 10,
+) -> DataFrame:
+    """Exact duplicated-substring removal over OVERLAPPING token windows —
+    the Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better" semantics proper (their suffix-array ExactSubstr at window
+    granularity): any ``window_words``-token substring that occurs more
+    than once in the corpus is cut from every instance EXCEPT the globally
+    first (min (doc_id, position)); overlapping duplicate windows merge
+    into maximal removed spans, so a copied paragraph disappears as one
+    span regardless of its length. Unlike ``remove_duplicate_chunks``
+    (fixed non-overlapping blocks, alignment-sensitive — a one-word prefix
+    shift defeats it), this catches duplicated spans at ANY token offset.
+    Self-repetition inside one document is cut the same way.
+
+    Returns every input row as ``(doc_id, clean_text, n_tokens,
+    n_removed)``; a fully-duplicated later document comes back with
+    ``clean_text = ''``.
+
+    Scale shape: the window-fingerprint shuffle carries ONLY (doc_id,
+    gpos, md5) — 32 B of hash, never gram text (the gram string is folded
+    into md5 row-local before the exchange). Removed-position explode is
+    ×``window_words`` on duplicate windows ONLY (dup fraction × w, not
+    corpus × w), collapsed by a (doc, pos) distinct-in-agg. Reassembly is
+    one doc_id-keyed join of the removed-position set back to the token
+    arrays + an index-filter projection — document text crosses exactly
+    one exchange (the reassembly join), zero text bytes through the
+    dedup window itself. A boilerplate window shared by 10^6 docs is one
+    row_number partition over slim rows — the same hot-fingerprint
+    discipline as every dedup window in ``operators/dedup.py``.
+    """
+    w = int(window_words)
+    if w < 2:
+        raise ValueError(f"window_words must be >= 2, got {window_words}")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = base.filter(F.size("__toks") >= w).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - w),
+                lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, w), " ")),
+            )
+        ).alias("gpos", "__fp"),
+    )
+    win = Window.partitionBy("__fp").orderBy("doc_id", "gpos")
+    removed = (
+        grams.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(w - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("__rm"))
+    )
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    return (
+        base.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.filter("__toks", lambda x, i: ~F.array_contains(rm, i)), " "
+            ).alias("clean_text"),
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            F.size(rm).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame,
     text_col: str = "text",
