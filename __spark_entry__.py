@@ -4444,6 +4444,36 @@ ORDER BY doc_id
 """
 
 
+def _q_shard_pack(spark, sf_dir):
+    """Byte-balanced output-shard assignment (the FineWeb/Dolma writer
+    problem): documents laid end-to-end in doc_id order, shard = the
+    8 KB bin the first byte lands in. The Spark side computes the global
+    running byte total with the two-level range-partitioned scan
+    (operators/prefixsum.py) — no row-level single-partition window, the
+    plan shape is pytest-asserted — and the oracle recomputes it as one
+    global SQL window; both must agree byte-for-byte."""
+    from web_crawler_spark.operators import prefixsum as PS
+
+    d = _t(spark, sf_dir, "documents")
+    return PS.shard_pack(d, target_bytes=8192, n_partitions=16).orderBy("doc_id")
+
+
+_SQL_SHARD_PACK = """
+WITH b AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
+), c AS (
+  SELECT doc_id, n_bytes,
+         SUM(n_bytes) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_bytes
+  FROM b
+)
+SELECT doc_id, n_bytes, cum_bytes,
+       CAST(floor((cum_bytes - n_bytes) / 8192.0) AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id
+"""
+
+
 def _q_corpus_mix(spark, sf_dir):
     """Token-budget corpus mixing (SlimPajama/Pile-style): per-source
     budgets derived from the source id ((n % 3 + 1) × 1000 tokens —
@@ -6181,6 +6211,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_chunk_dedup": _q_chunk_dedup,
     "dd_chunk_dedup_rewrite": _q_chunk_dedup_rewrite,
     "dd_span_dedup_rewrite": _q_span_dedup_rewrite,
+    "tx_shard_pack": _q_shard_pack,
     "tx_corpus_mix": _q_corpus_mix,
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
@@ -6413,6 +6444,7 @@ _ORACLES: dict[str, str] = {
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,
     "dd_chunk_dedup_rewrite": _SQL_CHUNK_DEDUP_REWRITE,
     "dd_span_dedup_rewrite": _SQL_SPAN_DEDUP_REWRITE,
+    "tx_shard_pack": _SQL_SHARD_PACK,
     "tx_corpus_mix": _SQL_CORPUS_MIX,
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,
