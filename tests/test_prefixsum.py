@@ -53,3 +53,28 @@ def test_shard_pack_utf8_bytes_not_chars(spark):
     docs = spark.createDataFrame([(1, "héllo")], ["doc_id", "text"])
     row = PS.shard_pack(docs, target_bytes=100).collect()[0]
     assert row["n_bytes"] == 6  # é is 2 bytes
+
+
+def test_grouped_prefix_sum_matches_per_group_cumsum(spark):
+    rows = [((i * 31) % 7, i * 13 % 501, (i % 11) + 1) for i in range(501)]
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    got = {(r["g"], r["k"]): r["cum"]
+           for r in PS.prefix_sum(df, "k", "v", n_partitions=8,
+                                  partition_cols=["g"]).collect()}
+    expect, run = {}, {}
+    for g, k, v in sorted(rows):
+        run[g] = run.get(g, 0) + v
+        expect[(g, k)] = run[g]
+    assert got == expect
+
+
+def test_grouped_prefix_sum_multi_order_cols(spark):
+    rows = [(0, "b", 1, 10), (0, "a", 2, 1), (0, "a", 1, 5), (1, "a", 1, 7)]
+    df = spark.createDataFrame(rows, ["g", "o1", "o2", "v"])
+    got = {(r["g"], r["o1"], r["o2"]): r["cum"]
+           for r in PS.prefix_sum(df, ["o1", "o2"], "v", n_partitions=4,
+                                  partition_cols=["g"]).collect()}
+    assert got[(0, "a", 1)] == 5
+    assert got[(0, "a", 2)] == 6
+    assert got[(0, "b", 1)] == 16
+    assert got[(1, "a", 1)] == 7

@@ -151,13 +151,16 @@ def corpus_mix(
 
     ``budgets`` is a tiny (source, token_budget) table — broadcast joined.
 
-    Scale shape: one window partitioned by source. Source cardinality is
-    small by construction (a mix has tens of sources), so a 90%-of-corpus
-    source is a genuinely hot partition — for that regime use the
-    two-pass percentile variant ``corpus_mix_sampled`` below, which needs
-    no window at all. This exact variant is the oracle-certified
-    reference semantics; both make identical admit decisions as the
-    sampled rate → budget/total.
+    Scale shape: the per-source running total is a grouped two-level
+    scan (``operators/prefixsum.py``): range-partition on (source, ord),
+    per-physical-partition window, slim per-(source, partition) offsets
+    joined back. A 90%-of-corpus source therefore spreads over ~90% of
+    the range partitions instead of serializing through one hot
+    ``Window.partitionBy(source)`` task — the exact greedy-cut semantics
+    at any source skew. The expectation-based percentile variant
+    ``corpus_mix_sampled`` below remains for when a windowless plan is
+    preferred; both make identical admit decisions as the sampled
+    rate → budget/total.
 
     ``token_counter``: the unit the budgets are denominated in —
     ``"ws"`` (whitespace proxy, a Column expression, stays in codegen) or
@@ -166,16 +169,16 @@ def corpus_mix(
     produce the same (doc_id, source, n_tokens) frame, so everything
     downstream — window, greedy cut, oracle semantics — is identical.
     """
+    from .prefixsum import prefix_sum
+
     toks = _token_frame(df, text_col, id_col, source_col, token_counter).withColumn(
         "__ord",
         F.md5(F.concat(F.lit(order_seed), F.lit(":"), F.col("doc_id").cast("string"))),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("__ord", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = prefix_sum(
+        toks, ["__ord", "doc_id"], "n_tokens",
+        out_col="cum_tokens", partition_cols=["source"],
     )
-    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     dim = F.broadcast(
         budgets.select(
             F.col(source_col).alias("source"),
