@@ -4474,6 +4474,37 @@ FROM c ORDER BY doc_id
 """
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis 2006
+    A-Res): 50 documents drawn with probability proportional to byte
+    length, deterministic (md5-derived uniforms, no RNG state) — the
+    quality-weighted corpus subsample as a scan + TakeOrderedAndProject,
+    never a global sort. The exact selected set is certified."""
+    from web_crawler_spark.functions import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").cast("bigint").alias("weight")
+    )
+    return SAMP.weighted_sample(d, 50, "weight").orderBy("doc_id")
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS weight
+  FROM documents WHERE strlen(text) > 0
+), keyed AS (
+  SELECT doc_id, weight,
+         pow(TRY_CAST(concat('0x', substr(md5(concat('ws:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967295.0,
+             1.0 / weight) AS es_key
+  FROM w
+), pick AS (
+  SELECT doc_id, weight FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50
+)
+SELECT doc_id, weight FROM pick ORDER BY doc_id
+"""
+
+
 def _q_corpus_mix(spark, sf_dir):
     """Token-budget corpus mixing (SlimPajama/Pile-style): per-source
     budgets derived from the source id ((n % 3 + 1) × 1000 tokens —
@@ -6212,6 +6243,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_chunk_dedup_rewrite": _q_chunk_dedup_rewrite,
     "dd_span_dedup_rewrite": _q_span_dedup_rewrite,
     "tx_shard_pack": _q_shard_pack,
+    "tx_weighted_sample": _q_weighted_sample,
     "tx_corpus_mix": _q_corpus_mix,
     "crawl_snapshot_asof": _q_snapshot_asof,
     "crawl_change_detection": _q_change_detection,
@@ -6445,6 +6477,7 @@ _ORACLES: dict[str, str] = {
     "dd_chunk_dedup_rewrite": _SQL_CHUNK_DEDUP_REWRITE,
     "dd_span_dedup_rewrite": _SQL_SPAN_DEDUP_REWRITE,
     "tx_shard_pack": _SQL_SHARD_PACK,
+    "tx_weighted_sample": _SQL_WEIGHTED_SAMPLE,
     "tx_corpus_mix": _SQL_CORPUS_MIX,
     "crawl_snapshot_asof": _SQL_SNAPSHOT_ASOF,
     "crawl_change_detection": _SQL_CHANGE_DETECTION,

@@ -63,3 +63,49 @@ def stratified_sample(
         salt,
     )
     return df.filter(b < int(round(fraction * 100)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted random sampling without replacement, deterministic —
+    Efraimidis & Spirakis 2006 (A-Res): each record draws a stable
+    uniform u from md5(salt || key) and competes with key u^(1/w);
+    the k largest keys are the sample. P(selected) is proportional to
+    weight without ever materializing a global sort: the plan is a scan
+    + per-partition top-k (TakeOrderedAndProject), exactly the shape a
+    100 TB quality-weighted corpus subsample needs.
+
+    u is integer-derived (first 8 md5 hex digits / 2^32) so any engine
+    reproduces the identical draw; w <= 0 rows are excluded (their
+    selection probability is 0 by definition). Ties on (u^(1/w)) break
+    by key for full determinism.
+
+    Returns the sampled rows with their ``__es_key`` dropped — the output
+    is input-schema-shaped, ordered by nothing (a sample, not a rank).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(0xFFFFFFFF))
+    )
+    w = F.col(weight_col).cast("double")
+    es_key = F.pow(u, 1.0 / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("__es_key", es_key)
+        .orderBy(F.col("__es_key").desc(), F.col(key_col))
+        .limit(int(k))
+        .drop("__es_key")
+    )
