@@ -3019,6 +3019,57 @@ FROM events WHERE event_id < 1200 ORDER BY url
 """
 
 
+def _q_video_meta(spark, sf_dir):
+    """REAL ISO-BMFF (MP4) header decode: honest ftyp+moov(mvhd+trak(tkhd))
+    box trees with timescale/duration/dims/track-count derived from
+    event_id, corrupt bytes every 9th row; ground-truth-by-construction
+    oracle (the planted arithmetic, incl. the (dur*1000)//ts floor)."""
+    from web_crawler_spark.multimodal import binaryops as MM
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1200)
+    slim = e.select("event_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for k in pdf["event_id"]:
+                k = int(k)
+                urls.append(f"mp4://{k}")
+                if k % 9 == 0:
+                    blobs.append(b"\x00\x00corrupt" + k.to_bytes(4, "big"))
+                else:
+                    blobs.append(MM.mp4_bytes(
+                        500 * (1 + k % 2), 100 + k % 4000,
+                        160 + k % 320, 90 + k % 180, n_tracks=1 + k % 3,
+                    ))
+            yield pd.DataFrame({"url": urls, "payload": blobs})
+
+    blobs = slim.mapInPandas(gen, "url string, payload binary")
+    return MM.video_metadata(blobs).orderBy("url")
+
+
+_SQL_VIDEO_META = """
+SELECT concat('mp4://', CAST(event_id AS VARCHAR)) AS url,
+       CASE WHEN event_id % 9 = 0 THEN 'unknown' ELSE 'mp4' END AS format,
+       CASE WHEN event_id % 9 = 0 THEN NULL ELSE 'isom' END AS brand,
+       CASE WHEN event_id % 9 = 0 THEN NULL
+            ELSE CAST(500 * (1 + event_id % 2) AS INT) END AS timescale,
+       CASE WHEN event_id % 9 = 0 THEN NULL
+            ELSE CAST(floor((100 + event_id % 4000) * 1000.0
+                            / (500 * (1 + event_id % 2))) AS BIGINT)
+       END AS duration_ms,
+       CASE WHEN event_id % 9 = 0 THEN NULL
+            ELSE CAST(160 + event_id % 320 AS INT) END AS width,
+       CASE WHEN event_id % 9 = 0 THEN NULL
+            ELSE CAST(90 + event_id % 180 AS INT) END AS height,
+       CASE WHEN event_id % 9 = 0 THEN NULL
+            ELSE CAST(1 + event_id % 3 AS INT) END AS n_tracks
+FROM events WHERE event_id < 1200 ORDER BY url
+"""
+
+
 def _q_dataset_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split, stratification
     audited per language — re-running the pipeline must land every doc in
@@ -6226,6 +6277,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_binary_metadata": _q_binary_metadata,
     "mm_image_dims": _q_image_dims,
     "mm_audio_meta": _q_audio_meta,
+    "mm_video_meta": _q_video_meta,
     "st_stateful_politeness": _q_stateful_politeness,
     "st_stateful_seen": _q_stateful_seen,
     "a8_frontier_telemetry": _q_frontier_telemetry,
@@ -6448,6 +6500,7 @@ _ORACLES: dict[str, str] = {
     "mm_binary_metadata": _SQL_BINARY_METADATA,
     "mm_image_dims": _SQL_IMAGE_DIMS,
     "mm_audio_meta": _SQL_AUDIO_META,
+    "mm_video_meta": _SQL_VIDEO_META,
     "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
     "st_stateful_seen": _SQL_STATEFUL_SEEN,
     "a8_frontier_telemetry": _SQL_FRONTIER_TELEMETRY,

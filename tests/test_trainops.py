@@ -791,3 +791,44 @@ def test_wav_header_decode(spark):
     # odd-sized chunk padding honored by the chunk walk
     blob = wav_bytes(1, 8000, 8, 3)  # 3-byte data chunk -> pad byte
     assert parse_wav_meta(blob + b"")[4] == 3
+
+
+def test_mp4_header_decode(spark):
+    import struct
+
+    from web_crawler_spark.multimodal.binaryops import (
+        mp4_bytes,
+        parse_mp4_meta,
+        video_metadata,
+    )
+
+    rows = [("v1", mp4_bytes(600, 1500, 320, 180)),
+            ("v2", mp4_bytes(1000, 90_000, 1920, 1080, n_tracks=3)),
+            ("v3", b"\x00\x00\x00\x08ftyp"),           # truncated ftyp
+            ("v4", b"not a video at all"),
+            ("v5", None)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in video_metadata(df).collect()}
+    v1 = got["v1"]
+    assert (v1["format"], v1["brand"], v1["timescale"], v1["duration_ms"],
+            v1["width"], v1["height"], v1["n_tracks"]) == (
+        "mp4", "isom", 600, 2500, 320, 180, 1)
+    v2 = got["v2"]
+    assert (v2["duration_ms"], v2["width"], v2["n_tracks"]) == (90_000, 1920, 3)
+    assert got["v3"]["format"] == "unknown"
+    assert got["v4"]["format"] == "unknown"
+    assert got["v5"]["format"] == "unknown" and got["v5"]["width"] is None
+    # mvhd version-1 layout (64-bit duration) parses too
+    mvhd_v1 = (b"\x01" + bytes(3) + bytes(16)
+               + struct.pack(">IQ", 24_000, 48_000_000))
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+    blob = (box(b"ftyp", b"mp42" + bytes(4) + b"mp42")
+            + box(b"moov", box(b"mvhd", mvhd_v1 + bytes(60))))
+    fmt, brand, ts, dms, w, h, nt = parse_mp4_meta(blob)
+    assert (fmt, brand, ts, dms, nt) == ("mp4", "mp42", 24_000, 2_000_000, 0)
+    # size==0 (box extends to EOF) accepted on the trailing box
+    moov_payload = box(b"mvhd", mvhd_v1 + bytes(60))
+    blob_eof = (box(b"ftyp", b"mp42" + bytes(4) + b"mp42")
+                + b"\x00\x00\x00\x00moov" + moov_payload)
+    assert parse_mp4_meta(blob_eof)[2] == 24_000

@@ -304,3 +304,136 @@ def wav_bytes(channels: int, sample_rate: int, bits: int, n_frames: int) -> byte
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_tracks", T.IntegerType()),
+    ]
+)
+
+
+def parse_mp4_meta(b: bytes):
+    """(format, brand, timescale, duration_ms, width, height, n_tracks)
+    from an ISO-BMFF (MP4, ISO 14496-12) box tree: ftyp major brand,
+    moov/mvhd timescale+duration (v0 and v1 layouts), the first trak's
+    tkhd 16.16 fixed-point presentation dimensions, trak count. Handles
+    32-bit, 64-bit (size==1 largesize) and to-end-of-file (size==0)
+    boxes. Stdlib-only, header bytes only, never raises — anything
+    unparseable returns ('unknown', None×6)."""
+    unknown = ("unknown", None, None, None, None, None, None)
+    try:
+        def boxes(lo, hi):
+            i = lo
+            while i + 8 <= hi:
+                size = int.from_bytes(b[i:i + 4], "big")
+                typ = b[i + 4:i + 8]
+                if size == 1:
+                    if i + 16 > hi:
+                        return
+                    size = int.from_bytes(b[i + 8:i + 16], "big")
+                    body = i + 16
+                elif size == 0:
+                    size = hi - i
+                    body = i + 8
+                else:
+                    body = i + 8
+                if size < 8 or i + size > hi:
+                    return
+                yield typ, body, i + size
+                i += size
+
+        brand = ts = dur = w = h = None
+        n_tracks = 0
+        for typ, lo, hi in boxes(0, len(b)):
+            if typ == b"ftyp" and hi - lo >= 4:
+                brand = b[lo:lo + 4].decode("ascii", "replace").strip()
+            elif typ == b"moov":
+                for t2, lo2, hi2 in boxes(lo, hi):
+                    if t2 == b"mvhd" and hi2 - lo2 >= 20:
+                        if b[lo2] == 1 and hi2 - lo2 >= 32:   # version 1
+                            ts = int.from_bytes(b[lo2 + 20:lo2 + 24], "big")
+                            dur = int.from_bytes(b[lo2 + 24:lo2 + 32], "big")
+                        else:                                  # version 0
+                            ts = int.from_bytes(b[lo2 + 12:lo2 + 16], "big")
+                            dur = int.from_bytes(b[lo2 + 16:lo2 + 20], "big")
+                    elif t2 == b"trak":
+                        n_tracks += 1
+                        for t3, lo3, hi3 in boxes(lo2, hi2):
+                            need = 96 if b[lo3:lo3 + 1] == b"\x01" else 84
+                            if t3 == b"tkhd" and w is None and hi3 - lo3 >= need:
+                                off = lo3 + (need - 8)
+                                wv = int.from_bytes(b[off:off + 4], "big") >> 16
+                                hv = int.from_bytes(b[off + 4:off + 8], "big") >> 16
+                                if wv and hv:
+                                    w, h = wv, hv
+        if brand is not None and ts:
+            dms = (dur * 1000) // ts if dur is not None else None
+            return ("mp4", brand, ts, dms, w, h, n_tracks)
+    except Exception:
+        pass
+    return unknown
+
+
+def video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched ISO-BMFF header scan → (url, format, brand,
+    timescale, duration_ms, width, height, n_tracks); header bytes only,
+    corrupt payloads null-route (the F5 error-isolation discipline)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("format", "brand", "timescale", "duration_ms",
+                     "width", "height", "n_tracks")}
+            for payload in pdf[payload_col]:
+                fmt, br, ts, dms, w, h, nt = parse_mp4_meta(bytes(payload or b""))
+                cols["format"].append(fmt)
+                cols["brand"].append(br)
+                cols["timescale"].append(ts)
+                cols["duration_ms"].append(dms)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_tracks"].append(nt)
+            yield pd.DataFrame(
+                {"url": pdf["url"],
+                 "format": cols["format"],
+                 "brand": cols["brand"],
+                 "timescale": pd.array(cols["timescale"], dtype="Int32"),
+                 "duration_ms": pd.array(cols["duration_ms"], dtype="Int64"),
+                 "width": pd.array(cols["width"], dtype="Int32"),
+                 "height": pd.array(cols["height"], dtype="Int32"),
+                 "n_tracks": pd.array(cols["n_tracks"], dtype="Int32")}
+            )
+
+    return df.select("url", payload_col).mapInPandas(gen, VIDEO_META_SCHEMA)
+
+
+def mp4_bytes(timescale: int, duration: int, width: int, height: int,
+              n_tracks: int = 1, brand: bytes = b"isom") -> bytes:
+    """Minimal VALID ISO-BMFF: ftyp + moov(mvhd v0 + n_tracks × trak(tkhd
+    v0)) — every field at its ISO 14496-12 offset, zero-filled where the
+    parser has no use for it."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = (bytes(4)                       # version 0 + flags
+            + bytes(8)                     # ctime/mtime
+            + struct.pack(">II", timescale, duration)
+            + bytes(80))                   # rate..next_track_id
+    tkhd = (bytes(4) + bytes(8) + bytes(4) + bytes(4) + bytes(4)
+            + bytes(8) + bytes(8)          # reserved/layer/alt/volume
+            + bytes(36)                    # identity-omitted matrix
+            + struct.pack(">II", width << 16, height << 16))
+    trak = box(b"trak", box(b"tkhd", tkhd))
+    moov = box(b"moov", box(b"mvhd", mvhd) + trak * n_tracks)
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    return ftyp + moov
