@@ -241,3 +241,28 @@ def test_warc_revisit_records_dedup_and_resolve(spark, tmp_path):
     assert all(r["payload"] == b"" for r in back if r["warc_type"] == "revisit")
     assert {bytes(r["payload"]) for r in back if r["warc_type"] == "response"} \
         == {b"same body", b"changed body"}
+
+
+def test_chunked_transfer_encoding_decoded():
+    from web_crawler_spark.sources.warc import parse_warc
+
+    body = (b"4\r\nWiki\r\n7\r\npedia i\r\nB\r\nn chunks.\r\n\r\n"
+            b"0\r\nX-Trailer: v\r\n\r\n")
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + body)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://e.com/\r\n"
+           b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    rows = parse_warc(rec)
+    assert rows[0]["payload"] == b"Wikipedia in chunks.\r\n"
+
+
+def test_chunked_bad_framing_returns_raw():
+    from web_crawler_spark.sources.warc import _dechunk
+
+    assert _dechunk(b"ZZ\r\nnot hex") == b"ZZ\r\nnot hex"
+    assert _dechunk(b"5\r\nab") == b"5\r\nab"          # truncated
+    assert _dechunk(b"4;ext=1\r\nWiki\r\n0\r\n\r\n") == b"Wiki"

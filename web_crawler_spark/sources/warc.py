@@ -53,9 +53,34 @@ def _gunzip_bounded(data: bytes, max_bytes: int) -> bytes:
     return b"".join(out)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked entity body (RFC 9112 §7.1):
+    hex size line (chunk extensions after ';' ignored) + CRLF + data +
+    CRLF, terminated by a 0-size chunk (trailer section dropped). Real
+    Common-Crawl WARCs store the raw response bytes, so chunked bodies
+    appear verbatim. On any framing violation the ORIGINAL bytes are
+    returned — better a raw-but-present payload than a dropped record."""
+    out, i, n = [], 0, len(body)
+    try:
+        while True:
+            eol = body.index(b"\r\n", i)
+            size = int(body[i:eol].split(b";", 1)[0].strip() or b"0", 16)
+            i = eol + 2
+            if size == 0:
+                return b"".join(out)
+            if i + size + 2 > n or body[i + size:i + size + 2] != b"\r\n":
+                return body
+            out.append(body[i:i + size])
+            i += size + 2
+    except (ValueError, IndexError):
+        return body
+
+
 def _split_http_payload(payload: bytes):
     """HTTP message → (status code or None, entity body). Tolerates a
-    missing header block (returns the payload unchanged)."""
+    missing header block (returns the payload unchanged); chunked
+    transfer coding is decoded so downstream text extraction sees the
+    entity bytes, not the wire framing."""
     if not payload.startswith(b"HTTP/"):
         return None, payload
     cut = payload.find(b"\r\n\r\n")
@@ -66,7 +91,12 @@ def _split_http_payload(payload: bytes):
     first = head.split("\r\n", 1)[0].split()
     if len(first) >= 2 and first[1].isdigit():
         status = int(first[1])
-    return status, payload[cut + 4 :]
+    body = payload[cut + 4 :]
+    for line in head.lower().split("\r\n")[1:]:
+        if line.startswith("transfer-encoding") and "chunked" in line:
+            body = _dechunk(body)
+            break
+    return status, body
 
 
 def parse_warc(data: bytes, max_bytes: int = MAX_WARC_BYTES) -> list[dict]:
