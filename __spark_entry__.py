@@ -850,6 +850,60 @@ FROM ranked
 """
 
 
+def _q_host_budget_waterfill(spark, sf_dir):
+    """Max-min fair per-epoch fetch budgets over the same deliberately
+    skewed frontier as a8_frontier_gini (hot host h0 ~5x the tail):
+    capacity 3000 < total demand, so the waterfill both fully serves the
+    small hosts and splits the remainder over the big ones — exact
+    integer semantics, remainder to the lowest-ranked unsatisfied
+    hosts. Running totals come from the grouped two-level scan, never a
+    single-partition row window."""
+    from web_crawler_spark.operators.aggregate import host_budget_waterfill
+
+    e = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("event_id") % 5 == 0, 0).otherwise(F.col("user_id") % 20)
+    frontier = e.select(F.concat(F.lit("h"), hot.cast("string")).alias("host"))
+    demands = frontier.groupBy("host").agg(F.count(F.lit(1)).alias("demand"))
+    return host_budget_waterfill(demands, capacity=3000).orderBy("host")
+
+
+_SQL_HOST_BUDGET_WATERFILL = """
+WITH frontier AS (
+  SELECT concat('h', CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                               ELSE user_id % 20 END AS VARCHAR)) AS host
+  FROM events
+), d AS (
+  SELECT host, COUNT(*) AS demand FROM frontier GROUP BY host
+), r AS (
+  SELECT host, demand,
+         ROW_NUMBER() OVER (ORDER BY demand, host) AS k,
+         SUM(demand) OVER (ORDER BY demand, host
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         COUNT(*) OVER () AS n
+  FROM d
+), s AS (
+  SELECT host, demand, k, p, n,
+         (demand * (n - k + 1) + (p - demand)) <= 3000 AS satisfied
+  FROM r
+), lvl AS (
+  SELECT COALESCE(MAX(CASE WHEN satisfied THEN k END), 0) AS bigk,
+         COALESCE(MAX(CASE WHEN satisfied THEN p END), 0) AS pk,
+         MAX(n) AS n2
+  FROM s
+)
+SELECT s.host,
+       CAST(s.demand AS BIGINT) AS demand,
+       CAST(CASE WHEN s.satisfied THEN s.demand
+                 ELSE CAST(floor((3000 - lvl.pk) * 1.0 / (lvl.n2 - lvl.bigk)) AS BIGINT)
+                      + CASE WHEN s.k - lvl.bigk <= (3000 - lvl.pk) % (lvl.n2 - lvl.bigk)
+                             THEN 1 ELSE 0 END
+            END AS BIGINT) AS budget,
+       s.satisfied
+FROM s, lvl
+ORDER BY s.host
+"""
+
+
 def _q_anti_join_seen(spark, sf_dir):
     f = _frontier_df(spark, sf_dir).withColumn("url_hash", F.md5("url"))
     e = _t(spark, sf_dir, "events")
@@ -6282,6 +6336,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_stateful_seen": _q_stateful_seen,
     "a8_frontier_telemetry": _q_frontier_telemetry,
     "a8_frontier_gini": _q_frontier_gini,
+    "f2_host_budget_waterfill": _q_host_budget_waterfill,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6505,6 +6560,7 @@ _ORACLES: dict[str, str] = {
     "st_stateful_seen": _SQL_STATEFUL_SEEN,
     "a8_frontier_telemetry": _SQL_FRONTIER_TELEMETRY,
     "a8_frontier_gini": _SQL_FRONTIER_GINI,
+    "f2_host_budget_waterfill": _SQL_HOST_BUDGET_WATERFILL,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

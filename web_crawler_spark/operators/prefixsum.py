@@ -28,15 +28,17 @@ from pyspark.sql import functions as F
 def prefix_sum(
     df: DataFrame,
     order_cols: str | list[str],
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
     n_partitions: int = 64,
     partition_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
-    """Exact inclusive prefix sum of ``value_col`` over the total order
-    given by ``order_cols`` — per group when ``partition_cols`` is set.
-    ``(partition_cols, order_cols)`` must be unique per row: ties could
-    split across range-partition boundaries and make the order ambiguous.
+    """Exact inclusive prefix sum of ``value_col`` (or several — pass
+    parallel lists of value/out names; they share the one scan) over the
+    total order given by ``order_cols`` — per group when
+    ``partition_cols`` is set. ``(partition_cols, order_cols)`` must be
+    unique per row: ties could split across range-partition boundaries
+    and make the order ambiguous.
 
     Returns the input columns plus ``out_col``. Scale shape: one range
     exchange of the slim input on ``(partition_cols…, order_cols…)`` +
@@ -52,6 +54,10 @@ def prefix_sum(
     """
     if isinstance(order_cols, str):
         order_cols = [order_cols]
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(outs):
+        raise ValueError("value_col and out_col lists must align")
     ocols = list(order_cols)
     pcols = list(partition_cols)
     keys = pcols + ["__part"]
@@ -67,9 +73,11 @@ def prefix_sum(
         .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("__local_cum", F.sum(value_col).over(w_local))
+    local = ranged
+    for i, v in enumerate(vcols):
+        local = local.withColumn(f"__local_cum{i}", F.sum(v).over(w_local))
     totals = ranged.groupBy(*keys).agg(
-        F.sum(value_col).alias("__part_sum"),
+        *[F.sum(v).alias(f"__part_sum{i}") for i, v in enumerate(vcols)],
         F.min(F.struct(*ocols)).alias("__part_min"),
     )
     w_parts = (
@@ -79,15 +87,20 @@ def prefix_sum(
     )
     offsets = totals.select(
         *keys,
-        (F.sum("__part_sum").over(w_parts) - F.col("__part_sum")).alias("__offset"),
+        *[
+            (F.sum(f"__part_sum{i}").over(w_parts) - F.col(f"__part_sum{i}"))
+            .alias(f"__offset{i}")
+            for i in range(len(vcols))
+        ],
     )
     if not pcols:
         offsets = F.broadcast(offsets)
-    return (
-        local.join(offsets, keys)
-        .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
-        .drop("__part", "__local_cum", "__offset")
-    )
+    out = local.join(offsets, keys)
+    drop = ["__part"]
+    for i, name in enumerate(outs):
+        out = out.withColumn(name, F.col(f"__local_cum{i}") + F.col(f"__offset{i}"))
+        drop += [f"__local_cum{i}", f"__offset{i}"]
+    return out.drop(*drop)
 
 
 def shard_pack(
