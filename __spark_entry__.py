@@ -850,6 +850,59 @@ FROM ranked
 """
 
 
+def _q_soft_404(spark, sf_dir):
+    """Soft-404 gate (Bar-Yossef et al. 2004): synthetic fetch results
+    with planted error pages — every 7th page says "not found" under a
+    200, every 11th is a thin redirect stub on an /404 URL, every 13th
+    is an honest 404 status (NOT soft). Flags are pure column
+    expressions; the oracle recomputes them from the planted
+    arithmetic."""
+    from web_crawler_spark.operators.urlfilter import soft_404_flags
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.col("event_id")
+    host = F.concat(F.lit("https://h"), (k % 20).cast("string"), F.lit(".example.com"))
+    url = F.when(k % 11 == 0, F.concat(host, F.lit("/404"))).otherwise(
+        F.concat(host, F.lit("/p/x"), k.cast("string"))
+    )
+    status = F.when(k % 13 == 0, F.lit(404)).otherwise(F.lit(200)).cast("int")
+    filler = F.repeat(F.lit("content word "), 20)
+    text = (
+        F.when(k % 7 == 0, F.concat(F.lit("Sorry, page not found. "), filler))
+        .when(k % 11 == 0, F.lit("gone"))
+        .otherwise(F.concat(F.lit("Article "), k.cast("string"), F.lit(" "), filler))
+    )
+    pages = e.select(
+        k.alias("event_id"), url.alias("url"),
+        status.alias("http_status"), text.alias("text"),
+    )
+    return (
+        soft_404_flags(pages)
+        .select("event_id", "url", "http_status",
+                "flag_error_text", "flag_thin", "flag_error_url", "soft_404")
+        .orderBy("event_id")
+    )
+
+
+_SQL_SOFT_404 = """
+WITH pages AS (
+  SELECT event_id,
+         CASE WHEN event_id % 11 = 0
+              THEN concat('https://h', CAST(event_id % 20 AS VARCHAR), '.example.com/404')
+              ELSE concat('https://h', CAST(event_id % 20 AS VARCHAR),
+                          '.example.com/p/x', CAST(event_id AS VARCHAR)) END AS url,
+         CAST(CASE WHEN event_id % 13 = 0 THEN 404 ELSE 200 END AS INT) AS http_status
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id, url, http_status,
+       http_status = 200 AND event_id % 7 = 0 AS flag_error_text,
+       http_status = 200 AND event_id % 7 <> 0 AND event_id % 11 = 0 AS flag_thin,
+       http_status = 200 AND event_id % 11 = 0 AS flag_error_url,
+       http_status = 200 AND (event_id % 7 = 0 OR event_id % 11 = 0) AS soft_404
+FROM pages ORDER BY event_id
+"""
+
+
 def _q_host_budget_waterfill(spark, sf_dir):
     """Max-min fair per-epoch fetch budgets over the same deliberately
     skewed frontier as a8_frontier_gini (hot host h0 ~5x the tail):
@@ -3934,7 +3987,7 @@ def _q_wat_export(spark, sf_dir):
 _SQL_WAT_EXPORT = """
 WITH base AS (
   SELECT concat('https://host', CAST(user_id % 20 AS VARCHAR),
-                '.example.com/p/', CAST(event_id AS VARCHAR)) AS url,
+                '.example.com/p/x', CAST(event_id AS VARCHAR)) AS url,
          TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
          event_id
   FROM events
@@ -6337,6 +6390,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_frontier_telemetry": _q_frontier_telemetry,
     "a8_frontier_gini": _q_frontier_gini,
     "f2_host_budget_waterfill": _q_host_budget_waterfill,
+    "url_soft_404": _q_soft_404,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6561,6 +6615,7 @@ _ORACLES: dict[str, str] = {
     "a8_frontier_telemetry": _SQL_FRONTIER_TELEMETRY,
     "a8_frontier_gini": _SQL_FRONTIER_GINI,
     "f2_host_budget_waterfill": _SQL_HOST_BUDGET_WATERFILL,
+    "url_soft_404": _SQL_SOFT_404,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

@@ -175,3 +175,24 @@ def test_dust_param_mining_and_strip(spark):
         "https://s.com/a/1",          # empty query drops the '?'
         "https://s.com/plain",
     ]
+
+
+def test_soft_404_detection(spark):
+    from web_crawler_spark.operators.urlfilter import soft_404_flags
+
+    long_pad = " real article content" * 30
+    rows = [
+        (1, "https://e.com/a", 200, "Welcome!" + long_pad),           # clean
+        (2, "https://e.com/b", 200, "Sorry, this page was not found." + long_pad),
+        (3, "https://e.com/404", 200, "redirected"),                  # thin + error URL
+        (4, "https://e.com/c", 404, "page not found"),                # REAL 404: not soft
+        (5, "https://e.com/d", 200, "Error 404 - not found"),
+        (6, "https://e.com/e", 200,
+         long_pad + " the history of HTTP: in 1990 the 404 code was introduced"
+         + " as part of the status registry" + " pad" * 600
+         ),                                       # prose MENTION of 404, not error phrasing
+        (7, "https://e.com/f", 200, "This article no longer exists" + long_pad),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "http_status", "text"])
+    got = {r["doc_id"]: r["soft_404"] for r in soft_404_flags(df).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: False, 5: True, 6: False, 7: True}

@@ -306,3 +306,55 @@ def strip_params(
         F.size(kept) == 0, path_base
     ).otherwise(F.concat(path_base, F.lit("?"), F.array_join(kept, "&")))
     return frontier.withColumn(out_col, rebuilt)
+
+
+def soft_404_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    status_col: str = "http_status",
+    url_col: str = "url",
+    min_bytes: int = 120,
+) -> DataFrame:
+    """Soft-404 detection: pages that return HTTP 200 but ARE error pages
+    (Bar-Yossef et al. 2004 "Sic transit gloria telae" — the dead-link
+    study that named the problem). A real crawl archives and dedups
+    these as if they were content, poisoning both the index and any
+    training corpus built from it; a 200 is a claim, not a fact.
+
+    Signals (pure column expressions, zero shuffle):
+    - ``flag_error_text``: not-found phrasing near the top of the body
+      ("page not found", "404", "no longer available", "does not
+      exist"…), case-insensitive, checked on the first 2000 chars so a
+      legitimate article MENTIONING 404s deep in its text is not hit;
+    - ``flag_thin``: entity body under ``min_bytes`` UTF-8 bytes — error
+      stubs are near-empty;
+    - ``flag_error_url``: the final URL itself is an error/landing page
+      (/404, /not-found, /error…) — the redirect-to-error pattern.
+
+    ``soft_404`` = status 200 AND (error text OR (thin AND error URL) OR
+    (thin AND error text)) collapses to: error text, or thin+error URL.
+    Returns the input plus the three signal flags and the verdict —
+    a gate for the ingest path, not a mutation.
+    """
+    status_200 = F.col(status_col) == 200
+    head = F.lower(F.substring(F.col(text_col).cast("string"), 1, 2000))
+    error_text = (
+        head.rlike(
+            r"(page|file|document|article)\s+(was\s+)?not\s+found"
+            r"|\b404\b[^0-9]{0,40}(error|not\s+found)"
+            r"|(error|oops)[^a-z0-9]{0,20}404"
+            r"|no\s+longer\s+(available|exists)"
+            r"|(page|url)\s+(does\s+not|doesn.?t)\s+exist"
+        )
+    )
+    thin = F.octet_length(F.col(text_col).cast("string")) < min_bytes
+    error_url = F.lower(F.col(url_col)).rlike(
+        r"/(404|not[-_]?found|error)([/.?#]|$)"
+    )
+    return df.select(
+        "*",
+        (status_200 & error_text).alias("flag_error_text"),
+        (status_200 & thin).alias("flag_thin"),
+        (status_200 & error_url).alias("flag_error_url"),
+        (status_200 & (error_text | (thin & error_url))).alias("soft_404"),
+    )
