@@ -76,6 +76,12 @@ HEADLINE = [
     "tx_ngram_repetition",
     "ann_pq_topk",
     "tx_pack_sequences",
+    # round-3 close: exact substring dedup over overlapping windows
+    # (Lee et al. ExactSubstr — the heaviest honest dedup gate: per-token
+    # gram fingerprints through one slim window) and byte-balanced shard
+    # packing (the two-level distributed prefix scan)
+    "dd_span_dedup_rewrite",
+    "tx_shard_pack",
 ]
 
 
