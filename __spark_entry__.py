@@ -850,6 +850,34 @@ FROM ranked
 """
 
 
+def _q_exact_quantiles(spark, sf_dir):
+    """EXACT p50/p90/p99 of order totals — distributed rank via the
+    two-level prefix scan + broadcast equi-join on the target ranks; no
+    approx_percentile error, no single-partition global sort. The oracle
+    recomputes the same inverse-CDF ranks with a SQL window."""
+    from web_crawler_spark.operators.aggregate import exact_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    return exact_quantiles(
+        o, "o_totalprice", [0.5, 0.9, 0.99], id_col="o_orderkey"
+    ).orderBy("q")
+
+
+_SQL_EXACT_QUANTILES = """
+WITH r AS (
+  SELECT o_totalprice AS value,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rank,
+         COUNT(*) OVER () AS n
+  FROM orders
+), t AS (
+  SELECT unnest([0.5, 0.9, 0.99]) AS q
+)
+SELECT t.q, CAST(r.n AS BIGINT) AS n, CAST(r.rank AS BIGINT) AS rank, r.value
+FROM t JOIN r ON r.rank = GREATEST(1, CAST(ceil(t.q * r.n) AS BIGINT))
+ORDER BY t.q
+"""
+
+
 def _q_soft_404(spark, sf_dir):
     """Soft-404 gate (Bar-Yossef et al. 2004): synthetic fetch results
     with planted error pages — every 7th page says "not found" under a
@@ -6391,6 +6419,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_frontier_gini": _q_frontier_gini,
     "f2_host_budget_waterfill": _q_host_budget_waterfill,
     "url_soft_404": _q_soft_404,
+    "a10_exact_quantiles": _q_exact_quantiles,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6616,6 +6645,7 @@ _ORACLES: dict[str, str] = {
     "a8_frontier_gini": _SQL_FRONTIER_GINI,
     "f2_host_budget_waterfill": _SQL_HOST_BUDGET_WATERFILL,
     "url_soft_404": _SQL_SOFT_404,
+    "a10_exact_quantiles": _SQL_EXACT_QUANTILES,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

@@ -65,3 +65,19 @@ def test_remainder_spread_deterministic(spark):
     )
     rows = {r["host"]: r["budget"] for r in host_budget_waterfill(df, 10).collect()}
     assert rows == {"a": 4, "b": 3, "c": 3}
+
+
+def test_exact_quantiles_match_sorted_reference(spark):
+    from web_crawler_spark.operators.aggregate import exact_quantiles
+
+    vals = [((i * 37) % 101) * 1.5 for i in range(1009)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["rid", "v"]
+    )
+    got = {r["q"]: (r["rank"], r["value"]) for r in
+           exact_quantiles(df, "v", [0.5, 0.9, 0.99, 1.0], "rid").collect()}
+    s = sorted(vals)
+    import math
+    for q in (0.5, 0.9, 0.99, 1.0):
+        target = max(1, math.ceil(q * len(s)))
+        assert got[q] == (target, s[target - 1])

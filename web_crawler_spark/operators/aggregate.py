@@ -271,3 +271,50 @@ def host_budget_waterfill(
         budget.cast("bigint").alias("budget"),
         F.col("__is_sat").alias("satisfied"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    id_col: str,
+    n_partitions: int = 64,
+) -> DataFrame:
+    """EXACT quantiles of a column, distributed — p50/p95/p99 telemetry
+    (fetch latency, page bytes, tokens/doc) without ``approx_percentile``
+    error bars and without the single-partition global sort an
+    ``ORDER BY + row_number`` plan costs. The rank of every row comes
+    from the two-level scan (``operators/prefixsum.py``) over
+    (value, id); each requested quantile q picks the row at rank
+    ``max(1, ceil(q·n))`` (inverse empirical CDF, the quantile_disc
+    convention) via a broadcast equi-join on rank — so the full data
+    crosses one range exchange, slim, and nothing else.
+
+    ``id_col`` breaks value ties into the total order the scan needs;
+    which of several EQUAL values lands at the target rank is then
+    irrelevant to the answer. Returns (q, n, rank, value) per quantile.
+    """
+    from .prefixsum import prefix_sum
+
+    slim = df.select(
+        F.col(value_col).alias("value"), F.col(id_col).alias("__id")
+    ).withColumn("__one", F.lit(1).cast("bigint"))
+    ranked = prefix_sum(
+        slim, ["value", "__id"], "__one", out_col="rank",
+        n_partitions=n_partitions,
+    )
+    n_row = ranked.agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        n_row.select(
+            "n", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+        )
+        .select(
+            "q", "n",
+            F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")))
+            .cast("bigint").alias("rank"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(targets), "rank")
+        .select("q", "n", "rank", "value")
+    )
