@@ -2236,6 +2236,33 @@ WHERE host IN ('h2.com', 'h3.com')            -- no robots → allowed
 # -- rows-only queries (no SQL-expressible oracle) ---------------------------
 
 
+def _q_host_distinct_hll(spark, sf_dir):
+    """Per-host distinct-URL HLL sketches (DataSketches via
+    hll_sketch_agg) over the skewed frontier, plus the cross-epoch
+    union estimate — crawl telemetry that never rescans history.
+    Rows-only: HLL estimates are engine-specific (no SQL oracle); the
+    ~2.5% error bound at lg_k=12 is pinned by pytest."""
+    from web_crawler_spark.operators.aggregate import (
+        host_distinct_sketch,
+        merge_host_sketches,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("event_id") % 5 == 0, 0).otherwise(F.col("user_id") % 20)
+    frontier = e.select(
+        F.concat(F.lit("h"), hot.cast("string")).alias("host"),
+        F.concat(F.lit("https://h"), hot.cast("string"), F.lit("/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+    )
+    sk = host_distinct_sketch(frontier).withColumn("epoch", F.lit(1))
+    return (
+        merge_host_sketches(sk)
+        .join(sk.select("host", "est_distinct"), "host")
+        .select("host", "est_distinct", "est_distinct_all_epochs")
+        .orderBy("host")
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs over documents. Honesty note on recall: the
     4×16-bit pigeonhole blocking GUARANTEES completeness only for hamming
@@ -6556,6 +6583,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs) ---
     "tx_corpus_mix_bpe": _q_corpus_mix_bpe,
     "tx_compression_ratio": _q_compression_ratio,
+    "a11_host_distinct_hll": _q_host_distinct_hll,
     "dd_simhash_pairs": _q_simhash_pairs,
     "ann_lsh_topk": _q_ann_lsh,
     "ann_pq_topk": _q_ann_pq,

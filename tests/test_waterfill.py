@@ -81,3 +81,31 @@ def test_exact_quantiles_match_sorted_reference(spark):
     for q in (0.5, 0.9, 0.99, 1.0):
         target = max(1, math.ceil(q * len(s)))
         assert got[q] == (target, s[target - 1])
+
+
+def test_hll_host_sketches_error_bound_and_merge(spark):
+    from web_crawler_spark.operators.aggregate import (
+        host_distinct_sketch,
+        merge_host_sketches,
+    )
+    import pyspark.sql.functions as F
+
+    # 3 hosts x 4000 distinct URLs, each URL seen twice
+    df = spark.range(12_000).select(
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+        F.concat(F.lit("u"), F.floor(F.col("id") / 3).cast("string"),
+                 F.lit("-"), (F.col("id") % 3).cast("string")).alias("url"),
+    )
+    df = df.unionAll(df)  # exact duplicates must not inflate the estimate
+    est = {r["host"]: r["est_distinct"]
+           for r in host_distinct_sketch(df).collect()}
+    for h in ("h0", "h1", "h2"):
+        assert abs(est[h] - 4000) / 4000 < 0.05
+    # epoch merge: two epochs with half-overlapping URL sets
+    e1 = df.filter(F.col("url").rlike("u[0-2][0-9]{0,2}-"))
+    sk1 = host_distinct_sketch(e1).withColumn("epoch", F.lit(1))
+    sk2 = host_distinct_sketch(df).withColumn("epoch", F.lit(2))
+    merged = {r["host"]: r["est_distinct_all_epochs"]
+              for r in merge_host_sketches(sk1.unionByName(sk2)).collect()}
+    for h in ("h0", "h1", "h2"):
+        assert abs(merged[h] - 4000) / 4000 < 0.05  # union ⊆ epoch-2 set

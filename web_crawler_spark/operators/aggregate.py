@@ -318,3 +318,39 @@ def exact_quantiles(
         ranked.join(F.broadcast(targets), "rank")
         .select("q", "n", "rank", "value")
     )
+
+
+def host_distinct_sketch(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable per-host distinct-URL sketches (Apache DataSketches
+    HLL via Spark's ``hll_sketch_agg``): the telemetry a long-running
+    crawl keeps PER EPOCH and unions across epochs with
+    ``merge_host_sketches`` — distinct-URLs-ever-seen per host without
+    re-scanning history or holding exact seen-sets. ~1.6%/sqrt(2^lg_k)
+    relative error (lg_k=12 → ~2.5%), a few KB per host regardless of
+    URL count.
+
+    Returns (host, sketch binary, est_distinct). Estimates are
+    engine-specific (no SQL oracle); error bounds are pinned by pytest.
+    """
+    return frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.hll_sketch_agg(F.col(url_col), F.lit(lg_k)).alias("sketch"),
+        F.round(
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.col(url_col), F.lit(lg_k)))
+        ).cast("bigint").alias("est_distinct"),
+    )
+
+
+def merge_host_sketches(per_epoch: DataFrame) -> DataFrame:
+    """Union per-epoch HLL sketches into the all-time per-host estimate —
+    the merge is the whole point of sketching: one slim agg over (host,
+    sketch) rows, never a rescan of history."""
+    return per_epoch.groupBy("host").agg(
+        F.round(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch")))
+        ).cast("bigint").alias("est_distinct_all_epochs"),
+    )
