@@ -65,3 +65,45 @@ def test_overlapping_spans_merge_not_double_count(spark):
     )
     out = _rows(C.remove_duplicate_spans(docs, window_words=3))
     assert out[2] == ("z z2", 7, 5)
+
+
+def _ref_span_dedup(docs, w):
+    """Plain-Python reference of the operator's exact semantics."""
+    toks = {d: (t.split() if t.strip() else []) for d, t in docs}
+    occ = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for i in range(len(t) - w + 1):
+            occ.setdefault(tuple(t[i:i + w]), []).append((d, i))
+    removed = {d: set() for d in toks}
+    for lst in occ.values():
+        for d, i in sorted(lst)[1:]:
+            removed[d].update(range(i, i + w))
+    return {d: (" ".join(tok for j, tok in enumerate(t) if j not in removed[d]),
+                len(t), len(removed[d]))
+            for d, t in toks.items()}
+
+
+def test_differential_vs_reference_on_random_corpora(spark):
+    # 30 independent random corpora batched into ONE Spark job: tokens
+    # are corpus-prefixed, so no w-gram ever collides across corpora and
+    # the batch is exactly equivalent to 30 separate runs.
+    import random
+
+    rng = random.Random(20260818)
+    rows, expect = [], {}
+    for cid in range(30):
+        vocab = [f"c{cid}w{k}" for k in range(6)]   # tiny vocab: dense dups
+        docs = []
+        for di in range(rng.randint(2, 6)):
+            n = rng.randint(0, 25)
+            docs.append((cid * 100 + di,
+                         " ".join(rng.choice(vocab) for _ in range(n))))
+        for d, (ct, nt, nr) in _ref_span_dedup(docs, 3).items():
+            expect[d] = (ct, nt, nr)
+        rows.extend(docs)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from web_crawler_spark.operators import corpus as C
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+           for r in C.remove_duplicate_spans(df, window_words=3).collect()}
+    assert got == expect
