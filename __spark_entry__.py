@@ -4042,7 +4042,7 @@ def _q_wat_export(spark, sf_dir):
 _SQL_WAT_EXPORT = """
 WITH base AS (
   SELECT concat('https://host', CAST(user_id % 20 AS VARCHAR),
-                '.example.com/p/x', CAST(event_id AS VARCHAR)) AS url,
+                '.example.com/p/', CAST(event_id AS VARCHAR)) AS url,
          TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
          event_id
   FROM events
