@@ -850,6 +850,37 @@ FROM ranked
 """
 
 
+def _q_meta_robots(spark, sf_dir):
+    """Per-page REP directives (<meta name=robots> / X-Robots-Tag):
+    planted noindex / content-first nofollow / none / clean pages plus a
+    decoy viewport meta; flags recovered by the pure-column parser, the
+    oracle recomputes them from the planted arithmetic."""
+    from web_crawler_spark.operators.robots import meta_robots_flags
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.col("event_id")
+    html = (
+        F.when(k % 4 == 0, F.lit('<html><meta name="robots" content="noindex, follow"><body>'))
+        .when(k % 4 == 1, F.lit("<meta content='nofollow' name='robots'><body>"))
+        .when(k % 4 == 2, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit('<meta name="viewport" content="noindex"><body>'))
+    )
+    pages = e.select(k.alias("event_id"), html.alias("html"))
+    return (
+        meta_robots_flags(pages)
+        .select("event_id", "noindex", "nofollow")
+        .orderBy("event_id")
+    )
+
+
+_SQL_META_ROBOTS = """
+SELECT event_id,
+       event_id % 4 IN (0, 2) AS noindex,
+       event_id % 4 IN (1, 2) AS nofollow
+FROM events WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
 def _q_exact_quantiles(spark, sf_dir):
     """EXACT p50/p90/p99 of order totals — distributed rank via the
     two-level prefix scan + broadcast equi-join on the target ranks; no
@@ -6447,6 +6478,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f2_host_budget_waterfill": _q_host_budget_waterfill,
     "url_soft_404": _q_soft_404,
     "a10_exact_quantiles": _q_exact_quantiles,
+    "url_meta_robots": _q_meta_robots,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6674,6 +6706,7 @@ _ORACLES: dict[str, str] = {
     "f2_host_budget_waterfill": _SQL_HOST_BUDGET_WATERFILL,
     "url_soft_404": _SQL_SOFT_404,
     "a10_exact_quantiles": _SQL_EXACT_QUANTILES,
+    "url_meta_robots": _SQL_META_ROBOTS,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

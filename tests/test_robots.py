@@ -174,3 +174,39 @@ def test_wildcard_and_anchor_patterns(spark):
     # the $ anchor applies to the PATH component: a query string does not
     # un-anchor it (try_parse_url PATH strips the query)
     assert "https://w.com/x/doc.pdf?v=1" not in allowed
+
+
+def test_meta_robots_flags(spark):
+    from web_crawler_spark.operators.robots import meta_robots_flags
+
+    rows = [
+        (1, '<html><meta name="robots" content="noindex, follow"><body>x'),
+        (2, '<meta content="nofollow" name="robots">'),
+        (3, '<meta name="robots" content="none">'),
+        (4, '<meta name="robots" content="index, follow">'),
+        (5, '<meta name="viewport" content="noindex">'),   # wrong meta
+        (6, "no meta at all"),
+        (7, "<META NAME='ROBOTS' CONTENT='NOINDEX'>"),      # case/quote variants
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    got = {r["doc_id"]: (r["noindex"], r["nofollow"])
+           for r in meta_robots_flags(df).collect()}
+    assert got[1] == (True, False)
+    assert got[2] == (False, True)
+    assert got[3] == (True, True)
+    assert got[4] == (False, False)
+    assert got[5] == (False, False)
+    assert got[6] == (False, False)
+    assert got[7] == (True, False)
+
+
+def test_meta_robots_header_channel(spark):
+    from web_crawler_spark.operators.robots import meta_robots_flags
+
+    df = spark.createDataFrame(
+        [(1, "<html>clean</html>", "noindex"), (2, "<html>x</html>", "")],
+        ["doc_id", "html", "x_robots_tag"],
+    )
+    got = {r["doc_id"]: r["noindex"]
+           for r in meta_robots_flags(df, header_col="x_robots_tag").collect()}
+    assert got == {1: True, 2: False}

@@ -299,3 +299,42 @@ def robots_cache_policy(
         state.alias("state"),
         state.isin("refetch_due", "unreachable_disallow").alias("refetch_due"),
     )
+
+
+def meta_robots_flags(
+    df: DataFrame,
+    html_col: str = "html",
+    header_col: str | None = None,
+) -> DataFrame:
+    """Page-level robots directives: ``<meta name="robots" content=...>``
+    (and the ``X-Robots-Tag`` response header when ``header_col`` is
+    given). A crawl that honors robots.txt but ingests noindex pages
+    still violates the publisher's opt-out — and a training corpus built
+    from it inherits the violation; this is the per-page half of the
+    REP, next to the per-host half in ``apply_robots``.
+
+    Parsing is pure column regexp (zero shuffle): the meta tag's content
+    attribute is extracted tolerating either attribute order and either
+    quote style, directives are matched as comma-separated tokens
+    (``noindex`` never fires on ``index``). ``none`` = noindex,nofollow
+    per the de-facto standard. Returns input + (noindex, nofollow).
+    """
+    h = F.lower(F.col(html_col).cast("string"))
+    # name-first and content-first attribute orders; content value group
+    name_first = (
+        r"""<meta[^>]*name\s*=\s*["']?robots["']?[^>]*content\s*=\s*["']([^"'>]*)"""
+    )
+    content_first = (
+        r"""<meta[^>]*content\s*=\s*["']([^"'>]*)["'][^>]*name\s*=\s*["']?robots["']?"""
+    )
+    content = F.concat_ws(
+        ",",
+        F.regexp_extract(h, name_first, 1),
+        F.regexp_extract(h, content_first, 1),
+    )
+    if header_col is not None:
+        content = F.concat_ws(",", content, F.lower(F.col(header_col).cast("string")))
+    tok = lambda d: content.rlike(rf"(^|[,\s]){d}([,\s]|$)")  # noqa: E731
+    noindex = tok("noindex") | tok("none")
+    nofollow = tok("nofollow") | tok("none")
+    return df.select("*", noindex.alias("noindex"), nofollow.alias("nofollow"))
