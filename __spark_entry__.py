@@ -816,6 +816,50 @@ FROM ordered
 """
 
 
+def _q_politeness_by_ip(spark, sf_dir):
+    """Server-granularity politeness (Heritrix politeness-by-IP): the 20
+    frontier vhosts resolve onto 7 addresses (hostN -> 10.0.0.{N%7}), so
+    ~3 vhosts share each delay lane — per-host politeness alone would
+    triple-hit those servers. One window over (ip, priority, host, url);
+    the whole schedule (lane, seq, timestamp) is value-certified."""
+    from web_crawler_spark.operators.politeness import politeness_schedule_by_ip
+
+    f = _frontier_df(spark, sf_dir)
+    ips = f.select("host").distinct().select(
+        "host",
+        F.concat(
+            F.lit("10.0.0."),
+            (F.regexp_extract("host", r"host(\d+)", 1).cast("int") % 7).cast("string"),
+        ).alias("ip"),
+    )
+    return politeness_schedule_by_ip(
+        f, ips, F.lit("2025-07-22 09:00:00").cast("timestamp"), delay_seconds=2.0
+    ).orderBy("ip_key", "seq")
+
+
+_SQL_POLITENESS_BY_IP = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+ips AS (
+  SELECT DISTINCT host,
+         concat('10.0.0.', CAST(TRY_CAST(regexp_extract(host, 'host(\\d+)', 1) AS INT) % 7 AS VARCHAR)) AS ip
+  FROM frontier
+), keyed AS (
+  SELECT COALESCE(i.ip, f.host) AS ip_key, f.host, f.priority, f.url
+  FROM frontier f LEFT JOIN ips i USING (host)
+), ordered AS (
+  SELECT ip_key, host,
+         CAST(ROW_NUMBER() OVER (PARTITION BY ip_key
+                                 ORDER BY priority, host, url) AS INT) AS seq,
+         url
+  FROM keyed
+)
+SELECT ip_key, host, seq, url,
+       TIMESTAMP '2025-07-22 09:00:00'
+         + INTERVAL (CAST(seq - 1 AS BIGINT) * 2) SECOND AS scheduled_ts
+FROM ordered
+"""
+
+
 def _q_frontier_gini(spark, sf_dir):
     """Frontier-skew telemetry: exact Gini of per-host queue depths over
     a deliberately skewed frontier (hot host = user_id%20==0 gets every
@@ -6479,6 +6523,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_soft_404": _q_soft_404,
     "a10_exact_quantiles": _q_exact_quantiles,
     "url_meta_robots": _q_meta_robots,
+    "f3_politeness_by_ip": _q_politeness_by_ip,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6707,6 +6752,7 @@ _ORACLES: dict[str, str] = {
     "url_soft_404": _SQL_SOFT_404,
     "a10_exact_quantiles": _SQL_EXACT_QUANTILES,
     "url_meta_robots": _SQL_META_ROBOTS,
+    "f3_politeness_by_ip": _SQL_POLITENESS_BY_IP,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

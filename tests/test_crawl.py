@@ -815,3 +815,51 @@ def test_frontier_gini_known_values(spark):
     r = frontier_gini(skew).collect()[0]
     # exact: depths [1,1,1,97], n=4 -> sum((2i-5)*x)= -3-1+1+3*97=288; /(4*100)=0.72
     assert r["gini"] == 0.72
+
+
+def test_politeness_by_ip_shares_server_budget(spark):
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.operators.politeness import politeness_schedule_by_ip
+
+    frontier = spark.createDataFrame(
+        [("a.com", 1, "https://a.com/1"), ("a.com", 2, "https://a.com/2"),
+         ("b.com", 1, "https://b.com/1"),   # vhost of the same server as a.com
+         ("c.com", 1, "https://c.com/1")],  # own server
+        ["host", "priority", "url"],
+    )
+    ips = spark.createDataFrame(
+        [("a.com", "10.0.0.1"), ("b.com", "10.0.0.1"), ("c.com", "10.0.0.2")],
+        ["host", "ip"],
+    )
+    out = politeness_schedule_by_ip(
+        frontier, ips, F.lit("2025-07-22 09:00:00").cast("timestamp"),
+        delay_seconds=2.0,
+    ).collect()
+    by_url = {r["url"]: r for r in out}
+    # a.com + b.com share ip 10.0.0.1: their three URLs -> seq 1..3 in
+    # (priority, host, url) order: a/1, b/1 (both prio 1, host order), a/2
+    assert by_url["https://a.com/1"]["seq"] == 1
+    assert by_url["https://b.com/1"]["seq"] == 2
+    assert by_url["https://a.com/2"]["seq"] == 3
+    # c.com is alone on its server: seq restarts
+    assert by_url["https://c.com/1"]["seq"] == 1
+    # 2s spacing WITHIN the shared lane
+    ts = sorted(r["scheduled_ts"] for r in out if r["ip_key"] == "10.0.0.1")
+    assert (ts[1] - ts[0]).total_seconds() == 2.0
+    assert (ts[2] - ts[1]).total_seconds() == 2.0
+
+
+def test_politeness_by_ip_unmapped_host_self_keys(spark):
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.operators.politeness import politeness_schedule_by_ip
+
+    frontier = spark.createDataFrame(
+        [("x.org", 1, "https://x.org/1")], ["host", "priority", "url"]
+    )
+    ips = spark.createDataFrame([("other.com", "10.9.9.9")], ["host", "ip"])
+    row = politeness_schedule_by_ip(
+        frontier, ips, F.lit("2025-07-22 09:00:00").cast("timestamp")
+    ).collect()[0]
+    assert row["ip_key"] == "x.org" and row["seq"] == 1

@@ -269,3 +269,49 @@ def politeness_schedule_lanes(
             epoch_start,
         ),
     )
+
+
+def politeness_schedule_by_ip(
+    frontier: DataFrame,
+    host_ip: DataFrame,
+    epoch_start: Column,
+    delay_seconds: float = 2.0,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """F3 at SERVER granularity (Heritrix politeness-by-IP): virtual
+    hosts that resolve to the same address share one delay budget —
+    per-host politeness alone would hit a shared server with
+    #vhosts × the intended rate, which is how crawlers take down
+    small shared-hosting boxes while staying per-host 'polite'.
+
+    ``host_ip`` is the resolver table (host, ip) — slim, one row per
+    host, broadcast. Hosts with no mapping fall back to their own
+    host name as the politeness key (self-keyed = per-host behavior).
+    Ordering within an IP lane: (priority, host, url) — deterministic,
+    and each host's URLs stay in their per-host order. Returns
+    (ip_key, host, seq, url, scheduled_ts); one window over the
+    (ip, priority) order, same closed form as ``politeness_schedule``.
+    """
+    dim = F.broadcast(
+        host_ip.select(F.col("host").alias("__h"), F.col("ip").alias("__ip"))
+    )
+    keyed = frontier.join(dim, F.col(host_col) == F.col("__h"), "left").select(
+        F.coalesce(F.col("__ip"), F.col(host_col)).alias("ip_key"),
+        F.col(host_col).alias("host"),
+        F.col(priority_col).alias("priority"),
+        F.col(url_col).alias("url"),
+    )
+    w = Window.partitionBy("ip_key").orderBy("priority", "host", "url")
+    return keyed.withColumn("seq", F.row_number().over(w).cast("int")).select(
+        "ip_key",
+        "host",
+        "seq",
+        "url",
+        F.timestamp_add(
+            "SECOND",
+            ((F.col("seq") - 1) * F.lit(delay_seconds)).cast("bigint"),
+            epoch_start,
+        ).alias("scheduled_ts"),
+    )
