@@ -395,13 +395,20 @@ def remove_duplicate_spans(
         .agg(F.array_sort(F.collect_set("pos")).alias("__rm"))
     )
     rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    # rebuild via position-set difference: array_except is hash-based
+    # (O(n_tokens + n_removed) per doc, first-array order preserved) —
+    # a per-token array_contains scan would be O(n_tokens · n_removed),
+    # quadratic on a fully-duplicated long document
+    kept = F.array_except(
+        F.sequence(F.lit(0), F.size("__toks") - 1), rm
+    )
     return (
         base.join(removed, "doc_id", "left")
         .select(
             "doc_id",
-            F.array_join(
-                F.filter("__toks", lambda x, i: ~F.array_contains(rm, i)), " "
-            ).alias("clean_text"),
+            F.when(F.size("__toks") > 0, F.array_join(
+                F.transform(kept, lambda p: F.element_at("__toks", p + 1)), " "
+            )).otherwise(F.lit("")).alias("clean_text"),
             F.size("__toks").cast("bigint").alias("n_tokens"),
             F.size(rm).cast("bigint").alias("n_removed"),
         )
