@@ -894,6 +894,40 @@ FROM ranked
 """
 
 
+def _q_markdown_tables(spark, sf_dir):
+    """HTML tables → GitHub Markdown (the tabular-HTML normalization an
+    LLM corpus applies so structure survives into training text): planted
+    header+data tables with values from event_id; the ORACLE reconstructs
+    the exact rendered Markdown string with concat + chr(10), so the
+    renderer itself is value-certified, not just row-counted."""
+    from web_crawler_spark.plans.extract import markdown_tables_stage
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    k = F.col("event_id")
+    html = F.concat(
+        F.lit("<html><body><table><tr><th>item</th><th>qty</th></tr><tr><td>i"),
+        k.cast("string"),
+        F.lit("</td><td>"),
+        (k % 50).cast("string"),
+        F.lit("</td></tr></table></body></html>"),
+    )
+    pages = e.select(
+        F.concat(F.lit("u"), k.cast("string")).alias("url"), html.alias("html")
+    )
+    return markdown_tables_stage(pages).orderBy("url")
+
+
+_SQL_MARKDOWN_TABLES = """
+SELECT concat('u', CAST(event_id AS VARCHAR)) AS url,
+       CAST(0 AS INT) AS table_idx,
+       concat('| item | qty |', chr(10),
+              '| --- | --- |', chr(10),
+              '| i', CAST(event_id AS VARCHAR), ' | ',
+              CAST(event_id % 50 AS VARCHAR), ' |') AS markdown
+FROM events WHERE event_id < 1500 ORDER BY url
+"""
+
+
 def _q_meta_robots(spark, sf_dir):
     """Per-page REP directives (<meta name=robots> / X-Robots-Tag):
     planted noindex / content-first nofollow / none / clean pages plus a
@@ -6524,6 +6558,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a10_exact_quantiles": _q_exact_quantiles,
     "url_meta_robots": _q_meta_robots,
     "f3_politeness_by_ip": _q_politeness_by_ip,
+    "x17_markdown_tables": _q_markdown_tables,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6753,6 +6788,7 @@ _ORACLES: dict[str, str] = {
     "a10_exact_quantiles": _SQL_EXACT_QUANTILES,
     "url_meta_robots": _SQL_META_ROBOTS,
     "f3_politeness_by_ip": _SQL_POLITENESS_BY_IP,
+    "x17_markdown_tables": _SQL_MARKDOWN_TABLES,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

@@ -158,3 +158,45 @@ def test_table_prefilter_is_result_identical(spark):
     ]
     assert sorted(got) == sorted(want)
     assert ("u1", "Gold") in got or want == got  # uppercase table survived filter
+
+
+def test_tables_to_markdown_rendering():
+    from web_crawler_spark.plans.extract import tables_to_markdown
+
+    html = ("<table><tr><th>item</th><th>qty</th></tr>"
+            "<tr><td>a|b</td><td>2</td></tr>"
+            "<tr><td>only-one-cell</td></tr></table>")
+    (md,) = tables_to_markdown(html)
+    assert md.splitlines() == [
+        "| item | qty |",
+        "| --- | --- |",
+        "| a\\|b | 2 |",
+        "| only-one-cell |  |",
+    ]
+
+
+def test_tables_to_markdown_malformed_and_empty():
+    from web_crawler_spark.plans.extract import tables_to_markdown
+
+    # unclosed cells/rows: implied-end recovery still yields the grid
+    got = tables_to_markdown("<table><tr><td>x<td>y<tr><td>z</table>")
+    assert got and got[0].splitlines()[0] == "| x | y |"
+    assert tables_to_markdown("no tables here") == []
+    assert tables_to_markdown("") == []
+
+
+def test_markdown_tables_stage(spark):
+    from web_crawler_spark.plans.extract import markdown_tables_stage
+
+    df = spark.createDataFrame(
+        [("u1", "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>"
+                "<table><tr><td>solo</td></tr></table>"),
+         ("u2", "plain text"),
+         ("u3", None)],
+        "url string, html string",
+    )
+    got = {(r["url"], r["table_idx"]): r["markdown"]
+           for r in markdown_tables_stage(df).collect()}
+    assert got[("u1", 0)].startswith("| h |")
+    assert got[("u1", 1)] == "| solo |\n| --- |"
+    assert not any(u == "u2" or u == "u3" for u, _ in got)

@@ -579,3 +579,59 @@ def coingecko_stage(pages: DataFrame, body_col: str = "html") -> DataFrame:
         F.col("quote")["usd"].alias("current_price"),
         F.lit(0.0).alias("change_percent"),
     ).filter(F.col("current_price").isNotNull())
+
+
+def tables_to_markdown(html: str) -> list[str]:
+    """Render each ``<table>`` as GitHub-flavored Markdown (first row =
+    header, ragged rows right-padded, pipes escaped) — the normalization
+    LLM corpora apply so tabular structure survives into plain-text
+    training data instead of collapsing into word soup. Rides the same
+    malformed-HTML-recovering ``_TableParser`` as the X7 extraction."""
+    rendered = []
+    for tbl in parse_html(html).tables:
+        rows = [r for r in tbl if r]
+        if not rows:
+            continue
+        width = max(len(r) for r in rows)
+
+        def fmt(r: list[str]) -> str:
+            cells = [c.replace("|", "\\|").replace("\n", " ") for c in r]
+            cells += [""] * (width - len(cells))
+            return "| " + " | ".join(cells) + " |"
+
+        lines = [fmt(rows[0]), "| " + " | ".join(["---"] * width) + " |"]
+        lines += [fmt(r) for r in rows[1:]]
+        rendered.append("\n".join(lines))
+    return rendered
+
+
+def markdown_tables_stage(df, html_col: str = "html", id_col: str = "url"):
+    """Arrow-batched table→Markdown rendering: one row per table per
+    page — (id, table_idx, markdown). Corrupt HTML degrades to zero
+    tables for that page, never a stage failure."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            df.schema[id_col],
+            ST.StructField("table_idx", ST.IntegerType()),
+            ST.StructField("markdown", ST.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, mds = [], [], []
+            for rid, html in zip(pdf[id_col], pdf[html_col]):
+                try:
+                    tables = tables_to_markdown(html or "")
+                except Exception:
+                    tables = []
+                for i, md in enumerate(tables):
+                    ids.append(rid)
+                    idxs.append(i)
+                    mds.append(md)
+            yield pd.DataFrame({id_col: ids, "table_idx": idxs, "markdown": mds})
+
+    return df.select(id_col, html_col).mapInPandas(gen, schema)
