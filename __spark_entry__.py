@@ -1812,6 +1812,50 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def _q_ann_int8(spark, sf_dir):
+    """Int8-quantized brute-force top-k: embeddings stored as (scale,
+    int8 codes) — 4× smaller at 10^10-vector scale — scored with exact
+    integer dot products and one scale multiply per pair. The oracle
+    replicates quantization (round half-away-from-zero) and the
+    dequantized score bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scale, codes = V.quantize_int8(F.col("embedding"))
+    qz = emb.select("vec_id", scale.alias("scale"), codes.alias("codes"))
+    q = qz.filter(F.col("vec_id") == 0).collect()[0]
+    qs = float(q["scale"])
+    qc = F.array(*[F.lit(int(c)) for c in q["codes"]])
+    return (
+        qz.select(
+            "vec_id",
+            F.round(
+                V.dequant_dot(F.lit(qs), qc, F.col("scale"), F.col("codes")), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
+_SQL_ANN_INT8 = """
+WITH m AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) / 127.0 AS scale
+  FROM embeddings
+), z AS (
+  SELECT vec_id, scale,
+         list_transform(e, v -> CASE WHEN scale > 0
+                                     THEN CAST(round(v / scale, 0) AS BIGINT)
+                                     ELSE 0 END) AS codes
+  FROM m
+), q AS (SELECT scale AS qs, codes AS qc FROM z WHERE vec_id = 0)
+SELECT z.vec_id,
+       ROUND(q.qs * z.scale * CAST(list_sum(
+         list_transform(range(1, len(z.codes) + 1), i -> z.codes[i] * q.qc[i])
+       ) AS DOUBLE), 6) AS score
+FROM z, q ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_embedding_dedup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
@@ -6559,6 +6603,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_meta_robots": _q_meta_robots,
     "f3_politeness_by_ip": _q_politeness_by_ip,
     "x17_markdown_tables": _q_markdown_tables,
+    "ann_int8_topk": _q_ann_int8,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6789,6 +6834,7 @@ _ORACLES: dict[str, str] = {
     "url_meta_robots": _SQL_META_ROBOTS,
     "f3_politeness_by_ip": _SQL_POLITENESS_BY_IP,
     "x17_markdown_tables": _SQL_MARKDOWN_TABLES,
+    "ann_int8_topk": _SQL_ANN_INT8,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

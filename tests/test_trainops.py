@@ -832,3 +832,37 @@ def test_mp4_header_decode(spark):
     blob_eof = (box(b"ftyp", b"mp42" + bytes(4) + b"mp42")
                 + b"\x00\x00\x00\x00moov" + moov_payload)
     assert parse_mp4_meta(blob_eof)[2] == 24_000
+
+
+def test_int8_quantization_roundtrip_and_edge(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.functions import vectors as V
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),       # zero vector -> scale 0, codes 0
+        (3, [0.001, 0.002, -0.003, 127.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    scale, codes = V.quantize_int8(F.col("v"))
+    got = {r["vec_id"]: (r["s"], r["c"]) for r in
+           df.select("vec_id", scale.alias("s"), codes.alias("c")).collect()}
+    s1, c1 = got[1]
+    assert abs(s1 - 1.0 / 127.0) < 1e-12 and c1 == [127, -64, 32, 0]
+    assert got[2] == (0.0, [0, 0, 0, 0])
+    assert got[3][1][3] == 127 and max(abs(x) for x in got[3][1]) <= 127
+    # dequantized cosine within 1% of exact for a realistic vector pair
+    a = [math.sin(i / 7.0) for i in range(64)]
+    b = [math.cos(i / 9.0) for i in range(64)]
+    df2 = spark.createDataFrame([(1, a, b)], "id long, a array<float>, b array<float>")
+    sa, ca = V.quantize_int8(F.col("a"))
+    sb, cb = V.quantize_int8(F.col("b"))
+    row = df2.select(
+        V.dequant_dot(sa, ca, sb, cb).alias("qdot"),
+        V.dot(F.col("a"), F.col("b")).alias("dot"),
+        (V.norm(F.col("a")) * V.norm(F.col("b"))).alias("nn"),
+    ).collect()[0]
+    assert abs(row["qdot"] / row["nn"] - row["dot"] / row["nn"]) < 0.01
