@@ -82,6 +82,8 @@ HEADLINE = [
     # packing (the two-level distributed prefix scan)
     "dd_span_dedup_rewrite",
     "tx_shard_pack",
+    # int8-quantized retrieval: integer-dot scoring over 4x-smaller codes
+    "ann_int8_topk",
 ]
 
 
