@@ -5585,6 +5585,50 @@ FROM pages ORDER BY key, version_no
 """
 
 
+def _q_change_magnitude(spark, sf_dir):
+    """Graded recrawl change signal: shingle-Jaccard between consecutive
+    versions (1.0 - J = change magnitude, the Cho-Garcia-Molina refresh
+    prior input — a ticker tweak and a full rewrite rank differently).
+    Versions share 5 of 6 words across revs, so the planted ground truth
+    is exact: identical → J=1.0, rev bump → J=3/5 (3 of 5 distinct
+    3-shingles shared)."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    e = _t(spark, sf_dir, "events")
+    url = F.concat(F.lit("https://ex.com/p"), (F.col("event_id") % 3000).cast("string"))
+    warc_ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("2025-01-01 00:00:00")) + F.col("event_id")
+    )
+    rev = F.floor(F.col("event_id") / 3000 / 2).cast("string")
+    text = F.concat(F.lit("alpha beta gamma delta epsilon rev"), rev)
+    pages = e.select(url.alias("url"), warc_ts.alias("warc_ts"), text.alias("text"))
+    return SN.change_magnitude(pages).orderBy("key", "version_no")
+
+
+_SQL_CHANGE_MAGNITUDE = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS key,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         CAST(floor(event_id / 3000 / 2) AS BIGINT) AS rev
+  FROM events
+), v AS (
+  SELECT key, ts, rev,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts) AS version_no,
+         LAG(rev) OVER (PARTITION BY key ORDER BY ts) AS prev_rev
+  FROM pages
+)
+SELECT key, ts, version_no,
+       CAST(CASE WHEN prev_rev IS NULL THEN NULL
+                 WHEN rev = prev_rev THEN 1.0
+                 ELSE round(3.0 / 5.0, 6) END AS DOUBLE) AS jaccard,
+       CAST(CASE WHEN prev_rev IS NULL THEN NULL
+                 WHEN rev = prev_rev THEN 0.0
+                 ELSE round(1.0 - round(3.0 / 5.0, 6), 6) END AS DOUBLE)
+         AS change_magnitude
+FROM v ORDER BY key, version_no
+"""
+
+
 def _q_feed_scan(spark, sf_dir):
     """RSS/Atom feed ingestion on REAL bytes: one RSS 2.0 file, one
     gzipped Atom file, and one malformed file are generated from the
@@ -6604,6 +6648,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f3_politeness_by_ip": _q_politeness_by_ip,
     "x17_markdown_tables": _q_markdown_tables,
     "ann_int8_topk": _q_ann_int8,
+    "crawl_change_magnitude": _q_change_magnitude,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6835,6 +6880,7 @@ _ORACLES: dict[str, str] = {
     "f3_politeness_by_ip": _SQL_POLITENESS_BY_IP,
     "x17_markdown_tables": _SQL_MARKDOWN_TABLES,
     "ann_int8_topk": _SQL_ANN_INT8,
+    "crawl_change_magnitude": _SQL_CHANGE_MAGNITUDE,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

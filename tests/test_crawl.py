@@ -863,3 +863,27 @@ def test_politeness_by_ip_unmapped_host_self_keys(spark):
         frontier, ips, F.lit("2025-07-22 09:00:00").cast("timestamp")
     ).collect()[0]
     assert row["ip_key"] == "x.org" and row["seq"] == 1
+
+
+def test_change_magnitude_grades_edits(spark):
+    from web_crawler_spark.operators.snapshots import change_magnitude
+
+    rows = [
+        ("u", "2025-01-01 00:00:00", "a b c d e f"),
+        ("u", "2025-01-02 00:00:00", "a b c d e f"),          # identical
+        ("u", "2025-01-03 00:00:00", "a b c d e CHANGED"),    # small edit
+        ("u", "2025-01-04 00:00:00", "totally new words now here"),  # rewrite
+        ("v", "2025-01-01 00:00:00", ""),
+        ("v", "2025-01-02 00:00:00", ""),                     # empty == empty
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text"]).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    got = {(r["key"], r["version_no"]): (r["jaccard"], r["change_magnitude"])
+           for r in change_magnitude(df).collect()}
+    assert got[("u", 1)] == (None, None)
+    assert got[("u", 2)] == (1.0, 0.0)
+    jac3, mag3 = got[("u", 3)]
+    assert 0.0 < jac3 < 1.0 and abs(mag3 - (1.0 - jac3)) < 1e-9
+    assert got[("u", 4)] == (0.0, 1.0)
+    assert got[("v", 2)] == (1.0, 0.0)

@@ -253,3 +253,48 @@ def revalidation_fetch(
         "prior_ts",
         F.when(status == 200, F.col("__cur_text")).alias("body"),
     )
+
+
+def change_magnitude(
+    df: DataFrame,
+    ts_col: str = "warc_ts",
+    key_col: str = "url",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Graded change signal per recrawl: word-shingle Jaccard between
+    consecutive versions of a URL — ``change_detection``'s boolean says
+    THAT a page changed; this says HOW MUCH (1.0 - Jaccard), which is
+    what a Cho-Garcia-Molina scheduler actually wants to rank refresh
+    urgency (a ticker update and a full rewrite are different priors).
+
+    (key, ts, version_no, jaccard, change_magnitude); the first version
+    carries NULLs. The lag window moves each version's (distinct)
+    shingle array one row — per-URL arrays, the same shuffle
+    ``change_detection`` already pays; the set algebra (intersect/union
+    sizes) is per-row codegen, no extra exchange. Empty-vs-empty
+    versions count as identical (jaccard 1.0).
+    """
+    out = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        T.shingles(F.col(text_col), n).alias("__sh"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("ts").asc())
+    prev = F.lag("__sh").over(w)
+    inter = F.size(F.array_intersect(F.col("__sh"), prev))
+    union = F.size(F.array_union(F.col("__sh"), prev))
+    jac = (
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(union == 0, F.lit(1.0))
+        .otherwise(F.round(inter / union, 6))
+    )
+    return (
+        out.withColumn("version_no", F.row_number().over(w))
+        .withColumn("jaccard", jac)
+        .withColumn(
+            "change_magnitude",
+            F.when(F.col("jaccard").isNotNull(), F.round(1.0 - F.col("jaccard"), 6)),
+        )
+        .select("key", "ts", "version_no", "jaccard", "change_magnitude")
+    )
