@@ -289,6 +289,13 @@ def politeness_schedule_by_ip(
     ``host_ip`` is the resolver table (host, ip) — slim, one row per
     host, broadcast. Hosts with no mapping fall back to their own
     host name as the politeness key (self-keyed = per-host behavior).
+    CDN caveat (the real-crawler special case): a CDN edge IP fronts
+    millions of vhosts, so keying it into ONE lane both starves the
+    crawl and hot-spots the window partition — production crawlers
+    (Heritrix's queue-assignment policies) leave CDN ranges OUT of the
+    resolver table, which here falls them back to per-host lanes; a
+    shared-but-parallel budget is ``politeness_schedule_lanes`` with
+    the ip as the host key.
     Ordering within an IP lane: (priority, host, url) — deterministic,
     and each host's URLs stay in their per-host order. Returns
     (ip_key, host, seq, url, scheduled_ts); one window over the
