@@ -5585,6 +5585,49 @@ FROM pages ORDER BY key, version_no
 """
 
 
+def _q_fetch_sessions(spark, sf_dir):
+    """Gap-based sessionization (F.session_window, 30 s gap) of a
+    scattered synthetic fetch log — the burst/abuse rollup. The oracle
+    recomputes sessions with the classic lag + cumulative-sum session-id
+    construction (new session iff silence STRICTLY exceeds the gap,
+    matching Spark's merge-at-exactly-gap behavior)."""
+    from web_crawler_spark.streaming.events import fetch_sessions
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+    ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("2025-01-01 00:00:00"))
+        + (F.col("event_id") * 7919) % 50000
+    )
+    log = e.select(host.alias("host"), ts.alias("fetch_ts"))
+    return fetch_sessions(log, gap="30 seconds").orderBy("host", "session_start")
+
+
+_SQL_FETCH_SESSIONS = """
+WITH log AS (
+  SELECT concat('h', CAST(user_id % 20 AS VARCHAR)) AS host,
+         TIMESTAMP '2025-01-01 00:00:00'
+           + (((event_id * 7919) % 50000) * INTERVAL 1 SECOND) AS fetch_ts
+  FROM events
+), o AS (
+  SELECT host, fetch_ts,
+         CASE WHEN LAG(fetch_ts) OVER (PARTITION BY host ORDER BY fetch_ts) IS NULL
+                   OR fetch_ts - LAG(fetch_ts) OVER (PARTITION BY host ORDER BY fetch_ts)
+                      > INTERVAL 30 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM log
+), s AS (
+  SELECT host, fetch_ts,
+         SUM(new_s) OVER (PARTITION BY host ORDER BY fetch_ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT host, MIN(fetch_ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches, MAX(fetch_ts) AS last_ts
+FROM s GROUP BY host, sid ORDER BY host, session_start
+"""
+
+
 def _q_change_magnitude(spark, sf_dir):
     """Graded recrawl change signal: shingle-Jaccard between consecutive
     versions (1.0 - J = change magnitude, the Cho-Garcia-Molina refresh
@@ -6649,6 +6692,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x17_markdown_tables": _q_markdown_tables,
     "ann_int8_topk": _q_ann_int8,
     "crawl_change_magnitude": _q_change_magnitude,
+    "a12_fetch_sessions": _q_fetch_sessions,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6881,6 +6925,7 @@ _ORACLES: dict[str, str] = {
     "x17_markdown_tables": _SQL_MARKDOWN_TABLES,
     "ann_int8_topk": _SQL_ANN_INT8,
     "crawl_change_magnitude": _SQL_CHANGE_MAGNITUDE,
+    "a12_fetch_sessions": _SQL_FETCH_SESSIONS,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

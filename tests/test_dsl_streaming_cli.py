@@ -249,3 +249,25 @@ def test_cli_sql_mode(tmp_path):
     lines = [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
     assert {l["l_returnflag"] for l in lines} == {"A", "N", "R"}
     assert all(l["n"] > 0 for l in lines)
+
+
+def test_fetch_sessions_gap_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.streaming.events import fetch_sessions
+
+    base = "2025-01-01 00:00:"
+    rows = [
+        ("h1", base + "00"), ("h1", base + "10"), ("h1", base + "39"),  # one session
+        ("h1", "2025-01-01 00:01:09"),   # exactly 30s after :39 -> still merges
+        ("h1", "2025-01-01 00:01:40"),   # 31s after :01:09 -> NEW session
+        ("h2", base + "05"),
+    ]
+    df = spark.createDataFrame(rows, ["host", "fetch_ts"]).withColumn(
+        "fetch_ts", F.col("fetch_ts").cast("timestamp")
+    )
+    got = {(r["host"], str(r["session_start"])): (r["n_fetches"], str(r["last_ts"]))
+           for r in fetch_sessions(df, gap="30 seconds").collect()}
+    assert got[("h1", "2025-01-01 00:00:00")] == (4, "2025-01-01 00:01:09")
+    assert got[("h1", "2025-01-01 00:01:40")] == (1, "2025-01-01 00:01:40")
+    assert got[("h2", "2025-01-01 00:00:05")] == (1, "2025-01-01 00:00:05")

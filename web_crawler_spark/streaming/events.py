@@ -112,3 +112,40 @@ def run_epoch_as_stream(spark, seeds_stream: DataFrame, engine, n_epochs: int):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fetch_sessions(
+    df: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    gap: str = "30 seconds",
+) -> DataFrame:
+    """Gap-based sessionization of a fetch log (``F.session_window``):
+    consecutive fetches from one host merge into a session while each
+    arrives within ``gap`` of the last — the crawl-log rollup behind
+    burst detection, per-host connection accounting, and abuse review.
+    Works identically on a batch log and a watermarked stream (session
+    windows are a native Structured Streaming state shape — late data
+    merges sessions instead of corrupting counts).
+
+    An event landing exactly ``gap`` after the previous one still MERGES
+    into the session (Spark merges while ts <= last + gap; a new session
+    needs a strictly larger silence). Returns (host, session_start,
+    n_fetches, last_ts).
+    """
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(host_col).alias("host"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            "host",
+            F.col("w.start").alias("session_start"),
+            "n_fetches",
+            "last_ts",
+        )
+    )
