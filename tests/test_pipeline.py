@@ -189,3 +189,29 @@ def test_jsonl_shard_sink_roundtrip(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 3
     assert back.filter(F.col("doc_id") == 2).collect()[0]["lang"] == "de"
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.plans.report import write_bucketed_table
+
+    left = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(1500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("b")
+    )
+    write_bucketed_table(left, "t_bleft", "doc_id", n_buckets=8)
+    write_bucketed_table(right, "t_bright", "doc_id", n_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bleft").join(spark.table("t_bright"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the whole point: bucket-aligned tables join with no shuffle
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 1500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")

@@ -464,3 +464,27 @@ def write_jsonl_shards(
     if compress:
         writer = writer.option("compression", "gzip")
     writer.text(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and bucket-sorted) parquet table sink — the
+    co-located-join layout: two tables bucketed the same way on their
+    join key join with ZERO exchanges, because every bucket i of one
+    table meets only bucket i of the other. At 100 TB this is the
+    difference between re-shuffling the corpus on every (url/doc_id)
+    join and never shuffling it again after ingest — the seen-set,
+    snapshot, and postings joins all key the same way. ``sortBy`` makes
+    each bucket file sort-merge-ready (no per-task sort at read).
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog, not
+    the files)."""
+    w = df.write.mode(mode).format("parquet").bucketBy(int(n_buckets), bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
