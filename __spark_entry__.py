@@ -1631,6 +1631,56 @@ FROM m ORDER BY doc_id
 """
 
 
+_SQL_QUALITY_CTE = """
+WITH t AS (
+  SELECT doc_id, text, LENGTH(text) AS n,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, n, len(toks) AS n_toks,
+         LENGTH(regexp_replace(text, '[^A-Za-z一-鿿]', '', 'g')) AS alpha,
+         len(list_distinct(toks)) AS n_distinct,
+         len(regexp_extract_all(text, '[.!?]')) AS n_sent
+  FROM t
+), q AS (
+  SELECT doc_id, ROUND(
+    0.25 * (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE least(n / 100.0, 1.0) END) +
+    0.25 * (CASE WHEN n > 0 THEN alpha * 1.0 / n ELSE 0.0 END) +
+    0.25 * (CASE WHEN n_toks > 0 THEN n_distinct * 1.0 / n_toks ELSE 0.0 END) +
+    0.25 * (CASE WHEN n_toks > 0 THEN least(n_sent * 20.0 / n_toks, 1.0) ELSE 0.0 END)
+  , 6) AS quality
+  FROM m
+)
+"""
+
+
+def _q_curriculum_shards(spark, sf_dir):
+    """Curriculum layout: documents ranked by quality_score (best first,
+    doc_id tie-break) and cut into 8 equal-count shards — shard 0 is the
+    cleanest slice a curriculum trainer schedules first. Rank comes from
+    the two-level prefix scan; the oracle recomputes rank and the
+    floor((rank-1)·8/N) cut with a SQL window."""
+    from web_crawler_spark.operators.corpus import curriculum_shards
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", T.quality_score(F.col("text")).alias("q"))
+    return curriculum_shards(scored, "q", n_shards=8).orderBy("doc_id")
+
+
+_SQL_CURRICULUM_SHARDS = _SQL_QUALITY_CTE + """
+, r AS (
+  SELECT doc_id, quality,
+         ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS rank,
+         COUNT(*) OVER () AS n
+  FROM q
+)
+SELECT doc_id, quality, CAST(rank AS BIGINT) AS rank,
+       CAST(floor((rank - 1) * 8.0 / n) AS BIGINT) AS shard
+FROM r ORDER BY doc_id
+"""
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.18).orderBy(
@@ -6693,6 +6743,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_int8_topk": _q_ann_int8,
     "crawl_change_magnitude": _q_change_magnitude,
     "a12_fetch_sessions": _q_fetch_sessions,
+    "tx_curriculum_shards": _q_curriculum_shards,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6926,6 +6977,7 @@ _ORACLES: dict[str, str] = {
     "ann_int8_topk": _SQL_ANN_INT8,
     "crawl_change_magnitude": _SQL_CHANGE_MAGNITUDE,
     "a12_fetch_sessions": _SQL_FETCH_SESSIONS,
+    "tx_curriculum_shards": _SQL_CURRICULUM_SHARDS,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

@@ -78,3 +78,24 @@ def test_grouped_prefix_sum_multi_order_cols(spark):
     assert got[(0, "a", 2)] == 6
     assert got[(0, "b", 1)] == 16
     assert got[(1, "a", 1)] == 7
+
+
+def test_curriculum_shards_equal_cuts_best_first(spark):
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.operators.corpus import curriculum_shards
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 31) % 17).cast("double").alias("q"),
+    )
+    got = curriculum_shards(df, "q", n_shards=4, n_partitions=8).collect()
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append((r["rank"], r["quality"]))
+    assert sorted(by_shard) == [0, 1, 2, 3]
+    assert all(len(v) == 25 for v in by_shard.values())
+    # shard 0 holds the best quality; ranks are the exact quartiles
+    assert min(q for _, q in by_shard[0]) >= max(q for _, q in by_shard[3])
+    assert sorted(r for r, _ in by_shard[0]) == list(range(1, 26))
+    assert sorted(r for r, _ in by_shard[3]) == list(range(76, 101))

@@ -1128,3 +1128,47 @@ def compression_ratio_stage(
             })
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def curriculum_shards(
+    df: DataFrame,
+    quality_col: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    n_partitions: int = 64,
+) -> DataFrame:
+    """Curriculum ordering for LM training: rank the corpus by quality
+    (best first, id tie-break) and cut it into ``n_shards`` equal-count
+    shards — shard 0 is the highest-quality slice, trained first (or
+    last, under anti-curriculum); the deterministic layout lets the
+    trainer schedule difficulty without shuffling data at train time.
+
+    shard = floor((rank-1) · n_shards / N): exact integer/IEEE
+    arithmetic, engine-portable. The global rank is the two-level
+    prefix scan (``prefixsum.py``) — no single-partition row window at
+    any corpus size. Returns (doc_id, quality, rank, shard).
+    """
+    from .prefixsum import prefix_sum
+
+    slim = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(quality_col).cast("double").alias("quality"),
+    ).withColumn("__negq", -F.col("quality")).withColumn(
+        "__one", F.lit(1).cast("bigint")
+    )
+    ranked = prefix_sum(
+        slim, ["__negq", "doc_id"], "__one", out_col="rank",
+        n_partitions=n_partitions,
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "quality",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor((F.col("rank") - 1) * F.lit(int(n_shards)) / F.col("__n"))
+            .cast("bigint")
+            .alias("shard"),
+        )
+    )
