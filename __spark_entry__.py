@@ -1608,27 +1608,9 @@ def _q_quality_score(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_SQL_QUALITY_SCORE = """
-WITH t AS (
-  SELECT doc_id, text, LENGTH(text) AS n,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS toks
-  FROM documents
-), m AS (
-  SELECT doc_id, n, len(toks) AS n_toks,
-         LENGTH(regexp_replace(text, '[^A-Za-z一-鿿]', '', 'g')) AS alpha,
-         len(list_distinct(toks)) AS n_distinct,
-         len(regexp_extract_all(text, '[.!?]')) AS n_sent
-  FROM t
-)
-SELECT doc_id, ROUND(
-  0.25 * (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE least(n / 100.0, 1.0) END) +
-  0.25 * (CASE WHEN n > 0 THEN alpha * 1.0 / n ELSE 0.0 END) +
-  0.25 * (CASE WHEN n_toks > 0 THEN n_distinct * 1.0 / n_toks ELSE 0.0 END) +
-  0.25 * (CASE WHEN n_toks > 0 THEN least(n_sent * 20.0 / n_toks, 1.0) ELSE 0.0 END)
-, 6) AS quality
-FROM m ORDER BY doc_id
-"""
+# body defined below as _SQL_QUALITY_CTE (shared with tx_curriculum_shards);
+# the standalone query is just its projection
+_SQL_QUALITY_SCORE = None  # assigned after _SQL_QUALITY_CTE is defined
 
 
 _SQL_QUALITY_CTE = """
@@ -1652,6 +1634,11 @@ WITH t AS (
   , 6) AS quality
   FROM m
 )
+"""
+
+
+_SQL_QUALITY_SCORE = _SQL_QUALITY_CTE + """
+SELECT doc_id, quality FROM q ORDER BY doc_id
 """
 
 
