@@ -271,3 +271,36 @@ def test_fetch_sessions_gap_semantics(spark):
     assert got[("h1", "2025-01-01 00:00:00")] == (4, "2025-01-01 00:01:09")
     assert got[("h1", "2025-01-01 00:01:40")] == (1, "2025-01-01 00:01:40")
     assert got[("h2", "2025-01-01 00:00:05")] == (1, "2025-01-01 00:00:05")
+
+
+def test_fetch_sessions_streaming_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.streaming import events as SE
+    from web_crawler_spark.streaming.events import fetch_sessions
+
+    src = str(tmp_path / "fetchlog")
+    rows = [("h1", "2025-01-01 00:00:00"), ("h1", "2025-01-01 00:00:10"),
+            ("h1", "2025-01-01 00:02:00"), ("h2", "2025-01-01 00:00:05")]
+    log = spark.createDataFrame(rows, ["host", "fetch_ts"]).withColumn(
+        "fetch_ts", F.to_timestamp("fetch_ts")
+    )
+    log.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+        .withWatermark("fetch_ts", "10 minutes")
+    )
+    # complete mode: the bounded fixture never advances the watermark
+    # past its own sessions, so append would emit nothing
+    SE.run_query_to_memory(
+        fetch_sessions(stream, gap="30 seconds"), "t_sessions",
+        output_mode="complete",
+    )
+    streamed = {(r["host"], str(r["session_start"])): r["n_fetches"]
+                for r in spark.sql("select * from t_sessions").collect()}
+    batch = {(r["host"], str(r["session_start"])): r["n_fetches"]
+             for r in fetch_sessions(log, gap="30 seconds").collect()}
+    assert streamed == batch
+    assert streamed[("h1", "2025-01-01 00:00:00")] == 2
