@@ -5622,6 +5622,41 @@ FROM pages ORDER BY key, version_no
 """
 
 
+def _q_invisible_hygiene(spark, sf_dir):
+    """Invisible-character hygiene (zero-width / bidi-control / BOM /
+    soft-hyphen): planted ZWSP+BOM, RLO, and soft-hyphen payloads are
+    stripped and counted by the pure-column pass; the oracle knows the
+    planted ground truth. Two visually-identical texts must fingerprint
+    identically — this runs next to NFC before any hash dedup."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.col("event_id")
+    text = (
+        F.when(k % 5 == 0, F.lit("pa​ge﻿"))
+        .when(k % 5 == 1, F.lit("bi‮di"))
+        .when(k % 5 == 2, F.lit("soft­hyphen"))
+        .otherwise(F.lit("plain text"))
+    )
+    return e.select(
+        k.alias("event_id"),
+        T.strip_invisible(text).alias("clean"),
+        T.invisible_count(text).alias("n_invisible"),
+    ).orderBy("event_id")
+
+
+_SQL_INVISIBLE_HYGIENE = """
+SELECT event_id,
+       CASE WHEN event_id % 5 = 0 THEN 'page'
+            WHEN event_id % 5 = 1 THEN 'bidi'
+            WHEN event_id % 5 = 2 THEN 'softhyphen'
+            ELSE 'plain text' END AS clean,
+       CAST(CASE WHEN event_id % 5 = 0 THEN 2
+                 WHEN event_id % 5 = 1 THEN 1
+                 WHEN event_id % 5 = 2 THEN 1
+                 ELSE 0 END AS BIGINT) AS n_invisible
+FROM events WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
 def _q_fetch_sessions(spark, sf_dir):
     """Gap-based sessionization (F.session_window, 30 s gap) of a
     scattered synthetic fetch log — the burst/abuse rollup. The oracle
@@ -6731,6 +6766,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_change_magnitude": _q_change_magnitude,
     "a12_fetch_sessions": _q_fetch_sessions,
     "tx_curriculum_shards": _q_curriculum_shards,
+    "tx_invisible_hygiene": _q_invisible_hygiene,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -6965,6 +7001,7 @@ _ORACLES: dict[str, str] = {
     "crawl_change_magnitude": _SQL_CHANGE_MAGNITUDE,
     "a12_fetch_sessions": _SQL_FETCH_SESSIONS,
     "tx_curriculum_shards": _SQL_CURRICULUM_SHARDS,
+    "tx_invisible_hygiene": _SQL_INVISIBLE_HYGIENE,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

@@ -866,3 +866,26 @@ def test_int8_quantization_roundtrip_and_edge(spark):
         (V.norm(F.col("a")) * V.norm(F.col("b"))).alias("nn"),
     ).collect()[0]
     assert abs(row["qdot"] / row["nn"] - row["dot"] / row["nn"]) < 0.01
+
+
+def test_invisible_char_hygiene(spark):
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.functions.text import invisible_count, strip_invisible
+
+    rows = [
+        (1, "cle​an‍ text﻿"),     # ZWSP, ZWJ, BOM
+        (2, "bi‮di‬ attack"),          # RLO + PDF(202C outside class? no: 202C IS in 202A-202E)
+        (3, "plain ascii"),
+        (4, "soft­hyphen"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean"], r["n"]) for r in df.select(
+        "doc_id",
+        strip_invisible(F.col("text")).alias("clean"),
+        invisible_count(F.col("text")).alias("n"),
+    ).collect()}
+    assert got[1] == ("clean text", 3)
+    assert got[2] == ("bidi attack", 2)
+    assert got[3] == ("plain ascii", 0)
+    assert got[4] == ("softhyphen", 1)

@@ -355,3 +355,26 @@ def nfc_stage(df, cols: list[str] | str):
             yield pdf
 
     return df.mapInPandas(norm, schema)
+
+
+# Zero-width + bidi-control + BOM + soft hyphen: characters that render as
+# nothing but pollute tokenizers, split fingerprints (the same visible text
+# hashes differently), and carry steganographic spam / word-filter evasion.
+INVISIBLE_CLASS = (
+    r"[\x{00AD}\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}-\x{2064}\x{FEFF}]"
+)
+
+
+def strip_invisible(text: Column) -> Column:
+    """Remove invisible/zero-width/bidi-control characters (CCNet-style
+    pre-pass next to NFC: two visually-identical texts must fingerprint
+    identically, and a ZWSP inside a blockword defeats naive filters)."""
+    return F.regexp_replace(text.cast("string"), INVISIBLE_CLASS, "")
+
+
+def invisible_count(text: Column) -> Column:
+    """How many invisible characters the text carries (hygiene telemetry —
+    a spike per source flags laundered spam)."""
+    return F.size(
+        F.regexp_extract_all(text.cast("string"), F.lit(INVISIBLE_CLASS), 0)
+    ).cast("bigint")
