@@ -887,3 +887,36 @@ def test_change_magnitude_grades_edits(spark):
     assert 0.0 < jac3 < 1.0 and abs(mag3 - (1.0 - jac3)) < 1e-9
     assert got[("u", 4)] == (0.0, 1.0)
     assert got[("v", 2)] == (1.0, 0.0)
+
+
+def test_epoch_fetch_capacity_waterfills(spark, catalog_dir):
+    """epoch_fetch_capacity: total fetches per epoch ≤ capacity exactly,
+    small hosts fully served, the hot host absorbs the squeeze — and its
+    overflow defers to the next epoch, not dropped."""
+    from web_crawler_spark.plans.epoch import CrawlEngine
+    from web_crawler_spark.sources.pages import generate_pages
+    from web_crawler_spark.sources.seeds import seeds_from_pages
+
+    pages = generate_pages(spark, 240, seed=42).cache()
+    # hot host ~30 URLs/epoch, others ~6
+    seeds = seeds_from_pages(spark, 240, n_per_host=6, hot_factor=5, n_epochs=2)
+
+    eng = CrawlEngine(
+        spark, catalog_dir + "/wf", pages, max_depth=0, use_bloom=False,
+        epoch_fetch_capacity=40,
+    )
+    eng.run(seeds, n_epochs=2)
+
+    fetched = eng.catalog.read(spark, "fetched")
+    per_epoch = {r["epoch"]: r["n"] for r in
+                 fetched.groupBy("epoch").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 40 for n in per_epoch.values()), per_epoch
+    assert per_epoch[0] == 40  # demand exceeds capacity -> spent exactly
+    per_host0 = {r["host"]: r["n"] for r in
+                 fetched.filter(F.col("epoch") == 0)
+                 .groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # small hosts (~6 URLs) fully served in epoch 0
+    smalls = [n for h, n in per_host0.items() if n <= 6]
+    assert len(smalls) >= 2
+    deferred = eng.catalog.read(spark, "deferred")
+    assert deferred is not None and deferred.filter(F.col("epoch") == 0).count() > 0

@@ -57,6 +57,7 @@ class CrawlEngine:
         robots_pages: DataFrame | None = None,
         agent: str = "sparkcrawl",
         max_per_host_per_epoch: int | None = None,
+        epoch_fetch_capacity: int | None = None,
         target_rows_per_task: int = 500,
         compact_every: int | None = None,
     ):
@@ -81,6 +82,13 @@ class CrawlEngine:
         # scale — politeness alone already caps useful fetches per epoch
         # (epoch_window / delay), so scheduling more is wasted state.
         self.max_per_host_per_epoch = max_per_host_per_epoch
+        # GLOBAL epoch capacity: when set, per-host budgets come from the
+        # max-min fair water-fill (operators/aggregate.py) over this
+        # epoch's actual frontier demands — small hosts fully served, the
+        # remainder split evenly over the big ones; total fetches ≤
+        # capacity exactly. Composes with max_per_host_per_epoch (the
+        # effective budget is the lesser).
+        self.epoch_fetch_capacity = epoch_fetch_capacity
         # sizing target for the url_hash rebalance (see _rebalance_width)
         self.target_rows_per_task = target_rows_per_task
         # auto-maintenance: compact+vacuum every N committed epochs (the
@@ -269,7 +277,34 @@ class CrawlEngine:
         # next epoch's frontier with its priority intact — bounded state
         # per host per epoch, nothing lost
         deferred_out = None
-        if self.max_per_host_per_epoch is not None:
+        if self.epoch_fetch_capacity is not None:
+            from ..operators.aggregate import host_budget_waterfill
+
+            demands = scheduled.groupBy("host").agg(
+                F.count(F.lit(1)).alias("demand")
+            )
+            budgets = host_budget_waterfill(
+                demands, self.epoch_fetch_capacity
+            ).select("host", "budget")
+            if self.max_per_host_per_epoch is not None:
+                budgets = budgets.select(
+                    "host",
+                    F.least(
+                        F.col("budget"),
+                        F.lit(int(self.max_per_host_per_epoch)).cast("bigint"),
+                    ).alias("budget"),
+                )
+            # per-host table: slim; AQE broadcasts the small side itself
+            scheduled = scheduled.join(budgets, "host", "left")
+            deferred_out = scheduled.filter(
+                F.col("seq") > F.coalesce(F.col("budget"), F.lit(0))
+            ).select(
+                "url", "priority", "host", "canonical_url", "url_hash", "depth"
+            )
+            scheduled = scheduled.filter(
+                F.col("seq") <= F.coalesce(F.col("budget"), F.lit(0))
+            ).drop("budget")
+        elif self.max_per_host_per_epoch is not None:
             budget = self.max_per_host_per_epoch
             deferred_out = scheduled.filter(F.col("seq") > budget).select(
                 "url", "priority", "host", "canonical_url", "url_hash", "depth"
