@@ -304,3 +304,23 @@ def test_fetch_sessions_streaming_matches_batch(spark, tmp_path):
              for r in fetch_sessions(log, gap="30 seconds").collect()}
     assert streamed == batch
     assert streamed[("h1", "2025-01-01 00:00:00")] == 2
+
+
+def test_cli_epoch_capacity(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "reports")
+    cat_dir = str(tmp_path / "catalog")
+    r = subprocess.run(
+        [sys.executable, "-m", "web_crawler_spark.cli", "--pages-count", "60",
+         "--output-dir", out_dir, "--output-format", "csv",
+         "--catalog", cat_dir, "--epochs", "2", "--epoch-capacity", "25"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    crawl_line = next(l for l in r.stdout.splitlines() if l.startswith('{"crawl"'))
+    stats = _json.loads(crawl_line)["crawl"]
+    assert all(s.get("fetched", 0) <= 25 for s in stats), stats

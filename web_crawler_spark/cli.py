@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic corpus size (offline fetch)")
     p.add_argument("--rate-limit-delay", type=float, default=2.0)
     p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--epoch-capacity", type=int, default=None,
+                   help="global fetches per epoch: per-host budgets are "
+                        "water-filled from the epoch's frontier demands "
+                        "(max-min fair); overflow defers to the next epoch")
     p.add_argument("--catalog", default=None, help="epoch-catalog root (enables crawl mode)")
     p.add_argument("--master", default=None)
     p.add_argument("--verbose", "-v", action="store_true")
@@ -169,7 +173,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             seeds = generate_seeds(spark, n_per_host=5, hot_factor=10, n_epochs=args.epochs)
         engine = CrawlEngine(spark, args.catalog, pages,
-                             delay_seconds=args.rate_limit_delay)
+                             delay_seconds=args.rate_limit_delay,
+                             epoch_fetch_capacity=args.epoch_capacity)
         stats = engine.run(seeds, n_epochs=args.epochs)
         print(json.dumps({"crawl": stats}))
 
