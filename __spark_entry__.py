@@ -5622,6 +5622,37 @@ FROM pages ORDER BY key, version_no
 """
 
 
+def _q_gopher_stopwords(spark, sf_dir):
+    """Gopher's stop-word document gate (Rae et al. 2021 §A1.1: ≥2 of 8
+    canonical function words — the cheapest is-this-prose filter) over
+    documents; distinct-presence count + flag, both value-certified."""
+    d = _t(spark, sf_dir, "documents")
+    s = T.gopher_stopword_flag(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["n_stop_present"].alias("n_stop_present"),
+        s["flag_stopwords"].alias("flag_stopwords"),
+    ).orderBy("doc_id")
+
+
+_SQL_GOPHER_STOPWORDS = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE list_distinct(string_split_regex(trim(lower(text)), '\s+')) END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_intersect(toks,
+            ['the','be','to','of','and','that','have','with'])) AS INT)
+         AS n_stop_present,
+       len(list_intersect(toks,
+            ['the','be','to','of','and','that','have','with'])) >= 2
+         AS flag_stopwords
+FROM t ORDER BY doc_id
+"""
+
+
 def _q_invisible_hygiene(spark, sf_dir):
     """Invisible-character hygiene (zero-width / bidi-control / BOM /
     soft-hyphen): planted ZWSP+BOM, RLO, and soft-hyphen payloads are
@@ -6767,6 +6798,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a12_fetch_sessions": _q_fetch_sessions,
     "tx_curriculum_shards": _q_curriculum_shards,
     "tx_invisible_hygiene": _q_invisible_hygiene,
+    "tx_gopher_stopwords": _q_gopher_stopwords,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -7002,6 +7034,7 @@ _ORACLES: dict[str, str] = {
     "a12_fetch_sessions": _SQL_FETCH_SESSIONS,
     "tx_curriculum_shards": _SQL_CURRICULUM_SHARDS,
     "tx_invisible_hygiene": _SQL_INVISIBLE_HYGIENE,
+    "tx_gopher_stopwords": _SQL_GOPHER_STOPWORDS,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

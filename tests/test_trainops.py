@@ -889,3 +889,22 @@ def test_invisible_char_hygiene(spark):
     assert got[2] == ("bidi attack", 2)
     assert got[3] == ("plain ascii", 0)
     assert got[4] == ("softhyphen", 1)
+
+
+def test_gopher_stopword_gate(spark):
+    import pyspark.sql.functions as F
+
+    from web_crawler_spark.functions.text import gopher_stopword_flag
+
+    rows = [
+        (1, "The cat sat of the mat and slept"),   # the, of, and -> 3
+        (2, "buy cheap pills now discount sale"),  # 0
+        (3, "to be or not to be"),                 # to, be -> 2
+        (4, "THE THE THE THE"),                    # distinct -> only 'the' = 1
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["s"]["n_stop_present"], r["s"]["flag_stopwords"])
+           for r in df.select("doc_id", gopher_stopword_flag(F.col("text")).alias("s")).collect()}
+    assert got == {1: (3, True), 2: (0, False), 3: (2, True),
+                   4: (1, False), 5: (0, False)}

@@ -378,3 +378,23 @@ def invisible_count(text: Column) -> Column:
     return F.size(
         F.regexp_extract_all(text.cast("string"), F.lit(INVISIBLE_CLASS), 0)
     ).cast("bigint")
+
+
+# Gopher's document-level stop-word rule (Rae et al. 2021 §A1.1): a real
+# English document contains at least TWO of these eight function words —
+# the cheapest "is this prose at all" gate (tables, code dumps, keyword
+# stuffing all fail it).
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_stopword_flag(text: Column) -> Column:
+    """(n_stop_present, flag_stopwords): how many DISTINCT canonical stop
+    words appear (whitespace tokens, lowercased — punctuation-attached
+    forms like 'the,' don't count, same convention both engines), and
+    Gopher's ≥2 pass flag. Pure columns, zero shuffle."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
+    n = F.size(F.array_intersect(toks, stops)).cast("int")
+    return F.struct(
+        n.alias("n_stop_present"), (n >= 2).alias("flag_stopwords")
+    )
