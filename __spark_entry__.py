@@ -928,6 +928,65 @@ FROM events WHERE event_id < 1500 ORDER BY url
 """
 
 
+def _q_nofollow_links(spark, sf_dir):
+    """rel=nofollow-aware link extraction (the link-spam opt-out the host
+    graph honors): every third page carries a nofollow'd spam link next
+    to its organic link; flags recovered through the real HTML parser,
+    oracle planted."""
+    from pyspark.sql import types as ST
+
+    from web_crawler_spark.plans.extract import extract_links_rel
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    k = F.col("event_id")
+    html = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit('<a href="/t'), k.cast("string"), F.lit('">x</a>'),
+            F.lit('<a rel="ugc nofollow" href="/spam'), k.cast("string"),
+            F.lit('">y</a>'),
+        ),
+    ).otherwise(
+        F.concat(F.lit('<a href="/t'), k.cast("string"), F.lit('">x</a>'))
+    )
+    pages = e.select(
+        F.concat(F.lit("u"), k.cast("string")).alias("url"), html.alias("html")
+    )
+    schema = ST.StructType([
+        ST.StructField("url", ST.StringType()),
+        ST.StructField("target", ST.StringType()),
+        ST.StructField("nofollow", ST.BooleanType()),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, tgts, nfs = [], [], []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                for t, nf in extract_links_rel(h or ""):
+                    urls.append(u)
+                    tgts.append(t)
+                    nfs.append(nf)
+            yield pd.DataFrame({"url": urls, "target": tgts, "nofollow": nfs})
+
+    return pages.mapInPandas(gen, schema).orderBy("url", "target")
+
+
+_SQL_NOFOLLOW_LINKS = """
+WITH base AS (
+  SELECT event_id, concat('u', CAST(event_id AS VARCHAR)) AS url
+  FROM events WHERE event_id < 1500
+)
+SELECT url, concat('/t', CAST(event_id AS VARCHAR)) AS target, false AS nofollow
+FROM base
+UNION ALL
+SELECT url, concat('/spam', CAST(event_id AS VARCHAR)) AS target, true AS nofollow
+FROM base WHERE event_id % 3 = 0
+ORDER BY url, target
+"""
+
+
 def _q_meta_robots(spark, sf_dir):
     """Per-page REP directives (<meta name=robots> / X-Robots-Tag):
     planted noindex / content-first nofollow / none / clean pages plus a
@@ -6799,6 +6858,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_curriculum_shards": _q_curriculum_shards,
     "tx_invisible_hygiene": _q_invisible_hygiene,
     "tx_gopher_stopwords": _q_gopher_stopwords,
+    "gr_nofollow_links": _q_nofollow_links,
     "tx_dataset_split": _q_dataset_split,
     "tx_pii_scrub": _q_pii_scrub,
     "dd_contamination_check": _q_contamination,
@@ -7035,6 +7095,7 @@ _ORACLES: dict[str, str] = {
     "tx_curriculum_shards": _SQL_CURRICULUM_SHARDS,
     "tx_invisible_hygiene": _SQL_INVISIBLE_HYGIENE,
     "tx_gopher_stopwords": _SQL_GOPHER_STOPWORDS,
+    "gr_nofollow_links": _SQL_NOFOLLOW_LINKS,
     "tpch_q3_shipping_priority": _SQL_TPCH_Q3,
     "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,

@@ -200,3 +200,17 @@ def test_markdown_tables_stage(spark):
     assert got[("u1", 0)].startswith("| h |")
     assert got[("u1", 1)] == "| solo |\n| --- |"
     assert not any(u == "u2" or u == "u3" for u, _ in got)
+
+
+def test_extract_links_rel_nofollow():
+    from web_crawler_spark.plans.extract import extract_links, extract_links_rel
+
+    html = ('<a href="/a">x</a>'
+            '<a rel="nofollow" href="/b">y</a>'
+            '<a href="/c" rel="ugc sponsored nofollow">z</a>'
+            '<a href="/d" rel="author">w</a>'
+            '<a rel="nofollow">no href</a>')
+    assert extract_links_rel(html) == [
+        ("/a", False), ("/b", True), ("/c", True), ("/d", False)]
+    # the legacy surface is untouched
+    assert extract_links(html) == ["/a", "/b", "/c", "/d"]

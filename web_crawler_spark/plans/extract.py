@@ -57,6 +57,7 @@ class _TableParser(HTMLParser):
         self._open_cells: list[list[str]] = []     # text chunks per open cell
         self._scope: list[str] = []                # open table/tr/td nesting
         self.links: list[str] = []
+        self.link_rels: list[tuple[str, bool]] = []  # (href, nofollow)
         self.anchors: list[tuple[str, str]] = []   # (href, anchor text)
         self._open_anchor: tuple[str, list[str]] | None = None
         self._text_chunks: list[str] = []
@@ -110,11 +111,18 @@ class _TableParser(HTMLParser):
             # A new <a> implies the end of any open one (browsers auto-close
             # nested anchors; nesting is illegal HTML).
             self._close_anchor()
+            href, rel = None, ""
             for k, v in attrs:
-                if k == "href" and v:
-                    self.links.append(v)
-                    self._open_anchor = (v, [])
-                    break
+                if k == "href" and v and href is None:
+                    href = v
+                elif k == "rel" and v:
+                    rel = v
+            if href:
+                self.links.append(href)
+                # rel is a space-separated token list (HTML spec); nofollow
+                # anywhere in it excludes the edge from link-graph credit
+                self.link_rels.append((href, "nofollow" in rel.lower().split()))
+                self._open_anchor = (href, [])
 
     def _close_anchor(self) -> None:
         if self._open_anchor is not None:
@@ -229,6 +237,14 @@ def extract_simple_rows(html: str) -> list[dict]:
 
 def extract_links(html: str) -> list[str]:
     return parse_html(html).links
+
+
+def extract_links_rel(html: str) -> list[tuple[str, bool]]:
+    """(href, nofollow) in document order — rel="nofollow" (or any
+    space-separated rel token list containing it) marks edges the link
+    graph must not credit (the link-spam opt-out PageRank/TrustRank/
+    anchor aggregation honor)."""
+    return parse_html(html).link_rels
 
 
 def extract_anchors(html: str) -> list[tuple[str, str]]:
