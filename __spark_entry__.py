@@ -7178,6 +7178,14 @@ _ORACLES: dict[str, str] = {
     "dd_simhash_pairs_md5": _sql_simhash_pairs_md5(),
 }
 
+# The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)
+# live in plans/tpch.py; appended after the tier-1 block so the driver's
+# 50-entry certification snapshot is unchanged.
+from web_crawler_spark.plans import tpch as _tpch  # noqa: E402
+
+_QUERIES.update(_tpch.QUERIES)
+_ORACLES.update(_tpch.ORACLES)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
