@@ -755,6 +755,87 @@ ORDER BY u.doc_id
 """
 
 
+def _q_registrable_domain(spark, sf_dir):
+    """eTLD+1 public-suffix extraction (functions/psl.py): hosts synthesized
+    from documents hit every rule class of the PSL algorithm — multi-label
+    registry suffix (co.uk), wildcard (*.ck), exception (!www.ck), private
+    suffix (github.io, blogspot.com), implicit-* unknown TLD, and a host
+    that IS a public suffix (NULL registrable). Plan is max_labels chained
+    broadcast hash joins + one fold expression: zero probe-side shuffles."""
+    from web_crawler_spark.functions import psl as PSL
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    src = F.lower(F.col("source"))
+    host = (
+        F.when(m == 0, F.concat(src, F.lit(".example.co.uk")))
+        .when(m == 1, F.lit("www.ck"))
+        .when(m == 2, F.concat(src, F.lit(".foo.ck")))
+        .when(m == 3, F.concat(src, F.lit(".github.io")))
+        .when(m == 4, F.concat(F.lit("deep."), src, F.lit(".blogspot.com")))
+        .when(m == 5, F.concat(src, F.lit(".unknowntld")))
+        .otherwise(F.lit("co.uk"))
+    )
+    hosts = d.select("doc_id", host.alias("host"))
+    out = PSL.with_registrable_domain(hosts)
+    return out.select(
+        "doc_id", "host", "public_suffix", "registrable_domain"
+    ).orderBy("doc_id")
+
+
+_SQL_REGISTRABLE_DOMAIN = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 7 AS INT)
+           WHEN 0 THEN lower(source) || '.example.co.uk'
+           WHEN 1 THEN 'www.ck'
+           WHEN 2 THEN lower(source) || '.foo.ck'
+           WHEN 3 THEN lower(source) || '.github.io'
+           WHEN 4 THEN 'deep.' || lower(source) || '.blogspot.com'
+           WHEN 5 THEN lower(source) || '.unknowntld'
+           ELSE 'co.uk'
+         END AS host
+  FROM documents
+),
+l AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM d),
+c AS (
+  SELECT doc_id, host, len(ls) AS nlab, CAST(t.k AS INT) AS k,
+         array_to_string(ls[len(ls) - CAST(t.k AS INT) + 1:], '.') AS cand
+  FROM l, range(1, 7) t(k)
+  WHERE len(ls) >= t.k
+),
+-- the PSL-snapshot rules reachable from the synthesized hosts, keyed the
+-- way psl_rules_df keys them: ps_normal = rule labels, ps_wild = parent
+-- labels + 1 (rule *.ck -> key 'ck'), ps_exc = rule labels - 1 (!www.ck)
+r(key, ps_normal, ps_wild, ps_exc) AS (
+  VALUES ('uk', 1, NULL, NULL), ('co.uk', 2, NULL, NULL),
+         ('io', 1, NULL, NULL), ('github.io', 2, NULL, NULL),
+         ('com', 1, NULL, NULL), ('blogspot.com', 2, NULL, NULL),
+         ('ck', NULL, 2, NULL), ('www.ck', NULL, NULL, 1)
+),
+m AS (
+  SELECT c.doc_id, c.host, c.nlab,
+         max(r.ps_exc) AS exc,
+         max(r.ps_normal) AS nrm,
+         max(CASE WHEN c.nlab >= c.k + 1 THEN r.ps_wild END) AS wld
+  FROM c LEFT JOIN r ON c.cand = r.key
+  GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT doc_id, host, nlab,
+         COALESCE(exc, greatest(COALESCE(nrm, 1), COALESCE(wld, 1))) AS ps
+  FROM m
+)
+SELECT doc_id, host,
+       array_to_string(string_split(host, '.')[nlab - ps + 1:], '.') AS public_suffix,
+       CASE WHEN nlab > ps
+            THEN array_to_string(string_split(host, '.')[nlab - ps:], '.')
+       END AS registrable_domain
+FROM p
+ORDER BY doc_id
+"""
+
+
 def _q_crawl_order(spark, sf_dir):
     return P.crawl_order(_frontier_df(spark, sf_dir)).select("host", "seq", "url")
 
@@ -6872,6 +6953,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_chunk_dedup_rewrite": _q_chunk_dedup_rewrite,
     "dd_span_dedup_rewrite": _q_span_dedup_rewrite,
     "tx_shard_pack": _q_shard_pack,
+    "url_registrable_domain": _q_registrable_domain,
     "tx_weighted_sample": _q_weighted_sample,
     "tx_corpus_mix": _q_corpus_mix,
     "crawl_snapshot_asof": _q_snapshot_asof,
@@ -7034,6 +7116,7 @@ _ORACLES: dict[str, str] = {
     "a7_success_rate": _SQL_SUCCESS_RATE,
     "robots_filter": _SQL_ROBOTS_FILTER,
     "url_domain_blocklist": _SQL_DOMAIN_BLOCKLIST,
+    "url_registrable_domain": _SQL_REGISTRABLE_DOMAIN,
     "x1_clean_price": _SQL_CLEAN_PRICE,
     "x2_clean_percentage": _SQL_CLEAN_PERCENTAGE,
     "x3_extract_symbol": _SQL_EXTRACT_SYMBOL,

@@ -1,0 +1,105 @@
+"""Public-suffix-list eTLD+1 extraction (functions/psl.py).
+
+Golden cases follow the PSL project's own checkPublicSuffix test
+conventions (publicsuffix.org/list/ — algorithm public, MPL-2.0 list):
+normal rules, multi-label registry suffixes, wildcard ``*.ck`` /
+``*.kawasaki.jp``, exceptions ``!www.ck`` / ``!city.kawasaki.jp``,
+private (hosting-platform) suffixes, the implicit ``*`` rule for unknown
+TLDs, and NULL registrable domain when the host IS a public suffix.
+Plan shape: one broadcast hash join per probed depth, zero probe-side
+shuffles.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import psl
+
+
+GOLDEN = [
+    # host, public_suffix, registrable_domain
+    ("example.com", "com", "example.com"),
+    ("a.b.example.com", "com", "example.com"),
+    ("www.example.co.uk", "co.uk", "example.co.uk"),
+    ("example.co.uk", "co.uk", "example.co.uk"),
+    ("co.uk", "co.uk", None),                     # host IS a public suffix
+    ("uk", "uk", None),
+    ("www.ck", "ck", "www.ck"),                   # exception beats wildcard
+    ("b.foo.ck", "foo.ck", "b.foo.ck"),           # wildcard *.ck
+    ("foo.ck", "foo.ck", None),                   # wildcard match, no +1 label
+    ("ck", "ck", None),                           # bare parent of a wildcard
+    ("example.unknowntld", "unknowntld", "example.unknowntld"),  # implicit *
+    ("unknowntld", "unknowntld", None),
+    ("user.github.io", "github.io", "user.github.io"),           # private
+    ("deep.x.blogspot.com", "blogspot.com", "x.blogspot.com"),
+    ("city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),     # exception
+    ("x.y.kawasaki.jp", "y.kawasaki.jp", "x.y.kawasaki.jp"),     # wildcard
+    ("EXAMPLE.COM.", "com", "example.com"),       # case + trailing dot
+    ("vm.x.compute.amazonaws.com", "x.compute.amazonaws.com",
+     "vm.x.compute.amazonaws.com"),               # deep private wildcard
+]
+
+
+@pytest.fixture(scope="module")
+def golden_out(spark):
+    df = spark.createDataFrame([(h,) for h, _, _ in GOLDEN], "host string")
+    rows = psl.with_registrable_domain(df).collect()
+    return {r.host: (r.public_suffix, r.registrable_domain) for r in rows}
+
+
+@pytest.mark.parametrize("host,ps,reg", GOLDEN)
+def test_golden(golden_out, host, ps, reg):
+    assert golden_out[host] == (ps, reg)
+
+
+def test_parse_psl_format_and_icann_only():
+    text = "// c\n\ncom\n*.ck  // trailing comment-ish annotation\n!www.ck\nUPPER.Case.\n// ===BEGIN PRIVATE DOMAINS===\ngithub.io\n"
+    rules = psl.parse_psl(text)
+    assert ("com", "normal") in rules
+    assert ("ck", "wildcard") in rules
+    assert ("www.ck", "exception") in rules
+    assert ("upper.case", "normal") in rules       # lowercased, dot-stripped
+    assert ("github.io", "normal") in rules
+    icann = psl.parse_psl(text, icann_only=True)
+    assert ("github.io", "normal") not in icann
+    assert ("com", "normal") in icann
+
+
+def test_rules_df_label_counts(spark):
+    r = {
+        row.key: (row.ps_normal, row.ps_wild, row.ps_exc)
+        for row in psl.psl_rules_df(
+            spark, "co.uk\n*.ck\n!www.ck\nck\n"
+        ).collect()
+    }
+    assert r["co.uk"] == (2, None, None)
+    # same key from wildcard parent AND a normal rule: both kept
+    assert r["ck"] == (1, 2, None)
+    assert r["www.ck"] == (None, None, 1)
+
+
+def test_plan_zero_probe_side_shuffles(spark):
+    df = spark.createDataFrame([("a.example.co.uk",)], "host string")
+    rules = psl.psl_rules_df(spark).localCheckpoint(eager=True)
+    out = psl.with_registrable_domain(df, rules=rules, max_labels=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 6
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_passthrough_columns_and_custom_names(spark):
+    df = spark.createDataFrame([(1, "x.example.com")], ["id", "h"])
+    out = psl.with_registrable_domain(
+        df, host_col="h", out_col="site", suffix_col=None
+    )
+    assert out.columns == ["id", "h", "site"]
+    assert out.collect()[0].site == "example.com"
+
+
+def test_full_list_file_shape(spark):
+    # a user-supplied list goes through the same path as the snapshot
+    rules = psl.psl_rules_df(spark, psl.DEFAULT_PSL, icann_only=True)
+    keys = {r.key for r in rules.collect()}
+    assert "co.uk" in keys and "github.io" not in keys
