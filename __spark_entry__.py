@@ -836,6 +836,163 @@ ORDER BY doc_id
 """
 
 
+# Shared synthesized-host scheme for the PSL-composed queries: three site
+# families per source — src.co.uk (+www vhost), src.blogspot.com (+www;
+# private suffix → each src is its OWN site), src.com (+api vhost).
+def _psl_host_expr():
+    src = F.lower(F.col("source"))
+    m = F.col("doc_id") % 6
+    return (
+        F.when(m == 0, F.concat(src, F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.lit("www."), src, F.lit(".co.uk")))
+        .when(m == 2, F.concat(src, F.lit(".blogspot.com")))
+        .when(m == 3, F.concat(F.lit("www."), src, F.lit(".blogspot.com")))
+        .when(m == 4, F.concat(src, F.lit(".com")))
+        .otherwise(F.concat(F.lit("api."), src, F.lit(".com")))
+    )
+
+
+_SQL_PSL_HOSTROWS = """
+  SELECT doc_id,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN lower(source) || '.co.uk'
+           WHEN 1 THEN 'www.' || lower(source) || '.co.uk'
+           WHEN 2 THEN lower(source) || '.blogspot.com'
+           WHEN 3 THEN 'www.' || lower(source) || '.blogspot.com'
+           WHEN 4 THEN lower(source) || '.com'
+           ELSE 'api.' || lower(source) || '.com'
+         END AS host
+  FROM documents
+"""
+
+# PSL prevailing-rule fold over a `hosts(host)` CTE (distinct), producing
+# sites(host, site_key) — the DuckDB mirror of functions/psl.py with the
+# rule subset these synthesized hosts can reach.
+_SQL_PSL_SITES = """
+sl AS (SELECT host, string_split(host, '.') AS ls FROM hosts),
+sc AS (
+  SELECT host, len(ls) AS nlab, CAST(t.k AS INT) AS k,
+         array_to_string(ls[len(ls) - CAST(t.k AS INT) + 1:], '.') AS cand
+  FROM sl, range(1, 7) t(k) WHERE len(ls) >= t.k
+),
+r(key, ps_normal, ps_wild, ps_exc) AS (
+  VALUES ('uk', 1, NULL, NULL), ('co.uk', 2, NULL, NULL),
+         ('com', 1, NULL, NULL), ('blogspot.com', 2, NULL, NULL)
+),
+sm AS (
+  SELECT sc.host, sc.nlab,
+         max(r.ps_exc) AS exc, max(r.ps_normal) AS nrm,
+         max(CASE WHEN sc.nlab >= sc.k + 1 THEN r.ps_wild END) AS wld
+  FROM sc LEFT JOIN r ON sc.cand = r.key GROUP BY 1, 2
+),
+sp AS (
+  SELECT host, nlab,
+         COALESCE(exc, greatest(COALESCE(nrm, 1), COALESCE(wld, 1))) AS ps
+  FROM sm
+),
+sites AS (
+  SELECT host,
+         CASE WHEN nlab > ps
+              THEN array_to_string(string_split(host, '.')[nlab - ps:], '.')
+              ELSE host END AS site_key
+  FROM sp
+)
+"""
+
+
+def _q_politeness_by_site(spark, sf_dir):
+    """Site-granularity politeness (operators/politeness.py::
+    politeness_schedule_by_site): vhosts of one registrable domain
+    (www./api. + apex) share a delay lane, while blogspot-style private-
+    suffix subdomains stay separate lanes — the distinction only the PSL
+    key gets right. Whole schedule (lane, seq, timestamp) value-certified."""
+    from web_crawler_spark.operators.politeness import politeness_schedule_by_site
+
+    d = _t(spark, sf_dir, "documents")
+    host = _psl_host_expr()
+    f = d.select(
+        host.alias("host"),
+        (F.col("doc_id") % 97).cast("int").alias("priority"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/d/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    return politeness_schedule_by_site(
+        f, F.lit("2025-07-22 09:00:00").cast("timestamp"), delay_seconds=2.0
+    ).orderBy("site_key", "seq")
+
+
+_SQL_POLITENESS_BY_SITE = f"""
+WITH hostrows AS ({_SQL_PSL_HOSTROWS}),
+frontier AS (
+  SELECT host, CAST(doc_id % 97 AS INT) AS priority,
+         'https://' || host || '/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM hostrows
+),
+hosts AS (SELECT DISTINCT host FROM frontier),
+{_SQL_PSL_SITES},
+keyed AS (
+  SELECT s.site_key, f.host, f.priority, f.url
+  FROM frontier f JOIN sites s USING (host)
+),
+ordered AS (
+  SELECT site_key, host,
+         CAST(ROW_NUMBER() OVER (PARTITION BY site_key
+                                 ORDER BY priority, host, url) AS INT) AS seq,
+         url
+  FROM keyed
+)
+SELECT site_key, host, seq, url,
+       TIMESTAMP '2025-07-22 09:00:00'
+         + INTERVAL (CAST(seq - 1 AS BIGINT) * 2) SECOND AS scheduled_ts
+FROM ordered
+ORDER BY site_key, seq
+"""
+
+
+def _q_domain_quota(spark, sf_dir):
+    """Per-site document cap (operators/corpus.py::domain_quota, the
+    RefinedWeb anti-SEO diversity gate): keep the 5 longest documents per
+    registrable domain — www/api vhosts pool into their site's quota,
+    blogspot subdomains each keep their own. Rank + survivors certified."""
+    from web_crawler_spark.operators import corpus as CO
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", _psl_host_expr().alias("host"), F.length("text").alias("n")
+    )
+    out = CO.domain_quota(
+        docs,
+        quota=5,
+        host_col="host",
+        order_by=[F.col("n").desc(), F.col("doc_id")],
+        keep_rank=True,
+    )
+    return out.select("doc_id", "host", "site", "site_rank").orderBy(
+        "site", "site_rank"
+    )
+
+
+_SQL_DOMAIN_QUOTA = f"""
+WITH hostrows AS ({_SQL_PSL_HOSTROWS}),
+docs AS (
+  SELECT d.doc_id, h.host, length(d.text) AS n
+  FROM documents d JOIN hostrows h USING (doc_id)
+),
+hosts AS (SELECT DISTINCT host FROM docs),
+{_SQL_PSL_SITES},
+ranked AS (
+  SELECT d.doc_id, d.host, s.site_key AS site,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s.site_key
+                                 ORDER BY d.n DESC, d.doc_id) AS INT) AS site_rank
+  FROM docs d JOIN sites s USING (host)
+)
+SELECT doc_id, host, site, site_rank
+FROM ranked WHERE site_rank <= 5
+ORDER BY site, site_rank
+"""
+
+
 def _q_crawl_order(spark, sf_dir):
     return P.crawl_order(_frontier_df(spark, sf_dir)).select("host", "seq", "url")
 
@@ -6954,6 +7111,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_span_dedup_rewrite": _q_span_dedup_rewrite,
     "tx_shard_pack": _q_shard_pack,
     "url_registrable_domain": _q_registrable_domain,
+    "f3_politeness_by_site": _q_politeness_by_site,
+    "tx_domain_quota": _q_domain_quota,
     "tx_weighted_sample": _q_weighted_sample,
     "tx_corpus_mix": _q_corpus_mix,
     "crawl_snapshot_asof": _q_snapshot_asof,
@@ -7117,6 +7276,8 @@ _ORACLES: dict[str, str] = {
     "robots_filter": _SQL_ROBOTS_FILTER,
     "url_domain_blocklist": _SQL_DOMAIN_BLOCKLIST,
     "url_registrable_domain": _SQL_REGISTRABLE_DOMAIN,
+    "f3_politeness_by_site": _SQL_POLITENESS_BY_SITE,
+    "tx_domain_quota": _SQL_DOMAIN_QUOTA,
     "x1_clean_price": _SQL_CLEAN_PRICE,
     "x2_clean_percentage": _SQL_CLEAN_PERCENTAGE,
     "x3_extract_symbol": _SQL_EXTRACT_SYMBOL,

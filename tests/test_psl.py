@@ -103,3 +103,65 @@ def test_full_list_file_shape(spark):
     rules = psl.psl_rules_df(spark, psl.DEFAULT_PSL, icann_only=True)
     keys = {r.key for r in rules.collect()}
     assert "co.uk" in keys and "github.io" not in keys
+
+
+def test_politeness_by_site_groups_vhosts_not_private_suffixes(spark):
+    from web_crawler_spark.operators.politeness import politeness_schedule_by_site
+
+    rows = [
+        ("www.shop.co.uk", 1, "https://www.shop.co.uk/a"),
+        ("api.shop.co.uk", 2, "https://api.shop.co.uk/b"),
+        ("shop.co.uk", 3, "https://shop.co.uk/c"),
+        ("a.blogspot.com", 1, "https://a.blogspot.com/x"),
+        ("b.blogspot.com", 1, "https://b.blogspot.com/y"),
+    ]
+    f = spark.createDataFrame(rows, ["host", "priority", "url"])
+    out = politeness_schedule_by_site(
+        f, F.lit("2025-01-01 00:00:00").cast("timestamp"), delay_seconds=2.0
+    ).collect()
+    by_site = {}
+    for r in out:
+        by_site.setdefault(r.site_key, []).append((r.seq, r.host, r.scheduled_ts))
+    # the three shop.co.uk vhosts share ONE lane, sequenced by priority
+    assert len(by_site["shop.co.uk"]) == 3
+    seqs = sorted(by_site["shop.co.uk"])
+    assert [s[1] for s in seqs] == ["www.shop.co.uk", "api.shop.co.uk", "shop.co.uk"]
+    # 2s spacing within the lane
+    assert (seqs[1][2] - seqs[0][2]).total_seconds() == 2.0
+    # private-suffix subdomains are DISTINCT sites: both start at seq 1
+    assert [r[0] for r in by_site["a.blogspot.com"]] == [1]
+    assert [r[0] for r in by_site["b.blogspot.com"]] == [1]
+
+
+def test_domain_quota_pools_vhosts_and_separates_private(spark):
+    from web_crawler_spark.operators import corpus as CO
+
+    rows = (
+        [(i, "www.site.co.uk", 100 - i) for i in range(4)]
+        + [(10 + i, "img.site.co.uk", 50 - i) for i in range(4)]
+        + [(20 + i, "a.blogspot.com", 10) for i in range(3)]
+        + [(30 + i, "b.blogspot.com", 10) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "host", "score"])
+    out = CO.domain_quota(
+        df, quota=3, order_by=[F.col("score").desc(), "doc_id"], keep_rank=True
+    ).collect()
+    sites = {}
+    for r in out:
+        sites.setdefault(r.site, []).append(r.doc_id)
+    # both site.co.uk vhosts pool into one quota of 3 — the top scorers win
+    assert sorted(sites["site.co.uk"]) == [0, 1, 2]
+    # each blogspot subdomain keeps its own quota
+    assert len(sites["a.blogspot.com"]) == 3
+    assert len(sites["b.blogspot.com"]) == 3
+    # helper columns dropped when keep_rank=False, passthrough preserved
+    plain = CO.domain_quota(df, quota=3)
+    assert plain.columns == ["doc_id", "host", "score"]
+
+
+def test_domain_quota_rejects_bad_quota(spark):
+    from web_crawler_spark.operators import corpus as CO
+
+    df = spark.createDataFrame([(1, "a.com")], ["doc_id", "host"])
+    with pytest.raises(ValueError):
+        CO.domain_quota(df, quota=0)

@@ -1172,3 +1172,51 @@ def curriculum_shards(
             .alias("shard"),
         )
     )
+
+
+def domain_quota(
+    df: DataFrame,
+    quota: int,
+    host_col: str = "host",
+    order_by=None,
+    rules: DataFrame | None = None,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-registrable-domain document cap (the RefinedWeb/C4 anti-SEO
+    gate): no single SITE may contribute more than ``quota`` documents to
+    the corpus. The grouping key is eTLD+1 (functions/psl.py), NOT the
+    raw host — a link farm spread across ``{a..z}.spam.co.uk`` is one
+    site and gets one quota, while ``{a..z}.blogspot.com`` are distinct
+    sites (private suffix) and keep one quota each. This is the
+    domain-diversity control every published webtext recipe applies
+    before token-budget mixing.
+
+    ``order_by`` ranks documents within a site (best kept first);
+    defaults to deterministic arbitrary order over all input columns'
+    natural sort — pass e.g. ``[F.col('quality').desc(), 'doc_id']``
+    for quality-ranked retention. Hosts that ARE a public suffix group
+    under themselves.
+
+    Plan: PSL lookups are broadcast joins (zero probe-side shuffles);
+    one inherent hash-partition window over site. Skew note: the window
+    key is the site, so a mega-site (wikipedia.org at 10^8 pages) is
+    one partition's worth of ROW_NUMBER — but quota gates are applied
+    AFTER stronger gates shrink per-site cardinality; if a raw frontier
+    must be quota'd, pre-aggregate counts and sample instead.
+    """
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    from ..functions import psl as _psl
+
+    sited = _psl.with_registrable_domain(
+        df, host_col=host_col, rules=rules, out_col="__site", suffix_col=None
+    ).withColumn("__site", F.coalesce(F.col("__site"), F.col(host_col)))
+    order = order_by if order_by is not None else [F.col(c) for c in df.columns]
+    w = Window.partitionBy("__site").orderBy(*order)
+    ranked = sited.withColumn("__rank", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rank") <= quota)
+    if keep_rank:
+        return kept.withColumnRenamed("__site", "site").withColumnRenamed(
+            "__rank", "site_rank"
+        )
+    return kept.drop("__site", "__rank")

@@ -322,3 +322,60 @@ def politeness_schedule_by_ip(
             epoch_start,
         ).alias("scheduled_ts"),
     )
+
+
+def politeness_schedule_by_site(
+    frontier: DataFrame,
+    epoch_start: Column,
+    delay_seconds: float = 2.0,
+    rules: DataFrame | None = None,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """F3 at SITE granularity: the politeness key is the registrable
+    domain (eTLD+1, functions/psl.py), so ``www.example.co.uk`` and
+    ``shop.example.co.uk`` share one delay budget — they are one origin
+    in every practical deployment — while ``a.blogspot.com`` and
+    ``b.blogspot.com`` stay separate lanes (blogspot.com is a *private
+    public suffix*: different users, different sites). This is exactly
+    the distinction a "last two labels" key gets wrong in both
+    directions, and why the PSL is the right grouping table.
+
+    Hosts whose registrable domain is NULL (the host IS a public
+    suffix — rare, usually junk) fall back to self-keyed per-host
+    lanes. Plan: the PSL lookups are broadcast hash joins (zero
+    probe-side shuffles); the single inherent shuffle is the schedule
+    window over site_key, same closed form as ``politeness_schedule``.
+    Returns (site_key, host, seq, url, scheduled_ts).
+    """
+    from ..functions import psl as _psl
+
+    keyed = _psl.with_registrable_domain(
+        frontier.select(
+            F.col(host_col).alias("host"),
+            F.col(priority_col).alias("priority"),
+            F.col(url_col).alias("url"),
+        ),
+        host_col="host",
+        rules=rules,
+        out_col="__site",
+        suffix_col=None,
+    ).select(
+        F.coalesce(F.col("__site"), F.col("host")).alias("site_key"),
+        "host",
+        "priority",
+        "url",
+    )
+    w = Window.partitionBy("site_key").orderBy("priority", "host", "url")
+    return keyed.withColumn("seq", F.row_number().over(w).cast("int")).select(
+        "site_key",
+        "host",
+        "seq",
+        "url",
+        F.timestamp_add(
+            "SECOND",
+            ((F.col("seq") - 1) * F.lit(delay_seconds)).cast("bigint"),
+            epoch_start,
+        ).alias("scheduled_ts"),
+    )
