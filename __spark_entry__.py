@@ -6302,6 +6302,103 @@ def _host_edges(spark, sf_dir):
     )
 
 
+def _psl_edge_hosts(spark, sf_dir):
+    """Host-level edges whose endpoints carry PSL structure: 8 sites × 3
+    suffix families (co.uk registry / blogspot.com private / plain com),
+    each appearing as apex, www., or api. vhost — so the domain collapse
+    has real work to do (vhost merge, intra-site loop drop)."""
+    e = _t(spark, sf_dir, "events")
+
+    def mk(uid, vsel):
+        v = (
+            F.when(vsel % 3 == 0, F.lit(""))
+            .when(vsel % 3 == 1, F.lit("www."))
+            .otherwise(F.lit("api."))
+        )
+        return F.concat(
+            v,
+            F.lit("s"),
+            (uid % 8).cast("string"),
+            F.when(uid % 3 == 0, F.lit(".co.uk"))
+            .when(uid % 3 == 1, F.lit(".blogspot.com"))
+            .otherwise(F.lit(".com")),
+        )
+
+    return e.select(
+        mk(F.col("user_id"), F.col("event_id")).alias("src_host"),
+        mk(F.col("user_id") + F.col("event_id"), F.col("event_id") + 1).alias(
+            "dst_host"
+        ),
+    )
+
+
+_SQL_PSL_EDGE_CTES = (
+    """eh AS (
+  SELECT concat(CASE CAST(event_id % 3 AS INT) WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'api.' END,
+                's', CAST(user_id % 8 AS VARCHAR),
+                CASE CAST(user_id % 3 AS INT) WHEN 0 THEN '.co.uk'
+                     WHEN 1 THEN '.blogspot.com' ELSE '.com' END) AS src_host,
+         concat(CASE CAST((event_id + 1) % 3 AS INT) WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'api.' END,
+                's', CAST((user_id + event_id) % 8 AS VARCHAR),
+                CASE CAST((user_id + event_id) % 3 AS INT) WHEN 0 THEN '.co.uk'
+                     WHEN 1 THEN '.blogspot.com' ELSE '.com' END) AS dst_host
+  FROM events
+),
+hosts AS (SELECT src_host AS host FROM eh UNION SELECT dst_host AS host FROM eh),
+"""
+    + _SQL_PSL_SITES
+    + """,
+de AS (
+  SELECT ss.site_key AS src_site, sd.site_key AS dst_site, COUNT(*) AS n_links
+  FROM eh JOIN sites ss ON eh.src_host = ss.host
+          JOIN sites sd ON eh.dst_host = sd.host
+  WHERE ss.site_key <> sd.site_key
+  GROUP BY 1, 2
+)"""
+)
+
+
+def _q_domain_graph(spark, sf_dir):
+    """Registrable-domain (eTLD+1) collapse of the host graph
+    (operators/graph.py::domain_graph): vhosts merge into their site node,
+    intra-site links drop as self-loops, private-suffix subdomains stay
+    separate nodes — the Common Crawl domain-rank granularity. PSL probes
+    are broadcast joins; the one shuffle is the site-edge re-aggregation."""
+    from web_crawler_spark.operators import graph as G
+
+    eh = _psl_edge_hosts(spark, sf_dir)
+    he = eh.groupBy("src_host", "dst_host").agg(F.count(F.lit(1)).alias("n_links"))
+    return G.domain_graph(he).orderBy("src_site", "dst_site")
+
+
+_SQL_DOMAIN_GRAPH = f"""
+WITH {_SQL_PSL_EDGE_CTES}
+SELECT src_site, dst_site, n_links FROM de ORDER BY src_site, dst_site
+"""
+
+
+def _q_domain_pagerank(spark, sf_dir):
+    """PageRank at registrable-domain granularity (the rank table Common
+    Crawl actually publishes): same power iteration as gr_host_pagerank,
+    run on the PSL-collapsed edge list. Oracle unrolls the 10 iterations
+    over the identical DuckDB-computed domain graph."""
+    from web_crawler_spark.operators import graph as G
+
+    eh = _psl_edge_hosts(spark, sf_dir)
+    he = eh.groupBy("src_host", "dst_host").agg(F.count(F.lit(1)).alias("n_links"))
+    ranks = G.pagerank(
+        G.domain_graph(he), iterations=10, src_col="src_site", dst_col="dst_site"
+    )
+    return ranks.orderBy(F.desc("rank"), "node")
+
+
+_SQL_DOMAIN_PAGERANK_EDGES = (
+    _SQL_PSL_EDGE_CTES
+    + """,
+e AS (SELECT src_site AS src, dst_site AS dst, CAST(n_links AS DOUBLE) AS w FROM de)"""
+)
+
+
 def _q_host_graph(spark, sf_dir):
     """Outlink host graph: (src_host, dst_host, n_links) — the crawl
     planner's edge list (self-loops dropped)."""
@@ -6333,20 +6430,27 @@ def _q_host_pagerank(spark, sf_dir):
     return G.pagerank(edges, iterations=10).orderBy(F.desc("rank"), "node")
 
 
-def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
-    """Unrolled power iteration over the synthetic host graph — the exact
-    algebra of operators/graph.py::pagerank (weighted transitions, uniform
-    teleport, dangling-mass redistribution) as 3 CTEs per iteration."""
-    d = repr(damping)
-    head = """
-WITH e AS (
+_SQL_HOST_EDGES_E = """e AS (
   SELECT src_host AS src, dst_host AS dst, CAST(COUNT(*) AS DOUBLE) AS w
   FROM (
     SELECT concat('h', CAST(user_id % 12 AS VARCHAR), '.com') AS src_host,
            concat('h', CAST((user_id + event_id) % 12 AS VARCHAR), '.com') AS dst_host
     FROM events
   ) WHERE src_host <> dst_host GROUP BY src_host, dst_host
-),
+)"""
+
+
+def _pagerank_sql(
+    iterations: int = 10, damping: float = 0.85, edges_with: str | None = None
+) -> str:
+    """Unrolled power iteration — the exact algebra of
+    operators/graph.py::pagerank (weighted transitions, uniform teleport,
+    dangling-mass redistribution) as 3 CTEs per iteration. ``edges_with``
+    is a CTE chain (no leading WITH) that must end by defining
+    ``e(src, dst, w)``; defaults to the synthetic host graph."""
+    d = repr(damping)
+    head = f"""
+WITH {edges_with or _SQL_HOST_EDGES_E},
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 trans AS (
@@ -7113,6 +7217,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_registrable_domain": _q_registrable_domain,
     "f3_politeness_by_site": _q_politeness_by_site,
     "tx_domain_quota": _q_domain_quota,
+    "gr_domain_graph": _q_domain_graph,
+    "gr_domain_pagerank": _q_domain_pagerank,
     "tx_weighted_sample": _q_weighted_sample,
     "tx_corpus_mix": _q_corpus_mix,
     "crawl_snapshot_asof": _q_snapshot_asof,
@@ -7381,6 +7487,8 @@ _ORACLES: dict[str, str] = {
     "dd_dedup_clusters_star": _sql_dedup_clusters(),
     "url_crawl_traps": _SQL_CRAWL_TRAPS,
     "gr_host_pagerank": _pagerank_sql(),
+    "gr_domain_graph": _SQL_DOMAIN_GRAPH,
+    "gr_domain_pagerank": _pagerank_sql(edges_with=_SQL_DOMAIN_PAGERANK_EDGES),
     "gr_host_hits": _hits_sql(),
     "gr_host_trustrank": _trustrank_sql(),
     "tx_phrase_match": _SQL_PHRASE_MATCH,

@@ -165,3 +165,26 @@ def test_domain_quota_rejects_bad_quota(spark):
     df = spark.createDataFrame([(1, "a.com")], ["doc_id", "host"])
     with pytest.raises(ValueError):
         CO.domain_quota(df, quota=0)
+
+
+def test_domain_graph_collapses_vhosts_drops_intra_site(spark):
+    from web_crawler_spark.operators import graph as G
+
+    rows = [
+        # two vhosts of siteA link to siteB — must merge into ONE edge w=3
+        ("www.a.co.uk", "b.com", 2),
+        ("a.co.uk", "b.com", 1),
+        # intra-site (vhost to apex) — self-loop after collapse, dropped
+        ("www.a.co.uk", "a.co.uk", 5),
+        # private-suffix subdomains stay separate nodes
+        ("x.blogspot.com", "y.blogspot.com", 1),
+    ]
+    edges = spark.createDataFrame(rows, ["src_host", "dst_host", "n_links"])
+    out = {
+        (r.src_site, r.dst_site): r.n_links
+        for r in G.domain_graph(edges).collect()
+    }
+    assert out == {
+        ("a.co.uk", "b.com"): 3,
+        ("x.blogspot.com", "y.blogspot.com"): 1,
+    }

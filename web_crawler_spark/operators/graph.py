@@ -384,3 +384,46 @@ def opic_update(
             .alias("priority"),
         )
     )
+
+
+def domain_graph(
+    edges: DataFrame,
+    rules: DataFrame | None = None,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+) -> DataFrame:
+    """Collapse a host-level edge list to the REGISTRABLE-DOMAIN graph
+    (eTLD+1, functions/psl.py) — the granularity Common Crawl publishes
+    its domain-level ranks at, and the right one for crawl budgeting:
+    vhosts (www./api./apex) merge into one node, intra-site links become
+    self-loops and are dropped, while private-suffix subdomains
+    (``a.blogspot.com`` vs ``b.blogspot.com``) correctly stay separate
+    nodes. A "last two labels" collapse gets both cases wrong.
+
+    Hosts whose registrable domain is NULL (the host IS a public suffix)
+    keep themselves as the node. Plan: 2 × max_labels broadcast PSL
+    probes (zero shuffles) + the one inherent re-aggregation shuffle on
+    (src_site, dst_site). Returns (src_site, dst_site, n_links) with
+    parallel vhost edges merged (weights summed).
+    """
+    from ..functions import psl as _psl
+
+    if rules is None:
+        rules = _psl.psl_rules_df(edges.sparkSession)
+    sited = _psl.with_registrable_domain(
+        edges, host_col=src_col, rules=rules, out_col="__src_site", suffix_col=None
+    )
+    sited = _psl.with_registrable_domain(
+        sited, host_col=dst_col, rules=rules, out_col="__dst_site", suffix_col=None
+    )
+    return (
+        sited.select(
+            F.coalesce(F.col("__src_site"), F.col(src_col)).alias("src_site"),
+            F.coalesce(F.col("__dst_site"), F.col(dst_col)).alias("dst_site"),
+            F.col(weight_col).alias("__w"),
+        )
+        .filter(F.col("src_site") != F.col("dst_site"))
+        .groupBy("src_site", "dst_site")
+        .agg(F.sum("__w").alias(weight_col))
+    )
