@@ -188,3 +188,78 @@ def test_domain_graph_collapses_vhosts_drops_intra_site(spark):
         ("a.co.uk", "b.com"): 3,
         ("x.blogspot.com", "y.blogspot.com"): 1,
     }
+
+
+def _ref_psl(host, rules):
+    """Independent pure-Python PSL reference (no shared code with the
+    engine): linear scan of the rule list per host — the textbook
+    formulation of the publicsuffix.org algorithm."""
+    h = host.lower().rstrip(".")
+    labels = h.split(".")
+    n = len(labels)
+    exc_ps = None
+    best = 1
+    for suffix, kind in rules:
+        rl = suffix.split(".")
+        k = len(rl)
+        if labels[-k:] != rl or n < k:
+            continue
+        if kind == "exception":
+            ps = k - 1
+            if exc_ps is None or ps > exc_ps:
+                exc_ps = ps
+        elif kind == "wildcard":
+            if n >= k + 1:
+                best = max(best, k + 1)
+        else:
+            best = max(best, k)
+    ps = exc_ps if exc_ps is not None else best
+    # ps == 0 only from a 1-label exception rule (never in the real list):
+    # the modified rule is the empty string, so the public suffix is ""
+    # and the bare rule label itself is registrable — labels[-0:] is a
+    # Python slice artifact, not the algorithm.
+    public = ".".join(labels[-ps:]) if ps > 0 else ""
+    reg = ".".join(labels[-(ps + 1):]) if n > ps else None
+    return public, reg
+
+
+def test_differential_random_rules_vs_pure_python(spark):
+    """Differential test over seeded random rule sets and hosts — the same
+    discipline test_portable_similarity applies: certification must not
+    rest on the engine agreeing with itself."""
+    import random
+
+    alphabet = ["a", "b", "c", "xy"]
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        rules = []
+        for _ in range(12):
+            depth = rng.randint(1, 3)
+            suffix = ".".join(rng.choice(alphabet) for _ in range(depth))
+            kind = rng.choice(["normal", "normal", "wildcard", "exception"])
+            rules.append((suffix, kind))
+        # dedupe identical (suffix, kind) pairs; conflicting kinds on one
+        # suffix are legal and exercise the per-key max fold
+        rules = sorted(set(rules))
+        text = "\n".join(
+            ("!" if k == "exception" else "*." if k == "wildcard" else "") + s
+            for s, k in rules
+        )
+        hosts = sorted(
+            {
+                ".".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+                for _ in range(120)
+            }
+        )
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        got = {
+            r.host: (r.public_suffix, r.registrable_domain)
+            for r in psl.with_registrable_domain(
+                df, rules=psl.psl_rules_df(spark, text)
+            ).collect()
+        }
+        for h in hosts:
+            assert got[h] == _ref_psl(h, rules), (
+                f"seed={seed} host={h} rules={rules}: "
+                f"engine={got[h]} ref={_ref_psl(h, rules)}"
+            )
