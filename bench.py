@@ -84,6 +84,9 @@ HEADLINE = [
     "tx_shard_pack",
     # int8-quantized retrieval: integer-dot scoring over 4x-smaller codes
     "ann_int8_topk",
+    # PSL family: eTLD+1 site quota — prices the zero-shuffle broadcast
+    # PSL probes plus the one inherent per-site ranking window
+    "tx_domain_quota",
 ]
 
 
@@ -197,7 +200,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline suite wall time (34 queries: relational + crawl + dedup + clusters + text + ann/knn/pq + bm25 + css-extract + corpus gates + warc ingest + bpe mix + boilerplate + cuckoo seen-set + c4/quality/repetition/packing)",
+        "metric": "headline suite wall time (38 legs: relational + crawl + dedup + clusters + text + ann/knn/pq/int8 + bm25 + css-extract + corpus gates + warc ingest + bpe mix + boilerplate + cuckoo seen-set + c4/quality/repetition/packing + span-dedup/shard-pack + psl site quota)",
         "value": total,
         "unit": "sec",
         "queries": timings,
