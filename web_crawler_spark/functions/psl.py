@@ -267,7 +267,11 @@ def with_registrable_domain(
     """
     spark = df.sparkSession
     if rules is None:
-        rules = psl_rules_df(spark)
+        # materialize the snapshot table ONCE so the max_labels broadcasts
+        # all read the same blocks instead of re-running the rule agg per
+        # join (the blocklist's localCheckpoint discipline); callers
+        # passing a custom/full-list table should pre-checkpoint likewise
+        rules = psl_rules_df(spark).localCheckpoint(eager=True)
     dim = rules.select("key", "ps_normal", "ps_wild", "ps_exc")
 
     host = F.regexp_replace(F.lower(F.col(host_col)), r"\.$", "")

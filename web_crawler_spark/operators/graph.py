@@ -410,7 +410,8 @@ def domain_graph(
     from ..functions import psl as _psl
 
     if rules is None:
-        rules = _psl.psl_rules_df(edges.sparkSession)
+        # one materialization feeds both endpoints' 6 broadcast probes
+        rules = _psl.psl_rules_df(edges.sparkSession).localCheckpoint(eager=True)
     sited = _psl.with_registrable_domain(
         edges, host_col=src_col, rules=rules, out_col="__src_site", suffix_col=None
     )
