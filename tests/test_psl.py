@@ -98,6 +98,15 @@ def test_passthrough_columns_and_custom_names(spark):
     assert out.collect()[0].site == "example.com"
 
 
+def test_registrable_domain_of_distinct_hosts(spark):
+    df = spark.createDataFrame(
+        [("www.example.com",), ("www.example.com",), ("a.b.co.uk",)],
+        "host string",
+    )
+    rows = {r.host: r.registrable_domain for r in psl.registrable_domain_of(df).collect()}
+    assert rows == {"www.example.com": "example.com", "a.b.co.uk": "b.co.uk"}
+
+
 def test_full_list_file_shape(spark):
     # a user-supplied list goes through the same path as the snapshot
     rules = psl.psl_rules_df(spark, psl.DEFAULT_PSL, icann_only=True)
