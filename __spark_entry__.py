@@ -7155,6 +7155,98 @@ SELECT DISTINCT host, concat('https://', host, '/') AS url FROM f
 """
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py — Xie et al. 2023):
+    hashed unigram+bigram features (10k md5 buckets), target = the
+    lang='en' slice, raw = the whole documents table; per-bucket
+    log-ratio ln(p_target/p_raw) stored fixed-point (floor(ln·1e6),
+    the operators/lm.py discipline) so the per-doc weight is an exact
+    integer sum — oracle-identical across engines."""
+    from web_crawler_spark.operators import dsir as D
+
+    d = _t(spark, sf_dir, "documents")
+    feats = D.hashed_ngram_features(d, n_buckets=10_000)
+    target_feats = D.hashed_ngram_features(
+        d.filter(F.col("lang") == "en"), n_buckets=10_000
+    )
+    lam = D.fit_log_ratio(target_feats, feats, n_buckets=10_000)
+    return D.dsir_weights(feats, lam).orderBy("doc_id")
+
+
+def _q_dsir_resample(spark, sf_dir):
+    """DSIR Gumbel-top-k resample (k=100) over the importance weights:
+    deterministic md5-derived Gumbel noise, scan + TakeOrderedAndProject
+    plan (no global sort). The selected set is a pure function of
+    (doc_id, salt) — the oracle reproduces it bit-for-bit."""
+    from web_crawler_spark.operators import dsir as D
+
+    d = _t(spark, sf_dir, "documents")
+    feats = D.hashed_ngram_features(d, n_buckets=10_000)
+    target_feats = D.hashed_ngram_features(
+        d.filter(F.col("lang") == "en"), n_buckets=10_000
+    )
+    lam = D.fit_log_ratio(target_feats, feats, n_buckets=10_000)
+    w = D.dsir_weights(feats, lam)
+    return D.dsir_resample(w, k=100).select("doc_id", "n_feats", "weight_fp")
+
+
+_SQL_DSIR_FEATS = """
+tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(
+    w || CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)),
+                                  i -> concat(w[i], ' ', w[i+1]))
+              ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM tok
+), feats AS (
+  SELECT doc_id, lang,
+         TRY_CAST(concat('0x', substr(md5(concat('dsir:', gram)), 1, 4))
+                  AS INT) % 10000 AS bucket,
+         COUNT(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+), t AS (
+  SELECT bucket, sum(cnt) AS t_cnt FROM feats WHERE lang = 'en' GROUP BY 1
+), r AS (
+  SELECT bucket, sum(cnt) AS r_cnt FROM feats GROUP BY 1
+), lam AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         CAST(floor(ln((COALESCE(t_cnt, 0) + 1.0)
+                       / ((SELECT sum(t_cnt) FROM t) + 10000)) * 1000000)
+              AS BIGINT)
+       - CAST(floor(ln((COALESCE(r_cnt, 0) + 1.0)
+                       / ((SELECT sum(r_cnt) FROM r) + 10000)) * 1000000)
+              AS BIGINT) AS lam_fp
+  FROM t FULL OUTER JOIN r ON t.bucket = r.bucket
+), dsir_w AS (
+  SELECT f.doc_id, sum(f.cnt) AS n_feats,
+         sum(f.cnt * lam.lam_fp) AS weight_fp
+  FROM feats f JOIN lam USING (bucket)
+  GROUP BY 1
+)
+"""
+
+_SQL_DSIR_WEIGHTS = f"""
+WITH {_SQL_DSIR_FEATS}
+SELECT doc_id, n_feats, weight_fp FROM dsir_w ORDER BY doc_id
+"""
+
+_SQL_DSIR_RESAMPLE = f"""
+WITH {_SQL_DSIR_FEATS}, g AS (
+  SELECT doc_id, n_feats, weight_fp,
+         weight_fp / 1000000.0
+         + -ln(-ln((TRY_CAST(concat('0x',
+               substr(md5(concat('dsir-gumbel:', CAST(doc_id AS VARCHAR))),
+                      1, 8)) AS BIGINT) + 1.0) / 4294967297.0)) AS gk
+  FROM dsir_w
+)
+SELECT doc_id, n_feats, weight_fp
+FROM g ORDER BY gk DESC, doc_id LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7288,6 +7380,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_dup_lines": _q_dup_lines,
     "tx_pack_sequences": _q_pack_sequences,
     "tx_corpus_datasheet": _q_corpus_datasheet,
+    "tx_dsir_weights": _q_dsir_weights,
+    "tx_dsir_resample": _q_dsir_resample,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -7517,6 +7611,8 @@ _ORACLES: dict[str, str] = {
     "tx_dup_lines": _SQL_DUP_LINES,
     "tx_pack_sequences": _SQL_PACK_SEQUENCES,
     "tx_corpus_datasheet": _SQL_CORPUS_DATASHEET,
+    "tx_dsir_weights": _SQL_DSIR_WEIGHTS,
+    "tx_dsir_resample": _SQL_DSIR_RESAMPLE,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,
