@@ -7247,6 +7247,69 @@ FROM g ORDER BY gk DESC, doc_id LIMIT 100
 """
 
 
+def _q_hash_embed(spark, sf_dir):
+    """Feature-hashing TF-IDF document embeddings (functions/hashembed.py,
+    Weinberger et al. 2009): 64-dim signed-hash tf·idf, idf fixed-point so
+    the squared norm is an exact integer sum; the only floats are one
+    exactly-rounded division + sqrt per component — engine bit-identical.
+    Output exploded to (doc_id, i, val) for value-level certification."""
+    from web_crawler_spark.functions import hashembed as HE
+
+    d = _t(spark, sf_dir, "documents")
+    emb = HE.hash_embed(d, dim=64)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "val")
+    ).orderBy("doc_id", "i")
+
+
+def _q_hash_embed_knn(spark, sf_dir):
+    """Text k-NN with zero model weights: hashed TF-IDF vectors feed the
+    existing batch k-NN join (top-3 cosine neighbors of every document).
+    The same vectors drop into the LSH/IVF/PQ/SemDeDup stack at scale —
+    this query certifies the exact baseline end-to-end from raw text."""
+    from web_crawler_spark.functions import hashembed as HE
+
+    d = _t(spark, sf_dir, "documents")
+    emb = HE.hash_embed(d, dim=64)
+    return SIM.knn_join(emb, k=3, vec_col="embedding", id_col="doc_id").orderBy(
+        "vec_id", F.desc("cosine"), "nb_id"
+    )
+
+
+def _sql_hash_embed() -> str:
+    from web_crawler_spark.functions import hashembed as HE
+
+    return f"""
+WITH {HE.duckdb_hash_embed_sql(dim=64)}
+SELECT h.doc_id, h.i,
+       CAST(h.comp AS DOUBLE) / sqrt(CAST(n.sumsq AS DOUBLE)) AS val
+FROM hdense h JOIN hnorm n USING (doc_id)
+WHERE n.sumsq > 0
+ORDER BY doc_id, i
+"""
+
+
+def _sql_hash_embed_knn() -> str:
+    from web_crawler_spark.functions import hashembed as HE
+
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH {HE.duckdb_hash_embed_sql(dim=64)},
+scored AS (
+  SELECT a.doc_id AS vec_id, b.doc_id AS nb_id, ROUND({cos}, 6) AS cosine
+  FROM hembed a JOIN hembed b ON a.doc_id <> b.doc_id
+),
+ranked AS (
+  SELECT vec_id, nb_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, nb_id) AS rnk
+  FROM scored
+)
+SELECT vec_id, nb_id, cosine FROM ranked WHERE rnk <= 3
+ORDER BY vec_id, cosine DESC, nb_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7382,6 +7445,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_corpus_datasheet": _q_corpus_datasheet,
     "tx_dsir_weights": _q_dsir_weights,
     "tx_dsir_resample": _q_dsir_resample,
+    "tx_hash_embed": _q_hash_embed,
+    "dd_hash_embed_knn": _q_hash_embed_knn,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -7613,6 +7678,8 @@ _ORACLES: dict[str, str] = {
     "tx_corpus_datasheet": _SQL_CORPUS_DATASHEET,
     "tx_dsir_weights": _SQL_DSIR_WEIGHTS,
     "tx_dsir_resample": _SQL_DSIR_RESAMPLE,
+    "tx_hash_embed": _sql_hash_embed(),
+    "dd_hash_embed_knn": _sql_hash_embed_knn(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,
