@@ -7310,6 +7310,34 @@ ORDER BY vec_id, cosine DESC, nb_id
 """
 
 
+def _q_heavy_hitters_mg(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/sketches.py — MG 1982 +
+    Agarwal et al. 2012 mergeable summaries): top-20 most frequent words,
+    bounded per-partition memory, summaries merged by count addition.
+    Certified in the exact regime (capacity > per-partition distincts →
+    Δ=0, sketch == exact counts); the approximate regime's error bound and
+    retention guarantee are property-tested in test_sketches.py."""
+    from web_crawler_spark.operators import sketches as SK
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("word")
+    )
+    return SK.mg_heavy_hitters(words, "word", k=20, capacity=4096)
+
+
+_SQL_HEAVY_HITTERS_MG = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item
+  FROM documents
+), c AS (SELECT item, COUNT(*) AS est FROM w GROUP BY 1)
+SELECT item, est, CAST(0 AS BIGINT) AS max_err
+FROM c ORDER BY est DESC, item LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7447,6 +7475,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_dsir_resample": _q_dsir_resample,
     "tx_hash_embed": _q_hash_embed,
     "dd_hash_embed_knn": _q_hash_embed_knn,
+    "a13_heavy_hitters_mg": _q_heavy_hitters_mg,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -7680,6 +7709,7 @@ _ORACLES: dict[str, str] = {
     "tx_dsir_resample": _SQL_DSIR_RESAMPLE,
     "tx_hash_embed": _sql_hash_embed(),
     "dd_hash_embed_knn": _sql_hash_embed_knn(),
+    "a13_heavy_hitters_mg": _SQL_HEAVY_HITTERS_MG,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,
