@@ -7338,6 +7338,59 @@ FROM c ORDER BY est DESC, item LIMIT 20
 """
 
 
+def _q_zorder_key(spark, sf_dir):
+    """Morton z-value computation (functions/zorder.py — the Delta
+    OPTIMIZE ZORDER / Iceberg z-order rewrite key): o_custkey ×
+    o_orderdate gridded to 16 bits each via exact integer min-max
+    normalization, bits interleaved into one int64 sort key. The layout
+    pass itself (range-partition + in-partition sort + row-group pruning
+    payoff) is pinned by test_zorder.py; this certifies the key math
+    value-for-value."""
+    from web_crawler_spark.functions import zorder as Z
+
+    d = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("dd"),
+    )
+    b = d.agg(
+        F.min("ck").alias("lo_c"), F.max("ck").alias("hi_c"),
+        F.min("dd").alias("lo_d"), F.max("dd").alias("hi_d"),
+    ).collect()[0]
+    cells = [
+        Z.grid_cell(F.col("ck"), int(b["lo_c"]), int(b["hi_c"]), 16),
+        Z.grid_cell(F.col("dd"), int(b["lo_d"]), int(b["hi_d"]), 16),
+    ]
+    return d.select(
+        "o_orderkey", Z.z_value(cells, 16).alias("zval")
+    ).orderBy("o_orderkey")
+
+
+def _sql_zorder_key() -> str:
+    from web_crawler_spark.functions import zorder as Z
+
+    interleave = Z.duckdb_z_value_sql(["cx", "cd"], 16)
+    return f"""
+WITH d AS (
+  SELECT o_orderkey, o_custkey AS ck,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+  FROM orders
+), b AS (
+  SELECT min(ck) AS lo_c, max(ck) AS hi_c,
+         min(dd) AS lo_d, max(dd) AS hi_d
+  FROM d
+), g AS (
+  SELECT o_orderkey,
+         ((ck - lo_c) << 16) // (hi_c - lo_c + 1) AS cx,
+         ((dd - lo_d) << 16) // (hi_d - lo_d + 1) AS cd
+  FROM d, b
+)
+SELECT o_orderkey, {interleave} AS zval FROM g ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7476,6 +7529,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_hash_embed": _q_hash_embed,
     "dd_hash_embed_knn": _q_hash_embed_knn,
     "a13_heavy_hitters_mg": _q_heavy_hitters_mg,
+    "tx_zorder_key": _q_zorder_key,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -7710,6 +7764,7 @@ _ORACLES: dict[str, str] = {
     "tx_hash_embed": _sql_hash_embed(),
     "dd_hash_embed_knn": _sql_hash_embed_knn(),
     "a13_heavy_hitters_mg": _SQL_HEAVY_HITTERS_MG,
+    "tx_zorder_key": _sql_zorder_key(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,
