@@ -7155,6 +7155,24 @@ SELECT DISTINCT host, concat('https://', host, '/') AS url FROM f
 """
 
 
+def _dsir_weight_frame(spark, sf_dir):
+    """Shared DSIR pipeline: tokenize/hash ONCE with lang carried through
+    (the target slice is a filter on the same feature frame, not a second
+    pass over the text), checkpoint the slim (doc, lang, bucket, cnt)
+    frame — it feeds the two distribution fits, their scalar totals, and
+    the scoring join."""
+    from web_crawler_spark.operators import dsir as D
+
+    d = _t(spark, sf_dir, "documents")
+    feats = D.hashed_ngram_features(
+        d, n_buckets=10_000, carry_cols=("lang",)
+    ).localCheckpoint(eager=True)
+    lam = D.fit_log_ratio(
+        feats.filter(F.col("lang") == "en"), feats, n_buckets=10_000
+    )
+    return D.dsir_weights(feats.drop("lang"), lam)
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py — Xie et al. 2023):
     hashed unigram+bigram features (10k md5 buckets), target = the
@@ -7162,15 +7180,7 @@ def _q_dsir_weights(spark, sf_dir):
     log-ratio ln(p_target/p_raw) stored fixed-point (floor(ln·1e6),
     the operators/lm.py discipline) so the per-doc weight is an exact
     integer sum — oracle-identical across engines."""
-    from web_crawler_spark.operators import dsir as D
-
-    d = _t(spark, sf_dir, "documents")
-    feats = D.hashed_ngram_features(d, n_buckets=10_000)
-    target_feats = D.hashed_ngram_features(
-        d.filter(F.col("lang") == "en"), n_buckets=10_000
-    )
-    lam = D.fit_log_ratio(target_feats, feats, n_buckets=10_000)
-    return D.dsir_weights(feats, lam).orderBy("doc_id")
+    return _dsir_weight_frame(spark, sf_dir).orderBy("doc_id")
 
 
 def _q_dsir_resample(spark, sf_dir):
@@ -7180,13 +7190,7 @@ def _q_dsir_resample(spark, sf_dir):
     (doc_id, salt) — the oracle reproduces it bit-for-bit."""
     from web_crawler_spark.operators import dsir as D
 
-    d = _t(spark, sf_dir, "documents")
-    feats = D.hashed_ngram_features(d, n_buckets=10_000)
-    target_feats = D.hashed_ngram_features(
-        d.filter(F.col("lang") == "en"), n_buckets=10_000
-    )
-    lam = D.fit_log_ratio(target_feats, feats, n_buckets=10_000)
-    w = D.dsir_weights(feats, lam)
+    w = _dsir_weight_frame(spark, sf_dir)
     return D.dsir_resample(w, k=100).select("doc_id", "n_feats", "weight_fp")
 
 

@@ -87,6 +87,15 @@ HEADLINE = [
     # PSL family: eTLD+1 site quota — prices the zero-shuffle broadcast
     # PSL probes plus the one inherent per-site ranking window
     "tx_domain_quota",
+    # round-3 continuation: DSIR selection (hashed-n-gram features +
+    # broadcast log-ratio + Gumbel top-k — the full fit/score/resample
+    # pipeline), hashing-trick TF-IDF embeddings (text→vector bridge),
+    # Misra-Gries heavy hitters (Arrow summary pass + tiny merge agg),
+    # and the Morton z-value projection
+    "tx_dsir_resample",
+    "tx_hash_embed",
+    "a13_heavy_hitters_mg",
+    "tx_zorder_key",
 ]
 
 
@@ -200,7 +209,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline suite wall time (38 legs: relational + crawl + dedup + clusters + text + ann/knn/pq/int8 + bm25 + css-extract + corpus gates + warc ingest + bpe mix + boilerplate + cuckoo seen-set + c4/quality/repetition/packing + span-dedup/shard-pack + psl site quota)",
+        "metric": f"headline suite wall time ({len(HEADLINE)} legs: relational + crawl + dedup + clusters + text + ann/knn/pq/int8 + bm25 + css-extract + corpus gates + warc ingest + bpe mix + boilerplate + cuckoo seen-set + c4/quality/repetition/packing + span-dedup/shard-pack + psl site quota + dsir/hash-embed/heavy-hitters/zorder)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -80,6 +80,10 @@ def hash_embed(
         _bucket(F.col("word"), dim, salt).alias("bucket"),
         (_sign(F.col("word"), salt) * F.col("tf")).alias("stf"),
     )
+    # materialized once: both the idf branch and the component branch read
+    # this slim (doc, bucket, int) frame — without the checkpoint each
+    # branch re-tokenizes and re-hashes the full text (measured 2x cost)
+    hashed = hashed.localCheckpoint(eager=True)
     comps = hashed.groupBy("doc_id", "bucket").agg(
         F.sum("stf").cast("bigint").alias("s_tf")
     )
@@ -102,32 +106,24 @@ def hash_embed(
     weighted = comps.join(F.broadcast(dfreq), "bucket").select(
         "doc_id", "bucket", (F.col("s_tf") * F.col("idf_fp")).alias("comp")
     )
+    # one agg carries BOTH the sparse entries and the integer squared norm
+    # (zeros contribute nothing to Σ comp², so sparse == dense — and the
+    # integer sum is aggregation-order-independent, hence engine-exact)
     dense = weighted.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("bucket", "comp"))
-        ).alias("m")
+        F.map_from_entries(F.collect_list(F.struct("bucket", "comp"))).alias("m"),
+        F.sum(F.col("comp") * F.col("comp")).alias("sumsq"),
     )
-    arr = F.array(
-        *[
-            F.coalesce(F.element_at(F.col("m"), F.lit(i)), F.lit(0).cast("bigint"))
-            for i in range(dim)
-        ]
-    )
-    # integer squared norm — order-independent, exact
-    d = dense.select(
-        "doc_id",
-        arr.alias("raw"),
-    ).select(
-        "doc_id",
-        "raw",
-        F.aggregate(
-            "raw", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
-        ).alias("sumsq"),
-    )
-    return d.filter(F.col("sumsq") > 0).select(
+    # densify + normalize in a single pass over the index sequence — much
+    # cheaper than dim separate element_at projections + an array re-fold
+    norm = F.sqrt(F.col("sumsq").cast("double"))
+    return dense.filter(F.col("sumsq") > 0).select(
         "doc_id",
         F.transform(
-            "raw", lambda x: x.cast("double") / F.sqrt(F.col("sumsq").cast("double"))
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("bigint")
+            ).cast("double")
+            / norm,
         ).alias("embedding"),
     )
 

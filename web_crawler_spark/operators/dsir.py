@@ -57,17 +57,27 @@ def hashed_ngram_features(
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
     salt: str = "dsir",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, bucket, cnt) — hashed unigram+bigram counts per document.
+    """(doc_id, [carry_cols...], bucket, cnt) — hashed unigram+bigram
+    counts per document.
 
     Unigrams are lowercase ``[a-z0-9]+`` words; bigrams are adjacent word
     pairs joined by a space (so a bigram can never collide with a unigram
-    spelling — unigrams contain no spaces).
+    spelling — unigrams contain no spaces). ``carry_cols`` ride through
+    as extra per-doc group keys (free — they're functionally dependent on
+    doc_id) so a TARGET slice can be filtered from the SAME feature frame
+    instead of re-tokenizing the corpus a second time.
     """
     w = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
-    d = df.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry_cols],
+        w.alias("w"),
+    )
     grams = d.select(
         "doc_id",
+        *carry_cols,
         F.explode(
             F.concat(
                 F.col("w"),
@@ -79,8 +89,12 @@ def hashed_ngram_features(
         ).alias("gram"),
     )
     return (
-        grams.select("doc_id", _bucket(F.col("gram"), n_buckets, salt).alias("bucket"))
-        .groupBy("doc_id", "bucket")
+        grams.select(
+            "doc_id",
+            *carry_cols,
+            _bucket(F.col("gram"), n_buckets, salt).alias("bucket"),
+        )
+        .groupBy("doc_id", *carry_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
