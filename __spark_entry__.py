@@ -7314,6 +7314,67 @@ ORDER BY vec_id, cosine DESC, nb_id
 """
 
 
+def _q_text_semdedup_md5(spark, sf_dir):
+    """SemDeDup over RAW TEXT with zero model weights: hashing-trick
+    TF-IDF vectors (functions/hashembed.py) feed the SemDeDup operator
+    (Abbas et al. 2023 — cluster-bucketed semantic dedup) end-to-end.
+    The full composition — tokenize → hash → idf → normalize → md5
+    centroid pick → argmin assign → within-cluster cosine prune — is
+    value-certified against one DuckDB query."""
+    from web_crawler_spark.functions import hashembed as HE
+
+    d = _t(spark, sf_dir, "documents")
+    emb = HE.hash_embed(d, dim=64)
+    return SIM.semdedup(
+        emb,
+        n_clusters=8,
+        threshold=0.9,
+        vec_col="embedding",
+        id_col="doc_id",
+        portable=True,
+    ).orderBy("vec_id")
+
+
+def _sql_text_semdedup_md5(n_clusters: int = 8, threshold: float = 0.9,
+                           seed: int = 91) -> str:
+    from web_crawler_spark.functions import hashembed as HE
+
+    l2_assign = (
+        "round(sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1), "
+        "i -> power(e.embedding[i] - c.cvec[i], 2)))), 6)"
+    )
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH {HE.duckdb_hash_embed_sql(dim=64)},
+cent AS (
+  SELECT embedding AS cvec,
+         row_number() OVER (
+           ORDER BY md5(concat('sdd{seed}:', CAST(doc_id AS VARCHAR))), doc_id
+         ) - 1 AS cid
+  FROM hembed
+  ORDER BY md5(concat('sdd{seed}:', CAST(doc_id AS VARCHAR))), doc_id
+  LIMIT {n_clusters}
+), dists AS (
+  SELECT e.doc_id, e.embedding, c.cid, {l2_assign} AS d
+  FROM hembed e CROSS JOIN cent c
+), assigned AS (
+  SELECT doc_id, embedding, cid FROM (
+    SELECT doc_id, embedding, cid,
+           row_number() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn
+    FROM dists)
+  WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT a.doc_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.doc_id > b.doc_id
+  WHERE ROUND({cos}, 6) >= {threshold}
+)
+SELECT a.doc_id AS vec_id, a.cid, (d.doc_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d ON d.doc_id = a.doc_id
+ORDER BY a.doc_id
+"""
+
+
 def _q_heavy_hitters_mg(spark, sf_dir):
     """Misra-Gries heavy hitters (operators/sketches.py — MG 1982 +
     Agarwal et al. 2012 mergeable summaries): top-20 most frequent words,
@@ -7534,6 +7595,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_hash_embed_knn": _q_hash_embed_knn,
     "a13_heavy_hitters_mg": _q_heavy_hitters_mg,
     "tx_zorder_key": _q_zorder_key,
+    "dd_text_semdedup_md5": _q_text_semdedup_md5,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -7769,6 +7831,7 @@ _ORACLES: dict[str, str] = {
     "dd_hash_embed_knn": _sql_hash_embed_knn(),
     "a13_heavy_hitters_mg": _SQL_HEAVY_HITTERS_MG,
     "tx_zorder_key": _sql_zorder_key(),
+    "dd_text_semdedup_md5": _sql_text_semdedup_md5(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,
