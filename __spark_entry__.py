@@ -7314,6 +7314,74 @@ ORDER BY vec_id, cosine DESC, nb_id
 """
 
 
+def _q_logreg_train(spark, sf_dir):
+    """In-engine logistic-regression TRAINING (operators/logreg.py):
+    distill the Gopher word-count gate into a differentiable quality
+    scorer — 5 batch-GD iterations whose gradients are quantized to
+    int64 before aggregation, making the weight trajectory a pure
+    function of the data (bit-identical across partitionings/engines).
+    The DuckDB oracle re-runs the SAME 5 training iterations as unrolled
+    CTEs (the pagerank-oracle pattern) and re-scores every document —
+    certified end-to-end: training AND inference. Features use
+    power-of-two scaling only (exact float ops)."""
+    from web_crawler_spark.functions import text as T
+    from web_crawler_spark.operators import logreg as LR
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select("doc_id", *T.gopher_quality_flags(F.col("text")))
+    feats = g.select(
+        "doc_id",
+        ((F.col("n_words").cast("double") - 64.0) / 32.0).alias("x1"),
+        (
+            (5.0 * F.col("n_alpha_words").cast("double")
+             - 4.0 * F.col("n_words").cast("double")) / 256.0
+        ).alias("x2"),
+        F.col("flag_word_count").cast("int").alias("y"),
+    )
+    w, _trace = LR.train_logreg(feats, ["x1", "x2"], "y", iters=5, lr=16.0)
+    return (
+        LR.predict_logreg(feats, w, ["x1", "x2"])
+        .select("doc_id", "y", "score", "pred")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_logreg_train() -> str:
+    from web_crawler_spark.operators import logreg as LR
+
+    source = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> regexp_matches(t, '[A-Za-z]'))) END
+         AS n_alpha
+FROM documents
+"""
+    train = LR.duckdb_train_sql(
+        feature_exprs=[
+            "(CAST(n_words AS DOUBLE) - 64.0) / 32.0",
+            "(5.0 * CAST(n_alpha AS DOUBLE) - 4.0 * CAST(n_words AS DOUBLE))"
+            " / 256.0",
+        ],
+        label_expr="n_words >= 50 AND n_words <= 100000",
+        source_cte=source,
+        iters=5,
+        lr=16.0,
+    )
+    return f"""
+WITH {train}
+SELECT f.doc_id, CAST(f.y AS INT) AS y,
+       ROUND(1.0 / (1.0 + exp(-(p.w0 + p.w1 * f.x1 + p.w2 * f.x2))), 6)
+         AS score,
+       CAST(ROUND(1.0 / (1.0 + exp(-(p.w0 + p.w1 * f.x1 + p.w2 * f.x2))), 6)
+            > 0.5 AS INT) AS pred
+FROM lrf f CROSS JOIN it5 p
+ORDER BY f.doc_id
+"""
+
+
 def _q_text_semdedup_md5(spark, sf_dir):
     """SemDeDup over RAW TEXT with zero model weights: hashing-trick
     TF-IDF vectors (functions/hashembed.py) feed the SemDeDup operator
@@ -7596,6 +7664,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a13_heavy_hitters_mg": _q_heavy_hitters_mg,
     "tx_zorder_key": _q_zorder_key,
     "dd_text_semdedup_md5": _q_text_semdedup_md5,
+    "tx_logreg_train": _q_logreg_train,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -7832,6 +7901,7 @@ _ORACLES: dict[str, str] = {
     "a13_heavy_hitters_mg": _SQL_HEAVY_HITTERS_MG,
     "tx_zorder_key": _sql_zorder_key(),
     "dd_text_semdedup_md5": _sql_text_semdedup_md5(),
+    "tx_logreg_train": _sql_logreg_train(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -96,6 +96,8 @@ HEADLINE = [
     "tx_hash_embed",
     "a13_heavy_hitters_mg",
     "tx_zorder_key",
+    # text→vector→SemDeDup composition (prices the within-cluster prune)
+    "dd_text_semdedup_md5",
 ]
 
 
