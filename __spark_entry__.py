@@ -7155,6 +7155,65 @@ SELECT DISTINCT host, concat('https://', host, '/') AS url FROM f
 """
 
 
+def _q_stateful_heavy_hitters(spark, sf_dir):
+    """Streaming Misra-Gries (streaming/stateful.py): per-shard MG summary
+    living in the state store, re-emitted each micro-batch. Bounded
+    availableNow run in the exact regime (capacity > distincts) — the
+    summary equals exact counts, which is what the oracle computes; the
+    across-batch carry + approximate regime are pinned in
+    test_stateful_streaming.py."""
+    import tempfile
+
+    from web_crawler_spark.streaming.stateful import stateful_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    items = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("item")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("hhs:"), F.col("item"))), 1, 4),
+                16,
+                10,
+            ).cast("int")
+            % 4
+        ).alias("shard"),
+        "item",
+    )
+    src = tempfile.mkdtemp(prefix="st_hh_src_")
+    items.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stateful_heavy_hitters(stream, capacity=8192)
+        .writeStream.format("memory")
+        .queryName("st_hh_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("st_hh_sink")
+        .select("shard", "item", "est", "delta")
+        .orderBy("shard", "item")
+    )
+
+
+_SQL_STATEFUL_HEAVY_HITTERS = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item
+  FROM documents
+)
+SELECT TRY_CAST(concat('0x', substr(md5(concat('hhs:', item)), 1, 4))
+                AS INT) % 4 AS shard,
+       item, COUNT(*) AS est, CAST(0 AS BIGINT) AS delta
+FROM w GROUP BY 1, 2 ORDER BY shard, item
+"""
+
+
 def _dsir_weight_frame(spark, sf_dir):
     """Shared DSIR pipeline: tokenize/hash ONCE with lang carried through
     (the target slice is a filter on the same feature frame, not a second
@@ -7665,6 +7724,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_zorder_key": _q_zorder_key,
     "dd_text_semdedup_md5": _q_text_semdedup_md5,
     "tx_logreg_train": _q_logreg_train,
+    "st_heavy_hitters": _q_stateful_heavy_hitters,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -7902,6 +7962,7 @@ _ORACLES: dict[str, str] = {
     "tx_zorder_key": _sql_zorder_key(),
     "dd_text_semdedup_md5": _sql_text_semdedup_md5(),
     "tx_logreg_train": _sql_logreg_train(),
+    "st_heavy_hitters": _SQL_STATEFUL_HEAVY_HITTERS,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -125,3 +125,79 @@ def test_watermark_drops_late_events(spark, tmp_path):
     rows = {str(r["window_start"]): r["n"] for r in spark.sql("select * from t_late").collect()}
     # the 00:00 window finalized with ONLY event 1; the late event 3 was dropped
     assert rows.get("2024-01-01 00:00:00") == 1, rows
+
+
+def test_stateful_heavy_hitters_across_batches(spark, tmp_path):
+    """The MG summary must CARRY across micro-batches: exact regime
+    (capacity > distincts) after two batches equals exact counts over the
+    concatenated stream — provable only if batch-1 state survived."""
+    from web_crawler_spark.streaming.stateful import stateful_heavy_hitters
+
+    src = str(tmp_path / "hh_src")
+    b1 = [("a", 3), ("b", 2), ("c", 1)]
+    b2 = [("a", 2), ("c", 4), ("d", 1)]
+
+    def frame(counts, seq0):
+        rows, seq = [], seq0
+        for item, n in counts:
+            for _ in range(n):
+                rows.append((0, item, seq))
+                seq += 1
+        return spark.createDataFrame(rows, "shard int, item string, seq int")
+
+    frame(b1, 0).coalesce(1).write.mode("append").parquet(src)
+    q = _start_file_stream_query(
+        spark,
+        src,
+        lambda s: stateful_heavy_hitters(s, capacity=16, order_col="seq"),
+        "t_hh",
+    )
+    q.processAllAvailable()
+    frame(b2, 100).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from t_hh").collect()
+    last = max(r["batch_n"] for r in rows)
+    summary = {r["item"]: (r["est"], r["delta"]) for r in rows if r["batch_n"] == last}
+    assert summary == {
+        "a": (5, 0), "b": (2, 0), "c": (5, 0), "d": (1, 0)
+    }  # exact across BOTH batches — state carried
+    # batch-1 emission was the partial summary
+    first = {r["item"]: r["est"] for r in rows if r["batch_n"] == 1}
+    assert first == {"a": 3, "b": 2, "c": 1}
+
+
+def test_stateful_heavy_hitters_bounded_state(spark, tmp_path):
+    """Approximate regime: capacity 2 with 4 distinct items — the summary
+    never exceeds capacity, deltas surface, MG bound holds."""
+    from web_crawler_spark.streaming.stateful import stateful_heavy_hitters
+
+    src = str(tmp_path / "hh_src2")
+    rows = []
+    seq = 0
+    for item, n in [("x", 6), ("y", 4), ("z", 1), ("w", 1)]:
+        for _ in range(n):
+            rows.append((0, item, seq))
+            seq += 1
+    spark.createDataFrame(
+        rows, "shard int, item string, seq int"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = _start_file_stream_query(
+        spark,
+        src,
+        lambda s: stateful_heavy_hitters(s, capacity=2, order_col="seq"),
+        "t_hh2",
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select * from t_hh2").collect()
+    assert 0 < len(out) <= 2  # capacity-bounded summary
+    truth = {"x": 6, "y": 4, "z": 1, "w": 1}
+    delta = out[0]["delta"]
+    assert delta > 0
+    for r in out:
+        assert r["est"] <= truth[r["item"]] <= r["est"] + delta
+    # the dominant item is retained
+    assert "x" in {r["item"] for r in out}

@@ -111,3 +111,93 @@ def stateful_seen_filter(urls: DataFrame, key_col: str = "url_hash") -> DataFram
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUT_SCHEMA = "shard int, item string, est bigint, delta bigint, batch_n bigint"
+_HH_STATE_SCHEMA = "items array<string>, counts array<bigint>, delta bigint, batch_n bigint"
+
+
+def stateful_heavy_hitters(
+    items: DataFrame,
+    capacity: int = 256,
+    shard_col: str = "shard",
+    item_col: str = "item",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Misra-Gries heavy hitters as a stateful stream — the streaming twin
+    of ``operators/sketches.py::mg_heavy_hitters``. State per shard is the
+    capacity-bounded (items, counts, delta) summary, carried ACROSS
+    micro-batches in the state store; after each batch the shard re-emits
+    its full summary stamped with ``batch_n`` (readers take the max
+    batch_n per shard — the append-mode version of "current value").
+
+    Shard = any stable partition of the item space (e.g. hash(item) % k)
+    so every occurrence of an item lands on ONE state row and the merged
+    estimate keeps the MG bound est ≤ true ≤ est + Σ shard deltas. State
+    is ≤ capacity entries per shard regardless of stream length — the
+    bounded-memory property is exactly why this runs where a streaming
+    exact groupBy cannot.
+
+    Determinism: rows within a (shard, batch) are processed in
+    ``order_col`` order (falls back to item order) so the decrement
+    sequence — and therefore the summary — is a pure function of the
+    stream content, not of partition arrival races.
+    """
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            its, cnts, delta, batch_n = state.get
+            counters = dict(zip(list(its), [int(c) for c in cnts]))
+            delta = int(delta)
+            batch_n = int(batch_n)
+        else:
+            counters, delta, batch_n = {}, 0, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            sort_by = (
+                [order_col] if order_col and order_col in pdf.columns
+                else [item_col]
+            )
+            pdf = pdf.sort_values(sort_by, kind="mergesort")
+            for item in pdf[item_col]:
+                if item is None:
+                    continue
+                c = counters.get(item)
+                if c is not None:
+                    counters[item] = c + 1
+                elif len(counters) < capacity:
+                    counters[item] = 1
+                else:
+                    m = min(counters.values())
+                    counters = {
+                        k: v - m for k, v in counters.items() if v > m
+                    }
+                    delta += m
+                    counters[item] = 1
+        batch_n += 1
+        state.update(
+            (list(counters.keys()),
+             [int(v) for v in counters.values()],
+             int(delta),
+             int(batch_n))
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [int(shard)] * len(counters),
+                "item": list(counters.keys()),
+                "est": [int(v) for v in counters.values()],
+                "delta": [int(delta)] * len(counters),
+                "batch_n": [int(batch_n)] * len(counters),
+            }
+        )
+
+    return items.groupBy(shard_col).applyInPandasWithState(
+        step,
+        HH_OUT_SCHEMA,
+        _HH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
