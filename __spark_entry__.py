@@ -7214,6 +7214,110 @@ FROM w GROUP BY 1, 2 ORDER BY shard, item
 """
 
 
+def _q_cms_frequencies(spark, sf_dir):
+    """Count-Min sketch (operators/sketches.py): 4×1024 sketch of the
+    per-customer order stream, point-queried for every customer. Key
+    cardinality ≈ width, so hash collisions — the sketch's actual
+    overcount behavior — are exercised, and because CMS is fully
+    deterministic (md5 cell addresses) the oracle recomputes sketch AND
+    min-over-rows estimates cell-for-cell: the overcounts themselves are
+    value-certified."""
+    from web_crawler_spark.operators.sketches import cms_estimate, cms_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    items = o.select(F.col("o_custkey").cast("string").alias("item"))
+    sketch = cms_sketch(items, "item", depth=4, width=1024)
+    queries = items.distinct()
+    return (
+        cms_estimate(sketch, queries, "item", depth=4, width=1024)
+        .orderBy("item")
+    )
+
+
+_SQL_CMS_FREQUENCIES = """
+WITH items AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS item FROM orders
+),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cells AS (
+  SELECT r,
+         TRY_CAST(concat('0x', substr(md5(concat('cms:', CAST(r AS VARCHAR),
+                                             ':', item)), 1, 8))
+                  AS BIGINT) % 1024 AS c,
+         COUNT(*) AS cnt
+  FROM items, rows_ GROUP BY 1, 2
+),
+q AS (SELECT DISTINCT item FROM items)
+SELECT q.item,
+       MIN(cells.cnt) AS est
+FROM q CROSS JOIN rows_
+JOIN cells
+  ON cells.r = rows_.r
+ AND cells.c = TRY_CAST(concat('0x', substr(md5(concat('cms:',
+                   CAST(rows_.r AS VARCHAR), ':', q.item)), 1, 8))
+                AS BIGINT) % 1024
+GROUP BY q.item ORDER BY q.item
+"""
+
+
+def _q_poisson_rate(spark, sf_dir):
+    """Bias-corrected Poisson change-rate MLE over the versioned page
+    table (operators/snapshots.py::change_rate_poisson, Cho &
+    Garcia-Molina 2003): lambda_hat per URL plus p_changed-since-last-
+    fetch — the model-based refresh ranking next to the rate×staleness
+    heuristic of crawl_recrawl_priority. Whole-corpus output certified."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    return (
+        SN.change_rate_poisson(
+            _versioned_pages(spark, sf_dir), "2025-01-02 00:00:00"
+        )
+        .orderBy("url")
+    )
+
+
+_SQL_POISSON_RATE = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS key,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         md5(trim(regexp_replace(regexp_replace(lower(
+           concat('body ', CAST(event_id % 3000 AS VARCHAR),
+                  ' rev', CAST(CAST(floor(event_id / 3000 / 2) AS BIGINT) AS VARCHAR))
+         ), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM events
+),
+chain AS (
+  SELECT key, ts,
+         (LAG(fingerprint) OVER w IS NULL
+          OR fingerprint <> LAG(fingerprint) OVER w) AS changed
+  FROM pages WINDOW w AS (PARTITION BY key ORDER BY ts)
+),
+per AS (
+  SELECT key AS url,
+         COUNT(*) - 1 AS n_intervals,
+         CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) - 1 AS BIGINT) AS n_changed,
+         MAX(ts) AS last_fetch,
+         epoch(MAX(ts)) - epoch(MIN(ts)) AS span_sec
+  FROM chain GROUP BY key
+),
+est AS (
+  SELECT url, n_intervals, n_changed, last_fetch,
+         ROUND(
+           CASE WHEN n_intervals > 0 THEN
+             (-ln((CAST(n_intervals AS DOUBLE) - CAST(n_changed AS DOUBLE) + 0.5)
+                  / (CAST(n_intervals AS DOUBLE) + 0.5)))
+             / (CAST(span_sec AS DOUBLE) / CAST(n_intervals AS DOUBLE))
+           ELSE 0.0 END, 9) AS lambda_hat,
+         CAST(epoch(TIMESTAMP '2025-01-02 00:00:00') - epoch(last_fetch)
+              AS DOUBLE) AS age
+  FROM per
+)
+SELECT url, n_intervals, n_changed, last_fetch, lambda_hat,
+       ROUND(1.0 - exp(-lambda_hat * age), 6) AS p_changed
+FROM est ORDER BY url
+"""
+
+
 def _dsir_weight_frame(spark, sf_dir):
     """Shared DSIR pipeline: tokenize/hash ONCE with lang carried through
     (the target slice is a filter on the same feature frame, not a second
@@ -7725,6 +7829,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_text_semdedup_md5": _q_text_semdedup_md5,
     "tx_logreg_train": _q_logreg_train,
     "st_heavy_hitters": _q_stateful_heavy_hitters,
+    "a14_cms_frequencies": _q_cms_frequencies,
+    "crawl_poisson_rate": _q_poisson_rate,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -7963,6 +8069,8 @@ _ORACLES: dict[str, str] = {
     "dd_text_semdedup_md5": _sql_text_semdedup_md5(),
     "tx_logreg_train": _sql_logreg_train(),
     "st_heavy_hitters": _SQL_STATEFUL_HEAVY_HITTERS,
+    "a14_cms_frequencies": _SQL_CMS_FREQUENCIES,
+    "crawl_poisson_rate": _SQL_POISSON_RATE,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

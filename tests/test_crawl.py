@@ -920,3 +920,53 @@ def test_epoch_fetch_capacity_waterfills(spark, catalog_dir):
     assert len(smalls) >= 2
     deferred = eng.catalog.read(spark, "deferred")
     assert deferred is not None and deferred.filter(F.col("epoch") == 0).count() > 0
+
+
+def test_change_rate_poisson_estimator(spark):
+    """Cho & Garcia-Molina bias-corrected MLE: lambda_hat matches the
+    closed form -ln((n-X+.5)/(n+.5))/Ibar computed independently in
+    Python; X=n stays finite; no-evidence URLs score zero; p_changed
+    ranks the all-changed URL above the half-changed one at equal age."""
+    import math
+
+    from web_crawler_spark.operators import snapshots as SN
+
+    rows = []
+    # every-visit churner: 4 fetches, 60s apart, all changed (X=n=3)
+    for i in range(4):
+        rows.append(("https://a/churn", f"2025-01-01 00:0{i}:00", f"v{i}"))
+    # half-churner: changes on fetches 2 and 4 only (X=2 of n=3)
+    for i, body in enumerate(["a", "b", "b", "c"]):
+        rows.append(("https://a/half", f"2025-01-01 00:0{i}:00", body))
+    # static + single-fetch
+    for i in range(4):
+        rows.append(("https://a/static", f"2025-01-01 00:0{i}:00", "same"))
+    rows.append(("https://a/once", "2025-01-01 00:00:00", "only"))
+    df = spark.createDataFrame(rows, ["url", "ts", "text"]).withColumn(
+        "warc_ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        r["url"]: r
+        for r in SN.change_rate_poisson(
+            df, "2025-01-01 00:04:00", ts_col="warc_ts"
+        ).collect()
+    }
+
+    def ref(n, x, ibar):
+        return round(-math.log((n - x + 0.5) / (n + 0.5)) / ibar, 9)
+
+    churn = out["https://a/churn"]
+    assert (churn["n_intervals"], churn["n_changed"]) == (3, 3)
+    assert churn["lambda_hat"] == ref(3, 3, 60.0)  # finite at X=n
+    half = out["https://a/half"]
+    assert (half["n_intervals"], half["n_changed"]) == (3, 2)
+    assert half["lambda_hat"] == ref(3, 2, 60.0)
+    assert out["https://a/static"]["lambda_hat"] == 0.0
+    assert out["https://a/once"]["lambda_hat"] == 0.0
+    assert out["https://a/once"]["p_changed"] == 0.0
+    # same last-fetch age -> p_changed ordering follows lambda
+    assert churn["p_changed"] > half["p_changed"] > 0.0
+    assert out["https://a/static"]["p_changed"] == 0.0
+    # p_changed is the Poisson survival complement of lambda*age (60 s)
+    age = 60.0
+    assert abs(churn["p_changed"] - round(1 - math.exp(-churn["lambda_hat"] * age), 6)) == 0

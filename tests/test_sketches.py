@@ -86,3 +86,77 @@ def test_shuffle_is_summary_sized(spark, items):
         SK._mg_summarize(16), SK._SUMMARY_SCHEMA
     ).count()
     assert n_summary <= (16 + 1) * 8
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_overcount_bound_and_exactness(spark, items):
+    """est ≥ true always; with width 1024 over this tiny stream the bound
+    est ≤ true + N·e/width holds with huge slack; most heads are exact."""
+    import math
+
+    truth = _exact()
+    n = len(STREAM)
+    sketch = SK.cms_sketch(items, "item", depth=4, width=1024)
+    queries = items.distinct()
+    got = {
+        r["item"]: r["est"]
+        for r in SK.cms_estimate(sketch, queries, "item", 4, 1024).collect()
+    }
+    assert set(got) == set(truth)
+    for item, t in truth.items():
+        assert got[item] >= t, (item, got[item], t)
+        assert got[item] <= t + math.ceil(n * math.e / 1024) + 1
+
+
+def test_cms_sketch_is_capacity_bounded(spark, items):
+    cells = SK.cms_sketch(items, "item", depth=3, width=64)
+    rows = cells.collect()
+    assert len(rows) <= 3 * 64
+    assert {r["row"] for r in rows} == {0, 1, 2}
+    assert all(0 <= r["col"] < 64 for r in rows)
+    # total mass per row == N (every item hits every row exactly once)
+    per_row = {}
+    for r in rows:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["cnt"]
+    assert set(per_row.values()) == {len(STREAM)}
+
+
+def test_cms_merge_equals_whole_stream_sketch(spark):
+    """Cell-wise-sum merge of two disjoint-slice sketches must be IDENTICAL
+    to sketching the concatenated stream — the mergeability contract."""
+    a = spark.createDataFrame([(x,) for x in STREAM[: len(STREAM) // 2]], ["item"])
+    b = spark.createDataFrame([(x,) for x in STREAM[len(STREAM) // 2 :]], ["item"])
+    whole = spark.createDataFrame([(x,) for x in STREAM], ["item"])
+    merged = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in SK.cms_merge(
+            SK.cms_sketch(a, "item", 4, 128), SK.cms_sketch(b, "item", 4, 128)
+        ).collect()
+    }
+    direct = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in SK.cms_sketch(whole, "item", 4, 128).collect()
+    }
+    assert merged == direct
+
+
+def test_cms_unseen_item_estimates_from_zero_cells(spark, items):
+    """An item never inserted may collide, but with a roomy sketch its
+    estimate is 0 — the left-join coalesce path."""
+    sketch = SK.cms_sketch(items, "item", depth=4, width=4096)
+    q = spark.createDataFrame([("never-seen-token-xyzzy",)], ["item"])
+    [row] = SK.cms_estimate(sketch, q, "item", 4, 4096).collect()
+    assert row["est"] == 0
+
+
+def test_cms_probe_side_broadcasts_sketch(spark, items):
+    """Plan shape: the estimate join must broadcast the (≤ depth·width)-row
+    sketch — the probe side never shuffles."""
+    sketch = SK.cms_sketch(items, "item", depth=4, width=1024)
+    est = SK.cms_estimate(sketch, items.distinct(), "item", 4, 1024)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -1,5 +1,5 @@
-"""Mergeable frequency sketches — Misra-Gries heavy hitters (engine
-addition).
+"""Mergeable frequency sketches — Misra-Gries heavy hitters and the
+Count-Min sketch (engine additions).
 
 Public algorithm: Misra & Gries 1982 ("Finding repeated elements") with
 the mergeable-summaries analysis of Agarwal et al. 2012: a capacity-``c``
@@ -113,4 +113,111 @@ def mg_heavy_hitters(
         .orderBy(F.desc("est"), F.asc("item"))
         .limit(int(k))
         .select("item", "est", F.coalesce("max_err", F.lit(0)).alias("max_err"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data stream
+# summary: the count-min sketch and its applications")
+# ---------------------------------------------------------------------------
+
+def _cms_col(col, row: int, width: int):
+    """Row-``row`` CMS column index for ``col``: the first 8 hex chars of a
+    salted md5 as an unsigned 32-bit value mod ``width``. md5 is portable —
+    the DuckDB oracle recomputes the identical cell addresses."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms:{row}:"), col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a ``depth × width`` Count-Min sketch of ``col``.
+
+    Returns the sketch as its non-zero cells ``(row, col, cnt)`` — at most
+    depth·width rows no matter how many items or distinct keys went in.
+    Point estimates OVERcount (est ≥ true; est ≤ true + εN with
+    ε = e/width at probability 1 − e^−depth), the mirror guarantee of the
+    Misra-Gries summary above (which UNDERcounts) — together they bracket.
+
+    Spark shape: each item explodes into ``depth`` (row, col) cell hits,
+    then ONE groupBy(row, col) count. Partial aggregation caps what any
+    task emits into the exchange at depth·width rows, so shuffle volume is
+    O(depth · width · partitions) — independent of N and of key
+    cardinality, which is the reason to sketch instead of groupBy(key) at
+    100 TB. Sketches over disjoint slices merge by cell-wise sum
+    (:func:`cms_merge`) with NO re-scan of the data.
+    """
+    item = F.col(col).cast("string")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cms_col(item, i, width).alias("col"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        df.filter(item.isNotNull())
+        .select(cells.alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge same-shape CMS sketches by cell-wise sum (exact: the merged
+    sketch is identical to sketching the concatenated streams)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    col: str = "item",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query ``queries[col]`` against a sketch built with the same
+    (depth, width): est = min over rows of the addressed cell.
+
+    The sketch side is ≤ depth·width rows → broadcast; the probe side
+    explodes each query into its ``depth`` cell addresses and never
+    shuffles. Cells a query item never touched are absent from the sketch
+    (zero) — the left join coalesces them to 0, so unseen items estimate 0
+    exactly as the dense-array formulation would.
+    """
+    item = F.col(col).cast("string")
+    probes = queries.select(
+        item.alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_col(item, i, width).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("item", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

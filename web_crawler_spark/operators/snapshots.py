@@ -298,3 +298,67 @@ def change_magnitude(
         )
         .select("key", "ts", "version_no", "jaccard", "change_magnitude")
     )
+
+
+def change_rate_poisson(
+    df: DataFrame,
+    now,
+    ts_col: str = "warc_ts",
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bias-corrected Poisson change-rate estimation from the crawl
+    history (Cho & Garcia-Molina 2003, "Estimating Frequency of Change",
+    ACM TOIT — public): a crawler only sees WHETHER a page changed between
+    visits, not how many times, so the naive X/n rate underestimates
+    fast-changing pages badly. Their corrected estimator for n revisit
+    intervals of which X showed a change is
+
+        r_hat      = -ln((n - X + 0.5) / (n + 0.5))   changes per interval
+        lambda_hat = r_hat / mean_interval            changes per second
+
+    which stays finite at X = n (a page that changed every single visit)
+    and is consistent as n grows. On top of the rate we surface the number
+    a refresh scheduler actually consumes: ``p_changed`` = 1 − e^(−λ̂·age),
+    the Poisson-model probability the page has changed since its last
+    fetch — rank by it and the crawl budget goes to pages that are
+    *likely stale now*, not merely frequently-changing
+    (:func:`recrawl_priority` is the simpler rate × staleness heuristic).
+
+    Single-fetch URLs (n = 0) carry no evidence: λ̂ and p_changed are 0 —
+    seed-priority policy, not this estimator, decides their first revisit.
+
+    Spark shape: rides :func:`change_detection`'s one per-URL window
+    shuffle, then a combiner-friendly agg — identical cost to
+    ``recrawl_priority``. All arithmetic is integer-derived doubles through
+    ln/exp, so the values are engine-portable bit-for-bit and the whole
+    estimate is SQL-oracle-certifiable.
+    """
+    chain = change_detection(df, ts_col, key_col, text_col)
+    now_col = now if isinstance(now, Column) else F.lit(now).cast("timestamp")
+    per = chain.groupBy(F.col("key").alias(key_col)).agg(
+        (F.count(F.lit(1)) - 1).alias("n_intervals"),
+        (F.sum(F.col("changed").cast("long")) - 1).alias("n_changed"),
+        F.max("ts").alias("__last"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("span_sec"),
+    )
+    n = F.col("n_intervals").cast("double")
+    x = F.col("n_changed").cast("double")
+    ibar = F.col("span_sec").cast("double") / n
+    r_hat = -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5)))
+    lam = F.when(F.col("n_intervals") > 0, r_hat / ibar).otherwise(F.lit(0.0))
+    age = (
+        F.unix_timestamp(now_col) - F.unix_timestamp(F.col("__last"))
+    ).cast("double")
+    return per.select(
+        key_col,
+        "n_intervals",
+        "n_changed",
+        F.col("__last").alias("last_fetch"),
+        F.round(lam, 9).alias("lambda_hat"),
+        F.round(F.lit(1.0) - F.exp(-F.round(lam, 9) * age), 6).alias(
+            "p_changed"
+        ),
+    )
