@@ -7155,6 +7155,49 @@ SELECT DISTINCT host, concat('https://', host, '/') AS url FROM f
 """
 
 
+def _q_stateful_seen_ttl(spark, sf_dir):
+    """F8 with BOUNDED state (streaming/stateful.py::stateful_seen_filter_ttl):
+    TTL-evicting seen filter. Within the TTL window it is exactly the
+    unbounded seen filter, so the long-TTL run here shares the DISTINCT-host
+    oracle; eviction + re-admission are pinned in test_stateful_streaming.py.
+
+    A ProcessingTimeTimeout operator makes ``shouldRunAnotherBatch`` always
+    true — the stream keeps running no-data micro-batches to fire expiries,
+    so neither ``processAllAvailable`` nor an availableNow run terminates.
+    The bounded run therefore polls the sink to the (pre-computed) expected
+    cardinality and stops the query itself."""
+    import tempfile
+    import time as _time
+
+    from web_crawler_spark.streaming.stateful import stateful_seen_filter_ttl
+
+    frontier = _frontier_df(spark, sf_dir)
+    keyed = frontier.select(
+        "host", F.concat(F.lit("https://"), F.col("host"), F.lit("/")).alias("url")
+    )
+    expected = keyed.select("host").distinct().count()
+    src = tempfile.mkdtemp(prefix="st_seen_ttl_src_")
+    keyed.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stateful_seen_filter_ttl(stream, ttl_seconds=86400.0, key_col="host")
+        .writeStream.format("memory")
+        .queryName("st_seen_ttl_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if spark.table("st_seen_ttl_sink").count() >= expected:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table("st_seen_ttl_sink")
+
+
 def _q_stateful_heavy_hitters(spark, sf_dir):
     """Streaming Misra-Gries (streaming/stateful.py): per-shard MG summary
     living in the state store, re-emitted each micro-batch. Bounded
@@ -7831,6 +7874,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_heavy_hitters": _q_stateful_heavy_hitters,
     "a14_cms_frequencies": _q_cms_frequencies,
     "crawl_poisson_rate": _q_poisson_rate,
+    "st_stateful_seen_ttl": _q_stateful_seen_ttl,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -8071,6 +8115,7 @@ _ORACLES: dict[str, str] = {
     "st_heavy_hitters": _SQL_STATEFUL_HEAVY_HITTERS,
     "a14_cms_frequencies": _SQL_CMS_FREQUENCIES,
     "crawl_poisson_rate": _SQL_POISSON_RATE,
+    "st_stateful_seen_ttl": _SQL_STATEFUL_SEEN,
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -98,6 +98,11 @@ HEADLINE = [
     "tx_zorder_key",
     # text→vector→SemDeDup composition (prices the within-cluster prune)
     "dd_text_semdedup_md5",
+    # sketch + refresh-model additions: Count-Min over the order stream
+    # (explode→one bounded agg→broadcast probe) and the Poisson
+    # change-rate MLE (one per-URL window + combiner agg over events)
+    "a14_cms_frequencies",
+    "crawl_poisson_rate",
 ]
 
 

@@ -201,3 +201,80 @@ def test_stateful_heavy_hitters_bounded_state(spark, tmp_path):
         assert r["est"] <= truth[r["item"]] <= r["est"] + delta
     # the dominant item is retained
     assert "x" in {r["item"] for r in out}
+
+
+def _await_sink(spark, table, pred, timeout_s=90.0):
+    """Poll a memory-sink table until ``pred(rows)`` holds.
+
+    Needed for the ProcessingTimeTimeout queries: with a processing-time
+    timeout configured, ``FlatMapGroupsWithStateExec.shouldRunAnotherBatch``
+    is always true, so the stream keeps running no-data micro-batches to
+    fire expirations and ``processAllAvailable()`` never returns. Progress
+    has to be observed through the sink instead."""
+    deadline = time.time() + timeout_s
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql(f"select * from {table}").collect()
+        if pred(rows):
+            return rows
+        time.sleep(0.5)
+    raise AssertionError(f"timed out waiting on {table}; rows={rows}")
+
+
+def test_seen_filter_ttl_dedups_within_window(spark, tmp_path):
+    """Long TTL: behaves exactly like the unbounded seen filter — the
+    across-batch duplicate is dropped while its state row is live."""
+    from web_crawler_spark.streaming.stateful import stateful_seen_filter_ttl
+
+    src = str(tmp_path / "ttl_src")
+    mk = lambda rows: spark.createDataFrame(rows, "url_hash string, url string")
+    mk([("h1", "https://a/1"), ("h2", "https://a/2")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = _start_file_stream_query(
+        spark, src, lambda s: stateful_seen_filter_ttl(s, 600.0), "t_ttl1"
+    )
+    try:
+        _await_sink(spark, "t_ttl1", lambda rs: len(rs) >= 2)
+        # the dup rides in the SAME file (one micro-batch) as h3, so once
+        # h3 is in the sink the h1-dup admission decision has been made
+        mk([("h1", "https://a/1-dup"), ("h3", "https://a/3")]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _await_sink(
+            spark, "t_ttl1", lambda rs: any(r["url_hash"] == "h3" for r in rs)
+        )
+    finally:
+        q.stop()
+    got = {r["url_hash"]: r["url"] for r in spark.sql("select * from t_ttl1").collect()}
+    # h1 admitted ONCE (the batch-1 original), h2+h3 admitted, dup dropped
+    assert got == {"h1": "https://a/1", "h2": "https://a/2", "h3": "https://a/3"}
+
+
+def test_seen_filter_ttl_evicts_and_readmits(spark, tmp_path):
+    """Short TTL: after ttl_seconds of inactivity the state row is evicted
+    and the SAME key admits again — the recrawl-window semantic (and the
+    bounded-state property: expired keys leave the store)."""
+    from web_crawler_spark.streaming.stateful import stateful_seen_filter_ttl
+
+    src = str(tmp_path / "ttl_src2")
+    mk = lambda rows: spark.createDataFrame(rows, "url_hash string, url string")
+    mk([("h1", "https://a/1")]).coalesce(1).write.mode("append").parquet(src)
+    q = _start_file_stream_query(
+        spark, src, lambda s: stateful_seen_filter_ttl(s, 1.0), "t_ttl2"
+    )
+    try:
+        _await_sink(spark, "t_ttl2", lambda rs: len(rs) >= 1)
+        # the 1 s TTL lapses; the stream's own no-data timeout batches
+        # process the expiry (that is WHY shouldRunAnotherBatch stays true)
+        time.sleep(4.0)
+        # h1 returns AFTER eviction -> must be re-admitted
+        mk([("h1", "https://a/1-again")]).coalesce(1).write.mode("append").parquet(src)
+        _await_sink(
+            spark, "t_ttl2", lambda rs: any(r["url"] == "https://a/1-again" for r in rs)
+        )
+    finally:
+        q.stop()
+    urls = [r["url"] for r in spark.sql("select * from t_ttl2").collect()]
+    assert "https://a/1" in urls
+    assert "https://a/1-again" in urls  # the re-admission after eviction

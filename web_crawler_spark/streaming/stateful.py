@@ -201,3 +201,58 @@ def stateful_heavy_hitters(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+def stateful_seen_filter_ttl(
+    urls: DataFrame,
+    ttl_seconds: float,
+    key_col: str = "url_hash",
+) -> DataFrame:
+    """F8 as a stateful stream with BOUNDED state: admit a key, then drop
+    re-arrivals for ``ttl_seconds`` of processing-time inactivity, after
+    which the state row is evicted and the key admits again.
+
+    Two things fall out of the one TTL knob:
+
+    * **State-store bound.** ``stateful_seen_filter`` holds one row per
+      key forever — correct for a finite frontier, unbounded for an
+      infinite stream. Here state size is the working set of keys seen
+      within the last TTL window, not the stream lifetime; at 10^10
+      URLs/day with a 7-day TTL that is the difference between a state
+      store that grows without limit and one that plateaus.
+    * **Recrawl semantics.** Re-admission after TTL IS the refresh crawl:
+      a URL that goes quiet for the TTL is due again. The batch twin is
+      the seen-table anti-join with a staleness predicate
+      (``fetched_at > now - ttl``).
+
+    Mechanics: ``GroupStateTimeout.ProcessingTimeTimeout`` — every
+    arrival refreshes the key's timeout (sliding window of inactivity);
+    Spark invokes the function once more for an expired key with
+    ``state.hasTimedOut`` set, where the state row is removed. Expiry
+    fires on the first micro-batch after the deadline, so eviction is
+    eventual (never early) — the admission decision itself is exact.
+    """
+    out_schema = urls.schema
+    ttl_ms = max(1, int(float(ttl_seconds) * 1000))
+
+    def first_only(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # evict; next arrival of this key re-admits
+            return
+        fresh = not state.exists
+        emitted = False
+        for pdf in pdfs:
+            if fresh and not emitted and len(pdf):
+                emitted = True
+                yield pdf.iloc[[0]]
+        state.update((True,))
+        state.setTimeoutDuration(ttl_ms)
+
+    return urls.groupBy(key_col).applyInPandasWithState(
+        first_only,
+        out_schema,
+        "seen boolean",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
