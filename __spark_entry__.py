@@ -7361,6 +7361,64 @@ FROM est ORDER BY url
 """
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality sketch (operators/sketches.py): per-status
+    distinct-customer estimates from 256 registers. Status P is sparse →
+    the linear-counting branch; F and O → the raw α·m²/ΣZ branch — both
+    estimator regimes certified in one query. md5 register addressing plus
+    the powers-of-two register sum (order-independent exact double) let
+    the oracle recompute the registers AND the estimates value-for-value;
+    the ~6.5%-off-exact readings ARE the sketch's published behavior."""
+    from web_crawler_spark.operators.sketches import hll_estimate, hll_sketch
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.col("o_custkey").cast("string").alias("k"),
+    )
+    sk = hll_sketch(o, "k", p=8, group_cols=("g",))
+    return (
+        hll_estimate(sk, p=8, group_cols=("g",))
+        .withColumnRenamed("g", "o_orderstatus")
+        .orderBy("o_orderstatus")
+    )
+
+
+def _sql_hll_distinct() -> str:
+    alpha = 0.7213 / (1.0 + 1.079 / 256)
+    return f"""
+WITH h AS (
+  SELECT o_orderstatus AS g,
+         TRY_CAST(concat('0x', substr(md5(concat('hll:',
+             CAST(o_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS bucket,
+         TRY_CAST(concat('0x', substr(md5(concat('hll:',
+             CAST(o_custkey AS VARCHAR))), 9, 8)) AS BIGINT) AS w
+  FROM orders
+),
+regs AS (
+  SELECT g, bucket,
+         MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS rho
+  FROM h GROUP BY g, bucket
+),
+agg AS (
+  SELECT g, COUNT(*) AS present,
+         SUM(power(2.0, -rho)) AS s_present
+  FROM regs GROUP BY g
+),
+est AS (
+  SELECT g,
+         CAST({alpha!r} AS DOUBLE) * 65536.0
+           / ((256.0 - present) + s_present) AS e_raw,
+         256 - present AS v
+  FROM agg
+)
+SELECT g AS o_orderstatus,
+       ROUND(CASE WHEN e_raw <= 640.0 AND v > 0
+                  THEN 256.0 * ln(256.0 / v)
+                  ELSE e_raw END, 6) AS distinct_est
+FROM est ORDER BY g
+"""
+
+
 def _dsir_weight_frame(spark, sf_dir):
     """Shared DSIR pipeline: tokenize/hash ONCE with lang carried through
     (the target slice is a filter on the same feature frame, not a second
@@ -7875,6 +7933,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_cms_frequencies": _q_cms_frequencies,
     "crawl_poisson_rate": _q_poisson_rate,
     "st_stateful_seen_ttl": _q_stateful_seen_ttl,
+    "a15_hll_distinct": _q_hll_distinct,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -8116,6 +8175,7 @@ _ORACLES: dict[str, str] = {
     "a14_cms_frequencies": _SQL_CMS_FREQUENCIES,
     "crawl_poisson_rate": _SQL_POISSON_RATE,
     "st_stateful_seen_ttl": _SQL_STATEFUL_SEEN,
+    "a15_hll_distinct": _sql_hll_distinct(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

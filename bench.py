@@ -103,6 +103,9 @@ HEADLINE = [
     # change-rate MLE (one per-URL window + combiner agg over events)
     "a14_cms_frequencies",
     "crawl_poisson_rate",
+    # HyperLogLog registers + both-regime estimates (projection → one
+    # register-bounded agg); completes the mergeable-sketch family leg set
+    "a15_hll_distinct",
 ]
 
 

@@ -160,3 +160,93 @@ def test_cms_probe_side_broadcasts_sketch(spark, items):
     est = SK.cms_estimate(sketch, items.distinct(), "item", 4, 1024)
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_match_python_reference(spark):
+    """Registers are deterministic md5 functions of the items — recompute
+    them in pure Python and demand frame identity."""
+    import hashlib
+
+    vals = [f"u{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["k"]).repartition(8)
+    got = {
+        r["bucket"]: r["rho"]
+        for r in SK.hll_sketch(df, "k", p=6).collect()
+    }
+    ref: dict[int, int] = {}
+    for v in vals:
+        d = hashlib.md5(f"hll:{v}".encode()).hexdigest()
+        bucket = int(d[:8], 16) % 64
+        w = int(d[8:16], 16)
+        rho = 33 if w == 0 else 33 - len(bin(w)[2:])
+        ref[bucket] = max(ref.get(bucket, 0), rho)
+    assert got == ref
+
+
+def test_hll_merge_equals_whole_stream_sketch(spark):
+    """Register-wise max merge of OVERLAPPING slices == whole-stream sketch
+    (max is idempotent — stronger than the CMS disjointness requirement)."""
+    vals = [f"u{i}" for i in range(600)]
+    a = spark.createDataFrame([(v,) for v in vals[:400]], ["k"])
+    b = spark.createDataFrame([(v,) for v in vals[250:]], ["k"])  # overlaps a
+    whole = spark.createDataFrame([(v,) for v in vals], ["k"])
+    merged = {
+        (r["bucket"], r["rho"])
+        for r in SK.hll_merge(
+            SK.hll_sketch(a, "k", p=7), SK.hll_sketch(b, "k", p=7)
+        ).collect()
+    }
+    direct = {
+        (r["bucket"], r["rho"]) for r in SK.hll_sketch(whole, "k", p=7).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_accuracy_bias_corrected_regime(spark):
+    """~3000 distinct at p=8 (m=256): the raw estimator regime. Standard
+    error is 1.04/sqrt(256) ≈ 6.5%; demand within 4 sigma (26%)."""
+    n = 3000
+    df = spark.createDataFrame([(f"url{i}",) for i in range(n)], ["k"])
+    [row] = SK.hll_estimate(SK.hll_sketch(df, "k", p=8), p=8).collect()
+    assert abs(row["distinct_est"] - n) / n < 0.26, row
+
+
+def test_hll_estimate_linear_counting_regime(spark):
+    """30 distinct at m=256 → E ≤ 2.5m with zero registers present → linear
+    counting, which is near-exact at this occupancy."""
+    df = spark.createDataFrame([(f"u{i % 30}",) for i in range(900)], ["k"])
+    [row] = SK.hll_estimate(SK.hll_sketch(df, "k", p=8), p=8).collect()
+    assert abs(row["distinct_est"] - 30) <= 3, row
+
+
+def test_hll_grouped_sketch_and_estimate(spark):
+    """Per-group registers don't bleed across groups; duplicates don't move
+    the estimate (cardinality, not frequency)."""
+    rows = [("a", f"x{i}") for i in range(400)] * 2 + [
+        ("b", f"x{i % 25}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["g", "k"]).repartition(8)
+    sk = SK.hll_sketch(df, "k", p=8, group_cols=("g",))
+    est = {
+        r["g"]: r["distinct_est"]
+        for r in SK.hll_estimate(sk, p=8, group_cols=("g",)).collect()
+    }
+    assert abs(est["a"] - 400) / 400 < 0.26
+    assert abs(est["b"] - 25) <= 3
+
+
+def test_hll_sketch_shuffle_is_register_bounded(spark):
+    """The sketch never exceeds 2^p rows per group, and the plan is a
+    partial-agg groupBy (no raw-key shuffle)."""
+    df = spark.createDataFrame([(f"u{i}",) for i in range(5000)], ["k"])
+    sk = SK.hll_sketch(df, "k", p=5)
+    rows = sk.collect()
+    assert len(rows) <= 32
+    assert all(1 <= r["rho"] <= 33 for r in rows)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan or "HashAggregate" in plan

@@ -221,3 +221,122 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007, "HyperLogLog: the
+# analysis of a near-optimal cardinality estimation algorithm")
+# ---------------------------------------------------------------------------
+#
+# Completes the mergeable-sketch family: Misra-Gries UNDERcounts
+# frequencies, Count-Min OVERcounts them, HyperLogLog estimates
+# CARDINALITY — "how many distinct URLs / hosts / shingles" with
+# O(2^p) state per group regardless of stream size. Spark's own
+# approx_count_distinct is HLL++-backed but exposes only the scalar;
+# this sketch exposes the REGISTERS, so per-slice sketches persist as
+# tiny tables and merge across epochs/shards by register-wise max with
+# no re-scan — the property the epoch crawl needs for "distinct URLs
+# seen, ever" at 100 TB (union 1000 epoch sketches ≪ re-scanning them).
+#
+# Everything is deterministic and engine-portable: bucket and rank both
+# derive from salted md5 substrings (same trick as the CMS above), and
+# the estimator's register sum Σ 2^-rho is a sum of exactly-representable
+# powers of two whose total needs < 46 mantissa bits at p ≤ 12 — the
+# double result is EXACT regardless of accumulation order, so the DuckDB
+# oracle reproduces not just the registers but the estimate itself.
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_fields(item, p: int):
+    """(bucket, rho) for one item: bucket from md5 bits 0–31 mod 2^p, rho =
+    1-based position of the first 1-bit in md5 bits 32–63 (33 if the 32-bit
+    word is zero). ``bin()`` renders minimal-width binary in both Spark and
+    DuckDB, so rho = 33 − length(bin(w)) is portable."""
+    digest = F.md5(F.concat(F.lit("hll:"), item))
+    bucket = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % (1 << p)
+    ).alias("bucket")
+    w = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    rho = (
+        F.when(w == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho")
+    )
+    return bucket, rho
+
+
+def hll_sketch(
+    df: DataFrame, col: str, p: int = 8, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Build an HLL sketch of ``col`` (optionally one per ``group_cols``
+    group): the non-zero registers as ``(group..., bucket, rho)`` rows,
+    ≤ 2^p per group no matter how many rows or distinct keys went in.
+
+    Spark shape: a projection computing (bucket, rho) — two md5 substrings,
+    all JVM built-ins — then ONE groupBy max. Partial aggregation caps each
+    task's exchange contribution at 2^p·groups rows, so shuffle volume is
+    independent of N and of key cardinality (the reason to sketch at
+    100 TB). The 32-bit rank word caps rho at 33, which is bias-free to
+    ~10^9 distincts per group; beyond that, raise p and re-salt — the
+    structure is unchanged.
+    """
+    gcols = [F.col(g) for g in group_cols]
+    item = F.col(col).cast("string")
+    bucket, rho = _hll_fields(item, p)
+    return (
+        df.filter(item.isNotNull())
+        .select(*gcols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge same-``p`` sketches by register-wise max (exact: identical to
+    sketching the concatenated streams — max is idempotent/commutative, so
+    re-merges and overlapping slices are harmless)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    sketch: DataFrame, p: int = 8, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Cardinality estimate per group from a ``p``-bit sketch.
+
+    Raw estimator E = α_m · m² / Σ 2^-M_j (absent registers contribute
+    2^0 = 1 each), with the original small-range correction: when
+    E ≤ 2.5m and zero registers exist, linear counting m·ln(m/V). Standard
+    error ≈ 1.04/√m (~6.5% at p=8, ~1.6% at p=12). The whole computation
+    is one ≤2^p-row-per-group aggregate; rounded to 6 decimals so the
+    final ln's last-ulp libm variance can't break cross-engine equality.
+    """
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_present"),
+    )
+    s = (F.lit(float(m)) - F.col("present")) + F.col("s_present")
+    e_raw = F.lit(alpha * m * m) / s
+    v = F.lit(m) - F.col("present")  # zero registers
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols, F.round(est, 6).alias("distinct_est")
+    )
