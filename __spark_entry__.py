@@ -2125,6 +2125,108 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {thr} ORDER BY id_a, i
 """
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup against a persisted signature index
+    (operators/dedup.py::minhash_index + dedup_against_index): documents
+    split 2:1 into an already-ingested corpus (index) and an arriving
+    batch; every batch doc gets status/match_id/est_jaccard. The portable
+    md5 path lets the oracle replay signatures, band keys, both candidate
+    joins, the matching-component estimates, and the min-id match choice —
+    the entire ingestion decision table is value-certified."""
+    from web_crawler_spark.operators import dedup as DD
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = DD.minhash_index(
+        d.filter(F.col("doc_id") % 3 != 0), n=5, k=8, portable_hash=True
+    )
+    out = DD.dedup_against_index(
+        d.filter(F.col("doc_id") % 3 == 0),
+        idx,
+        n=5,
+        k=8,
+        bands=4,
+        threshold=0.25,
+        portable_hash=True,
+    )
+    return out.select("doc_id", "status", "match_id", "est_jaccard").orderBy(
+        "doc_id"
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    k, bands, n, thr = 8, 4, 5, 0.25
+    rows = k // bands
+    sig_exprs = ",\n         ".join(
+        f"list_min([md5(concat('s{i}:', g)) for g in grams]) AS s{i}"
+        for i in range(k)
+    )
+    band_rows = ", ".join(
+        f"({b}, md5(concat_ws('|', "
+        + ", ".join(f"s{i}" for i in range(b * rows, (b + 1) * rows))
+        + ")))"
+        for b in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                        for i in range(1, greatest(len(w)-{n - 1}, 0) + 1)]) AS grams
+  FROM toks
+), nonempty AS (SELECT * FROM sh WHERE len(grams) > 0),
+sigs AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM nonempty
+), banded AS (
+  SELECT doc_id, b.* FROM sigs,
+  LATERAL (VALUES {band_rows}) AS b(band, band_sig)
+), bn AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+bi AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+cand_i AS (
+  SELECT DISTINCT n.doc_id AS nid, i.doc_id AS iid
+  FROM bn n JOIN bi i ON n.band = i.band AND n.band_sig = i.band_sig
+), est_i AS (
+  SELECT nid, iid, ROUND(({est}) / {float(k)!r}, 6) AS est
+  FROM cand_i JOIN sigs a ON a.doc_id = nid JOIN sigs b ON b.doc_id = iid
+), dup_i AS (
+  SELECT nid, iid, est FROM (
+    SELECT nid, iid, est,
+           ROW_NUMBER() OVER (PARTITION BY nid ORDER BY iid) AS rn
+    FROM est_i WHERE est >= {thr}
+  ) WHERE rn = 1
+), cand_n AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bn x JOIN bn y
+    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+), est_n AS (
+  SELECT cand_n.a, cand_n.b, ROUND(({est}) / {float(k)!r}, 6) AS est
+  FROM cand_n JOIN sigs a ON a.doc_id = cand_n.a JOIN sigs b ON b.doc_id = cand_n.b
+), dup_n AS (
+  SELECT a, b, est FROM (
+    SELECT a, b, est,
+           ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn
+    FROM est_n WHERE est >= {thr}
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CASE WHEN di.iid IS NOT NULL THEN 'dup_of_index'
+            WHEN dn.a IS NOT NULL THEN 'dup_of_batch'
+            ELSE 'kept' END AS status,
+       COALESCE(di.iid, dn.a) AS match_id,
+       CASE WHEN di.iid IS NOT NULL THEN di.est ELSE dn.est END AS est_jaccard
+FROM (SELECT doc_id FROM nonempty WHERE doc_id % 3 = 0) d
+LEFT JOIN dup_i di ON di.nid = d.doc_id
+LEFT JOIN dup_n dn ON dn.b = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _query_vector(spark, sf_dir) -> list[float]:
     emb = _t(spark, sf_dir, "embeddings")
     return [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -7934,6 +8036,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_poisson_rate": _q_poisson_rate,
     "st_stateful_seen_ttl": _q_stateful_seen_ttl,
     "a15_hll_distinct": _q_hll_distinct,
+    "dd_incremental_dedup": _q_incremental_dedup,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -8176,6 +8279,7 @@ _ORACLES: dict[str, str] = {
     "crawl_poisson_rate": _SQL_POISSON_RATE,
     "st_stateful_seen_ttl": _SQL_STATEFUL_SEEN,
     "a15_hll_distinct": _sql_hll_distinct(),
+    "dd_incremental_dedup": _sql_incremental_dedup(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

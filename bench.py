@@ -106,6 +106,9 @@ HEADLINE = [
     # HyperLogLog registers + both-regime estimates (projection → one
     # register-bounded agg); completes the mergeable-sketch family leg set
     "a15_hll_distinct",
+    # incremental epoch ingestion: batch dedup against the persisted
+    # signature index — corpus text never re-read, slim band joins only
+    "dd_incremental_dedup_fast",
 ]
 
 
@@ -208,6 +211,20 @@ def main() -> None:
         return dedup_clusters(pairs, docs=df)
 
     qs["dd_dedup_clusters_fast"] = _clusters_fast
+
+    def _incremental_fast(spark, sf_dir):
+        from web_crawler_spark.operators.dedup import (
+            dedup_against_index,
+            minhash_index,
+        )
+
+        df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        idx = minhash_index(df.filter("doc_id % 3 != 0"), n=5, k=16)
+        return dedup_against_index(
+            df.filter("doc_id % 3 = 0"), idx, n=5, k=16, bands=4, threshold=0.5
+        )
+
+    qs["dd_incremental_dedup_fast"] = _incremental_fast
 
     # warmup: JIT/codegen/scan caches out of the timed region
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()

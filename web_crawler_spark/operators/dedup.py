@@ -978,3 +978,180 @@ def ngram_containment_pairs(
         F.round(F.col("n_common") / F.col("size_b"), 6).alias("containment"),
     )
     return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted signature index (Broder 1997
+# resemblance sketches; the FineWeb/CCNet ingestion pattern: each crawl
+# epoch dedups against everything already accepted WITHOUT re-scanning it)
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """The persistable dedup index: ``(id_col, sig array)`` — one k-element
+    MinHash signature per document, ~8k bytes/doc (k longs) regardless of
+    document size. THIS is what survives between crawl epochs; the corpus
+    text is never re-read to dedup against it. Band keys are derived from
+    ``sig`` on the fly (k array ops, no text), so the index is one slim
+    table; a real deployment writes it partitioned/bucketed by id.
+
+    portable_hash=True uses md5 permutations (oracle-replayable, sig
+    elements are hex strings); default xxhash64 (~5× cheaper, longs).
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(parallelism)
+        .select(F.col(id_col), T.shingles(F.col(text_col), n).alias("__g"))
+        .filter(F.size("__g") > 0)
+    )
+    if portable_hash:
+        sig = T.minhash_from_grams(F.col("__g"), k, portable=True)
+    else:
+        hashed = F.transform("__g", lambda g: F.xxhash64(g))
+        base = base.select(id_col, hashed.alias("__g"))
+        sig = T.minhash_from_hashes(F.col("__g"), k)
+    return base.select(id_col, sig.alias("sig"))
+
+
+def _sig_bands(k: int, bands: int, portable: bool):
+    """(band, band_sig) struct array derived from a ``sig`` column — the
+    LSH keys recomputed from signatures alone (no text, no grams)."""
+    rows = k // bands
+    out = []
+    for b in range(bands):
+        parts = F.concat_ws(
+            "|", *[F.col("sig")[i].cast("string") for i in range(b * rows, (b + 1) * rows)]
+        )
+        band_sig = F.md5(parts) if portable else F.xxhash64(parts).cast("string")
+        out.append(F.struct(F.lit(b).alias("band"), band_sig.alias("band_sig")))
+    return F.array(*out)
+
+
+def _sig_est(a, b, k: int):
+    """Unbiased Jaccard estimate from two signatures: matching-component
+    fraction (sd = sqrt(J(1-J)/k)). Works for long or hex-string sigs."""
+    eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+    return F.round(
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double") / k, 6
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Dedup one incoming batch against a persisted :func:`minhash_index`
+    AND against itself, in one pass. Returns every new doc annotated:
+
+    - ``status='dup_of_index'``: signature-matches an indexed doc in ≥1 LSH
+      band with estimated Jaccard ≥ threshold; ``match_id`` = the smallest
+      such index id (deterministic), ``est_jaccard`` its estimate.
+    - ``status='dup_of_batch'``: not an index dup, but matches a smaller-id
+      doc of the same batch (pair-wise min-id rule — the same canonical
+      choice ``keep_canonical`` makes without transitive closure; chains
+      within one batch are near-dup stars in practice, and an epoch's
+      survivors get clustered properly once accepted).
+    - ``status='kept'``: the survivors. ``SELECT id, sig WHERE
+      status='kept'`` is exactly the increment to append to the index.
+
+    Verification is signature-based (matching-component fraction), NOT a
+    gram re-join — deliberately: the index stores no shingles, which is
+    what makes it ~8k bytes/doc at 10^10 docs. The estimator's sd is
+    sqrt(J(1-J)/k); size k for the false-positive rate you can afford,
+    since the corpus side can never be re-read cheaply at 100 TB.
+
+    Plan shape: the band join carries (id, band, band_sig) only — never
+    text, grams, or sigs; sigs re-join by id for the candidate set alone.
+    Index text is untouched; index sigs are scanned once. New-batch text
+    is shingled exactly once (the sig table is localCheckpointed).
+    """
+    sig_new = minhash_index(
+        new_docs, text_col, id_col, n, k, portable_hash=portable_hash
+    ).localCheckpoint(eager=True)
+    bexpr = _sig_bands(k, bands, portable_hash)
+    banded_new = sig_new.select(
+        F.col(id_col).alias("nid"), F.explode(bexpr).alias("bb")
+    ).select("nid", "bb.band", "bb.band_sig")
+    banded_idx = index.select(
+        F.col(id_col).alias("iid"), F.explode(bexpr).alias("bb")
+    ).select("iid", "bb.band", "bb.band_sig")
+
+    # --- new vs index ------------------------------------------------------
+    cand_idx = (
+        banded_new.join(banded_idx, ["band", "band_sig"])
+        .select("nid", "iid")
+        .dropDuplicates(["nid", "iid"])
+    )
+    est_i = (
+        cand_idx.join(sig_new.select(F.col(id_col).alias("nid"), F.col("sig").alias("sa")), "nid")
+        .join(index.select(F.col(id_col).alias("iid"), F.col("sig").alias("sb")), "iid")
+        .withColumn("est", _sig_est(F.col("sa"), F.col("sb"), k))
+        .filter(F.col("est") >= threshold)
+    )
+    dup_idx = est_i.groupBy("nid").agg(
+        F.min(F.struct(F.col("iid").alias("m"), F.col("est").alias("e"))).alias("x")
+    ).select("nid", F.col("x.m").alias("_idx_match"), F.col("x.e").alias("_idx_est"))
+
+    # --- new vs new (pair-wise min-id) --------------------------------------
+    l, r = banded_new.alias("l"), banded_new.alias("r")
+    cand_nn = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.nid") < F.col("r.nid")),
+        )
+        .select(F.col("l.nid").alias("a"), F.col("r.nid").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    est_n = (
+        cand_nn.join(sig_new.select(F.col(id_col).alias("a"), F.col("sig").alias("sa")), "a")
+        .join(sig_new.select(F.col(id_col).alias("b"), F.col("sig").alias("sb")), "b")
+        .withColumn("est", _sig_est(F.col("sa"), F.col("sb"), k))
+        .filter(F.col("est") >= threshold)
+    )
+    dup_nn = est_n.groupBy("b").agg(
+        F.min(F.struct(F.col("a").alias("m"), F.col("est").alias("e"))).alias("x")
+    ).select(
+        F.col("b").alias("nid"),
+        F.col("x.m").alias("_nn_match"),
+        F.col("x.e").alias("_nn_est"),
+    )
+
+    out = (
+        sig_new.withColumnRenamed(id_col, "nid")
+        .join(dup_idx, "nid", "left")
+        .join(dup_nn, "nid", "left")
+    )
+    status = (
+        F.when(F.col("_idx_match").isNotNull(), F.lit("dup_of_index"))
+        .when(F.col("_nn_match").isNotNull(), F.lit("dup_of_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    match_id = F.when(
+        F.col("_idx_match").isNotNull(), F.col("_idx_match")
+    ).otherwise(F.col("_nn_match"))
+    est = F.when(F.col("_idx_match").isNotNull(), F.col("_idx_est")).otherwise(
+        F.col("_nn_est")
+    )
+    return out.select(
+        F.col("nid").alias(id_col),
+        "sig",
+        status.alias("status"),
+        match_id.alias("match_id"),
+        est.alias("est_jaccard"),
+    )
