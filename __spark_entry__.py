@@ -2125,6 +2125,59 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {thr} ORDER BY id_a, i
 """
 
 
+def _q_refresh_allocation(spark, sf_dir):
+    """Freshness-optimal crawl-budget allocation (operators/snapshots.py::
+    refresh_allocation, Cho & Garcia-Molina 2003 TODS): 15k pages with
+    exact quarter-step change rates (incl. λ=0 never-changers and λ≫1
+    fast changers), budget 30k crawls over ≤6 per page. The entire
+    allocation — marginal gains, the global top-B cut through tie groups,
+    per-page counts, resulting freshness — is replayed by the oracle; the
+    abandon-the-fastest-changers optimum is certified value-for-value."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    o = _t(spark, sf_dir, "orders")
+    rates = o.select(
+        F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias("url"),
+        ((F.col("o_orderkey") % 19) / F.lit(4.0)).alias("lambda_hat"),
+    )
+    return SN.refresh_allocation(rates, budget=30000, max_per_page=6).orderBy("url")
+
+
+def _sql_refresh_allocation() -> str:
+    fresh_c = (
+        "CASE WHEN {c} <= 0 THEN 0.0 WHEN lambda_hat <= 0 THEN 1.0 "
+        "ELSE ({c} / lambda_hat) * (1.0 - exp(-lambda_hat / {c})) END"
+    )
+    return f"""
+WITH rates AS (
+  SELECT concat('u', CAST(o_orderkey AS VARCHAR)) AS url,
+         (o_orderkey % 19) / 4.0 AS lambda_hat
+  FROM orders
+),
+inc AS (
+  SELECT url, lambda_hat, c,
+         ROUND(({fresh_c.format(c='c')}) - ({fresh_c.format(c='(c - 1)')}), 9) AS gain
+  FROM rates CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS c)
+),
+ranked AS (
+  SELECT url, c, ROW_NUMBER() OVER (ORDER BY gain DESC, url, c) AS rn
+  FROM inc WHERE gain > 0
+),
+alloc AS (
+  SELECT url, COUNT(*) AS crawls FROM ranked WHERE rn <= 30000 GROUP BY url
+)
+SELECT r.url, r.lambda_hat,
+       CAST(COALESCE(a.crawls, 0) AS INT) AS crawls,
+       ROUND(CASE WHEN COALESCE(a.crawls, 0) <= 0 THEN 0.0
+                  WHEN r.lambda_hat <= 0 THEN 1.0
+                  ELSE (COALESCE(a.crawls, 0) / r.lambda_hat)
+                       * (1.0 - exp(-r.lambda_hat / COALESCE(a.crawls, 0)))
+             END, 6) AS freshness
+FROM rates r LEFT JOIN alloc a ON a.url = r.url
+ORDER BY r.url
+"""
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Incremental dedup against a persisted signature index
     (operators/dedup.py::minhash_index + dedup_against_index): documents
@@ -8037,6 +8090,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_stateful_seen_ttl": _q_stateful_seen_ttl,
     "a15_hll_distinct": _q_hll_distinct,
     "dd_incremental_dedup": _q_incremental_dedup,
+    "crawl_refresh_allocation": _q_refresh_allocation,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -8280,6 +8334,7 @@ _ORACLES: dict[str, str] = {
     "st_stateful_seen_ttl": _SQL_STATEFUL_SEEN,
     "a15_hll_distinct": _sql_hll_distinct(),
     "dd_incremental_dedup": _sql_incremental_dedup(),
+    "crawl_refresh_allocation": _sql_refresh_allocation(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -109,6 +109,9 @@ HEADLINE = [
     # incremental epoch ingestion: batch dedup against the persisted
     # signature index — corpus text never re-read, slim band joins only
     "dd_incremental_dedup_fast",
+    # freshness-optimal budget allocation: 150k pages × 6 marginal-gain
+    # increments ranked globally through prefix_sum's range exchange
+    "crawl_refresh_allocation",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Freshness-optimal recrawl allocation (operators/snapshots.py::
+refresh_allocation — Cho & Garcia-Molina 2003 TODS). The oracle query
+`crawl_refresh_allocation` certifies the full allocation table; these
+tests pin optimality and the published counter-intuitive behavior."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from web_crawler_spark.operators.snapshots import refresh_allocation
+
+
+def _fresh(lam: float, c: int) -> float:
+    if c <= 0:
+        return 0.0
+    if lam <= 0:
+        return 1.0
+    return (c / lam) * (1.0 - math.exp(-lam / c))
+
+
+def _greedy(rates: dict[str, float], budget: int, max_c: int) -> dict[str, int]:
+    """Reference allocation: take the budget largest marginal gains
+    (optimal by concavity), same 9-decimal gain rounding + (key, c)
+    tie-break as the operator."""
+    inc = []
+    for k, lam in rates.items():
+        for c in range(1, max_c + 1):
+            g = round(_fresh(lam, c) - _fresh(lam, c - 1), 9)
+            if g > 0:
+                inc.append((-g, k, c))
+    inc.sort()
+    out = {k: 0 for k in rates}
+    for _, k, _c in inc[:budget]:
+        out[k] += 1
+    return out
+
+
+RATES = {
+    "u_never": 0.0,      # never changes: 1 crawl keeps it fresh forever
+    "u_slow": 0.2,
+    "u_med1": 1.0,
+    "u_med2": 2.5,
+    "u_fast": 50.0,      # changes 50x per period — hopeless to track
+}
+
+
+@pytest.fixture()
+def rates_df(spark):
+    return spark.createDataFrame(
+        [(k, float(v)) for k, v in RATES.items()], ["url", "lambda_hat"]
+    )
+
+
+def test_matches_reference_greedy_exactly(spark, rates_df):
+    budget, max_c = 9, 6
+    got = {
+        r["url"]: r["crawls"]
+        for r in refresh_allocation(rates_df, budget, max_c).collect()
+    }
+    assert got == _greedy(RATES, budget, max_c)
+    assert sum(got.values()) == budget
+
+
+def test_fast_changer_is_abandoned(spark, rates_df):
+    """The Cho result: under a tight budget the λ=50 page gets NOTHING —
+    its first-crawl gain ≈ 1/50 loses to every moderate page's increments."""
+    got = {
+        r["url"]: r["crawls"]
+        for r in refresh_allocation(rates_df, budget=8, max_per_page=6).collect()
+    }
+    assert got["u_fast"] == 0
+    assert got["u_med1"] >= 1 and got["u_slow"] >= 1
+
+
+def test_never_changing_page_crawled_exactly_once(spark, rates_df):
+    got = {
+        r["url"]: (r["crawls"], r["freshness"])
+        for r in refresh_allocation(rates_df, budget=10, max_per_page=6).collect()
+    }
+    assert got["u_never"] == (1, 1.0)
+
+
+def test_loose_budget_saturates_and_freshness_monotone(spark, rates_df):
+    """Budget ≥ all positive increments: every page takes every useful
+    increment; freshness equals the closed form at the taken count."""
+    out = refresh_allocation(rates_df, budget=10_000, max_per_page=5).collect()
+    for r in out:
+        lam = RATES[r["url"]]
+        expect = 1 if lam <= 0 else 5
+        assert r["crawls"] == expect
+        assert r["freshness"] == pytest.approx(
+            round(_fresh(lam, r["crawls"]), 6), abs=1e-9
+        )
+
+
+def test_ranking_has_no_row_level_single_partition_exchange(spark, rates_df):
+    """The global top-B rides prefix_sum's two-level scan (its range
+    exchange sits behind the localCheckpoint, plan-asserted in
+    test_prefixsum.py); here: the only SinglePartition exchange in the
+    visible plan is the tiny per-physical-partition offsets window, and
+    what crosses the checkpoint per row is the slim increment tuple —
+    no text/struct payload."""
+    plan = (
+        refresh_allocation(rates_df, budget=8, max_per_page=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") == 1
+    import re
+
+    scans = re.findall(r"Scan ExistingRDD\[([^\]]*__part[^\]]*)\]", plan)
+    assert scans, plan
+    for cols in scans:
+        assert len(cols.split(",")) <= 7, cols
