@@ -2125,6 +2125,61 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {thr} ORDER BY id_a, i
 """
 
 
+def _q_dds_quantiles(spark, sf_dir):
+    """DDSketch relative-error quantiles (operators/sketches.py::dds_*):
+    p50/p95/p99 of order value per priority from geometric buckets —
+    O(log(max/min)/α) state at any N. The sketch is a pure deterministic
+    function of the multiset (bucket = ⌈ln(x)/ln γ⌉, groupBy count), so
+    the oracle replays buckets, the rank walk, and the α-bounded
+    estimates value-for-value — the sketch's approximation itself is
+    what's certified."""
+    from web_crawler_spark.operators.sketches import dds_quantiles, dds_sketch
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("x")
+    )
+    sk = dds_sketch(o, "x", alpha=0.01, group_cols=("g",))
+    return (
+        dds_quantiles(sk, [0.5, 0.95, 0.99], alpha=0.01, group_cols=("g",))
+        .withColumnRenamed("g", "o_orderpriority")
+        .orderBy("o_orderpriority", "q")
+    )
+
+
+def _sql_dds_quantiles() -> str:
+    import math as _m
+
+    alpha = 0.01
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = _m.log(gamma)
+    return f"""
+WITH b AS (
+  SELECT o_orderpriority AS g,
+         CAST(CEIL(ln(o_totalprice) / CAST({lg!r} AS DOUBLE)) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM b
+),
+qs AS (SELECT unnest(CAST([0.5, 0.95, 0.99] AS DOUBLE[])) AS q),
+hit AS (
+  SELECT g, q, MIN(bucket) AS bkt
+  FROM cum CROSS JOIN qs
+  WHERE cum >= FLOOR(q * (n - 1)) + 1
+  GROUP BY g, q
+)
+SELECT g AS o_orderpriority, q,
+       ROUND(2.0 * POWER(CAST({gamma!r} AS DOUBLE), CAST(bkt AS DOUBLE))
+             / CAST({gamma + 1.0!r} AS DOUBLE), 6) AS est
+FROM hit ORDER BY o_orderpriority, q
+"""
+
+
 def _q_refresh_allocation(spark, sf_dir):
     """Freshness-optimal crawl-budget allocation (operators/snapshots.py::
     refresh_allocation, Cho & Garcia-Molina 2003 TODS): 15k pages with
@@ -8091,6 +8146,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a15_hll_distinct": _q_hll_distinct,
     "dd_incremental_dedup": _q_incremental_dedup,
     "crawl_refresh_allocation": _q_refresh_allocation,
+    "a16_dds_quantiles": _q_dds_quantiles,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -8335,6 +8391,7 @@ _ORACLES: dict[str, str] = {
     "a15_hll_distinct": _sql_hll_distinct(),
     "dd_incremental_dedup": _sql_incremental_dedup(),
     "crawl_refresh_allocation": _sql_refresh_allocation(),
+    "a16_dds_quantiles": _sql_dds_quantiles(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -112,6 +112,9 @@ HEADLINE = [
     # freshness-optimal budget allocation: 150k pages × 6 marginal-gain
     # increments ranked globally through prefix_sum's range exchange
     "crawl_refresh_allocation",
+    # DDSketch p50/p95/p99 per priority: one log projection + one
+    # bucket-bounded agg + a sketch-sized rank walk
+    "a16_dds_quantiles",
 ]
 
 
