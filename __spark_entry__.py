@@ -2180,6 +2180,74 @@ FROM hit ORDER BY o_orderpriority, q
 """
 
 
+def _q_kmv_epoch_overlap(spark, sf_dir):
+    """KMV bottom-k set algebra between two crawl epochs
+    (operators/sketches.py::kmv_*): epoch A and epoch B URL sets from
+    disjoint event slices with a built-in overlap; the sketches answer
+    |A|, |B|, |A∪B|, Jaccard, |A∩B| without re-scanning either epoch.
+    The sketch is the k smallest distinct md5-48bit values — a pure
+    function of each set — so the oracle replays the hashes, the
+    union-merge, and every estimator output, sampling error included."""
+    from web_crawler_spark.operators.sketches import kmv_set_ops, kmv_sketch
+
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") % 8 < 4).select(
+        F.concat(F.lit("p"), (F.col("event_id") % 4000).cast("string")).alias("url")
+    )
+    b = e.filter(F.col("event_id") % 8 >= 4).select(
+        F.concat(
+            F.lit("p"), ((F.col("event_id") % 4000) + 2000).cast("string")
+        ).alias("url")
+    )
+    return kmv_set_ops(
+        kmv_sketch(a, "url", k=256), kmv_sketch(b, "url", k=256), k=256
+    )
+
+
+def _sql_kmv_epoch_overlap() -> str:
+    k = 256
+    space = float(1 << 48)
+    est = (
+        "CASE WHEN (SELECT COUNT(*) FROM {s}) < {k} "
+        "THEN CAST((SELECT COUNT(*) FROM {s}) AS DOUBLE) "
+        "ELSE CAST({km1} AS DOUBLE) * {space!r} / (SELECT MAX(h) FROM {s}) END"
+    )
+    ea = est.format(s="sa", k=k, km1=k - 1, space=space)
+    eb = est.format(s="sb", k=k, km1=k - 1, space=space)
+    eu = est.format(s="lu", k=k, km1=k - 1, space=space)
+    return f"""
+WITH a AS (
+  SELECT DISTINCT concat('p', CAST(event_id % 4000 AS VARCHAR)) AS url
+  FROM events WHERE event_id % 8 < 4
+), b AS (
+  SELECT DISTINCT concat('p', CAST((event_id % 4000) + 2000 AS VARCHAR)) AS url
+  FROM events WHERE event_id % 8 >= 4
+), ha AS (
+  SELECT TRY_CAST(concat('0x', substr(md5(concat('kmv:', url)), 1, 12))
+                  AS BIGINT) AS h FROM a
+), hb AS (
+  SELECT TRY_CAST(concat('0x', substr(md5(concat('kmv:', url)), 1, 12))
+                  AS BIGINT) AS h FROM b
+), sa AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+sb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+lu AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT {k}
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM lu) AS n_l,
+         (SELECT COUNT(*) FROM lu
+           WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS n_both
+)
+SELECT ROUND({ea}, 6) AS distinct_a,
+       ROUND({eb}, 6) AS distinct_b,
+       ROUND({eu}, 6) AS union_est,
+       ROUND(CAST(n_both AS DOUBLE) / CAST(n_l AS DOUBLE), 6) AS jaccard_est,
+       ROUND(CAST(n_both AS DOUBLE) / CAST(n_l AS DOUBLE) * ({eu}), 6)
+         AS intersect_est
+FROM counts
+"""
+
+
 def _q_refresh_allocation(spark, sf_dir):
     """Freshness-optimal crawl-budget allocation (operators/snapshots.py::
     refresh_allocation, Cho & Garcia-Molina 2003 TODS): 15k pages with
@@ -8147,6 +8215,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_incremental_dedup": _q_incremental_dedup,
     "crawl_refresh_allocation": _q_refresh_allocation,
     "a16_dds_quantiles": _q_dds_quantiles,
+    "a17_kmv_epoch_overlap": _q_kmv_epoch_overlap,
     "tpch_q1_pricing_summary": _q_tpch_q1,
     "t1_topk_orders": _q_topk_orders,
     "j1_broadcast_join": _q_broadcast_join,
@@ -8392,6 +8461,7 @@ _ORACLES: dict[str, str] = {
     "dd_incremental_dedup": _sql_incremental_dedup(),
     "crawl_refresh_allocation": _sql_refresh_allocation(),
     "a16_dds_quantiles": _sql_dds_quantiles(),
+    "a17_kmv_epoch_overlap": _sql_kmv_epoch_overlap(),
     "s6_header_sniff": _SQL_HEADER_SNIFF,
     "s6_xlsx_scan": _SQL_XLSX_SCAN,
     "gr_host_graph": _SQL_HOST_GRAPH,

@@ -115,6 +115,9 @@ HEADLINE = [
     # DDSketch p50/p95/p99 per priority: one log projection + one
     # bucket-bounded agg + a sketch-sized rank walk
     "a16_dds_quantiles",
+    # KMV epoch set algebra: bounded Arrow partial pass + k-element
+    # array set ops — |A∩B| between epochs without re-scanning either
+    "a17_kmv_epoch_overlap",
 ]
 
 
@@ -471,8 +474,41 @@ def component_throughput(spark) -> dict:
         css_config_stage(css_pages.limit(2000), css_cfg).count()  # warm
         w4 = best_wall(lambda: css_config_stage(css_pages, css_cfg).count())
         out["css_pages"] = n_css
-        out["css_wall_sec"] = round(w4, 2)
         out["css_pages_per_sec"] = round(n_css / w4, 1)
+        out["css_wall_sec"] = round(w4, 2)
+
+    # round-3 component: incremental epoch ingestion — shingle+minhash a
+    # batch and band-join it against a persisted signature index (the
+    # dedup_against_index path; index sigs prebuilt OUTSIDE the timed
+    # region exactly as a real epoch would read them from parquet)
+    from web_crawler_spark.operators.dedup import dedup_against_index, minhash_index
+
+    n_ing = int(os.environ.get("BENCH_COMPONENT_INGEST_DOCS", "300000"))
+    if "ingest" not in only:
+        n_ing = 0
+    if n_ing:
+        ing_docs = spark.range(0, n_ing, 1, par * 2).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"t{j}_"), ((F.col("id") * 7 + j) % 40000).cast("string"))
+                    for j in range(30)
+                ],
+            ).alias("text"),
+        ).localCheckpoint()
+        ing_idx = minhash_index(
+            ing_docs.filter("doc_id % 3 != 0"), n=5, k=16
+        ).localCheckpoint()
+        batch = ing_docs.filter("doc_id % 3 = 0").localCheckpoint()
+        dedup_against_index(batch.limit(2000), ing_idx, n=5, k=16, bands=4).count()
+        n_batch = batch.count()
+        w5 = best_wall(
+            lambda: dedup_against_index(batch, ing_idx, n=5, k=16, bands=4).count()
+        )
+        out["ingest_batch_docs"] = n_batch
+        out["ingest_wall_sec"] = round(w5, 2)
+        out["ingest_docs_per_sec"] = round(n_batch / w5, 1)
 
     # the pair-level summary key used by the efficiency computation
     out["urls_per_sec"] = out.get("frontier_rows_per_sec", 0.0)

@@ -446,3 +446,152 @@ def dds_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct sketch with set operations (Bar-Yossef et al.
+# 2002; Beyer, Haas, Reinwald, Sismanis & Gemulla, SIGMOD 2007, "On
+# synopses for distinct-value estimation under multiset operations")
+# ---------------------------------------------------------------------------
+#
+# HLL above answers |A|; KMV answers the SET ALGEBRA: |A ∪ B|, |A ∩ B|,
+# Jaccard — "how many URLs do epoch 17 and epoch 18 share" without
+# re-scanning either epoch. The sketch is the k smallest distinct 48-bit
+# hash values of the set — a pure deterministic function of the set
+# (no register randomness, no estimator branches), so merge
+# (k smallest of the union) and every estimate replay exactly in the
+# DuckDB oracle. 48-bit hashes convert to double exactly (< 2^53);
+# estimator: D̂ = (k−1)·2^48/h_(k), unbiased (Beyer et al. §3), with the
+# < k regime exact by construction.
+
+_KMV_SPACE = float(1 << 48)
+
+
+def _kmv_hash(item):
+    """48-bit uniform hash as a long: first 12 hex chars of salted md5 —
+    portable, and exactly representable as a double."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), item)), 1, 12), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Bottom-k sketch of ``col`` (per group): one row per group with
+    ``hashes`` = the ≤ k smallest distinct hash values, ascending.
+
+    Spark shape: hashes are computed JVM-side; an Arrow ``mapInPandas``
+    pass keeps the k smallest distinct per (partition, group) — bounded
+    state, the same house pattern as the Misra-Gries summary — so only
+    ≤ k·partitions rows per group reach the one merge agg. Nothing
+    resembling the distinct-key count ever crosses the wire."""
+    gcols = list(group_cols)
+    item = F.col(col).cast("string")
+    hashed = df.filter(item.isNotNull()).select(
+        *gcols, _kmv_hash(item).alias("h")
+    )
+
+    from pyspark.sql import types as ST
+
+    out_fields = [hashed.schema[g] for g in gcols] + [
+        ST.StructField("h", ST.LongType())
+    ]
+    out_schema = ST.StructType(out_fields)
+    cap = 4 * k
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, set] = {}
+        for pdf in batches:
+            keys = (
+                list(zip(*[pdf[g] for g in gcols])) if gcols else [()] * len(pdf)
+            )
+            for key, h in zip(keys, pdf["h"]):
+                s = state.setdefault(key, set())
+                s.add(int(h))
+                if len(s) > cap:
+                    state[key] = set(sorted(s)[:k])
+        for key, s in state.items():
+            smallest = sorted(s)[:k]
+            out = {g: [key[i]] * len(smallest) for i, g in enumerate(gcols)}
+            out["h"] = smallest
+            yield pd.DataFrame(out)
+
+    merged = (
+        hashed.mapInPandas(partial, out_schema)
+        .groupBy(*gcols)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
+            ).alias("hashes")
+        )
+    )
+    return merged
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Union-merge two sketches: k smallest of the combined hash sets —
+    exactly the sketch of A ∪ B (idempotent; overlapping inputs fine)."""
+    gcols = list(group_cols)
+    u = a.unionByName(b)
+    return (
+        u.select(*gcols, F.explode("hashes").alias("h"))
+        .groupBy(*gcols)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
+            ).alias("hashes")
+        )
+    )
+
+
+def _kmv_est(hashes, k: int):
+    """(k−1)·2^48/h_(k) in the full regime; exact size below k."""
+    return F.when(
+        F.size(hashes) < k, F.size(hashes).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * _KMV_SPACE) / F.element_at(hashes, k).cast("double")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int = 256, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Distinct-count estimate per group (standard error ≈ 1/√(k−2))."""
+    return sketch.select(
+        *group_cols, F.round(_kmv_est(F.col("hashes"), k), 6).alias("distinct_est")
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, k: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Set-operation estimates between two sketched sets (per group):
+    ``distinct_a``, ``distinct_b``, ``union_est``, ``jaccard_est``,
+    ``intersect_est``. Beyer et al. §5: L = k smallest of S_A ∪ S_B is a
+    valid sketch of A ∪ B; K∩ = |L ∩ S_A ∩ S_B| is Binomial(k, J), so
+    Ĵ = K∩/|L| and |A∩B| ≈ Ĵ·|A∪B|̂. All array ops over ≤ k-element
+    arrays — the whole comparison is sketch-sized."""
+    gcols = list(group_cols)
+    sa = a.select(*gcols, F.col("hashes").alias("ha"))
+    sb = b.select(*gcols, F.col("hashes").alias("hb"))
+    j = sa.join(sb, gcols) if gcols else sa.crossJoin(sb)
+    L = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("ha"), F.col("hb")))), 1, k
+    )
+    both = F.array_intersect(F.array_intersect(L, F.col("ha")), F.col("hb"))
+    union_est = _kmv_est(L, k)
+    jacc = F.size(both).cast("double") / F.size(L).cast("double")
+    return j.select(
+        *gcols,
+        F.round(_kmv_est(F.col("ha"), k), 6).alias("distinct_a"),
+        F.round(_kmv_est(F.col("hb"), k), 6).alias("distinct_b"),
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jacc, 6).alias("jaccard_est"),
+        F.round(jacc * union_est, 6).alias("intersect_est"),
+    )
