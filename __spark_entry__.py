@@ -6810,6 +6810,106 @@ ORDER BY n.node
 """
 
 
+def _q_harmonic_hyperball(spark, sf_dir):
+    """HyperBall harmonic centrality (operators/graph.py::hyperball —
+    Boldi & Vigna 2013, the algorithm behind Common Crawl's published
+    harmonic-centrality domain ranks): per-node HLL counters grown one
+    hop per round by register-max along in-edges; harmonic accumulates
+    the shell deltas (|B(r)|−|B(r−1)|)/r. The graph is a 12-host ring
+    with +1/+4 chords (diameter exactly 5, so 5 rounds saturate every
+    ball). The oracle unrolls all 5 rounds of register algebra AND the
+    estimator into chained DuckDB CTEs — registers, ball estimates,
+    clamped shell deltas, and the harmonic sums replay value-for-value
+    (md5 register addressing; the register sum is powers-of-two exact;
+    each round's estimate is rounded to 6dp before accumulating)."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    s = F.col("user_id") % 12
+    step = F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(4))
+    ring = e.select(
+        F.concat(
+            F.lit("https://h"), s.cast("string"),
+            F.lit(".com/p/"), F.col("event_id").cast("string"),
+        ).alias("from_url"),
+        F.concat(
+            F.lit("https://h"), ((s + step) % 12).cast("string"),
+            F.lit(".com/q/"), F.col("event_id").cast("string"),
+        ).alias("resolved_url"),
+    )
+    edges = G.host_graph(ring)
+    return G.hyperball(edges, rounds=5, p=6).orderBy("node")
+
+
+def _hyperball_sql(rounds: int = 5) -> str:
+    """Unrolled HyperBall register algebra — the exact computation of
+    operators/graph.py::hyperball at p=6 (m=64, α=0.709): per round one
+    register-max along edges + the α·m²/ΣZ estimator with linear-counting
+    small-range branch, 6dp-rounded before the harmonic accumulation."""
+    head = """
+WITH ee AS (
+  SELECT DISTINCT
+         concat('h', CAST(user_id % 12 AS VARCHAR), '.com') AS src,
+         concat('h', CAST((user_id % 12 + CASE WHEN event_id % 2 = 0
+                           THEN 1 ELSE 4 END) % 12 AS VARCHAR), '.com') AS dst
+  FROM events
+),
+e AS (SELECT src, dst FROM ee WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+regs0 AS (
+  SELECT node,
+         TRY_CAST(concat('0x', substr(md5(concat('hll:', node)), 1, 8))
+                  AS BIGINT) % 64 AS bucket,
+         CASE WHEN TRY_CAST(concat('0x', substr(md5(concat('hll:', node)),
+                            9, 8)) AS BIGINT) = 0 THEN 33
+              ELSE 33 - length(bin(TRY_CAST(concat('0x',
+                   substr(md5(concat('hll:', node)), 9, 8)) AS BIGINT)))
+         END AS rho
+  FROM nodes
+)"""
+
+    def est_block(t: int) -> str:
+        return f""",
+agg{t} AS (
+  SELECT node, COUNT(*) AS present, SUM(power(2.0, -rho)) AS s_present
+  FROM regs{t} GROUP BY node
+),
+est{t} AS (
+  SELECT node,
+         ROUND(CASE WHEN e_raw <= 160.0 AND v > 0
+                    THEN 64.0 * ln(64.0 / v) ELSE e_raw END, 6) AS est
+  FROM (SELECT node,
+               0.709 * 4096.0 / ((64.0 - present) + s_present) AS e_raw,
+               64 - present AS v
+        FROM agg{t})
+)"""
+
+    parts = [head, est_block(0), """,
+state0 AS (SELECT node, est AS ball, 0.0 AS harmonic FROM est0)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+regs{t} AS MATERIALIZED (
+  SELECT node, bucket, MAX(rho) AS rho FROM (
+    SELECT node, bucket, rho FROM regs{t-1}
+    UNION ALL
+    SELECT e.dst AS node, r.bucket, r.rho
+    FROM e JOIN regs{t-1} r ON r.node = e.src
+  ) GROUP BY node, bucket
+)""")
+        parts.append(est_block(t))
+        parts.append(f""",
+state{t} AS (
+  SELECT s.node, x.est AS ball,
+         s.harmonic + greatest(0.0, x.est - s.ball) / CAST({t} AS DOUBLE)
+           AS harmonic
+  FROM state{t-1} s JOIN est{t} x ON x.node = s.node
+)""")
+    parts.append(f"""
+SELECT node, ROUND(ball, 6) AS ball_est, ROUND(harmonic, 6) AS harmonic
+FROM state{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
 def _q_host_trustrank(spark, sf_dir):
     """TrustRank over the host graph (Gyöngyi et al. 2004): teleport
     restricted to trusted seeds h0/h1 — the link-spam demotion signal.
@@ -8180,6 +8280,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_host_report": _q_host_report,
     "tx_proximity_match": _q_proximity_match,
     "gr_opic_update": _q_opic_update,
+    "gr_harmonic_hyperball": _q_harmonic_hyperball,
     "dd_containment_pairs": _q_containment_pairs,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
@@ -8426,6 +8527,7 @@ _ORACLES: dict[str, str] = {
     "a9_host_report": _host_report_sql(),
     "tx_proximity_match": _SQL_PROXIMITY_MATCH,
     "gr_opic_update": _SQL_OPIC_UPDATE,
+    "gr_harmonic_hyperball": _hyperball_sql(),
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,

@@ -118,6 +118,10 @@ HEADLINE = [
     # KMV epoch set algebra: bounded Arrow partial pass + k-element
     # array set ops — |A∩B| between epochs without re-scanning either
     "a17_kmv_epoch_overlap",
+    # HyperBall harmonic centrality: 5 register-max rounds along the host
+    # graph (per-round join + register-bounded agg — the Common Crawl
+    # domain-rank centrality algorithm)
+    "gr_harmonic_hyperball",
 ]
 
 
