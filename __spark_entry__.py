@@ -4630,6 +4630,73 @@ FROM documents ORDER BY doc_id
 """
 
 
+_MOJI_CLEAN_SUFFIXES = [
+    " café déjà vu süß",
+    " “smart” — quotes…",
+    " €99 ±5° naïve",
+]
+
+
+def _q_mojibake_repair(spark, sf_dir):
+    """Mojibake repair (functions/text.py::repair_mojibake — the ftfy
+    single-pass core case: UTF-8 bytes mis-decoded as sloppy cp1252).
+    Docs get a garbled tail COMPUTED by the same encoding model
+    (to_mojibake), cycling three garble families (Latin-1 letters, smart
+    punctuation, currency/symbols) with every 4th doc clean; the repaired
+    full text, the had_mojibake flag, and the chars-recovered count are
+    value-certified against a DuckDB twin replaying the identical
+    longest-first replace chain."""
+    from web_crawler_spark.functions import text as T
+
+    moji = [T.to_mojibake(s) for s in _MOJI_CLEAN_SUFFIXES]
+    d = _t(spark, sf_dir, "documents")
+    sel = F.col("doc_id") % 4
+    tail = (
+        F.when(sel == 0, F.lit(moji[0]))
+        .when(sel == 1, F.lit(moji[1]))
+        .when(sel == 2, F.lit(moji[2]))
+        .otherwise(F.lit(""))
+    )
+    garbled = F.concat(F.col("text"), tail)
+    repaired = T.repair_mojibake(garbled)
+    return d.select(
+        "doc_id",
+        repaired.alias("text"),
+        (repaired != garbled).alias("had_mojibake"),
+        (F.length(garbled) - F.length(repaired)).alias("n_chars_fixed"),
+    ).orderBy("doc_id")
+
+
+def _mojibake_sql() -> str:
+    """Replace-chain twin of repair_mojibake: same computed pair table,
+    same longest-first order, garbled input built from the same
+    to_mojibake fixtures."""
+    from web_crawler_spark.functions.text import MOJIBAKE_PAIRS, to_mojibake
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    moji = [to_mojibake(s) for s in _MOJI_CLEAN_SUFFIXES]
+    expr = "garbled"
+    for bad, good in MOJIBAKE_PAIRS:
+        expr = f"replace({expr}, {q(bad)}, {q(good)})"
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INTEGER)
+                   WHEN 0 THEN {q(moji[0])}
+                   WHEN 1 THEN {q(moji[1])}
+                   WHEN 2 THEN {q(moji[2])}
+                   ELSE '' END AS garbled
+  FROM documents
+),
+r AS (SELECT doc_id, garbled, {expr} AS text FROM g)
+SELECT doc_id, text, text <> garbled AS had_mojibake,
+       LENGTH(garbled) - LENGTH(text) AS n_chars_fixed
+FROM r ORDER BY doc_id
+"""
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -8281,6 +8348,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_proximity_match": _q_proximity_match,
     "gr_opic_update": _q_opic_update,
     "gr_harmonic_hyperball": _q_harmonic_hyperball,
+    "tx_mojibake_repair": _q_mojibake_repair,
     "dd_containment_pairs": _q_containment_pairs,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
@@ -8528,6 +8596,7 @@ _ORACLES: dict[str, str] = {
     "tx_proximity_match": _SQL_PROXIMITY_MATCH,
     "gr_opic_update": _SQL_OPIC_UPDATE,
     "gr_harmonic_hyperball": _hyperball_sql(),
+    "tx_mojibake_repair": _mojibake_sql(),
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,

@@ -122,6 +122,9 @@ HEADLINE = [
     # graph (per-round join + register-bounded agg — the Common Crawl
     # domain-rank centrality algorithm)
     "gr_harmonic_hyperball",
+    # mojibake repair: the ~70-step JVM replace chain over full doc text
+    # (prices the zero-shuffle encoding-repair projection)
+    "tx_mojibake_repair",
 ]
 
 

@@ -380,6 +380,72 @@ def invisible_count(text: Column) -> Column:
     ).cast("bigint")
 
 
+# ---------------------------------------------------------------------------
+# Mojibake repair — UTF-8 bytes mis-decoded as windows-1252 (the ftfy
+# single-pass core case, Speer's public ftfy docs): a page served as UTF-8
+# but labeled/decoded latin-ish turns every non-ASCII char into a 2-3 char
+# garble ("café" → "cafÃ©", "—" → "â€”"). In a Common-Crawl-scale corpus
+# this is the single most common encoding defect; left unrepaired it splits
+# dedup fingerprints, poisons language-ID n-grams, and leaks garble into
+# training text.
+# ---------------------------------------------------------------------------
+
+
+def _sloppy_cp1252(bts: bytes) -> str:
+    """Decode bytes as windows-1252 with the 5 undefined bytes (0x81 0x8D
+    0x8F 0x90 0x9D) passing through as the same-numbered C1 controls — the
+    "sloppy cp1252" real decoders exhibit and ftfy models."""
+    out = []
+    for b in bts:
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+# The committed repair alphabet: Latin-1 Supplement letters plus the
+# general-punctuation/symbol set that dominates real-world mojibake
+# (smart quotes, dashes, ellipsis, €/£/©/°...). Each char's mojibake form
+# is COMPUTED from the encoding model above, not hand-typed.
+MOJIBAKE_CHARS = (
+    "àáâãäåæçèéêëìíîïðñòóôõöøùúûüýþÿ"
+    "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖØÙÚÛÜÝÞ"
+    "‘’‚‛“”„‹›«»–—…•·°±×÷€£¥¢©®™§¶µ¿¡ß "
+)
+
+# (mojibake, char) pairs, longest mojibake first so 3-byte garbles
+# ("â€™") are consumed before any 2-byte garble sharing a prefix char.
+# Deterministic order ⇒ the repair is a pure function of the text and the
+# DuckDB oracle replays the identical replace chain. Note the chain is one
+# pass per pair over the whole string, so DOUBLE-encoded text ("ÃƒÂ©") may
+# cascade into a full repair when an earlier replacement re-exposes a
+# later pattern — deterministic either way, declared rather than iterated.
+MOJIBAKE_PAIRS: list[tuple[str, str]] = sorted(
+    ((_sloppy_cp1252(c.encode("utf-8")), c) for c in MOJIBAKE_CHARS),
+    key=lambda kv: (-len(kv[0]), kv[0]),
+)
+
+
+def to_mojibake(s: str) -> str:
+    """Encode a clean string into its mojibake form (utf-8 bytes read back
+    as sloppy cp1252) — the fixture/test generator for the repair path."""
+    return _sloppy_cp1252(s.encode("utf-8"))
+
+
+def repair_mojibake(text: Column) -> Column:
+    """Repair windows-1252 mojibake: one JVM-side ``replace`` chain over
+    the committed pair table — pure column expression, zero shuffle, no
+    Python in the hot path. Legitimate text matching a garble pattern
+    (a real "Ã©" bigram) is vanishingly rare in natural language — the
+    same prior ftfy's heuristics rest on; flag via inequality with the
+    original when telemetry is needed."""
+    out = text.cast("string")
+    for bad, good in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
 # Gopher's document-level stop-word rule (Rae et al. 2021 §A1.1): a real
 # English document contains at least TWO of these eight function words —
 # the cheapest "is this prose at all" gate (tables, code dumps, keyword
