@@ -4697,6 +4697,74 @@ FROM r ORDER BY doc_id
 """
 
 
+def _q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge training (functions/bpe.py::
+    train_bpe_distributed — Sennrich alg. 1 over the DataFrame corpus):
+    10 greedy merge rounds over the documents table. The wrapped-symbol
+    string representation makes each round's merge ONE built-in replace
+    (left-to-right non-overlap IS the BPE rule), so the oracle unrolls
+    all 10 rounds — pair explode, count argmax with the max-lexicographic
+    tie-break, replace application — into chained DuckDB CTEs and the
+    merge table matches value-for-value."""
+    from web_crawler_spark.functions.bpe import train_bpe_distributed
+
+    d = _t(spark, sf_dir, "documents")
+    return train_bpe_distributed(d, "text", n_merges=10).orderBy("step")
+
+
+def _bpe_train_sql(n_merges: int = 10) -> str:
+    """Unrolled BPE training rounds — the exact algebra of
+    train_bpe_distributed (sentinel-wrapped symbols, replace-as-merge)."""
+    sep = "chr(31)"
+    head = r"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text),
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS w
+  FROM documents
+),
+v0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+         regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g')
+           || chr(31) || '</w>' || chr(31) AS sym
+  FROM words
+  WHERE w NOT LIKE '%' || chr(31) || '%'
+  GROUP BY w
+)"""
+    parts = [head]
+    for t in range(1, n_merges + 1):
+        parts.append(f""",
+s{t} AS (
+  SELECT freq,
+         string_split(trim(sym, {sep}), {sep} || {sep}) AS syms
+  FROM v{t-1}
+),
+p{t} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM s{t}, UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+m{t} AS MATERIALIZED (
+  SELECT {t} AS step, l, r, cnt FROM p{t}
+  WHERE cnt >= 2 ORDER BY cnt DESC, l DESC, r DESC LIMIT 1
+),
+v{t} AS MATERIALIZED (
+  SELECT v.freq,
+         CASE WHEN m.l IS NULL THEN v.sym
+              ELSE replace(v.sym,
+                           {sep} || m.l || {sep} || {sep} || m.r || {sep},
+                           {sep} || m.l || m.r || {sep})
+         END AS sym
+  FROM v{t-1} v LEFT JOIN m{t} m ON TRUE
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, l, r, cnt FROM m{t}" for t in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+SELECT step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count
+FROM ({union}) ORDER BY step""")
+    return "".join(parts)
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -8349,6 +8417,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_opic_update": _q_opic_update,
     "gr_harmonic_hyperball": _q_harmonic_hyperball,
     "tx_mojibake_repair": _q_mojibake_repair,
+    "tx_bpe_train": _q_bpe_train,
     "dd_containment_pairs": _q_containment_pairs,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
@@ -8597,6 +8666,7 @@ _ORACLES: dict[str, str] = {
     "gr_opic_update": _SQL_OPIC_UPDATE,
     "gr_harmonic_hyperball": _hyperball_sql(),
     "tx_mojibake_repair": _mojibake_sql(),
+    "tx_bpe_train": _bpe_train_sql(),
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,

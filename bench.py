@@ -125,6 +125,9 @@ HEADLINE = [
     # mojibake repair: the ~70-step JVM replace chain over full doc text
     # (prices the zero-shuffle encoding-repair projection)
     "tx_mojibake_repair",
+    # distributed BPE training: 10 greedy merge rounds — per round one
+    # pair explode + combiner agg + 1-row argmax + replace projection
+    "tx_bpe_train",
 ]
 
 

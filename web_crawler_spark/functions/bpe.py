@@ -185,3 +185,105 @@ def bpe_count_stage(
             yield pdf
 
     return df.mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training
+# ---------------------------------------------------------------------------
+
+_SEP = "\x1f"  # symbol-boundary sentinel: each symbol rides as ␟sym␟
+
+
+def train_bpe_distributed(
+    docs,
+    text_col: str = "text",
+    n_merges: int = 200,
+):
+    """Greedy BPE merge training (Sennrich alg. 1) over a DataFrame corpus
+    — ``train_bpe`` semantics (max-count pair, ties to the lexicographically
+    LARGEST pair, stop when no pair repeats), but the corpus never touches
+    the driver. Returns the merge table as a DataFrame
+    ``(step, lhs, rhs, merged, pair_count)``.
+
+    The distribution trick: a word's symbol sequence is one STRING with
+    every symbol individually wrapped in a sentinel (``café`` →
+    ``␟c␟␟a␟␟f␟␟é␟␟</w>␟``), so applying merge (a,b) is a single built-in
+    ``replace(sym, '␟a␟␟b␟', '␟ab␟')`` — left-to-right non-overlapping,
+    which IS the BPE merge rule, entirely JVM-side, and replayable
+    verbatim by the DuckDB oracle (adjacent occurrences never share
+    sentinel chars, so 'aaaa' merges to 'aa','aa' and 'aaa' to 'aa','a',
+    exactly like the reference scan).
+
+    Scale shape: one corpus pass builds the (word, freq) vocab — after
+    that every round runs on the vocab table (Heaps-law small vs the
+    corpus, still distributed): one slice/zip pair explode + one
+    combiner-friendly SUM shuffle bounded by distinct-pair count, a
+    1-row argmax fetch (the same scalar-fetch discipline as pagerank's
+    dangling mass), and one replace projection, lineage-cut per round.
+    n_merges rounds = n_merges bounded shuffles — the inherent cost of
+    the sequential algorithm; production trainers run it on a vocab
+    sample, which this accepts as ``docs`` upstream.
+
+    Words containing the U+001F sentinel are dropped (it is a control
+    char the tokenizer pattern would otherwise keep as punctuation).
+    """
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    sep = _SEP
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col).cast("string")),
+                F.lit(BPE_ISH_PATTERN), 0,
+            )
+        ).alias("w")
+    ).filter(~F.col("w").contains(sep))
+    wrapped = F.concat(
+        F.regexp_replace(F.col("w"), "(.)", sep + "$1" + sep),
+        F.lit(sep + _EOW + sep),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", wrapped.alias("sym"))
+        .localCheckpoint()
+    )
+
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(
+            F.regexp_replace(F.col("sym"), f"^{sep}|{sep}$", ""), sep + sep
+        )
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("l"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("r"),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.desc("l"), F.desc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < 2:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((step, l, r, l + r, cnt))
+        vocab = vocab.select(
+            "freq",
+            F.replace(
+                F.col("sym"),
+                F.lit(sep + l + sep + sep + r + sep),
+                F.lit(sep + l + r + sep),
+            ).alias("sym"),
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    )
