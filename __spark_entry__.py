@@ -4765,6 +4765,109 @@ FROM ({union}) ORDER BY step""")
     return "".join(parts)
 
 
+def _q_article_assembly(spark, sf_dir):
+    """Pagination-chain assembly (operators/pagination.py): ~200 articles
+    split over 1-5 pages each declare ``<link rel=next>`` in alternating
+    attribute orders; the operator extracts the links, roots every page
+    at its chain head via reversed-edge pointer doubling, and reassembles
+    full_text in chain order. The oracle replays the same two RE2
+    extraction regexes, a recursive prev-walk with the 32-hop cap, and
+    an ORDER BY string_agg — article heads, page counts, and the
+    assembled text all value-certified."""
+    from web_crawler_spark.operators.pagination import assemble_articles
+
+    e = _t(spark, sf_dir, "events")
+    aids = e.select((F.col("event_id") % 200).alias("aid")).distinct()
+    parts = aids.select(
+        "aid",
+        F.explode(F.sequence(F.lit(0), F.col("aid") % 5)).alias("j"),
+    )
+    a_s = F.col("aid").cast("string")
+    j_s = F.col("j").cast("string")
+    base = F.concat(F.lit("https://news.ex/a"), a_s, F.lit("/p"))
+    url = F.concat(base, j_s)
+    nxt = F.concat(base, (F.col("j") + 1).cast("string"))
+    link = F.when(
+        F.col("aid") % 2 == 0,
+        F.concat(F.lit('<link rel="next" href="'), nxt, F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<link href="'), nxt, F.lit('" rel="next">'))
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.col("j") < F.col("aid") % 5, link).otherwise(F.lit("")),
+        F.lit("</head><body>B</body></html>"),
+    )
+    text = F.concat(F.lit("A"), a_s, F.lit(" part "), j_s)
+    pages = parts.select(
+        url.alias("url"), html.alias("html"), text.alias("text")
+    )
+    return assemble_articles(pages).orderBy("article_url")
+
+
+_SQL_ARTICLE_ASSEMBLY = r"""
+WITH RECURSIVE aids AS (SELECT DISTINCT event_id % 200 AS aid FROM events),
+parts AS (SELECT aid, unnest(generate_series(0, aid % 5)) AS j FROM aids),
+pages AS (
+  SELECT concat('https://news.ex/a', CAST(aid AS VARCHAR), '/p',
+                CAST(j AS VARCHAR)) AS url,
+         concat('<html><head>',
+           CASE WHEN j < aid % 5 THEN
+             CASE WHEN aid % 2 = 0
+               THEN concat('<link rel="next" href="https://news.ex/a',
+                           CAST(aid AS VARCHAR), '/p',
+                           CAST(j + 1 AS VARCHAR), '">')
+               ELSE concat('<link href="https://news.ex/a',
+                           CAST(aid AS VARCHAR), '/p',
+                           CAST(j + 1 AS VARCHAR), '" rel="next">')
+             END
+           ELSE '' END,
+           '</head><body>B</body></html>') AS html,
+         concat('A', CAST(aid AS VARCHAR), ' part ',
+                CAST(j AS VARCHAR)) AS text
+  FROM parts
+),
+nxt AS (
+  SELECT src, dst FROM (
+    SELECT url AS src,
+           COALESCE(
+             NULLIF(regexp_extract(substr(html, 1, 4096),
+               '(?is)<link\b[^>]*\brel\s*=\s*(?:"next"|''next''|next[\s>])[^>]*\bhref\s*=\s*["'']?([^"''\s>]+)',
+               1), ''),
+             NULLIF(regexp_extract(substr(html, 1, 4096),
+               '(?is)<link\b[^>]*\bhref\s*=\s*["'']?([^"''\s>]+)["'']?[^>]*\brel\s*=\s*(?:"next"|''next''|next[\s>])',
+               1), '')
+           ) AS dst
+    FROM pages
+  ) WHERE dst IS NOT NULL AND dst <> src
+),
+prev AS (SELECT dst AS src, MIN(src) AS dst FROM nxt GROUP BY 1),
+walk AS (
+  SELECT src AS url, dst AS cur, CAST(1 AS BIGINT) AS hops FROM prev
+  UNION ALL
+  SELECT w.url, p.dst, w.hops + 1
+  FROM walk w JOIN prev p ON p.src = w.cur WHERE w.hops < 32
+),
+rooted AS (
+  SELECT url, cur AS head, hops,
+         cur NOT IN (SELECT src FROM prev) AS ok
+  FROM walk
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY hops DESC) = 1
+),
+placed AS (
+  SELECT COALESCE(r.head, g.url) AS article,
+         COALESCE(r.hops, 0) AS p,
+         COALESCE(r.ok, TRUE) AS keep,
+         g.url AS pu, g.text AS t
+  FROM pages g LEFT JOIN rooted r ON r.url = g.url
+)
+SELECT article AS article_url,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       string_agg(t, chr(10) ORDER BY p, pu, t) AS full_text
+FROM placed WHERE keep GROUP BY article ORDER BY article_url
+"""
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -8418,6 +8521,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_harmonic_hyperball": _q_harmonic_hyperball,
     "tx_mojibake_repair": _q_mojibake_repair,
     "tx_bpe_train": _q_bpe_train,
+    "tx_article_assembly": _q_article_assembly,
     "dd_containment_pairs": _q_containment_pairs,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
@@ -8667,6 +8771,7 @@ _ORACLES: dict[str, str] = {
     "gr_harmonic_hyperball": _hyperball_sql(),
     "tx_mojibake_repair": _mojibake_sql(),
     "tx_bpe_train": _bpe_train_sql(),
+    "tx_article_assembly": _SQL_ARTICLE_ASSEMBLY,
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,

@@ -128,6 +128,9 @@ HEADLINE = [
     # distributed BPE training: 10 greedy merge rounds — per round one
     # pair explode + combiner agg + 1-row argmax + replace projection
     "tx_bpe_train",
+    # pagination assembly: regexp link extraction + pointer-doubling
+    # chain rooting + one in-agg-sorted reassembly aggregation
+    "tx_article_assembly",
 ]
 
 

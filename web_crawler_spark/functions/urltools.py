@@ -106,6 +106,34 @@ def resolve_url(base: Column, href: Column, max_updirs: int = 6) -> Column:
     )
 
 
+def rel_link(html: Column, rel: str) -> Column:
+    """href of ``<link rel="<rel>" …>`` from the document head region
+    (first 4096 chars — the same prescan discipline as
+    :func:`rel_canonical`), both attribute orders; NULL when absent.
+    Pure regexp — stays in codegen. ``rel`` must be a plain token
+    (next/prev/alternate...); it is interpolated into the pattern."""
+    head = F.substring(html.cast("string"), 1, 4096)
+    # rel value matched fully-delimited (quoted, or unquoted followed by
+    # space/>) so rel="next" never prefix-matches rel="nextdoor"; no
+    # lookaheads — the pattern must also run on the RE2 oracle side
+    rel_attr = (
+        r"""\brel\s*=\s*(?:"{0}"|'{0}'|{0}[\s>])""".format(rel)
+    )
+    m1 = F.regexp_extract(
+        head,
+        r"(?is)<link\b[^>]*" + rel_attr
+        + r"""[^>]*\bhref\s*=\s*["']?([^"'\s>]+)""",
+        1,
+    )
+    m2 = F.regexp_extract(
+        head,
+        r"""(?is)<link\b[^>]*\bhref\s*=\s*["']?([^"'\s>]+)["']?[^>]*"""
+        + rel_attr,
+        1,
+    )
+    return F.when(m1 != "", m1).when(m2 != "", m2)
+
+
 def rel_canonical(html: Column) -> Column:
     """href of ``<link rel="canonical" …>`` from the document head region
     (first 4096 chars — the prescan discipline), both attribute orders;
