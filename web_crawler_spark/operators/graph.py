@@ -450,11 +450,15 @@ def hyperball(
     regs = nodes.select("node", bucket, rho).localCheckpoint()
 
     est0 = hll_estimate(regs, p=p, group_cols=("node",))
+    # state is consumed once per round and every est_t reads a CHECKPOINTED
+    # regs_t, so its lineage stays shallow (one join per round) — no
+    # per-round state checkpoint; the whole estimate/accumulate chain
+    # collapses into the single final action instead of a job per round
     state = nodes.join(est0, "node").select(
         "node",
         F.col("distinct_est").alias("ball"),
         F.lit(0.0).alias("harmonic"),
-    ).localCheckpoint()
+    )
 
     for r in range(1, rounds + 1):
         contribs = (
@@ -480,7 +484,6 @@ def hyperball(
                     ) / F.lit(float(r))
                 ).alias("harmonic"),
             )
-            .localCheckpoint()
         )
     return state.select(
         "node",
