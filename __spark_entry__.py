@@ -4868,6 +4868,153 @@ FROM placed WHERE keep GROUP BY article ORDER BY article_url
 """
 
 
+def _q_hreflang_clusters(spark, sf_dir):
+    """hreflang variant clustering (operators/hreflang.py): 150 logical
+    documents in three regimes — partially-declared en/fr pairs (only the
+    en page declares, closure must still group), fully-mutual en/fr/de
+    triples with an x-default on the en page, and singletons. Attribute
+    orders alternate by cid parity. The oracle replays the tag regexps,
+    the recursive closure, and the per-cluster distinct-lang counts."""
+    from web_crawler_spark.operators.hreflang import hreflang_clusters
+
+    e = _t(spark, sf_dir, "events")
+    cids = e.select((F.col("event_id") % 150).alias("cid")).distinct()
+    m3 = F.col("cid") % 3
+    langs = (
+        F.when(m3 == 0, F.array(F.lit("en"), F.lit("fr")))
+        .when(m3 == 1, F.array(F.lit("en"), F.lit("fr"), F.lit("de")))
+        .otherwise(F.array(F.lit("en")))
+    )
+    pg = cids.select("cid", F.explode(langs).alias("lang"))
+    cid_s = F.col("cid").cast("string")
+
+    def vurl(lang_lit):
+        return F.concat(
+            F.lit("https://ml.ex/"), F.lit(lang_lit), F.lit("/d"), cid_s
+        )
+
+    def tag(lang_lit, href_lang):
+        u = vurl(href_lang)
+        return F.when(
+            F.col("cid") % 2 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="'), F.lit(lang_lit),
+                F.lit('" href="'), u, F.lit('">'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<link hreflang="'), F.lit(lang_lit),
+                F.lit('" href="'), u, F.lit('" rel="alternate">'),
+            )
+        )
+
+    xdef = tag("x-default", "en")
+    is_en = F.col("lang") == "en"
+    body = (
+        F.when(
+            (m3 == 0) & is_en, F.concat(tag("fr", "fr"), xdef)
+        )
+        .when(
+            m3 == 1,
+            F.concat(
+                F.when(~is_en, tag("en", "en")).otherwise(F.lit("")),
+                F.when(F.col("lang") != "fr", tag("fr", "fr")).otherwise(F.lit("")),
+                F.when(F.col("lang") != "de", tag("de", "de")).otherwise(F.lit("")),
+                F.when(is_en, xdef).otherwise(F.lit("")),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = pg.select(
+        F.concat(F.lit("https://ml.ex/"), F.col("lang"), F.lit("/d"), cid_s)
+        .alias("url"),
+        F.concat(F.lit("<html><head>"), body, F.lit("</head></html>"))
+        .alias("html"),
+    )
+    return hreflang_clusters(pages).orderBy("url")
+
+
+_SQL_HREFLANG_CLUSTERS = r"""
+WITH RECURSIVE cids AS (SELECT DISTINCT event_id % 150 AS cid FROM events),
+pg AS (
+  SELECT cid, unnest(CASE WHEN cid % 3 = 0 THEN ['en', 'fr']
+                          WHEN cid % 3 = 1 THEN ['en', 'fr', 'de']
+                          ELSE ['en'] END) AS lang
+  FROM cids
+),
+pages AS (
+  SELECT concat('https://ml.ex/', lang, '/d', CAST(cid AS VARCHAR)) AS url,
+         concat('<html><head>',
+           CASE
+             WHEN cid % 3 = 0 AND lang = 'en' THEN
+               CASE WHEN cid % 2 = 0 THEN
+                 concat('<link rel="alternate" hreflang="fr" href="https://ml.ex/fr/d', CAST(cid AS VARCHAR), '">',
+                        '<link rel="alternate" hreflang="x-default" href="https://ml.ex/en/d', CAST(cid AS VARCHAR), '">')
+               ELSE
+                 concat('<link hreflang="fr" href="https://ml.ex/fr/d', CAST(cid AS VARCHAR), '" rel="alternate">',
+                        '<link hreflang="x-default" href="https://ml.ex/en/d', CAST(cid AS VARCHAR), '" rel="alternate">')
+               END
+             WHEN cid % 3 = 1 THEN
+               CASE WHEN cid % 2 = 0 THEN concat(
+                 CASE WHEN lang <> 'en' THEN concat('<link rel="alternate" hreflang="en" href="https://ml.ex/en/d', CAST(cid AS VARCHAR), '">') ELSE '' END,
+                 CASE WHEN lang <> 'fr' THEN concat('<link rel="alternate" hreflang="fr" href="https://ml.ex/fr/d', CAST(cid AS VARCHAR), '">') ELSE '' END,
+                 CASE WHEN lang <> 'de' THEN concat('<link rel="alternate" hreflang="de" href="https://ml.ex/de/d', CAST(cid AS VARCHAR), '">') ELSE '' END,
+                 CASE WHEN lang = 'en' THEN concat('<link rel="alternate" hreflang="x-default" href="https://ml.ex/en/d', CAST(cid AS VARCHAR), '">') ELSE '' END)
+               ELSE concat(
+                 CASE WHEN lang <> 'en' THEN concat('<link hreflang="en" href="https://ml.ex/en/d', CAST(cid AS VARCHAR), '" rel="alternate">') ELSE '' END,
+                 CASE WHEN lang <> 'fr' THEN concat('<link hreflang="fr" href="https://ml.ex/fr/d', CAST(cid AS VARCHAR), '" rel="alternate">') ELSE '' END,
+                 CASE WHEN lang <> 'de' THEN concat('<link hreflang="de" href="https://ml.ex/de/d', CAST(cid AS VARCHAR), '" rel="alternate">') ELSE '' END,
+                 CASE WHEN lang = 'en' THEN concat('<link hreflang="x-default" href="https://ml.ex/en/d', CAST(cid AS VARCHAR), '" rel="alternate">') ELSE '' END)
+               END
+             ELSE ''
+           END,
+           '</head></html>') AS html
+  FROM pg
+),
+tags AS (
+  SELECT url, unnest(regexp_extract_all(substr(html, 1, 4096),
+                                        '(?is)<link\b[^>]*>')) AS tag
+  FROM pages
+),
+ed AS (
+  SELECT url,
+         lower(regexp_extract(tag,
+               '(?is)\bhreflang\s*=\s*["'']?([A-Za-z0-9-]+)', 1)) AS lang,
+         regexp_extract(tag, '(?is)\bhref\s*=\s*["'']?([^"''\s>]+)', 1)
+           AS variant
+  FROM tags
+  WHERE regexp_matches(tag, '(?is)\brel\s*=\s*["'']?[^"''>]*\balternate\b')
+    AND regexp_matches(tag, '(?is)\bhreflang\s*=')
+),
+edc AS (SELECT url, lang, variant FROM ed
+        WHERE lang <> '' AND variant <> ''),
+pairs AS (
+  SELECT DISTINCT url AS a, variant AS b FROM edc WHERE url <> variant
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+minreach AS (SELECT u, MIN(v) AS minv FROM reach GROUP BY u),
+labs AS (
+  SELECT p.url,
+         COALESCE(LEAST(p.url, m.minv), p.url) AS cluster_id
+  FROM pages p LEFT JOIN minreach m ON p.url = m.u
+),
+lc AS (
+  SELECT l.cluster_id, COUNT(DISTINCT e.lang) AS n_langs
+  FROM edc e JOIN labs l ON l.url = e.url
+  GROUP BY l.cluster_id
+)
+SELECT labs.url, labs.cluster_id,
+       CAST(COALESCE(lc.n_langs, 0) AS BIGINT) AS n_langs
+FROM labs LEFT JOIN lc ON lc.cluster_id = labs.cluster_id
+ORDER BY labs.url
+"""
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -8522,6 +8669,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_mojibake_repair": _q_mojibake_repair,
     "tx_bpe_train": _q_bpe_train,
     "tx_article_assembly": _q_article_assembly,
+    "url_hreflang_clusters": _q_hreflang_clusters,
     "dd_containment_pairs": _q_containment_pairs,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
@@ -8772,6 +8920,7 @@ _ORACLES: dict[str, str] = {
     "tx_mojibake_repair": _mojibake_sql(),
     "tx_bpe_train": _bpe_train_sql(),
     "tx_article_assembly": _SQL_ARTICLE_ASSEMBLY,
+    "url_hreflang_clusters": _SQL_HREFLANG_CLUSTERS,
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,

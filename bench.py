@@ -131,6 +131,9 @@ HEADLINE = [
     # pagination assembly: regexp link extraction + pointer-doubling
     # chain rooting + one in-agg-sorted reassembly aggregation
     "tx_article_assembly",
+    # hreflang clustering: tag-array HOF extraction + min-label
+    # connected components over the declared variant graph
+    "url_hreflang_clusters",
 ]
 
 
