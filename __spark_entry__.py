@@ -7295,6 +7295,78 @@ FROM state{rounds} ORDER BY node""")
     return "".join(parts)
 
 
+def _q_kcore(spark, sf_dir):
+    """Distributed k-core decomposition (operators/graph.py::kcore —
+    Montresor et al. h-index iteration, windows instead of per-node
+    arrays): a K6 clique (coreness 5) + a 10-ring (2) + a 5-chain (1)
+    built from events. The oracle unrolls all 8 rounds — neighbor join,
+    rank window, H-index agg, monotone min — into chained CTEs."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    u, ev = F.col("user_id"), F.col("event_id")
+    fam = u % 3
+    src = (
+        F.when(fam == 0, F.concat(F.lit("c"), (ev % 6).cast("string")))
+        .when(fam == 1, F.concat(F.lit("r"), (ev % 10).cast("string")))
+        .otherwise(F.concat(F.lit("p"), (ev % 4).cast("string")))
+    )
+    dst = (
+        F.when(fam == 0, F.concat(
+            F.lit("c"), ((ev % 6 + ev % 5 + 1) % 6).cast("string")))
+        .when(fam == 1, F.concat(
+            F.lit("r"), ((ev % 10 + 1) % 10).cast("string")))
+        .otherwise(F.concat(F.lit("p"), (ev % 4 + 1).cast("string")))
+    )
+    edges = e.select(src.alias("src_host"), dst.alias("dst_host"))
+    return G.kcore(edges, rounds=8).orderBy("node")
+
+
+def _kcore_sql(rounds: int = 8) -> str:
+    """Unrolled h-index coreness iteration — the exact algebra of
+    operators/graph.py::kcore (symmetrized dedup, degree init, per-round
+    rank window + MAX(LEAST(c, rank)) + monotone LEAST fold)."""
+    head = """
+WITH ed AS (
+  SELECT CASE user_id % 3
+           WHEN 0 THEN concat('c', CAST(event_id % 6 AS VARCHAR))
+           WHEN 1 THEN concat('r', CAST(event_id % 10 AS VARCHAR))
+           ELSE concat('p', CAST(event_id % 4 AS VARCHAR)) END AS src,
+         CASE user_id % 3
+           WHEN 0 THEN concat('c', CAST((event_id % 6 + event_id % 5 + 1) % 6 AS VARCHAR))
+           WHEN 1 THEN concat('r', CAST((event_id % 10 + 1) % 10 AS VARCHAR))
+           ELSE concat('p', CAST(event_id % 4 + 1 AS VARCHAR)) END AS dst
+  FROM events
+),
+und AS (SELECT src AS u, dst AS v FROM ed WHERE src <> dst),
+sym AS (SELECT DISTINCT u, v FROM (
+  SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+)),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY u),
+c0 AS (SELECT node, degree AS c FROM deg)"""
+    parts = [head]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+h{t} AS (
+  SELECT node, MAX(LEAST(c_nb, rk)) AS h FROM (
+    SELECT s.u AS node, c.c AS c_nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s.u
+                ORDER BY c.c DESC, s.v) AS BIGINT) AS rk
+    FROM sym s JOIN c{t-1} c ON c.node = s.v
+  ) GROUP BY node
+),
+c{t} AS MATERIALIZED (
+  SELECT c.node, LEAST(c.c, COALESCE(h.h, CAST(0 AS BIGINT))) AS c
+  FROM c{t-1} c LEFT JOIN h{t} h ON h.node = c.node
+)""")
+    parts.append(f"""
+SELECT d.node, d.degree, c.c AS coreness
+FROM deg d JOIN c{rounds} c ON c.node = d.node
+ORDER BY d.node""")
+    return "".join(parts)
+
+
 def _q_host_trustrank(spark, sf_dir):
     """TrustRank over the host graph (Gyöngyi et al. 2004): teleport
     restricted to trusted seeds h0/h1 — the link-spam demotion signal.
@@ -8666,6 +8738,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_proximity_match": _q_proximity_match,
     "gr_opic_update": _q_opic_update,
     "gr_harmonic_hyperball": _q_harmonic_hyperball,
+    "gr_kcore": _q_kcore,
     "tx_mojibake_repair": _q_mojibake_repair,
     "tx_bpe_train": _q_bpe_train,
     "tx_article_assembly": _q_article_assembly,
@@ -8917,6 +8990,7 @@ _ORACLES: dict[str, str] = {
     "tx_proximity_match": _SQL_PROXIMITY_MATCH,
     "gr_opic_update": _SQL_OPIC_UPDATE,
     "gr_harmonic_hyperball": _hyperball_sql(),
+    "gr_kcore": _kcore_sql(),
     "tx_mojibake_repair": _mojibake_sql(),
     "tx_bpe_train": _bpe_train_sql(),
     "tx_article_assembly": _SQL_ARTICLE_ASSEMBLY,

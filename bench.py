@@ -134,6 +134,9 @@ HEADLINE = [
     # hreflang clustering: tag-array HOF extraction + min-label
     # connected components over the declared variant graph
     "url_hreflang_clusters",
+    # k-core coreness: 8 h-index rounds — per round one slim join + one
+    # rank window + one agg over the symmetrized host edge list
+    "gr_kcore",
 ]
 
 
