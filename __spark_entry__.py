@@ -7367,6 +7367,90 @@ ORDER BY d.node""")
     return "".join(parts)
 
 
+def _q_triangles(spark, sf_dir):
+    """Per-node triangle counts + clustering coefficient
+    (operators/graph.py::triangles — Cohen 2009 oriented-wedge joins):
+    same K6-clique / 10-ring / 5-chain fixture as gr_kcore, so clique
+    nodes read (degree 5, 10 triangles, clustering 1.0) and the
+    triangle-free families read 0. The oracle replays the orientation,
+    wedge join, closure join, and coefficient exactly."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    u, ev = F.col("user_id"), F.col("event_id")
+    fam = u % 3
+    src = (
+        F.when(fam == 0, F.concat(F.lit("c"), (ev % 6).cast("string")))
+        .when(fam == 1, F.concat(F.lit("r"), (ev % 10).cast("string")))
+        .otherwise(F.concat(F.lit("p"), (ev % 4).cast("string")))
+    )
+    dst = (
+        F.when(fam == 0, F.concat(
+            F.lit("c"), ((ev % 6 + ev % 5 + 1) % 6).cast("string")))
+        .when(fam == 1, F.concat(
+            F.lit("r"), ((ev % 10 + 1) % 10).cast("string")))
+        .otherwise(F.concat(F.lit("p"), (ev % 4 + 1).cast("string")))
+    )
+    edges = e.select(src.alias("src_host"), dst.alias("dst_host"))
+    return G.triangles(edges).orderBy("node")
+
+
+_SQL_TRIANGLES = """
+WITH ed AS (
+  SELECT CASE user_id % 3
+           WHEN 0 THEN concat('c', CAST(event_id % 6 AS VARCHAR))
+           WHEN 1 THEN concat('r', CAST(event_id % 10 AS VARCHAR))
+           ELSE concat('p', CAST(event_id % 4 AS VARCHAR)) END AS src,
+         CASE user_id % 3
+           WHEN 0 THEN concat('c', CAST((event_id % 6 + event_id % 5 + 1) % 6 AS VARCHAR))
+           WHEN 1 THEN concat('r', CAST((event_id % 10 + 1) % 10 AS VARCHAR))
+           ELSE concat('p', CAST(event_id % 4 + 1 AS VARCHAR)) END AS dst
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ed WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN db.degree ELSE da.degree END AS dv
+  FROM und u
+  JOIN deg da ON da.node = u.a
+  JOIN deg db ON db.node = u.b
+),
+wedges AS (
+  SELECT e1.u, e1.v AS v1, e2.v AS v2
+  FROM oriented e1 JOIN oriented e2
+    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+),
+tri AS (
+  SELECT w.u, w.v1, w.v2
+  FROM wedges w JOIN oriented o ON o.u = w.v1 AND o.v = w.v2
+),
+per AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v1 FROM tri
+    UNION ALL SELECT v2 FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(p.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN per p ON p.node = d.node
+ORDER BY d.node
+"""
+
+
 def _q_host_trustrank(spark, sf_dir):
     """TrustRank over the host graph (Gyöngyi et al. 2004): teleport
     restricted to trusted seeds h0/h1 — the link-spam demotion signal.
@@ -8739,6 +8823,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_opic_update": _q_opic_update,
     "gr_harmonic_hyperball": _q_harmonic_hyperball,
     "gr_kcore": _q_kcore,
+    "gr_triangles": _q_triangles,
     "tx_mojibake_repair": _q_mojibake_repair,
     "tx_bpe_train": _q_bpe_train,
     "tx_article_assembly": _q_article_assembly,
@@ -8991,6 +9076,7 @@ _ORACLES: dict[str, str] = {
     "gr_opic_update": _SQL_OPIC_UPDATE,
     "gr_harmonic_hyperball": _hyperball_sql(),
     "gr_kcore": _kcore_sql(),
+    "gr_triangles": _SQL_TRIANGLES,
     "tx_mojibake_repair": _mojibake_sql(),
     "tx_bpe_train": _bpe_train_sql(),
     "tx_article_assembly": _SQL_ARTICLE_ASSEMBLY,

@@ -137,6 +137,8 @@ HEADLINE = [
     # k-core coreness: 8 h-index rounds — per round one slim join + one
     # rank window + one agg over the symmetrized host edge list
     "gr_kcore",
+    # triangle counting: oriented wedge join + closure join + explode agg
+    "gr_triangles",
 ]
 
 

@@ -562,6 +562,99 @@ def kcore(
     )
 
 
+def triangles(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient (the
+    classic MapReduce formulation — Cohen 2009, "Graph twiddling in a
+    MapReduce world", public paper; Suri & Vassilvitskii's node-ordering
+    refinement): the cohesion feature that separates organically-linked
+    hosts (high clustering) from link farms' bipartite blast patterns
+    (many edges, no closure) — a standard web-spam input alongside
+    TrustRank and coreness.
+
+    Scale shape: edges are oriented from the (degree, node)-smaller
+    endpoint to the larger, so every wedge is generated at its LOWEST
+    degree vertex — the join fan-out is O(E^{3/2}) total instead of
+    Σdeg² (a 10^6-degree hub generates no wedges unless both endpoints
+    are even higher-ranked, the standard bound). One self-join on the
+    wedge pivot + one closure join against the oriented edge list + one
+    explode/count — no iteration. Returns
+    ``(node, degree, triangles, clustering)`` with
+    ``clustering = 2·T / (d·(d−1))`` (0 when d < 2), rounded to 6dp.
+    Undirected semantics: edges symmetrized + deduped first.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint()
+    )
+    # orient each edge from the (degree, node)-smaller endpoint: the
+    # wedge pivot is always the locally cheapest vertex
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lo_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.struct("da", "a"))
+        .otherwise(F.struct(F.col("db").alias("da"), F.col("b").alias("a")))
+        .alias("_uk"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.struct(F.col("db").alias("da"), F.col("b").alias("a")))
+        .otherwise(F.struct("da", "a"))
+        .alias("_vk"),
+    ).localCheckpoint()
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("_vk").alias("k1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("_vk").alias("k2"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(F.col("k1") < F.col("k2"))
+        .select("u", "v1", "v2")
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).localCheckpoint()
+    per_node = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0 * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
 def domain_graph(
     edges: DataFrame,
     rules: DataFrame | None = None,
