@@ -157,3 +157,68 @@ def test_ivf_trained_assignment_is_join_free(spark):
     plan = _plan(ivf_topk(emb, q, k=5, centroids=cents, n_probe=2))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangles_no_cartesian(spark):
+    """The wedge and closure joins are equi-joins on (u) / (v1, v2) —
+    never a cartesian or broadcast-nested-loop explosion."""
+    from web_crawler_spark.operators.graph import triangles
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        ["src_host", "dst_host"],
+    )
+    plan = _plan(triangles(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_hindex_uses_window_not_collect(spark):
+    """The H-index is a rank window + agg — no collect_list of neighbor
+    values anywhere in the per-round plan (hub-degree safety)."""
+    from web_crawler_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src_host", "dst_host"]
+    )
+    plan = _plan(kcore(df, rounds=2))
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_count_has_partial_aggregation(spark):
+    """The merge-round pair count must map-side combine (partial_sum
+    before the exchange) — the property that bounds each round's shuffle
+    by distinct-pair count, not corpus size. Asserted on the round's
+    pair-explode + agg plan built exactly as train_bpe_distributed does."""
+    from web_crawler_spark.functions.bpe import _EOW, _SEP
+
+    sep = _SEP
+    docs = spark.createDataFrame(
+        [("aa bb aa",), ("bb aa bb",)], ["text"]
+    )
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    wrapped = F.concat(
+        F.regexp_replace(F.col("w"), "(.)", sep + "$1" + sep),
+        F.lit(sep + _EOW + sep),
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq")).select(
+        "freq", wrapped.alias("sym")
+    )
+    arr = F.split(
+        F.regexp_replace(F.col("sym"), f"^{sep}|{sep}$", ""), sep + sep
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.size(arr) - 1).alias("l"),
+                F.slice(arr, 2, F.size(arr) - 1).alias("r"),
+            )
+        ).alias("p"),
+    ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq")
+    agg = pairs.groupBy("l", "r").agg(F.sum("freq").alias("cnt"))
+    plan = _plan(agg)
+    assert "partial_sum" in plan or "partial_finalmerge" in plan.lower() or plan.count("HashAggregate") >= 2
