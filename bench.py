@@ -531,6 +531,38 @@ def component_throughput(spark) -> dict:
         out["ingest_wall_sec"] = round(w5, 2)
         out["ingest_docs_per_sec"] = round(n_batch / w5, 1)
 
+    # round-3 component: link-graph analytics — 5 weighted-PageRank power
+    # iterations over a synthetic host graph (edges prebuilt + checkpointed
+    # OUTSIDE the timed region, as a real epoch reads its aggregated edge
+    # list from parquet). Throughput = edge-traversals/sec (edges × rounds
+    # / wall) — the per-round join+agg is the kernel every graph op here
+    # shares (pagerank/trustrank/HITS/OPIC/hyperball).
+    from web_crawler_spark.operators.graph import pagerank
+
+    n_edges = int(os.environ.get("BENCH_COMPONENT_GRAPH_EDGES", "3000000"))
+    if "graph" not in only:
+        n_edges = 0
+    if n_edges:
+        g_edges = spark.range(0, n_edges, 1, par * 2).select(
+            F.concat(F.lit("h"), (F.col("id") % 200000).cast("string"))
+            .alias("src_host"),
+            F.concat(
+                F.lit("h"),
+                ((F.col("id") * 7 + F.col("id") % 13 + 1) % 200000)
+                .cast("string"),
+            ).alias("dst_host"),
+            (F.col("id") % 9 + 1).cast("double").alias("n_links"),
+        ).localCheckpoint()
+        pagerank(g_edges.limit(5000), iterations=1).count()  # warm
+        rounds = 5
+        w6 = best_wall(
+            lambda: pagerank(g_edges, iterations=rounds).count()
+        )
+        out["graph_edges"] = n_edges
+        out["graph_rounds"] = rounds
+        out["graph_wall_sec"] = round(w6, 2)
+        out["graph_traversals_per_sec"] = round(n_edges * rounds / w6, 1)
+
     # the pair-level summary key used by the efficiency computation
     out["urls_per_sec"] = out.get("frontier_rows_per_sec", 0.0)
     return out
