@@ -5015,6 +5015,39 @@ ORDER BY labs.url
 """
 
 
+def _q_passage_windows(spark, sf_dir):
+    """Sliding-window passage extraction (operators/corpus.py::
+    passage_windows — RAG/dense-retriever corpus prep): 12-token windows
+    every 8 tokens over documents; ids, offsets, short final windows,
+    and the passage text itself value-certified against a DuckDB
+    list-slice twin."""
+    from web_crawler_spark.operators.corpus import passage_windows
+
+    d = _t(spark, sf_dir, "documents")
+    return passage_windows(d, window_tokens=12, stride=8).orderBy(
+        "doc_id", "passage_id"
+    )
+
+
+_SQL_PASSAGE_WINDOWS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+st AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(generate_series(0, greatest(len(w) - 1, 0), 8)) AS start_tok
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start_tok // 8 AS BIGINT) AS passage_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(LEAST(12, n - start_tok) AS BIGINT) AS n_tokens,
+       array_to_string(w[start_tok + 1 : start_tok + 12], ' ') AS passage
+FROM st ORDER BY doc_id, passage_id
+"""
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -8828,6 +8861,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_bpe_train": _q_bpe_train,
     "tx_article_assembly": _q_article_assembly,
     "url_hreflang_clusters": _q_hreflang_clusters,
+    "tx_passage_windows": _q_passage_windows,
     "dd_containment_pairs": _q_containment_pairs,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
@@ -9081,6 +9115,7 @@ _ORACLES: dict[str, str] = {
     "tx_bpe_train": _bpe_train_sql(),
     "tx_article_assembly": _SQL_ARTICLE_ASSEMBLY,
     "url_hreflang_clusters": _SQL_HREFLANG_CLUSTERS,
+    "tx_passage_windows": _SQL_PASSAGE_WINDOWS,
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,

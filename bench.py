@@ -139,6 +139,8 @@ HEADLINE = [
     "gr_kcore",
     # triangle counting: oriented wedge join + closure join + explode agg
     "gr_triangles",
+    # passage windowing: sliding-token-window projection (RAG corpus prep)
+    "tx_passage_windows",
 ]
 
 

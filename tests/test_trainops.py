@@ -908,3 +908,34 @@ def test_gopher_stopword_gate(spark):
            for r in df.select("doc_id", gopher_stopword_flag(F.col("text")).alias("s")).collect()}
     assert got == {1: (3, True), 2: (0, False), 3: (2, True),
                    4: (1, False), 5: (0, False)}
+
+
+def test_passage_windows(spark):
+    from web_crawler_spark.operators.corpus import passage_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "   "), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    out = [
+        tuple(r)
+        for r in passage_windows(df, window_tokens=3, stride=2)
+        .orderBy("doc_id", "passage_id")
+        .collect()
+    ]
+    assert out == [
+        (1, 0, 0, 3, "a b c"),
+        (1, 1, 2, 3, "c d e"),
+        (1, 2, 4, 3, "e f g"),
+        (1, 3, 6, 1, "g"),
+        (4, 0, 0, 1, "solo"),
+    ]
+    # every token position is covered by at least one passage and
+    # overlap never exceeds window - stride
+    big = spark.createDataFrame([(9, " ".join(f"t{i}" for i in range(57)))],
+                                ["doc_id", "text"])
+    rows = passage_windows(big, window_tokens=16, stride=10).collect()
+    covered = set()
+    for r in rows:
+        covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
+    assert covered == set(range(57))

@@ -1043,6 +1043,59 @@ def pack_sequences(
     )
 
 
+def passage_windows(
+    df: DataFrame,
+    window_tokens: int = 256,
+    stride: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window passage extraction — the retrieval-corpus prep step
+    (RAG / dense-retriever training): every document becomes overlapping
+    ``window_tokens``-token passages starting every ``stride`` tokens, so
+    no answer span is ever split across a passage boundary by more than
+    ``window - stride`` tokens. The unit is the engine's whitespace
+    token (the ``token_count`` ws unit — declared, same as the packing
+    plan's default).
+
+    Returns ``(doc_id, passage_id, start_tok, n_tokens, passage)`` —
+    passage_id counts windows within the doc from 0, the final window is
+    allowed to run short, and empty/whitespace-only documents produce
+    zero passages. One split + one sequence-explode + array slices —
+    pure columns, zero shuffle; at 100 TB this is a projection whose
+    output feeds the inverted-index / BM25 / embedding stages directly.
+    """
+    toks = F.when(
+        F.trim(F.col(text_col).cast("string")) == "", F.array()
+    ).otherwise(F.split(F.trim(F.col(text_col).cast("string")), r"\s+"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__w")
+    ).withColumn("__n", F.size("__w"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        base.filter(F.col("__n") > 0)
+        .select(
+            "doc_id", "__w", "__n",
+            F.posexplode(starts).alias("passage_id", "start_tok"),
+        )
+        .select(
+            "doc_id",
+            F.col("passage_id").cast("bigint").alias("passage_id"),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            F.least(
+                F.lit(window_tokens), F.col("__n") - F.col("start_tok")
+            ).cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("__w"), F.col("start_tok") + 1,
+                        F.lit(window_tokens)),
+                " ",
+            ).alias("passage"),
+        )
+    )
+
+
 def corpus_datasheet(
     df: DataFrame,
     text_col: str = "text",
