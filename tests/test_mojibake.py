@@ -66,3 +66,33 @@ def test_pairs_table_shape():
     assert {g for _, g in MOJIBAKE_PAIRS} == set(MOJIBAKE_CHARS)
     # every garble is ≥2 chars: ASCII can never be rewritten
     assert min(lens) >= 2
+
+
+# --- property tests (hypothesis): batched examples, one Spark call each ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_clean_text = st.text(
+    alphabet=st.sampled_from(
+        list("abc XYZ 0123456789.,!?") + list(MOJIBAKE_CHARS)
+    ),
+    max_size=40,
+)
+
+
+# max_examples=2: each example re-codegens the 70-deep replace chain
+# (~20 s of Spark analysis per call); the deterministic tests above
+# already pin the whole alphabet — the property adds random COMPOSITIONS
+@settings(max_examples=2, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_clean_text, min_size=12, max_size=12))
+def test_property_roundtrip_and_chain_parity(spark, texts):
+    garbled = [to_mojibake(t) for t in texts]
+    repaired = _spark_repair(spark, garbled)
+    # roundtrip: garble then repair is the identity on the committed
+    # alphabet...
+    assert repaired == texts
+    # ...and arbitrary mixed input equals the sequential chain replay
+    mixed = [t + g for t, g in zip(texts, garbled)]
+    assert _spark_repair(spark, mixed) == [_ref_repair(s) for s in mixed]
