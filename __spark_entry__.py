@@ -5015,6 +5015,44 @@ ORDER BY labs.url
 """
 
 
+def _q_allpairs_jaccard(spark, sf_dir):
+    """Exact all-pairs Jaccard join with lossless prefix filtering
+    (operators/dedup.py::allpairs_jaccard_join — Bayardo et al. 2007):
+    word-unigram sets over documents at t=0.5. The oracle is the
+    BRUTE-FORCE exact self-join — equality certifies that the prefix
+    pruning loses no qualifying pair and admits no sub-threshold one,
+    not merely that an estimate is close."""
+    from web_crawler_spark.operators.dedup import allpairs_jaccard_join
+
+    d = _t(spark, sf_dir, "documents")
+    return allpairs_jaccard_join(d, threshold=0.5, n=1).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_SQL_ALLPAIRS_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+sz AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS sz FROM toks),
+inv AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+       ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def _q_passage_windows(spark, sf_dir):
     """Sliding-window passage extraction (operators/corpus.py::
     passage_windows — RAG/dense-retriever corpus prep): 12-token windows
@@ -8862,6 +8900,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_article_assembly": _q_article_assembly,
     "url_hreflang_clusters": _q_hreflang_clusters,
     "tx_passage_windows": _q_passage_windows,
+    "dd_allpairs_jaccard": _q_allpairs_jaccard,
     "dd_containment_pairs": _q_containment_pairs,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
@@ -9116,6 +9155,7 @@ _ORACLES: dict[str, str] = {
     "tx_article_assembly": _SQL_ARTICLE_ASSEMBLY,
     "url_hreflang_clusters": _SQL_HREFLANG_CLUSTERS,
     "tx_passage_windows": _SQL_PASSAGE_WINDOWS,
+    "dd_allpairs_jaccard": _SQL_ALLPAIRS_JACCARD,
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,

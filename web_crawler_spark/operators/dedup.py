@@ -919,6 +919,109 @@ def mirror_candidates(
              F.round("overlap", 6).alias("overlap"))
 
 
+def allpairs_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    n: int = 1,
+) -> DataFrame:
+    """EXACT all-pairs similarity join with LOSSLESS prefix filtering
+    (Bayardo, Ma & Srikant 2007, "Scaling up all pairs similarity
+    search"; Chaudhuri et al.'s prefix-filter principle — public
+    methods): every unordered doc pair with token-set Jaccard ≥
+    ``threshold``, with NO approximation — the exact-threshold
+    complement of the MinHash/SimHash family (those trade recall for
+    speed; this prunes without losing a single qualifying pair).
+
+    Prefix principle: order all tokens globally by (document frequency
+    asc, token) and keep only each doc's first ``|d| − ⌈t·|d|⌉ + 1``
+    tokens as join keys. If J(A,B) ≥ t then A and B share at least one
+    PREFIX token — any pair the prefix join misses provably fails the
+    threshold — so candidates only ever meet on their RAREST tokens:
+    the hot-token quadratic blowup the full inverted-index join
+    (``ngram_jaccard_pairs``) caps heuristically with ``max_df`` is
+    here eliminated exactly, with zero recall loss. Candidates are then
+    verified by exact intersection counts over the full token sets.
+
+    Plan: one df aggregation, one rank window per doc (hash-partitioned
+    on the doc), a prefix-token equi-join, and the verify join — every
+    shuffle keyed, no cartesian. Returns (id_a, id_b, n_common, size_a,
+    size_b, jaccard) with id_a < id_b, jaccard rounded to 6dp. The
+    result is by construction identical to the brute-force exact join —
+    the oracle certifies the pruning's losslessness, not an estimate.
+    ``n`` > 1 switches the set elements from word unigrams to n-word
+    shingles (same semantics).
+    """
+    t = float(threshold)
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(T.shingles(F.col(text_col), n)).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .localCheckpoint()
+    )
+    sizes = sh.select("id", F.size("toks").cast("long").alias("sz"))
+    inv = sh.select("id", F.explode("toks").alias("tok"))
+    dfreq = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        inv.join(dfreq, "tok")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("__df", "tok")
+            ),
+        )
+        .join(sizes, "id")
+    )
+    # prefix length |d| - ceil(t*|d|) + 1
+    prefix = ranked.filter(
+        F.col("__rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("id", "tok")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification: intersection counts over the FULL token sets —
+    # the second join keys on (id_b, tok) so only INTERSECTION tokens
+    # materialize, never the |A|×|B| token product of a pair
+    inter = (
+        cand.join(
+            inv.select(F.col("id").alias("id_a"), "tok"), "id_a"
+        )
+        .join(
+            inv.select(F.col("id").alias("id_b"), "tok"),
+            ["id_b", "tok"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= t).select(
+        "id_a", "id_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        "size_a", "size_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",
