@@ -7522,6 +7522,81 @@ ORDER BY d.node
 """
 
 
+def _q_label_propagation(spark, sf_dir):
+    """Community detection by synchronous weighted LPA
+    (operators/graph.py::label_propagation): two K6 cliques bridged by
+    one edge plus an isolated pair; edge weights are raw event
+    multiplicities. The oracle unrolls all 4 rounds — symmetrized weight
+    sums, per-(node,label) vote agg, max-weight/min-label argmax."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    u, ev = F.col("user_id"), F.col("event_id")
+    fam = u % 3
+    src = (
+        F.when(fam == 0, F.concat(F.lit("c"), (ev % 6).cast("string")))
+        .when(fam == 1, F.concat(F.lit("d"), (ev % 6).cast("string")))
+        .otherwise(F.when(ev % 2 == 0, F.lit("c0")).otherwise(F.lit("x0")))
+    )
+    dst = (
+        F.when(fam == 0, F.concat(
+            F.lit("c"), ((ev % 6 + ev % 5 + 1) % 6).cast("string")))
+        .when(fam == 1, F.concat(
+            F.lit("d"), ((ev % 6 + ev % 5 + 1) % 6).cast("string")))
+        .otherwise(F.when(ev % 2 == 0, F.lit("d0")).otherwise(F.lit("x1")))
+    )
+    edges = e.select(src.alias("src_host"), dst.alias("dst_host"))
+    return G.label_propagation(
+        edges, rounds=4, weight_col=None
+    ).orderBy("node")
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous LPA — the exact algebra of
+    operators/graph.py::label_propagation with unit weights (edge weight
+    = raw row multiplicity after symmetrization)."""
+    head = """
+WITH ed AS (
+  SELECT CASE user_id % 3
+           WHEN 0 THEN concat('c', CAST(event_id % 6 AS VARCHAR))
+           WHEN 1 THEN concat('d', CAST(event_id % 6 AS VARCHAR))
+           ELSE CASE WHEN event_id % 2 = 0 THEN 'c0' ELSE 'x0' END
+         END AS u,
+         CASE user_id % 3
+           WHEN 0 THEN concat('c', CAST((event_id % 6 + event_id % 5 + 1) % 6 AS VARCHAR))
+           WHEN 1 THEN concat('d', CAST((event_id % 6 + event_id % 5 + 1) % 6 AS VARCHAR))
+           ELSE CASE WHEN event_id % 2 = 0 THEN 'd0' ELSE 'x1' END
+         END AS v
+  FROM events
+),
+undw AS (SELECT u, v, 1.0 AS w FROM ed WHERE u <> v),
+sym AS (
+  SELECT u, v, SUM(w) AS w FROM (
+    SELECT u, v, w FROM undw UNION ALL SELECT v, u, w FROM undw
+  ) GROUP BY u, v
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    parts = [head]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+v{t} AS (
+  SELECT s.u AS node, l.label, SUM(s.w) AS wt
+  FROM sym s JOIN l{t-1} l ON l.node = s.v
+  GROUP BY 1, 2
+),
+l{t} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY wt DESC, label) AS rn
+    FROM v{t}
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT node, label FROM l{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
 def _q_host_trustrank(spark, sf_dir):
     """TrustRank over the host graph (Gyöngyi et al. 2004): teleport
     restricted to trusted seeds h0/h1 — the link-spam demotion signal.
@@ -8895,6 +8970,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_harmonic_hyperball": _q_harmonic_hyperball,
     "gr_kcore": _q_kcore,
     "gr_triangles": _q_triangles,
+    "gr_label_propagation": _q_label_propagation,
     "tx_mojibake_repair": _q_mojibake_repair,
     "tx_bpe_train": _q_bpe_train,
     "tx_article_assembly": _q_article_assembly,
@@ -9150,6 +9226,7 @@ _ORACLES: dict[str, str] = {
     "gr_harmonic_hyperball": _hyperball_sql(),
     "gr_kcore": _kcore_sql(),
     "gr_triangles": _SQL_TRIANGLES,
+    "gr_label_propagation": _lpa_sql(),
     "tx_mojibake_repair": _mojibake_sql(),
     "tx_bpe_train": _bpe_train_sql(),
     "tx_article_assembly": _SQL_ARTICLE_ASSEMBLY,

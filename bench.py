@@ -141,6 +141,8 @@ HEADLINE = [
     "gr_triangles",
     # passage windowing: sliding-token-window projection (RAG corpus prep)
     "tx_passage_windows",
+    # LPA communities: 4 vote rounds — slim join + (node,label) agg each
+    "gr_label_propagation",
 ]
 
 

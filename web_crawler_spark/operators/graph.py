@@ -655,6 +655,71 @@ def triangles(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = "n_links",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, public paper) over the undirected weighted
+    host graph — the topical/link-neighborhood clusters that connected
+    components (which need any path) and k-core (which needs density)
+    both miss: a community is where a node's neighbors AGREE.
+
+    Each round every node adopts the label with the maximum total
+    incident edge weight among its neighbors' current labels; ties break
+    to the smallest label, and the whole update is synchronous — so the
+    result is a pure function of the graph (re-run- and engine-stable,
+    no RNG, unlike the asynchronous textbook variant), at the known cost
+    that bipartite-ish regions can oscillate rather than converge; run a
+    fixed even ``rounds`` and read the labels as "round-r communities"
+    (the oracle unrolls the same rounds). Per round: one slim join on
+    the symmetrized edge list + one (node, label) weight agg + one
+    deterministic argmax via struct-min — all keyed shuffles,
+    lineage-checkpointed. Returns (node, label).
+    """
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
+    und = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v"), w.alias("w")
+    ).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+        & (F.col("u") != F.col("v"))
+    )
+    sym = (
+        und.unionByName(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+
+    for _ in range(rounds):
+        nb = sym.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("node"), "label", "w")
+        votes = nb.groupBy("node", "label").agg(F.sum("w").alias("wt"))
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("wt")).alias("neg"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("_top")
+            )
+            .select("node", F.col("_top.label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
 def domain_graph(
     edges: DataFrame,
     rules: DataFrame | None = None,
