@@ -4378,6 +4378,75 @@ def _q_bm25_topk(spark, sf_dir):
     return C.bm25_topk(d, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
 
 
+_BM25_BATCH_QUERIES = [
+    (1, "spark window join"),
+    (2, "hash merge batch"),
+    (3, "vector scan big table"),
+    (4, "filter group sort"),
+]
+
+
+def _q_bm25_batch(spark, sf_dir):
+    """Batch BM25 retrieval join: top-5 docs for each of 4 queries in ONE
+    joined plan — postings ⋈ broadcast query-terms ⋈ per-term df, scores
+    summed per (query, doc), rank windowed per query. The 10^5-query RAG
+    retrieval shape where bm25_topk's idf-literal fold stops applying."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        _BM25_BATCH_QUERIES, "query_id int, query string"
+    )
+    return C.bm25_batch_topk(d, q, k=5, k1=_BM25_K1, b=_BM25_B)
+
+
+def _sql_bm25_batch() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_BATCH_QUERIES)
+    return f"""
+WITH qr(query_id, query) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+),
+ex AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
+post AS (
+  SELECT term, doc_id, count(*) AS tf, first(dl) AS dl
+  FROM ex GROUP BY term, doc_id
+),
+s AS (
+  SELECT count(*) AS n, CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+  FROM toks
+),
+dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+qt AS (
+  SELECT query_id,
+         unnest(string_split_regex(trim(lower(query)), '\\s+')) AS term
+  FROM qr
+),
+qtf AS (
+  SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf
+  FROM qt GROUP BY query_id, term
+),
+pairs AS (
+  SELECT q.query_id, p.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * CAST(p.tf AS DOUBLE) * {k1 + 1.0}
+             / (CAST(p.tf AS DOUBLE)
+                + {k1} * ({1.0 - b} + {b} * p.dl / s.avgdl))) AS raw
+  FROM post p JOIN dfq d USING (term) JOIN qtf q USING (term), s
+  GROUP BY q.query_id, p.doc_id
+),
+sc AS (SELECT query_id, doc_id, ROUND(raw, 6) AS score FROM pairs WHERE raw > 0)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM sc
+) WHERE rank <= 5
+"""
+
+
 def _sql_bm25_topk() -> str:
     k1, b = _BM25_K1, _BM25_B
     tf_exprs = ",\n         ".join(
@@ -8906,6 +8975,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_repetition": _q_repetition,
     "tx_term_stats": _q_term_stats,
     "tx_bm25_topk": _q_bm25_topk,
+    "tx_bm25_batch": _q_bm25_batch,
     "sk_salted_join": _q_salted_join,
     "tx_corpus_pipeline": _q_corpus_pipeline,
     "dd_chunk_dedup": _q_chunk_dedup,
@@ -9190,6 +9260,7 @@ _ORACLES: dict[str, str] = {
     "tx_repetition": _SQL_REPETITION,
     "tx_term_stats": _SQL_TERM_STATS,
     "tx_bm25_topk": _sql_bm25_topk(),
+    "tx_bm25_batch": _sql_bm25_batch(),
     "sk_salted_join": _SQL_SALTED_JOIN,
     "tx_corpus_pipeline": _sql_corpus_pipeline(),
     "dd_chunk_dedup": _SQL_CHUNK_DEDUP,

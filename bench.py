@@ -143,6 +143,10 @@ HEADLINE = [
     "tx_passage_windows",
     # LPA communities: 4 vote rounds — slim join + (node,label) agg each
     "gr_label_propagation",
+    # batch BM25 retrieval join: postings build + broadcast query-terms
+    # join + per-(query,doc) agg + per-query rank window (the RAG
+    # multi-query retrieval shape; single-query bm25 stays zero-shuffle)
+    "tx_bm25_batch",
 ]
 
 

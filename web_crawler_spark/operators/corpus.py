@@ -531,6 +531,119 @@ def bm25_topk(
     )
 
 
+def bm25_batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "query",
+    query_id_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch BM25 retrieval JOIN: top-k documents for EVERY query in a
+    query table at once — the sparse-retrieval workload of RAG corpus
+    construction and hard-negative mining, where ``bm25_topk``'s
+    fold-idf-into-literals trick stops working (10^5 queries can't each
+    be a driver round-trip; scores must come from one joined plan).
+
+    Plan (three keyed shuffles, all inherent):
+
+    1. postings build: ``(term, doc_id, tf, dl)`` — one explode +
+       combiner-friendly agg keyed on (term, doc_id) so a stopword term
+       never lands on one reducer (same discipline as
+       ``inverted_index``); dl rides the explode, collapsing to
+       ``first(dl)`` in the same agg (no separate doc-length join);
+    2. per-term df from a term-keyed rollup of the postings (post-collapse
+       rows, one per (term, doc)); idf = ln(1+(N−df+0.5)/(df+0.5))
+       computed JVM-side as a column;
+    3. query terms ``(query_id, term, qtf)`` BROADCAST to the postings
+       join on ``term`` (the query table is dwarfed by the corpus;
+       ``broadcast_queries=False`` falls back to a term-keyed shuffle
+       join for query sets too big to broadcast — both sides are then
+       bucket-able on term hash at 100 TB), then one agg keyed on
+       (query_id, doc_id) sums the per-term contributions.
+
+    Scoring: score(q,d) = Σ_t qtf·idf_t·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    — query term frequency enters linearly (the k3→∞ limit of the full
+    Robertson form; standard for short queries). Top-k per query is one
+    row_number window over (round(score,6) DESC, doc_id) — ranking on the
+    ROUNDED score keeps cross-engine rank order deterministic under IEEE
+    summation jitter. N and avgdl are the only driver scalars (1-row agg).
+
+    Skew/scale: the only hot key is a stopword term shared by every doc ×
+    every query containing it; ``max_df`` (optional) drops postings for
+    terms with df > max_df before the query join — the static-pruning
+    cousin of WAND/MaxScore (documented recall tradeoff: a query that is
+    ONLY stopwords returns nothing under the cap). Default None = exact.
+
+    Returns (query_id, doc_id, score, rank) with rank 1..k per query.
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    post = exploded.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    stats = df.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n = stats["n"]
+    qtoks = T.tokens(F.lower(F.col(query_text_col)))
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.explode(qtoks).alias("term")
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("qtf"))
+    )
+    if n == 0:
+        return (
+            qterms.select("query_id")
+            .limit(0)
+            .select(
+                "query_id",
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(0.0).alias("score"),
+                F.lit(0).alias("rank"),
+            )
+        )
+    avgdl = (stats["sum_dl"] or 0) / n
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored_post = post.join(dfreq, "term").withColumn(
+        "idf",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+    )
+    if max_df is not None:
+        scored_post = scored_post.filter(F.col("df") <= int(max_df))
+    q = F.broadcast(qterms) if broadcast_queries else qterms
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    contrib = F.col("qtf") * F.col("idf") * tf * F.lit(k1 + 1.0) / (tf + norm)
+    pairs = (
+        scored_post.join(q, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("raw"))
+        .filter(F.col("raw") > 0)
+        .withColumn("score", F.round("raw", 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def positional_index(
     df: DataFrame,
     text_col: str = "text",
