@@ -5084,6 +5084,121 @@ ORDER BY labs.url
 """
 
 
+_WINNOW_K, _WINNOW_W = 4, 4
+_WINNOW_BOILER = (
+    "winnow shared passage alpha beta gamma delta epsilon zeta eta theta "
+    "iota kappa lam mu nu xi omicron pi rho sigma tau upsilon phi"
+)
+
+
+def _winnow_sql_parts(source_sql: str, k: int, w: int) -> str:
+    """Shared DuckDB CTE chain computing winnowing selections exactly:
+    k-gram md5-60bit hashes, least(w, n_grams) windows, rightmost argmin
+    per window, distinct (doc_id, pos, fp) after parallel unnest."""
+    return f"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM ({source_sql})
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) - {k} + 1 >= 1 THEN
+      list_transform(range(0, len(tk) - {k} + 1), i ->
+        TRY_CAST(concat('0x', substr(md5(
+          array_to_string(list_slice(tk, i + 1, i + {k}), ' ')), 1, 15))
+        AS BIGINT))
+    ELSE CAST([] AS BIGINT[]) END AS h
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, h, least({w}, len(h)) AS wl FROM grams
+),
+sel AS (
+  SELECT doc_id,
+    CASE WHEN len(h) >= 1 THEN
+      list_transform(range(0, len(h) - wl + 1), i ->
+        list_filter(range(i, i + wl),
+                    j -> h[j + 1] = list_min(list_slice(h, i + 1, i + wl)))[-1])
+    ELSE CAST([] AS BIGINT[]) END AS poss,
+    CASE WHEN len(h) >= 1 THEN
+      list_transform(range(0, len(h) - wl + 1), i ->
+        list_min(list_slice(h, i + 1, i + wl)))
+    ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM wins
+),
+fp AS (
+  SELECT DISTINCT doc_id, CAST(unnest(poss) AS INT) AS pos, unnest(fps) AS fp
+  FROM sel
+)"""
+
+
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) over the first
+    150 documents — the full selection algebra (k-gram 60-bit hashes,
+    sliding min-window, rightmost tie-break) value-certified against a
+    DuckDB list-lambda twin. Zero-shuffle scan stage."""
+    from web_crawler_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return winnow_fingerprints(d, k=_WINNOW_K, w=_WINNOW_W).orderBy(
+        "doc_id", "pos"
+    )
+
+
+def _sql_winnow_fingerprints() -> str:
+    parts = _winnow_sql_parts(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 150",
+        _WINNOW_K, _WINNOW_W,
+    )
+    return f"WITH {parts}\nSELECT doc_id, pos, fp FROM fp ORDER BY doc_id, pos"
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    """MOSS-style overlap pairs: a 23-token boilerplate passage appended to
+    every doc_id%11==0 document plants guaranteed-detectable overlaps
+    (shared run ≥ w+k−1 tokens ⇒ ≥1 shared fingerprint — the winnowing
+    locality guarantee); pairs sharing ≥2 fingerprint hashes scored by
+    n_common/min(n_a,n_b). Oracle recomputes the entire pipeline."""
+    from web_crawler_spark.operators.dedup import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" " + _WINNOW_BOILER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return winnow_overlap_pairs(
+        d, k=_WINNOW_K, w=_WINNOW_W, min_common=2
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_winnow_pairs() -> str:
+    src = (
+        "SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
+        f"text || ' {_WINNOW_BOILER}' ELSE text END AS text FROM documents"
+    )
+    parts = _winnow_sql_parts(src, _WINNOW_K, _WINNOW_W)
+    return f"""
+WITH {parts},
+fset AS (SELECT DISTINCT doc_id, fp FROM fp),
+counts AS (SELECT doc_id, count(*) AS n_fp FROM fset GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM fset a JOIN fset b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+)
+SELECT p.id_a, p.id_b, p.n_common,
+       ca.n_fp AS n_a, cb.n_fp AS n_b,
+       ROUND(p.n_common / least(ca.n_fp, cb.n_fp), 6) AS overlap
+FROM pairs p
+JOIN counts ca ON ca.doc_id = p.id_a
+JOIN counts cb ON cb.doc_id = p.id_b
+ORDER BY id_a, id_b
+"""
+
+
 def _q_allpairs_jaccard(spark, sf_dir):
     """Exact all-pairs Jaccard join with lossless prefix filtering
     (operators/dedup.py::allpairs_jaccard_join — Bayardo et al. 2007):
@@ -9048,6 +9163,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_passage_windows": _q_passage_windows,
     "dd_allpairs_jaccard": _q_allpairs_jaccard,
     "dd_containment_pairs": _q_containment_pairs,
+    "dd_winnow_fingerprints": _q_winnow_fingerprints,
+    "dd_winnow_pairs": _q_winnow_pairs,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
@@ -9305,6 +9422,8 @@ _ORACLES: dict[str, str] = {
     "tx_passage_windows": _SQL_PASSAGE_WINDOWS,
     "dd_allpairs_jaccard": _SQL_ALLPAIRS_JACCARD,
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
+    "dd_winnow_fingerprints": _sql_winnow_fingerprints(),
+    "dd_winnow_pairs": _sql_winnow_pairs(),
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,

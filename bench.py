@@ -147,6 +147,10 @@ HEADLINE = [
     # join + per-(query,doc) agg + per-query rank window (the RAG
     # multi-query retrieval shape; single-query bm25 stays zero-shuffle)
     "tx_bm25_batch",
+    # winnowing overlap pairs: zero-shuffle MOSS fingerprint scan +
+    # distinct + fp-keyed self-join + pair agg (local-guarantee dedup
+    # complement to the minhash/simhash family)
+    "dd_winnow_pairs",
 ]
 
 

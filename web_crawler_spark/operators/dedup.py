@@ -1083,6 +1083,180 @@ def ngram_containment_pairs(
     return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
 
 
+def _winnow_hash(gram: Column) -> Column:
+    """60-bit k-gram hash: md5 prefix as bigint — computable identically in
+    DuckDB (``TRY_CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT)``), so
+    the whole winnowing pipeline is oracle-exact, not just rows-checked."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def _winnow_gram_hashes(toks: Column, k: int) -> Column:
+    """array<bigint> of k-gram hashes for one document's token array."""
+    g = F.size(toks) - k + 1  # number of k-grams
+    return F.when(
+        g >= 1,
+        F.transform(
+            F.sequence(F.lit(0), g - 1),
+            lambda i: _winnow_hash(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: local algorithms for document fingerprinting" — the MOSS
+    algorithm): hash every k-token gram, slide a window of ``w``
+    consecutive gram hashes, and in each window select the minimum hash
+    (rightmost occurrence on ties — the paper's Figure 5 selection rule;
+    the "robust" refinement differs only on equal-hash ties, vanishingly
+    rare at 60 bits). The selected set is a LOCAL fingerprint: any shared
+    substring of at least ``w + k − 1`` tokens between two documents is
+    GUARANTEED to contribute at least one common fingerprint (the paper's
+    correctness property), with expected density 2/(w+1) — unlike MinHash
+    (global, probabilistic) or fixed-stride sampling (alignment-
+    sensitive, no guarantee).
+
+    Returns one row per distinct (document, selected gram): ``(doc_id,
+    pos, fp)`` with ``pos`` the 0-based token offset of the selected
+    k-gram and ``fp`` its 60-bit hash. Documents shorter than ``k``
+    tokens emit nothing; documents with fewer than ``w`` grams are
+    winnowed as a single window.
+
+    Scale shape: the entire selection is per-row array algebra — ZERO
+    shuffles; the output explode carries ~2·tokens/(w+1) slim (int,
+    bigint) rows per doc. This is the scan stage every downstream overlap
+    join feeds from. The gram-hash and per-window-min arrays are
+    materialized as separate PROJECTION columns on purpose: referencing a
+    non-cheap expression from inside transform() lambdas would re-inline
+    (and re-evaluate) the whole upstream array once per window reference
+    — O(grams²·w) md5 work per document (measured 200+ s for 150 docs);
+    CollapseProject keeps multiply-referenced non-cheap columns
+    un-collapsed, so each array is computed exactly once per row.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    toks = T.tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        _winnow_gram_hashes(toks, k).alias("__h"),
+    )
+    h = F.col("__h")
+    ng = F.size(h)
+    wlen = F.least(F.lit(w), ng)  # short docs: whole gram list is one window
+    with_mins = base.withColumn(
+        "__mins",
+        F.when(
+            ng >= 1,
+            F.transform(
+                F.sequence(F.lit(0), ng - wlen),
+                lambda i: F.array_min(F.slice(h, i + 1, wlen)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+    mins = F.col("__mins")
+    sel = F.transform(
+        F.sequence(F.lit(0), F.size(mins) - 1),
+        lambda i: F.struct(
+            F.element_at(
+                F.filter(
+                    F.sequence(i, i + wlen - 1),
+                    lambda j: F.element_at(h, j + 1)
+                    == F.element_at(mins, i + 1),
+                ),
+                -1,
+            ).cast("int").alias("pos"),
+            F.element_at(mins, i + 1).alias("fp"),
+        ),
+    )
+    return (
+        with_mins.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size(mins) >= 1, F.array_distinct(sel)).otherwise(
+                    F.array().cast("array<struct<pos:int,fp:bigint>>")
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_common: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All document pairs sharing ≥ ``min_common`` winnowing fingerprint
+    HASHES — MOSS-style overlap detection: because fingerprints are local
+    (see :func:`winnow_fingerprints`), a copied passage of ≥ w+k−1 tokens
+    registers no matter where it lands in either document, at ~2/(w+1)
+    of the index size of a full k-gram inverted index.
+
+    Plan: fingerprint scan (zero shuffle) → distinct (doc, fp) →
+    fp-keyed self-join → pair agg → per-doc count join for the overlap
+    score ``n_common / min(n_a, n_b)``. The join carries only (doc_id,
+    fp) slim rows. ``max_df`` drops fingerprints shared by more than
+    that many docs before the join — the boilerplate-gram hot-key cap,
+    same discipline as ``ngram_jaccard_pairs``; default None = exact.
+
+    Returns (id_a, id_b, n_common, n_a, n_b, overlap), id_a < id_b.
+    """
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k, w)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= int(max_df))
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    pairs = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= int(min_common))
+    )
+    return (
+        pairs.join(
+            counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_fp", "n_a"),
+            "id_a",
+        )
+        .join(
+            counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_fp", "n_b"),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 6).alias("overlap"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup against a persisted signature index (Broder 1997
 # resemblance sketches; the FineWeb/CCNet ingestion pattern: each crawl
