@@ -3375,6 +3375,86 @@ ORDER BY vec_id, cosine DESC, nb_id
 """
 
 
+def _q_bitext_margin(spark, sf_dir):
+    """Margin-based parallel-text mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix pipeline op): embeddings split into two 'languages' by
+    vec_id parity; each side nominates its best ratio-margin partner over
+    its 4-NN in the other side (margin = cosine over the mean of both
+    neighborhoods' cosines — hubness-corrected); union thresholded at
+    1.05. Neighbor lists, IEEE margin folds, nominations, and the final
+    pair set are all oracle-reproduced exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.filter(F.col("vec_id") % 2 == 0)
+    y = emb.filter(F.col("vec_id") % 2 == 1)
+    return SIM.bitext_margin_pairs(x, y, k=4, threshold=1.05).orderBy(
+        "x_id", "y_id"
+    )
+
+
+def _sql_bitext_margin(k: int = 4, threshold: float = 1.05) -> str:
+    cos = _sql_cosine("a.v", "b.v")
+    return f"""
+WITH xs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0
+),
+ys AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1
+),
+xy AS (
+  SELECT vec_id, nb_id, cosine FROM (
+    SELECT a.vec_id, b.vec_id AS nb_id, ROUND({cos}, 6) AS cosine,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY ROUND({cos}, 6) DESC, b.vec_id) AS rnk
+    FROM xs a JOIN ys b ON TRUE)
+  WHERE rnk <= {k}
+),
+yx AS (
+  SELECT vec_id, nb_id, cosine FROM (
+    SELECT a.vec_id, b.vec_id AS nb_id, ROUND({cos}, 6) AS cosine,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY ROUND({cos}, 6) DESC, b.vec_id) AS rnk
+    FROM ys a JOIN xs b ON TRUE)
+  WHERE rnk <= {k}
+),
+ax AS (
+  SELECT vec_id AS x_id,
+         list_reduce(list(cosine ORDER BY cosine DESC, nb_id),
+                     (p, q) -> p + q) / count(*) AS ax
+  FROM xy GROUP BY vec_id
+),
+ay AS (
+  SELECT vec_id AS y_id,
+         list_reduce(list(cosine ORDER BY cosine DESC, nb_id),
+                     (p, q) -> p + q) / count(*) AS ay
+  FROM yx GROUP BY vec_id
+),
+fwd AS (
+  SELECT x_id, y_id, cosine, margin FROM (
+    SELECT t.vec_id AS x_id, t.nb_id AS y_id, t.cosine,
+           ROUND(t.cosine / ((ax.ax + ay.ay) / 2.0), 6) AS margin,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY ROUND(t.cosine / ((ax.ax + ay.ay) / 2.0), 6) DESC,
+                                       t.nb_id) AS rnk
+    FROM xy t JOIN ax ON ax.x_id = t.vec_id JOIN ay ON ay.y_id = t.nb_id)
+  WHERE rnk = 1
+),
+bwd AS (
+  SELECT x_id, y_id, cosine, margin FROM (
+    SELECT t.nb_id AS x_id, t.vec_id AS y_id, t.cosine,
+           ROUND(t.cosine / ((ax.ax + ay.ay) / 2.0), 6) AS margin,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY ROUND(t.cosine / ((ax.ax + ay.ay) / 2.0), 6) DESC,
+                                       t.nb_id) AS rnk
+    FROM yx t JOIN ax ON ax.x_id = t.nb_id JOIN ay ON ay.y_id = t.vec_id)
+  WHERE rnk = 1
+)
+SELECT DISTINCT x_id, y_id, cosine, margin
+FROM (SELECT * FROM fwd UNION ALL SELECT * FROM bwd)
+WHERE margin >= {threshold}
+ORDER BY x_id, y_id
+"""
+
+
 def _q_ann_pq_trained(spark, sf_dir):
     """PQ ADC top-k over Lloyd's-TRAINED codebooks (per-subspace k-means,
     one fused shuffle per iteration). Rows-only: float mean accumulation
@@ -9120,6 +9200,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
+    "ann_bitext_margin": _q_bitext_margin,
     "ann_knn_join_lsh_md5": _q_knn_join_lsh_md5,
     "ann_ivf_topk_md5": _q_ann_ivf_md5,
     "ann_pq_topk_md5": _q_ann_pq_md5,
@@ -9464,6 +9545,7 @@ _ORACLES: dict[str, str] = {
     "gr_host_graph": _SQL_HOST_GRAPH,
     "ann_lsh_topk_md5": _sql_ann_lsh_md5(),
     "ann_knn_join": _SQL_KNN_JOIN,
+    "ann_bitext_margin": _sql_bitext_margin(),
     "ann_knn_join_lsh_md5": _sql_knn_join_lsh_md5(),
     "ann_ivf_topk_md5": _sql_ann_ivf_md5(),
     "ann_pq_topk_md5": _sql_ann_pq_md5(),

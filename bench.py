@@ -151,6 +151,10 @@ HEADLINE = [
     # distinct + fp-keyed self-join + pair agg (local-guarantee dedup
     # complement to the minhash/simhash family)
     "dd_winnow_pairs",
+    # margin-based bitext mining (LASER/CCMatrix): two k-NN joins + slim
+    # id-keyed margin folds + nomination windows — the multilingual
+    # parallel-corpus miner over the embedding column
+    "ann_bitext_margin",
 ]
 
 

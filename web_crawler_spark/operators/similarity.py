@@ -1065,3 +1065,131 @@ def semdedup(
             F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def _ordered_avg(col_frame: DataFrame, group: str, val: str) -> DataFrame:
+    """Per-group mean of ``val`` accumulated in (val desc, tiebreak asc)
+    order via an explicit array left-fold — NOT ``F.avg`` — so the IEEE
+    summation order is a pure function of the data and a SQL oracle's
+    ``list_reduce`` over the identically-ordered list reproduces it bit
+    for bit. Groups are top-k neighbor lists (k ≤ ~8 rows), so the
+    collect_list per group is bounded tiny."""
+    lst = F.sort_array(F.collect_list(F.struct(
+        (-F.col(val)).alias("nc"), F.col("tb").alias("tb"),
+        F.col(val).alias("c"),
+    )))
+    fold = F.aggregate(
+        F.transform(lst, lambda s: s["c"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return col_frame.groupBy(group).agg(
+        (fold / F.size(lst)).alias("avg_nn")
+    )
+
+
+def bitext_margin_pairs(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    neighbors_xy: DataFrame | None = None,
+    neighbors_yx: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based parallel-text mining (Artetxe & Schwenk 2019,
+    "Margin-based parallel corpus mining with multilingual sentence
+    embeddings" — the LASER / CCMatrix / CCAligned pipeline op): a pair
+    (x, y) is a translation candidate not when its cosine is high in
+    absolute terms but when it is high RELATIVE to each side's
+    neighborhood — the ratio margin
+
+        score(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    where avgNN_k(v) is the mean cosine of v's k nearest neighbors in the
+    OTHER language. This kills hubness: a sentence cosine-close to
+    everything (a hub) has a high denominator and mines nothing.
+
+    Strategy is the paper's "max": each x nominates its best-margin y,
+    each y nominates its best-margin x, the union is thresholded.
+    Mutual nominations appear once (the pair is identical from either
+    direction — margin is symmetric in (x, y)).
+
+    ``id_col`` values must be globally unique across BOTH sides (standard
+    for corpus doc ids).
+
+    Scale shape: the two k-NN joins dominate and are pluggable — pass
+    ``neighbors_xy`` / ``neighbors_yx`` (schema (vec_id, nb_id, cosine),
+    e.g. from :func:`knn_join_lsh`) to swap in the LSH path at 100 TB;
+    the default is the exact :func:`knn_join`. Everything downstream is
+    slim: two per-id avg aggregations (k rows in, 1 out, map-side
+    combinable), id-keyed joins carrying (id, double) rows, and one
+    per-query rank window. No vector column crosses any post-kNN shuffle.
+
+    Returns (x_id, y_id, cosine, margin) with margin >= threshold,
+    rounded to 6.
+    """
+    xy = (
+        neighbors_xy
+        if neighbors_xy is not None
+        else knn_join(y_df, k=k, vec_col=vec_col, id_col=id_col, queries=x_df)
+    )
+    yx = (
+        neighbors_yx
+        if neighbors_yx is not None
+        else knn_join(x_df, k=k, vec_col=vec_col, id_col=id_col, queries=y_df)
+    )
+    xy = xy.select("vec_id", "nb_id", "cosine").localCheckpoint(eager=True)
+    yx = yx.select("vec_id", "nb_id", "cosine").localCheckpoint(eager=True)
+    ax = _ordered_avg(
+        xy.withColumn("tb", F.col("nb_id")), "vec_id", "cosine"
+    ).withColumnRenamed("vec_id", "x_id").withColumnRenamed("avg_nn", "ax")
+    ay = _ordered_avg(
+        yx.withColumn("tb", F.col("nb_id")), "vec_id", "cosine"
+    ).withColumnRenamed("vec_id", "y_id").withColumnRenamed("avg_nn", "ay")
+
+    from pyspark.sql import Window
+
+    fwd = (
+        xy.select(
+            F.col("vec_id").alias("x_id"), F.col("nb_id").alias("y_id"), "cosine"
+        )
+        .join(ax, "x_id")
+        .join(ay, "y_id")
+        .withColumn(
+            "margin",
+            F.round(F.col("cosine") / ((F.col("ax") + F.col("ay")) / 2.0), 6),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+    )
+    bwd = (
+        yx.select(
+            F.col("nb_id").alias("x_id"), F.col("vec_id").alias("y_id"), "cosine"
+        )
+        .join(ax, "x_id")
+        .join(ay, "y_id")
+        .withColumn(
+            "margin",
+            F.round(F.col("cosine") / ((F.col("ax") + F.col("ay")) / 2.0), 6),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+    )
+    return (
+        fwd.select("x_id", "y_id", "cosine", "margin")
+        .unionByName(bwd.select("x_id", "y_id", "cosine", "margin"))
+        .distinct()
+        .filter(F.col("margin") >= float(threshold))
+    )
