@@ -5279,6 +5279,65 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_winnow_spans(spark, sf_dir):
+    """Shared-passage SPAN extraction (the MOSS report stage): winnowing
+    fingerprint matches on the same alignment diagonal chained into
+    maximal spans with token offsets in BOTH documents; the planted
+    boilerplate passage must surface as one span per planted pair. The
+    full chain — selection algebra, fp match join, gaps-and-islands — is
+    oracle-replayed exactly."""
+    from web_crawler_spark.operators.dedup import winnow_shared_spans
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" " + _WINNOW_BOILER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return winnow_shared_spans(
+        d, k=_WINNOW_K, w=_WINNOW_W, min_fps=2
+    ).orderBy("id_a", "id_b", "start_a", "start_b")
+
+
+def _sql_winnow_spans() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    src = (
+        "SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
+        f"text || ' {_WINNOW_BOILER}' ELSE text END AS text "
+        "FROM documents WHERE doc_id < 150"
+    )
+    parts = _winnow_sql_parts(src, k, w)
+    return f"""
+WITH {parts},
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+seg AS (
+  SELECT *, CASE WHEN pos_a - lag(pos_a) OVER (
+      PARTITION BY id_a, id_b, diag ORDER BY pos_a) > {w}
+    THEN 1 ELSE 0 END AS nw
+  FROM m
+),
+isl AS (
+  SELECT *, SUM(nw) OVER (
+      PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS sg
+  FROM seg
+)
+SELECT id_a, id_b,
+       CAST(min(pos_a) AS INT) AS start_a,
+       CAST(max(pos_a) + {k} - 1 AS INT) AS end_a,
+       CAST(min(pos_b) AS INT) AS start_b,
+       CAST(max(pos_b) + {k} - 1 AS INT) AS end_b,
+       count(*) AS n_fps
+FROM isl GROUP BY id_a, id_b, diag, sg
+HAVING count(*) >= 2
+ORDER BY id_a, id_b, start_a, start_b
+"""
+
+
 def _q_allpairs_jaccard(spark, sf_dir):
     """Exact all-pairs Jaccard join with lossless prefix filtering
     (operators/dedup.py::allpairs_jaccard_join — Bayardo et al. 2007):
@@ -9246,6 +9305,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_containment_pairs": _q_containment_pairs,
     "dd_winnow_fingerprints": _q_winnow_fingerprints,
     "dd_winnow_pairs": _q_winnow_pairs,
+    "dd_winnow_spans": _q_winnow_spans,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
@@ -9505,6 +9565,7 @@ _ORACLES: dict[str, str] = {
     "dd_containment_pairs": _SQL_CONTAINMENT_PAIRS,
     "dd_winnow_fingerprints": _sql_winnow_fingerprints(),
     "dd_winnow_pairs": _sql_winnow_pairs(),
+    "dd_winnow_spans": _sql_winnow_spans(),
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,

@@ -137,3 +137,67 @@ def test_fingerprint_scan_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
     plan = winnow_fingerprints(df, k=3, w=3)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _spans(spark, rows, **kw):
+    from web_crawler_spark.operators.dedup import winnow_shared_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return winnow_shared_spans(df, **kw).collect()
+
+
+def test_shared_span_offsets(spark):
+    """A passage planted at KNOWN token offsets in both docs yields one
+    span per pair whose bounds sit inside the passage and cover its
+    interior (edges may lose up to ~w+k tokens to context-dependent
+    window minima)."""
+    k, w = 3, 3
+    run = " ".join(f"s{i * 7 % 23}x{i}" for i in range(30))  # 30 tokens
+    pre_a = "a1 a2 a3 a4 a5"          # run starts at token 5 in doc 1
+    pre_b = "b1 b2 b3 b4 b5 b6 b7 b8"  # run starts at token 8 in doc 2
+    rows = [
+        (1, pre_a + " " + run + " a6 a7"),
+        (2, pre_b + " " + run + " b9"),
+    ]
+    got = _spans(spark, rows, k=k, w=w, min_fps=2)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # diagonal = 5 - 8 = -3 throughout the run
+    assert r["start_a"] - r["start_b"] == -3
+    assert r["end_a"] - r["end_b"] == -3
+    # bounds inside the planted run, interior covered
+    assert 5 <= r["start_a"] <= 5 + (w + k)
+    assert 5 + 30 - 1 - (w + k) <= r["end_a"] <= 5 + 30 - 1
+    assert r["n_fps"] >= 2
+
+
+def test_two_disjoint_passages_two_spans(spark):
+    k, w = 3, 3
+    run1 = " ".join(f"p{i * 5 % 17}q{i}" for i in range(20))
+    run2 = " ".join(f"r{i * 11 % 19}s{i}" for i in range(20))
+    rows = [
+        (1, run1 + " gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9 " + run2),
+        (2, run1 + " other filler words entirely different here now " + run2),
+    ]
+    got = _spans(spark, rows, k=k, w=w, min_fps=2)
+    # the two runs sit on different diagonals only if prefixes differ —
+    # here both docs start with run1 so diag 0 holds for both runs, but
+    # the ~9-token unshared gap (> w) splits the chain into two islands
+    assert len(got) >= 2
+    starts = sorted(r["start_a"] for r in got)
+    assert starts[0] < 20 <= starts[-1]
+
+
+def test_min_fps_filters_singletons(spark):
+    k, w = 3, 3
+    run = "shared common tokens here now"  # 5 tokens: w+k-1 guarantee only
+    rows = [
+        (1, "unique aa bb cc " + run),
+        (2, run + " dd ee ff other"),
+    ]
+    loose = _spans(spark, rows, k=k, w=w, min_fps=1)
+    tight = _spans(spark, rows, k=k, w=w, min_fps=4)
+    assert len(loose) >= 1
+    assert all(r["n_fps"] >= 4 for r in tight)
+    assert len(tight) <= len(loose)

@@ -1257,6 +1257,92 @@ def winnow_overlap_pairs(
     )
 
 
+def winnow_shared_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    max_gap: int | None = None,
+    min_fps: int = 2,
+) -> DataFrame:
+    """Shared-passage SPAN extraction — the MOSS report stage on top of
+    :func:`winnow_fingerprints`: fingerprint matches between two documents
+    that sit on the same alignment diagonal (``pos_a − pos_b`` constant)
+    and within ``max_gap`` tokens of the previous match chain into one
+    maximal span, yielding the actual copied-passage offsets in BOTH
+    documents rather than a bag of shared hashes. Inside a genuinely
+    shared run, any w consecutive grams sufficiently far from the run's
+    edges form identical windows in both documents, so both select the
+    same minimum — matched selections are at most ``w`` positions apart,
+    which is the principled ``max_gap`` default.
+
+    Plan: zero-shuffle fingerprint scan → fp-keyed equi-self-join
+    (slim (doc, pos, fp) rows) → ONE window keyed by
+    (id_a, id_b, diagonal) doing the gaps-and-islands chain (lag +
+    running sum) → per-island agg. Every shuffle is keyed by pair ids —
+    nothing quadratic beyond the fingerprint matches themselves, which
+    ``max_df``-style caps on the caller's fingerprint frame bound at
+    corpus scale.
+
+    Returns (id_a, id_b, start_a, end_a, start_b, end_b, n_fps) with
+    id_a < id_b, END offsets inclusive of the final k-gram's last token,
+    only spans backed by >= ``min_fps`` matched fingerprints.
+    """
+    from pyspark.sql import Window
+
+    if max_gap is None:
+        max_gap = w
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k, w)
+        .localCheckpoint(eager=True)
+    )
+    m = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    wo = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    seg = (
+        m.withColumn(
+            "__new",
+            F.when(
+                F.col("pos_a") - F.lag("pos_a").over(wo) > int(max_gap), 1
+            ).otherwise(0),
+        )
+        .withColumn("__seg", F.sum("__new").over(wo))
+    )
+    return (
+        seg.groupBy("id_a", "id_b", "diag", "__seg")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.max("pos_a") + k - 1).alias("end_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_b") + k - 1).alias("end_b"),
+            F.count(F.lit(1)).alias("n_fps"),
+        )
+        .filter(F.col("n_fps") >= int(min_fps))
+        .select(
+            "id_a", "id_b",
+            F.col("start_a").cast("int").alias("start_a"),
+            F.col("end_a").cast("int").alias("end_a"),
+            F.col("start_b").cast("int").alias("start_b"),
+            F.col("end_b").cast("int").alias("end_b"),
+            F.col("n_fps").cast("long").alias("n_fps"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup against a persisted signature index (Broder 1997
 # resemblance sketches; the FineWeb/CCNet ingestion pattern: each crawl
