@@ -5338,6 +5338,193 @@ ORDER BY id_a, id_b, start_a, start_b
 """
 
 
+def _jsonld_pages(spark, sf_dir):
+    """Synthetic pages with embedded schema.org JSON-LD: every doc_id%3==0
+    page declares an Article/Product record (headline + wordCount from the
+    doc's real token count), doc_id%15==0 adds a second async block, and
+    doc_id%21==0 plants a MALFORMED payload that must null-out, not fail."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    block = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@type":"'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Article")).otherwise(
+            F.lit("Product")
+        ),
+        F.lit('","headline":"Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('","wordCount":'),
+        n_tok.cast("string"),
+        F.lit("}</script>"),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.col("doc_id") % 3 == 0, block).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 15 == 0,
+            F.lit('<script type="application/ld+json" async>'
+                  '{"@type":"BreadcrumbList"}</script>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 21 == 0,
+            F.lit('<script type="application/ld+json">{oops</script>'),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>page</body></html>"),
+    )
+    return d.select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+
+
+_JSONLD_PAGES_SQL = """
+  SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<html><head>'
+         || CASE WHEN doc_id % 3 = 0 THEN
+              '<script type="application/ld+json">{"@context":"https://schema.org","@type":"'
+              || CASE WHEN doc_id % 2 = 0 THEN 'Article' ELSE 'Product' END
+              || '","headline":"Doc ' || CAST(doc_id AS VARCHAR)
+              || '","wordCount":'
+              || CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS VARCHAR)
+              || '}</script>'
+            ELSE '' END
+         || CASE WHEN doc_id % 15 = 0 THEN
+              '<script type="application/ld+json" async>{"@type":"BreadcrumbList"}</script>'
+            ELSE '' END
+         || CASE WHEN doc_id % 21 = 0 THEN
+              '<script type="application/ld+json">{oops</script>'
+            ELSE '' END
+         || '</head><body>page</body></html>' AS html
+  FROM documents WHERE doc_id < 400
+"""
+
+
+def _q_jsonld_extract(spark, sf_dir):
+    """schema.org JSON-LD record extraction (the Web Data Commons workload
+    over Common Crawl): ld+json script blocks isolated by an RE2-portable
+    regexp, @type/headline/wordCount pulled by JSON path; malformed
+    payloads null out instead of failing the stage. Pure column
+    projection — zero shuffle."""
+    from web_crawler_spark.plans.structured import jsonld_records
+
+    pages = _jsonld_pages(spark, sf_dir)
+    return (
+        jsonld_records(
+            pages,
+            fields={"headline": "$.headline", "word_count": "$.wordCount"},
+        )
+        .select(
+            "url",
+            F.col("block_idx").cast("int").alias("block_idx"),
+            "rtype",
+            "headline",
+            F.col("word_count").cast("long").alias("word_count"),
+        )
+        .orderBy("url", "block_idx")
+    )
+
+
+def _sql_jsonld_extract() -> str:
+    return f"""
+WITH pages AS ({_JSONLD_PAGES_SQL}),
+blocks AS (
+  SELECT url, unnest(b) AS json,
+         unnest(range(0, len(b))) AS block_idx
+  FROM (
+    SELECT url, regexp_extract_all(html,
+      '(?s)<script[^>]*type="application/ld\\+json"[^>]*>(.*?)</script>', 1) AS b
+    FROM pages)
+)
+SELECT url, CAST(block_idx AS INT) AS block_idx,
+       CASE WHEN json_valid(json)
+            THEN json_extract_string(json, '$."@type"') END AS rtype,
+       CASE WHEN json_valid(json)
+            THEN json_extract_string(json, '$.headline') END AS headline,
+       CAST(CASE WHEN json_valid(json)
+            THEN json_extract_string(json, '$.wordCount') END AS BIGINT)
+         AS word_count
+FROM blocks
+ORDER BY url, block_idx
+"""
+
+
+def _q_opengraph_tags(spark, sf_dir):
+    """OpenGraph <meta> tag extraction, attribute-order-independent: tags
+    isolated whole, property/content pulled per-tag — so content-first
+    order parses identically; non-og metas and property-only tags drop.
+    Pure column projection, zero shuffle."""
+    from web_crawler_spark.plans.structured import opengraph_tags
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    html = F.concat(
+        F.lit('<head><meta charset="utf-8">'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="T'),
+                F.col("doc_id").cast("string"), F.lit('">'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<meta content="D'),
+                F.col("doc_id").cast("string"),
+                F.lit('" property="og:description">'),
+            )
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<meta name="viewport" content="width=device-width">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit('<meta property="og:locale">')
+        ).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://m.example/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return opengraph_tags(pages).orderBy("url", "prop")
+
+
+def _sql_opengraph_tags() -> str:
+    return """
+WITH pages AS (
+  SELECT 'https://m.example/' || CAST(doc_id AS VARCHAR) AS url,
+         '<head><meta charset="utf-8">'
+         || CASE WHEN doc_id % 2 = 0 THEN
+              '<meta property="og:title" content="T' || CAST(doc_id AS VARCHAR) || '">'
+            ELSE
+              '<meta content="D' || CAST(doc_id AS VARCHAR) || '" property="og:description">'
+            END
+         || CASE WHEN doc_id % 5 = 0 THEN
+              '<meta name="viewport" content="width=device-width">' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN
+              '<meta property="og:locale">' ELSE '' END
+         || '</head>' AS html
+  FROM documents WHERE doc_id < 400
+),
+tags AS (
+  SELECT url, unnest(regexp_extract_all(html, '(?s)<meta\\s[^>]*>', 0)) AS tag
+  FROM pages
+)
+SELECT url,
+       regexp_extract(tag, 'property="([^"]+)"', 1) AS prop,
+       regexp_extract(tag, 'content="([^"]*)"', 1) AS content
+FROM tags
+WHERE regexp_extract(tag, 'property="([^"]+)"', 1) LIKE 'og:%'
+  AND regexp_matches(tag, 'content="')
+ORDER BY url, prop
+"""
+
+
 def _q_allpairs_jaccard(spark, sf_dir):
     """Exact all-pairs Jaccard join with lossless prefix filtering
     (operators/dedup.py::allpairs_jaccard_join — Bayardo et al. 2007):
@@ -9306,6 +9493,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_winnow_fingerprints": _q_winnow_fingerprints,
     "dd_winnow_pairs": _q_winnow_pairs,
     "dd_winnow_spans": _q_winnow_spans,
+    "x_jsonld_extract": _q_jsonld_extract,
+    "x_opengraph_tags": _q_opengraph_tags,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
@@ -9566,6 +9755,8 @@ _ORACLES: dict[str, str] = {
     "dd_winnow_fingerprints": _sql_winnow_fingerprints(),
     "dd_winnow_pairs": _sql_winnow_pairs(),
     "dd_winnow_spans": _sql_winnow_spans(),
+    "x_jsonld_extract": _sql_jsonld_extract(),
+    "x_opengraph_tags": _sql_opengraph_tags(),
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,
