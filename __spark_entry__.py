@@ -5525,6 +5525,91 @@ ORDER BY url, prop
 """
 
 
+def _q_dust_rules(spark, sf_dir):
+    """DUST alias-rule mining (Bar-Yossef et al. 2007): three planted
+    alias families over a synthetic URL table ('/index.html' suffix,
+    'www.' host prefix, '?print=1' param) must factor into exactly those
+    substitution rules with exact witness supports; the star pairing,
+    zip_with prefix/suffix factoring, and support counts are all
+    oracle-replayed."""
+    from web_crawler_spark.operators.urlfilter import dust_rules
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 360)
+    base = d.select(
+        F.col("doc_id").alias("fingerprint"),
+        F.concat(F.lit("https://ex.com/p/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+    )
+    a1 = base.filter(F.col("fingerprint") % 3 == 0).select(
+        "fingerprint", F.concat("url", F.lit("/index.html")).alias("url")
+    )
+    a2 = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("fingerprint"),
+        F.concat(
+            F.lit("https://www.ex.com/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    a3 = base.filter(F.col("fingerprint") % 5 == 0).select(
+        "fingerprint", F.concat("url", F.lit("?print=1")).alias("url")
+    )
+    urls = base.unionByName(a1).unionByName(a2).unionByName(a3)
+    return dust_rules(urls, min_support=3).orderBy(
+        F.desc("support"), "alpha", "beta"
+    )
+
+
+_SQL_DUST_RULES = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 360),
+base AS (
+  SELECT doc_id AS fp,
+         'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM docs
+),
+urls AS (
+  SELECT * FROM base
+  UNION ALL SELECT fp, url || '/index.html' FROM base WHERE fp % 3 = 0
+  UNION ALL SELECT doc_id AS fp,
+    'https://www.ex.com/p/' || CAST(doc_id AS VARCHAR) FROM docs
+    WHERE doc_id % 4 = 0
+  UNION ALL SELECT fp, url || '?print=1' FROM base WHERE fp % 5 = 0
+),
+mn AS (SELECT fp, min(url) AS v FROM urls GROUP BY fp),
+pairs AS (
+  SELECT u.url AS u, m.v FROM urls u
+  JOIN mn m ON u.fp = m.fp AND u.url <> m.v
+),
+fac AS (
+  SELECT u, v, least(length(u), length(v)) AS n,
+    coalesce(list_filter(range(1, least(length(u), length(v)) + 1),
+      i -> substr(u, CAST(i AS INT), 1) <> substr(v, CAST(i AS INT), 1))[1],
+      0) AS pm,
+    coalesce(list_filter(range(1, least(length(u), length(v)) + 1),
+      i -> substr(reverse(u), CAST(i AS INT), 1)
+           <> substr(reverse(v), CAST(i AS INT), 1))[1], 0) AS sm
+  FROM pairs
+),
+r AS (
+  SELECT u, v,
+    CASE WHEN pm > 0 THEN pm - 1 ELSE n END AS lcp,
+    least(CASE WHEN sm > 0 THEN sm - 1 ELSE n END,
+          n - (CASE WHEN pm > 0 THEN pm - 1 ELSE n END)) AS lcs
+  FROM fac
+),
+rules AS (
+  SELECT substr(u, CAST(lcp + 1 AS INT),
+                CAST(length(u) - lcp - lcs AS INT)) AS alpha,
+         substr(v, CAST(lcp + 1 AS INT),
+                CAST(length(v) - lcp - lcs AS INT)) AS beta
+  FROM r
+)
+SELECT alpha, beta, count(*) AS support
+FROM rules
+WHERE length(alpha) <= 40 AND length(beta) <= 40
+GROUP BY alpha, beta HAVING count(*) >= 3
+ORDER BY support DESC, alpha, beta
+"""
+
+
 def _q_allpairs_jaccard(spark, sf_dir):
     """Exact all-pairs Jaccard join with lossless prefix filtering
     (operators/dedup.py::allpairs_jaccard_join — Bayardo et al. 2007):
@@ -9495,6 +9580,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_winnow_spans": _q_winnow_spans,
     "x_jsonld_extract": _q_jsonld_extract,
     "x_opengraph_tags": _q_opengraph_tags,
+    "url_dust_rules": _q_dust_rules,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
@@ -9757,6 +9843,7 @@ _ORACLES: dict[str, str] = {
     "dd_winnow_spans": _sql_winnow_spans(),
     "x_jsonld_extract": _sql_jsonld_extract(),
     "x_opengraph_tags": _sql_opengraph_tags(),
+    "url_dust_rules": _SQL_DUST_RULES,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,

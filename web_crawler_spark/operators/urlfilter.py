@@ -358,3 +358,80 @@ def soft_404_flags(
         (status_200 & error_url).alias("flag_error_url"),
         (status_200 & (error_text | (thin & error_url))).alias("soft_404"),
     )
+
+
+def _first_mismatch(u, v):
+    """1-based index of the first differing character of two strings as a
+    Column; 0 when one is a prefix of the other. zip_with pads the shorter
+    side with NULL, and ``when(a == b, 0)`` on a NULL comparison falls to
+    the mismatch branch — exactly the prefix-boundary semantics needed."""
+    eq = F.zip_with(
+        F.split(u, ""),
+        F.split(v, ""),
+        lambda a, b: F.when(a == b, 0).otherwise(1),
+    )
+    return F.array_position(eq, 1)
+
+
+def dust_rules(
+    df: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fingerprint",
+    min_support: int = 3,
+    max_rule_len: int = 40,
+) -> DataFrame:
+    """DUST alias-rule mining (Bar-Yossef, Keidar & Schonfeld 2007, "Do
+    not crawl in the DUST: different URLs with similar text"): URLs that
+    serve the SAME content fingerprint witness a substitution rule — the
+    pair's longest common prefix and suffix are stripped and what differs
+    in the middle is the rule (``'/index.html' → ''``, ``'www.' → ''``,
+    ``'?print=1' → ''`` …). Rules backed by ≥ ``min_support`` independent
+    witness pairs generalize: a crawler applies them BEFORE fetching,
+    collapsing alias families it has never seen.
+
+    Scale shape: pairs are generated by the STAR pattern — each duplicate
+    joins only its fingerprint group's minimum URL (one fp-keyed shuffle,
+    linear output), never all-pairs within a group, so a 10^6-alias hot
+    fingerprint costs 10^6 rows, not 10^12. The per-pair prefix/suffix
+    factoring is pure column algebra (zip_with over char arrays); the
+    rule aggregation is a map-side-combinable count keyed by the rule
+    itself.
+
+    Rules are directed dup → canonical (toward the group minimum, the
+    same canonical-election convention as ``dedup.keep_canonical``).
+    Returns (alpha, beta, support): rewrite alpha to beta. Rules longer
+    than ``max_rule_len`` on either side are dropped (junk factorizations
+    of unrelated URL pairs).
+    """
+    mn = df.groupBy(F.col(fp_col).alias("__fp")).agg(
+        F.min(url_col).alias("__canon")
+    )
+    pairs = (
+        df.select(F.col(url_col).alias("__u"), F.col(fp_col).alias("__fp"))
+        .join(mn, "__fp")
+        .filter(F.col("__u") != F.col("__canon"))
+        .select(F.col("__u").alias("u"), F.col("__canon").alias("v"))
+    )
+    n = F.least(F.length("u"), F.length("v"))
+    p_pos = _first_mismatch(F.col("u"), F.col("v"))
+    lcp = F.when(p_pos > 0, p_pos - 1).otherwise(n)
+    s_pos = _first_mismatch(F.reverse(F.col("u")), F.reverse(F.col("v")))
+    lcs_raw = F.when(s_pos > 0, s_pos - 1).otherwise(n)
+    lcs = F.least(lcs_raw, n - lcp)
+    factored = pairs.select(
+        F.col("u").substr(
+            (lcp + 1).cast("int"), (F.length("u") - lcp - lcs).cast("int")
+        ).alias("alpha"),
+        F.col("v").substr(
+            (lcp + 1).cast("int"), (F.length("v") - lcp - lcs).cast("int")
+        ).alias("beta"),
+    )
+    return (
+        factored.filter(
+            (F.length("alpha") <= max_rule_len)
+            & (F.length("beta") <= max_rule_len)
+        )
+        .groupBy("alpha", "beta")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )
