@@ -8253,6 +8253,83 @@ ORDER BY trust DESC, node""")
     return "".join(parts)
 
 
+def _q_spam_mass(spark, sf_dir):
+    """Spam mass (Gyöngyi et al. 2006): fraction of each host's PageRank
+    NOT flowing from the trusted core {h0, h1} — the link-farm detector.
+    Oracle unrolls BOTH certified power iterations (uniform-teleport
+    PageRank and seed-personalized TrustRank) side by side in one CTE
+    chain and replays the mass algebra on the rounded outputs."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = G.host_graph(_host_edges(spark, sf_dir))
+    seeds = spark.createDataFrame([("h0.com",), ("h1.com",)], "node string")
+    return G.spam_mass(edges, seeds, iterations=10).orderBy(
+        F.desc("rel_mass"), "node"
+    )
+
+
+def _spam_mass_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """PageRank and TrustRank chains unrolled in parallel (pr*/tr* CTE
+    prefixes), then the spam-mass algebra of operators/graph.py::spam_mass
+    on the rounded fixpoints (k = 2 effective seeds, n from the graph)."""
+    d = repr(damping)
+    head = f"""
+WITH {_SQL_HOST_EDGES_E},
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+trans AS (
+  SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM e
+),
+sv AS (
+  SELECT node,
+         CASE WHEN node IN ('h0.com', 'h1.com') THEN 0.5::DOUBLE
+              ELSE 0.0::DOUBLE END AS s
+  FROM nodes
+),
+pr0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
+tr0 AS (SELECT node, s AS trust FROM sv)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+pc{i} AS MATERIALIZED (
+  SELECT t.dst, SUM(t.p * r.rank) AS inflow
+  FROM trans t JOIN pr{i-1} r ON t.src = r.node GROUP BY t.dst
+),
+pf{i} AS MATERIALIZED (SELECT COALESCE(SUM(inflow), 0.0) AS flowed FROM pc{i}),
+pr{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0 - {d}) + {d} * ((nn.n - pf{i}.flowed) / nn.n)
+           + {d} * COALESCE(c.inflow, 0.0) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN pf{i}
+  LEFT JOIN pc{i} c ON c.dst = n.node
+),
+tc{i} AS MATERIALIZED (
+  SELECT t.dst, SUM(t.p * r.trust) AS inflow
+  FROM trans t JOIN tr{i-1} r ON t.src = r.node GROUP BY t.dst
+),
+tf{i} AS MATERIALIZED (SELECT COALESCE(SUM(inflow), 0.0) AS flowed FROM tc{i}),
+tr{i} AS MATERIALIZED (
+  SELECT v.node,
+         (1.0 - {d}) * v.s
+           + {d} * (COALESCE(c.inflow, 0.0) + (1.0 - tf{i}.flowed) * v.s)
+           AS trust
+  FROM sv v CROSS JOIN tf{i}
+  LEFT JOIN tc{i} c ON c.dst = v.node
+)""")
+    parts.append(f""",
+fin AS (
+  SELECT p.node, ROUND(p.rank, 6) AS rank, ROUND(t.trust, 6) AS trust
+  FROM pr{iterations} p JOIN tr{iterations} t ON p.node = t.node
+)
+SELECT node, rank, trust,
+       ROUND((rank - trust * 2.0) / nn.n, 6) AS mass,
+       CASE WHEN rank > 0
+            THEN ROUND(1.0 - trust * 2.0 / rank, 6) END AS rel_mass
+FROM fin CROSS JOIN nn
+ORDER BY rel_mass DESC, node""")
+    return "".join(parts)
+
+
 def _q_host_hits(spark, sf_dir):
     """HITS hubs/authorities over the host graph (operators/graph.hits) -
     L1-normalized power iteration, oracle-checked by unrolling the 10
@@ -9557,6 +9634,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_canonical_dedup": _q_canonical_dedup,
     "f3_politeness_per_host_delay": _q_politeness_per_host_delay,
     "gr_host_trustrank": _q_host_trustrank,
+    "gr_spam_mass": _q_spam_mass,
     "tx_phrase_match": _q_phrase_match,
     "url_dust_params": _q_dust_params,
     "dd_mirror_hosts": _q_mirror_hosts,
@@ -9820,6 +9898,7 @@ _ORACLES: dict[str, str] = {
     "gr_domain_pagerank": _pagerank_sql(edges_with=_SQL_DOMAIN_PAGERANK_EDGES),
     "gr_host_hits": _hits_sql(),
     "gr_host_trustrank": _trustrank_sql(),
+    "gr_spam_mass": _spam_mass_sql(),
     "tx_phrase_match": _SQL_PHRASE_MATCH,
     "url_dust_params": _SQL_DUST_PARAMS,
     "dd_mirror_hosts": _SQL_MIRROR_HOSTS,

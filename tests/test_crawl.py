@@ -550,6 +550,42 @@ def test_trustrank_seed_edge_cases(spark):
     assert got["b.com"] > 0.9 and got["a.com"] == 0.0
 
 
+def test_spam_mass_flags_link_farm(spark):
+    """Relative spam mass (Gyöngyi et al. 2006): a farm pumping rank among
+    itself with no path from the trusted core reads rel_mass 1.0; the
+    core-endorsed chain reads low; the mass identity holds row-for-row."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("seed.com", "good.com", 5), ("good.com", "article.com", 3),
+         ("spam1.com", "spam2.com", 9), ("spam2.com", "spam3.com", 9),
+         ("spam3.com", "spam1.com", 9), ("spam1.com", "good.com", 1)],
+        ["src_host", "dst_host", "n_links"],
+    )
+    seeds = spark.createDataFrame([("seed.com",)], "node string")
+    rows = G.spam_mass(edges, seeds, iterations=20).collect()
+    got = {r["node"]: r for r in rows}
+    n, k = len(got), 1
+    for r in rows:
+        assert r["mass"] == round((r["rank"] - r["trust"] * k) / n, 6)
+    for s in ("spam1.com", "spam2.com", "spam3.com"):
+        assert got[s]["rel_mass"] == 1.0        # zero trust, all mass spam
+    assert got["good.com"]["rel_mass"] < got["spam1.com"]["rel_mass"]
+    assert got["seed.com"]["rel_mass"] < got["good.com"]["rel_mass"]
+
+
+def test_spam_mass_no_effective_seeds(spark):
+    """No trusted core in the graph: every node's rank is all spam mass."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com", 1)], ["src_host", "dst_host", "n_links"]
+    )
+    ghost = spark.createDataFrame([("nowhere.com",)], "node string")
+    rows = G.spam_mass(edges, ghost).collect()
+    assert all(r["trust"] == 0.0 and r["rel_mass"] == 1.0 for r in rows)
+
+
 def test_host_report(spark):
     from web_crawler_spark.operators import aggregate as A
 

@@ -762,3 +762,64 @@ def domain_graph(
         .groupBy("src_site", "dst_site")
         .agg(F.sum("__w").alias(weight_col))
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = "n_links",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Spam mass (Gyöngyi, Garcia-Molina & Pedersen 2006, "Link spam
+    detection based on mass estimation"): the fraction of a node's
+    PageRank that does NOT flow from a trusted core. With p = PR/n (the
+    unit-normalized PageRank) and p' = the core's PageRank contribution —
+    TrustRank with teleport uniform over k seeds, rescaled by k/n so the
+    seed teleport weight matches PageRank's 1/n per node —
+
+        mass     = p − p'            = (rank − trust·k) / n
+        rel_mass = 1 − trust·k/rank  (the paper's relative mass m̂)
+
+    rel_mass ≈ 1 flags link farms: rank earned, none of it reachable from
+    the trusted core. rel_mass ≤ 0 marks nodes whose core-derived flow
+    meets or exceeds their total rank (seeds themselves, core-adjacent).
+
+    Composition of the two certified power iterations — both already
+    lineage-checkpointed, slim-keyed, and rounded; this adds one id-keyed
+    join and pure column algebra on their (node, double) outputs, so the
+    scale story is exactly pagerank's + trustrank's. Returns
+    (node, rank, trust, mass, rel_mass) rounded to 6.
+    """
+    pr = pagerank(edges, iterations, damping, src_col, dst_col, weight_col)
+    tr = trustrank(
+        edges, seeds, iterations, damping, src_col, dst_col, weight_col,
+        seed_col,
+    )
+    pr = pr.localCheckpoint(eager=True)
+    n = pr.count()
+    if n == 0:
+        return pr.select(
+            "node", "rank", F.lit(0.0).alias("trust"),
+            F.lit(0.0).alias("mass"), F.lit(None).cast("double").alias("rel_mass"),
+        )
+    k = (
+        seeds.select(F.col(seed_col).alias("node")).distinct()
+        .join(pr.select("node"), "node")
+        .count()
+    )
+    return pr.join(tr, "node").select(
+        "node",
+        "rank",
+        "trust",
+        F.round(
+            (F.col("rank") - F.col("trust") * float(k)) / float(n), 6
+        ).alias("mass"),
+        F.when(
+            F.col("rank") > 0,
+            F.round(1.0 - F.col("trust") * float(k) / F.col("rank"), 6),
+        ).alias("rel_mass"),
+    )
