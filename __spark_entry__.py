@@ -5610,6 +5610,113 @@ ORDER BY support DESC, alpha, beta
 """
 
 
+def _q_readability(spark, sf_dir):
+    """Flesch reading-ease gate (Flesch 1948): words/sentences/vowel-group
+    syllables as deterministic column proxies, the classic readability
+    formula on top; zero-shuffle projection, every count and the rounded
+    score oracle-replayed."""
+    from web_crawler_spark.operators.corpus import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+_SQL_READABILITY = r"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN trim(lower(text)) = '' THEN 0
+         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_words,
+    greatest(len(regexp_extract_all(lower(text), '[.!?]+', 0)), 1)
+      AS n_sentences,
+    len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+         ROUND(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+               6) END AS flesch
+FROM base ORDER BY doc_id
+"""
+
+
+def _q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth in ONE pass: a term enters the
+    vocabulary at its min doc_id, so the curve is a cumulative sum of
+    per-doc first-occurrence counts — no per-prefix rescans. Exact oracle
+    over the full curve."""
+    from web_crawler_spark.operators.corpus import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_SQL_VOCAB_GROWTH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+first AS (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term),
+npd AS (SELECT first_doc AS doc_id, count(*) AS new_terms FROM first GROUP BY 1),
+tpd AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1)
+SELECT t.doc_id,
+       CAST(coalesce(n.new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(SUM(coalesce(n.new_terms, 0)) OVER (ORDER BY t.doc_id) AS BIGINT)
+         AS vocab_size,
+       CAST(SUM(t.n_tokens) OVER (ORDER BY t.doc_id) AS BIGINT) AS cum_tokens
+FROM tpd t LEFT JOIN npd n ON n.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def _q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency OLS fit over the top-500 terms: slope ≈ −1 on
+    natural text, deviations flag boilerplate floods / generated spam.
+    The OLS sums are rank-ordered IEEE folds, so slope/intercept/r2 are
+    oracle-exact, not approximately-equal."""
+    from web_crawler_spark.operators.corpus import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), max_rank=500)
+
+
+_SQL_ZIPF_FIT = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+freqs AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+ranked AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y, rank
+  FROM (
+    SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+    FROM freqs)
+  WHERE rank BETWEEN 1 AND 500
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(count(*) AS BIGINT) AS n_ranks,
+         list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+         list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+         list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx,
+         list_reduce(list(y * y ORDER BY rank), (a, b) -> a + b) AS syy,
+         list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy
+  FROM ranked
+)
+SELECT n_ranks,
+       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+       ROUND((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 6)
+         AS intercept,
+       ROUND(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+FROM s
+"""
+
+
 def _q_allpairs_jaccard(spark, sf_dir):
     """Exact all-pairs Jaccard join with lossless prefix filtering
     (operators/dedup.py::allpairs_jaccard_join — Bayardo et al. 2007):
@@ -9659,6 +9766,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_jsonld_extract": _q_jsonld_extract,
     "x_opengraph_tags": _q_opengraph_tags,
     "url_dust_rules": _q_dust_rules,
+    "tx_readability": _q_readability,
+    "tx_vocab_growth": _q_vocab_growth,
+    "tx_zipf_fit": _q_zipf_fit,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
@@ -9923,6 +10033,9 @@ _ORACLES: dict[str, str] = {
     "x_jsonld_extract": _sql_jsonld_extract(),
     "x_opengraph_tags": _sql_opengraph_tags(),
     "url_dust_rules": _SQL_DUST_RULES,
+    "tx_readability": _SQL_READABILITY,
+    "tx_vocab_growth": _SQL_VOCAB_GROWTH,
+    "tx_zipf_fit": _SQL_ZIPF_FIT,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,

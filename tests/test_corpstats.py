@@ -1,0 +1,81 @@
+"""Corpus-statistics operators: Flesch readability, Heaps vocabulary
+growth, Zipf rank-frequency OLS fit — hand-checked counts, invariants,
+and exact differential parity with a pure-Python left-fold OLS."""
+
+import math
+
+from web_crawler_spark.operators.corpus import (
+    readability_scores,
+    vocab_growth,
+    zipf_fit,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_readability_hand_counts(spark):
+    rows = readability_scores(
+        _docs(spark, ["The cat sat. It ran!", "", "no terminators here"])
+    ).orderBy("doc_id").collect()
+    r0 = rows[0]
+    # whitespace words: "The cat sat. It ran!" -> 5; vowel groups: 5
+    assert (r0["n_words"], r0["n_sentences"], r0["n_syllables"]) == (5, 2, 5)
+    assert r0["flesch"] == round(206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 6)
+    assert rows[1]["n_words"] == 0 and rows[1]["flesch"] is None
+    assert rows[2]["n_sentences"] == 1  # fragment counts as one sentence
+
+
+def test_readability_simpler_text_scores_higher(spark):
+    simple = "The dog ran. The cat sat. We go now."
+    dense = (
+        "Notwithstanding considerable institutional heterogeneity, "
+        "organizational imperatives necessitate comprehensive evaluation."
+    )
+    rows = {r["doc_id"]: r["flesch"] for r in readability_scores(
+        _docs(spark, [simple, dense])).collect()}
+    assert rows[0] > rows[1]
+
+
+def test_vocab_growth_invariants(spark):
+    texts = ["a b c", "b c d", "a e", "f f f"]
+    rows = vocab_growth(_docs(spark, texts)).orderBy("doc_id").collect()
+    assert [r["new_terms"] for r in rows] == [3, 1, 1, 1]
+    assert [r["vocab_size"] for r in rows] == [3, 4, 5, 6]
+    assert [r["cum_tokens"] for r in rows] == [3, 6, 8, 11]
+    vs = [r["vocab_size"] for r in rows]
+    assert vs == sorted(vs)
+
+
+def test_zipf_exact_parity_and_slope(spark):
+    """Corpus built with exact 1/r frequencies: Spark OLS must equal the
+    pure-Python left-fold OLS bit-for-bit (same accumulation order), and
+    the slope must sit near -1."""
+    n_terms, c = 40, 120
+    words = []
+    for r in range(1, n_terms + 1):
+        words += [f"t{r:03d}"] * (c // r)
+    # one doc per 25 words, deterministic layout
+    texts = [" ".join(words[i:i + 25]) for i in range(0, len(words), 25)]
+    got = zipf_fit(_docs(spark, texts), max_rank=n_terms).collect()[0]
+
+    freq = sorted(
+        ((c // r, f"t{r:03d}") for r in range(1, n_terms + 1)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    xs = [math.log(i + 1) for i in range(len(freq))]
+    ys = [math.log(f) for f, _ in freq]
+    n = float(len(xs))
+    sx = sum(xs, 0.0); sy = sum(ys, 0.0)
+    sxx = sum((x * x for x in xs), 0.0)
+    syy = sum((y * y for y in ys), 0.0)
+    sxy = sum((x * y for x, y in zip(xs, ys)), 0.0)
+    cov, varx, vary = sxy - sx * sy / n, sxx - sx * sx / n, syy - sy * sy / n
+    assert got["n_ranks"] == n_terms
+    assert got["slope"] == round(cov / varx, 6)
+    assert got["intercept"] == round((sy - (cov / varx) * sx) / n, 6)
+    assert got["r2"] == round(cov * cov / (varx * vary), 6)
+    assert -1.15 < got["slope"] < -0.85 and got["r2"] > 0.97

@@ -1386,3 +1386,168 @@ def domain_quota(
             "__rank", "site_rank"
         )
     return kept.drop("__site", "__rank")
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease scoring (Flesch 1948; the readability gate of
+    classic quality pipelines — e.g. filtering toward/away from simple
+    prose for curriculum stages): per document
+
+        flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    with deterministic proxies a SQL oracle replays verbatim: words =
+    whitespace tokens, sentences = count of ``.!?`` terminator runs
+    (min 1 — headline-style fragments are one "sentence"), syllables =
+    vowel-group runs ``[aeiouy]+`` per lowercased text (the standard
+    heuristic; within ~10% of dictionary syllabifications on running
+    English prose, and, crucially, a pure function of the bytes).
+
+    Pure column projection — zero shuffles at any corpus size. Returns
+    (id, n_words, n_sentences, n_syllables, flesch) with flesch rounded
+    to 6; empty/whitespace-only docs yield NULL flesch rather than a
+    division error.
+    """
+    lowered = F.lower(F.col(text_col))
+    n_words = F.size(F.split(F.trim(lowered), r"\s+"))
+    n_words = F.when(F.trim(lowered) == "", 0).otherwise(n_words)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(lowered, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    n_syl = F.size(F.regexp_extract_all(lowered, F.lit("[aeiouy]+"), 0))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syl.cast("double") / n_words.cast("double")),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+        F.when(n_words > 0, flesch).alias("flesch"),
+    )
+
+
+def vocab_growth(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve without any per-prefix rescan:
+    a term enters the vocabulary at the FIRST document (in ``id_col``
+    order) that contains it, so cumulative vocabulary size at document d
+    is just the running count of terms whose min-doc is ≤ d — one
+    (term → min doc) aggregation plus one cumulative-sum window over the
+    per-doc first-occurrence counts. The naive formulation (distinct
+    terms per prefix) rescans the corpus once per prefix; this is a
+    single pass however many documents there are.
+
+    Returns (doc_id, new_terms, vocab_size, cum_tokens) — the (cum_tokens,
+    vocab_size) pairs are the Heaps curve V = K·nᵝ; fit β downstream on
+    the log-log pairs. The running window is a single global cumulative
+    sum over ONE ROW PER DOCUMENT (not per token) — at 10^10 docs
+    partition it by epoch and prefix-sum the per-epoch totals
+    (functions/prefixsum.py), the documented two-level pattern.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    tok_per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+            "n_tokens",
+        )
+        .select(
+            "doc_id",
+            F.col("new_terms").cast("long").alias("new_terms"),
+            F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_rank: int = 1,
+    max_rank: int = 1000,
+) -> DataFrame:
+    """Zipf's-law rank-frequency fit: term frequencies ranked desc (ties
+    broken by term for determinism), then an ordinary-least-squares line
+    through (ln rank, ln freq) over ranks [min_rank, max_rank] — slope ≈
+    −1 on natural language; strong deviation flags boilerplate floods or
+    generated spam. One (term) agg + one rank window over the term table
+    + a 1-row OLS agg: shuffle weight is the vocabulary, never the
+    corpus. Returns 1 row (slope, intercept, r2, n_ranks) rounded to 6.
+
+    The OLS sums are ordered folds over the rank sequence (sum over
+    sort_array of (rank, value) structs), so the IEEE accumulation order
+    is a pure function of the data and a SQL oracle replays it exactly.
+    """
+    freqs = (
+        df.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "term")
+    ranked = (
+        freqs.withColumn("rank", F.row_number().over(w))
+        .filter(
+            (F.col("rank") >= int(min_rank)) & (F.col("rank") <= int(max_rank))
+        )
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+            "rank",
+        )
+    )
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col("rank").alias("r"), "x", "y"))
+    )
+
+    def _fold(field):
+        return F.aggregate(
+            F.transform(pairs, lambda s: s[field]),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    def _fold2(fa, fb):
+        return F.aggregate(
+            F.transform(pairs, lambda s: s[fa] * s[fb]),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    agg = ranked.agg(
+        F.size(pairs).alias("n"),
+        _fold("x").alias("sx"),
+        _fold("y").alias("sy"),
+        _fold2("x", "x").alias("sxx"),
+        _fold2("y", "y").alias("syy"),
+        _fold2("x", "y").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx
+    return agg.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
