@@ -5717,6 +5717,63 @@ FROM s
 """
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    BM25 top-10 (sparse) fused with brute-force cosine top-10 (dense)
+    over the shared id space — rank-based, so the incomparable score
+    scales need no calibration; fused scores are ordered IEEE folds and
+    oracle-exact."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    b = C.bm25_topk(d, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
+    br = b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rank"),
+    )
+    a = SIM.cosine_topk(emb, _query_vector(spark, sf_dir), k=10)
+    ar = a.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "vec_id"))
+        .alias("rank"),
+    )
+    return C.rrf_fuse([br, ar], k=60).orderBy(
+        F.desc("rrf_score"), "doc_id"
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    return f"""
+WITH b AS ({_sql_bm25_topk()}),
+a AS ({_SQL_ANN_COSINE}),
+br AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM b
+),
+ar AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM a
+),
+u AS (
+  SELECT doc_id, 0 AS sys,
+         1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM br
+  UNION ALL
+  SELECT doc_id, 1 AS sys,
+         1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM ar
+)
+SELECT doc_id,
+       ROUND(list_reduce(list(c ORDER BY sys), (p, q) -> p + q), 6)
+         AS rrf_score,
+       CAST(count(*) AS INT) AS n_systems
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+"""
+
+
 def _q_allpairs_jaccard(spark, sf_dir):
     """Exact all-pairs Jaccard join with lossless prefix filtering
     (operators/dedup.py::allpairs_jaccard_join — Bayardo et al. 2007):
@@ -9769,6 +9826,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_readability": _q_readability,
     "tx_vocab_growth": _q_vocab_growth,
     "tx_zipf_fit": _q_zipf_fit,
+    "tx_hybrid_rrf": _q_hybrid_rrf,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
@@ -10036,6 +10094,7 @@ _ORACLES: dict[str, str] = {
     "tx_readability": _SQL_READABILITY,
     "tx_vocab_growth": _SQL_VOCAB_GROWTH,
     "tx_zipf_fit": _SQL_ZIPF_FIT,
+    "tx_hybrid_rrf": _sql_hybrid_rrf(),
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,

@@ -79,3 +79,30 @@ def test_zipf_exact_parity_and_slope(spark):
     assert got["intercept"] == round((sy - (cov / varx) * sx) / n, 6)
     assert got["r2"] == round(cov * cov / (varx * vary), 6)
     assert -1.15 < got["slope"] < -0.85 and got["r2"] > 0.97
+
+
+def test_rrf_fusion_hand_example(spark):
+    from web_crawler_spark.operators.corpus import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank int"
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse([r1, r2], k=60).collect()}
+    assert got[20]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert got[20]["n_systems"] == 2
+    assert got[10]["rrf_score"] == round(1 / 61, 6)
+    assert got[40]["n_systems"] == 1
+    # consensus doc beats any single-system doc at equal top ranks
+    assert got[20]["rrf_score"] > got[10]["rrf_score"]
+
+
+def test_rrf_k_dampens_rank_gaps(spark):
+    from web_crawler_spark.operators.corpus import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1), (2, 10)], "doc_id long, rank int")
+    small = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([r1], k=1).collect()}
+    big = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([r1], k=600).collect()}
+    assert small[1] / small[2] > big[1] / big[2]

@@ -1551,3 +1551,48 @@ def zipf_fit(
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
         F.round((cov * cov) / (varx * vary), 6).alias("r2"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    standard hybrid-retrieval merge (BM25 ⊕ dense ANN ⊕ …):
+
+        rrf(d) = Σ_systems 1 / (k + rank_system(d))
+
+    Rank-based, so systems with incomparable score scales fuse without
+    calibration; k=60 is the paper's constant. Each input frame carries
+    (id, 1-based rank); a document absent from a system simply
+    contributes nothing.
+
+    The per-document sum is an ordered fold over (system_idx, 1/(k+rank))
+    structs — 2-5 elements per doc — so the IEEE accumulation order is a
+    pure function of the inputs and a SQL oracle replays the fused score
+    exactly. One union + one id-keyed agg: shuffle weight is the sum of
+    the top-k lists, never a corpus.
+
+    Returns (id, rrf_score, n_systems).
+    """
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col),
+            F.lit(i).alias("__sys"),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col).cast("double")))
+            .alias("__c"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    pairs = F.sort_array(F.collect_list(F.struct("__sys", "__c")))
+    fold = F.aggregate(
+        F.transform(pairs, lambda s: s["__c"]),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return tagged.groupBy(id_col).agg(
+        F.round(fold, 6).alias("rrf_score"),
+        F.size(pairs).cast("int").alias("n_systems"),
+    )
