@@ -90,9 +90,15 @@ _clean_text = st.text(
 def test_property_roundtrip_and_chain_parity(spark, texts):
     garbled = [to_mojibake(t) for t in texts]
     repaired = _spark_repair(spark, garbled)
-    # roundtrip: garble then repair is the identity on the committed
-    # alphabet...
-    assert repaired == texts
-    # ...and arbitrary mixed input equals the sequential chain replay
+    # roundtrip: garble then repair is the identity — but ONLY on clean
+    # text that is itself a repair fixpoint. A random composition like
+    # 'Ã–' IS the garble of 'Ö'; repairing its garble collapses both
+    # levels (the inherent mojibake ambiguity ftfy shares), so such
+    # inputs are outside the roundtrip guarantee by construction.
+    for t, r in zip(texts, repaired):
+        if _ref_repair(t) == t:
+            assert r == t
+    # arbitrary mixed input (fixpoint or not) must equal the sequential
+    # chain replay — the unconditional differential contract
     mixed = [t + g for t, g in zip(texts, garbled)]
     assert _spark_repair(spark, mixed) == [_ref_repair(s) for s in mixed]
