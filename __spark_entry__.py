@@ -9009,6 +9009,83 @@ def _stateful_stream_run(spark, sf_dir, build, sink_name):
     return spark.table(sink_name)
 
 
+def _q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream INNER join (crawl attribution: each
+    discovered outlink joins the fetch that produced it within a 60 s
+    event-time window). Both sides run as availableNow file streams into
+    a memory sink; the equality-key + two-sided time-range condition is
+    what lets Spark evict join state each micro-batch. Single-batch
+    bounded run == the batch range join, which is exactly what the
+    oracle computes."""
+    import tempfile
+
+    from web_crawler_spark.streaming.events import fetch_outlink_join
+
+    e = _t(spark, sf_dir, "events").select(F.col("event_id").alias("eid"))
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    fid = F.col("eid") % 500
+    fetches = (
+        e.select(fid.alias("f"))
+        .distinct()
+        .select(
+            F.concat(F.lit("u"), F.col("f").cast("string")).alias("url"),
+            (base + F.make_interval(secs=F.col("f") % 300)).alias("fetch_ts"),
+            F.when(F.col("f") % 10 == 0, 404).otherwise(200).alias("status"),
+        )
+    )
+    outl = e.select(
+        F.concat(F.lit("u"), fid.cast("string")).alias("src_url"),
+        F.concat(F.lit("d"), ((F.col("eid") * 7) % 700).cast("string"))
+        .alias("dst_url"),
+        (
+            base
+            + F.make_interval(secs=(fid % 300) + (F.col("eid") % 90))
+        ).alias("discovered_ts"),
+    )
+    srcs = []
+    for name, df in (("ssj_f", fetches), ("ssj_o", outl)):
+        p = tempfile.mkdtemp(prefix=f"{name}_src_")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        schema = spark.read.parquet(p).schema
+        srcs.append(spark.readStream.schema(schema).parquet(p))
+    q = (
+        fetch_outlink_join(srcs[0], srcs[1], max_delay_seconds=60)
+        .writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("ssj_sink").orderBy("url", "dst_url", "discovered_ts")
+
+
+_SQL_STREAM_STREAM_JOIN = """
+WITH e AS (SELECT event_id AS eid FROM events),
+f AS (SELECT DISTINCT (eid % 500) AS fid FROM e),
+fetches AS (
+  SELECT 'u' || CAST(fid AS VARCHAR) AS url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (fid % 300) * INTERVAL 1 SECOND AS fetch_ts,
+         CASE WHEN fid % 10 = 0 THEN 404 ELSE 200 END AS status
+  FROM f
+),
+outl AS (
+  SELECT 'u' || CAST(eid % 500 AS VARCHAR) AS src_url,
+         'd' || CAST((eid * 7) % 700 AS VARCHAR) AS dst_url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + ((eid % 500) % 300 + eid % 90) * INTERVAL 1 SECOND
+           AS discovered_ts
+  FROM e
+)
+SELECT f.url, f.fetch_ts, f.status, o.dst_url, o.discovered_ts
+FROM fetches f JOIN outl o ON f.url = o.src_url
+  AND o.discovered_ts >= f.fetch_ts
+  AND o.discovered_ts <= f.fetch_ts + INTERVAL 60 SECOND
+ORDER BY f.url, o.dst_url, o.discovered_ts
+"""
+
+
 def _q_stateful_politeness(spark, sf_dir):
     """F3 as applyInPandasWithState: per-host pacing clock in the state
     store. Bounded single-batch run == the window-function schedule, which
@@ -9720,6 +9797,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_video_meta": _q_video_meta,
     "st_stateful_politeness": _q_stateful_politeness,
     "st_stateful_seen": _q_stateful_seen,
+    "st_stream_join": _q_stream_stream_join,
     "a8_frontier_telemetry": _q_frontier_telemetry,
     "a8_frontier_gini": _q_frontier_gini,
     "f2_host_budget_waterfill": _q_host_budget_waterfill,
@@ -10005,6 +10083,7 @@ _ORACLES: dict[str, str] = {
     "mm_video_meta": _SQL_VIDEO_META,
     "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
     "st_stateful_seen": _SQL_STATEFUL_SEEN,
+    "st_stream_join": _SQL_STREAM_STREAM_JOIN,
     "a8_frontier_telemetry": _SQL_FRONTIER_TELEMETRY,
     "a8_frontier_gini": _SQL_FRONTIER_GINI,
     "f2_host_budget_waterfill": _SQL_HOST_BUDGET_WATERFILL,

@@ -278,3 +278,57 @@ def test_seen_filter_ttl_evicts_and_readmits(spark, tmp_path):
     urls = [r["url"] for r in spark.sql("select * from t_ttl2").collect()]
     assert "https://a/1" in urls
     assert "https://a/1-again" in urls  # the re-admission after eviction
+
+
+def test_stream_stream_join_window_semantics(spark, tmp_path):
+    """Hand dataset: in-window and boundary outlinks join, out-of-window
+    and unmatched-source ones don't; single-batch availableNow run equals
+    the batch range join row-for-row."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.streaming.events import fetch_outlink_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    fetches = spark.createDataFrame(
+        [("uA", ts(0), 200), ("uB", ts(100), 200)],
+        "url string, fetch_ts timestamp, status int",
+    )
+    outlinks = spark.createDataFrame(
+        [
+            ("uA", "d1", ts(5)),      # in window
+            ("uA", "d2", ts(60)),     # boundary: exactly +60 s, inclusive
+            ("uA", "d3", ts(61)),     # out of window
+            ("uA", "d4", ts(-1)),     # before the fetch
+            ("uB", "d5", ts(130)),    # in window
+            ("uZ", "d6", ts(10)),     # no matching fetch
+        ],
+        "src_url string, dst_url string, discovered_ts timestamp",
+    )
+    fdir, odir = str(tmp_path / "f"), str(tmp_path / "o")
+    fetches.coalesce(1).write.parquet(fdir)
+    outlinks.coalesce(1).write.parquet(odir)
+    fs = spark.readStream.schema(fetches.schema).parquet(fdir)
+    os_ = spark.readStream.schema(outlinks.schema).parquet(odir)
+    q = (
+        fetch_outlink_join(fs, os_, max_delay_seconds=60)
+        .writeStream.format("memory")
+        .queryName("ssj_test_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["url"], r["dst_url"])
+        for r in spark.table("ssj_test_sink").collect()
+    }
+    assert got == {("uA", "d1"), ("uA", "d2"), ("uB", "d5")}
+
+    batch = fetch_outlink_join(fetches, outlinks, max_delay_seconds=60)
+    assert {(r["url"], r["dst_url"]) for r in batch.collect()} == got

@@ -149,3 +149,39 @@ def fetch_sessions(
             "last_ts",
         )
     )
+
+
+def fetch_outlink_join(
+    fetches: DataFrame,
+    outlinks: DataFrame,
+    max_delay_seconds: int = 60,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join — the crawl-attribution shape:
+    each discovered outlink joins the fetch that produced it, required to
+    land within ``[fetch_ts, fetch_ts + max_delay_seconds]`` of its source
+    fetch. The equality key (url = src_url) plus the two-sided event-time
+    range is exactly what Spark needs to bound join state: rows older than
+    watermark − max_delay are evicted from both state stores every
+    micro-batch, so state is O(rate × window), never O(history).
+
+    Both inputs MUST carry event-time columns (``fetch_ts`` /
+    ``discovered_ts``). Returns (url, fetch_ts, status, dst_url,
+    discovered_ts) — one row per attributed link discovery. Late rows
+    beyond the watermark are dropped (inner-join semantics); use a larger
+    ``watermark_delay`` to trade state size for late tolerance.
+    """
+    f = fetches.withWatermark("fetch_ts", watermark_delay)
+    o = outlinks.withWatermark("discovered_ts", watermark_delay)
+    return f.join(
+        o,
+        (F.col("url") == F.col("src_url"))
+        & (F.col("discovered_ts") >= F.col("fetch_ts"))
+        & (
+            F.col("discovered_ts")
+            <= F.col("fetch_ts") + F.expr(
+                f"INTERVAL {int(max_delay_seconds)} SECONDS"
+            )
+        ),
+        "inner",
+    ).select("url", "fetch_ts", "status", "dst_url", "discovered_ts")
