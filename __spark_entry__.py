@@ -5845,6 +5845,61 @@ FROM st ORDER BY doc_id, passage_id
 """
 
 
+def _q_passage_retrieval(spark, sf_dir):
+    """END-TO-END dense passage retrieval — the full RAG corpus path in
+    one certified plan: documents → sliding 12-token passages →
+    signed-hash TF-IDF embeddings (idf over the PASSAGE corpus) →
+    retrieval-by-example cosine top-10 for passage (doc 0, window 0).
+    Every stage is the already-certified operator; this query certifies
+    their COMPOSITION end to end, including the self-match at rank 1."""
+    from web_crawler_spark.functions import hashembed as HE
+    from web_crawler_spark.operators.corpus import passage_windows
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    p = passage_windows(d, window_tokens=12, stride=8)
+    pdf = p.select(
+        (F.col("doc_id") * 1000 + F.col("passage_id")).alias("pid"),
+        F.col("passage").alias("text"),
+    )
+    emb = HE.hash_embed(
+        pdf, text_col="text", id_col="pid", dim=64, salt="pret"
+    ).localCheckpoint(eager=True)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("doc_id") == 0).collect()[0]["embedding"]
+    ]
+    return SIM.cosine_topk(emb, qv, k=10, id_col="doc_id").select(
+        F.col("doc_id").alias("pid"), "cosine"
+    )
+
+
+def _sql_passage_retrieval() -> str:
+    from web_crawler_spark.functions import hashembed as HE
+
+    cos = _sql_cosine("h.embedding", "q.qv")
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> '' AND doc_id < 200
+),
+pst AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(generate_series(0, greatest(len(w) - 1, 0), 8)) AS start_tok
+  FROM ptoks
+),
+pret AS (
+  SELECT doc_id * 1000 + (start_tok // 8) AS doc_id,
+         array_to_string(w[start_tok + 1 : start_tok + 12], ' ') AS text
+  FROM pst
+),
+{HE.duckdb_hash_embed_sql(dim=64, salt="pret", table="pret")[1:]},
+q AS (SELECT embedding AS qv FROM hembed WHERE doc_id = 0)
+SELECT h.doc_id AS pid, ROUND({cos}, 6) AS cosine
+FROM hembed h, q
+ORDER BY cosine DESC, pid LIMIT 10
+"""
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -9905,6 +9960,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_vocab_growth": _q_vocab_growth,
     "tx_zipf_fit": _q_zipf_fit,
     "tx_hybrid_rrf": _q_hybrid_rrf,
+    "tx_passage_retrieval": _q_passage_retrieval,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
@@ -10174,6 +10230,7 @@ _ORACLES: dict[str, str] = {
     "tx_vocab_growth": _SQL_VOCAB_GROWTH,
     "tx_zipf_fit": _SQL_ZIPF_FIT,
     "tx_hybrid_rrf": _sql_hybrid_rrf(),
+    "tx_passage_retrieval": _sql_passage_retrieval(),
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,

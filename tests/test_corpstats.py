@@ -106,3 +106,35 @@ def test_rrf_k_dampens_rank_gaps(spark):
     small = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([r1], k=1).collect()}
     big = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([r1], k=600).collect()}
     assert small[1] / small[2] > big[1] / big[2]
+
+
+def test_passage_retrieval_composition(spark):
+    """End-to-end passages → hash-embed → cosine: the query passage
+    retrieves itself at rank 1 with cosine 1.0, and overlapping windows
+    from the same document outscore unrelated documents."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions import hashembed as HE
+    from web_crawler_spark.operators.corpus import passage_windows
+    from web_crawler_spark.operators.similarity import cosine_topk
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu alpha beta gamma delta epsilon zeta eta theta",
+        "completely different words about other topics entirely "
+        "nothing shared with the first document at all here",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    p = passage_windows(d, window_tokens=8, stride=4).select(
+        (F.col("doc_id") * 1000 + F.col("passage_id")).alias("pid"),
+        F.col("passage").alias("text"),
+    )
+    emb = HE.hash_embed(p, text_col="text", id_col="pid", dim=32, salt="t")
+    qv = [float(x) for x in emb.filter(F.col("doc_id") == 0)
+          .collect()[0]["embedding"]]
+    top = cosine_topk(emb, qv, k=4, id_col="doc_id").collect()
+    assert top[0]["doc_id"] == 0 and top[0]["cosine"] == 1.0
+    # all top-4 from document 0's window family (pids < 1000)
+    assert all(r["doc_id"] < 1000 for r in top)
