@@ -5900,6 +5900,61 @@ ORDER BY cosine DESC, pid LIMIT 10
 """
 
 
+def _q_frontier_ucb(spark, sf_dir):
+    """UCB1 explore/exploit host scheduling (Auer et al. 2002 applied to
+    focused crawling): observed per-host yield plus the exploration bonus
+    c·sqrt(ln T / n); never-pulled hosts rank first. Scores and the full
+    ranking are oracle-replayed."""
+    from web_crawler_spark.operators.snapshots import frontier_ucb
+
+    e = _t(spark, sf_dir, "events")
+    seen = e.groupBy(
+        F.concat(F.lit("h"), (F.col("user_id") % 30).cast("string"))
+        .alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pulls"),
+        F.sum(F.col("event_id") % 2).alias("total_reward"),
+    )
+    unseen = spark.createDataFrame(
+        [(f"new{i}", 0, 0) for i in range(3)],
+        "host string, n_pulls long, total_reward long",
+    )
+    return frontier_ucb(seen.unionByName(unseen)).orderBy("rank")
+
+
+_SQL_FRONTIER_UCB = """
+WITH seen AS (
+  SELECT 'h' || CAST(user_id % 30 AS VARCHAR) AS host,
+         count(*) AS n_pulls, SUM(event_id % 2) AS reward
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT host, n_pulls, reward FROM seen
+  UNION ALL
+  SELECT 'new' || CAST(x AS VARCHAR) AS host, 0 AS n_pulls, 0 AS reward
+  FROM range(3) t(x)
+),
+tt AS (SELECT CAST(SUM(n_pulls) AS DOUBLE) AS t FROM stats),
+scored AS (
+  SELECT host, CAST(n_pulls AS BIGINT) AS n_pulls,
+    CASE WHEN n_pulls > 0 THEN
+      ROUND(CAST(reward AS DOUBLE) / CAST(n_pulls AS DOUBLE), 6)
+    END AS mean_reward,
+    CASE WHEN n_pulls > 0 THEN
+      ROUND(CAST(reward AS DOUBLE) / CAST(n_pulls AS DOUBLE)
+            + 1.4142135623730951
+              * sqrt(ln(tt.t) / CAST(n_pulls AS DOUBLE)), 6)
+    END AS ucb
+  FROM stats CROSS JOIN tt
+)
+SELECT host, n_pulls, mean_reward, ucb,
+       CAST(row_number() OVER (
+         ORDER BY (n_pulls = 0) DESC, ucb DESC NULLS LAST, host
+       ) AS INT) AS rank
+FROM scored ORDER BY rank
+"""
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -9961,6 +10016,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_zipf_fit": _q_zipf_fit,
     "tx_hybrid_rrf": _q_hybrid_rrf,
     "tx_passage_retrieval": _q_passage_retrieval,
+    "f9_frontier_ucb": _q_frontier_ucb,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
@@ -10231,6 +10287,7 @@ _ORACLES: dict[str, str] = {
     "tx_zipf_fit": _SQL_ZIPF_FIT,
     "tx_hybrid_rrf": _sql_hybrid_rrf(),
     "tx_passage_retrieval": _sql_passage_retrieval(),
+    "f9_frontier_ucb": _SQL_FRONTIER_UCB,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,

@@ -115,3 +115,30 @@ def test_ranking_has_no_row_level_single_partition_exchange(spark, rates_df):
     assert scans, plan
     for cols in scans:
         assert len(cols.split(",")) <= 7, cols
+
+
+def test_frontier_ucb_explore_exploit(spark):
+    """UCB1: never-pulled hosts rank first; between equal-mean hosts the
+    less-pulled one gets the bigger bonus; heavy-pull high-mean vs
+    light-pull low-mean ordering follows the computed index."""
+    import math
+
+    from web_crawler_spark.operators.snapshots import frontier_ucb
+
+    stats = spark.createDataFrame(
+        [
+            ("a", 100, 80),   # mean .8, tiny bonus
+            ("b", 4, 3),      # mean .75, big bonus
+            ("c", 4, 1),      # mean .25, big bonus
+            ("fresh", 0, 0),  # never pulled
+        ],
+        "host string, n_pulls long, total_reward long",
+    )
+    rows = {r["host"]: r for r in frontier_ucb(stats, c=2.0).collect()}
+    t = 108.0
+    assert rows["fresh"]["rank"] == 1 and rows["fresh"]["ucb"] is None
+    for h, n, rw in (("a", 100, 80), ("b", 4, 3), ("c", 4, 1)):
+        assert rows[h]["ucb"] == round(rw / n + 2.0 * math.sqrt(math.log(t) / n), 6)
+    # b's exploration bonus overtakes a's exploitation edge at c=2
+    assert rows["b"]["rank"] < rows["a"]["rank"]
+    assert rows["c"]["rank"] > rows["b"]["rank"]

@@ -447,3 +447,54 @@ def refresh_allocation(
         F.round(_freshness(lam, F.coalesce("crawls", F.lit(0))), 6).alias("freshness"),
     )
     return out
+
+
+def frontier_ucb(
+    host_stats: DataFrame,
+    c: float = 1.4142135623730951,
+    host_col: str = "host",
+    pulls_col: str = "n_pulls",
+    reward_col: str = "total_reward",
+) -> DataFrame:
+    """UCB1 host scheduling (Auer, Cesa-Bianchi & Fischer 2002 applied to
+    focused crawling): allocate the next fetch budget across hosts by
+
+        ucb(h) = mean_reward(h) + c · sqrt(ln T / n_pulls(h))
+
+    where reward is the caller's per-fetch value signal (new URLs
+    discovered, changed pages, quality mass…) and T = Σ pulls. The
+    exploration term keeps rarely-crawled hosts in rotation even when
+    their observed yield is low — the explore/exploit balance a pure
+    yield-greedy frontier lacks; never-pulled hosts rank first
+    unconditionally (their UCB is +∞ in the paper; surfaced as NULL ucb
+    + rank priority rather than a sentinel float).
+
+    One scalar fetch for T (the bm25 idf-literal discipline) + a pure
+    projection + one global rank window over ONE ROW PER HOST (at 10^8
+    hosts partition by shard and two-level the rank, the documented
+    prefix-sum pattern). Returns (host, n_pulls, mean_reward, ucb, rank)
+    with doubles rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    t = (
+        host_stats.agg(F.sum(F.col(pulls_col)).alias("t")).collect()[0]["t"]
+        or 0
+    )
+    pulls = F.col(pulls_col).cast("double")
+    mean = F.round(F.col(reward_col).cast("double") / pulls, 6)
+    ucb = F.round(
+        F.col(reward_col).cast("double") / pulls
+        + F.lit(float(c)) * F.sqrt(F.log(F.lit(float(t))) / pulls),
+        6,
+    )
+    scored = host_stats.select(
+        F.col(host_col).alias("host"),
+        F.col(pulls_col).cast("long").alias("n_pulls"),
+        F.when(F.col(pulls_col) > 0, mean).alias("mean_reward"),
+        F.when(F.col(pulls_col) > 0, ucb).alias("ucb"),
+    )
+    w = Window.orderBy(
+        (F.col("n_pulls") == 0).desc(), F.desc_nulls_last("ucb"), "host"
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
