@@ -4026,6 +4026,68 @@ FROM events WHERE event_id < 1200 ORDER BY url
 """
 
 
+def _q_audio_features(spark, sf_dir):
+    """REAL PCM sample decoding — numpy.frombuffer over honest mono-16bit
+    WAV data chunks, integer signal features (L1 mass, peak, zero
+    crossings). Payload samples follow a pure integer formula of
+    (event_id, i), so the oracle recomputes every feature from the
+    FORMULA while the engine decodes the actual bytes — certifying the
+    decode path end-to-end; corrupt rows null-route."""
+    from web_crawler_spark.multimodal import binaryops as MM
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1200).select(
+        "event_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for k in pdf["event_id"]:
+                k = int(k)
+                urls.append(f"wav://{k:06d}")
+                if k % 13 == 0:
+                    blobs.append(b"RIFFbad!" + k.to_bytes(4, "big"))
+                else:
+                    blobs.append(
+                        MM.wav_pcm_bytes(8000 * (1 + k % 3), 200 + k % 300, k)
+                    )
+            yield pd.DataFrame({"url": urls, "payload": blobs})
+
+    blobs = e.mapInPandas(gen, "url string, payload binary")
+    return MM.audio_features(blobs).orderBy("url")
+
+
+_SQL_AUDIO_FEATURES = """
+WITH base AS (
+  SELECT event_id AS k, 8000 * (1 + event_id % 3) AS sr,
+         200 + event_id % 300 AS n
+  FROM events WHERE event_id < 1200
+),
+feats AS (
+  SELECT k, sr, n,
+         list_transform(range(0, n),
+                        i -> ((i * 2557 + k * 7919) % 65536) - 32768) AS s
+  FROM base WHERE k % 13 <> 0
+)
+SELECT concat('wav://', lpad(CAST(k AS VARCHAR), 6, '0')) AS url,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS sum_abs,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak,
+       CAST(len(list_filter(range(1, n),
+                            j -> (s[j + 1] < 0) <> (s[j] < 0))) AS BIGINT)
+         AS zero_crossings
+FROM feats
+UNION ALL
+SELECT concat('wav://', lpad(CAST(k AS VARCHAR), 6, '0')) AS url,
+       NULL, NULL, NULL, NULL, NULL
+FROM base WHERE k % 13 = 0
+ORDER BY url
+"""
+
+
 def _q_video_meta(spark, sf_dir):
     """REAL ISO-BMFF (MP4) header decode: honest ftyp+moov(mvhd+trak(tkhd))
     box trees with timescale/duration/dims/track-count derived from
@@ -9904,6 +9966,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_binary_metadata": _q_binary_metadata,
     "mm_image_dims": _q_image_dims,
     "mm_audio_meta": _q_audio_meta,
+    "mm_audio_features": _q_audio_features,
     "mm_video_meta": _q_video_meta,
     "st_stateful_politeness": _q_stateful_politeness,
     "st_stateful_seen": _q_stateful_seen,
@@ -10192,6 +10255,7 @@ _ORACLES: dict[str, str] = {
     "mm_binary_metadata": _SQL_BINARY_METADATA,
     "mm_image_dims": _SQL_IMAGE_DIMS,
     "mm_audio_meta": _SQL_AUDIO_META,
+    "mm_audio_features": _SQL_AUDIO_FEATURES,
     "mm_video_meta": _SQL_VIDEO_META,
     "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
     "st_stateful_seen": _SQL_STATEFUL_SEEN,

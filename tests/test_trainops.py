@@ -939,3 +939,49 @@ def test_passage_windows(spark):
     for r in rows:
         covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
     assert covered == set(range(57))
+
+
+def test_audio_features_real_pcm_decode(spark):
+    """audio_features decodes actual PCM bytes: features equal an
+    independent pure-Python decode; stereo/8-bit/corrupt payloads
+    null-route; hand-built square wave pins zero crossings exactly."""
+    import struct
+
+    from web_crawler_spark.multimodal.binaryops import (
+        audio_features,
+        wav_bytes,
+        wav_pcm_bytes,
+    )
+
+    # hand square wave: +1000 x4, -1000 x4, +1000 x4 -> 2 crossings
+    sq = [1000] * 4 + [-1000] * 4 + [1000] * 4
+    data = struct.pack(f"<{len(sq)}h", *sq)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    square = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    gen = wav_pcm_bytes(16000, 50, key=7)
+    rows = [
+        ("sq", bytearray(square)),
+        ("gen", bytearray(gen)),
+        ("stereo", bytearray(wav_bytes(2, 8000, 16, 10))),  # not mono
+        ("bad", bytearray(b"not a wav")),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in audio_features(df).collect()}
+
+    assert got["sq"]["n_samples"] == 12
+    assert got["sq"]["zero_crossings"] == 2
+    assert got["sq"]["sum_abs"] == 12000 and got["sq"]["peak"] == 1000
+
+    ref = [((i * 2557 + 7 * 7919) % 65536) - 32768 for i in range(50)]
+    assert got["gen"]["sum_abs"] == sum(abs(s) for s in ref)
+    assert got["gen"]["peak"] == max(abs(s) for s in ref)
+    assert got["gen"]["zero_crossings"] == sum(
+        (ref[i] < 0) != (ref[i - 1] < 0) for i in range(1, 50)
+    )
+    assert got["gen"]["duration_ms"] == 50 * 1000 // 16000
+
+    assert got["stereo"]["n_samples"] is None
+    assert got["bad"]["n_samples"] is None
