@@ -4088,6 +4088,68 @@ ORDER BY url
 """
 
 
+def _q_image_features(spark, sf_dir):
+    """REAL BMP pixel decoding: numpy over uncompressed 24-bpp payloads
+    (bottom-up rows + 4-byte padding), integer per-channel mass + the
+    orientation-certifying top-left byte. Pixels follow a pure integer
+    formula of (x, y, ch, event_id); the oracle recomputes every feature
+    from the formula while the engine decodes actual bytes. Corrupt rows
+    null-route."""
+    from web_crawler_spark.multimodal import binaryops as MM
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 900).select(
+        "event_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for k in pdf["event_id"]:
+                k = int(k)
+                urls.append(f"bmp://{k:06d}")
+                if k % 17 == 0:
+                    blobs.append(b"BMnope" + k.to_bytes(4, "big"))
+                else:
+                    blobs.append(MM.bmp_bytes(4 + k % 9, 3 + k % 7, k))
+            yield pd.DataFrame({"url": urls, "payload": blobs})
+
+    blobs = e.mapInPandas(gen, "url string, payload binary")
+    return MM.image_features(blobs).orderBy("url")
+
+
+_SQL_IMAGE_FEATURES = """
+WITH base AS (
+  SELECT event_id AS k, 4 + event_id % 9 AS w, 3 + event_id % 7 AS h
+  FROM events WHERE event_id < 900
+),
+px AS (
+  SELECT k, w, h,
+    list_transform(range(0, w * h),
+      i -> ((i % w) * 7 + (i // w) * 13 + k * 31) % 256) AS c0,
+    list_transform(range(0, w * h),
+      i -> ((i % w) * 7 + (i // w) * 13 + 29 + k * 31) % 256) AS c1,
+    list_transform(range(0, w * h),
+      i -> ((i % w) * 7 + (i // w) * 13 + 58 + k * 31) % 256) AS c2
+  FROM base WHERE k % 17 <> 0
+)
+SELECT concat('bmp://', lpad(CAST(k AS VARCHAR), 6, '0')) AS url,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_sum(c0) AS BIGINT) AS sum_b,
+       CAST(list_sum(c1) AS BIGINT) AS sum_g,
+       CAST(list_sum(c2) AS BIGINT) AS sum_r,
+       CAST((k * 31) % 256 AS INT) AS tl_b
+FROM px
+UNION ALL
+SELECT concat('bmp://', lpad(CAST(k AS VARCHAR), 6, '0')) AS url,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM base WHERE k % 17 = 0
+ORDER BY url
+"""
+
+
 def _q_video_meta(spark, sf_dir):
     """REAL ISO-BMFF (MP4) header decode: honest ftyp+moov(mvhd+trak(tkhd))
     box trees with timescale/duration/dims/track-count derived from
@@ -9967,6 +10029,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_image_dims": _q_image_dims,
     "mm_audio_meta": _q_audio_meta,
     "mm_audio_features": _q_audio_features,
+    "mm_image_features": _q_image_features,
     "mm_video_meta": _q_video_meta,
     "st_stateful_politeness": _q_stateful_politeness,
     "st_stateful_seen": _q_stateful_seen,
@@ -10256,6 +10319,7 @@ _ORACLES: dict[str, str] = {
     "mm_image_dims": _SQL_IMAGE_DIMS,
     "mm_audio_meta": _SQL_AUDIO_META,
     "mm_audio_features": _SQL_AUDIO_FEATURES,
+    "mm_image_features": _SQL_IMAGE_FEATURES,
     "mm_video_meta": _SQL_VIDEO_META,
     "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
     "st_stateful_seen": _SQL_STATEFUL_SEEN,

@@ -985,3 +985,35 @@ def test_audio_features_real_pcm_decode(spark):
 
     assert got["stereo"]["n_samples"] is None
     assert got["bad"]["n_samples"] is None
+
+
+def test_image_features_real_bmp_decode(spark):
+    """image_features decodes actual BMP bytes: per-channel mass equals
+    an independent pure-Python decode, tl_b certifies the bottom-up row
+    flip, and non-BMP / truncated payloads null-route."""
+    from web_crawler_spark.multimodal.binaryops import bmp_bytes, image_features
+
+    w, h, key = 5, 4, 9
+    blob = bmp_bytes(w, h, key)
+    rows = [
+        ("ok", bytearray(blob)),
+        ("trunc", bytearray(blob[:30])),
+        ("bad", bytearray(b"GIF89a whatever")),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in image_features(df).collect()}
+
+    ref = {
+        ch: sum(
+            (x * 7 + y * 13 + ch * 29 + key * 31) % 256
+            for x in range(w) for y in range(h)
+        )
+        for ch in range(3)
+    }
+    r = got["ok"]
+    assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+    assert (r["sum_b"], r["sum_g"], r["sum_r"]) == (ref[0], ref[1], ref[2])
+    # image top-left (x=0, y=0, ch=0) lives in the LAST stored row
+    assert r["tl_b"] == (key * 31) % 256
+    assert got["trunc"]["width"] is None
+    assert got["bad"]["width"] is None

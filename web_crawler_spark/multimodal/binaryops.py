@@ -534,3 +534,106 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("url", payload_col).mapInPandas(
         gen, AUDIO_FEATURES_SCHEMA
     )
+
+
+def bmp_bytes(w: int, h: int, key: int) -> bytes:
+    """REAL uncompressed 24-bpp BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding) whose stored byte at pixel (x, y) channel ch
+    (B,G,R order) is (x·7 + y·13 + ch·29 + key·31) mod 256 — a pure
+    integer function, so an oracle recomputes pixel statistics from the
+    FORMULA while the engine decodes the actual bytes."""
+    import struct
+
+    row_len = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            for ch in range(3):
+                row.append((x * 7 + y * 13 + ch * 29 + key * 31) % 256)
+        row += b"\x00" * (row_len - len(row))
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    off = 14 + len(info)
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return header + info + data
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("tl_b", T.IntegerType()),
+    ]
+)
+
+
+def image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL pixel decoding — not a stub: uncompressed 24-bpp BMPs decoded
+    with numpy (bottom-up row order and 4-byte padding handled), INTEGER
+    per-channel mass so the statistics are engine-exact. Compressed
+    formats (JPEG/PNG pixels) remain out of scope — no codec libs in the
+    container; their METADATA path is `image_dimensions` and the
+    perceptual-feature stage stays a declared stub. Anything non-BMP /
+    non-24bpp / truncated null-routes (F5 isolation). Stateless 1→1 map
+    over the payload scan, zero shuffle."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"width": [], "height": [], "n_pixels": [],
+                   "sum_b": [], "sum_g": [], "sum_r": [], "tl_b": []}
+            for payload in pdf[payload_col]:
+                b = bytes(payload or b"")
+                vals = (None,) * 7
+                try:
+                    if len(b) >= 54 and b[:2] == b"BM":
+                        off = int.from_bytes(b[10:14], "little")
+                        hsz = int.from_bytes(b[14:18], "little")
+                        w = int.from_bytes(b[18:22], "little", signed=True)
+                        h = int.from_bytes(b[22:26], "little", signed=True)
+                        bpp = int.from_bytes(b[28:30], "little")
+                        comp = int.from_bytes(b[30:34], "little")
+                        if (hsz >= 40 and bpp == 24 and comp == 0
+                                and w > 0 and h > 0):
+                            row_len = (w * 3 + 3) & ~3
+                            need = off + row_len * h
+                            if len(b) >= need:
+                                a = np.frombuffer(
+                                    b, dtype=np.uint8, count=row_len * h,
+                                    offset=off,
+                                ).reshape(h, row_len)[:, : w * 3]
+                                px = a.reshape(h, w, 3).astype(np.int64)
+                                s = px.sum(axis=(0, 1))
+                                # stored rows are bottom-up: the image's
+                                # top-left pixel is the LAST stored row —
+                                # this feature certifies the flip, which
+                                # order-free channel sums cannot
+                                vals = (w, h, w * h,
+                                        int(s[0]), int(s[1]), int(s[2]),
+                                        int(px[-1, 0, 0]))
+                except Exception:
+                    vals = (None,) * 7
+                for k, v in zip(out, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {"url": pdf["url"],
+                 "width": pd.array(out["width"], dtype="Int32"),
+                 "height": pd.array(out["height"], dtype="Int32"),
+                 "n_pixels": pd.array(out["n_pixels"], dtype="Int64"),
+                 "sum_b": pd.array(out["sum_b"], dtype="Int64"),
+                 "sum_g": pd.array(out["sum_g"], dtype="Int64"),
+                 "sum_r": pd.array(out["sum_r"], dtype="Int64"),
+                 "tl_b": pd.array(out["tl_b"], dtype="Int32")}
+            )
+
+    return df.select("url", payload_col).mapInPandas(
+        gen, IMAGE_FEATURES_SCHEMA
+    )
