@@ -1445,11 +1445,13 @@ def vocab_growth(
 
     Returns (doc_id, new_terms, vocab_size, cum_tokens) — the (cum_tokens,
     vocab_size) pairs are the Heaps curve V = K·nᵝ; fit β downstream on
-    the log-log pairs. The running window is a single global cumulative
-    sum over ONE ROW PER DOCUMENT (not per token) — at 10^10 docs
-    partition it by epoch and prefix-sum the per-epoch totals
-    (functions/prefixsum.py), the documented two-level pattern.
+    the log-log pairs. Both running totals ride the distributed two-level
+    prefix sum (operators/prefixsum.py — range exchange + per-physical-
+    partition window + broadcast offsets), NOT a single global window:
+    one row per document still means 10^10 rows at corpus scale.
     """
+    from .prefixsum import prefix_sum
+
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.tokens(F.lower(F.col(text_col)))).alias("term"),
@@ -1461,20 +1463,21 @@ def vocab_growth(
     tok_per_doc = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        tok_per_doc.join(new_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
-            "n_tokens",
-        )
-        .select(
-            "doc_id",
-            F.col("new_terms").cast("long").alias("new_terms"),
-            F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
-            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
-        )
+    per_doc = tok_per_doc.join(new_per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        "n_tokens",
+    )
+    return prefix_sum(
+        per_doc,
+        order_cols="doc_id",
+        value_col=["new_terms", "n_tokens"],
+        out_col=["vocab_size", "cum_tokens"],
+    ).select(
+        "doc_id",
+        F.col("new_terms").cast("long").alias("new_terms"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
 
 
@@ -1496,15 +1499,29 @@ def zipf_fit(
     The OLS sums are ordered folds over the rank sequence (sum over
     sort_array of (rank, value) structs), so the IEEE accumulation order
     is a pure function of the data and a SQL oracle replays it exactly.
+
+    The global rank is two-level: each shuffle partition keeps only its
+    LOCAL top-``max_rank`` first (the true global top-k is necessarily
+    inside some partition's local top-k), so the global window orders at
+    most partitions × max_rank survivors — the vocabulary never
+    serializes through one window task (the refresh_allocation rank
+    discipline).
     """
     freqs = (
         df.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    w_local = Window.partitionBy("__p").orderBy(F.desc("freq"), "term")
+    cand = (
+        freqs.withColumn("__p", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= int(max_rank))
+        .drop("__p", "__lr")
+    )
     w = Window.orderBy(F.desc("freq"), "term")
     ranked = (
-        freqs.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(
             (F.col("rank") >= int(min_rank)) & (F.col("rank") <= int(max_rank))
         )
