@@ -470,12 +470,13 @@ def frontier_ucb(
     + rank priority rather than a sentinel float).
 
     One scalar fetch for T (the bm25 idf-literal discipline) + a pure
-    projection + one global rank window over ONE ROW PER HOST (at 10^8
-    hosts partition by shard and two-level the rank, the documented
-    prefix-sum pattern). Returns (host, n_pulls, mean_reward, ucb, rank)
-    with doubles rounded to 6.
+    projection; the global rank over ONE ROW PER HOST rides the
+    distributed two-level prefix sum (rank = running count over the sort
+    key — operators/prefixsum.py), never a single global window task:
+    a crawl knows 10^8+ hosts. Returns (host, n_pulls, mean_reward, ucb,
+    rank) with doubles rounded to 6.
     """
-    from pyspark.sql import Window
+    from .prefixsum import prefix_sum
 
     t = (
         host_stats.agg(F.sum(F.col(pulls_col)).alias("t")).collect()[0]["t"]
@@ -494,7 +495,23 @@ def frontier_ucb(
         F.when(F.col(pulls_col) > 0, mean).alias("mean_reward"),
         F.when(F.col(pulls_col) > 0, ucb).alias("ucb"),
     )
-    w = Window.orderBy(
-        (F.col("n_pulls") == 0).desc(), F.desc_nulls_last("ucb"), "host"
+    # ascending sort key encoding the (never-pulled first, ucb desc,
+    # host) order; host makes it unique as prefix_sum requires
+    keyed = scored.select(
+        "*",
+        F.when(F.col("n_pulls") == 0, 0).otherwise(1).alias("__k1"),
+        F.coalesce(-F.col("ucb"), F.lit(0.0)).alias("__k2"),
+        F.lit(1).alias("__one"),
     )
-    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+    return (
+        prefix_sum(
+            keyed,
+            order_cols=["__k1", "__k2", "host"],
+            value_col="__one",
+            out_col="rank",
+        )
+        .select(
+            "host", "n_pulls", "mean_reward", "ucb",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
