@@ -3455,6 +3455,21 @@ ORDER BY x_id, y_id
 """
 
 
+def _q_bitext_margin_fast(spark, sf_dir):
+    """The 100 TB bitext path: cross-set LSH k-NN (Arrow sign-projection
+    bucketing, auto-scaled planes, multiprobe) feeding the same margin
+    algebra — the exact `ann_bitext_margin` is the recall oracle;
+    rows-only here (approximate neighbor sets by design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.filter(F.col("vec_id") % 2 == 0)
+    y = emb.filter(F.col("vec_id") % 2 == 1)
+    nxy = SIM.knn_join_lsh(y, k=4, queries=x)
+    nyx = SIM.knn_join_lsh(x, k=4, queries=y)
+    return SIM.bitext_margin_pairs(
+        x, y, k=4, threshold=1.05, neighbors_xy=nxy, neighbors_yx=nyx
+    ).orderBy("x_id", "y_id")
+
+
 def _q_ann_pq_trained(spark, sf_dir):
     """PQ ADC top-k over Lloyd's-TRAINED codebooks (per-subspace k-means,
     one fused shuffle per iteration). Rows-only: float mean accumulation
@@ -10087,6 +10102,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
     "ann_bitext_margin": _q_bitext_margin,
+    "ann_bitext_margin_fast": _q_bitext_margin_fast,
     "ann_knn_join_lsh_md5": _q_knn_join_lsh_md5,
     "ann_ivf_topk_md5": _q_ann_ivf_md5,
     "ann_pq_topk_md5": _q_ann_pq_md5,

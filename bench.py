@@ -151,10 +151,10 @@ HEADLINE = [
     # distinct + fp-keyed self-join + pair agg (local-guarantee dedup
     # complement to the minhash/simhash family)
     "dd_winnow_pairs",
-    # margin-based bitext mining (LASER/CCMatrix): two k-NN joins + slim
-    # id-keyed margin folds + nomination windows — the multilingual
-    # parallel-corpus miner over the embedding column
-    "ann_bitext_margin",
+    # margin-based bitext mining (LASER/CCMatrix), 100TB path: cross-set
+    # LSH k-NN (Arrow bucketing, auto planes) + slim id-keyed margin
+    # folds + nomination windows; the exact variant is the recall oracle
+    "ann_bitext_margin_fast",
 ]
 
 

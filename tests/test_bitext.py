@@ -127,3 +127,42 @@ def test_threshold_monotonicity(spark):
     hi, _ = _mine_spark(spark, xs, ys, 3, 1.05)
     assert hi <= lo
     assert all(m >= 1.05 for *_, m in hi)
+
+
+def test_cross_set_lsh_exhaustive_equals_exact(spark):
+    """With n_planes=1 and multiprobe, every query probes BOTH buckets, so
+    the cross-set LSH candidate set is complete and the whole bitext
+    pipeline must equal the exact-kNN variant bit-for-bit."""
+    from web_crawler_spark.operators.similarity import (
+        bitext_margin_pairs,
+        knn_join_lsh,
+    )
+
+    xs = _vecs(10, 6, salt=4)
+    ys = {i + 1: v for i, v in _vecs(10, 6, salt=17).items()}
+    exact, (xdf, ydf) = _mine_spark(spark, xs, ys, 3, 1.0)
+    nxy = knn_join_lsh(ydf, k=3, queries=xdf, n_planes=1, multiprobe=1)
+    nyx = knn_join_lsh(xdf, k=3, queries=ydf, n_planes=1, multiprobe=1)
+    rows = bitext_margin_pairs(
+        xdf, ydf, k=3, threshold=1.0, neighbors_xy=nxy, neighbors_yx=nyx
+    ).collect()
+    got = {(r["x_id"], r["y_id"], r["cosine"], r["margin"]) for r in rows}
+    assert got == exact
+
+
+def test_cross_set_lsh_no_self_exclusion(spark):
+    """Cross-set mode must NOT drop id collisions across sides: the same
+    id in queries and corpus refers to different vectors."""
+    from web_crawler_spark.operators.similarity import knn_join_lsh
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.001]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["vec_id"], r["nb_id"])
+           for r in knn_join_lsh(c, k=2, queries=q,
+                                 n_planes=1, multiprobe=1).collect()}
+    assert (1, 1) in got  # the collision pair is a real neighbor

@@ -374,6 +374,7 @@ def knn_join_lsh(
     corpus_size: int | None = None,
     portable: bool = False,
     probe_carry: str = "auto",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed batch k-NN — the 100 TB path for :func:`knn_join`.
 
@@ -381,6 +382,10 @@ def knn_join_lsh(
     QUERY side probes its own bucket plus rank-``multiprobe`` bit-flip
     neighbors (n_planes+1 probe buckets per query at rank 1). An equi-join
     on the bucket id generates candidates; a per-query top-k ranks them.
+    Pass ``queries`` for CROSS-SET k-NN (same id/vec column names): the
+    query frame is bucketed with the SAME md5-parity planes and probes the
+    ``df`` corpus — the LSH path for bitext mining and dense retrieval;
+    self-pairs are only excluded in the self-kNN case (queries=None).
     Candidate work is |probes|·d where density d = corpus/2^n_planes
     (auto-sized to ~2^8), and because the corpus is single-bucketed while a
     query's probe buckets are pairwise distinct, a (query, neighbor) pair
@@ -426,12 +431,21 @@ def knn_join_lsh(
             F.col(vec_col).alias("vec"),
             V.lsh_bucket_portable(F.col(vec_col), n_planes).alias("bucket"),
         ).localCheckpoint(eager=True)
+        qbase = base if queries is None else queries.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            V.lsh_bucket_portable(F.col(vec_col), n_planes).alias("bucket"),
+        ).localCheckpoint(eager=True)
     else:
         # Arrow sign-projection bucketing — same md5-parity planes as the
         # portable variant (bucket ids agree), vectorized
         base = _arrow_bucket_stage(
             df, n_planes, id_col, vec_col
         ).localCheckpoint(eager=True)
+        qbase = base if queries is None else _arrow_bucket_stage(
+            queries, n_planes, id_col, vec_col
+        ).localCheckpoint(eager=True)
+    self_knn = queries is None
     if probe_carry == "auto":
         if n_rows is None:
             n_rows = corpus_size if corpus_size is not None else df.count()
@@ -444,20 +458,24 @@ def knn_join_lsh(
         ] if multiprobe else []),
     )
     if probe_carry == "rejoin":
-        probes = base.select(
+        probes = qbase.select(
             F.col("id").alias("vec_id"), F.explode(flips).alias("bucket")
         )
         pair_ids = probes.join(
             base.select(F.col("id").alias("nb_id"), "bucket"), "bucket"
-        ).filter(F.col("vec_id") != F.col("nb_id")).select("vec_id", "nb_id")
-        vecs = base.select("id", "vec")
+        )
+        if self_knn:
+            pair_ids = pair_ids.filter(F.col("vec_id") != F.col("nb_id"))
+        pair_ids = pair_ids.select("vec_id", "nb_id")
         cand = (
             pair_ids.join(
-                vecs.select(F.col("id").alias("nb_id"), F.col("vec").alias("cv")),
+                base.select(
+                    F.col("id").alias("nb_id"), F.col("vec").alias("cv")
+                ),
                 "nb_id",
             )
             .join(
-                vecs.select(
+                qbase.select(
                     F.col("id").alias("vec_id"), F.col("vec").alias("qv")
                 ),
                 "vec_id",
@@ -465,23 +483,22 @@ def knn_join_lsh(
             .select("vec_id", "nb_id", "qv", "cv")
         )
     else:
-        probes = base.select(
+        probes = qbase.select(
             F.col("id").alias("vec_id"),
             F.col("vec").alias("qv"),
             F.explode(flips).alias("bucket"),
         )
-        cand = (
-            probes.join(
-                base.select(
-                    F.col("id").alias("nb_id"),
-                    F.col("vec").alias("cv"),
-                    "bucket",
-                ),
+        cand = probes.join(
+            base.select(
+                F.col("id").alias("nb_id"),
+                F.col("vec").alias("cv"),
                 "bucket",
-            )
-            .filter(F.col("vec_id") != F.col("nb_id"))
-            .select("vec_id", "nb_id", "qv", "cv")
+            ),
+            "bucket",
         )
+        if self_knn:
+            cand = cand.filter(F.col("vec_id") != F.col("nb_id"))
+        cand = cand.select("vec_id", "nb_id", "qv", "cv")
     if portable:
         # HOF left-fold cosine: bit-matches the SQL oracle's fold
         scored = cand.select(
