@@ -627,6 +627,93 @@ FROM lp GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_ccnet_perplexity(spark, sf_dir):
+    """Full CCNet perplexity gate (operators/lm.ccnet_filter): Stupid
+    Backoff trigram LM (Brants et al. 2007) trained on the doc_id%10<8
+    slice, every document scored, then bucketed into per-language
+    head/middle/tail thirds of the log-perplexity distribution — the
+    CCNet (Wenzek et al. 2020) corpus-quality workflow end to end.
+    Per-position log-probs are fixed-point int64 so the per-doc sum is
+    exact integer arithmetic; log_ppl is one division of exact ints; the
+    bucket rank rides the distributed two-level prefix sum. Held-out
+    docs exercise both backoff levels and the add-one OOV floor."""
+    from web_crawler_spark.operators import lm as L
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 < 8)
+    return L.ccnet_filter(d, train).orderBy("doc_id")
+
+
+_SQL_CCNET_PERPLEXITY = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         ['<s>','<s>'] || regexp_extract_all(lower(text), '[a-z0-9]+')
+           || ['</s>'] AS w
+  FROM documents
+), train AS (SELECT w FROM tok WHERE doc_id % 10 < 8),
+tri AS (
+  SELECT w[t.i-2] || chr(31) || w[t.i-1] || chr(31) || w[t.i] AS k,
+         count(*) AS c
+  FROM train, LATERAL unnest(generate_series(3, len(w))) AS t(i) GROUP BY 1
+),
+bi AS (
+  SELECT w[t.i-1] || chr(31) || w[t.i] AS k, count(*) AS c
+  FROM train, LATERAL unnest(generate_series(2, len(w))) AS t(i) GROUP BY 1
+),
+uni AS (
+  SELECT u.k, count(*) AS c
+  FROM (SELECT unnest(w) AS k FROM train) u GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS tv FROM uni
+),
+pos AS (
+  SELECT doc_id,
+         w[t.i-2] || chr(31) || w[t.i-1] || chr(31) || w[t.i] AS k3,
+         w[t.i-2] || chr(31) || w[t.i-1] AS kc3,
+         w[t.i-1] || chr(31) || w[t.i] AS k2,
+         w[t.i-1] AS kc2, w[t.i] AS w0
+  FROM tok, LATERAL unnest(generate_series(3, len(w))) AS t(i)
+),
+lp AS (
+  SELECT p.doc_id,
+         CAST(floor(ln(
+           CASE WHEN t3.c IS NOT NULL THEN t3.c / CAST(b3.c AS DOUBLE)
+                ELSE 0.4 * CASE
+                  WHEN b2.c IS NOT NULL THEN b2.c / CAST(u1.c AS DOUBLE)
+                  ELSE 0.4 * ((COALESCE(uw.c, 0) + 1) / tot.tv) END
+           END) * 1000000) AS BIGINT) AS lp
+  FROM pos p
+  LEFT JOIN tri t3 ON p.k3 = t3.k
+  LEFT JOIN bi b3 ON p.kc3 = b3.k
+  LEFT JOIN bi b2 ON p.k2 = b2.k
+  LEFT JOIN uni u1 ON p.kc2 = u1.k
+  LEFT JOIN uni uw ON p.w0 = uw.k
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_pos, CAST(sum(lp) AS BIGINT) AS logprob_fp
+  FROM lp GROUP BY doc_id
+),
+scored AS (
+  SELECT t.doc_id, t.lang, CAST(a.n_pos - 1 AS BIGINT) AS n_tokens,
+         a.logprob_fp, -a.logprob_fp / (a.n_pos * 1000000.0) AS log_ppl
+  FROM tok t JOIN agg a USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY log_ppl, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, logprob_fp, log_ppl,
+       CASE CAST(floor(3.0 * (r - 1) / n) AS INT)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM ranked ORDER BY doc_id
+"""
+
+
 def _q_crawl_traps(spark, sf_dir):
     """Crawler-trap family detection (operators/urlfilter.detect_crawl_traps):
     a calendar-style trap family (500 distinct URLs, 5 distinct content
@@ -10118,6 +10205,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_anchor_text": _q_anchor_text,
     "cc_redirect_resolve": _q_redirect_resolve,
     "tx_lm_perplexity": _q_lm_perplexity,
+    "tx_ccnet_perplexity": _q_ccnet_perplexity,
     "dd_dedup_clusters_star": _q_dedup_clusters_star,
     "url_crawl_traps": _q_crawl_traps,
     "f8_anti_join_seen_cuckoo": _q_anti_join_seen_cuckoo,
@@ -10394,6 +10482,7 @@ _ORACLES: dict[str, str] = {
     "gr_anchor_text": _SQL_ANCHOR_TEXT,
     "cc_redirect_resolve": _SQL_REDIRECT_RESOLVE,
     "tx_lm_perplexity": _SQL_LM_PERPLEXITY,
+    "tx_ccnet_perplexity": _SQL_CCNET_PERPLEXITY,
     "dd_dedup_clusters_star": _sql_dedup_clusters(),
     "url_crawl_traps": _SQL_CRAWL_TRAPS,
     "gr_host_pagerank": _pagerank_sql(),
