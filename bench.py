@@ -155,6 +155,10 @@ HEADLINE = [
     # LSH k-NN (Arrow bucketing, auto planes) + slim id-keyed margin
     # folds + nomination windows; the exact variant is the recall oracle
     "ann_bitext_margin_fast",
+    # CCNet perplexity gate: Stupid-Backoff trigram counts (3 combiner
+    # aggs) + distinct-trigram score compile (5 slim joins) + one
+    # position-stream join + integer sum + prefix-sum bucket ranks
+    "tx_ccnet_perplexity",
 ]
 
 
