@@ -6181,6 +6181,120 @@ FROM scored ORDER BY rank
 """
 
 
+_FOCUS_ANCHOR_CASE = (
+    "CASE CAST(event_id % 6 AS INT) "
+    "WHEN 0 THEN 'Spark shuffle tuning guide' "
+    "WHEN 1 THEN 'cat pictures gallery' "
+    "WHEN 2 THEN 'crawl frontier design notes' "
+    "WHEN 3 THEN 'Spark Spark shuffle' "
+    "WHEN 4 THEN 'random blog post' ELSE '' END"
+)
+_FOCUS_TERMS = {
+    "spark": 500, "shuffle": 300, "tuning": 200, "crawl": 400,
+    "frontier": 250,
+}
+
+
+def _q_focused_priority(spark, sf_dir):
+    """Focused-crawl frontier prioritization (Chakrabarti et al. 1999,
+    operators/snapshots.focused_priority): uncrawled outlink targets
+    ranked by β·anchor-topic overlap + γ·linking-page relevance, max
+    over inlinks. Anchors mix on-topic, off-topic, repeated-token
+    (distinct-token semantics) and empty cases; some targets are
+    already-crawled pages (must be anti-joined out). All weights are
+    integer milli-units so every score is exact; the full ranking is
+    oracle-replayed."""
+    from web_crawler_spark.operators.snapshots import focused_priority
+
+    e = _t(spark, sf_dir, "events")
+    hi = F.col("user_id") % 12
+    pi = F.col("event_id") % 40
+    src = F.concat(
+        F.lit("https://h"), hi.cast("string"), F.lit(".com/p"),
+        pi.cast("string"),
+    )
+    dst = F.concat(
+        F.lit("https://h"),
+        ((F.col("user_id") + F.col("event_id")) % 12).cast("string"),
+        F.lit(".com/p"),
+        ((F.col("event_id") * 7) % 200).cast("string"),
+    )
+    links = e.select(
+        src.alias("src_url"),
+        dst.alias("dst_url"),
+        F.expr(_FOCUS_ANCHOR_CASE).alias("anchor"),
+    )
+    scores = (
+        e.select(hi.alias("hi"), pi.alias("pi"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("https://h"), F.col("hi").cast("string"),
+                F.lit(".com/p"), F.col("pi").cast("string"),
+            ).alias("url"),
+            ((F.col("hi") * 37 + F.col("pi") * 11) % 1000)
+            .cast("long")
+            .alias("relevance"),
+        )
+    )
+    return focused_priority(links, scores, _FOCUS_TERMS).orderBy("rank")
+
+
+_SQL_FOCUSED_PRIORITY = """
+WITH links AS (
+  SELECT DISTINCT
+    'https://h' || CAST(user_id % 12 AS VARCHAR) || '.com/p'
+      || CAST(event_id % 40 AS VARCHAR) AS src,
+    'https://h' || CAST((user_id + event_id) % 12 AS VARCHAR) || '.com/p'
+      || CAST((event_id * 7) % 200 AS VARCHAR) AS dst,
+    {ANCHOR_CASE} AS anchor
+  FROM events
+),
+terms(term, w) AS (
+  VALUES ('spark', 500), ('shuffle', 300), ('tuning', 200),
+         ('crawl', 400), ('frontier', 250)
+),
+scores AS (
+  SELECT DISTINCT
+    'https://h' || CAST(user_id % 12 AS VARCHAR) || '.com/p'
+      || CAST(event_id % 40 AS VARCHAR) AS url,
+    CAST(((user_id % 12) * 37 + (event_id % 40) * 11) % 1000 AS BIGINT)
+      AS rel
+  FROM events
+),
+edge_scores AS (
+  SELECT src, dst, anchor,
+         COALESCE((
+           SELECT SUM(t.w) FROM terms t
+           WHERE list_contains(
+             CASE WHEN trim(anchor) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(anchor)), '\\s+') END,
+             t.term)
+         ), 0) AS a
+  FROM links
+),
+per_edge AS (
+  SELECT src, dst, MAX(a) AS anchor_score FROM edge_scores GROUP BY src, dst
+),
+contrib AS (
+  SELECT p.dst, p.anchor_score,
+         2 * p.anchor_score + 1 * COALESCE(s.rel, 0) AS contribution
+  FROM per_edge p LEFT JOIN scores s ON p.src = s.url
+),
+per_dst AS (
+  SELECT dst, COUNT(*) AS n_inlinks, MAX(anchor_score) AS best_anchor_score,
+         MAX(contribution) AS priority
+  FROM contrib GROUP BY dst
+),
+frontier AS (
+  SELECT * FROM per_dst WHERE dst NOT IN (SELECT url FROM scores)
+)
+SELECT dst AS dst_url, n_inlinks, best_anchor_score, priority,
+       CAST(row_number() OVER (ORDER BY priority DESC, dst) AS INT) AS rank
+FROM frontier ORDER BY rank
+""".replace("{ANCHOR_CASE}", _FOCUS_ANCHOR_CASE)
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -10247,6 +10361,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_hybrid_rrf": _q_hybrid_rrf,
     "tx_passage_retrieval": _q_passage_retrieval,
     "f9_frontier_ucb": _q_frontier_ucb,
+    "f9_focused_priority": _q_focused_priority,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
@@ -10521,6 +10636,7 @@ _ORACLES: dict[str, str] = {
     "tx_hybrid_rrf": _sql_hybrid_rrf(),
     "tx_passage_retrieval": _sql_passage_retrieval(),
     "f9_frontier_ucb": _SQL_FRONTIER_UCB,
+    "f9_focused_priority": _SQL_FOCUSED_PRIORITY,
     "tx_nfc_normalize": _SQL_NFC_NORMALIZE,
     "tx_snippets": _SQL_SNIPPETS,
     "robots_wildcards": _SQL_ROBOTS_WILDCARDS,

@@ -142,3 +142,63 @@ def test_frontier_ucb_explore_exploit(spark):
     # b's exploration bonus overtakes a's exploitation edge at c=2
     assert rows["b"]["rank"] < rows["a"]["rank"]
     assert rows["c"]["rank"] > rows["b"]["rank"]
+
+
+def test_focused_priority_hand_computed(spark):
+    """Focused-crawl ranking on a hand-checked micro-graph: anchor-topic
+    overlap (distinct tokens), parent-relevance decay, max-over-inlinks,
+    and the crawled-target anti-join."""
+    from web_crawler_spark.operators.snapshots import focused_priority
+
+    links = spark.createDataFrame(
+        [
+            # two inlinks to T1: strong anchor from weak page, weak anchor
+            # from strong page -> priority = max of the two contributions
+            ("https://a.com/p", "https://t1.com/", "Spark shuffle deep dive"),
+            ("https://b.com/p", "https://t1.com/", "misc link"),
+            # repeated token must count once: 'spark spark spark'
+            ("https://a.com/p", "https://t2.com/", "spark spark spark"),
+            # empty anchor -> parent relevance only
+            ("https://b.com/p", "https://t3.com/", ""),
+            # target that is already crawled -> excluded
+            ("https://a.com/p", "https://b.com/p", "Spark guide"),
+            # duplicate edge rows collapse
+            ("https://b.com/p", "https://t3.com/", ""),
+        ],
+        "src_url string, dst_url string, anchor string",
+    )
+    scores = spark.createDataFrame(
+        [("https://a.com/p", 100), ("https://b.com/p", 900)],
+        "url string, relevance long",
+    )
+    terms = {"spark": 500, "shuffle": 300}
+    rows = {
+        r["dst_url"]: r
+        for r in focused_priority(links, scores, terms, beta=2, gamma=1).collect()
+    }
+    assert "https://b.com/p" not in rows  # crawled target anti-joined out
+    t1 = rows["https://t1.com/"]
+    # a->t1: 2*(500+300)+100 = 1700 ; b->t1: 2*0+900 = 900 -> max 1700
+    assert (t1["priority"], t1["best_anchor_score"], t1["n_inlinks"]) == (1700, 800, 2)
+    t2 = rows["https://t2.com/"]
+    # repeated 'spark' counts once: 2*500+100 = 1100
+    assert (t2["priority"], t2["best_anchor_score"]) == (1100, 500)
+    t3 = rows["https://t3.com/"]
+    # empty anchor: 2*0+900 = 900; duplicate edges collapse to one inlink
+    assert (t3["priority"], t3["n_inlinks"]) == (900, 1)
+    assert [rows[k]["rank"] for k in
+            ("https://t1.com/", "https://t2.com/", "https://t3.com/")] == [1, 2, 3]
+
+
+def test_focused_priority_unknown_parent_scores_zero_relevance(spark):
+    from web_crawler_spark.operators.snapshots import focused_priority
+
+    links = spark.createDataFrame(
+        [("https://unknown.com/", "https://t.com/", "crawl frontier")],
+        "src_url string, dst_url string, anchor string",
+    )
+    scores = spark.createDataFrame([], "url string, relevance long")
+    out = focused_priority(
+        links, scores, {"crawl": 400, "frontier": 250}, beta=2, gamma=1
+    ).collect()
+    assert len(out) == 1 and out[0]["priority"] == 2 * 650

@@ -449,6 +449,117 @@ def refresh_allocation(
     return out
 
 
+def focused_priority(
+    links: DataFrame,
+    page_scores: DataFrame,
+    topic_terms: dict[str, int],
+    beta: int = 2,
+    gamma: int = 1,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor",
+    url_col: str = "url",
+    rel_col: str = "relevance",
+) -> DataFrame:
+    """Focused-crawl frontier prioritization (Chakrabarti, van den Berg
+    & Dom 1999): rank UNCRAWLED outlink targets by the topical promise
+    of their link context — the anchor text's overlap with the topic
+    vocabulary plus the linking page's own relevance, the two signals
+    the focused crawler has *before* fetching.
+
+    Per distinct (src, dst, anchor) edge::
+
+        anchor_score = Σ topic_terms[t]  over DISTINCT anchor tokens t
+        contribution = β·max_anchor_score(src,dst) + γ·relevance(src)
+
+    and ``priority(dst) = max contribution over inlinks`` — max, not
+    sum, so link farms can't vote a page up by repetition (the same
+    reasoning as DUST's star pairing). All weights are integer
+    milli-units (the repo's fixed-point discipline), so every score is
+    exact int64 arithmetic — engine-portable with no rounding.
+
+    Scale shape: topic vocabulary is broadcast (it is human-curated,
+    thousands at most); anchor tokens explode bounded by anchor length;
+    the three shuffles — edge distinct, per-edge agg, per-dst agg — all
+    carry slim (url, url, int) rows; crawled-page relevance joins on the
+    slim url key; the final global rank over one-row-per-dst rides the
+    two-level distributed prefix sum, never a single window task.
+    Already-crawled targets are anti-joined out (they are no longer
+    frontier work).
+
+    Returns (dst_url, n_inlinks, best_anchor_score, priority, rank).
+    """
+    from ..functions import text as T
+    from .prefixsum import prefix_sum
+
+    spark = links.sparkSession
+    terms = F.broadcast(
+        spark.createDataFrame(
+            sorted(topic_terms.items()), "term string, w long"
+        )
+    )
+    edges = links.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(anchor_col).cast("string").alias("anchor"),
+    ).distinct()
+    matched = (
+        edges.select(
+            "src",
+            "dst",
+            "anchor",
+            F.explode(
+                F.array_distinct(T.tokens(F.lower(F.col("anchor"))))
+            ).alias("term"),
+        )
+        .join(terms, "term")
+        .groupBy("src", "dst", "anchor")
+        .agg(F.sum("w").alias("a"))
+    )
+    per_edge = (
+        edges.join(matched, ["src", "dst", "anchor"], "left")
+        .groupBy("src", "dst")
+        .agg(F.max(F.coalesce(F.col("a"), F.lit(0))).alias("anchor_score"))
+    )
+    crawled = page_scores.select(
+        F.col(url_col).alias("src"),
+        F.col(rel_col).cast("long").alias("rel"),
+    )
+    contrib = per_edge.join(crawled, "src", "left").select(
+        "dst",
+        "anchor_score",
+        (
+            F.lit(int(beta)) * F.col("anchor_score")
+            + F.lit(int(gamma)) * F.coalesce(F.col("rel"), F.lit(0))
+        ).alias("contribution"),
+    )
+    per_dst = (
+        contrib.groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.max("anchor_score").alias("best_anchor_score"),
+            F.max("contribution").alias("priority"),
+        )
+        .join(
+            crawled.select(F.col("src").alias("dst")), "dst", "left_anti"
+        )
+    )
+    return prefix_sum(
+        per_dst.select(
+            "*", (-F.col("priority")).alias("__k"), F.lit(1).alias("__one")
+        ),
+        order_cols=["__k", "dst"],
+        value_col="__one",
+        out_col="rank",
+    ).select(
+        F.col("dst").alias("dst_url"),
+        "n_inlinks",
+        "best_anchor_score",
+        "priority",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def frontier_ucb(
     host_stats: DataFrame,
     c: float = 1.4142135623730951,
