@@ -6295,6 +6295,41 @@ FROM frontier ORDER BY rank
 """.replace("{ANCHOR_CASE}", _FOCUS_ANCHOR_CASE)
 
 
+def _q_sentence_align(spark, sf_dir):
+    """Gale-Church sentence alignment (operators/align): length-based
+    bitext bead extraction over synthetic translation pairs — every doc
+    gets a tgt variant with uniformly inflated sentence lengths (1-1
+    beads), one third drop their last tgt sentence and one third gain an
+    extra one (absorbed as 2-1/1-2 merge beads per the paper's priors —
+    see tests/test_align.py). Data-dependent DP with erfc emission
+    costs ⇒ genuinely non-SQL-expressible; declared rows-only (the
+    differential + hand-fixture pytest gate is in tests/test_align.py)."""
+    from web_crawler_spark.operators.align import gale_church_align
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    sents_src = (
+        "transform(sequence(0, CAST(doc_id % 4 + 3 AS INT)),"
+        " i -> repeat('a', 20 + CAST((doc_id * 7 + i * 13) % 30 AS INT)))"
+    )
+    sents_tgt = (
+        "transform(sequence(0, CAST(doc_id % 4 + 3 AS INT)),"
+        " i -> repeat('b', 22 + CAST((doc_id * 7 + i * 13) % 30 AS INT)))"
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.expr(f"array_join({sents_src}, '. ')").alias("src_text"),
+        F.expr(
+            f"""array_join(CASE
+              WHEN doc_id % 3 = 0 THEN slice({sents_tgt}, 1,
+                   CAST(doc_id % 4 + 3 AS INT))
+              WHEN doc_id % 3 = 1 THEN concat({sents_tgt},
+                   array(repeat('b', 25)))
+              ELSE {sents_tgt} END, '. ')"""
+        ).alias("tgt_text"),
+    )
+    return gale_church_align(pairs).orderBy("pair_id", "bead_idx")
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (Bharat & Broder 1999): m0/m1 share their
     whole fingerprint space (full mirror, overlap 1.0), m2 overlaps half
@@ -10362,6 +10397,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_passage_retrieval": _q_passage_retrieval,
     "f9_frontier_ucb": _q_frontier_ucb,
     "f9_focused_priority": _q_focused_priority,
+    "tx_sentence_align": _q_sentence_align,
     "tx_nfc_normalize": _q_nfc_normalize,
     "tx_snippets": _q_snippets,
     "robots_wildcards": _q_robots_wildcards,
