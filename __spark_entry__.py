@@ -4252,6 +4252,158 @@ ORDER BY url
 """
 
 
+def _dhash_luma_sql() -> str:
+    """The oracle's closed-form dHash: luma samples and comparison bits
+    recomputed from the BMP fixture's pixel FORMULA (x·7 + y·13 + ch·29 +
+    k·31 mod 256) while the engine decodes actual bytes — certifying
+    decode + orientation flip + grid sampling + bit packing end to end."""
+    lx = "(((t % 9) * w) // 9)"
+    ly = "(((t // 9) * h) // 8)"
+    base = f"({lx} * 7 + {ly} * 13 + k * 31)"
+    luma = (
+        f"((({base} + 58) % 256 + 2 * (({base} + 29) % 256)"
+        f" + ({base} % 256)) // 4)"
+    )
+    return (
+        f"list_transform(range(0, 72), t -> {luma})"
+    )
+
+
+_DHASH_BITS_SQL = (
+    "list_reduce(list_transform(range(0, 64), b -> "
+    "CASE WHEN s[(b // 8) * 9 + (b % 8) + 2] > s[(b // 8) * 9 + (b % 8) + 1]"
+    " THEN '1' ELSE '0' END), (x, y) -> x || y)"
+)
+
+
+def _q_image_dhash(spark, sf_dir):
+    """Perceptual dHash over REAL decoded BMP pixels (multimodal/
+    binaryops.image_dhash): 9×8 integer-luma grid sample → 64 horizontal
+    comparison bits. The oracle recomputes every bit from the pixel
+    formula; the engine decodes actual bytes (orientation flip included
+    — bottom-up rows would silently permute the grid). Corrupt payloads
+    null-route."""
+    from web_crawler_spark.multimodal import binaryops as MM
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 900).select(
+        "event_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for k in pdf["event_id"]:
+                k = int(k)
+                urls.append(f"bmp://{k:06d}")
+                if k % 17 == 0:
+                    blobs.append(b"BMnope" + k.to_bytes(4, "big"))
+                else:
+                    blobs.append(MM.bmp_bytes(4 + k % 9, 3 + k % 7, k))
+            yield pd.DataFrame({"url": urls, "payload": blobs})
+
+    blobs = e.mapInPandas(gen, "url string, payload binary")
+    return MM.image_dhash(blobs).orderBy("url")
+
+
+_SQL_IMAGE_DHASH = f"""
+WITH base AS (
+  SELECT event_id AS k, 4 + event_id % 9 AS w, 3 + event_id % 7 AS h
+  FROM events WHERE event_id < 900
+),
+sm AS (
+  SELECT k, w, h, {_dhash_luma_sql()} AS s FROM base WHERE k % 17 <> 0
+)
+SELECT concat('bmp://', lpad(CAST(k AS VARCHAR), 6, '0')) AS url,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       {_DHASH_BITS_SQL} AS dhash
+FROM sm
+UNION ALL
+SELECT concat('bmp://', lpad(CAST(k AS VARCHAR), 6, '0')) AS url,
+       NULL, NULL, NULL
+FROM base WHERE k % 17 = 0
+ORDER BY url
+"""
+
+
+def _q_image_neardup(spark, sf_dir):
+    """Image near-dup pairs: dHash + simhash-style 4×16 pigeonhole
+    banding + exact Hamming ≤ 10 (multimodal/binaryops.
+    dhash_neardup_pairs). Twin images (identical bytes under a second
+    url every 50th id) plant guaranteed Hamming-0 pairs; same-dimension
+    images pair naturally when bands coincide. The oracle recomputes
+    dHashes from the pixel formula and replays the identical banding +
+    Hamming algebra — candidate-generation semantics certified, not
+    just the distances."""
+    from web_crawler_spark.multimodal import binaryops as MM
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400).select(
+        "event_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for k in pdf["event_id"]:
+                k = int(k)
+                if k % 17 == 0:
+                    urls.append(f"bmp://{k:06d}")
+                    blobs.append(b"BMnope" + k.to_bytes(4, "big"))
+                    continue
+                pay = MM.bmp_bytes(4 + k % 9, 3 + k % 7, k)
+                urls.append(f"bmp://{k:06d}")
+                blobs.append(pay)
+                if k % 50 == 0:
+                    urls.append(f"bmpx://{k:06d}")
+                    blobs.append(pay)
+            yield pd.DataFrame({"url": urls, "payload": blobs})
+
+    blobs = e.mapInPandas(gen, "url string, payload binary")
+    return MM.dhash_neardup_pairs(MM.image_dhash(blobs)).orderBy(
+        "url_a", "url_b"
+    )
+
+
+_SQL_IMAGE_NEARDUP = f"""
+WITH base AS (
+  SELECT event_id AS k, 4 + event_id % 9 AS w, 3 + event_id % 7 AS h
+  FROM events WHERE event_id < 400 AND event_id % 17 <> 0
+),
+sm AS (SELECT k, {_dhash_luma_sql()} AS s FROM base),
+hv AS (SELECT k, {_DHASH_BITS_SQL} AS dhash FROM sm),
+hashes AS (
+  SELECT concat('bmp://', lpad(CAST(k AS VARCHAR), 6, '0')) AS url, dhash
+  FROM hv
+  UNION ALL
+  SELECT concat('bmpx://', lpad(CAST(k AS VARCHAR), 6, '0')) AS url, dhash
+  FROM hv WHERE k % 50 = 0
+),
+slices AS (
+  SELECT url, t.band, substr(dhash, t.band * 16 + 1, 16) AS val
+  FROM hashes, LATERAL unnest(range(0, 4)) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM slices a JOIN slices b
+    ON a.band = b.band AND a.val = b.val AND a.url < b.url
+)
+SELECT c.url_a, c.url_b,
+       CAST(len(list_filter(range(1, 65),
+            i -> substr(ha.dhash, CAST(i AS INT), 1)
+              <> substr(hb.dhash, CAST(i AS INT), 1))) AS INT) AS hamming
+FROM cand c
+JOIN hashes ha ON c.url_a = ha.url
+JOIN hashes hb ON c.url_b = hb.url
+WHERE len(list_filter(range(1, 65),
+      i -> substr(ha.dhash, CAST(i AS INT), 1)
+        <> substr(hb.dhash, CAST(i AS INT), 1))) <= 10
+ORDER BY url_a, url_b
+"""
+
+
 def _q_video_meta(spark, sf_dir):
     """REAL ISO-BMFF (MP4) header decode: honest ftyp+moov(mvhd+trak(tkhd))
     box trees with timescale/duration/dims/track-count derived from
@@ -10281,6 +10433,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_audio_meta": _q_audio_meta,
     "mm_audio_features": _q_audio_features,
     "mm_image_features": _q_image_features,
+    "mm_image_dhash": _q_image_dhash,
+    "mm_image_neardup": _q_image_neardup,
     "mm_video_meta": _q_video_meta,
     "st_stateful_politeness": _q_stateful_politeness,
     "st_stateful_seen": _q_stateful_seen,
@@ -10575,6 +10729,8 @@ _ORACLES: dict[str, str] = {
     "mm_audio_meta": _SQL_AUDIO_META,
     "mm_audio_features": _SQL_AUDIO_FEATURES,
     "mm_image_features": _SQL_IMAGE_FEATURES,
+    "mm_image_dhash": _SQL_IMAGE_DHASH,
+    "mm_image_neardup": _SQL_IMAGE_NEARDUP,
     "mm_video_meta": _SQL_VIDEO_META,
     "st_stateful_politeness": _SQL_STATEFUL_POLITENESS,
     "st_stateful_seen": _SQL_STATEFUL_SEEN,

@@ -1017,3 +1017,63 @@ def test_image_features_real_bmp_decode(spark):
     assert r["tl_b"] == (key * 31) % 256
     assert got["trunc"]["width"] is None
     assert got["bad"]["width"] is None
+
+
+def test_image_dhash_pure_python_parity(spark):
+    """Engine dHash over real BMP bytes equals a pure-Python recompute
+    from the pixel formula (decode + orientation flip + 9x8 nearest
+    sample + comparison-bit packing)."""
+    from web_crawler_spark.multimodal.binaryops import bmp_bytes, image_dhash
+
+    cases = [(4, 3, 5), (12, 9, 123), (9, 8, 77)]
+    rows = [(f"u{i}", bytearray(bmp_bytes(w, h, k)))
+            for i, (w, h, k) in enumerate(cases)]
+    rows.append(("bad", bytearray(b"BMnope1234")))
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in image_dhash(df).collect()}
+
+    def ref_bits(w, h, k):
+        def luma(x, y):
+            base = x * 7 + y * 13 + k * 31
+            return ((base + 58) % 256 + 2 * ((base + 29) % 256)
+                    + base % 256) // 4
+        xs = [(i * w) // 9 for i in range(9)]
+        ys = [(j * h) // 8 for j in range(8)]
+        out = []
+        for j in range(8):
+            for i in range(8):
+                out.append("1" if luma(xs[i + 1], ys[j]) > luma(xs[i], ys[j])
+                           else "0")
+        return "".join(out)
+
+    for i, (w, h, k) in enumerate(cases):
+        r = got[f"u{i}"]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["dhash"] == ref_bits(w, h, k), (w, h, k)
+    assert got["bad"]["dhash"] is None
+
+
+def test_dhash_neardup_banding_and_hamming(spark):
+    """Twin hashes pair at Hamming 0; a 1-bit flip pairs (3 shared
+    bands); flipping one bit in EVERY band leaves no shared band, so the
+    pair is not a candidate even though Hamming 4 <= max_distance — the
+    declared pigeonhole recall contract."""
+    from web_crawler_spark.multimodal.binaryops import dhash_neardup_pairs
+
+    base = "0110" * 16
+    one_flip = ("1" if base[0] == "0" else "0") + base[1:]
+    all_bands = list(base)
+    for b in range(4):
+        pos = b * 16
+        all_bands[pos] = "1" if all_bands[pos] == "0" else "0"
+    rows = [("a", base), ("b", base), ("c", one_flip),
+            ("d", "".join(all_bands)), ("skip", None)]
+    df = spark.createDataFrame(rows, "url string, dhash string")
+    got = {(r["url_a"], r["url_b"]): r["hamming"]
+           for r in dhash_neardup_pairs(df, max_distance=10).collect()}
+    assert got[("a", "b")] == 0
+    assert got[("a", "c")] == 1 and got[("b", "c")] == 1
+    assert ("a", "d") not in got and ("b", "d") not in got  # no shared band
+    # c and d share the SAME band-0 flip, differing only in the bands 1-3
+    # flips -> candidates via band 0, Hamming 3
+    assert got[("c", "d")] == 3

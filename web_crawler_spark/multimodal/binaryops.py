@@ -637,3 +637,142 @@ def image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("url", payload_col).mapInPandas(
         gen, IMAGE_FEATURES_SCHEMA
     )
+
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.StringType()),
+    ]
+)
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded BMP pixels —
+    the image near-dup fingerprint (Krawetz's dHash, the standard cheap
+    perceptual hash): sample a 9×8 grid of integer-luma values, emit one
+    bit per horizontal neighbor comparison → 64 bits, returned as a
+    64-char '0'/'1' string so downstream algebra is engine-portable
+    (no uint64 sign traps).
+
+    Deterministic integer pipeline end to end: image-oriented pixels
+    (stored rows are bottom-up — flipped before sampling, same
+    orientation contract `image_features`' tl_b certifies), luma =
+    (r + 2·g + b) // 4, grid sample at x=(i·w)//9, y=(j·h)//8
+    (nearest-neighbor — images smaller than the grid repeat pixels
+    rather than needing a resampler; no codec/resize libs in this
+    container, declared like the rest of the BMP path). Non-BMP /
+    truncated payloads null-route (F5 isolation). Stateless 1→1 map,
+    zero shuffle."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, hh = [], [], []
+            for payload in pdf[payload_col]:
+                b = bytes(payload or b"")
+                w = h = None
+                bits = None
+                try:
+                    if len(b) >= 54 and b[:2] == b"BM":
+                        off = int.from_bytes(b[10:14], "little")
+                        hsz = int.from_bytes(b[14:18], "little")
+                        w0 = int.from_bytes(b[18:22], "little", signed=True)
+                        h0 = int.from_bytes(b[22:26], "little", signed=True)
+                        bpp = int.from_bytes(b[28:30], "little")
+                        comp = int.from_bytes(b[30:34], "little")
+                        if (hsz >= 40 and bpp == 24 and comp == 0
+                                and w0 > 0 and h0 > 0):
+                            row_len = (w0 * 3 + 3) & ~3
+                            if len(b) >= off + row_len * h0:
+                                a = np.frombuffer(
+                                    b, dtype=np.uint8, count=row_len * h0,
+                                    offset=off,
+                                ).reshape(h0, row_len)[:, : w0 * 3]
+                                img = a.reshape(h0, w0, 3)[::-1].astype(
+                                    np.int64
+                                )
+                                luma = (
+                                    img[:, :, 2] + 2 * img[:, :, 1]
+                                    + img[:, :, 0]
+                                ) // 4
+                                ys = (np.arange(8) * h0) // 8
+                                xs = (np.arange(9) * w0) // 9
+                                s = luma[np.ix_(ys, xs)]
+                                d = (s[:, 1:] > s[:, :-1]).astype(np.uint8)
+                                bits = "".join(
+                                    "1" if v else "0" for v in d.ravel()
+                                )
+                                w, h = w0, h0
+                except Exception:
+                    w = h = bits = None
+                ws.append(w)
+                hs.append(h)
+                hh.append(bits)
+            yield pd.DataFrame(
+                {"url": pdf["url"],
+                 "width": pd.array(ws, dtype="Int32"),
+                 "height": pd.array(hs, dtype="Int32"),
+                 "dhash": pd.array(hh, dtype="string")}
+            )
+
+    return df.select("url", payload_col).mapInPandas(gen, IMAGE_DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame, max_distance: int = 10, bands: int = 4
+) -> DataFrame:
+    """Image near-dup candidate pairs by Hamming distance over dHash —
+    the simhash pigeonhole discipline applied to the perceptual hash:
+    the 64-bit string splits into ``bands`` equal slices, candidates
+    must share at least one slice EXACTLY (band equi-join, never a
+    cross join; pairs within Hamming < ``bands`` are guaranteed caught,
+    farther pairs only when a band happens to match — the declared
+    recall contract, same as simhash blocking), then the exact Hamming
+    distance filters to ``<= max_distance``. All pair algebra is JVM
+    column work over slim (url, 64-char hash) rows; plan shape is one
+    band shuffle + one id-keyed hash re-join."""
+    width = 64 // int(bands)
+    h = hashes.filter(F.col("dhash").isNotNull()).select("url", "dhash")
+    slices = h.select(
+        "url",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("dhash", i * width + 1, width).alias("val"),
+                )
+                for i in range(int(bands))
+            ])
+        ).alias("s"),
+    ).select("url", "s.band", "s.val")
+    a, b = slices.alias("a"), slices.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.url") < F.col("b.url")),
+        )
+        .select(
+            F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b")
+        )
+        .distinct()
+    )
+    ha = h.select(F.col("url").alias("url_a"), F.col("dhash").alias("da"))
+    hb = h.select(F.col("url").alias("url_b"), F.col("dhash").alias("db"))
+    return (
+        cand.join(ha, "url_a")
+        .join(hb, "url_b")
+        .withColumn(
+            "hamming",
+            F.expr(
+                "size(filter(sequence(1, 64),"
+                " i -> substring(da, i, 1) <> substring(db, i, 1)))"
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= int(max_distance))
+        .select("url_a", "url_b", "hamming")
+    )
