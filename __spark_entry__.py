@@ -580,6 +580,108 @@ ORDER BY url
 """
 
 
+def _q_alias_resolution(spark, sf_dir):
+    """The composed URL-alias stack (operators/redirects.resolve_aliases):
+    redirect chains (length 0-4 + a planted 2-cycle) resolve to their
+    final fetch, then the final page's rel=canonical declaration takes
+    one step — no-link self-canonical, absolute href, and href-first
+    attribute order all exercised. Per-URL final/hops/resolved/effective
+    are all certified; the cycle yields resolved=0 and NULL effective.
+    Each stage is certified alone (cc_redirect_resolve,
+    cc_canonical_dedup); this certifies the COMPOSITION."""
+    from web_crawler_spark.operators import redirects as R
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    k = F.col("event_id")
+
+    def url_of(kk):
+        return F.concat(
+            F.lit("https://h"), (kk % 7).cast("string"),
+            F.lit(".example.com/p/"), kk.cast("string"),
+        )
+
+    fetches = e.select(
+        url_of(k).alias("url"),
+        F.when(k % 5 > 0, F.lit(301)).otherwise(F.lit(200)).alias("status"),
+        F.when(k % 5 > 0, url_of(k - 1)).alias("redirect_to"),
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                ("https://r.example.com/cycA", 302,
+                 "https://r.example.com/cycB"),
+                ("https://r.example.com/cycB", 302,
+                 "https://r.example.com/cycA"),
+            ],
+            "url string, status int, redirect_to string",
+        )
+    )
+    gid = k - k % 15
+    v = (k / 5).cast("long") % 3
+    pages = e.filter(k % 5 == 0).select(
+        url_of(k).alias("url"),
+        F.when(v == 0, F.lit("<html><head></head><body>x</body></html>"))
+        .when(v == 1, F.concat(
+            F.lit('<html><head><link rel="canonical" href="'),
+            url_of(gid), F.lit('"></head><body>x</body></html>')))
+        .otherwise(F.concat(
+            F.lit('<html><head><link href="'), url_of(gid),
+            F.lit('" rel=canonical></head><body>x</body></html>')))
+        .alias("html"),
+    )
+    return R.resolve_aliases(fetches, pages).orderBy("url")
+
+
+_SQL_ALIAS_RESOLUTION = """
+WITH RECURSIVE f AS (
+  SELECT concat('https://h', CAST(event_id % 7 AS VARCHAR),
+                '.example.com/p/', CAST(event_id AS VARCHAR)) AS url,
+         CASE WHEN event_id % 5 > 0 THEN 301 ELSE 200 END AS status,
+         CASE WHEN event_id % 5 > 0
+              THEN concat('https://h', CAST((event_id - 1) % 7 AS VARCHAR),
+                          '.example.com/p/', CAST(event_id - 1 AS VARCHAR))
+         END AS redirect_to
+  FROM events WHERE event_id < 3000
+  UNION ALL
+  SELECT 'https://r.example.com/cycA', 302, 'https://r.example.com/cycB'
+  UNION ALL
+  SELECT 'https://r.example.com/cycB', 302, 'https://r.example.com/cycA'
+), e AS (
+  SELECT url AS src, min(redirect_to) AS dst FROM f
+  WHERE status BETWEEN 300 AND 399 AND redirect_to IS NOT NULL GROUP BY 1
+), walk AS (
+  SELECT src AS url, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e
+  UNION ALL
+  SELECT w.url, e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.cur WHERE w.hops < 32
+), res AS (
+  SELECT url, cur AS final_url, hops,
+         CAST(cur NOT IN (SELECT src FROM e) AS INT) AS resolved
+  FROM walk
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY hops DESC) = 1
+), allu AS (
+  SELECT DISTINCT url FROM f
+), base AS (
+  SELECT a.url,
+         COALESCE(r.final_url, a.url) AS final_url,
+         CAST(COALESCE(r.hops, 0) AS BIGINT) AS hops,
+         CAST(COALESCE(r.resolved, 1) AS INT) AS resolved
+  FROM allu a LEFT JOIN res r USING (url)
+), canon AS (
+  SELECT concat('https://h', CAST(k % 7 AS VARCHAR),
+                '.example.com/p/', CAST(k AS VARCHAR)) AS curl,
+         concat('https://h', CAST((k - k % 15) % 7 AS VARCHAR),
+                '.example.com/p/', CAST(k - k % 15 AS VARCHAR)) AS ctarget
+  FROM (SELECT event_id AS k FROM events
+        WHERE event_id < 3000 AND event_id % 5 = 0)
+)
+SELECT b.url, b.final_url, b.hops, b.resolved,
+       CASE WHEN b.resolved = 1
+            THEN COALESCE(c.ctarget, b.final_url) END AS effective_url
+FROM base b LEFT JOIN canon c ON b.final_url = c.curl
+ORDER BY b.url
+"""
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring (operators/lm): add-1 bigram model
     trained on the doc_id%10<8 slice of documents, every document scored.
@@ -10507,6 +10609,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_cdx_index": _q_cdx_index,
     "gr_anchor_text": _q_anchor_text,
     "cc_redirect_resolve": _q_redirect_resolve,
+    "cc_alias_resolution": _q_alias_resolution,
     "tx_lm_perplexity": _q_lm_perplexity,
     "tx_ccnet_perplexity": _q_ccnet_perplexity,
     "dd_dedup_clusters_star": _q_dedup_clusters_star,
@@ -10788,6 +10891,7 @@ _ORACLES: dict[str, str] = {
     "cc_cdx_index": _SQL_CDX_INDEX,
     "gr_anchor_text": _SQL_ANCHOR_TEXT,
     "cc_redirect_resolve": _SQL_REDIRECT_RESOLVE,
+    "cc_alias_resolution": _SQL_ALIAS_RESOLUTION,
     "tx_lm_perplexity": _SQL_LM_PERPLEXITY,
     "tx_ccnet_perplexity": _SQL_CCNET_PERPLEXITY,
     "dd_dedup_clusters_star": _sql_dedup_clusters(),

@@ -86,3 +86,45 @@ def test_no_vector_of_full_log_joins(spark):
     assert [(r["url"], r["final_url"], r["hops"], r["resolved"]) for r in out] == [
         ("a", "b", 1, True)
     ]
+
+
+def test_resolve_aliases_composition(spark):
+    """Redirect walk + one canonical step composed: chain ends inherit
+    the final page's rel=canonical, pages without a declaration (or
+    without a fetched html row) are their own effective URL, cycles
+    yield resolved=0 with NULL effective."""
+    from web_crawler_spark.operators.redirects import resolve_aliases
+
+    fetches = spark.createDataFrame(
+        [
+            ("https://s.com/a", 301, "https://s.com/b"),
+            ("https://s.com/b", 301, "https://s.com/c"),
+            ("https://s.com/c", 200, None),
+            ("https://s.com/d", 200, None),
+            ("https://s.com/e", 302, "https://s.com/e"),  # self-cycle
+            ("https://s.com/f", 200, None),
+        ],
+        "url string, status int, redirect_to string",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://s.com/c",
+             '<html><head><link rel="canonical" href="https://x.com/CANON">'
+             "</head><body></body></html>"),
+            ("https://s.com/d", "<html><head></head><body></body></html>"),
+        ],
+        "url string, html string",
+    )
+    got = {r["url"]: r for r in resolve_aliases(fetches, pages).collect()}
+    for u, fin, hops, eff in [
+        ("https://s.com/a", "https://s.com/c", 2, "https://x.com/CANON"),
+        ("https://s.com/b", "https://s.com/c", 1, "https://x.com/CANON"),
+        ("https://s.com/c", "https://s.com/c", 0, "https://x.com/CANON"),
+        ("https://s.com/d", "https://s.com/d", 0, "https://s.com/d"),
+        ("https://s.com/f", "https://s.com/f", 0, "https://s.com/f"),
+    ]:
+        r = got[u]
+        assert (r["final_url"], r["hops"], r["resolved"], r["effective_url"]) \
+            == (fin, hops, 1, eff), u
+    e = got["https://s.com/e"]
+    assert e["resolved"] == 0 and e["effective_url"] is None

@@ -102,6 +102,69 @@ def resolve_redirects(edges: DataFrame, max_rounds: int = 5) -> DataFrame:
     )
 
 
+def resolve_aliases(
+    fetches: DataFrame,
+    pages: DataFrame,
+    url_col: str = "url",
+    status_col: str = "status",
+    location_col: str = "redirect_to",
+    html_col: str = "html",
+) -> DataFrame:
+    """The full URL-alias resolution stack as ONE plan — the composition
+    a search-engine canonicalizer actually runs: follow the redirect
+    chain to its final fetch (pointer doubling, 32-hop cap), then take
+    the final page's ``rel=canonical`` declaration as one extra step
+    (one step, not a walk — canonical chains are deliberately not
+    followed transitively, matching documented search-engine treatment;
+    a mis-declared canonical chain otherwise aliases the whole site
+    together). Composes :func:`redirect_edges` → :func:`resolve_redirects`
+    → ``urltools.rel_canonical`` resolution, each individually certified
+    elsewhere (cc_redirect_resolve, cc_canonical_dedup); this operator's
+    oracle certifies the COMPOSITION.
+
+    Returns one row per distinct fetched URL:
+    ``(url, final_url, hops, resolved, effective_url)`` — effective_url
+    is NULL when the redirect walk hit a cycle/cap (resolved = 0); a
+    final page with no canonical declaration is its own effective URL.
+
+    Scale shape: the redirect log is tiny next to the corpus (edges
+    only from 3xx rows); the canonical map is page-corpus-sized, so it
+    joins the resolved frame on the slim final_url key — an equi-join
+    of (url, url) rows, never a broadcast of the corpus. Page HTML
+    stays in the extraction projection; it never crosses the join."""
+    from ..functions import urltools as U
+
+    edges = redirect_edges(fetches, url_col, status_col, location_col)
+    res = resolve_redirects(edges)
+    allu = fetches.select(F.col(url_col).alias("url")).distinct()
+    base = allu.join(res, "url", "left").select(
+        "url",
+        F.coalesce("final_url", F.col("url")).alias("final_url"),
+        F.coalesce("hops", F.lit(0)).cast("long").alias("hops"),
+        F.coalesce("resolved", F.lit(True)).alias("_resolved"),
+    )
+    canon = pages.select(
+        F.col(url_col).alias("_curl"),
+        F.coalesce(
+            U.resolve_url(F.col(url_col), U.rel_canonical(F.col(html_col))),
+            F.col(url_col),
+        ).alias("_ctarget"),
+    )
+    return (
+        base.join(canon, base["final_url"] == canon["_curl"], "left")
+        .select(
+            "url",
+            "final_url",
+            "hops",
+            F.col("_resolved").cast("int").alias("resolved"),
+            F.when(
+                F.col("_resolved"),
+                F.coalesce(F.col("_ctarget"), F.col("final_url")),
+            ).alias("effective_url"),
+        )
+    )
+
+
 def apply_redirects(
     df: DataFrame,
     resolved: DataFrame,
