@@ -10505,6 +10505,261 @@ SELECT o_orderkey, {interleave} AS zval FROM g ORDER BY o_orderkey
 """
 
 
+def _q_bm25_rm3(spark, sf_dir):
+    """BM25 + RM3 pseudo-relevance feedback (operators/corpus.py::
+    rm3_topk — Lavrenko & Croft 2001 / Abdul-Jaleel et al. 2004, the
+    Anserini default expander) over the real documents table with the
+    same query as tx_bm25_topk. The oracle replays the ENTIRE chain:
+    first-pass BM25 top-10 feedback set, doc_id-ordered score fold for
+    the normalizer, the relevance-model term distribution with
+    IEEE-ordered per-term folds, (P desc, term) top-10 expansion,
+    interpolation with the original query MLE, and the weighted-BM25
+    re-score with term-ordered summation."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.rm3_topk(
+        d, _BM25_TERMS, k=10, fb_docs=10, fb_terms=10,
+        orig_weight=0.5, k1=_BM25_K1, b=_BM25_B,
+    ).orderBy(F.desc("score"), "doc_id")
+
+
+def _sql_bm25_rm3() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    alpha = 0.5
+    qlen = len(_BM25_TERMS)
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(tk, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_exprs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    parts = " + ".join(
+        f"(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * {k1 + 1.0}"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * ({1.0 - b} + {b} * dl / s.avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    orig_rows = ", ".join(
+        f"('{t}', ({alpha} * {_BM25_TERMS.count(t)}) / {qlen})"
+        for t in sorted(set(_BM25_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+),
+tfd AS (
+  SELECT doc_id, len(tk) AS dl,
+         {tf_exprs}
+  FROM toks
+),
+s AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_exprs}
+  FROM tfd
+),
+fp AS (
+  SELECT doc_id, ROUND({parts}, 6) AS score
+  FROM tfd, s
+  WHERE ({parts}) > 0
+  ORDER BY score DESC, doc_id
+  LIMIT 10
+),
+tot AS (
+  SELECT list_reduce(list(score ORDER BY doc_id), (a, c) -> a + c) AS total
+  FROM fp
+),
+wd AS (SELECT doc_id, score / tot.total AS w FROM fp, tot),
+fbt AS (
+  SELECT t.doc_id, unnest(t.tk) AS term, len(t.tk) AS dl
+  FROM toks t JOIN fp USING (doc_id)
+),
+cagg AS (
+  SELECT doc_id, term, dl, count(*) AS tf FROM fbt GROUP BY doc_id, term, dl
+),
+contrib AS (
+  SELECT c.term, c.doc_id, (CAST(c.tf AS DOUBLE) / c.dl) * w.w AS cv
+  FROM cagg c JOIN wd w USING (doc_id)
+),
+prel AS (
+  SELECT term,
+         list_reduce([0.0] || list(cv ORDER BY doc_id), (a, c) -> a + c) AS p
+  FROM contrib GROUP BY term
+),
+topt AS (SELECT term, p FROM prel ORDER BY p DESC, term LIMIT 10),
+wts AS (
+  SELECT coalesce(o.term, x.term) AS term,
+         coalesce(o.w, 0.0) + coalesce({1.0 - alpha} * x.p, 0.0) AS w
+  FROM (VALUES {orig_rows}) AS o(term, w)
+  FULL OUTER JOIN topt x ON o.term = x.term
+),
+xstats AS (
+  SELECT w.term, count(DISTINCT e.doc_id) AS dft
+  FROM wts w
+  JOIN (SELECT doc_id, unnest(tk) AS term FROM toks) e ON e.term = w.term
+  GROUP BY w.term
+),
+xparts AS (
+  SELECT d.doc_id, w.term,
+         (((w.w * ln(1.0 + (s.n - coalesce(x.dft, 0) + 0.5)
+                           / (coalesce(x.dft, 0) + 0.5)))
+           * CAST(coalesce(tf.tf, 0) AS DOUBLE)) * {k1 + 1.0})
+         / (CAST(coalesce(tf.tf, 0) AS DOUBLE)
+            + {k1} * ({1.0 - b} + {b} * d.dl / s.avgdl)) AS part
+  FROM (SELECT doc_id, dl FROM tfd) d
+  CROSS JOIN wts w
+  LEFT JOIN xstats x ON x.term = w.term
+  LEFT JOIN (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+    GROUP BY doc_id, term
+  ) tf ON tf.doc_id = d.doc_id AND tf.term = w.term
+  CROSS JOIN s
+),
+xscore AS (
+  SELECT doc_id,
+         list_reduce([0.0] || list(part ORDER BY term), (a, c) -> a + c) AS raw
+  FROM xparts GROUP BY doc_id
+)
+SELECT doc_id, ROUND(raw, 6) AS score
+FROM xscore
+WHERE raw > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+def _q_url_language_twins(spark, sf_dir):
+    """URL-pattern cross-language document alignment (operators/align.py::
+    url_language_twins — Buck & Koehn WMT16 baseline): 200 logical doc
+    families in five regimes — /en/ vs /fr/ path pairs (kept), en/de
+    pairs whose length ratio fails the 333-milli gate (dropped),
+    ?lang=en vs ?lang=fr query-param pairs (kept), no-marker URLs
+    (excluded — nothing blanked), en-us vs pt-br locale SUBDOMAIN pairs
+    (kept), plus one 17-language hot family exceeding max_family=16
+    (dropped whole). The oracle replays tokenization, marker blanking,
+    the family-cap window, the cross-language self-join and the integer
+    length-ratio gate."""
+    from web_crawler_spark.operators.align import (
+        URL_LANG_TOKENS,
+        url_language_twins,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cids = e.select((F.col("event_id") % 200).alias("cid")).distinct()
+    c = F.col("cid")
+    cs = c.cast("string")
+    m5 = c % 5
+
+    def doc(url, lang, n):
+        return F.struct(
+            url.alias("url"), F.lit(lang).alias("lang"),
+            n.cast("int").alias("n"),
+        )
+
+    two = F.when(
+        m5 == 0,
+        F.array(
+            doc(F.concat(F.lit("https://w.ex/en/a"), cs), "en", c + 400),
+            doc(F.concat(F.lit("https://w.ex/fr/a"), cs), "fr", c + 440),
+        ),
+    ).when(
+        m5 == 1,
+        F.array(
+            doc(F.concat(F.lit("https://w.ex/en/b"), cs), "en", F.lit(500)),
+            doc(F.concat(F.lit("https://w.ex/de/b"), cs), "de", F.lit(100)),
+        ),
+    ).when(
+        m5 == 2,
+        F.array(
+            doc(F.concat(F.lit("https://site.ex/doc"), cs, F.lit("?lang=en")),
+                "en", c + 300),
+            doc(F.concat(F.lit("https://site.ex/doc"), cs, F.lit("?lang=fr")),
+                "fr", c + 310),
+        ),
+    ).when(
+        m5 == 3,
+        F.array(
+            doc(F.concat(F.lit("https://w.ex/plain/c"), cs), "en", c + 200),
+        ),
+    ).otherwise(
+        F.array(
+            doc(F.concat(F.lit("https://en-us.w2.ex/d"), cs), "en-us",
+                c + 350),
+            doc(F.concat(F.lit("https://pt-br.w2.ex/d"), cs), "pt-br",
+                c + 355),
+        ),
+    )
+    base = cids.select(F.explode(two).alias("d")).select(
+        F.col("d.url").alias("url"), F.col("d.lang").alias("lang"),
+        F.expr("repeat('x', d.n)").alias("text"),
+    )
+    hot_langs = list(URL_LANG_TOKENS[:17])
+    hot = spark.createDataFrame(
+        [(f"https://hot.ex/{lg}/x", lg, "x" * 100) for lg in hot_langs],
+        "url string, lang string, text string",
+    )
+    pages = base.unionByName(hot)
+    return url_language_twins(pages).orderBy("url_a", "url_b")
+
+
+def _sql_url_language_twins() -> str:
+    from web_crawler_spark.operators.align import URL_LANG_TOKENS
+
+    langs_sql = "[" + ", ".join(f"'{t}'" for t in URL_LANG_TOKENS) + "]"
+    hot_sql = "[" + ", ".join(f"'{t}'" for t in URL_LANG_TOKENS[:17]) + "]"
+    return f"""
+WITH cids AS (SELECT DISTINCT event_id % 200 AS cid FROM events),
+docs AS (
+  SELECT concat('https://w.ex/en/a', CAST(cid AS VARCHAR)) AS url, 'en' AS lang, cid + 400 AS ln
+  FROM cids WHERE cid % 5 = 0
+  UNION ALL
+  SELECT concat('https://w.ex/fr/a', CAST(cid AS VARCHAR)), 'fr', cid + 440 FROM cids WHERE cid % 5 = 0
+  UNION ALL
+  SELECT concat('https://w.ex/en/b', CAST(cid AS VARCHAR)), 'en', 500 FROM cids WHERE cid % 5 = 1
+  UNION ALL
+  SELECT concat('https://w.ex/de/b', CAST(cid AS VARCHAR)), 'de', 100 FROM cids WHERE cid % 5 = 1
+  UNION ALL
+  SELECT concat('https://site.ex/doc', CAST(cid AS VARCHAR), '?lang=en'), 'en', cid + 300 FROM cids WHERE cid % 5 = 2
+  UNION ALL
+  SELECT concat('https://site.ex/doc', CAST(cid AS VARCHAR), '?lang=fr'), 'fr', cid + 310 FROM cids WHERE cid % 5 = 2
+  UNION ALL
+  SELECT concat('https://w.ex/plain/c', CAST(cid AS VARCHAR)), 'en', cid + 200 FROM cids WHERE cid % 5 = 3
+  UNION ALL
+  SELECT concat('https://en-us.w2.ex/d', CAST(cid AS VARCHAR)), 'en-us', cid + 350 FROM cids WHERE cid % 5 = 4
+  UNION ALL
+  SELECT concat('https://pt-br.w2.ex/d', CAST(cid AS VARCHAR)), 'pt-br', cid + 355 FROM cids WHERE cid % 5 = 4
+  UNION ALL
+  SELECT concat('https://hot.ex/', lg, '/x'), lg, 100
+  FROM (SELECT unnest({hot_sql}) AS lg)
+),
+keyed AS (
+  SELECT url, lang, ln,
+         array_to_string(
+           list_transform(string_split_regex(lower(url), '[/?&=.:]'),
+                          t -> CASE WHEN list_contains({langs_sql}, t) THEN '@L' ELSE t END),
+           '/') AS key,
+         len(list_filter(string_split_regex(lower(url), '[/?&=.:]'),
+                         t -> list_contains({langs_sql}, t))) AS nb
+  FROM docs
+),
+fam AS (
+  SELECT url, lang, ln, key, count(*) OVER (PARTITION BY key) AS famn
+  FROM keyed WHERE nb >= 1
+),
+ok AS (SELECT * FROM fam WHERE famn <= 16)
+SELECT a.key AS key, a.url AS url_a, a.lang AS lang_a,
+       b.url AS url_b, b.lang AS lang_b,
+       CAST(floor(1000 * least(a.ln, b.ln) / greatest(a.ln, b.ln)) AS BIGINT) AS len_ratio_milli
+FROM ok a JOIN ok b ON a.key = b.key
+WHERE a.lang < b.lang
+  AND floor(1000 * least(a.ln, b.ln) / greatest(a.ln, b.ln)) >= 333
+ORDER BY url_a, url_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10590,6 +10845,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_dedup_clusters": _q_dedup_clusters,
     "dd_keep_canonical": _q_keep_canonical,
     "dd_simhash_pairs_md5": _q_simhash_pairs_md5,
+    "tx_url_language_twins": _q_url_language_twins,
+    "tx_bm25_rm3": _q_bm25_rm3,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -10980,6 +11237,8 @@ _ORACLES: dict[str, str] = {
     "dd_semdedup_md5": _sql_semdedup_md5(),
     "dd_embedding_lsh_pairs_md5": _sql_embedding_lsh_pairs_md5(),
     "dd_simhash_pairs_md5": _sql_simhash_pairs_md5(),
+    "tx_url_language_twins": _sql_url_language_twins(),
+    "tx_bm25_rm3": _sql_bm25_rm3(),
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

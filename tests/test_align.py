@@ -96,3 +96,80 @@ def test_truncation_guard(spark):
     assert all(r["truncated"] for r in out)
     # only the 10-sentence prefix was aligned
     assert max(r["src_from"] + r["src_n"] for r in out) == 10
+
+
+# --- url_language_twins (Buck & Koehn WMT16 URL-matching baseline) ---------
+
+def _twin_pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, lang string, text string")
+
+
+def test_url_twins_path_param_subdomain_forms(spark):
+    from web_crawler_spark.operators.align import url_language_twins
+
+    pages = _twin_pages(spark, [
+        ("https://w.ex/en/about", "en", "x" * 100),
+        ("https://w.ex/fr/about", "fr", "x" * 110),
+        ("https://site.ex/doc7?lang=en", "en", "y" * 200),
+        ("https://site.ex/doc7?lang=fr", "fr", "y" * 210),
+        ("https://en-us.w2.ex/d1", "en-us", "z" * 300),
+        ("https://pt-br.w2.ex/d1", "pt-br", "z" * 330),
+    ])
+    got = {
+        (r["url_a"], r["url_b"]): r
+        for r in url_language_twins(pages).collect()
+    }
+    assert set(got) == {
+        ("https://w.ex/en/about", "https://w.ex/fr/about"),
+        ("https://site.ex/doc7?lang=en", "https://site.ex/doc7?lang=fr"),
+        ("https://en-us.w2.ex/d1", "https://pt-br.w2.ex/d1"),
+    }
+    r = got[("https://w.ex/en/about", "https://w.ex/fr/about")]
+    assert (r["lang_a"], r["lang_b"]) == ("en", "fr")
+    assert r["len_ratio_milli"] == 1000 * 100 // 110
+
+
+def test_url_twins_ratio_gate_and_no_marker_exclusion(spark):
+    from web_crawler_spark.operators.align import url_language_twins
+
+    pages = _twin_pages(spark, [
+        # length ratio 100/500 = 200 milli < 333 -> dropped
+        ("https://w.ex/en/b1", "en", "x" * 500),
+        ("https://w.ex/de/b1", "de", "x" * 100),
+        # no language marker anywhere -> excluded before pairing
+        ("https://w.ex/plain/c1", "en", "x" * 100),
+        ("https://w.ex/plain/c1?v=2", "fr", "x" * 100),
+        # 'it' inside a hyphenated slug is NOT a marker token
+        ("https://w.ex/how-it-works", "en", "x" * 100),
+        ("https://w.ex/how-it-works?v=2", "it", "x" * 100),
+    ])
+    assert url_language_twins(pages).count() == 0
+
+
+def test_url_twins_hot_family_cap(spark):
+    from web_crawler_spark.operators.align import (
+        URL_LANG_TOKENS, url_language_twins,
+    )
+
+    rows = [
+        (f"https://hot.ex/{lg}/x", lg, "x" * 100)
+        for lg in URL_LANG_TOKENS[:17]
+    ]
+    assert url_language_twins(_twin_pages(spark, rows)).count() == 0
+    # same family under the cap pairs freely: 3 langs -> 3 pairs
+    ok = url_language_twins(_twin_pages(spark, rows[:3]))
+    assert ok.count() == 3
+
+
+def test_url_alignment_key_blanks_whole_tokens_only(spark):
+    from web_crawler_spark.operators.align import url_alignment_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("https://w.ex/en/about",), ("https://w.ex/fr/about",),
+         ("https://w.ex/how-it-works",)],
+        "url string",
+    ).select(url_alignment_key(F.col("url")).alias("k"))
+    ks = [r["k"] for r in df.collect()]
+    assert ks[0] == ks[1]
+    assert "how-it-works" in ks[2]

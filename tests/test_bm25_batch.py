@@ -126,3 +126,112 @@ def test_empty_corpus_and_empty_query_set(spark):
     assert C.bm25_batch_topk(d, q, k=3).count() == 0
     q0 = q.limit(0)
     assert C.bm25_batch_topk(_docs(spark), q0, k=3).count() == 0
+
+
+# --- RM3 pseudo-relevance feedback ---------------------------------------
+
+def test_rm3_matches_pure_python_reference(spark):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in C.rm3_topk(
+            _docs(spark), ["spark", "hash"], k=10, fb_docs=3, fb_terms=4,
+            orig_weight=0.5,
+        ).collect()
+    }
+    # the weighted-BM25 final pass uses per-term idf weights: replay the
+    # whole chain independently (plain idf-weighted first pass == bm25_topk
+    # with unit weights would differ; the reference mirrors the engine's
+    # actual first pass)
+    first = {
+        r["doc_id"]: r["score"]
+        for r in C.bm25_topk(_docs(spark), ["spark", "hash"], k=3).collect()
+    }
+    # reference feedback set must match the engine's first pass
+    ref = _rm3_reference_from_first(first, DOCS, ["spark", "hash"], 4, 0.5)
+    assert set(got) == set(ref)
+    for d in got:
+        assert got[d] == pytest.approx(ref[d], abs=2e-6), d
+
+
+def _rm3_reference_from_first(first, docs, query_terms, fb_terms, alpha,
+                              k1=1.2, b=0.75):
+    def toks(t):
+        return t.strip().lower().split() if t.strip() else []
+
+    fb = sorted(first.items())
+    total = 0.0
+    for _, s in fb:
+        total += s
+    w_doc = {d: s / total for d, s in fb}
+    prel = {}
+    for d, t in docs:
+        if d not in w_doc:
+            continue
+        tk = toks(t)
+        for term in set(tk):
+            prel.setdefault(term, []).append(
+                (d, tk.count(term) / len(tk) * w_doc[d])
+            )
+    p = {}
+    for term, cs in prel.items():
+        acc = 0.0
+        for _, c in sorted(cs):
+            acc += c
+        p[term] = acc
+    top = sorted(p.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+    weights = {}
+    for t in sorted(set(query_terms)):
+        weights[t] = alpha * query_terms.count(t) / len(query_terms)
+    for t, pv in top:
+        weights[t] = weights.get(t, 0.0) + (1.0 - alpha) * pv
+
+    dls = {d: len(toks(t)) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    out = {}
+    for d, t in docs:
+        tk = toks(t)
+        s = 0.0
+        for term in sorted(weights):
+            tf = tk.count(term)
+            df = sum(1 for _, tt in docs if term in toks(tt))
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += (weights[term] * idf * tf * (k1 + 1.0)
+                  / (tf + k1 * (1.0 - b + b * dls[d] / avgdl)))
+        if s > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_rm3_expansion_pulls_in_cooccurring_terms(spark):
+    # 'partitions' co-occurs with 'spark' in docs 1 and 2 -> RM3 should
+    # surface doc 2 (no 'hash', but feedback-vocabulary rich) above the
+    # pure-repetition doc 4 for query ['hash'] once expansion kicks in.
+    out = C.rm3_topk(
+        _docs(spark), ["spark"], k=10, fb_docs=2, fb_terms=8,
+        orig_weight=0.3,
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 in ids and 2 in ids  # expansion recalls both spark docs
+    assert 3 not in ids  # unrelated doc stays out
+
+
+def test_rm3_no_feedback_degrades_to_bm25(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    got = C.rm3_topk(docs, ["zzz"], k=5).collect()
+    assert got == C.bm25_topk(docs, ["zzz"], k=5).collect()
+
+
+def test_rm3_empty_query_is_empty(spark):
+    assert C.rm3_topk(_docs(spark), [], k=5).count() == 0
+
+
+def test_weighted_bm25_unit_weights_match_bm25(spark):
+    w = {t: 1.0 for t in ["spark", "hash"]}
+    a = C.bm25_weighted_topk(_docs(spark), w, k=10).collect()
+    bq = C.bm25_topk(_docs(spark), ["hash", "spark"], k=10).collect()
+    assert {r["doc_id"]: r["score"] for r in a} == {
+        r["doc_id"]: r["score"] for r in bq
+    }

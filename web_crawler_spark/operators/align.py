@@ -199,3 +199,132 @@ def gale_church_align(
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(gen, schema=_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# URL-pattern cross-language document alignment (Buck & Koehn, WMT16
+# "Findings of the WMT 2016 Bilingual Document Alignment Shared Task";
+# the baseline every submission built on: two URLs whose strings MATCH
+# after language identifiers are stripped are candidate translations —
+# example.com/en/about <-> example.com/fr/about). The reference crawler
+# has no multilingual pairing at all (pacong/scrapers/* are monolingual
+# price scrapers); this is the corpus-engine op that turns a raw crawl
+# into parallel-document candidates, upstream of gale_church_align and
+# the margin-based bitext miner.
+#
+# Mechanics: the URL is tokenized on /?&=.: boundaries and every token
+# that is a language marker (ISO 639-1 code, common locale form like
+# en-us / zh-hant, or an English language name) is blanked to '@L'; the
+# re-joined token string is the alignment key. This one rule covers the
+# three real-world shapes at once — path segments (/en/), subdomains
+# (en.site.tld), and query params (lang=en) — because all three
+# separators tokenize. URLs with no blanked token cannot be detected by
+# this method and are dropped (their keys would only collide via
+# separator aliasing noise). Same-language twins are DUST territory,
+# not translation candidates, so pairs require lang_a < lang_b.
+#
+# Scale shape: the key is computed in the scan projection along with
+# char-length — page TEXT never leaves the scan. One count-window on
+# key caps runaway families (a blanked-to-death key matching hundreds
+# of docs is template noise, not translations), then one slim
+# (url, lang, key, ln) self-join on key emits pairs. Both shuffles
+# carry ~100-byte rows and hash-partition on key with the family cap
+# bounding fanout, so the plan is the same at 10^10 URLs.
+# ---------------------------------------------------------------------------
+
+# Markers are matched as WHOLE tokens only — 'it' as a path segment is a
+# language marker; 'it' inside 'how-it-works' never tokenizes apart.
+URL_LANG_TOKENS: tuple = (
+    "en", "fr", "de", "es", "it", "pt", "nl", "ru", "zh", "ja", "ko",
+    "ar", "pl", "tr", "sv", "cs", "da", "fi", "el", "he", "hi", "th",
+    "vi", "id", "uk", "ro", "hu", "no",
+    "en-us", "en-gb", "fr-fr", "fr-ca", "de-de", "de-at", "es-es",
+    "es-mx", "pt-br", "pt-pt", "zh-cn", "zh-tw", "zh-hans", "zh-hant",
+    "ja-jp", "ko-kr",
+    "english", "french", "german", "spanish", "italian", "portuguese",
+    "dutch", "russian", "chinese", "japanese", "korean", "arabic",
+    "polish", "turkish",
+)
+
+_URL_TOKEN_SPLIT = r"[/?&=.:]"
+
+
+def url_alignment_key(col):
+    """Language-agnostic alignment key: URL tokenized on ``/?&=.:``,
+    language-marker tokens blanked to ``@L``, re-joined with ``/``.
+    Pure column algebra (split + transform + array_join) — portable to
+    the SQL oracle verbatim."""
+    toks = F.split(F.lower(col), _URL_TOKEN_SPLIT)
+    markers = F.array(*[F.lit(t) for t in URL_LANG_TOKENS])
+    return F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.when(F.array_contains(markers, t), F.lit("@L"))
+            .otherwise(t),
+        ),
+        "/",
+    )
+
+
+def url_language_twins(
+    pages: DataFrame,
+    min_len_ratio_milli: int = 333,
+    max_family: int = 16,
+) -> DataFrame:
+    """Candidate translation-document pairs from URL structure alone.
+
+    ``pages`` needs (url, lang, text). Returns one row per cross-language
+    candidate pair: (key, url_a, lang_a, url_b, lang_b, len_ratio_milli)
+    where ``len_ratio_milli = floor(1000 * min(len_a,len_b) /
+    max(len_a,len_b))`` — the Gale-Church-style length-correlation
+    sanity gate, integer-exact. Pairs below ``min_len_ratio_milli`` are
+    dropped; keys matching more than ``max_family`` documents are
+    template noise and dropped whole.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col("url")), _URL_TOKEN_SPLIT)
+    markers = F.array(*[F.lit(t) for t in URL_LANG_TOKENS])
+    n_blanked = F.size(
+        F.filter(toks, lambda t: F.array_contains(markers, t))
+    )
+    slim = (
+        pages.filter(F.col("lang").isNotNull() & F.col("text").isNotNull())
+        .select(
+            F.col("url"),
+            F.lower(F.col("lang")).alias("lang"),
+            url_alignment_key(F.col("url")).alias("key"),
+            F.length("text").cast("long").alias("ln"),
+            n_blanked.alias("_nb"),
+        )
+        .filter(F.col("_nb") >= 1)
+        .drop("_nb")
+    )
+    fam = slim.withColumn(
+        "_fam", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    ).filter(F.col("_fam") <= F.lit(max_family)).drop("_fam")
+
+    a = fam.select(
+        F.col("key"),
+        F.col("url").alias("url_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("ln").alias("_la"),
+    )
+    b = fam.select(
+        F.col("key"),
+        F.col("url").alias("url_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("ln").alias("_lb"),
+    )
+    ratio = F.floor(
+        F.lit(1000) * F.least("_la", "_lb") / F.greatest("_la", "_lb")
+    ).cast("long")
+    return (
+        a.join(b, "key")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .withColumn("len_ratio_milli", ratio)
+        .filter(F.col("len_ratio_milli") >= F.lit(min_len_ratio_milli))
+        .select(
+            "key", "url_a", "lang_a", "url_b", "lang_b", "len_ratio_milli"
+        )
+    )

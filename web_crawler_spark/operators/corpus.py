@@ -1613,3 +1613,185 @@ def rrf_fuse(
         F.round(fold, 6).alias("rrf_score"),
         F.size(pairs).cast("int").alias("n_systems"),
     )
+
+
+def rm3_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 + RM3 pseudo-relevance feedback (Lavrenko & Croft 2001
+    relevance models; Abdul-Jaleel et al. 2004 UMass-at-TREC RM3; the
+    Anserini default expansion). Three passes, all shuffle-light:
+
+    1. first-pass :func:`bm25_topk` → the ``fb_docs`` feedback set
+       (a k-row driver fetch — the scalar-summary collect discipline);
+    2. relevance model over ONLY the feedback docs: P(w|R) =
+       Σ_D (tf_wD/|D|) · score(D)/Σscore — the per-term sum is an
+       IEEE-ordered fold (sort_array(collect_list(struct(doc_id, c)))
+       + F.aggregate) so the double is a pure function of the data,
+       not of partitioning; top ``fb_terms`` terms by (P desc, term);
+    3. expanded weighted query — P'(w) = orig_weight·qtf/|Q| +
+       (1−orig_weight)·P(w|R) — re-scores the corpus through the same
+       zero-shuffle weighted-BM25 projection as :func:`bm25_topk`
+       (fresh 1-row stats agg for the expanded term set, idf folded to
+       literals, TakeOrderedAndProject top-k).
+
+    The feedback stages touch ≤ ``fb_docs`` rows; corpus-size work is
+    exactly two embarrassingly-parallel scans — the plan at 10^10 docs
+    is the plan at 10^3. Scores round to 6 decimals (cross-engine
+    parity). Empty query / empty corpus → empty frame; empty feedback
+    set degrades to plain BM25 (documented, not silent: RM3 with no
+    feedback evidence IS the original query).
+    """
+    if not query_terms:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    fb = bm25_topk(
+        df, query_terms, k=fb_docs, text_col=text_col, id_col=id_col,
+        k1=k1, b=b,
+    ).collect()
+    if not fb:
+        return bm25_topk(
+            df, query_terms, k=k, text_col=text_col, id_col=id_col,
+            k1=k1, b=b,
+        )
+    # per-doc relevance weight: round-6 first-pass score / Σ (left fold
+    # in doc_id order — the oracle replays the same order)
+    fb = sorted(((r["doc_id"], r["score"]) for r in fb))
+    total = 0.0
+    for _, s in fb:
+        total += s
+    w_doc = {d: s / total for d, s in fb}
+    ids = list(w_doc)
+
+    toks = T.tokens(F.lower(F.col(text_col)))
+    fbt = (
+        df.filter(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(toks).alias("term"),
+            F.size(toks).alias("dl"),
+        )
+    )
+    wmap = F.create_map(
+        *[x for d in ids for x in (F.lit(d), F.lit(w_doc[d]))]
+    )
+    contrib = (
+        fbt.groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "term",
+            F.col("doc_id"),
+            (F.col("tf").cast("double") / F.col("dl")
+             * wmap[F.col("doc_id")]).alias("c"),
+        )
+    )
+    prel = (
+        contrib.groupBy("term")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("doc_id", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("p")
+        )
+        .orderBy(F.desc("p"), F.col("term"))
+        .limit(fb_terms)
+        .collect()
+    )
+    p_rel = {r["term"]: r["p"] for r in prel}
+
+    # interpolate with the original query's MLE
+    qlen = len(query_terms)
+    weights: dict[str, float] = {}
+    for t in sorted(set(query_terms)):
+        weights[t] = orig_weight * query_terms.count(t) / qlen
+    for t, p in p_rel.items():
+        weights[t] = weights.get(t, 0.0) + (1.0 - orig_weight) * p
+    terms = sorted(weights)
+
+    return bm25_weighted_topk(
+        df, {t: weights[t] for t in terms}, k=k, text_col=text_col,
+        id_col=id_col, k1=k1, b=b,
+    )
+
+
+def bm25_weighted_topk(
+    df: DataFrame,
+    term_weights: dict[str, float],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Weighted-query BM25: score = Σ_t w_t · idf_t · tf·(k1+1)/(tf+norm).
+    Same zero-shuffle plan as :func:`bm25_topk` (1-row stats agg → idf
+    literals → projection + TakeOrderedAndProject); the term sum is
+    built in sorted-term order so the double is engine-portable."""
+    import math as _m
+
+    terms = sorted(term_weights)
+    if not terms:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    toks = T.tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("dl"),
+    )
+    tf_cols = [
+        F.size(F.filter(F.col("toks"), lambda t: t == F.lit(term))).alias(
+            f"tf{i}"
+        )
+        for i, term in enumerate(terms)
+    ]
+    tfd = base.select("doc_id", "dl", *tf_cols)
+    stats = tfd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    if n == 0:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    avgdl = stats["sum_dl"] / n
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    score = None
+    for i, term in enumerate(terms):
+        idf = _m.log(
+            1.0 + (n - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5)
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        part = (
+            F.lit(term_weights[term]) * F.lit(idf) * tf
+            * F.lit(k1 + 1.0) / (tf + norm)
+        )
+        score = part if score is None else score + part
+    return (
+        tfd.select("doc_id", score.alias("raw"))
+        .filter(F.col("raw") > 0)
+        .select("doc_id", F.round("raw", 6).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
