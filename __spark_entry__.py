@@ -10505,6 +10505,104 @@ SELECT o_orderkey, {interleave} AS zval FROM g ORDER BY o_orderkey
 """
 
 
+def _q_mirror_hosts(spark, sf_dir):
+    """Host-level mirror detection (operators/urlfilter.py::mirror_hosts,
+    Bharat & Broder 1999): a 3-host mirror family (full clone at 1000
+    milli + an 80%-coverage clone landing exactly on the 800 threshold),
+    a 2-shared-path pair below min_shared (absent), same-text-different-
+    path hosts (absent — certifies path∈key), and a 20-host mass-dup key
+    exceeding max_key_hosts=16 (dropped before pairing). The oracle
+    replays fingerprinting, the key-cap window, pairing, totals and the
+    integer containment."""
+    from web_crawler_spark.operators.urlfilter import mirror_hosts
+
+    e = _t(spark, sf_dir, "events")
+    js = e.select((F.col("event_id") % 30).alias("j")).distinct()
+    j = F.col("j")
+    s = j.cast("string")
+
+    def pg(host, path, text):
+        return F.struct(
+            F.concat(F.lit("https://"), host, path).alias("url"),
+            text.alias("text"),
+        )
+
+    mirror_txt = F.concat(F.lit("mirror doc "), s)
+    rows = F.array_compact(
+        F.array(
+            pg(F.lit("ma.ex"), F.concat(F.lit("/p"), s), mirror_txt),
+            pg(F.lit("mb.ex"), F.concat(F.lit("/p"), s), mirror_txt),
+            F.when(j < 24, pg(F.lit("mc.ex"), F.concat(F.lit("/p"), s),
+                              mirror_txt)),
+            F.when(j < 6, pg(F.lit("mc.ex"), F.concat(F.lit("/q"), s),
+                             F.concat(F.lit("own doc "), s))),
+            F.when(j < 2, pg(F.lit("na.ex"), F.concat(F.lit("/s"), s),
+                             F.concat(F.lit("shared "), s))),
+            F.when(j < 2, pg(F.lit("nb.ex"), F.concat(F.lit("/s"), s),
+                             F.concat(F.lit("shared "), s))),
+            F.when(j < 8, pg(F.lit("na.ex"), F.concat(F.lit("/na"), s),
+                             F.concat(F.lit("na own "), s))),
+            F.when(j < 8, pg(F.lit("nb.ex"), F.concat(F.lit("/nb"), s),
+                             F.concat(F.lit("nb own "), s))),
+            F.when(j < 5, pg(F.lit("xa.ex"), F.concat(F.lit("/xa"), s),
+                             F.lit("same text diff path"))),
+            F.when(j < 5, pg(F.lit("xb.ex"), F.concat(F.lit("/xb"), s),
+                             F.lit("same text diff path"))),
+            F.when(j < 20, pg(F.concat(F.lit("h"), s, F.lit(".mass.ex")),
+                              F.lit("/common"), F.lit("massdup"))),
+            F.when(j < 20, pg(F.concat(F.lit("h"), s, F.lit(".mass.ex")),
+                              F.concat(F.lit("/own"), s),
+                              F.concat(F.lit("h own "), s))),
+        )
+    )
+    pages = js.select(F.explode(rows).alias("r")).select("r.url", "r.text")
+    return mirror_hosts(pages).orderBy("host_a", "host_b")
+
+
+_SQL_MIRROR_HOSTS = r"""
+WITH js AS (SELECT DISTINCT event_id % 30 AS j FROM events),
+pages AS (
+  SELECT 'ma.ex' AS host, concat('/p', j) AS path, concat('mirror doc ', j) AS text FROM js
+  UNION ALL SELECT 'mb.ex', concat('/p', j), concat('mirror doc ', j) FROM js
+  UNION ALL SELECT 'mc.ex', concat('/p', j), concat('mirror doc ', j) FROM js WHERE j < 24
+  UNION ALL SELECT 'mc.ex', concat('/q', j), concat('own doc ', j) FROM js WHERE j < 6
+  UNION ALL SELECT 'na.ex', concat('/s', j), concat('shared ', j) FROM js WHERE j < 2
+  UNION ALL SELECT 'nb.ex', concat('/s', j), concat('shared ', j) FROM js WHERE j < 2
+  UNION ALL SELECT 'na.ex', concat('/na', j), concat('na own ', j) FROM js WHERE j < 8
+  UNION ALL SELECT 'nb.ex', concat('/nb', j), concat('nb own ', j) FROM js WHERE j < 8
+  UNION ALL SELECT 'xa.ex', concat('/xa', j), 'same text diff path' FROM js WHERE j < 5
+  UNION ALL SELECT 'xb.ex', concat('/xb', j), 'same text diff path' FROM js WHERE j < 5
+  UNION ALL SELECT concat('h', j, '.mass.ex'), '/common', 'massdup' FROM js WHERE j < 20
+  UNION ALL SELECT concat('h', j, '.mass.ex'), concat('/own', j), concat('h own ', j) FROM js WHERE j < 20
+),
+slim AS (
+  SELECT DISTINCT host, path,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+  FROM pages
+),
+keyed AS (
+  SELECT host, path, fp FROM (
+    SELECT *, count(*) OVER (PARTITION BY path, fp) AS kn FROM slim
+  ) WHERE kn <= 16
+),
+totals AS (SELECT host, count(*) AS n FROM keyed GROUP BY host),
+sh AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM keyed a JOIN keyed b ON a.path = b.path AND a.fp = b.fp AND a.host < b.host
+  GROUP BY a.host, b.host
+  HAVING count(*) >= 3
+)
+SELECT host_a, host_b, shared, ta.n AS n_a, tb.n AS n_b,
+       CAST(floor(1000 * shared / least(ta.n, tb.n)) AS BIGINT) AS overlap_milli,
+       floor(1000 * shared / least(ta.n, tb.n)) >= 800 AS is_mirror
+FROM sh
+JOIN totals ta ON ta.host = sh.host_a
+JOIN totals tb ON tb.host = sh.host_b
+ORDER BY host_a, host_b
+"""
+
+
 def _q_bm25_rm3(spark, sf_dir):
     """BM25 + RM3 pseudo-relevance feedback (operators/corpus.py::
     rm3_topk — Lavrenko & Croft 2001 / Abdul-Jaleel et al. 2004, the
@@ -10847,6 +10945,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_simhash_pairs_md5": _q_simhash_pairs_md5,
     "tx_url_language_twins": _q_url_language_twins,
     "tx_bm25_rm3": _q_bm25_rm3,
+    "url_mirror_hosts": _q_mirror_hosts,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -11239,6 +11338,7 @@ _ORACLES: dict[str, str] = {
     "dd_simhash_pairs_md5": _sql_simhash_pairs_md5(),
     "tx_url_language_twins": _sql_url_language_twins(),
     "tx_bm25_rm3": _sql_bm25_rm3(),
+    "url_mirror_hosts": _SQL_MIRROR_HOSTS,
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

@@ -196,3 +196,59 @@ def test_soft_404_detection(spark):
     df = spark.createDataFrame(rows, ["doc_id", "url", "http_status", "text"])
     got = {r["doc_id"]: r["soft_404"] for r in soft_404_flags(df).collect()}
     assert got == {1: False, 2: True, 3: True, 4: False, 5: True, 6: False, 7: True}
+
+
+# --- mirror_hosts (Bharat & Broder 1999) ----------------------------------
+
+def _mirror_pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_mirror_hosts_full_and_partial_clone(spark):
+    from web_crawler_spark.operators.urlfilter import mirror_hosts
+
+    rows = []
+    for i in range(10):
+        rows.append((f"https://a.ex/p{i}", f"doc {i}"))
+        rows.append((f"https://b.ex/p{i}", f"doc {i}"))  # full mirror
+        if i < 8:
+            rows.append((f"https://c.ex/p{i}", f"doc {i}"))  # 80% clone
+    rows += [(f"https://c.ex/q{i}", f"own {i}") for i in range(2)]
+    got = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_hosts(_mirror_pages(spark, rows)).collect()
+    }
+    ab = got[("a.ex", "b.ex")]
+    assert (ab["shared"], ab["n_a"], ab["n_b"]) == (10, 10, 10)
+    assert ab["overlap_milli"] == 1000 and ab["is_mirror"]
+    ac = got[("a.ex", "c.ex")]
+    assert (ac["shared"], ac["n_b"]) == (8, 10)
+    assert ac["overlap_milli"] == 800 and ac["is_mirror"]
+
+
+def test_mirror_hosts_same_text_different_path_never_pairs(spark):
+    from web_crawler_spark.operators.urlfilter import mirror_hosts
+
+    rows = [(f"https://x.ex/x{i}", "boilerplate") for i in range(5)]
+    rows += [(f"https://y.ex/y{i}", "boilerplate") for i in range(5)]
+    assert mirror_hosts(_mirror_pages(spark, rows)).count() == 0
+
+
+def test_mirror_hosts_min_shared_and_key_cap(spark):
+    from web_crawler_spark.operators.urlfilter import mirror_hosts
+
+    # only 2 shared paths < min_shared=3 -> no row
+    rows = [(f"https://n.ex/s{i}", f"s {i}") for i in range(2)]
+    rows += [(f"https://m.ex/s{i}", f"s {i}") for i in range(2)]
+    assert mirror_hosts(_mirror_pages(spark, rows)).count() == 0
+    # a key served by >max_key_hosts hosts is dropped before pairing
+    mass = [(f"https://h{i}.ex/common", "massdup") for i in range(20)]
+    assert (
+        mirror_hosts(_mirror_pages(spark, mass), max_key_hosts=16).count()
+        == 0
+    )
+    # the same key under the cap pairs every host combination
+    under = [(f"https://h{i}.ex/c{j}", f"d {j}") for i in range(3)
+             for j in range(3)]
+    out = mirror_hosts(_mirror_pages(spark, under)).collect()
+    assert len(out) == 3 and all(r["is_mirror"] for r in out)

@@ -435,3 +435,90 @@ def dust_rules(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= int(min_support))
     )
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_shared: int = 3,
+    min_overlap_milli: int = 800,
+    max_key_hosts: int = 16,
+) -> DataFrame:
+    """Host-level mirror detection (Bharat & Broder 1999, "Mirror,
+    mirror on the Web: a study of host pairs with replicated content",
+    WWW8). Two hosts are mirror candidates when they serve the SAME
+    content at the SAME path — so the join key is (path, content
+    fingerprint), not content alone: shared boilerplate on different
+    paths never collides, and a true mirror (rsync'd doc tree, CDN
+    alias, ccTLD clone) matches on nearly every page. Collapsing
+    mirrors before fetch is one of the paper's headline crawl savings;
+    DUST (:func:`dust_rules`) factors per-URL alias RULES, this factors
+    whole HOSTS.
+
+    Returns one row per candidate host pair:
+    ``(host_a, host_b, shared, n_a, n_b, overlap_milli, is_mirror)``
+    with ``overlap_milli = floor(1000·shared / least(n_a, n_b))`` —
+    integer-exact containment of the smaller host — and ``is_mirror``
+    when ``shared ≥ min_shared`` and ``overlap_milli ≥
+    min_overlap_milli`` (the paper's high-precision regime).
+
+    Scale shape: the scan projects (host, path, fp) — page text never
+    leaves it. Keys replicated across more than ``max_key_hosts`` hosts
+    are mass-duplication (identical default pages, parked-domain
+    templates), dropped by one count window BEFORE pairing, so the
+    self-join fanout is ≤ C(max_key_hosts, 2) per key — linear output,
+    never quadratic in hosts. Per-host totals are a second slim agg
+    joined on host. Three shuffles total, all on ~50-byte rows.
+    """
+    from ..functions import text as TX
+
+    slim = (
+        pages.select(
+            U.url_host(F.col(url_col)).alias("host"),
+            F.try_parse_url(F.col(url_col), F.lit("PATH")).alias("path"),
+            TX.content_fingerprint(F.col(text_col)).alias("fp"),
+        )
+        .filter(F.col("host").isNotNull() & F.col("path").isNotNull())
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    keyed = slim.withColumn(
+        "_kn", F.count(F.lit(1)).over(Window.partitionBy("path", "fp"))
+    ).filter(F.col("_kn") <= F.lit(max_key_hosts)).drop("_kn")
+
+    totals = keyed.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+
+    a = keyed.select("path", "fp", F.col("host").alias("host_a"))
+    b = keyed.select("path", "fp", F.col("host").alias("host_b"))
+    shared = (
+        a.join(b, ["path", "fp"])
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= F.lit(min_shared))
+    )
+    out = (
+        shared.join(
+            totals.select(F.col("host").alias("host_a"), F.col("n").alias("n_a")),
+            "host_a",
+        )
+        .join(
+            totals.select(F.col("host").alias("host_b"), F.col("n").alias("n_b")),
+            "host_b",
+        )
+        .withColumn(
+            "overlap_milli",
+            F.floor(
+                F.lit(1000) * F.col("shared") / F.least("n_a", "n_b")
+            ).cast("long"),
+        )
+        .withColumn(
+            "is_mirror", F.col("overlap_milli") >= F.lit(min_overlap_milli)
+        )
+    )
+    return out.select(
+        "host_a", "host_b", "shared", "n_a", "n_b", "overlap_milli",
+        "is_mirror",
+    )
