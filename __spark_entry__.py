@@ -10505,8 +10505,8 @@ SELECT o_orderkey, {interleave} AS zval FROM g ORDER BY o_orderkey
 """
 
 
-def _q_mirror_hosts(spark, sf_dir):
-    """Host-level mirror detection (operators/urlfilter.py::mirror_hosts,
+def _q_url_mirror_hosts(spark, sf_dir):
+    """Host-level mirror detection (operators/urlfilter.py::mirror_hosts_by_path,
     Bharat & Broder 1999): a 3-host mirror family (full clone at 1000
     milli + an 80%-coverage clone landing exactly on the 800 threshold),
     a 2-shared-path pair below min_shared (absent), same-text-different-
@@ -10514,7 +10514,9 @@ def _q_mirror_hosts(spark, sf_dir):
     exceeding max_key_hosts=16 (dropped before pairing). The oracle
     replays fingerprinting, the key-cap window, pairing, totals and the
     integer containment."""
-    from web_crawler_spark.operators.urlfilter import mirror_hosts
+    from web_crawler_spark.operators.urlfilter import (
+        mirror_hosts_by_path,
+    )
 
     e = _t(spark, sf_dir, "events")
     js = e.select((F.col("event_id") % 30).alias("j")).distinct()
@@ -10556,10 +10558,10 @@ def _q_mirror_hosts(spark, sf_dir):
         )
     )
     pages = js.select(F.explode(rows).alias("r")).select("r.url", "r.text")
-    return mirror_hosts(pages).orderBy("host_a", "host_b")
+    return mirror_hosts_by_path(pages).orderBy("host_a", "host_b")
 
 
-_SQL_MIRROR_HOSTS = r"""
+_SQL_URL_MIRROR_HOSTS = r"""
 WITH js AS (SELECT DISTINCT event_id % 30 AS j FROM events),
 pages AS (
   SELECT 'ma.ex' AS host, concat('/p', j) AS path, concat('mirror doc ', j) AS text FROM js
@@ -10945,7 +10947,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_simhash_pairs_md5": _q_simhash_pairs_md5,
     "tx_url_language_twins": _q_url_language_twins,
     "tx_bm25_rm3": _q_bm25_rm3,
-    "url_mirror_hosts": _q_mirror_hosts,
+    "url_mirror_hosts": _q_url_mirror_hosts,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -11338,7 +11340,7 @@ _ORACLES: dict[str, str] = {
     "dd_simhash_pairs_md5": _sql_simhash_pairs_md5(),
     "tx_url_language_twins": _sql_url_language_twins(),
     "tx_bm25_rm3": _sql_bm25_rm3(),
-    "url_mirror_hosts": _SQL_MIRROR_HOSTS,
+    "url_mirror_hosts": _SQL_URL_MIRROR_HOSTS,
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

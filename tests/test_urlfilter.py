@@ -205,7 +205,9 @@ def _mirror_pages(spark, rows):
 
 
 def test_mirror_hosts_full_and_partial_clone(spark):
-    from web_crawler_spark.operators.urlfilter import mirror_hosts
+    from web_crawler_spark.operators.urlfilter import (
+        mirror_hosts_by_path as mirror_hosts,
+    )
 
     rows = []
     for i in range(10):
@@ -227,7 +229,9 @@ def test_mirror_hosts_full_and_partial_clone(spark):
 
 
 def test_mirror_hosts_same_text_different_path_never_pairs(spark):
-    from web_crawler_spark.operators.urlfilter import mirror_hosts
+    from web_crawler_spark.operators.urlfilter import (
+        mirror_hosts_by_path as mirror_hosts,
+    )
 
     rows = [(f"https://x.ex/x{i}", "boilerplate") for i in range(5)]
     rows += [(f"https://y.ex/y{i}", "boilerplate") for i in range(5)]
@@ -235,7 +239,9 @@ def test_mirror_hosts_same_text_different_path_never_pairs(spark):
 
 
 def test_mirror_hosts_min_shared_and_key_cap(spark):
-    from web_crawler_spark.operators.urlfilter import mirror_hosts
+    from web_crawler_spark.operators.urlfilter import (
+        mirror_hosts_by_path as mirror_hosts,
+    )
 
     # only 2 shared paths < min_shared=3 -> no row
     rows = [(f"https://n.ex/s{i}", f"s {i}") for i in range(2)]

@@ -876,7 +876,10 @@ def mirror_candidates(
     """Mirror-host detection (Bharat & Broder 1999, "Mirror, mirror on the
     web", public method — content-level variant): host pairs whose page
     fingerprint sets overlap heavily are mirrors/CDN twins — crawl one,
-    map the other, halve the fetch budget.
+    map the other, halve the fetch budget. The PATH-KEYED precision
+    variant (same content at the same path — immune to cross-host
+    boilerplate, the one to run first) is
+    :func:`..urlfilter.mirror_hosts_by_path`.
 
     Plan: distinct slim (host, fp) rows; fps present on more than
     ``max_fp_hosts`` hosts are dropped first (cross-host boilerplate —

@@ -437,7 +437,7 @@ def dust_rules(
     )
 
 
-def mirror_hosts(
+def mirror_hosts_by_path(
     pages: DataFrame,
     url_col: str = "url",
     text_col: str = "text",
@@ -447,7 +447,10 @@ def mirror_hosts(
 ) -> DataFrame:
     """Host-level mirror detection (Bharat & Broder 1999, "Mirror,
     mirror on the Web: a study of host pairs with replicated content",
-    WWW8). Two hosts are mirror candidates when they serve the SAME
+    WWW8) — the PATH-KEYED high-precision variant; the content-level
+    variant (fingerprint-set overlap regardless of path, higher recall,
+    catches restructured mirrors) is :func:`..dedup.mirror_candidates`.
+    Two hosts are mirror candidates here when they serve the SAME
     content at the SAME path — so the join key is (path, content
     fingerprint), not content alone: shared boilerplate on different
     paths never collides, and a true mirror (rsync'd doc tree, CDN
