@@ -222,3 +222,32 @@ def test_bpe_pair_count_has_partial_aggregation(spark):
     agg = pairs.groupBy("l", "r").agg(F.sum("freq").alias("cnt"))
     plan = _plan(agg)
     assert "partial_sum" in plan or "partial_finalmerge" in plan.lower() or plan.count("HashAggregate") >= 2
+
+
+def test_entry_module_has_no_duplicate_toplevel_defs():
+    """Guard against silent shadowing: in an 11k-line registry module a
+    re-used helper name (def _q_x twice, or _SQL_X assigned twice) makes
+    the LAST definition win for EVERY registry entry referencing the
+    name — an existing certified query silently starts running a
+    different plan. Caught live once (mirror_hosts); never again."""
+    import ast
+    from collections import Counter
+
+    tree = ast.parse(open("__spark_entry__.py").read())
+    names = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            names.append(node.name)
+        elif isinstance(node, ast.Assign):
+            # a bare `X = None` is the module's forward-declaration idiom,
+            # not a second definition
+            if (
+                isinstance(node.value, ast.Constant)
+                and node.value.value is None
+            ):
+                continue
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names.append(t.id)
+    dupes = {n: c for n, c in Counter(names).items() if c > 1}
+    assert not dupes, f"duplicate top-level definitions: {dupes}"
