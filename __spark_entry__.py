@@ -10505,6 +10505,138 @@ SELECT o_orderkey, {interleave} AS zval FROM g ORDER BY o_orderkey
 """
 
 
+def _q_retrieval_eval(spark, sf_dir):
+    """trec_eval metric set (operators/corpus.py::retrieval_eval): 40
+    queries × 12-deep runs with score ties (doc_id tie-break), four
+    qrel regimes — graded rels incl. an unretrieved relevant (recall<1),
+    zero-relevant queries (NULL ap/ndcg), all-top-3 relevant, and a
+    single relevant beyond the k=10 cutoff with rel=0 qrel rows that
+    must not count toward n_rel. The oracle replays ranking, cumulative
+    precision, the rank-ordered AP/DCG folds, the desc-sorted IDCG
+    positions and every rounded division."""
+    from web_crawler_spark.operators.corpus import retrieval_eval
+
+    e = _t(spark, sf_dir, "events")
+    qids = e.select((F.col("event_id") % 40).alias("qid")).distinct()
+    q = F.col("qid")
+    run = qids.select(
+        q, F.explode(F.sequence(F.lit(0), F.lit(11))).alias("i")
+    ).select(
+        q.alias("query_id"),
+        (q * 100 + F.col("i")).alias("doc_id"),
+        (F.lit(1000) - F.floor(F.col("i") / 2) * 10)
+        .cast("double")
+        .alias("score"),
+    )
+    m4 = q % 4
+    qr = F.when(
+        m4 == 0,
+        F.array(
+            F.struct((q * 100 + 1).alias("doc_id"), F.lit(3).alias("rel")),
+            F.struct((q * 100 + 3).alias("doc_id"), F.lit(1).alias("rel")),
+            F.struct((q * 100 + 8).alias("doc_id"), F.lit(2).alias("rel")),
+            F.struct((q * 100 + 50).alias("doc_id"), F.lit(2).alias("rel")),
+        ),
+    ).when(
+        m4 == 2,
+        F.array(
+            F.struct((q * 100 + 0).alias("doc_id"), F.lit(1).alias("rel")),
+            F.struct((q * 100 + 1).alias("doc_id"), F.lit(1).alias("rel")),
+            F.struct((q * 100 + 2).alias("doc_id"), F.lit(1).alias("rel")),
+        ),
+    ).when(
+        m4 == 3,
+        F.array(
+            F.struct((q * 100 + 11).alias("doc_id"), F.lit(2).alias("rel")),
+            F.struct((q * 100 + 0).alias("doc_id"), F.lit(0).alias("rel")),
+            F.struct((q * 100 + 5).alias("doc_id"), F.lit(0).alias("rel")),
+        ),
+    ).otherwise(F.array().cast("array<struct<doc_id:long,rel:int>>"))
+    qrels = (
+        qids.select(q.alias("query_id"), F.explode(qr).alias("r"))
+        .select("query_id", F.col("r.doc_id").alias("doc_id"),
+                F.col("r.rel").alias("rel"))
+    )
+    return retrieval_eval(run, qrels, k=10).orderBy("query_id")
+
+
+_SQL_RETRIEVAL_EVAL = r"""
+WITH qids AS (SELECT DISTINCT event_id % 40 AS qid FROM events),
+run AS (
+  SELECT qid AS query_id, qid * 100 + i AS doc_id,
+         CAST(1000 - floor(i / 2) * 10 AS DOUBLE) AS score
+  FROM qids, LATERAL unnest(generate_series(0, 11)) AS u(i)
+),
+qrels AS (
+  SELECT qid AS query_id, qid * 100 + 1 AS doc_id, 3 AS rel FROM qids WHERE qid % 4 = 0
+  UNION ALL SELECT qid, qid * 100 + 3, 1 FROM qids WHERE qid % 4 = 0
+  UNION ALL SELECT qid, qid * 100 + 8, 2 FROM qids WHERE qid % 4 = 0
+  UNION ALL SELECT qid, qid * 100 + 50, 2 FROM qids WHERE qid % 4 = 0
+  UNION ALL SELECT qid, qid * 100 + 0, 1 FROM qids WHERE qid % 4 = 2
+  UNION ALL SELECT qid, qid * 100 + 1, 1 FROM qids WHERE qid % 4 = 2
+  UNION ALL SELECT qid, qid * 100 + 2, 1 FROM qids WHERE qid % 4 = 2
+  UNION ALL SELECT qid, qid * 100 + 11, 2 FROM qids WHERE qid % 4 = 3
+  UNION ALL SELECT qid, qid * 100 + 0, 0 FROM qids WHERE qid % 4 = 3
+  UNION ALL SELECT qid, qid * 100 + 5, 0 FROM qids WHERE qid % 4 = 3
+),
+ranked AS (
+  SELECT r.query_id, r.doc_id, r.score, coalesce(q.rel, 0) AS rel,
+         row_number() OVER (PARTITION BY r.query_id
+                            ORDER BY r.score DESC, r.doc_id) AS rank
+  FROM run r LEFT JOIN qrels q
+    ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+),
+cum AS (
+  SELECT *, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY query_id ORDER BY score DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM ranked
+),
+per_q AS (
+  SELECT query_id,
+         list_reduce([0.0] || list(CASE WHEN rel > 0
+             THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0.0 END ORDER BY rank),
+             (a, c) -> a + c) AS ap_num,
+         list_reduce([0.0] || list(CASE WHEN rank <= 10
+             THEN (pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                  / log2(CAST(rank AS DOUBLE) + 1.0)
+             ELSE 0.0 END ORDER BY rank), (a, c) -> a + c) AS dcg_at_k,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         sum(CASE WHEN rel > 0 AND rank <= 10 THEN 1 ELSE 0 END) AS rel_in_k
+  FROM cum GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id, count(*) AS n_rel,
+         list_sort(list(rel), 'DESC') AS rl
+  FROM qrels WHERE rel > 0 GROUP BY query_id
+),
+ig AS (
+  SELECT query_id, i,
+         (pow(2.0, CAST(rl[i] AS DOUBLE)) - 1.0)
+         / log2(CAST(i AS DOUBLE) + 1.0) AS g
+  FROM ideal, LATERAL unnest(generate_series(1, least(len(rl), 10))) AS u(i)
+),
+idcg AS (
+  SELECT query_id, list_reduce([0.0] || list(g ORDER BY i),
+                               (a, c) -> a + c) AS idcg_at_k
+  FROM ig GROUP BY query_id
+)
+SELECT p.query_id,
+       coalesce(d.n_rel, 0) AS n_rel,
+       round(coalesce(1.0 / CAST(p.first_rel AS DOUBLE), 0.0), 6) AS mrr,
+       round(CASE WHEN d.n_rel > 0 THEN p.ap_num / d.n_rel END, 6) AS ap,
+       round(p.dcg_at_k, 6) AS dcg_at_k,
+       round(CASE WHEN d.n_rel > 0 THEN p.dcg_at_k / i.idcg_at_k END, 6) AS ndcg_at_k,
+       round(CAST(p.rel_in_k AS DOUBLE) / 10, 6) AS p_at_k,
+       round(CASE WHEN d.n_rel > 0
+             THEN CAST(p.rel_in_k AS DOUBLE) / d.n_rel END, 6) AS recall_at_k
+FROM per_q p
+LEFT JOIN ideal d ON d.query_id = p.query_id
+LEFT JOIN idcg i ON i.query_id = p.query_id
+ORDER BY p.query_id
+"""
+
+
 def _q_url_mirror_hosts(spark, sf_dir):
     """Host-level mirror detection (operators/urlfilter.py::mirror_hosts_by_path,
     Bharat & Broder 1999): a 3-host mirror family (full clone at 1000
@@ -10948,6 +11080,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_url_language_twins": _q_url_language_twins,
     "tx_bm25_rm3": _q_bm25_rm3,
     "url_mirror_hosts": _q_url_mirror_hosts,
+    "tx_retrieval_eval": _q_retrieval_eval,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -11341,6 +11474,7 @@ _ORACLES: dict[str, str] = {
     "tx_url_language_twins": _sql_url_language_twins(),
     "tx_bm25_rm3": _sql_bm25_rm3(),
     "url_mirror_hosts": _SQL_URL_MIRROR_HOSTS,
+    "tx_retrieval_eval": _SQL_RETRIEVAL_EVAL,
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

@@ -235,3 +235,60 @@ def test_weighted_bm25_unit_weights_match_bm25(spark):
     assert {r["doc_id"]: r["score"] for r in a} == {
         r["doc_id"]: r["score"] for r in bq
     }
+
+
+# --- retrieval_eval (trec_eval metric set) ---------------------------------
+
+def test_retrieval_eval_hand_computed(spark):
+    run = spark.createDataFrame(
+        [(1, d, float(100 - d)) for d in range(1, 6)],
+        "query_id long, doc_id long, score double",
+    )
+    # relevant: rank1 (rel 2), rank3 (rel 1), plus one unretrieved (rel 3)
+    qrels = spark.createDataFrame(
+        [(1, 1, 2), (1, 3, 1), (1, 99, 3)],
+        "query_id long, doc_id long, rel int",
+    )
+    r = C.retrieval_eval(run, qrels, k=10).collect()[0]
+    assert r["n_rel"] == 3
+    assert r["mrr"] == 1.0
+    # AP = (P@1 + P@3)/n_rel = (1/1 + 2/3)/3
+    assert r["ap"] == pytest.approx((1.0 + 2.0 / 3.0) / 3.0, abs=1e-6)
+    # DCG = (2^2-1)/log2(2) + (2^1-1)/log2(4) = 3 + 0.5
+    assert r["dcg_at_k"] == pytest.approx(3.5, abs=1e-6)
+    # IDCG = ideal rels [3,2,1] -> 7/1 + 3/log2(3) + 1/2
+    idcg = 7.0 + 3.0 / math.log2(3.0) + 0.5
+    assert r["ndcg_at_k"] == pytest.approx(3.5 / idcg, abs=1e-6)
+    assert r["p_at_k"] == pytest.approx(0.2, abs=1e-6)
+    assert r["recall_at_k"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+
+
+def test_retrieval_eval_no_relevant_is_null_not_zero(spark):
+    run = spark.createDataFrame(
+        [(7, 1, 5.0), (7, 2, 4.0)], "query_id long, doc_id long, score double"
+    )
+    qrels = spark.createDataFrame(
+        [(7, 1, 0)], "query_id long, doc_id long, rel int"
+    )
+    r = C.retrieval_eval(run, qrels, k=10).collect()[0]
+    assert r["n_rel"] == 0 and r["mrr"] == 0.0
+    assert r["ap"] is None and r["ndcg_at_k"] is None
+    assert r["recall_at_k"] is None
+
+
+def test_retrieval_eval_tie_break_and_cutoff(spark):
+    # two docs tie on score: doc_id asc wins rank 1
+    run = spark.createDataFrame(
+        [(3, 11, 9.0), (3, 10, 9.0)] +
+        [(3, 20 + i, 1.0 - i * 0.01) for i in range(10)],
+        "query_id long, doc_id long, score double",
+    )
+    qrels = spark.createDataFrame(
+        [(3, 10, 1), (3, 29, 1)], "query_id long, doc_id long, rel int"
+    )
+    r = C.retrieval_eval(run, qrels, k=10).collect()[0]
+    assert r["mrr"] == 1.0  # doc 10 at rank 1 by tie-break
+    # doc 29 lands at rank 12 > k: contributes to AP, not to P@k/DCG
+    assert r["p_at_k"] == pytest.approx(0.1, abs=1e-6)
+    assert r["ap"] == pytest.approx((1.0 + 2.0 / 12.0) / 2.0, abs=1e-6)
+    assert r["dcg_at_k"] == pytest.approx(1.0, abs=1e-6)  # rel1 at rank1

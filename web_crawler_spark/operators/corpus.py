@@ -1795,3 +1795,137 @@ def bm25_weighted_topk(
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(k)
     )
+
+
+def retrieval_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Ranked-retrieval evaluation — the trec_eval metric set (Buckley &
+    Voorhees; Järvelin & Kekäläinen 2002 for nDCG) computed in-engine so
+    retrieval-quality regression gates run where the index lives instead
+    of exporting run files.
+
+    ``run``: (query_id, doc_id, score) — system output; ranks derive
+    from (score desc, doc_id) so ties are deterministic. ``qrels``:
+    (query_id, doc_id, rel) graded relevance, rel ≥ 1 means relevant.
+
+    Per query: ``n_rel``, ``mrr`` (1/first-relevant-rank), ``ap``
+    (mean of precision-at-relevant-ranks over ALL retrieved ranks,
+    divided by n_rel — the trec_eval MAP component), ``ndcg_at_k`` with
+    the graded (2^rel − 1)/log2(rank+1) gain, ``p_at_k`` and
+    ``recall_at_k``. Queries with no relevant documents emit NULL
+    ap/ndcg (trec_eval drops them from averages; NULL keeps that
+    decision with the caller). Doubles are rank-ordered left folds
+    (sort_array + F.aggregate), so every metric is a pure function of
+    the data — oracle-exact, not approximately-equal. Rounded to 6.
+
+    Scale shape: everything is keyed by query_id; per-query partitions
+    are run-depth-sized (≤ hundreds), so the two windows and the fold
+    aggregations never see a hot key. One shuffle for the qrels join
+    (slim (query, doc, rel) rows), one for the per-query agg.
+    """
+    rel_run = (
+        run.join(
+            qrels.select("query_id", "doc_id", F.col("rel").alias("_rel")),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .withColumn("rel", F.coalesce(F.col("_rel"), F.lit(0)))
+        .drop("_rel")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    ranked = rel_run.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_rel",
+        F.sum((F.col("rel") > 0).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_q = ranked.groupBy("query_id").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("rank", "rel", "cum_rel"))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.when(
+                s["rel"] > 0,
+                s["cum_rel"].cast("double") / s["rank"],
+            ).otherwise(F.lit(0.0)),
+        ).alias("_ap_num"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("rank", "rel", "cum_rel"))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.when(
+                s["rank"] <= F.lit(k),
+                (F.pow(F.lit(2.0), s["rel"].cast("double")) - F.lit(1.0))
+                / F.log2(s["rank"].cast("double") + F.lit(1.0)),
+            ).otherwise(F.lit(0.0)),
+        ).alias("dcg_at_k"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("_first"),
+        F.sum(
+            ((F.col("rel") > 0) & (F.col("rank") <= k)).cast("long")
+        ).alias("_rel_in_k"),
+    )
+    ideal = qrels.filter(F.col("rel") > 0).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(
+                    F.sort_array(F.collect_list("rel"), asc=False),
+                    1,
+                    k,
+                ),
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.count(F.lit(1)).cast("int"), F.lit(k)),
+                ),
+                lambda r, i: (
+                    F.pow(F.lit(2.0), r.cast("double")) - F.lit(1.0)
+                )
+                / F.log2(i.cast("double") + F.lit(1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, g: acc + g,
+        ).alias("idcg_at_k"),
+    )
+    out = per_q.join(ideal, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("_first").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0, F.col("_ap_num") / F.col("n_rel")
+            ),
+            6,
+        ).alias("ap"),
+        F.round("dcg_at_k", 6).alias("dcg_at_k"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0, F.col("dcg_at_k") / F.col("idcg_at_k")
+            ),
+            6,
+        ).alias("ndcg_at_k"),
+        F.round(F.col("_rel_in_k").cast("double") / F.lit(k), 6).alias(
+            "p_at_k"
+        ),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("_rel_in_k").cast("double") / F.col("n_rel"),
+            ),
+            6,
+        ).alias("recall_at_k"),
+    )
+    return out
