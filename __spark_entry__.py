@@ -10505,6 +10505,99 @@ SELECT o_orderkey, {interleave} AS zval FROM g ORDER BY o_orderkey
 """
 
 
+def _q_bm25f_topk(spark, sf_dir):
+    """BM25F field-weighted retrieval (operators/corpus.py::bm25f_topk,
+    Robertson-Zaragoza-Taylor 2004) over the documents table with a
+    synthesized anchor-text field: every 7th doc's anchors carry 'spark',
+    the next class carries all three query terms, one class has EMPTY
+    anchors (the []-tokens edge), the rest are miss text — so anchor
+    weight 2.5 reorders the plain-BM25 ranking and the oracle certifies
+    document-level df (hit in ANY field), per-field length norms, the
+    combined-evidence saturation, and the field-then-term sum order."""
+    from web_crawler_spark.operators.corpus import bm25f_topk
+
+    d = _t(spark, sf_dir, "documents")
+    m7 = F.col("doc_id") % 7
+    anchor = (
+        F.when(m7 == 0, F.lit("spark index page"))
+        .when(m7 == 1, F.lit("join reference window"))
+        .when(m7 == 2, F.lit(""))
+        .otherwise(F.lit("misc link text"))
+    )
+    pages = d.select("doc_id", "text", anchor.alias("anchor"))
+    return bm25f_topk(
+        pages, _BM25_TERMS, k=10, k1=_BM25_K1,
+        fields={"text": (1.0, 0.75), "anchor": (2.5, 0.6)},
+    ).orderBy(F.desc("score"), "doc_id")
+
+
+def _sql_bm25f_topk() -> str:
+    k1 = _BM25_K1
+    fields = [("text", 1.0, 0.75), ("anchor", 2.5, 0.6)]
+    tf_exprs = []
+    for f, _, _ in fields:
+        tf_exprs.append(f"len(tk_{f}) AS dl_{f}")
+        for i, t in enumerate(_BM25_TERMS):
+            tf_exprs.append(
+                f"len(list_filter(tk_{f}, t -> t = '{t}')) AS tf_{f}_{i}"
+            )
+    df_exprs = ", ".join(
+        "sum(CASE WHEN "
+        + " OR ".join(f"tf_{f}_{i} > 0" for f, _, _ in fields)
+        + f" THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    avg_exprs = ", ".join(
+        f"CAST(sum(dl_{f}) AS DOUBLE) / count(*) AS avgdl_{f}"
+        for f, _, _ in fields
+    )
+    contribs = []
+    for i in range(len(_BM25_TERMS)):
+        tft = " + ".join(
+            f"(({w} * CAST(tf_{f}_{i} AS DOUBLE))"
+            f" / ({1.0 - bf} + {bf} * dl_{f} / s.avgdl_{f}))"
+            for f, w, bf in fields
+        )
+        contribs.append(
+            f"((ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+            f" * ({tft})) / ({k1} + ({tft})))"
+        )
+    score = " + ".join(contribs)
+    tf_sql = ",\n         ".join(tf_exprs)
+    return f"""
+WITH pages AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 7 = 0 THEN 'spark index page'
+              WHEN doc_id % 7 = 1 THEN 'join reference window'
+              WHEN doc_id % 7 = 2 THEN ''
+              ELSE 'misc link text' END AS anchor
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk_text,
+         CASE WHEN trim(lower(anchor)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(anchor)), '\\s+') END AS tk_anchor
+  FROM pages
+),
+tfd AS (
+  SELECT doc_id,
+         {tf_sql}
+  FROM toks
+),
+s AS (
+  SELECT count(*) AS n, {avg_exprs}, {df_exprs}
+  FROM tfd
+)
+SELECT doc_id, ROUND({score}, 6) AS score
+FROM tfd, s
+WHERE ({score}) > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 def _q_retrieval_eval(spark, sf_dir):
     """trec_eval metric set (operators/corpus.py::retrieval_eval): 40
     queries × 12-deep runs with score ties (doc_id tie-break), four
@@ -11081,6 +11174,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_bm25_rm3": _q_bm25_rm3,
     "url_mirror_hosts": _q_url_mirror_hosts,
     "tx_retrieval_eval": _q_retrieval_eval,
+    "tx_bm25f_topk": _q_bm25f_topk,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -11475,6 +11569,7 @@ _ORACLES: dict[str, str] = {
     "tx_bm25_rm3": _sql_bm25_rm3(),
     "url_mirror_hosts": _SQL_URL_MIRROR_HOSTS,
     "tx_retrieval_eval": _SQL_RETRIEVAL_EVAL,
+    "tx_bm25f_topk": _sql_bm25f_topk(),
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

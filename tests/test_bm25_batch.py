@@ -292,3 +292,88 @@ def test_retrieval_eval_tie_break_and_cutoff(spark):
     assert r["p_at_k"] == pytest.approx(0.1, abs=1e-6)
     assert r["ap"] == pytest.approx((1.0 + 2.0 / 12.0) / 2.0, abs=1e-6)
     assert r["dcg_at_k"] == pytest.approx(1.0, abs=1e-6)  # rel1 at rank1
+
+
+# --- BM25F field-weighted retrieval ---------------------------------------
+
+def _bm25f_ref(docs, terms, fields, k1=1.2):
+    """Pure-Python BM25F mirror (field order, then sorted-term order)."""
+    def toks(t):
+        return t.strip().lower().split() if t and t.strip() else []
+
+    n = len(docs)
+    dls = {f: {d[0]: len(toks(d[i + 1])) for d in docs}
+           for i, f in enumerate(fields)}
+    avg = {f: (sum(dls[f].values()) / n) or 1.0 for f in fields}
+    out = {}
+    for d in docs:
+        did = d[0]
+        score = 0.0
+        for term in terms:
+            df = sum(
+                1 for dd in docs
+                if any(term in toks(dd[i + 1]) for i in range(len(fields)))
+            )
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tft = 0.0
+            for i, (f, (w, bf)) in enumerate(fields.items()):
+                tf = toks(d[i + 1]).count(term)
+                tft += w * tf / (1.0 - bf + bf * dls[f][did] / avg[f])
+            score += idf * tft / (k1 + tft)
+        if score > 0:
+            out[did] = round(score, 6)
+    return out
+
+
+def test_bm25f_matches_pure_python(spark):
+    docs = [
+        (1, "spark joins tables", "spark homepage"),
+        (2, "window functions everywhere", ""),
+        (3, "the cat sat", "spark spark spark"),
+        (4, "spark spark spark spark", "unrelated"),
+    ]
+    fields = {"text": (1.0, 0.75), "anchor": (2.5, 0.6)}
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, anchor string"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in C.bm25f_topk(df, ["spark"], fields=fields).collect()
+    }
+    ref = _bm25f_ref(docs, ["spark"], fields)
+    assert got == {d: pytest.approx(s, abs=2e-6) for d, s in ref.items()}
+
+
+def test_bm25f_anchor_weight_reorders_body_ranking(spark):
+    # doc 3 has zero body hits but heavy anchor evidence: with w_anchor=2.5
+    # it must outrank doc 1 (one body + one anchor hit)
+    docs = [
+        (1, "spark joins tables", "spark homepage"),
+        (3, "the cat sat", "spark spark spark"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, anchor string"
+    )
+    out = C.bm25f_topk(df, ["spark"]).collect()
+    assert [r["doc_id"] for r in out] == [3, 1]
+    # saturation applies to COMBINED evidence: the two scores stay within
+    # one idf of each other (naive per-field BM25 would double-count)
+    assert out[0]["score"] < 2 * out[1]["score"]
+
+
+def test_bm25f_null_field_counts_as_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "spark docs", None), (2, "nothing here", "spark")],
+        "doc_id long, text string, anchor string",
+    )
+    out = C.bm25f_topk(df, ["spark"]).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+
+
+def test_bm25f_all_empty_anchor_field_no_nan(spark):
+    df = spark.createDataFrame(
+        [(1, "spark docs", ""), (2, "spark spark", "")],
+        "doc_id long, text string, anchor string",
+    )
+    out = C.bm25f_topk(df, ["spark"]).collect()
+    assert len(out) == 2 and all(r["score"] > 0 for r in out)

@@ -1929,3 +1929,107 @@ def retrieval_eval(
         ).alias("recall_at_k"),
     )
     return out
+
+
+def bm25f_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    fields: dict | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+) -> DataFrame:
+    """BM25F — field-weighted BM25 (Robertson, Zaragoza & Taylor 2004,
+    "Simple BM25 extension to multiple weighted fields", CIKM). The web
+    ranking function: a term hit in anchor text or a title is worth more
+    than one in the body, but saturation must apply to the COMBINED
+    evidence, not per field (the paper's correction to naive per-field
+    BM25 summation). Composes with :func:`~..graph.anchor_text_summary`
+    — feed the aggregated anchor text in as a field.
+
+    ``fields`` maps column name → (weight, b). Per doc and term:
+    ``tf̃ = Σ_f w_f · tf_f / (1 − b_f + b_f·dl_f/avgdl_f)`` (field-length
+    normalized), then ``score = Σ_t idf_t · tf̃ / (k1 + tf̃)`` with the
+    document-level Robertson–Spärck Jones idf (df counts a doc when ANY
+    field contains the term). NULL fields count as empty.
+
+    Plan shape is :func:`bm25_topk`'s: one combiner-friendly 1-row stats
+    agg (per-field avgdl + per-term document df), constants folded into
+    literals, one projection + TakeOrderedAndProject — zero shuffles at
+    any corpus size. The per-term sum and the per-field inner sum are
+    built in deterministic order (fields dict order, then sorted terms),
+    so scores are engine-portable; rounded to 6.
+    """
+    import math as _m
+
+    if fields is None:
+        fields = {"text": (1.0, 0.75), "anchor": (2.5, 0.6)}
+    if not query_terms or not fields:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    fnames = list(fields)
+    cols = [F.col(id_col).alias("doc_id")]
+    for f in fnames:
+        toks = T.tokens(F.lower(F.coalesce(F.col(f), F.lit(""))))
+        cols.append(toks.alias(f"_tk_{f}"))
+    base = df.select(*cols)
+    proj = [F.col("doc_id")]
+    for f in fnames:
+        proj.append(F.size(F.col(f"_tk_{f}")).alias(f"dl_{f}"))
+        for i, term in enumerate(query_terms):
+            # F.filter evaluates the lambda eagerly, so the loop variable
+            # is bound correctly; a `_t=term` default would instead raise
+            # the lambda's arity to 2 and receive the element INDEX
+            proj.append(
+                F.size(
+                    F.filter(F.col(f"_tk_{f}"), lambda t: t == F.lit(term))
+                ).alias(f"tf_{f}_{i}")
+            )
+    tfd = base.select(*proj)
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for f in fnames:
+        aggs.append(F.sum(f"dl_{f}").alias(f"sumdl_{f}"))
+    for i in range(len(query_terms)):
+        any_hit = None
+        for f in fnames:
+            hit = F.col(f"tf_{f}_{i}") > 0
+            any_hit = hit if any_hit is None else (any_hit | hit)
+        aggs.append(F.sum(any_hit.cast("long")).alias(f"df{i}"))
+    stats = tfd.agg(*aggs).collect()[0]
+    n = stats["n"]
+    if n == 0:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    # an all-empty field would make dl/avgdl NaN-poison the score even at
+    # tf=0; its tf is always 0, so any non-zero divisor is equivalent
+    avgdl = {f: (stats[f"sumdl_{f}"] / n) or 1.0 for f in fnames}
+
+    score = None
+    for i, term in enumerate(query_terms):
+        idf = _m.log(
+            1.0 + (n - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5)
+        )
+        tft = None
+        for f in fnames:
+            w, bf = fields[f]
+            denom = (
+                F.lit(1.0 - bf)
+                + F.lit(bf) * F.col(f"dl_{f}") / F.lit(avgdl[f])
+            )
+            part = (
+                F.lit(w) * F.col(f"tf_{f}_{i}").cast("double") / denom
+            )
+            tft = part if tft is None else tft + part
+        contrib = F.lit(idf) * tft / (F.lit(k1) + tft)
+        score = contrib if score is None else score + contrib
+    return (
+        tfd.select("doc_id", score.alias("raw"))
+        .filter(F.col("raw") > 0)
+        .select("doc_id", F.round("raw", 6).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
