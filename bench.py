@@ -159,6 +159,14 @@ HEADLINE = [
     # aggs) + distinct-trigram score compile (5 slim joins) + one
     # position-stream join + integer sum + prefix-sum bucket ranks
     "tx_ccnet_perplexity",
+    # RM3 feedback retrieval: two full-corpus zero-shuffle BM25 scans
+    # bracketing a <=10-row relevance-model stage (prices the two-pass
+    # expansion overhead vs the single-pass bm25 leg family)
+    "tx_bm25_rm3",
+    # BM25F: one scan computing per-field tf arrays for body+anchor +
+    # 1-row stats agg + literal-folded projection (the web-search
+    # field-weighted ranking function, still zero-shuffle)
+    "tx_bm25f_topk",
 ]
 
 
