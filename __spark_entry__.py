@@ -10505,6 +10505,92 @@ SELECT o_orderkey, {interleave} AS zval FROM g ORDER BY o_orderkey
 """
 
 
+def _q_learned_priority(spark, sf_dir):
+    """Machine-learned frontier prioritization (operators/logreg.py::
+    learned_priority): 200 crawled URLs with deterministic outcomes
+    (shallow article pages kept, deep parameter-heavy junk dropped)
+    train the int64-quantized logistic regression on URL-only features;
+    90 frontier URLs in three shape classes are scored and globally
+    ranked. The oracle unrolls all 5 training iterations (the
+    duckdb_train_sql chain), rebuilds the frontier features with the
+    same string ops, and replays scoring + the (score desc, url) rank."""
+    from web_crawler_spark.operators.logreg import learned_priority
+
+    e = _t(spark, sf_dir, "events")
+    cids = e.select((F.col("event_id") % 200).alias("cid")).distinct()
+    c = F.col("cid").cast("string")
+    crawled = cids.select(
+        F.when(
+            F.col("cid") % 2 == 0, F.concat(F.lit("https://s.ex/art"), c)
+        )
+        .otherwise(
+            F.concat(F.lit("https://s.ex/a/b/c/d/e"), c,
+                     F.lit("?x=1&y=2&z=3"))
+        )
+        .alias("url"),
+        (F.col("cid") % 2 == 0).cast("int").alias("label"),
+    )
+    fids = e.select((F.col("event_id") % 90).alias("fid")).distinct()
+    f = F.col("fid").cast("string")
+    m3 = F.col("fid") % 3
+    frontier = fids.select(
+        F.when(m3 == 0, F.concat(F.lit("https://f.ex/page"), f))
+        .when(
+            m3 == 1,
+            F.concat(F.lit("https://f.ex/a/b/c/d/junk"), f,
+                     F.lit("?q=1&r=2&s=3")),
+        )
+        .otherwise(F.concat(F.lit("https://f.ex/m/n"), f, F.lit("?a=1")))
+        .alias("url")
+    )
+    return learned_priority(crawled, frontier).orderBy("url")
+
+
+def _sql_learned_priority() -> str:
+    from web_crawler_spark.operators import logreg as LR
+
+    train = LR.duckdb_train_sql(
+        feature_exprs=LR.URL_FEATURE_SQL,
+        label_expr="label",
+        source_cte="SELECT url, label FROM crawled",
+        iters=5,
+        lr=16.0,
+    )
+    fx = ", ".join(
+        f"({e}) AS x{j + 1}" for j, e in enumerate(LR.URL_FEATURE_SQL)
+    )
+    z = "p.w0 + p.w1 * f.x1 + p.w2 * f.x2 + p.w3 * f.x3 + p.w4 * f.x4"
+    return f"""
+WITH cids AS (SELECT DISTINCT event_id % 200 AS cid FROM events),
+fids AS (SELECT DISTINCT event_id % 90 AS fid FROM events),
+crawled AS (
+  SELECT CASE WHEN cid % 2 = 0 THEN concat('https://s.ex/art', cid)
+              ELSE concat('https://s.ex/a/b/c/d/e', cid, '?x=1&y=2&z=3')
+         END AS url,
+         CASE WHEN cid % 2 = 0 THEN 1 ELSE 0 END AS label
+  FROM cids
+),
+frontier AS (
+  SELECT CASE WHEN fid % 3 = 0 THEN concat('https://f.ex/page', fid)
+              WHEN fid % 3 = 1
+                THEN concat('https://f.ex/a/b/c/d/junk', fid, '?q=1&r=2&s=3')
+              ELSE concat('https://f.ex/m/n', fid, '?a=1')
+         END AS url
+  FROM fids
+),
+{train},
+fx AS (SELECT url, {fx} FROM frontier),
+scored AS (
+  SELECT f.url, ROUND(1.0 / (1.0 + exp(-({z}))), 6) AS score
+  FROM fx f CROSS JOIN it5 p
+)
+SELECT url, score,
+       CAST(row_number() OVER (ORDER BY score DESC, url) AS BIGINT) AS rank
+FROM scored
+ORDER BY url
+"""
+
+
 def _q_bm25f_topk(spark, sf_dir):
     """BM25F field-weighted retrieval (operators/corpus.py::bm25f_topk,
     Robertson-Zaragoza-Taylor 2004) over the documents table with a
@@ -11175,6 +11261,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_mirror_hosts": _q_url_mirror_hosts,
     "tx_retrieval_eval": _q_retrieval_eval,
     "tx_bm25f_topk": _q_bm25f_topk,
+    "f9_learned_priority": _q_learned_priority,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -11570,6 +11657,7 @@ _ORACLES: dict[str, str] = {
     "url_mirror_hosts": _SQL_URL_MIRROR_HOSTS,
     "tx_retrieval_eval": _SQL_RETRIEVAL_EVAL,
     "tx_bm25f_topk": _sql_bm25f_topk(),
+    "f9_learned_priority": _sql_learned_priority(),
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

@@ -62,3 +62,62 @@ def test_empty_frame_raises(spark):
     df = _frame(spark).filter(F.lit(False))
     with pytest.raises(ValueError):
         LR.train_logreg(df, ["x1"], "y")
+
+
+# --- learned frontier prioritization ---------------------------------------
+
+def test_learned_priority_prefers_shallow_after_training(spark):
+    from web_crawler_spark.operators.logreg import learned_priority
+
+    crawled = spark.createDataFrame(
+        [(f"https://s.ex/art{i}", 1) for i in range(40)]
+        + [(f"https://s.ex/a/b/c/d/e{i}?x=1&y=2&z=3", 0) for i in range(40)],
+        "url string, label int",
+    )
+    frontier = spark.createDataFrame(
+        [("https://f.ex/good1",), ("https://f.ex/a/b/c/d/bad1?q=1&r=2&s=3",)],
+        "url string",
+    )
+    out = {r["url"]: r for r in learned_priority(crawled, frontier).collect()}
+    good = out["https://f.ex/good1"]
+    bad = out["https://f.ex/a/b/c/d/bad1?q=1&r=2&s=3"]
+    assert good["score"] > bad["score"]
+    assert (good["rank"], bad["rank"]) == (1, 2)
+
+
+def test_learned_priority_digit_feature_carries_signal(spark):
+    from web_crawler_spark.operators.logreg import learned_priority
+
+    # identical shapes; ONLY the digit flag separates labels
+    crawled = spark.createDataFrame(
+        [(f"https://s.ex/x{i}", 0) for i in range(30)]
+        + [("https://s.ex/" + "ab"[i % 2] * (i + 1), 1) for i in range(30)],
+        "url string, label int",
+    )
+    frontier = spark.createDataFrame(
+        [("https://f.ex/page9",), ("https://f.ex/pageZ",)],
+        "url string",
+    )
+    out = {
+        r["url"]: r["score"]
+        for r in learned_priority(crawled, frontier, lr=1.0, iters=3).collect()
+    }
+    assert out["https://f.ex/pageZ"] > out["https://f.ex/page9"]
+
+
+def test_learned_priority_rank_is_dense_and_deterministic(spark):
+    from web_crawler_spark.operators.logreg import learned_priority
+
+    crawled = spark.createDataFrame(
+        [(f"https://s.ex/a{i}", i % 2) for i in range(20)],
+        "url string, label int",
+    )
+    frontier = spark.createDataFrame(
+        [(f"https://f.ex/p{i}",) for i in range(7)], "url string"
+    )
+    out = learned_priority(crawled, frontier).collect()
+    assert sorted(r["rank"] for r in out) == list(range(1, 8))
+    # equal scores (identical features) tie-break by url ascending
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    same = [r for r in by_rank if r["score"] == by_rank[0]["score"]]
+    assert [r["url"] for r in same] == sorted(r["url"] for r in same)

@@ -148,3 +148,90 @@ def duckdb_train_sql(
         )
         parts.append(f"it{i} AS (SELECT {upd} FROM g{i})")
     return ",\n".join(parts)
+
+
+def url_features(url_col: Column) -> list[Column]:
+    """URL-only features for learned frontier prioritization — every one
+    computable by the SQL oracle with the same string ops: path depth
+    (slash count), query-param count, length/100, contains-a-digit flag.
+    URL-only matters: the frontier has not FETCHED these pages yet, so
+    page content cannot be a feature (Cho, Garcia-Molina & Page 1998's
+    importance-prediction constraint)."""
+    u = url_col.cast("string")
+    slashes = (F.length(u) - F.length(F.replace(u, F.lit("/"), F.lit("")))).cast(
+        "double"
+    )
+    params = (
+        F.when(
+            F.instr(u, "?") > 0,
+            F.length(u) - F.length(F.replace(u, F.lit("&"), F.lit(""))) + 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("double")
+    )
+    length = F.length(u).cast("double") / F.lit(100.0)
+    digit = F.regexp_like(u, F.lit("[0-9]")).cast("double")
+    return [slashes, params, length, digit]
+
+
+URL_FEATURE_SQL = [
+    "CAST(length(url) - length(replace(url, '/', '')) AS DOUBLE)",
+    "CAST(CASE WHEN strpos(url, '?') > 0"
+    " THEN length(url) - length(replace(url, '&', '')) + 1"
+    " ELSE 0 END AS DOUBLE)",
+    "CAST(length(url) AS DOUBLE) / 100.0",
+    "CAST(CASE WHEN regexp_matches(url, '[0-9]') THEN 1 ELSE 0 END AS DOUBLE)",
+]
+
+
+def learned_priority(
+    crawled: DataFrame,
+    frontier: DataFrame,
+    label_col: str = "label",
+    url_col: str = "url",
+    iters: int = 5,
+    lr: float = 16.0,
+) -> DataFrame:
+    """Machine-learned frontier prioritization: train the in-engine
+    logistic regression on CRAWLED urls' observed outcomes (did the
+    fetch yield a keeper? — any boolean the pipeline already computes:
+    quality gate, dedup survival, extraction success), then score every
+    UNCRAWLED frontier url from its URL string alone and rank the
+    frontier by predicted yield. The supervised sibling of the
+    topic-driven :func:`..snapshots.focused_priority` — this one learns
+    whatever the labels encode instead of assuming a topic vocabulary.
+
+    Returns (url, score, rank): score = round(sigmoid(w·x), 6), rank
+    dense over (score desc, url) via the distributed prefix sum — no
+    single-partition window at any frontier size. Training is
+    :func:`train_logreg` (int64-quantized gradients — the weight
+    trajectory is partition-invariant, so the whole train+score chain
+    is oracle-replayable as unrolled SQL via :func:`duckdb_train_sql`).
+    """
+    from .prefixsum import prefix_sum
+
+    feat_names = [f"x{j + 1}" for j in range(4)]
+    feats = url_features(F.col(url_col))
+    train = crawled.select(
+        *[c.alias(n) for c, n in zip(feats, feat_names)],
+        F.col(label_col),
+    )
+    w, _trace = train_logreg(train, feat_names, label_col, iters=iters, lr=lr)
+
+    scored = predict_logreg(
+        frontier.select(
+            F.col(url_col).alias("url"),
+            *[c.alias(n) for c, n in zip(url_features(F.col(url_col)), feat_names)],
+        ),
+        w,
+        feat_names,
+    ).select("url", "score")
+    ranked = prefix_sum(
+        scored.withColumn("_one", F.lit(1)).withColumn(
+            "_neg", -F.col("score")
+        ),
+        ["_neg", "url"],
+        "_one",
+        "rank",
+    )
+    return ranked.select("url", "score", F.col("rank").cast("long").alias("rank"))
