@@ -10505,6 +10505,54 @@ SELECT o_orderkey, {interleave} AS zval FROM g ORDER BY o_orderkey
 """
 
 
+def _q_lsh_plan(spark, sf_dir):
+    """LSH banding planner (operators/similarity.py::lsh_plan): all 7
+    factorizations of a 64-hash budget scored by S-curve error masses at
+    threshold 0.5 on a 1/100 lattice; the oracle replays P(s) =
+    1-(1-s^r)^b pointwise, both i-ordered Riemann folds, the rounded
+    cost and the (cost, bands) argmin flag."""
+    from web_crawler_spark.operators.similarity import lsh_plan
+
+    return lsh_plan(
+        spark, n_hashes=64, threshold=0.5, grid=100
+    ).orderBy("bands")
+
+
+_SQL_LSH_PLAN = r"""
+WITH pairs AS (
+  SELECT CAST(b AS INT) AS bands, CAST(64 // b AS INT) AS rows
+  FROM (SELECT unnest(range(1, 65)) AS b) WHERE 64 % b = 0
+),
+ev AS (
+  SELECT bands, rows, i, CAST(i AS DOUBLE) / 100.0 AS s,
+         1.0 - pow(1.0 - pow(CAST(i AS DOUBLE) / 100.0,
+                             CAST(rows AS DOUBLE)),
+                   CAST(bands AS DOUBLE)) AS p
+  FROM pairs, (SELECT unnest(range(1, 100)) AS i)
+),
+m AS (
+  SELECT bands, rows,
+         list_reduce([0.0] || list(CASE WHEN s < 0.5 THEN p ELSE 0.0 END
+                                   ORDER BY i), (a, c) -> a + c)
+           / 100.0 AS fp,
+         list_reduce([0.0] || list(CASE WHEN s > 0.5 THEN 1.0 - p
+                                        ELSE 0.0 END
+                                   ORDER BY i), (a, c) -> a + c)
+           / 100.0 AS fn
+  FROM ev GROUP BY bands, rows
+)
+SELECT bands, rows,
+       round(pow(1.0 / bands, 1.0 / rows), 6) AS t_star,
+       round(fp, 6) AS fp_mass,
+       round(fn, 6) AS fn_mass,
+       round(1.0 * fp + 1.0 * fn, 6) AS cost,
+       row_number() OVER (ORDER BY round(1.0 * fp + 1.0 * fn, 6), bands)
+         = 1 AS is_best
+FROM m
+ORDER BY bands
+"""
+
+
 def _q_learned_priority(spark, sf_dir):
     """Machine-learned frontier prioritization (operators/logreg.py::
     learned_priority): 200 crawled URLs with deterministic outcomes
@@ -11262,6 +11310,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_retrieval_eval": _q_retrieval_eval,
     "tx_bm25f_topk": _q_bm25f_topk,
     "f9_learned_priority": _q_learned_priority,
+    "dd_lsh_plan": _q_lsh_plan,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -11658,6 +11707,7 @@ _ORACLES: dict[str, str] = {
     "tx_retrieval_eval": _SQL_RETRIEVAL_EVAL,
     "tx_bm25f_topk": _sql_bm25f_topk(),
     "f9_learned_priority": _sql_learned_priority(),
+    "dd_lsh_plan": _SQL_LSH_PLAN,
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

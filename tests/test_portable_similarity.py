@@ -310,3 +310,46 @@ def test_partial_topk_stage_is_pure_subset_filter(spark):
     assert sorted(by_q["q1"]) == [("n0", 1.0), ("n1", 0.99), ("n2", 0.98)]
     # NULL cosine sheds first but survives when under k rows total
     assert ("ny", 0.5) in by_q["q2"]
+
+
+# --- lsh_plan S-curve planner ----------------------------------------------
+
+def test_lsh_plan_matches_pure_python(spark):
+    from web_crawler_spark.operators.similarity import lsh_plan
+
+    got = {
+        (r["bands"], r["rows"]): r
+        for r in lsh_plan(spark, n_hashes=16, threshold=0.5).collect()
+    }
+    import math
+
+    for (b, r), row in got.items():
+        assert b * r == 16
+        fp = fn = 0.0
+        for i in range(1, 100):
+            s = i / 100.0
+            p = 1.0 - (1.0 - s ** float(r)) ** float(b)
+            if s < 0.5:
+                fp += p
+            elif s > 0.5:
+                fn += 1.0 - p
+        assert row["fp_mass"] == round(fp / 100.0, 6)
+        assert row["fn_mass"] == round(fn / 100.0, 6)
+        assert row["t_star"] == round((1.0 / b) ** (1.0 / r), 6)
+    assert sum(1 for r in got.values() if r["is_best"]) == 1
+
+
+def test_lsh_plan_fn_weight_pushes_toward_more_bands(spark):
+    from web_crawler_spark.operators.similarity import lsh_plan
+
+    balanced = {
+        r["is_best"]: r["bands"]
+        for r in lsh_plan(spark, 64, 0.5).collect()
+    }[True]
+    recall_heavy = {
+        r["is_best"]: r["bands"]
+        for r in lsh_plan(spark, 64, 0.5, fn_weight=20.0).collect()
+    }[True]
+    # weighting false negatives harder never chooses FEWER bands: more
+    # bands raise P(s) everywhere, trading fp for fn
+    assert recall_heavy >= balanced

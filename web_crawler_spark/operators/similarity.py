@@ -1210,3 +1210,90 @@ def bitext_margin_pairs(
         .distinct()
         .filter(F.col("margin") >= float(threshold))
     )
+
+
+def lsh_plan(
+    spark,
+    n_hashes: int = 64,
+    threshold: float = 0.5,
+    grid: int = 100,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+) -> DataFrame:
+    """LSH banding parameter planner (Leskovec, Rajaraman & Ullman,
+    "Mining of Massive Datasets" §3.4, the S-curve analysis; Indyk &
+    Motwani 1998 for the underlying guarantee): for every (bands, rows)
+    factorization of the signature budget, the probability a pair at
+    similarity s becomes a candidate is ``P(s) = 1 − (1 − s^r)^b``.
+    The planner scores each factorization by Riemann sums of the two
+    error masses on a 1/``grid`` similarity lattice — false-positive
+    mass ``Σ_{s<t} P(s)/grid`` (junk pairs the verifier must kill) and
+    false-negative mass ``Σ_{s>t} (1−P(s))/grid`` (true pairs LSH never
+    sees — the unrecoverable kind) — and flags the argmin of
+    ``fp_weight·fp + fn_weight·fn``. Weight fn higher when recall is the
+    contract (dedup), fp higher when verification is the bottleneck.
+
+    This prices the ``n_bands``/``n_rows`` knobs that
+    :func:`minhash_lsh_pairs` and the embedding-LSH family expose —
+    at 10^10 docs a mis-banded join is the difference between a
+    bounded candidate set and a quadratic one, so the choice deserves
+    arithmetic, not folklore.
+
+    Pure arithmetic, zero shuffles: the divisor pairs are a
+    driver-enumerated handful of rows; each row evaluates its whole
+    S-curve as an array fold (sequence → transform → ordered aggregate),
+    so every double is a pure function of (b, r, grid) — oracle-exact.
+    ``t_star = (1/b)^(1/r)`` (the curve's steepest point) is included
+    for the classic rule-of-thumb comparison.
+    """
+    pairs = [
+        (b, n_hashes // b) for b in range(1, n_hashes + 1)
+        if n_hashes % b == 0
+    ]
+    df = spark.createDataFrame(pairs, "bands int, rows int")
+    b = F.col("bands").cast("double")
+    r = F.col("rows").cast("double")
+    idx = F.sequence(F.lit(1), F.lit(grid - 1))
+
+    def p_of(iv):
+        s = iv.cast("double") / F.lit(float(grid))
+        return F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(s, r), b)
+
+    def s_of(iv):
+        return iv.cast("double") / F.lit(float(grid))
+    fp = F.aggregate(
+        F.transform(
+            idx,
+            lambda iv: F.when(
+                s_of(iv) < F.lit(threshold), p_of(iv)
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(grid))
+    fn = F.aggregate(
+        F.transform(
+            idx,
+            lambda iv: F.when(
+                s_of(iv) > F.lit(threshold), F.lit(1.0) - p_of(iv)
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(grid))
+    scored = df.select(
+        "bands",
+        "rows",
+        F.round(F.pow(F.lit(1.0) / b, F.lit(1.0) / r), 6).alias("t_star"),
+        F.round(fp, 6).alias("fp_mass"),
+        F.round(fn, 6).alias("fn_mass"),
+        F.round(
+            F.lit(fp_weight) * fp + F.lit(fn_weight) * fn, 6
+        ).alias("cost"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("cost", "bands")
+    return scored.withColumn(
+        "is_best", F.row_number().over(w) == 1
+    )
