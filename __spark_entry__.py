@@ -9285,6 +9285,135 @@ ORDER BY h.node""")
     return "".join(parts)
 
 
+def _q_host_salsa(spark, sf_dir):
+    """SALSA hubs/authorities over the host graph (operators/graph.salsa,
+    Lempel & Moran 2001) - the random-walk sibling of HITS whose two-step
+    stochastic transitions conserve chain mass, so the whole 10-iteration
+    power sequence is pure join+agg algebra with NO renormalization
+    fetches; oracle-checked by unrolling all iterations into chained
+    DuckDB CTEs exactly like the pagerank/HITS twins."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = G.host_graph(_host_edges(spark, sf_dir))
+    return G.salsa(edges, iterations=10).orderBy("node")
+
+
+def _salsa_sql(iterations: int = 10) -> str:
+    """Unrolled SALSA random-walk iteration (backward/in-normalized and
+    forward/out-normalized half-steps) - the exact algebra of
+    operators/graph.py::salsa."""
+    head = """
+WITH e AS (
+  SELECT src_host AS src, dst_host AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT concat('h', CAST(user_id % 12 AS VARCHAR), '.com') AS src_host,
+           concat('h', CAST((user_id + event_id) % 12 AS VARCHAR), '.com') AS dst_host
+    FROM events
+  ) WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+inw AS (SELECT dst, SUM(w) AS iw FROM e GROUP BY dst),
+outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+bt AS MATERIALIZED (SELECT e.src, e.dst, e.w / i.iw AS pb FROM e JOIN inw i ON e.dst = i.dst),
+ft AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.ow AS pf FROM e JOIN outw o ON e.src = o.src),
+auths AS (SELECT DISTINCT dst AS node FROM e),
+hubs AS (SELECT DISTINCT src AS node FROM e),
+a0 AS (SELECT node, 1.0 / (SELECT COUNT(*) FROM auths) AS val FROM auths),
+h0 AS (SELECT node, 1.0 / (SELECT COUNT(*) FROM hubs) AS val FROM hubs)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+am{i} AS MATERIALIZED (
+  SELECT b.src AS node, SUM(b.pb * s.val) AS val
+  FROM bt b JOIN a{i-1} s ON b.dst = s.node GROUP BY b.src
+),
+a{i} AS MATERIALIZED (
+  SELECT f.dst AS node, SUM(f.pf * m.val) AS val
+  FROM ft f JOIN am{i} m ON f.src = m.node GROUP BY f.dst
+),
+hm{i} AS MATERIALIZED (
+  SELECT f.dst AS node, SUM(f.pf * s.val) AS val
+  FROM ft f JOIN h{i-1} s ON f.src = s.node GROUP BY f.dst
+),
+h{i} AS MATERIALIZED (
+  SELECT b.src AS node, SUM(b.pb * m.val) AS val
+  FROM bt b JOIN hm{i} m ON b.dst = m.node GROUP BY b.src
+)""")
+    parts.append(f"""
+SELECT n.node, ROUND(COALESCE(h.val, 0.0), 6) AS hub,
+       ROUND(COALESCE(a.val, 0.0), 6) AS authority
+FROM nodes n
+LEFT JOIN h{iterations} h ON h.node = n.node
+LEFT JOIN a{iterations} a ON a.node = n.node
+ORDER BY n.node""")
+    return "".join(parts)
+
+
+def _q_seed_distance(spark, sf_dir):
+    """BFS depth-from-seed over a deterministic link graph with real depth
+    structure (operators/graph.seed_distance): a 63-node binary tree under
+    seed n0 (depths 0-5), a shortcut edge n0->n62 proving first-discovery
+    = MIN depth, a 13-node chain hung off the seed that crosses the
+    max_depth=8 cap (n1008+ must be absent), and a disconnected chain
+    (n2000..) that must never appear. Oracle: DuckDB recursive CTE with
+    MIN(depth) under the same depth bound. Depths are exact integers -
+    no float concerns anywhere."""
+    from web_crawler_spark.operators import graph as G
+
+    ev = _t(spark, sf_dir, "events")
+
+    def n(c):
+        return F.concat(F.lit("n"), c.cast("string"))
+
+    k = F.col("event_id") % 31
+    c = F.col("event_id") % 12
+    d = F.col("event_id") % 3
+    edges = (
+        ev.select(n(k).alias("src"), n(k * 2 + 1).alias("dst"))
+        .unionByName(ev.select(n(k).alias("src"), n(k * 2 + 2).alias("dst")))
+        .unionByName(ev.select(n(c + 1000).alias("src"), n(c + 1001).alias("dst")))
+        .unionByName(ev.select(n(d + 2000).alias("src"), n(d + 2001).alias("dst")))
+        .unionByName(
+            spark.createDataFrame(
+                [("n0", "n62"), ("n0", "n1000")], "src string, dst string"
+            )
+        )
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    return G.seed_distance(
+        edges, seeds, max_depth=8, src_col="src", dst_col="dst"
+    ).orderBy("node")
+
+
+_SQL_SEED_DISTANCE = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT concat('n', CAST(event_id % 31 AS VARCHAR)) AS src,
+           concat('n', CAST((event_id % 31) * 2 + 1 AS VARCHAR)) AS dst FROM events
+    UNION ALL
+    SELECT concat('n', CAST(event_id % 31 AS VARCHAR)),
+           concat('n', CAST((event_id % 31) * 2 + 2 AS VARCHAR)) FROM events
+    UNION ALL
+    SELECT concat('n', CAST(event_id % 12 + 1000 AS VARCHAR)),
+           concat('n', CAST(event_id % 12 + 1001 AS VARCHAR)) FROM events
+    UNION ALL
+    SELECT concat('n', CAST(event_id % 3 + 2000 AS VARCHAR)),
+           concat('n', CAST(event_id % 3 + 2001 AS VARCHAR)) FROM events
+    UNION ALL SELECT 'n0', 'n62'
+    UNION ALL SELECT 'n0', 'n1000'
+  )
+),
+bfs AS (
+  SELECT 'n0' AS node, 0 AS depth
+  UNION
+  SELECT e.dst, bfs.depth + 1
+  FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.depth < 8
+)
+SELECT node, CAST(MIN(depth) AS INT) AS depth
+FROM bfs GROUP BY node ORDER BY node"""
+
+
 def _q_xlsx_scan(spark, sf_dir):
     """S6 on REAL xlsx bytes (worldbank.py:60-119): a workbook is built
     deterministically from the part table with the stdlib SpreadsheetML
@@ -11301,6 +11430,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_host_graph": _q_host_graph,
     "gr_host_pagerank": _q_host_pagerank,
     "gr_host_hits": _q_host_hits,
+    "gr_host_salsa": _q_host_salsa,
+    "gr_seed_distance": _q_seed_distance,
     "dd_dedup_clusters": _q_dedup_clusters,
     "dd_keep_canonical": _q_keep_canonical,
     "dd_simhash_pairs_md5": _q_simhash_pairs_md5,
@@ -11621,6 +11752,8 @@ _ORACLES: dict[str, str] = {
     "gr_domain_graph": _SQL_DOMAIN_GRAPH,
     "gr_domain_pagerank": _pagerank_sql(edges_with=_SQL_DOMAIN_PAGERANK_EDGES),
     "gr_host_hits": _hits_sql(),
+    "gr_host_salsa": _salsa_sql(),
+    "gr_seed_distance": _SQL_SEED_DISTANCE,
     "gr_host_trustrank": _trustrank_sql(),
     "gr_spam_mass": _spam_mass_sql(),
     "tx_phrase_match": _SQL_PHRASE_MATCH,

@@ -1006,3 +1006,102 @@ def test_change_rate_poisson_estimator(spark):
     # p_changed is the Poisson survival complement of lambda*age (60 s)
     age = 60.0
     assert abs(churn["p_changed"] - round(1 - math.exp(-churn["lambda_hat"] * age), 6)) == 0
+
+
+def test_salsa_authority_proportional_to_indegree(spark):
+    # Lempel & Moran 2001: on a connected authority chain the stationary
+    # authority mass is proportional to (weighted) in-degree — the
+    # closed-form that distinguishes SALSA from HITS.
+    from web_crawler_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("hub", "a1", 1), ("hub", "a2", 1), ("h1", "a1", 1),
+         ("h2", "a1", 1), ("h2", "a2", 1)],
+        ["src_host", "dst_host", "n_links"],
+    )
+    got = {r["node"]: r for r in G.salsa(edges, iterations=40).collect()}
+    assert abs(got["a1"]["authority"] - 3 / 5) < 1e-4
+    assert abs(got["a2"]["authority"] - 2 / 5) < 1e-4
+    # chain mass is conserved without renormalization
+    assert abs(sum(r["authority"] for r in got.values()) - 1.0) < 1e-4
+    assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-4
+    # no in-links -> authority 0; no out-links -> hub 0
+    assert got["hub"]["authority"] == 0.0 and got["a1"]["hub"] == 0.0
+
+
+def test_salsa_matches_pure_python_reference(spark):
+    # exact parity (rounded 6) with an independent dict-based
+    # implementation of the same two-step walk on a weighted asymmetric
+    # graph — certification doesn't rest on Spark agreeing with itself.
+    from web_crawler_spark.operators import graph as G
+
+    raw = [("u", "v", 3), ("u", "w", 1), ("x", "v", 2), ("w", "x", 5),
+           ("v", "w", 1), ("y", "w", 4)]
+    edges = spark.createDataFrame(raw, ["src_host", "dst_host", "n_links"])
+    it = 7
+    got = {r["node"]: r for r in G.salsa(edges, iterations=it).collect()}
+
+    inw, outw = {}, {}
+    for s, d, w in raw:
+        inw[d] = inw.get(d, 0.0) + w
+        outw[s] = outw.get(s, 0.0) + w
+    auths = sorted(inw)
+    hubs = sorted(outw)
+    a = {n: 1.0 / len(auths) for n in auths}
+    h = {n: 1.0 / len(hubs) for n in hubs}
+    for _ in range(it):
+        am = {}
+        for s, d, w in raw:
+            am[s] = am.get(s, 0.0) + (w / inw[d]) * a.get(d, 0.0)
+        a2 = {}
+        for s, d, w in raw:
+            a2[d] = a2.get(d, 0.0) + (w / outw[s]) * am.get(s, 0.0)
+        a = a2
+        hm = {}
+        for s, d, w in raw:
+            hm[d] = hm.get(d, 0.0) + (w / outw[s]) * h.get(s, 0.0)
+        h2 = {}
+        for s, d, w in raw:
+            h2[s] = h2.get(s, 0.0) + (w / inw[d]) * hm.get(d, 0.0)
+        h = h2
+    for n in set(auths) | set(hubs):
+        assert abs(got[n]["authority"] - round(a.get(n, 0.0), 6)) <= 1e-6
+        assert abs(got[n]["hub"] - round(h.get(n, 0.0), 6)) <= 1e-6
+
+
+def test_salsa_empty_graph(spark):
+    from web_crawler_spark.operators import graph as G
+
+    edges = spark.createDataFrame([], "src_host string, dst_host string, n_links long")
+    assert G.salsa(edges).count() == 0
+
+
+def test_seed_distance_min_depth_and_cap(spark):
+    from web_crawler_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"),   # shortcut a->d
+         ("d", "e"), ("e", "f"), ("f", "g"),               # tail past the cap
+         ("z1", "z2")],                                    # disconnected
+        ["src_host", "dst_host"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["depth"] for r in
+           G.seed_distance(edges, seeds, max_depth=3).collect()}
+    # first discovery is minimum depth: the shortcut wins over b->c->d
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2, "e": 2, "f": 3}
+    # g is 4 hops out -> beyond the cap; z* disconnected -> absent
+
+
+def test_seed_distance_multi_seed_and_early_stop(spark):
+    from web_crawler_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("s1", "m"), ("m", "t"), ("s2", "t")], ["src_host", "dst_host"]
+    )
+    seeds = spark.createDataFrame([("s1",), ("s2",)], ["node"])
+    # closure completes at depth 1/2 long before max_depth=50: the empty
+    # fresh-frontier early exit must terminate the loop, not run 50 rounds
+    got = {r["node"]: r["depth"] for r in
+           G.seed_distance(edges, seeds, max_depth=50).collect()}
+    assert got == {"s1": 0, "s2": 0, "m": 1, "t": 1}

@@ -823,3 +823,156 @@ def spam_mass(
             F.round(1.0 - F.col("trust") * float(k) / F.col("rank"), 6),
         ).alias("rel_mass"),
     )
+
+
+def salsa(
+    edges: DataFrame,
+    iterations: int = 10,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = "n_links",
+) -> DataFrame:
+    """SALSA hubs & authorities (Lempel & Moran 2001, "SALSA: The
+    Stochastic Approach for Link-Structure Analysis", public paper) — the
+    random-walk sibling of :func:`hits`: scores are stationary masses of
+    two-step walks on the bipartite hub/authority view, so unlike HITS a
+    single dense community cannot monopolize the ranking (the TKDC
+    tightly-knit-community effect the paper demonstrates; this is why
+    production link analysis at scale favored SALSA over HITS).
+
+    Authority chain: from authority ``j`` step BACKWARD to a hub ``i``
+    with probability ``w_ij / in_w(j)``, then FORWARD to an authority
+    ``j'`` with probability ``w_ij' / out_w(i)``. The hub chain is the
+    mirror image. Both steps are stochastic, so chain mass is conserved
+    every round — no renormalization (and no 1-row total fetch per
+    half-step like HITS needs): the whole iteration is pure join+agg
+    algebra, which keeps the oracle unroll exact.
+
+    Plan: the two normalized transition tables are built once (two keyed
+    aggs + two joins on the aggregated host edge list, tiny next to the
+    corpus — same scale argument as :func:`pagerank`); each iteration is
+    two slim join+agg half-steps per chain, lineage-checkpointed. Returns
+    (node, hub, authority) rounded to 6 decimals for every node; nodes
+    without in-edges have authority 0, without out-edges hub 0.
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.count() == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    in_w = e.groupBy("dst").agg(F.sum("w").alias("iw"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # backward transition (authority j -> hub i): p_b = w_ij / in_w(j)
+    bt = e.join(in_w, "dst").select(
+        "src", "dst", (F.col("w") / F.col("iw")).alias("pb")
+    ).localCheckpoint()
+    # forward transition (hub i -> authority j): p_f = w_ij / out_w(i)
+    ft = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("pf")
+    ).localCheckpoint()
+
+    auths = e.select(F.col("dst").alias("node")).distinct().localCheckpoint()
+    hubs = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n_a, n_h = auths.count(), hubs.count()
+    a = auths.select("node", F.lit(1.0 / n_a).alias("val"))
+    h = hubs.select("node", F.lit(1.0 / n_h).alias("val"))
+    for _ in range(iterations):
+        # authority chain: backward to hubs, forward to authorities
+        am = (
+            bt.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("pb") * F.col("val")).alias("val"))
+        )
+        a = (
+            ft.join(am.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pf") * F.col("val")).alias("val"))
+            .localCheckpoint()
+        )
+        # hub chain: forward to authorities, backward to hubs
+        hm = (
+            ft.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pf") * F.col("val")).alias("val"))
+        )
+        h = (
+            bt.join(hm.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("pb") * F.col("val")).alias("val"))
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(h.withColumnRenamed("val", "hv"), "node", "left")
+        .join(a.withColumnRenamed("val", "av"), "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce("hv", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("av", F.lit(0.0)), 6).alias("authority"),
+        )
+    )
+
+
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 8,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Minimum hop distance from the seed set — the BFS layer assignment
+    of the reference's crawl ordering (BASELINE north star: "BFS-with-
+    priority crawl ordering"; every production crawler caps frontier
+    admission by depth-from-seed, so the depth table IS the gate).
+
+    Layered BFS with frontier-only expansion: round ``d`` joins ONLY the
+    nodes first discovered at depth ``d-1`` against the edge list, so
+    total work is Σ out-edges of each node exactly once — the textbook
+    BFS invariant, not rounds × |E|. Every shuffled row is a slim
+    ``(node, depth)`` pair; the per-round ``count()`` on fresh discoveries
+    is both the termination test and free telemetry (an empty frontier
+    before ``max_depth`` means the crawl closure is complete). First
+    discovery is minimum depth by the BFS invariant, so no min-agg over
+    rounds is needed.
+
+    Returns (node, depth) for every node reachable within ``max_depth``
+    hops (seeds at depth 0). Unreachable nodes are absent by design —
+    a crawl gate anti-joins the frontier against this table.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint()
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            nxt.join(dist.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if fresh.count() == 0:
+            break
+        dist = dist.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+    return dist
