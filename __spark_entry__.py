@@ -2314,6 +2314,35 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {thr} ORDER BY id_a, i
 """
 
 
+def _q_lsh_eval(spark, sf_dir):
+    """Empirical MinHash-LSH quality audit (operators/dedup.lsh_dedup_eval):
+    precision/recall of the full LSH dedup pipeline vs exact-Jaccard ground
+    truth at the same shingles and threshold - the measured complement of
+    the dd_lsh_plan S-curve planner. All metrics are exact integers
+    (counts + integer-div milli-units); the oracle composes the two
+    already-certified pair-set oracles verbatim."""
+    d = _t(spark, sf_dir, "documents")
+    return D.lsh_dedup_eval(
+        d, "text", "doc_id", n=5, k=8, bands=4, threshold=0.18,
+        portable_hash=True,
+    )
+
+
+def _lsh_eval_sql() -> str:
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({_SQL_NGRAM_JACCARD})),
+lsh AS (SELECT id_a, id_b FROM ({_minhash_sql()})),
+m AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM lsh) AS n_lsh,
+         (SELECT COUNT(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM lsh)) AS n_hit
+)
+SELECT n_truth, n_lsh, n_hit,
+       CASE WHEN n_lsh > 0 THEN (1000 * n_hit) // n_lsh END AS precision_milli,
+       CASE WHEN n_truth > 0 THEN (1000 * n_hit) // n_truth END AS recall_milli
+FROM m"""
+
+
 def _q_dds_quantiles(spark, sf_dir):
     """DDSketch relative-error quantiles (operators/sketches.py::dds_*):
     p50/p95/p99 of order value per priority from geometric buckets —
@@ -11593,6 +11622,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_lang_quality_summary": _q_lang_quality_summary,
     "dd_ngram_jaccard_pairs": _q_ngram_jaccard,
     "dd_minhash_lsh_pairs": _q_minhash_lsh,
+    "dd_lsh_dedup_eval": _q_lsh_eval,
     # --- rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs) ---
     "tx_corpus_mix_bpe": _q_corpus_mix_bpe,
     "tx_compression_ratio": _q_compression_ratio,
@@ -11665,6 +11695,7 @@ _ORACLES: dict[str, str] = {
     "tx_lang_quality_summary": _SQL_LANG_QUALITY_SUMMARY,
     "dd_ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
     "dd_minhash_lsh_pairs": _minhash_sql(),
+    "dd_lsh_dedup_eval": _lsh_eval_sql(),
     "dd_dedup_clusters": _sql_dedup_clusters(),
     "dd_keep_canonical": _sql_keep_canonical(),
     "ann_cosine_topk": _SQL_ANN_COSINE,

@@ -1077,3 +1077,47 @@ def test_dhash_neardup_banding_and_hamming(spark):
     # c and d share the SAME band-0 flip, differing only in the bands 1-3
     # flips -> candidates via band 0, Hamming 3
     assert got[("c", "d")] == 3
+
+
+def test_lsh_dedup_eval_clones_and_subset_invariant(spark):
+    # exact clones collide in EVERY band (identical signatures), so with a
+    # clone-only duplicate structure the eval must read perfect: the
+    # recall contract of minhash LSH on J=1 pairs.
+    from web_crawler_spark.operators.dedup import lsh_dedup_eval
+
+    words = lambda seed, n: " ".join(f"w{seed}x{i}" for i in range(n))
+    rows = [
+        ("a1", words(1, 30)), ("a2", words(1, 30)),      # clone pair
+        ("b1", words(2, 40)), ("b2", words(2, 40)),      # clone pair
+        ("c", words(3, 25)), ("d", words(4, 25)),        # unrelated
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = lsh_dedup_eval(docs, n=5, k=8, bands=4, threshold=0.18).collect()[0]
+    assert got["n_truth"] == 2 and got["n_lsh"] == 2 and got["n_hit"] == 2
+    assert got["precision_milli"] == 1000 and got["recall_milli"] == 1000
+
+    # LSH output is exact-Jaccard-verified on the same shingles, so it is
+    # a SUBSET of truth: precision is 1000 by construction whenever any
+    # pair survives, and n_hit == n_lsh — certify the invariant on a
+    # corpus with partial overlaps too.
+    base = [f"tok{i}" for i in range(60)]
+    rows2 = [
+        ("p1", " ".join(base)),
+        ("p2", " ".join(base[:45] + [f"alt{i}" for i in range(15)])),
+        ("p3", " ".join(base[20:] + [f"oth{i}" for i in range(20)])),
+        ("q", words(9, 50)),
+    ]
+    docs2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    got2 = lsh_dedup_eval(docs2, n=5, k=8, bands=4, threshold=0.18).collect()[0]
+    assert got2["n_truth"] >= got2["n_lsh"] == got2["n_hit"]
+    assert got2["n_lsh"] == 0 or got2["precision_milli"] == 1000
+    assert got2["recall_milli"] <= 1000
+
+
+def test_lsh_dedup_eval_empty_corpus(spark):
+    from web_crawler_spark.operators.dedup import lsh_dedup_eval
+
+    docs = spark.createDataFrame([], "doc_id string, text string")
+    got = lsh_dedup_eval(docs).collect()[0]
+    assert got["n_truth"] == 0 and got["n_lsh"] == 0 and got["n_hit"] == 0
+    assert got["precision_milli"] is None and got["recall_milli"] is None

@@ -1521,3 +1521,76 @@ def dedup_against_index(
         match_id.alias("match_id"),
         est.alias("est_jaccard"),
     )
+
+
+def lsh_dedup_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.18,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Empirical quality audit of the MinHash-LSH dedup pipeline against
+    exact-Jaccard ground truth — the measured complement of
+    :func:`..similarity.lsh_plan`'s analytic S-curve: the planner PRICES a
+    (bands, rows) choice, this op MEASURES what that choice actually did
+    on a corpus, in-engine, so recall regressions surface as a number in
+    the same gate as everything else (MMDS §3.4 evaluates banding choices
+    exactly this way).
+
+    Truth = :func:`ngram_jaccard_pairs` (exact all-pairs Jaccard at the
+    shared-shingle join — any pair with J > 0 co-occurs on a shingle, so
+    it is complete for any threshold > 0). Candidate = the full
+    :func:`minhash_lsh_pairs` pipeline with the SAME shingles and
+    threshold. Precision is 1.0 by construction (LSH verifies candidates
+    with exact Jaccard on the same shingle sets before thresholding) —
+    the eval certifies that invariant rather than assuming it; recall < 1
+    is the real signal (pairs whose bands never collided).
+
+    One full-outer join on slim (id_a, id_b) pairs + a 1-row agg; both
+    inputs are the outputs of already-bucketed ops, so nothing here adds
+    a scale hazard. All metrics are exact integers (counts + integer-div
+    milli-units) — oracle-portable with zero float concerns.
+
+    Returns 1 row: (n_truth, n_lsh, n_hit, precision_milli, recall_milli).
+    """
+    truth = (
+        ngram_jaccard_pairs(docs, text_col, id_col, n=n, threshold=threshold)
+        .select("id_a", "id_b")
+        .withColumn("t", F.lit(1))
+    )
+    lsh = (
+        minhash_lsh_pairs(
+            docs, text_col, id_col,
+            n=n, k=k, bands=bands, threshold=threshold,
+            portable_hash=portable_hash,
+        )
+        .select("id_a", "id_b")
+        .withColumn("l", F.lit(1))
+    )
+    j = truth.join(lsh, ["id_a", "id_b"], "full")
+    zero = F.lit(0).cast("bigint")
+    agg = j.agg(
+        F.coalesce(F.sum(F.coalesce(F.col("t"), F.lit(0))), zero).alias("n_truth"),
+        F.coalesce(F.sum(F.coalesce(F.col("l"), F.lit(0))), zero).alias("n_lsh"),
+        F.coalesce(
+            F.sum(
+                F.coalesce(F.col("t"), F.lit(0)) * F.coalesce(F.col("l"), F.lit(0))
+            ),
+            zero,
+        ).alias("n_hit"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_lsh",
+        "n_hit",
+        F.when(
+            F.col("n_lsh") > 0, F.expr("(1000 * n_hit) div n_lsh")
+        ).alias("precision_milli"),
+        F.when(
+            F.col("n_truth") > 0, F.expr("(1000 * n_hit) div n_truth")
+        ).alias("recall_milli"),
+    )
