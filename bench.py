@@ -167,6 +167,10 @@ HEADLINE = [
     # 1-row stats agg + literal-folded projection (the web-search
     # field-weighted ranking function, still zero-shuffle)
     "tx_bm25f_topk",
+    # BFS seed-distance: layered frontier-only expansion over a 63-node
+    # tree + chains (prices the per-round slim (node,depth) shuffle +
+    # anti-join discipline of the crawl-depth gate)
+    "gr_seed_distance",
 ]
 
 
