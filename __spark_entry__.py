@@ -5076,6 +5076,61 @@ LIMIT 10
 """
 
 
+def _q_ql_dirichlet(spark, sf_dir):
+    """Dirichlet query-likelihood top-10 (operators/corpus.ql_dirichlet_topk,
+    Zhai & Lafferty 2004) - same zero-shuffle literal-fold plan family as
+    tx_bm25_topk; the query mixes two in-collection terms with one
+    collection-OOV term ('zzqx...') so the oracle certifies the OOV-drop
+    semantics (engine folds the term away at the driver; the oracle's
+    CASE adds +0.0, bit-identical under IEEE a+0.0=a for nonzero a)."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.ql_dirichlet_topk(d, _QL_TERMS, k=10, mu=_QL_MU)
+
+
+_QL_TERMS = ["spark", "window", "zzqxv_oov_term"]
+_QL_MU = 500.0
+
+
+def _sql_ql_dirichlet() -> str:
+    mu = _QL_MU
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(tk, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(_QL_TERMS)
+    )
+    cf_exprs = ", ".join(
+        f"sum(tf{i}) AS cf{i}" for i in range(len(_QL_TERMS))
+    )
+    # engine folds mu*(cf/total) on the driver and SKIPS cf=0 terms; the
+    # CASE-0.0 arm is bit-identical because IEEE a+0.0 = a for the
+    # nonzero ln values every live term contributes
+    parts = " + ".join(
+        f"(CASE WHEN s.cf{i} > 0 THEN ln((CAST(tf{i} AS DOUBLE)"
+        f" + {mu} * (s.cf{i} / s.total)) / (dl + {mu})) ELSE 0.0 END)"
+        for i in range(len(_QL_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+),
+tfd AS (
+  SELECT doc_id, len(tk) AS dl,
+         {tf_exprs}
+  FROM toks
+),
+s AS (
+  SELECT sum(dl) AS total, {cf_exprs}
+  FROM tfd
+)
+SELECT doc_id, ROUND({parts}, 6) AS score
+FROM tfd, s
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 def _q_host_report(spark, sf_dir):
     """Per-host crawl-coverage rollup: pages synthesized from documents
     (6 hosts; every doc_id%10<2 page is a recycled boilerplate duplicate),
@@ -11435,6 +11490,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_repetition": _q_repetition,
     "tx_term_stats": _q_term_stats,
     "tx_bm25_topk": _q_bm25_topk,
+    "tx_ql_dirichlet_topk": _q_ql_dirichlet,
     "tx_bm25_batch": _q_bm25_batch,
     "sk_salted_join": _q_salted_join,
     "tx_corpus_pipeline": _q_corpus_pipeline,
@@ -11755,6 +11811,7 @@ _ORACLES: dict[str, str] = {
     "tx_repetition": _SQL_REPETITION,
     "tx_term_stats": _SQL_TERM_STATS,
     "tx_bm25_topk": _sql_bm25_topk(),
+    "tx_ql_dirichlet_topk": _sql_ql_dirichlet(),
     "tx_bm25_batch": _sql_bm25_batch(),
     "sk_salted_join": _SQL_SALTED_JOIN,
     "tx_corpus_pipeline": _sql_corpus_pipeline(),

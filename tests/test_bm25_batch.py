@@ -377,3 +377,73 @@ def test_bm25f_all_empty_anchor_field_no_nan(spark):
     )
     out = C.bm25f_topk(df, ["spark"]).collect()
     assert len(out) == 2 and all(r["score"] > 0 for r in out)
+
+
+def _ql_python(rows, terms, mu):
+    import math
+
+    toks = {d: t.lower().split() for d, t in rows}
+    total = sum(len(t) for t in toks.values())
+    cf = {q: sum(t.count(q) for t in toks.values()) for q in terms}
+    live = [q for q in terms if cf[q] > 0]
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in live:
+            s += math.log((t.count(q) + mu * (cf[q] / total)) / (len(t) + mu))
+        out[d] = round(s, 6)
+    return out, live
+
+
+def test_ql_dirichlet_matches_pure_python(spark):
+    from web_crawler_spark.operators.corpus import ql_dirichlet_topk
+
+    rows = [
+        ("d1", "spark window join spark spark"),
+        ("d2", "window join filter " + "pad " * 30),
+        ("d3", "spark " + "x " * 5),
+        ("d4", "totally unrelated text here"),
+    ]
+    terms = ["spark", "window", "neverseen"]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"] for r in
+           ql_dirichlet_topk(docs, terms, k=10, mu=50.0).collect()}
+    want, live = _ql_python(rows, terms, 50.0)
+    assert live == ["spark", "window"]  # OOV dropped
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) <= 1e-6
+
+
+def test_ql_dirichlet_smoothing_and_verbosity(spark):
+    from web_crawler_spark.operators.corpus import ql_dirichlet_topk
+
+    rows = [
+        ("hit_both", "spark window alpha beta"),
+        ("hit_one", "spark alpha beta gamma"),       # missing 'window'
+        ("short_miss", "alpha beta"),
+        ("long_miss", "alpha beta " + "gamma delta " * 40),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [r["doc_id"] for r in
+           ql_dirichlet_topk(docs, ["spark", "window"], k=10, mu=100.0).collect()]
+    # smoothing: the doc missing one term still scores and outranks docs
+    # missing both (the Zhai-Lafferty point vs unsmoothed MLE's -inf)
+    assert got.index("hit_both") < got.index("hit_one") < got.index("short_miss")
+    # Dirichlet length behavior: among term-free docs the verbose one
+    # loses (dl sits in the denominator)
+    assert got.index("short_miss") < got.index("long_miss")
+    assert len(got) == 4  # every doc scores under QL, unlike BM25
+
+
+def test_ql_dirichlet_edges(spark):
+    from web_crawler_spark.operators.corpus import ql_dirichlet_topk
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta")], ["doc_id", "text"]
+    )
+    assert ql_dirichlet_topk(docs, [], k=5).count() == 0
+    # every term collection-OOV -> empty (no scorable evidence), not ln(0)
+    assert ql_dirichlet_topk(docs, ["zz", "qq"], k=5).count() == 0
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    assert ql_dirichlet_topk(empty, ["alpha"], k=5).count() == 0

@@ -2033,3 +2033,79 @@ def bm25f_topk(
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(k)
     )
+
+
+def ql_dirichlet_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 500.0,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai &
+    Lafferty 2004, "A Study of Smoothing Methods for Language Models
+    Applied to Information Retrieval") — the probabilistic-IR classic
+    next to Okapi BM25: score(q,d) = Σ_t ln((tf_t + μ·P(t|C)) / (dl + μ))
+    with collection model P(t|C) = cf_t / |C|. Dirichlet smoothing bakes
+    in the two behaviors the paper isolates: a document missing a query
+    term is still retrievable (the μ·P(t|C) mass), and verbosity is
+    punished through the dl+μ denominator rather than a separate length
+    norm.
+
+    Same zero-shuffle plan as :func:`bm25_topk`: one combiner-friendly
+    stats scan (1 row: total collection tokens |C| + per-term cf), the
+    per-term constants μ·cf_t/|C| folded to literals on the driver, then
+    one projection + TakeOrderedAndProject. Terms with cf = 0 (OOV for
+    the whole collection) are dropped before folding — their MLE is
+    ln(0) for every tf=0 doc, so the standard treatment is exclusion; if
+    EVERY term is OOV the result is empty. Scores (≤ 0) round to 6
+    decimals; ties break by doc_id. Unlike BM25 every document scores
+    (tf=0 docs still carry smoothing mass), so top-k is over the whole
+    corpus — still a k-row heap merge, never a global sort.
+    """
+    if not query_terms:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    toks = T.tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("dl"),
+    )
+    tf_cols = [
+        F.size(F.filter(F.col("toks"), lambda t: t == F.lit(term))).alias(f"tf{i}")
+        for i, term in enumerate(query_terms)
+    ]
+    tfd = base.select("doc_id", "dl", *tf_cols)
+    stats = tfd.agg(
+        F.sum("dl").alias("total"),
+        *[F.sum(f"tf{i}").alias(f"cf{i}") for i in range(len(query_terms))],
+    ).collect()[0]
+    total = stats["total"] or 0
+    if total == 0:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    score = None
+    for i in range(len(query_terms)):
+        cf = stats[f"cf{i}"]
+        if not cf:
+            continue  # collection-OOV: ln(0) for tf=0 docs — excluded
+        c_t = mu * (cf / total)
+        part = F.log(
+            (F.col(f"tf{i}").cast("double") + F.lit(c_t))
+            / (F.col("dl") + F.lit(mu))
+        )
+        score = part if score is None else score + part
+    if score is None:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    return (
+        tfd.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
