@@ -2343,6 +2343,93 @@ SELECT n_truth, n_lsh, n_hit,
 FROM m"""
 
 
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over REAL binary payloads
+    (operators/dedup.cdc_chunks): 400 payloads whose bytes follow a pure
+    integer formula of (doc_id, j), built as actual binary rows the Arrow
+    gear-hash kernel decodes — while the oracle recomputes every rolling
+    hash, every greedy min-size cut and every chunk md5 from the formula
+    alone, certifying the full boundary algebra end to end (the
+    ground-truth-by-construction pattern of the media decoders)."""
+    from web_crawler_spark.operators.dedup import cdc_chunks
+
+    rows = [
+        (
+            i,
+            bytes(
+                (i * 7 + j * 13 + (j * j) % 251) % 256
+                for j in range(100 + i % 60)
+            ),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return cdc_chunks(df, mask_bits=5, min_size=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _cdc_sql() -> str:
+    M = 18446744073709551616
+    pow_lits = ", ".join(str(1 << k) for k in range(64))
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT i AS doc_id, 100 + (i % 60) AS L FROM range(0, 400) t(i)
+),
+bts AS (
+  SELECT doc_id, L,
+         [CAST((doc_id * 7 + j * 13 + (j * j) % 251) % 256 AS HUGEINT)
+          for j in range(0, L)] AS bl
+  FROM docs
+),
+pw AS (SELECT [{pow_lits}]::HUGEINT[] AS POW),
+hs AS (
+  SELECT doc_id, L, bl,
+         [CAST(list_sum(
+            [(((bl[i - k] + 1) * {11400714819323198485}::HUGEINT) % {M}::HUGEINT
+              * POW[k + 1]) % {M}::HUGEINT
+             for k in range(0, least(63, i - 1) + 1)]
+          ) % {M}::HUGEINT AS HUGEINT)
+          for i in range(1, L + 1)] AS hl
+  FROM bts, pw
+),
+cands AS (
+  SELECT doc_id, unnest([i for i in range(1, L + 1) if hl[i] % 32 = 0]) AS pos
+  FROM hs
+),
+cuts AS (
+  SELECT doc_id, 0 AS cut FROM docs
+  UNION ALL
+  SELECT c.doc_id,
+         (SELECT min(pos) FROM cands p
+          WHERE p.doc_id = c.doc_id AND p.pos - c.cut >= 24)
+  FROM cuts c
+  WHERE (SELECT min(pos) FROM cands p
+         WHERE p.doc_id = c.doc_id AND p.pos - c.cut >= 24) IS NOT NULL
+),
+bnd AS (
+  SELECT doc_id, list_sort(list(cut)) AS cl FROM cuts GROUP BY doc_id
+),
+withl AS (
+  SELECT b.doc_id,
+         CASE WHEN cl[len(cl)] = d.L THEN cl ELSE list_append(cl, d.L) END AS cl
+  FROM bnd b JOIN docs d USING (doc_id)
+),
+ids AS (
+  SELECT doc_id, unnest([i for i in range(1, len(cl))]) AS i FROM withl
+)
+SELECT t.doc_id,
+       CAST(t.i - 1 AS BIGINT) AS chunk_idx,
+       CAST(w.cl[t.i] AS BIGINT) AS start,
+       CAST(w.cl[t.i + 1] - w.cl[t.i] AS BIGINT) AS length,
+       md5(array_to_string(b.bl[w.cl[t.i] + 1 : w.cl[t.i + 1]], '-')) AS chunk_hash
+FROM ids t
+JOIN withl w USING (doc_id)
+JOIN bts b USING (doc_id)
+ORDER BY t.doc_id, chunk_idx
+"""
+
+
 def _q_dds_quantiles(spark, sf_dir):
     """DDSketch relative-error quantiles (operators/sketches.py::dds_*):
     p50/p95/p99 of order value per priority from geometric buckets —
@@ -11679,6 +11766,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_ngram_jaccard_pairs": _q_ngram_jaccard,
     "dd_minhash_lsh_pairs": _q_minhash_lsh,
     "dd_lsh_dedup_eval": _q_lsh_eval,
+    "dd_cdc_chunks": _q_cdc_chunks,
     # --- rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs) ---
     "tx_corpus_mix_bpe": _q_corpus_mix_bpe,
     "tx_compression_ratio": _q_compression_ratio,
@@ -11752,6 +11840,7 @@ _ORACLES: dict[str, str] = {
     "dd_ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
     "dd_minhash_lsh_pairs": _minhash_sql(),
     "dd_lsh_dedup_eval": _lsh_eval_sql(),
+    "dd_cdc_chunks": _cdc_sql(),
     "dd_dedup_clusters": _sql_dedup_clusters(),
     "dd_keep_canonical": _sql_keep_canonical(),
     "ann_cosine_topk": _SQL_ANN_COSINE,

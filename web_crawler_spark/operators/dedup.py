@@ -1594,3 +1594,100 @@ def lsh_dedup_eval(
             F.col("n_truth") > 0, F.expr("(1000 * n_hit) div n_truth")
         ).alias("recall_milli"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    mask_bits: int = 5,
+    min_size: int = 24,
+    gear_mult: int = 11400714819323198485,
+) -> DataFrame:
+    """Content-defined chunking via a gear rolling hash — the
+    STORAGE-level dedup primitive (LBFS, Muthitacharoen et al. SOSP'01;
+    gear hash per Xia et al.'s FastCDC line of work): chunk boundaries
+    are a function of CONTENT, not offsets, so an insertion early in a
+    payload shifts every byte yet only the chunks touching the edit
+    change — byte-offset chunking would invalidate everything downstream.
+    Pairs with the text-side ``chunk_dedup`` family: this one dedups
+    opaque ``binary`` payloads (crawl snapshots, media, WARC records)
+    where tokenization is meaningless.
+
+    Gear hash: ``h_i = (2·h_{i-1} + G[b_i]) mod 2^64`` with
+    ``G[b] = (b+1)·gear_mult mod 2^64``. Because ``2^64 ≡ 0``, each
+    byte's contribution shifts out after 64 steps — the recurrence IS a
+    64-byte sliding-window hash, no explicit subtraction needed (the
+    gear trick). Cut after byte ``i`` when ``h_i mod 2^mask_bits = 0``
+    and the chunk has reached ``min_size``; the tail remainder is always
+    emitted (no max-size clamp — declared; FastCDC's normalized masks
+    are a recall tweak, not a correctness change).
+
+    Arrow kernel, fully vectorized: the recurrence unrolls to 64
+    shifted adds over the whole byte array (uint64 wraparound does the
+    mod), then a tiny greedy pass over the few candidate cuts enforces
+    ``min_size``. NULL/empty payloads yield no rows (null-route, same
+    isolation discipline as the media decoders). Every emitted row is
+    slim ``(id, chunk_idx, start, length, chunk_hash)`` — payload bytes
+    never leave the scan stage, so the downstream chunk-hash dedup join
+    shuffles ~60 B/chunk at any corpus size.
+
+    ``chunk_hash`` is md5 over the dash-joined decimal byte values —
+    engine-portable (the oracle recomputes it from the byte formula of
+    the fixture), deliberately not a raw-bytes md5 so the certification
+    never depends on BLOB hashing quirks.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField("chunk_idx", LongType(), True),
+            StructField("start", LongType(), True),
+            StructField("length", LongType(), True),
+            StructField("chunk_hash", StringType(), True),
+        ]
+    )
+    mask_mod = np.uint64(1 << mask_bits)
+    mult = np.uint64(gear_mult)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {c.name: [] for c in out_schema.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None or len(payload) == 0:
+                    continue
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b)
+                with np.errstate(over="ignore"):
+                    g = (b.astype(np.uint64) + np.uint64(1)) * mult
+                    h = np.zeros(n, dtype=np.uint64)
+                    for k in range(min(64, n)):
+                        h[k:] += g[: n - k] << np.uint64(k)
+                # 1-based cut positions (cut AFTER byte i-1)
+                cand = np.nonzero(h % mask_mod == np.uint64(0))[0] + 1
+                cuts = [0]
+                for p in cand.tolist():
+                    if p - cuts[-1] >= min_size:
+                        cuts.append(p)
+                if cuts[-1] != n:
+                    cuts.append(n)
+                for ci in range(len(cuts) - 1):
+                    s, e = cuts[ci], cuts[ci + 1]
+                    digest = hashlib.md5(
+                        "-".join(str(int(x)) for x in b[s:e]).encode()
+                    ).hexdigest()
+                    out[id_col].append(rid)
+                    out["chunk_idx"].append(ci)
+                    out["start"].append(s)
+                    out["length"].append(e - s)
+                    out["chunk_hash"].append(digest)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
