@@ -2430,6 +2430,50 @@ ORDER BY t.doc_id, chunk_idx
 """
 
 
+def _q_cdc_dedup_stats(spark, sf_dir):
+    """Storage-dedup accounting over CDC chunks (operators/dedup.
+    cdc_dedup_stats): the fixture plants real duplication - payload bytes
+    depend on doc_id % 40, so every payload family repeats 10x and
+    identical content yields identical gear boundaries + chunk hashes
+    (content addressing). All outputs exact integers; the oracle
+    recomputes chunks from the byte formula then replays the rollup."""
+    from web_crawler_spark.operators.dedup import cdc_chunks, cdc_dedup_stats
+
+    rows = [
+        (
+            i,
+            bytes(
+                ((i % 40) * 7 + j * 13 + (j * j) % 251) % 256
+                for j in range(100 + (i % 40) % 60)
+            ),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    return cdc_dedup_stats(cdc_chunks(df, mask_bits=5, min_size=24))
+
+
+def _cdc_stats_sql() -> str:
+    inner = _cdc_sql().replace(
+        "(doc_id * 7 + j * 13 + (j * j) % 251) % 256",
+        "((doc_id % 40) * 7 + j * 13 + (j * j) % 251) % 256",
+    ).replace("100 + (i % 60) AS L", "100 + (i % 40) % 60 AS L")
+    return f"""
+WITH per_hash AS (
+  SELECT chunk_hash, COUNT(*) AS n, MIN(length) AS length
+  FROM ({inner})
+  GROUP BY chunk_hash
+)
+SELECT COALESCE(SUM(n), 0) AS n_chunks,
+       COUNT(*) AS n_unique_chunks,
+       COALESCE(SUM(n * length), 0) AS total_bytes,
+       COALESCE(SUM(length), 0) AS unique_bytes,
+       CASE WHEN COALESCE(SUM(n * length), 0) > 0
+            THEN (1000 * SUM(length)) // SUM(n * length) END AS stored_ratio_milli
+FROM per_hash
+"""
+
+
 def _q_dds_quantiles(spark, sf_dir):
     """DDSketch relative-error quantiles (operators/sketches.py::dds_*):
     p50/p95/p99 of order value per priority from geometric buckets —
@@ -11767,6 +11811,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_minhash_lsh_pairs": _q_minhash_lsh,
     "dd_lsh_dedup_eval": _q_lsh_eval,
     "dd_cdc_chunks": _q_cdc_chunks,
+    "dd_cdc_dedup_stats": _q_cdc_dedup_stats,
     # --- rows-only (non-SQL-expressible: xxhash64 internals / mapInPandas / epochs) ---
     "tx_corpus_mix_bpe": _q_corpus_mix_bpe,
     "tx_compression_ratio": _q_compression_ratio,
@@ -11841,6 +11886,7 @@ _ORACLES: dict[str, str] = {
     "dd_minhash_lsh_pairs": _minhash_sql(),
     "dd_lsh_dedup_eval": _lsh_eval_sql(),
     "dd_cdc_chunks": _cdc_sql(),
+    "dd_cdc_dedup_stats": _cdc_stats_sql(),
     "dd_dedup_clusters": _sql_dedup_clusters(),
     "dd_keep_canonical": _sql_keep_canonical(),
     "ann_cosine_topk": _SQL_ANN_COSINE,

@@ -136,3 +136,36 @@ def test_cdc_partition_invariants_and_nulls(spark):
         assert r["length"] >= 24
     # payload shorter than min_size -> one whole-payload chunk
     assert len(by_doc[3]) == 1 and by_doc[3][0]["length"] == 10
+
+
+def test_cdc_dedup_stats_content_addressing(spark):
+    from web_crawler_spark.operators.dedup import cdc_chunks, cdc_dedup_stats
+
+    # 3 copies of one payload + 1 distinct: duplicate payloads produce
+    # identical chunk hashes, so unique_bytes counts one copy's bytes
+    a, b = _cdc_bytes(5, 600), _cdc_bytes(8, 500)
+    df = spark.createDataFrame(
+        [(0, a), (1, a), (2, a), (3, b)], "doc_id bigint, payload binary"
+    )
+    got = cdc_dedup_stats(cdc_chunks(df)).collect()[0]
+    assert got["total_bytes"] == 3 * 600 + 500
+    assert got["unique_bytes"] == 600 + 500
+    assert got["n_chunks"] == 3 * (got["n_unique_chunks"]
+                                   - _n_chunks_of(spark, b)) + _n_chunks_of(spark, b)
+    assert got["stored_ratio_milli"] == (1000 * 1100) // 2300
+
+
+def _n_chunks_of(spark, payload):
+    from web_crawler_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame([(0, payload)], "doc_id bigint, payload binary")
+    return cdc_chunks(df).count()
+
+
+def test_cdc_dedup_stats_empty(spark):
+    from web_crawler_spark.operators.dedup import cdc_chunks, cdc_dedup_stats
+
+    df = spark.createDataFrame([], "doc_id bigint, payload binary")
+    got = cdc_dedup_stats(cdc_chunks(df)).collect()[0]
+    assert got["n_chunks"] == 0 and got["total_bytes"] == 0
+    assert got["stored_ratio_milli"] is None

@@ -1691,3 +1691,40 @@ def cdc_chunks(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Corpus-level storage-dedup accounting over a :func:`cdc_chunks`
+    table — the number the LBFS/backup literature reports: how many bytes
+    does chunk-level content addressing actually save on this corpus.
+
+    One groupBy(chunk_hash) agg (count + the chunk length, identical
+    across duplicates by content-addressing) followed by a 1-row rollup.
+    Shuffles only ~60 B chunk-hash rows; all outputs exact integers
+    (byte counts + integer-div milli ratio).
+
+    Returns 1 row: (n_chunks, n_unique_chunks, total_bytes, unique_bytes,
+    stored_ratio_milli) — stored_ratio_milli = ⌊1000·unique/total⌋, lower
+    is better dedup.
+    """
+    per_hash = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("length").alias("length"),
+    )
+    zero = F.lit(0).cast("bigint")
+    agg = per_hash.agg(
+        F.coalesce(F.sum("n"), zero).alias("n_chunks"),
+        F.coalesce(F.count(F.lit(1)), zero).alias("n_unique_chunks"),
+        F.coalesce(F.sum(F.col("n") * F.col("length")), zero).alias("total_bytes"),
+        F.coalesce(F.sum("length"), zero).alias("unique_bytes"),
+    )
+    return agg.select(
+        "n_chunks",
+        "n_unique_chunks",
+        "total_bytes",
+        "unique_bytes",
+        F.when(
+            F.col("total_bytes") > 0,
+            F.expr("(1000 * unique_bytes) div total_bytes"),
+        ).alias("stored_ratio_milli"),
+    )
