@@ -171,6 +171,10 @@ HEADLINE = [
     # tree + chains (prices the per-round slim (node,depth) shuffle +
     # anti-join discipline of the crawl-depth gate)
     "gr_seed_distance",
+    # Dirichlet query likelihood: the probabilistic-IR scan twin of the
+    # bm25 leg — 1-row stats agg + literal-folded ln projection +
+    # TakeOrderedAndProject over every doc (QL scores tf=0 docs too)
+    "tx_ql_dirichlet_topk",
 ]
 
 
