@@ -2343,6 +2343,39 @@ SELECT n_truth, n_lsh, n_hit,
 FROM m"""
 
 
+def _q_host_fetcher_assign(spark, sf_dir):
+    """Rendezvous host->fetcher-lane assignment (operators/politeness.
+    host_fetcher_assign, UbiCrawler/HRW): 997 hosts over 16 lanes as one
+    zero-shuffle md5-argmax projection; the oracle recomputes every
+    digest and argmax (md5 is engine-portable), certifying the exact
+    assignment that makes cluster resizes move only the minimal host
+    fraction."""
+    from web_crawler_spark.operators.politeness import host_fetcher_assign
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 997).cast("string"), F.lit(".com")
+        ).alias("host")
+    ).distinct()
+    return host_fetcher_assign(hosts, n_fetchers=16).orderBy("host")
+
+
+_SQL_HOST_FETCHER_ASSIGN = """
+WITH hosts AS (
+  SELECT DISTINCT concat('h', CAST(user_id % 997 AS VARCHAR), '.com') AS host
+  FROM events
+),
+dg AS (
+  SELECT host,
+         [md5(host || ':' || CAST(k AS VARCHAR)) for k in range(0, 16)] AS l
+  FROM hosts
+)
+SELECT host,
+       CAST(list_position(l, list_aggregate(l, 'max')) - 1 AS INT) AS lane
+FROM dg ORDER BY host"""
+
+
 def _q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking over REAL binary payloads
     (operators/dedup.cdc_chunks): 400 payloads whose bytes follow a pure
@@ -11648,6 +11681,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_host_hits": _q_host_hits,
     "gr_host_salsa": _q_host_salsa,
     "gr_seed_distance": _q_seed_distance,
+    "f2_host_fetcher_assign": _q_host_fetcher_assign,
     "dd_dedup_clusters": _q_dedup_clusters,
     "dd_keep_canonical": _q_keep_canonical,
     "dd_simhash_pairs_md5": _q_simhash_pairs_md5,
@@ -11977,6 +12011,7 @@ _ORACLES: dict[str, str] = {
     "gr_host_hits": _hits_sql(),
     "gr_host_salsa": _salsa_sql(),
     "gr_seed_distance": _SQL_SEED_DISTANCE,
+    "f2_host_fetcher_assign": _SQL_HOST_FETCHER_ASSIGN,
     "gr_host_trustrank": _trustrank_sql(),
     "gr_spam_mass": _spam_mass_sql(),
     "tx_phrase_match": _SQL_PHRASE_MATCH,

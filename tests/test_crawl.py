@@ -1105,3 +1105,44 @@ def test_seed_distance_multi_seed_and_early_stop(spark):
     got = {r["node"]: r["depth"] for r in
            G.seed_distance(edges, seeds, max_depth=50).collect()}
     assert got == {"s1": 0, "s2": 0, "m": 1, "t": 1}
+
+
+def test_host_fetcher_assign_minimal_disruption(spark):
+    # the HRW property UbiCrawler builds on: growing the fleet W->W+1
+    # moves ONLY hosts won by the new lane (expected 1/(W+1)); every
+    # unmoved host keeps its EXACT lane. Modulo hashing would reshuffle
+    # nearly everything.
+    from web_crawler_spark.operators.politeness import host_fetcher_assign
+
+    hosts = spark.createDataFrame(
+        [(f"site{i}.example",) for i in range(2000)], ["host"]
+    )
+    a8 = {r["host"]: r["lane"] for r in host_fetcher_assign(hosts, 8).collect()}
+    a9 = {r["host"]: r["lane"] for r in host_fetcher_assign(hosts, 9).collect()}
+    moved = {h for h in a8 if a8[h] != a9[h]}
+    # every moved host moved TO the new lane, nowhere else
+    assert all(a9[h] == 8 for h in moved)
+    # expected |moved| = 2000/9 = 222; allow generous sampling slack
+    assert 100 <= len(moved) <= 400
+    # balance: no lane pathologically hot (mean 250 at W=8)
+    from collections import Counter
+
+    loads = Counter(a8.values())
+    assert set(loads) == set(range(8))
+    assert max(loads.values()) < 2 * 250
+
+
+def test_host_fetcher_assign_deterministic_and_single_lane(spark):
+    from web_crawler_spark.operators.politeness import host_fetcher_assign
+
+    hosts = spark.createDataFrame([("a.com",), ("b.com",), ("a.com",)], ["host"])
+    rows = host_fetcher_assign(hosts, 4).collect()
+    lanes = {}
+    for r in rows:
+        lanes.setdefault(r["host"], set()).add(r["lane"])
+    # a host maps to exactly one lane, every time (no coordinator state)
+    assert all(len(s) == 1 for s in lanes.values())
+    import pytest
+
+    with pytest.raises(ValueError):
+        host_fetcher_assign(hosts, 0)

@@ -379,3 +379,40 @@ def politeness_schedule_by_site(
             epoch_start,
         ).alias("scheduled_ts"),
     )
+
+
+def host_fetcher_assign(
+    hosts: DataFrame,
+    n_fetchers: int,
+    host_col: str = "host",
+) -> DataFrame:
+    """Host → fetcher-lane assignment by rendezvous (highest-random-
+    weight) hashing — UbiCrawler's host partitioning discipline (Boldi,
+    Codenotti, Santini & Vigna 2004, public paper): every agent computes
+    the same assignment from the host name alone (no coordinator, no
+    lookup table), each host lives on exactly ONE fetcher (per-host
+    politeness and ordering stay a single-lane property), and when the
+    fleet resizes W→W' only the theoretically minimal expected
+    (W'−W)/W' fraction of hosts move — against modulo hashing's ~1−1/W'
+    near-total reshuffle. That is precisely what keeps an N→4N cluster
+    scale-up from invalidating every per-host frontier partition.
+
+    Lane = argmax_k md5(host ':' k) for k in 0..W−1 — a pure column
+    expression (array of W digests → array_max → array_position): zero
+    shuffles, zero state, broadcast nothing. W is the fetcher count
+    (10^2–10^3), so the per-row array is small and constant.
+
+    Returns the input plus ``lane`` (int, 0-based).
+    """
+    if n_fetchers < 1:
+        raise ValueError("n_fetchers must be >= 1")
+    digests = F.array(
+        *[
+            F.md5(F.concat(F.col(host_col), F.lit(f":{k}")))
+            for k in range(n_fetchers)
+        ]
+    )
+    return hosts.withColumn(
+        "lane",
+        (F.array_position(digests, F.array_max(digests)) - 1).cast("int"),
+    )
