@@ -2806,6 +2806,49 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def _q_rocchio(spark, sf_dir):
+    """Rocchio dense pseudo-relevance feedback (operators/similarity.
+    rocchio_topk): top-5 cosine feedback -> q' = 1.0*q + 0.75*centroid ->
+    re-rank. The ENTIRE two-pass chain is oracle-exact: the oracle
+    replays feedback selection (rounded-cosine order), the first-element-
+    seeded left-fold centroid accumulation in the same IEEE order, the
+    q' arithmetic and the re-ranking fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.rocchio_topk(
+        emb, _query_vector(spark, sf_dir), k=10, fb=5, alpha=1.0, beta=0.75
+    )
+
+
+def _rocchio_sql() -> str:
+    alpha, beta, fb, dim = 1.0, 0.75, 5, 64
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ROUND(list_dot_product(embedding::DOUBLE[], qv) /
+               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                sqrt(list_dot_product(qv, qv))), 6) AS cosine
+  FROM embeddings, q
+),
+fbrows AS (SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT {fb}),
+accv AS (
+  SELECT list_reduce(list(v ORDER BY cosine DESC, vec_id),
+                     (a, b) -> [a[i] + b[i] for i in range(1, {dim} + 1)]) AS acc,
+         COUNT(*) AS n_fb
+  FROM fbrows
+),
+qp AS (
+  SELECT [{alpha} * qv[i] + {beta} * (acc[i] / n_fb) for i in range(1, {dim} + 1)] AS qpv
+  FROM q, accv
+)
+SELECT s.vec_id,
+       ROUND(list_dot_product(s.v, qpv) /
+             (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(qpv, qpv))), 6) AS cosine
+FROM scored s, qp
+ORDER BY cosine DESC, s.vec_id
+LIMIT 10"""
+
+
 def _q_ann_int8(spark, sf_dir):
     """Int8-quantized brute-force top-k: embeddings stored as (scale,
     int8 codes) — 4× smaller at 10^10-vector scale — scored with exact
@@ -11706,6 +11749,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # intact; certify in the next round's rotation) + driver-certified
     # green in CORRECTNESS_r01/r02.json ---
     "ann_cosine_topk": _q_ann_cosine,
+    "ann_rocchio_topk": _q_rocchio,
     "dd_embedding_dedup_pairs": _q_embedding_dedup,
     "cc_surt_key": _q_surt_key,
     "cc_cdx_index": _q_cdx_index,
@@ -11924,6 +11968,7 @@ _ORACLES: dict[str, str] = {
     "dd_dedup_clusters": _sql_dedup_clusters(),
     "dd_keep_canonical": _sql_keep_canonical(),
     "ann_cosine_topk": _SQL_ANN_COSINE,
+    "ann_rocchio_topk": _rocchio_sql(),
     "dd_embedding_dedup_pairs": _SQL_EMBEDDING_DEDUP,
     "t2_topk_losers": _SQL_TOPK_LOSERS,
     "t4_t5_top_categories": _SQL_TOP_CATEGORIES,

@@ -1121,3 +1121,54 @@ def test_lsh_dedup_eval_empty_corpus(spark):
     got = lsh_dedup_eval(docs).collect()[0]
     assert got["n_truth"] == 0 and got["n_lsh"] == 0 and got["n_hit"] == 0
     assert got["precision_milli"] is None and got["recall_milli"] is None
+
+
+def test_rocchio_pulls_cluster_and_matches_python(spark):
+    from web_crawler_spark.operators.similarity import cosine_topk, rocchio_topk
+
+    # query q sits between cluster A (true topic) and outlier o; the
+    # top-2 feedback docs are from A, so q' moves INTO the cluster and a
+    # deep A member overtakes the outlier that plain cosine ranked higher
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.05]),
+        (2, [0.97, 0.02, 0.0, 0.05]),
+        (3, [0.8, 0.0, 0.6, 0.0]),    # deep cluster member
+        (4, [0.3, 0.95, 0.0, 0.0]),   # outlier, decently close to raw q
+    ]
+    q = [0.85, 0.52, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    base = [r["vec_id"] for r in cosine_topk(df, q, k=4).collect()]
+    after = [r["vec_id"] for r in rocchio_topk(df, q, k=4, fb=2, beta=2.0).collect()]
+    assert base.index(4) < base.index(3)     # raw cosine favors the outlier
+    assert after.index(3) < after.index(4)   # feedback flips it
+
+    # pure-Python parity of the whole chain
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))), 6)
+
+    vecs = {i: v for i, v in rows}
+    scored = sorted(((cos(v, q), i) for i, v in vecs.items()),
+                    key=lambda t: (-t[0], t[1]))[:2]
+    fbv = [vecs[i] for _, i in scored]
+    acc = list(fbv[0])
+    for v in fbv[1:]:
+        acc = [a + b for a, b in zip(acc, v)]
+    qp = [1.0 * q[i] + 2.0 * (acc[i] / len(fbv)) for i in range(4)]
+    want = sorted(((cos(v, qp), i) for i, v in vecs.items()),
+                  key=lambda t: (-t[0], t[1]))
+    got = [(r["cosine"], r["vec_id"]) for r in rocchio_topk(df, q, k=4, fb=2, beta=2.0).collect()]
+    for (wc, wi), (gc, gi) in zip(want, got):
+        assert wi == gi and abs(wc - gc) <= 1e-6
+
+
+def test_rocchio_empty_corpus(spark):
+    from web_crawler_spark.operators.similarity import rocchio_topk
+
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert rocchio_topk(df, [1.0, 0.0], k=5).count() == 0

@@ -1297,3 +1297,57 @@ def lsh_plan(
     return scored.withColumn(
         "is_best", F.row_number().over(w) == 1
     )
+
+
+def rocchio_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    fb: int = 5,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback for dense retrieval (Rocchio
+    1971, the vector-space classic; Manning et al. IIR §9.1) — the DENSE
+    sibling of the sparse RM3 expansion in ``corpus.rm3_topk``: retrieve
+    top-``fb`` by cosine, move the query toward their centroid
+    (``q' = α·q + β·mean(fb vectors)``; the γ negative term is dropped —
+    pseudo-feedback has no labeled non-relevant set), re-rank by cosine
+    of ``q'``.
+
+    Plan: one :func:`cosine_topk`-shaped scan selects the feedback set
+    (≤ ``fb`` rows — a legitimate driver fetch, same class as the BM25
+    stats row), the shifted query folds to a literal in doc-order IEEE
+    float64 arithmetic (first-element seed, then left-fold adds — the
+    exact order an oracle can replay), and one more scan + k-row heap
+    merge re-ranks. Corpus-scale work is exactly two zero-shuffle scans
+    at any size.
+    """
+    scored = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(V.cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(fb)
+        .collect()
+    )
+    if not scored:
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("cosine")
+        ).limit(0)
+    vecs = [[float(x) for x in r[vec_col]] for r in scored]
+    acc = list(vecs[0])
+    for v in vecs[1:]:
+        acc = [a + b for a, b in zip(acc, v)]
+    n_fb = len(vecs)
+    qp = [
+        alpha * query_vec[i] + beta * (acc[i] / n_fb)
+        for i in range(len(query_vec))
+    ]
+    return cosine_topk(df, qp, k=k, vec_col=vec_col, id_col=id_col)
