@@ -5338,6 +5338,105 @@ LIMIT 10
 """
 
 
+def _q_pmi_collocations(spark, sf_dir):
+    """Top-20 PMI bigram collocations (operators/corpus.pmi_collocations,
+    Manning & Schutze 5.4): every PMI is one double expression over exact
+    integer counts - no accumulation order anywhere, oracle bit-exact."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.pmi_collocations(d, k=20, min_count=3)
+
+
+_SQL_PMI_COLLOCATIONS = """
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+  WHERE trim(text) <> ''
+),
+uni AS (
+  SELECT t, COUNT(*) AS n
+  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t
+),
+nu AS (SELECT SUM(n) AS v FROM uni),
+nb AS (SELECT SUM(len(tk) - 1) AS v FROM toks),
+bi AS (
+  SELECT struct_extract(s, 'a') AS a, struct_extract(s, 'b') AS b,
+         COUNT(*) AS n_ab
+  FROM (SELECT unnest([{'a': tk[i], 'b': tk[i + 1]}
+                       for i in range(1, len(tk))]) AS s
+        FROM toks)
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT bi.a, bi.b, bi.n_ab,
+       ROUND(ln((CAST(n_ab AS DOUBLE) / nb.v) /
+                ((CAST(ua.n AS DOUBLE) / nu.v) * (CAST(ub.n AS DOUBLE) / nu.v))),
+             6) AS pmi
+FROM bi
+JOIN uni ua ON ua.t = bi.a
+JOIN uni ub ON ub.t = bi.b
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, bi.a, bi.b
+LIMIT 20"""
+
+
+def _q_char_entropy(spark, sf_dir):
+    """Per-doc character Shannon entropy (operators/corpus.char_entropy):
+    the (doc,char) agg feeds a SORTED-char-order float fold, so every
+    entropy is a pure function of the data; oracle replays the same
+    prepend-0.0 left fold."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.char_entropy(d).orderBy("doc_id")
+
+
+_SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest([text[i] for i in range(1, length(text) + 1)]) AS ch
+  FROM documents WHERE length(text) > 0
+),
+counts AS (SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY doc_id, ch),
+per AS (
+  SELECT doc_id, SUM(n) AS n_chars, COUNT(*) AS n_unique_chars,
+         list(CAST(n AS DOUBLE) ORDER BY ch) AS nl
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_unique_chars,
+       ROUND(list_reduce(
+         list_prepend(0.0, [ (x / n_chars) * (ln(x / n_chars) / 0.6931471805599453)
+                             for x in nl ]),
+         (a, b) -> a - b), 6) AS entropy_bits
+FROM per ORDER BY doc_id"""
+
+
+def _q_slice_kl(spark, sf_dir):
+    """Distinctive vocabulary of the lang='en' slice vs the full corpus by
+    per-term KL contribution in nano fixed-point int64 (operators/corpus.
+    slice_kl_terms) - order-free exact integer totals at any vocab size."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.slice_kl_terms(d, F.col("lang") == "en", k=20)
+
+
+_SQL_SLICE_KL = """
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_slice,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+),
+counts AS (SELECT t, SUM(in_slice) AS n_p, COUNT(*) AS n_q FROM t GROUP BY t),
+tot AS (SELECT SUM(n_p) AS np, SUM(n_q) AS nq, COUNT(*) AS v FROM counts)
+SELECT t AS term, n_p AS n_slice, n_q AS n_corpus,
+       CAST(ROUND((n_p + 1.0) / (np + v)
+                  * ln(((n_p + 1.0) / (np + v)) / ((n_q + 1.0) / (nq + v)))
+                  * 1e9, 0) AS BIGINT) AS contribution_nano
+FROM counts, tot
+ORDER BY contribution_nano DESC, term
+LIMIT 20"""
+
+
 def _q_host_report(spark, sf_dir):
     """Per-host crawl-coverage rollup: pages synthesized from documents
     (6 hosts; every doc_id%10<2 page is a recycled boilerplate duplicate),
@@ -11698,6 +11797,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_term_stats": _q_term_stats,
     "tx_bm25_topk": _q_bm25_topk,
     "tx_ql_dirichlet_topk": _q_ql_dirichlet,
+    "tx_pmi_collocations": _q_pmi_collocations,
+    "tx_char_entropy": _q_char_entropy,
+    "tx_slice_kl_terms": _q_slice_kl,
     "tx_bm25_batch": _q_bm25_batch,
     "sk_salted_join": _q_salted_join,
     "tx_corpus_pipeline": _q_corpus_pipeline,
@@ -12026,6 +12128,9 @@ _ORACLES: dict[str, str] = {
     "tx_term_stats": _SQL_TERM_STATS,
     "tx_bm25_topk": _sql_bm25_topk(),
     "tx_ql_dirichlet_topk": _sql_ql_dirichlet(),
+    "tx_pmi_collocations": _SQL_PMI_COLLOCATIONS,
+    "tx_char_entropy": _SQL_CHAR_ENTROPY,
+    "tx_slice_kl_terms": _SQL_SLICE_KL,
     "tx_bm25_batch": _sql_bm25_batch(),
     "sk_salted_join": _SQL_SALTED_JOIN,
     "tx_corpus_pipeline": _sql_corpus_pipeline(),

@@ -138,3 +138,72 @@ def test_passage_retrieval_composition(spark):
     assert top[0]["doc_id"] == 0 and top[0]["cosine"] == 1.0
     # all top-4 from document 0's window family (pids < 1000)
     assert all(r["doc_id"] < 1000 for r in top)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from web_crawler_spark.operators.corpus import pmi_collocations
+
+    # 'new york' always adjacent (high PMI); 'the the' frequent but both
+    # parts ubiquitous (low PMI); hapax pairs gated by min_count
+    docs = spark.createDataFrame(
+        [(i, "new york the a b the c d the rare%d gem%d" % (i, i))
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    got = {(r["a"], r["b"]): r for r in
+           pmi_collocations(docs, k=50, min_count=3).collect()}
+    assert ("rare0", "gem0") not in got        # hapax gated
+    ny, tt = got[("new", "york")], got.get(("the", "a"))
+    assert ny["n_ab"] == 6
+    # hand PMI: 11 tokens/doc -> N_uni = 66, N_bi = 60, n_new = n_york = 6
+    want = math.log((6 / 60) / ((6 / 66) * (6 / 66)))
+    assert abs(ny["pmi"] - round(want, 6)) <= 1e-6
+    assert tt is not None and ny["pmi"] > tt["pmi"]
+
+
+def test_char_entropy_known_distributions(spark):
+    from web_crawler_spark.operators.corpus import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abababab"), (3, "abcdefgh"), (4, ""), (5, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert set(got) == {1, 2, 3}              # empty/NULL docs absent
+    assert got[1]["entropy_bits"] == 0.0      # single symbol
+    assert abs(got[2]["entropy_bits"] - 1.0) <= 1e-6   # fair coin
+    assert abs(got[3]["entropy_bits"] - 3.0) <= 1e-6   # 8 uniform symbols
+    assert got[3]["n_unique_chars"] == 8 and got[3]["n_chars"] == 8
+
+
+def test_slice_kl_terms_distinctive_vocab(spark):
+    from web_crawler_spark.operators.corpus import slice_kl_terms
+    from pyspark.sql import functions as F
+
+    rows = [(i, "en", "common words plus specialjargon here") for i in range(5)]
+    rows += [(i + 10, "de", "common words plus ordinary filler here") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = [r["term"] for r in
+           slice_kl_terms(docs, F.col("lang") == "en", k=3).collect()]
+    # the slice-exclusive term dominates the KL contribution ranking
+    assert got[0] == "specialjargon"
+    # terms absent from the slice contribute negatively -> never in top
+    assert "ordinary" not in got
+
+
+def test_slice_kl_null_pred_and_empty(spark):
+    from web_crawler_spark.operators.corpus import slice_kl_terms
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, None, "alpha beta"), (2, "en", "alpha gamma")],
+        "doc_id bigint, lang string, text string",
+    )
+    # NULL lang rows count as out-of-slice, not dropped
+    got = {r["term"]: r for r in
+           slice_kl_terms(docs, F.col("lang") == "en", k=10).collect()}
+    assert got["alpha"]["n_corpus"] == 2 and got["alpha"]["n_slice"] == 1
+    empty = spark.createDataFrame([], "doc_id bigint, lang string, text string")
+    assert slice_kl_terms(empty, F.col("lang") == "en").count() == 0

@@ -2109,3 +2109,191 @@ def ql_dirichlet_topk(
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(k)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information (Manning
+    & Schütze, Foundations of Statistical NLP §5.4) — the vocabulary-
+    curation signal behind multi-word tokenizer entries and phrase-aware
+    dedup shingles: PMI = ln(p(ab)/(p(a)p(b))) with p(ab) = n_ab/N_bi,
+    p(x) = n_x/N_uni.
+
+    ``min_count`` is the paper's own correction — PMI is maximized by
+    hapax pairs, so rare bigrams are gated before ranking, not after.
+
+    Plan: one bigram agg + one unigram agg (token-keyed combiner aggs),
+    two slim joins attaching n_a/n_b to surviving bigrams (only those
+    past ``min_count``), two 1-row totals folded to literals, projection
+    + TakeOrderedAndProject. Every PMI value is one double expression
+    over exact integer counts — no accumulation order anywhere, so the
+    oracle replays it bit-for-bit. Ties break (pmi desc, a, b).
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("tk")).filter(
+        F.size("tk") > 0
+    ).localCheckpoint()
+    uni = (
+        base.select(F.explode("tk").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    bi = (
+        base.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(tk, 1, size(tk) - 1)").alias("a"),
+                    F.expr("slice(tk, 2, size(tk) - 1)").alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    totals = uni.agg(F.sum("n").alias("nu")).collect()[0]
+    n_uni = totals["nu"] or 0
+    if n_uni == 0:
+        return df.select(
+            F.lit("").alias("a"), F.lit("").alias("b"),
+            F.lit(0).cast("bigint").alias("n_ab"), F.lit(0.0).alias("pmi"),
+        ).limit(0)
+    n_bi = base.select(
+        F.coalesce(F.sum(F.size("tk") - 1), F.lit(0)).alias("nb")
+    ).collect()[0]["nb"]
+    scored = (
+        bi.join(uni.select(F.col("t").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(uni.select(F.col("t").alias("b"), F.col("n").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.lit(float(n_bi)))
+                    / (
+                        (F.col("n_a").cast("double") / F.lit(float(n_uni)))
+                        * (F.col("n_b").cast("double") / F.lit(float(n_uni)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "a", "b").limit(k)
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy over characters — the gibberish /
+    encoding-junk gate (binary blobs pasted as text read ~7–8 bits/char;
+    natural language sits ~3.5–4.5; single-char spam near 0): the cheap
+    signal quality pipelines run before any tokenizer sees the text.
+
+    One (doc, char) combiner agg, then the per-doc entropy folds over
+    the counts in SORTED char order (sort_array + aggregate) so the
+    float sum is a pure function of the data — never a groupBy-order
+    accident. Returns (doc_id, n_chars, n_unique_chars, entropy_bits)
+    with entropy rounded to 6; empty/NULL docs are absent (no chars, no
+    distribution).
+    """
+    # length > 0 guard: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+    # not empty — an empty doc would otherwise count phantom '' chars
+    chars = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"transform(sequence(1, length({text_col})), i -> substr({text_col}, i, 1))")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_unique_chars"),
+        F.sort_array(F.collect_list(F.struct("ch", "n"))).alias("dist"),
+    )
+    # H = -Σ p·log2 p, folded in char order: log2 x = ln(x)/ln(2)
+    ln2 = 0.6931471805599453
+    ent = F.aggregate(
+        "dist",
+        F.lit(0.0),
+        lambda acc, s: acc
+        - (s["n"].cast("double") / F.col("n_chars"))
+        * (F.log(s["n"].cast("double") / F.col("n_chars")) / F.lit(ln2)),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars",
+        "n_unique_chars",
+        F.round(ent, 6).alias("entropy_bits"),
+    )
+
+
+def slice_kl_terms(
+    df: DataFrame,
+    slice_pred,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinctive vocabulary of a corpus slice by per-term KL
+    contribution: for slice P vs full-corpus background Q, each term's
+    p(t)·ln(p(t)/q(t)) — the terms driving KL(P‖Q), i.e. what a new
+    source/epoch/language slice is ABOUT relative to the corpus (the
+    distribution-drift QA check between crawl epochs; add-one smoothing
+    over the union vocabulary keeps every ratio finite).
+
+    Contributions are emitted in NANO fixed-point int64
+    (round(1e9·p·ln(p/q))) — the repo's exact-integer-sum discipline: a
+    total KL over any term subset is then order-free exact integer
+    arithmetic at any vocabulary size, never a float-accumulation
+    accident. Plan: two token-keyed combiner aggs (slice + background
+    share one scan via conditional agg), two 1-row totals folded to
+    literals, one projection + TakeOrderedAndProject. Returns top-k
+    (term, n_slice, n_corpus, contribution_nano) by (contribution desc,
+    term).
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+    t = df.select(
+        F.coalesce(slice_pred.cast("int"), F.lit(0)).alias("in_slice"),
+        F.explode(toks).alias("t"),
+    )
+    counts = t.groupBy("t").agg(
+        F.sum("in_slice").alias("n_p"),
+        F.count(F.lit(1)).alias("n_q"),
+    ).localCheckpoint()
+    tot = counts.agg(
+        F.coalesce(F.sum("n_p"), F.lit(0)).alias("np"),
+        F.coalesce(F.sum("n_q"), F.lit(0)).alias("nq"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    n_p, n_q, v = tot["np"], tot["nq"], tot["v"]
+    if v == 0 or n_p == 0:
+        return counts.select(
+            F.col("t").alias("term"), F.col("n_p").alias("n_slice"),
+            F.col("n_q").alias("n_corpus"),
+            F.lit(0).cast("bigint").alias("contribution_nano"),
+        ).limit(0)
+    p = (F.col("n_p").cast("double") + F.lit(1.0)) / F.lit(float(n_p + v))
+    q = (F.col("n_q").cast("double") + F.lit(1.0)) / F.lit(float(n_q + v))
+    return (
+        counts.select(
+            F.col("t").alias("term"),
+            F.col("n_p").alias("n_slice"),
+            F.col("n_q").alias("n_corpus"),
+            F.round(p * F.log(p / q) * F.lit(1e9), 0)
+            .cast("bigint")
+            .alias("contribution_nano"),
+        )
+        .orderBy(F.desc("contribution_nano"), "term")
+        .limit(k)
+    )
