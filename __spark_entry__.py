@@ -11738,6 +11738,189 @@ ORDER BY url_a, url_b
 """
 
 
+def _cocite_edges(spark, sf_dir):
+    """Synthetic link edges with per-key bounded fanout: ~997 fine-grained
+    linking hosts s<r>, each linking to 1 + (r % 16) of 23 target hosts
+    t<…> — outdegrees span 1..16 so the related_hosts max_degree=12 hub
+    cap is actually exercised (keys with r%16 >= 12 are dropped)."""
+    e = _t(spark, sf_dir, "events")
+    r = (F.col("user_id") % 997).cast("long")
+    j = F.col("event_id") % (F.lit(1) + (r % 16))
+    return e.select(
+        F.concat(F.lit("s"), r.cast("string")).alias("src_host"),
+        F.concat(F.lit("t"), ((r * 7 + j) % 23).cast("string")).alias("dst_host"),
+    )
+
+
+_SQL_COCITE_EDGES = """ce AS (
+  SELECT concat('s', CAST(user_id % 997 AS VARCHAR)) AS src_host,
+         concat('t', CAST(((user_id % 997) * 7
+                 + event_id % (1 + (user_id % 997) % 16)) % 23 AS VARCHAR)
+         ) AS dst_host
+  FROM events
+)"""
+
+
+def _related_hosts_sql(edges_cte: str, key: str, item: str,
+                       max_degree: int, min_shared: int) -> str:
+    """Exact oracle for operators/graph.py::related_hosts — replays the
+    distinct collapse, hub cap, keyed pair count and capped-set Jaccard."""
+    return f"""
+WITH {edges_cte},
+ke AS (SELECT DISTINCT {key} AS k, {item} AS it FROM ce),
+deg AS (SELECT k, COUNT(*) AS kd FROM ke GROUP BY k),
+ok AS (SELECT ke.k, ke.it FROM ke JOIN deg USING (k) WHERE kd <= {max_degree}),
+pairs AS (
+  SELECT a.it AS host_a, b.it AS host_b, COUNT(*) AS shared
+  FROM ok a JOIN ok b ON a.k = b.k AND a.it < b.it
+  GROUP BY a.it, b.it HAVING COUNT(*) >= {min_shared}
+),
+ideg AS (SELECT it, COUNT(*) AS d FROM ok GROUP BY it)
+SELECT p.host_a, p.host_b, p.shared, da.d AS deg_a, db.d AS deg_b,
+       CAST(FLOOR(1000 * p.shared / (da.d + db.d - p.shared)) AS BIGINT)
+         AS jaccard_milli
+FROM pairs p
+JOIN ideg da ON da.it = p.host_a
+JOIN ideg db ON db.it = p.host_b
+ORDER BY host_a, host_b
+"""
+
+
+def _q_cocitation_hosts(spark, sf_dir):
+    """Co-citation related hosts (Dean & Henzinger WWW'99): target hosts
+    linked FROM many of the same third parties, with the hub-degree cap
+    engaged (operators/graph.py::related_hosts, mode=cocitation)."""
+    from web_crawler_spark.operators import graph as G
+
+    return G.related_hosts(
+        _cocite_edges(spark, sf_dir), mode="cocitation",
+        max_degree=12, min_shared=2,
+    ).orderBy("host_a", "host_b")
+
+
+_SQL_COCITATION_HOSTS = _related_hosts_sql(
+    _SQL_COCITE_EDGES, "src_host", "dst_host", max_degree=12, min_shared=2
+)
+
+
+def _coupling_edges(spark, sf_dir):
+    """29 coarse linking hosts c<r> each targeting a short arithmetic
+    window of 211 fine targets d<5r+j> — adjacent c-hosts' windows overlap
+    so bibliographic coupling (shared out-link targets) pairs neighbours;
+    per-target in-degree stays <= 2, well under the cap."""
+    e = _t(spark, sf_dir, "events")
+    r = (F.col("user_id") % 29).cast("long")
+    j = F.col("event_id") % (F.lit(1) + (r % 7))
+    return e.select(
+        F.concat(F.lit("c"), r.cast("string")).alias("src_host"),
+        F.concat(F.lit("d"), ((r * 5 + j) % 211).cast("string")).alias("dst_host"),
+    )
+
+
+_SQL_COUPLING_EDGES = """ce AS (
+  SELECT concat('c', CAST(user_id % 29 AS VARCHAR)) AS src_host,
+         concat('d', CAST(((user_id % 29) * 5
+                 + event_id % (1 + (user_id % 29) % 7)) % 211 AS VARCHAR)
+         ) AS dst_host
+  FROM events
+)"""
+
+
+def _q_coupling_hosts(spark, sf_dir):
+    """Bibliographic-coupling related hosts (Kessler 1963 / the
+    Dean-Henzinger complement): linking hosts that cite many of the same
+    targets (operators/graph.py::related_hosts, mode=coupling — key/item
+    roles swapped, same capped self-join algebra)."""
+    from web_crawler_spark.operators import graph as G
+
+    return G.related_hosts(
+        _coupling_edges(spark, sf_dir), mode="coupling",
+        max_degree=12, min_shared=1,
+    ).orderBy("host_a", "host_b")
+
+
+_SQL_COUPLING_HOSTS = _related_hosts_sql(
+    _SQL_COUPLING_EDGES, "dst_host", "src_host", max_degree=12, min_shared=1
+)
+
+
+def _q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (Salton & Buckley 1988) over the
+    shared tokenizer — postings agg + df count-window + doc rank window,
+    N folded to a literal (operators/corpus.py::tfidf_keywords)."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.tfidf_keywords(d, k=3).orderBy("doc_id", "rank")
+
+
+_SQL_TFIDF_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE trim(text) <> ''
+),
+p AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+post AS (SELECT term, doc_id, COUNT(*) AS tf FROM p GROUP BY term, doc_id),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM post),
+sc AS (
+  SELECT doc_id, term, tf,
+         CAST(tf AS DOUBLE)
+           * ln(nd.n / CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE))
+           AS score
+  FROM post CROSS JOIN nd
+),
+rk AS (
+  SELECT doc_id, term, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+           AS rank
+  FROM sc
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def _q_epoch_novelty(spark, sf_dir):
+    """Per-epoch novel-content curve (FineWeb-style per-snapshot dedup
+    accounting): interleaved epochs over a reused fingerprint pool plus a
+    planted stream of epoch-unique pages, so later epochs show low-but-
+    nonzero novelty (operators/corpus.py::epoch_novelty)."""
+    from web_crawler_spark.operators import corpus as C
+
+    e = _t(spark, sf_dir, "events")
+    cid = F.when(
+        F.col("event_id") % 7 == 0, F.lit(100000) + F.col("event_id")
+    ).otherwise((F.col("event_id") * 13) % 4096)
+    pages = e.select(
+        (F.col("event_id") % 5).cast("long").alias("epoch"),
+        F.md5(cid.cast("string")).alias("fingerprint"),
+    )
+    return C.epoch_novelty(pages).orderBy("epoch")
+
+
+_SQL_EPOCH_NOVELTY = """
+WITH src AS (
+  SELECT CAST(event_id % 5 AS BIGINT) AS epoch,
+         md5(CAST(CASE WHEN event_id % 7 = 0 THEN 100000 + event_id
+                       ELSE (event_id * 13) % 4096 END AS VARCHAR)) AS fp
+  FROM events
+),
+g AS (SELECT fp, epoch, COUNT(*) AS n FROM src GROUP BY fp, epoch),
+fe AS (
+  SELECT fp, epoch, n, MIN(epoch) OVER (PARTITION BY fp) AS first_epoch
+  FROM g
+)
+SELECT epoch,
+       CAST(SUM(n) AS BIGINT) AS fetches,
+       COUNT(*) AS distinct_fps,
+       CAST(SUM(CASE WHEN epoch = first_epoch THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_fps,
+       CAST(FLOOR(1000 * SUM(CASE WHEN epoch = first_epoch THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS novelty_milli
+FROM fe GROUP BY epoch ORDER BY epoch
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11837,6 +12020,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_bm25f_topk": _q_bm25f_topk,
     "f9_learned_priority": _q_learned_priority,
     "dd_lsh_plan": _q_lsh_plan,
+    "gr_cocitation_hosts": _q_cocitation_hosts,
+    "gr_coupling_hosts": _q_coupling_hosts,
+    "tx_tfidf_keywords": _q_tfidf_keywords,
+    "crawl_epoch_novelty": _q_epoch_novelty,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -12249,6 +12436,10 @@ _ORACLES: dict[str, str] = {
     "tx_bm25f_topk": _sql_bm25f_topk(),
     "f9_learned_priority": _sql_learned_priority(),
     "dd_lsh_plan": _SQL_LSH_PLAN,
+    "gr_cocitation_hosts": _SQL_COCITATION_HOSTS,
+    "gr_coupling_hosts": _SQL_COUPLING_HOSTS,
+    "tx_tfidf_keywords": _SQL_TFIDF_KEYWORDS,
+    "crawl_epoch_novelty": _SQL_EPOCH_NOVELTY,
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

@@ -2297,3 +2297,93 @@ def slice_kl_terms(
         .orderBy(F.desc("contribution_nano"), "term")
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords (Salton & Buckley 1988;
+    IIR §6.2): w(t, d) = tf(t, d) · ln(N / df(t)) over the same tokenizer
+    as the retrieval family, ties broken by term so every row is a pure
+    function of the data. The per-corpus summary line ("what is this page
+    about") that feeds snippet/UI layers and cheap topic labels.
+
+    Plan shape: one postings build ((term, doc) combiner agg — the
+    inverted_index shuffle), df via a count window PARTITION BY term over
+    the already-collapsed postings (no second groupBy+join back), N folded
+    to a literal from a 1-row distinct-count agg (the bm25_topk constant-
+    folding pattern), then one doc-keyed rank window that keeps ≤ k rows
+    per doc. Two data-sized shuffles total, both over slim
+    (term, doc_id, tf) rows; no join in the plan.
+    """
+    post = inverted_index(df, text_col, id_col)
+    n_docs = post.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    if not n_docs:
+        schema = f"{id_col} string, term string, tf long, score double, rank int"
+        return df.sparkSession.createDataFrame([], schema)
+    tw = Window.partitionBy("term")
+    dw = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        post.withColumn("df", F.count(F.lit(1)).over(tw))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        )
+        .withColumn("rank", F.row_number().over(dw))
+        .filter(F.col("rank") <= F.lit(k))
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "score", "rank")
+    )
+
+
+def epoch_novelty(
+    pages: DataFrame,
+    epoch_col: str = "epoch",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Per-epoch novel-content accounting — the dedup-rate-over-time curve
+    corpus reports publish (FineWeb's per-snapshot dedup tables; Fetterly
+    et al. 2003's "evolution of web pages" measurements): for each crawl
+    epoch, how much of what was fetched is content never seen in any
+    earlier epoch, and how much is re-observation of known fingerprints.
+
+    Returns one row per epoch: ``fetches`` (raw page count),
+    ``distinct_fps`` (distinct content fingerprints observed that epoch),
+    ``novel_fps`` (those whose corpus-wide first epoch is this epoch),
+    ``novelty_milli`` = ⌊1000·novel/distinct⌋. All exact integers — safe
+    to difference across reports at any scale.
+
+    Plan shape: one (fingerprint, epoch) combiner agg collapses the corpus
+    to slim presence rows, a min-epoch window PARTITION BY fingerprint
+    marks first sightings (no self-join), and the per-epoch rollup is a
+    tiny final agg. Nothing keyed wider than the fingerprint; the hot-key
+    worst case (one viral fingerprint in every epoch) is E rows, not E².
+    """
+    g = (
+        pages.select(F.col(epoch_col).alias("epoch"), F.col(fp_col).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .groupBy("fp", "epoch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fw = Window.partitionBy("fp")
+    return (
+        g.withColumn("first_epoch", F.min("epoch").over(fw))
+        .groupBy("epoch")
+        .agg(
+            F.sum("n").alias("fetches"),
+            F.count(F.lit(1)).alias("distinct_fps"),
+            F.sum(
+                F.when(F.col("epoch") == F.col("first_epoch"), 1).otherwise(0)
+            ).alias("novel_fps"),
+        )
+        .withColumn(
+            "novelty_milli",
+            F.floor(F.lit(1000) * F.col("novel_fps") / F.col("distinct_fps")).cast(
+                "long"
+            ),
+        )
+        .select("epoch", "fetches", "distinct_fps", "novel_fps", "novelty_milli")
+    )
