@@ -11921,6 +11921,152 @@ FROM fe GROUP BY epoch ORDER BY epoch
 """
 
 
+def _template_pages(spark, sf_dir):
+    """Pages for template detection: 7 hosts, per-host nav/footer on every
+    page (template), a promo line on exactly the even half (sub-threshold
+    at frac=600), and a unique content line per page."""
+    e = _t(spark, sf_dir, "events")
+    hk = (F.col("user_id") % 7).cast("string")
+    text = F.concat(
+        F.lit("nav-h"), hk, F.lit("\nfooter\n"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("promo\n")).otherwise(F.lit("")),
+        F.lit("content-"), F.col("event_id").cast("string"),
+    )
+    return e.select(
+        F.concat(F.lit("h"), hk).alias("host"),
+        F.concat(
+            F.lit("https://h"), hk, F.lit(".com/p"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        text.alias("text"),
+    )
+
+
+_SQL_TEMPLATE_PAGES = """tp AS (
+  SELECT concat('h', CAST(user_id % 7 AS VARCHAR)) AS host,
+         concat('https://h', CAST(user_id % 7 AS VARCHAR), '.com/p',
+                CAST(event_id AS VARCHAR)) AS url,
+         concat('nav-h', CAST(user_id % 7 AS VARCHAR), chr(10), 'footer',
+                chr(10),
+                CASE WHEN event_id % 2 = 0 THEN 'promo' || chr(10) ELSE '' END,
+                'content-', CAST(event_id AS VARCHAR)) AS text
+  FROM events
+)"""
+
+_SQL_TEMPLATE_LINES = """lines AS (
+  SELECT DISTINCT host, url, md5(line) AS line_hash
+  FROM (
+    SELECT host, url, trim(unnest(string_split(text, chr(10)))) AS line
+    FROM tp
+  ) WHERE line <> ''
+),
+np AS (SELECT host, COUNT(DISTINCT url) AS n_pages FROM tp GROUP BY host),
+tc AS (SELECT host, line_hash, COUNT(*) AS n_docs FROM lines
+       GROUP BY host, line_hash),
+tmpl AS (
+  SELECT tc.host, tc.line_hash, tc.n_docs, np.n_pages
+  FROM tc JOIN np USING (host)
+  WHERE np.n_pages >= 3 AND 1000 * tc.n_docs >= 600 * np.n_pages
+)"""
+
+
+def _q_host_templates(spark, sf_dir):
+    """Cross-document template lines per host (Gibson-Punera-Tomkins
+    WWW'05 site-frequency boilerplate: ≥60% of a host's pages) —
+    operators/boilerplate.py::host_templates. The planted ~50% promo
+    line must stay below the threshold."""
+    from web_crawler_spark.operators import boilerplate as B
+
+    return B.host_templates(
+        _template_pages(spark, sf_dir), min_pages=3, frac_milli=600
+    ).orderBy("host", "line_hash")
+
+
+_SQL_HOST_TEMPLATES = f"""
+WITH {_SQL_TEMPLATE_PAGES},
+{_SQL_TEMPLATE_LINES}
+SELECT host, line_hash, n_docs, n_pages FROM tmpl ORDER BY host, line_hash
+"""
+
+
+def _q_template_burden(spark, sf_dir):
+    """Per-page template burden (share of a page's distinct lines that
+    are host-level template) — the 'is this page chrome or content' QA
+    gate; operators/boilerplate.py::template_burden. Even pages carry
+    4 lines / 2 template (500‰), odd pages 3 / 2 (666‰)."""
+    from web_crawler_spark.operators import boilerplate as B
+
+    return B.template_burden(
+        _template_pages(spark, sf_dir), min_pages=3, frac_milli=600
+    ).orderBy("host", "url")
+
+
+_SQL_TEMPLATE_BURDEN = f"""
+WITH {_SQL_TEMPLATE_PAGES},
+{_SQL_TEMPLATE_LINES}
+SELECT l.host, l.url,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN t.line_hash IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_template,
+       CAST(FLOOR(1000 * SUM(CASE WHEN t.line_hash IS NOT NULL THEN 1 ELSE 0
+                                  END) / COUNT(*)) AS BIGINT) AS burden_milli
+FROM lines l
+LEFT JOIN tmpl t ON t.host = l.host AND t.line_hash = l.line_hash
+GROUP BY l.host, l.url ORDER BY l.host, l.url
+"""
+
+
+def _q_host_lookalikes(spark, sf_dir):
+    """Typosquat/lookalike host pairs at edit distance ≤1 via the
+    SymSpell deletion-neighborhood equi-join + built-in Levenshtein
+    verify (operators/urlfilter.py::host_lookalikes). The fixture plants
+    insertion (shoop), substitution (sh0p) and deletion (shp) twins of
+    40 base hosts; typo-vs-typo distance-2 collisions must be verified
+    away while sh0p↔shp (a genuine distance-1 pair) survives."""
+    from web_crawler_spark.operators import urlfilter as UF
+
+    e = _t(spark, sf_dir, "events")
+    k = (F.col("user_id") % 40).cast("string")
+    host = (
+        F.when(F.col("event_id") % 29 == 0, F.concat(F.lit("shoop"), k, F.lit(".com")))
+        .when(F.col("event_id") % 29 == 1, F.concat(F.lit("sh0p"), k, F.lit(".com")))
+        .when(F.col("event_id") % 29 == 2, F.concat(F.lit("shp"), k, F.lit(".com")))
+        .otherwise(F.concat(F.lit("shop"), k, F.lit(".com")))
+    )
+    return UF.host_lookalikes(e.select(host.alias("host"))).orderBy(
+        "host_a", "host_b"
+    )
+
+
+_SQL_HOST_LOOKALIKES = """
+WITH hs AS (
+  SELECT DISTINCT CASE
+    WHEN event_id % 29 = 0 THEN concat('shoop', CAST(user_id % 40 AS VARCHAR), '.com')
+    WHEN event_id % 29 = 1 THEN concat('sh0p', CAST(user_id % 40 AS VARCHAR), '.com')
+    WHEN event_id % 29 = 2 THEN concat('shp', CAST(user_id % 40 AS VARCHAR), '.com')
+    ELSE concat('shop', CAST(user_id % 40 AS VARCHAR), '.com') END AS host
+  FROM events
+),
+h AS (SELECT host FROM hs WHERE length(host) >= 4),
+v1 AS (
+  SELECT DISTINCT host, unnest(list_distinct(list_append(
+    list_transform(range(1, length(host) + 1),
+      i -> substr(host, 1, i - 1) || substr(host, i + 1, length(host))),
+    host))) AS variant
+  FROM h
+),
+vb AS (SELECT variant FROM v1 GROUP BY variant HAVING COUNT(*) <= 64),
+v AS (SELECT v1.host, v1.variant FROM v1 JOIN vb USING (variant)),
+pr AS (
+  SELECT DISTINCT a.host AS host_a, b.host AS host_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.host < b.host
+)
+SELECT host_a, host_b, CAST(levenshtein(host_a, host_b) AS INT) AS dist
+FROM pr WHERE levenshtein(host_a, host_b) <= 1
+ORDER BY host_a, host_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12024,6 +12170,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_coupling_hosts": _q_coupling_hosts,
     "tx_tfidf_keywords": _q_tfidf_keywords,
     "crawl_epoch_novelty": _q_epoch_novelty,
+    "tx_host_templates": _q_host_templates,
+    "tx_template_burden": _q_template_burden,
+    "url_host_lookalikes": _q_host_lookalikes,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -12440,6 +12589,9 @@ _ORACLES: dict[str, str] = {
     "gr_coupling_hosts": _SQL_COUPLING_HOSTS,
     "tx_tfidf_keywords": _SQL_TFIDF_KEYWORDS,
     "crawl_epoch_novelty": _SQL_EPOCH_NOVELTY,
+    "tx_host_templates": _SQL_HOST_TEMPLATES,
+    "tx_template_burden": _SQL_TEMPLATE_BURDEN,
+    "url_host_lookalikes": _SQL_HOST_LOOKALIKES,
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

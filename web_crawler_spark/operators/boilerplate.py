@@ -239,3 +239,119 @@ def extract_main_content(
     b = html_blocks(pages, url_col=url_col, html_col=html_col)
     c = classify_blocks(b, doc_col=url_col, lang=lang, **thresholds)
     return main_content(c, doc_col=url_col)
+
+
+def host_templates(
+    pages: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    text_col: str = "text",
+    min_pages: int = 3,
+    frac_milli: int = 500,
+) -> DataFrame:
+    """Cross-document template detection (Gibson, Punera & Tomkins,
+    WWW 2005, "The volume and evolution of web page templates"): a line
+    is template on a host when it appears on at least ``frac_milli``/1000
+    of that host's pages — the site-frequency signal the per-document
+    stop-density classifier (:func:`classify_blocks`) cannot see, and the
+    method of choice for nav/footer/cookie-banner removal when a host has
+    enough pages to vote. Hosts with fewer than ``min_pages`` pages emit
+    nothing (frequency over 2 pages is noise, the paper's own gate).
+
+    Returns (host, line_hash, n_docs, n_pages): one row per detected
+    template line. The threshold is exact integer algebra
+    (1000·n_docs ≥ frac_milli·n_pages) — no float comparison anywhere.
+
+    Scale shape: lines explode to slim (host, url, md5) rows and collapse
+    to per-page presence with ONE distinct (a page repeating its nav bar
+    twice is still one vote); the (host, line_hash) count agg and the
+    per-host page count are both combiner aggs keyed no wider than the
+    host; the final join carries only hosts' count rows. Page text never
+    crosses a shuffle — the md5 surrogate does.
+    """
+    lines = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.col(url_col).alias("url"),
+            F.explode(
+                F.filter(
+                    F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+                    lambda x: x != "",
+                )
+            ).alias("line"),
+        )
+        .select("host", "url", F.md5("line").alias("line_hash"))
+        .distinct()
+    )
+    n_pages = pages.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(url_col).alias("n_pages")
+    )
+    counts = lines.groupBy("host", "line_hash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        counts.join(n_pages, "host")
+        .filter(
+            (F.col("n_pages") >= F.lit(min_pages))
+            & (F.lit(1000) * F.col("n_docs") >= F.lit(frac_milli) * F.col("n_pages"))
+        )
+        .select("host", "line_hash", "n_docs", "n_pages")
+    )
+
+
+def template_burden(
+    pages: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    text_col: str = "text",
+    min_pages: int = 3,
+    frac_milli: int = 500,
+) -> DataFrame:
+    """Per-page template burden: what fraction of a page's distinct
+    non-blank lines are host-level template per :func:`host_templates` —
+    the QA number deciding whether a host's extraction needs site-level
+    boilerplate removal before its text enters a training corpus (a
+    burden near 1000 means the page is chrome with no content).
+
+    Returns (host, url, n_lines, n_template, burden_milli) with
+    burden_milli = ⌊1000·n_template/n_lines⌋ — exact integers throughout.
+    The template join is (host, line_hash)-keyed and carries only count
+    rows on the build side; per-page rollup is one combiner agg.
+    """
+    lines = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.col(url_col).alias("url"),
+            F.explode(
+                F.filter(
+                    F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+                    lambda x: x != "",
+                )
+            ).alias("line"),
+        )
+        .select("host", "url", F.md5("line").alias("line_hash"))
+        .distinct()
+    )
+    t = host_templates(
+        pages, host_col, url_col, text_col, min_pages, frac_milli
+    ).select("host", "line_hash", F.lit(1).alias("is_t"))
+    return (
+        lines.join(t, ["host", "line_hash"], "left")
+        .groupBy("host", "url")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.coalesce(F.col("is_t"), F.lit(0))).alias("n_template"),
+        )
+        .withColumn(
+            "burden_milli",
+            F.floor(F.lit(1000) * F.col("n_template") / F.col("n_lines")).cast(
+                "long"
+            ),
+        )
+        .select(
+            "host", "url",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_template").cast("long").alias("n_template"),
+            "burden_milli",
+        )
+    )

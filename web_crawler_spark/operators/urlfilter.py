@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import urltools as U
@@ -524,4 +524,66 @@ def mirror_hosts_by_path(
     return out.select(
         "host_a", "host_b", "shared", "n_a", "n_b", "overlap_milli",
         "is_mirror",
+    )
+
+
+def host_lookalikes(
+    hosts: DataFrame,
+    host_col: str = "host",
+    min_len: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Lookalike / typosquat host pairs at edit distance ≤ 1 via the
+    deletion-neighborhood trick (Norvig's spell-corrector candidate
+    generation; Garbe's SymSpell makes the same observation at index
+    scale; typosquatting as a measured web phenomenon: Moore & Edelman,
+    FC 2010): two strings within one edit share a member of each other's
+    {self} ∪ {one-char-deletions} sets, so candidates come from an
+    equi-join on deletion variants — never a quadratic cross join with a
+    distance UDF. Candidates are then verified with the built-in
+    Levenshtein (JVM-side), which also discards the distance-2 collisions
+    the deletion join admits (e.g. two different substitutions of the
+    same base).
+
+    Returns (host_a, host_b, dist) with host_a < host_b and dist ≤ 1.
+    Hosts shorter than ``min_len`` generate nothing (1–3 char strings
+    make everything a neighbor); variant buckets larger than
+    ``max_bucket`` are dropped before the self-join — the same hot-key
+    cap discipline as the LSH band joins, bounding per-key fanout at
+    C(max_bucket, 2). The joined rows carry two host strings and nothing
+    else.
+    """
+    h = (
+        hosts.select(F.col(host_col).alias("host"))
+        .filter(F.length("host") >= F.lit(min_len))
+        .distinct()
+    )
+    dels = F.expr(
+        "transform(sequence(1, length(host)), i -> "
+        "concat(substring(host, 1, i-1), substring(host, i+1, length(host))))"
+    )
+    v = (
+        h.select(
+            "host",
+            F.explode(F.array_union(F.array(F.col("host")), dels)).alias("variant"),
+        )
+        .distinct()
+    )
+    vw = Window.partitionBy("variant")
+    v = (
+        v.withColumn("_n", F.count(F.lit(1)).over(vw))
+        .filter(F.col("_n") <= F.lit(max_bucket))
+        .drop("_n")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.host") < F.col("b.host")),
+        )
+        .select(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        .distinct()
+        .withColumn("dist", F.levenshtein("host_a", "host_b").cast("int"))
+        .filter(F.col("dist") <= 1)
     )
