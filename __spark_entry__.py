@@ -12067,6 +12067,131 @@ ORDER BY host_a, host_b
 """
 
 
+def _q_graph_summary(spark, sf_dir):
+    """One-row reciprocity + degree-assortativity summary (Newman PRL'02)
+    over a planted partial-reciprocity digraph: forward edges fan out 4
+    per node, only the j<2 subset gets a reverse edge
+    (operators/graph.py::graph_summary)."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    r = (F.col("user_id") % 31).cast("long")
+    fwd = e.select(
+        F.concat(F.lit("n"), r.cast("string")).alias("src_host"),
+        F.concat(
+            F.lit("n"), ((r * 3 + F.col("event_id") % 4) % 31).cast("string")
+        ).alias("dst_host"),
+    )
+    rev = e.filter(F.col("event_id") % 5 == 0).select(
+        F.concat(
+            F.lit("n"), ((r * 3 + F.col("event_id") % 2) % 31).cast("string")
+        ).alias("src_host"),
+        F.concat(F.lit("n"), r.cast("string")).alias("dst_host"),
+    )
+    return G.graph_summary(fwd.unionAll(rev))
+
+
+_SQL_GRAPH_SUMMARY = """
+WITH ge AS (
+  SELECT concat('n', CAST(user_id % 31 AS VARCHAR)) AS s,
+         concat('n', CAST(((user_id % 31) * 3 + event_id % 4) % 31 AS VARCHAR))
+           AS d
+  FROM events
+  UNION ALL
+  SELECT concat('n', CAST(((user_id % 31) * 3 + event_id % 2) % 31 AS VARCHAR)),
+         concat('n', CAST(user_id % 31 AS VARCHAR))
+  FROM events WHERE event_id % 5 = 0
+),
+e AS (SELECT DISTINCT s AS src, d AS dst FROM ge WHERE s <> d),
+rc AS (
+  SELECT COUNT(*) AS c FROM e a
+  WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)
+),
+und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+udeg AS (SELECT src AS node, COUNT(*) AS dg FROM und GROUP BY src),
+ed AS (
+  SELECT ux.dg AS dx, uy.dg AS dy
+  FROM und JOIN udeg ux ON und.src = ux.node JOIN udeg uy ON und.dst = uy.node
+),
+sums AS (
+  SELECT COUNT(*) AS m, SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx * dy) AS sxy,
+         SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+  FROM ed
+)
+SELECT (SELECT COUNT(*) FROM udeg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT c FROM rc) AS recip_edges,
+       CAST(FLOOR(1000 * (SELECT c FROM rc) / (SELECT COUNT(*) FROM e))
+            AS BIGINT) AS reciprocity_milli,
+       ROUND(
+         (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt(
+             (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           ),
+         6
+       ) AS assortativity
+FROM sums
+"""
+
+
+def _q_host_error_wilson(spark, sf_dir):
+    """Wilson lower-bound host error ranking (the circuit-breaker order:
+    sample size priced in, so a 1-of-1 failure can't outrank a 300-of-
+    1000 host) — operators/aggregate.py::host_error_wilson; fixture
+    plants 13 hosts at error rates 1/2..1/14 plus a tiny always-failing
+    host whose small n must hold its bound down."""
+    from web_crawler_spark.operators import aggregate as A
+
+    e = _t(spark, sf_dir, "events")
+    tiny = F.col("event_id") % 1997 == 0
+    host = F.when(tiny, F.lit("tiny")).otherwise(
+        F.concat(F.lit("h"), (F.col("user_id") % 13).cast("string"))
+    )
+    is_err = F.when(tiny, F.lit(True)).otherwise(
+        F.col("event_id") % (F.lit(2) + F.col("user_id") % 13) == 0
+    )
+    return A.host_error_wilson(
+        e.select(host.alias("host"), is_err.alias("is_error"))
+    ).orderBy(F.desc("wilson_lb"), "host")
+
+
+_SQL_HOST_ERROR_WILSON = """
+WITH f AS (
+  SELECT CASE WHEN event_id % 1997 = 0 THEN 'tiny'
+              ELSE concat('h', CAST(user_id % 13 AS VARCHAR)) END AS host,
+         CASE WHEN event_id % 1997 = 0 THEN TRUE
+              ELSE event_id % (2 + user_id % 13) = 0 END AS is_error
+  FROM events
+),
+g AS (
+  SELECT host, COUNT(*) AS n_fetches,
+         SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS n_errors
+  FROM f GROUP BY host
+),
+w AS (
+  SELECT host, n_fetches, n_errors,
+         CAST(n_errors AS DOUBLE) / CAST(n_fetches AS DOUBLE) AS p,
+         CAST(n_fetches AS DOUBLE) AS n
+  FROM g
+)
+SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       CAST(FLOOR(1000 * n_errors / n_fetches) AS BIGINT) AS err_rate_milli,
+       ROUND(
+         (p + (1.96::DOUBLE * 1.96::DOUBLE) / (2.0 * n)
+            - 1.96::DOUBLE * sqrt(p * (1.0 - p) / n
+                + (1.96::DOUBLE * 1.96::DOUBLE) / (4.0 * n * n)))
+         / (1.0 + (1.96::DOUBLE * 1.96::DOUBLE) / n),
+         6
+       ) AS wilson_lb
+FROM w ORDER BY wilson_lb DESC, host
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12173,6 +12298,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_host_templates": _q_host_templates,
     "tx_template_burden": _q_template_burden,
     "url_host_lookalikes": _q_host_lookalikes,
+    "gr_graph_summary": _q_graph_summary,
+    "f7_host_error_wilson": _q_host_error_wilson,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -12592,6 +12719,8 @@ _ORACLES: dict[str, str] = {
     "tx_host_templates": _SQL_HOST_TEMPLATES,
     "tx_template_burden": _SQL_TEMPLATE_BURDEN,
     "url_host_lookalikes": _SQL_HOST_LOOKALIKES,
+    "gr_graph_summary": _SQL_GRAPH_SUMMARY,
+    "f7_host_error_wilson": _SQL_HOST_ERROR_WILSON,
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

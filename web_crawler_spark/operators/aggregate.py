@@ -354,3 +354,58 @@ def merge_host_sketches(per_epoch: DataFrame) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch")))
         ).cast("bigint").alias("est_distinct_all_epochs"),
     )
+
+
+def host_error_wilson(
+    fetches: DataFrame,
+    host_col: str = "host",
+    is_error_col: str = "is_error",
+    z: float = 1.96,
+    min_fetches: int = 1,
+) -> DataFrame:
+    """Rank hosts by the Wilson score LOWER bound on their error
+    proportion (Wilson 1927; the "how not to sort by average rating"
+    discipline applied to crawl health): a host that failed 1-of-1 must
+    NOT outrank a host that failed 300-of-1000 — the lower bound prices
+    the sample size, the raw rate doesn't. This is the circuit-breaker
+    ordering for deciding which hosts to throttle or quarantine first.
+
+    Returns (host, n_fetches, n_errors, err_rate_milli, wilson_lb) sorted
+    by wilson_lb desc. Counts are exact integers; the bound is ONE double
+    expression per host computed from them in a fixed operation order —
+    no accumulation-order dependence — rounded to 6dp (sqrt is IEEE
+    correctly-rounded). Plan: a single host-keyed combiner agg + a
+    projection; nothing shuffles wider than the host string.
+    """
+    g = fetches.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(
+            F.when(F.col(is_error_col).cast("boolean"), 1).otherwise(0)
+        ).alias("n_errors"),
+    ).filter(F.col("n_fetches") >= F.lit(min_fetches))
+    n = F.col("n_fetches").cast("double")
+    p = F.col("n_errors").cast("double") / n
+    z1 = F.lit(float(z))
+    z2 = z1 * z1
+    lb = (
+        p + z2 / (F.lit(2.0) * n)
+        - z1 * F.sqrt(
+            p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+        )
+    ) / (F.lit(1.0) + z2 / n)
+    return (
+        g.withColumn(
+            "err_rate_milli",
+            F.floor(F.lit(1000) * F.col("n_errors") / F.col("n_fetches")).cast(
+                "long"
+            ),
+        )
+        .withColumn("wilson_lb", F.round(lb, 6))
+        .select(
+            "host",
+            F.col("n_fetches").cast("long").alias("n_fetches"),
+            F.col("n_errors").cast("long").alias("n_errors"),
+            "err_rate_milli",
+            "wilson_lb",
+        )
+    )

@@ -1051,3 +1051,93 @@ def related_hosts(
         )
         .select("host_a", "host_b", "shared", "deg_a", "deg_b", "jaccard_milli")
     )
+
+
+def graph_summary(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """One-row structural summary of the host graph: reciprocity and
+    degree assortativity — the two numbers that separate web graphs from
+    social graphs in the measurement literature (web graphs: low
+    reciprocity, disassortative; Newman, PRL 2002 "Assortative mixing in
+    networks"; Serrano et al. 2007 on web-graph reciprocity).
+
+    Returns (n_nodes, n_edges, recip_edges, reciprocity_milli,
+    assortativity): edges are first collapsed to DISTINCT directed pairs
+    with self-loops dropped; reciprocity_milli = ⌊1000·|{(u,v): (v,u)∈E}|
+    / |E|⌋ (exact integers); assortativity is the Pearson correlation of
+    endpoint degrees over the symmetrized edge list (both orientations,
+    which makes it Newman's undirected formula), computed from five exact
+    integer sums folded into ONE double expression — no accumulation-
+    order dependence anywhere, so the number is a pure function of the
+    graph. Rounded to 6dp (sqrt is IEEE correctly-rounded in both
+    engines).
+
+    Scale shape: distinct + one swapped-edge equi-join (slim host pairs)
+    + one degree agg + one edge-degree join + a 1-row rollup. The host
+    graph is ~10^7 rows at 100 TB corpus scale — every stage here is
+    comfortable in one shuffle.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    # degree = in+out degree on the simple directed graph: the edge list
+    # symmetrized by including both orientations (a reciprocal pair
+    # contributes twice, documented semantics the oracle replays)
+    und = e.select("src", "dst").unionAll(rev)
+    udeg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ed = (
+        und.join(udeg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src")
+        .join(udeg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
+    )
+    sums = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n_nodes = udeg.count()
+    n_edges = e.count()
+    n_recip = recip.count()
+    row = sums.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_recip).cast("long").alias("recip_edges"),
+        (
+            F.lit(1000 * n_recip // n_edges).cast("long")
+            if n_edges
+            else F.lit(None).cast("long")
+        ).alias("reciprocity_milli"),
+        F.round(
+            (
+                F.col("m").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / F.sqrt(
+                (
+                    F.col("m").cast("double") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                * (
+                    F.col("m").cast("double") * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy").cast("double")
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+    return row
