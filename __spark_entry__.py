@@ -12192,6 +12192,125 @@ FROM w ORDER BY wilson_lb DESC, host
 """
 
 
+def _q_anchor_entropy(spark, sf_dir):
+    """Per-target anchor-text Shannon entropy (anchor-spam flag: high
+    in-degree + one repeated phrase ⇒ entropy 0) — operators/graph.py::
+    anchor_entropy. Spam targets get a single normalized phrase planted
+    in two surface forms (' Click Here ' / 'click here') that MUST
+    collapse; organic targets get 7 distinct anchors; every 13th anchor
+    is empty and must be dropped."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    spam = (F.col("user_id") % 50) < 10
+    anchor = (
+        F.when(F.col("event_id") % 13 == 0, F.lit(""))
+        .when(spam & (F.col("event_id") % 2 == 0), F.lit(" Click Here "))
+        .when(spam, F.lit("click here"))
+        .otherwise(
+            F.concat(F.lit("link "), (F.col("event_id") % 7).cast("string"))
+        )
+    )
+    a = e.select(
+        F.concat(
+            F.lit("https://t"), (F.col("user_id") % 50).cast("string"),
+            F.lit(".com/"),
+        ).alias("to_url"),
+        anchor.alias("anchor_text"),
+    )
+    return G.anchor_entropy(a).orderBy("url")
+
+
+_SQL_ANCHOR_ENTROPY = """
+WITH raw AS (
+  SELECT concat('https://t', CAST(user_id % 50 AS VARCHAR), '.com/') AS url,
+         CASE WHEN event_id % 13 = 0 THEN ''
+              WHEN user_id % 50 < 10 AND event_id % 2 = 0 THEN ' Click Here '
+              WHEN user_id % 50 < 10 THEN 'click here'
+              ELSE concat('link ', CAST(event_id % 7 AS VARCHAR)) END AS anchor
+  FROM events
+),
+a AS (
+  SELECT url, md5(trim(lower(anchor))) AS ah FROM raw
+  WHERE anchor IS NOT NULL AND trim(anchor) <> ''
+),
+counts AS (SELECT url, ah, COUNT(*) AS n FROM a GROUP BY url, ah),
+per AS (
+  SELECT url, SUM(n) AS n_inlinks, COUNT(*) AS n_unique_anchors,
+         list(CAST(n AS DOUBLE) ORDER BY ah) AS nl
+  FROM counts GROUP BY url
+)
+SELECT url, CAST(n_inlinks AS BIGINT) AS n_inlinks,
+       CAST(n_unique_anchors AS BIGINT) AS n_unique_anchors,
+       ROUND(list_reduce(
+         list_prepend(0.0, [ (x / n_inlinks)
+                             * (ln(x / n_inlinks) / 0.6931471805599453)
+                             for x in nl ]),
+         (a, b) -> a - b), 6) AS anchor_entropy_bits
+FROM per ORDER BY url
+"""
+
+
+def _q_source_concentration(spark, sf_dir):
+    """One-row HHI / top-share / effective-source-count concentration
+    summary of the documents corpus by source (the datasheet diversity
+    number; Dodge et al. EMNLP'21 domain-concentration analyses) —
+    operators/aggregate.py::concentration_stats."""
+    from web_crawler_spark.operators import aggregate as A
+
+    d = _t(spark, sf_dir, "documents")
+    return A.concentration_stats(d, key_col="source")
+
+
+_SQL_SOURCE_CONCENTRATION = """
+WITH g AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(FLOOR(1000 * MAX(n) / SUM(n)) AS BIGINT) AS top_share_milli,
+       CAST(FLOOR(1000000000.0 * (CAST(SUM(n * n) AS DOUBLE)
+              / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))))
+            AS BIGINT) AS hhi_nano,
+       CAST(FLOOR(1000.0 * ((CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+              / CAST(SUM(n * n) AS DOUBLE)))
+            AS BIGINT) AS effective_keys_milli
+FROM g
+"""
+
+
+def _q_host_lang_outliers(spark, sf_dir):
+    """Documents whose detected language differs from their source's
+    majority detected language (the CCNet (lang, host) bucketing
+    rationale as a cleaning gate) — operators/corpus.py::
+    host_lang_outliers over the documents table."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.host_lang_outliers(d, group_col="source").orderBy("doc_id")
+
+
+def _lang_outliers_sql() -> str:
+    hit_exprs, case = _langid_pieces()
+    return f"""
+WITH h AS (SELECT doc_id, source, {", ".join(hit_exprs)} FROM documents),
+s AS (SELECT doc_id, source AS grp, {case} AS predicted_lang FROM h),
+c AS (SELECT grp, predicted_lang, COUNT(*) AS n
+      FROM s GROUP BY grp, predicted_lang),
+m AS (
+  SELECT grp, predicted_lang AS majority_lang, n AS majority_docs,
+         SUM(n) OVER (PARTITION BY grp) AS group_docs,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY n DESC, predicted_lang) AS rk
+  FROM c
+)
+SELECT s.doc_id, s.grp AS "group", s.predicted_lang, m.majority_lang,
+       CAST(m.group_docs AS BIGINT) AS group_docs,
+       CAST(m.majority_docs AS BIGINT) AS majority_docs
+FROM s JOIN m ON m.grp = s.grp AND m.rk = 1
+WHERE s.predicted_lang <> m.majority_lang
+ORDER BY s.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12300,6 +12419,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_host_lookalikes": _q_host_lookalikes,
     "gr_graph_summary": _q_graph_summary,
     "f7_host_error_wilson": _q_host_error_wilson,
+    "gr_anchor_entropy": _q_anchor_entropy,
+    "tx_source_concentration": _q_source_concentration,
+    "tx_host_lang_outliers": _q_host_lang_outliers,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -12721,6 +12843,9 @@ _ORACLES: dict[str, str] = {
     "url_host_lookalikes": _SQL_HOST_LOOKALIKES,
     "gr_graph_summary": _SQL_GRAPH_SUMMARY,
     "f7_host_error_wilson": _SQL_HOST_ERROR_WILSON,
+    "gr_anchor_entropy": _SQL_ANCHOR_ENTROPY,
+    "tx_source_concentration": _SQL_SOURCE_CONCENTRATION,
+    "tx_host_lang_outliers": _lang_outliers_sql(),
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

@@ -409,3 +409,50 @@ def host_error_wilson(
             "wilson_lb",
         )
     )
+
+
+def concentration_stats(
+    df: DataFrame,
+    key_col: str = "host",
+) -> DataFrame:
+    """One-row concentration summary of a corpus over ``key_col`` —
+    the Herfindahl-Hirschman index (HHI) plus the top-key share: the
+    "is this corpus actually diverse or is it 40% one domain" number
+    every dataset datasheet should carry (domain-concentration analyses
+    of C4/Pile-style corpora, e.g. Dodge et al. EMNLP 2021).
+
+    Returns (n_keys, n_rows, top_share_milli, hhi_nano,
+    effective_keys_milli): top_share_milli = ⌊1000·max(nᵢ)/N⌋ (exact
+    integers); hhi_nano = ⌊10⁹·Σnᵢ²/N²⌋ with the division done in
+    double AFTER the exact integer sums (both engines run the identical
+    IEEE ops); effective_keys_milli = ⌊1000·N²/Σnᵢ²⌋ — the inverse-HHI
+    "effective number of domains" in milli units, exact-integer-derived
+    the same way. Plan: one key-count combiner agg + a 1-row rollup.
+    """
+    g = df.groupBy(F.col(key_col).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("_mx"),
+        F.sum(F.col("n") * F.col("n")).alias("_s2"),
+    ).select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.floor(F.lit(1000) * F.col("_mx") / F.col("n_rows")).cast("long").alias(
+            "top_share_milli"
+        ),
+        F.floor(
+            F.lit(1000000000.0)
+            * (
+                F.col("_s2").cast("double")
+                / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+            )
+        ).cast("long").alias("hhi_nano"),
+        F.floor(
+            F.lit(1000.0)
+            * (
+                (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+                / F.col("_s2").cast("double")
+            )
+        ).cast("long").alias("effective_keys_milli"),
+    )

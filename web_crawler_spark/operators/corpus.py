@@ -2387,3 +2387,60 @@ def epoch_novelty(
         )
         .select("epoch", "fetches", "distinct_fps", "novel_fps", "novelty_milli")
     )
+
+
+def host_lang_outliers(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-coherence outliers within a source/host: documents whose
+    detected language differs from their group's majority detected
+    language — the cleaning signal behind "this .de news site suddenly
+    has 50 English pages" (scraped ads, parked takeover, mixed-language
+    boilerplate) that per-document language ID alone cannot raise. CCNet
+    and its descendants bucket by (lang, host) for exactly this reason.
+
+    Returns one row per outlier document: (doc_id, group, predicted_lang,
+    majority_lang, group_docs, majority_docs). The majority is the
+    (count desc, lang asc)-first language per group — deterministic
+    tie-break, so membership is a pure function of the data. Plan: one
+    language-ID projection (pure column expressions, zero shuffles), a
+    (group, lang) combiner agg + a per-group rank window over
+    language-count rows (≤ #languages per group, never #docs), and one
+    broadcast-sized join back — document text never crosses a shuffle.
+    """
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        T.detect_language(F.col(text_col)).alias("predicted_lang"),
+    )
+    counts = scored.groupBy("grp", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("predicted_lang"))
+    gw = Window.partitionBy("grp")
+    maj = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .withColumn("group_docs", F.sum("n").over(gw))
+        .filter(F.col("rk") == 1)
+        .select(
+            "grp",
+            F.col("predicted_lang").alias("majority_lang"),
+            F.col("n").alias("majority_docs"),
+            "group_docs",
+        )
+    )
+    return (
+        scored.join(maj, "grp")
+        .filter(F.col("predicted_lang") != F.col("majority_lang"))
+        .select(
+            "doc_id",
+            F.col("grp").alias("group"),
+            "predicted_lang",
+            "majority_lang",
+            F.col("group_docs").cast("long").alias("group_docs"),
+            F.col("majority_docs").cast("long").alias("majority_docs"),
+        )
+    )
