@@ -175,6 +175,19 @@ HEADLINE = [
     # bm25 leg — 1-row stats agg + literal-folded ln projection +
     # TakeOrderedAndProject over every doc (QL scores tf=0 docs too)
     "tx_ql_dirichlet_topk",
+    # per-doc TF-IDF keywords: postings combiner agg + df count-window +
+    # doc rank window — prices the two-slim-shuffle no-join keyword path
+    "tx_tfidf_keywords",
+    # site-template detection + per-page burden: line explode → distinct
+    # presence → two combiner aggs + (host,hash)-keyed join back (the
+    # Gibson-Punera-Tomkins site-frequency boilerplate pass)
+    "tx_template_burden",
+    # typosquat lookalikes: deletion-variant explode + hot-capped
+    # variant equi-join + JVM levenshtein verify (the SymSpell shape)
+    "url_host_lookalikes",
+    # co-citation related hosts: distinct collapse + degree-window cap +
+    # keyed self-join + capped-set Jaccard (Dean-Henzinger WWW'99)
+    "gr_cocitation_hosts",
 ]
 
 
