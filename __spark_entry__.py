@@ -12311,6 +12311,40 @@ ORDER BY s.doc_id
 """
 
 
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility + chars/token (Rust et al. ACL'21
+    — the cross-language tokenizer-cost metric) over the documents
+    corpus: one per-doc count projection + one language-keyed combiner
+    agg (operators/corpus.py::tokenizer_fertility)."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.tokenizer_fertility(d).orderBy("lang")
+
+
+_SQL_TOKENIZER_FERTILITY = r"""
+WITH per AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS w,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t,
+         length(text) AS c
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(t) AS BIGINT) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CASE WHEN SUM(w) > 0
+            THEN CAST(FLOOR(1000 * SUM(t) / SUM(w)) AS BIGINT) END
+         AS fertility_milli,
+       CASE WHEN SUM(t) > 0
+            THEN CAST(FLOOR(1000 * SUM(c) / SUM(t)) AS BIGINT) END
+         AS chars_per_token_milli
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12422,6 +12456,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_anchor_entropy": _q_anchor_entropy,
     "tx_source_concentration": _q_source_concentration,
     "tx_host_lang_outliers": _q_host_lang_outliers,
+    "tx_tokenizer_fertility": _q_tokenizer_fertility,
     "s_warc_scan": _q_warc_scan,
     "ann_lsh_topk_md5": _q_ann_lsh_md5,
     "ann_knn_join": _q_knn_join,
@@ -12846,6 +12881,7 @@ _ORACLES: dict[str, str] = {
     "gr_anchor_entropy": _SQL_ANCHOR_ENTROPY,
     "tx_source_concentration": _SQL_SOURCE_CONCENTRATION,
     "tx_host_lang_outliers": _lang_outliers_sql(),
+    "tx_tokenizer_fertility": _SQL_TOKENIZER_FERTILITY,
 }
 
 # The remaining TPC-H patterns (Q2/4/7/8/9/10/11/13/15/16/17/19/20/21/22)

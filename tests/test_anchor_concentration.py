@@ -89,3 +89,22 @@ def test_host_lang_outliers_tie_breaks_deterministically(spark):
     got = host_lang_outliers(_docs(spark, [(1, "s", en), (2, "s", de)])).collect()
     assert len(got) == 1 and got[0]["doc_id"] == 1
     assert got[0]["majority_lang"] == "de"
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from web_crawler_spark.operators.corpus import tokenizer_fertility
+
+    rows = [
+        (1, "en", "hello world"),          # 2 words, 2 bpe tokens, 11 chars
+        (2, "en", "don't stop"),           # 2 words, 4 bpe (don, ', t, stop)
+        (3, "zz", "   "),                  # whitespace-only: 0 words, 0 tokens
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in tokenizer_fertility(d).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["n_words"], en["n_tokens"]) == (2, 4, 6)
+    assert en["n_chars"] == 11 + 10
+    assert en["fertility_milli"] == 1000 * 6 // 4  # 1500
+    assert en["chars_per_token_milli"] == 1000 * 21 // 6  # 3500
+    zz = got["zz"]
+    assert zz["fertility_milli"] is None and zz["chars_per_token_milli"] is None

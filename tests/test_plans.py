@@ -251,3 +251,64 @@ def test_entry_module_has_no_duplicate_toplevel_defs():
                     names.append(t.id)
     dupes = {n: c for n, c in Counter(names).items() if c > 1}
     assert not dupes, f"duplicate top-level definitions: {dupes}"
+
+
+def test_related_hosts_equi_join_only(spark):
+    """related_hosts: the pair stage is an equi-join on the shared key
+    (the it_a < it_b predicate rides the join, not a cartesian) and the
+    degree joins are equi-joins — no cartesian/nested-loop anywhere."""
+    from web_crawler_spark.operators.graph import related_hosts
+
+    df = spark.createDataFrame(
+        [("k1", "A"), ("k1", "B"), ("k2", "A"), ("k2", "B")],
+        ["src_host", "dst_host"],
+    )
+    plan = _plan(related_hosts(df, max_degree=8, min_shared=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_host_lookalikes_no_distance_cross_join(spark):
+    """host_lookalikes: candidates come from the deletion-variant
+    equi-join; levenshtein runs only on the joined pairs — the plan must
+    contain no cartesian/nested-loop (the thing the SymSpell trick
+    exists to avoid)."""
+    from web_crawler_spark.operators.urlfilter import host_lookalikes
+
+    df = spark.createDataFrame(
+        [("shop.com",), ("shoop.com",), ("sh0p.com",)], ["host"]
+    )
+    plan = _plan(host_lookalikes(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_keywords_join_free(spark):
+    """tfidf_keywords: df via a count window over the postings — the
+    plan must contain NO join (the docstring's no-join-anywhere claim)."""
+    from web_crawler_spark.operators.corpus import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a")], ["doc_id", "text"]
+    )
+    plan = _plan(tfidf_keywords(df, k=2))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_template_burden_text_pruned_before_exchange(spark):
+    """template_burden: the md5 surrogate is projected before every
+    exchange — the raw text column must not appear in any Exchange
+    input (page text never crosses a shuffle)."""
+    from web_crawler_spark.operators.boilerplate import template_burden
+
+    df = spark.createDataFrame(
+        [("h", "u1", "nav\nbody1"), ("h", "u2", "nav\nbody2"),
+         ("h", "u3", "nav\nbody3")],
+        ["host", "url", "text"],
+    )
+    plan = _plan(template_burden(df))
+    # every hashpartitioning clause keys on host/url/line_hash — never text
+    import re
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m, m

@@ -2316,8 +2316,9 @@ def tfidf_keywords(
     the already-collapsed postings (no second groupBy+join back), N folded
     to a literal from a 1-row distinct-count agg (the bm25_topk constant-
     folding pattern), then one doc-keyed rank window that keeps ≤ k rows
-    per doc. Two data-sized shuffles total, both over slim
-    (term, doc_id, tf) rows; no join in the plan.
+    per doc. Three data-sized shuffles total — the (term, doc) postings
+    agg, the term-keyed df window, the doc-keyed rank window — every one
+    over slim (term, doc_id, tf) rows; no join anywhere in the plan.
     """
     post = inverted_index(df, text_col, id_col)
     n_docs = post.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
@@ -2443,4 +2444,54 @@ def host_lang_outliers(
             F.col("group_docs").cast("long").alias("group_docs"),
             F.col("majority_docs").cast("long").alias("majority_docs"),
         )
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language tokenizer fertility — tokens per whitespace word and
+    characters per token (Rust et al., ACL 2021 "How good is your
+    tokenizer?": fertility is THE cross-language tokenizer-quality
+    metric; a language paying 3× the tokens per word pays 3× the compute
+    and context budget). Run over the corpus before committing to a
+    tokenizer/corpus-mix pairing.
+
+    Returns one row per language: (lang, n_docs, n_words, n_tokens,
+    n_chars, fertility_milli = ⌊1000·tokens/words⌋, chars_per_token_milli
+    = ⌊1000·chars/tokens⌋) — exact integer sums per language (a single
+    combiner agg over per-doc count projections; nothing shuffles but
+    the per-language count rows), divisions exact-floor at the end.
+    Languages with zero words/tokens emit NULL ratios rather than
+    dividing by zero.
+    """
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        T.token_count(F.col(text_col)).alias("w"),
+        T.bpe_ish_token_count(F.col(text_col)).alias("t"),
+        F.length(F.col(text_col)).alias("c"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("t").alias("n_tokens"),
+        F.sum("c").alias("n_chars"),
+    )
+    return g.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(F.lit(1000) * F.col("n_tokens") / F.col("n_words")),
+        ).cast("long").alias("fertility_milli"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(F.lit(1000) * F.col("n_chars") / F.col("n_tokens")),
+        ).cast("long").alias("chars_per_token_milli"),
     )
