@@ -12893,6 +12893,151 @@ _QUERIES.update(_tpch.QUERIES)
 _ORACLES.update(_tpch.ORACLES)
 
 
+# --- strongly connected components + bow-tie decomposition ------------------
+
+# Deterministic digraph with real SCC structure, shared edge-for-edge with the
+# DuckDB oracle: a 7-node cycle c0..c6 (the CORE SCC), an 11-host IN fringe
+# h0..h10 plus an i0->i1->i2->c0 chain, a 13-node OUT fringe o0..o12 plus a
+# 2-node SCC {p0,p1} hanging off c2, a TUBE h3->t0->t1->o5 bypassing the core,
+# tendrils (u0,u1 from IN; u2 into OUT), and a disconnected SCC {d0,d1} with a
+# dangling d2.
+_SCC_LIT_EDGES = [
+    ("i0", "i1"), ("i1", "i2"), ("i2", "c0"),
+    ("c2", "p0"), ("p0", "p1"), ("p1", "p0"),
+    ("h3", "t0"), ("t0", "t1"), ("t1", "o5"),
+    ("h4", "u0"), ("u0", "u1"), ("u2", "o7"),
+    ("d0", "d1"), ("d1", "d0"), ("d1", "d2"),
+]
+
+
+def _scc_test_edges(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def n(p, c):
+        return F.concat(F.lit(p), c.cast("string"))
+
+    m7 = F.col("event_id") % 7
+    m11 = F.col("event_id") % 11
+    m13 = F.col("event_id") % 13
+    return (
+        ev.select(n("c", m7).alias("src"), n("c", (m7 + 1) % 7).alias("dst"))
+        .unionByName(ev.select(n("h", m11).alias("src"), n("c", m11 % 7).alias("dst")))
+        .unionByName(ev.select(n("c", m13 % 7).alias("src"), n("o", m13).alias("dst")))
+        .unionByName(
+            spark.createDataFrame(_SCC_LIT_EDGES, "src string, dst string")
+        )
+    )
+
+
+def _q_gr_scc(spark, sf_dir):
+    """Strongly connected components of a deterministic host graph via the
+    distributed coloring algorithm (operators/graph.scc: trim -> min-ancestor
+    coloring -> backward sweep; Orzan 2004 / Slota et al. IPDPS 2014). The
+    graph exercises every phase: DAG fringes for the trim, a 7-cycle core, a
+    second SCC reachable FROM the core (needs outer round 2 after the core
+    color swallows it), and a disconnected 2-cycle extracted in parallel by
+    the same color sweep. Oracle: DuckDB recursive transitive closure —
+    scc_id(v) = lexicographic min over {u : v<->u mutual} U {v}. Exact
+    strings/ints, no float concerns."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = _scc_test_edges(spark, sf_dir)
+    return G.scc(edges, src_col="src", dst_col="dst").orderBy("node")
+
+
+_SQL_SCC_PREFIX = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT concat('c', CAST(event_id % 7 AS VARCHAR)) AS src,
+           concat('c', CAST((event_id % 7 + 1) % 7 AS VARCHAR)) AS dst FROM events
+    UNION ALL
+    SELECT concat('h', CAST(event_id % 11 AS VARCHAR)),
+           concat('c', CAST((event_id % 11) % 7 AS VARCHAR)) FROM events
+    UNION ALL
+    SELECT concat('c', CAST((event_id % 13) % 7 AS VARCHAR)),
+           concat('o', CAST(event_id % 13 AS VARCHAR)) FROM events
+    UNION ALL SELECT * FROM (VALUES
+      ('i0','i1'),('i1','i2'),('i2','c0'),
+      ('c2','p0'),('p0','p1'),('p1','p0'),
+      ('h3','t0'),('t0','t1'),('t1','o5'),
+      ('h4','u0'),('u0','u1'),('u2','o7'),
+      ('d0','d1'),('d1','d0'),('d1','d2')) v(src, dst)
+  ) WHERE src <> dst
+),
+nodes AS (
+  -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB 1.0 gives a plain
+  -- top-level UNION in a non-recursive CTE append (UNION ALL) semantics
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+tc AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT tc.src, e.dst FROM tc JOIN edges e ON e.src = tc.dst
+),
+scc AS (
+  SELECT n.node, LEAST(n.node, COALESCE(m.mn, n.node)) AS scc_id
+  FROM nodes n LEFT JOIN (
+    SELECT a.src AS node, MIN(a.dst) AS mn
+    FROM tc a JOIN tc b ON a.src = b.dst AND a.dst = b.src
+    GROUP BY a.src
+  ) m ON m.node = n.node
+)"""
+
+_SQL_GR_SCC = _SQL_SCC_PREFIX + """
+SELECT node, scc_id,
+       CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+FROM scc ORDER BY node"""
+
+
+def _q_gr_bowtie(spark, sf_dir):
+    """Broder et al. (WWW 2000) bow-tie decomposition over the same graph
+    (operators/graph.bowtie): CORE = largest SCC (size desc, scc_id asc
+    tie-break), IN/OUT by reachability to/from the core, then TUBE (IN-to-OUT
+    bypass), TENDRIL (one side only), DISC. Oracle recomputes every part from
+    the recursive closure. The fixture pins one node per part class,
+    including the {p0,p1} SCC inside OUT and the core-bypassing tube."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = _scc_test_edges(spark, sf_dir)
+    return G.bowtie(edges, src_col="src", dst_col="dst").orderBy("node")
+
+
+_SQL_GR_BOWTIE = _SQL_SCC_PREFIX + """,
+core AS (
+  SELECT scc_id FROM scc GROUP BY scc_id
+  ORDER BY COUNT(*) DESC, scc_id ASC LIMIT 1
+),
+core_nodes AS (SELECT node FROM scc WHERE scc_id = (SELECT scc_id FROM core)),
+fwd AS (
+  SELECT DISTINCT dst AS node FROM tc
+  WHERE src IN (SELECT node FROM core_nodes)
+    AND dst NOT IN (SELECT node FROM core_nodes)
+),
+bwd AS (
+  SELECT DISTINCT src AS node FROM tc
+  WHERE dst IN (SELECT node FROM core_nodes)
+    AND src NOT IN (SELECT node FROM core_nodes)
+),
+from_in AS (SELECT DISTINCT dst AS node FROM tc WHERE src IN (SELECT node FROM bwd)),
+to_out AS (SELECT DISTINCT src AS node FROM tc WHERE dst IN (SELECT node FROM fwd))
+SELECT n.node,
+  CASE WHEN n.node IN (SELECT node FROM core_nodes) THEN 'CORE'
+       WHEN n.node IN (SELECT node FROM bwd) THEN 'IN'
+       WHEN n.node IN (SELECT node FROM fwd) THEN 'OUT'
+       WHEN n.node IN (SELECT node FROM from_in)
+            AND n.node IN (SELECT node FROM to_out) THEN 'TUBE'
+       WHEN n.node IN (SELECT node FROM from_in)
+            OR n.node IN (SELECT node FROM to_out) THEN 'TENDRIL'
+       ELSE 'DISC' END AS part
+FROM nodes n ORDER BY n.node"""
+
+
+_QUERIES.update({"gr_scc": _q_gr_scc, "gr_bowtie": _q_gr_bowtie})
+_ORACLES.update({"gr_scc": _SQL_GR_SCC, "gr_bowtie": _SQL_GR_BOWTIE})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

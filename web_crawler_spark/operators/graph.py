@@ -1190,3 +1190,271 @@ def anchor_entropy(
         F.col("n_unique_anchors").cast("long").alias("n_unique_anchors"),
         F.round(ent, 6).alias("anchor_entropy_bits"),
     )
+
+
+# observability for the iterative SCC loop (mirrors LAST_CLUSTER_STATS in
+# dedup.py): outer peeling rounds, nodes trimmed per round, color-propagation
+# rounds per outer round — a slow convergence is visible, never silent.
+LAST_SCC_STATS: dict = {}
+
+
+def scc(
+    edges: DataFrame,
+    max_iters: int = 50,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Strongly connected components of the host link graph — the
+    coloring algorithm (Orzan 2004; Slota, Rajamanickam & Madduri,
+    IPDPS 2014 "BFS and coloring-based parallel algorithms for strongly
+    connected components"), the standard distributed SCC formulation.
+    The web graph's SCC structure is the famous bow-tie (Broder et al.,
+    WWW 2000): one giant core SCC plus a long tail of small ones — so
+    the peeling loop below typically finishes in 2-3 outer rounds on a
+    real host graph: trimming deletes the DAG fringe instantly and the
+    first color sweep extracts the giant core.
+
+    Per outer round:
+
+    1. **Trim to fixpoint** — a node with no in-edge or no out-edge
+       inside the active subgraph is its own SCC (it cannot lie on any
+       cycle); emit it and drop it. This deletes the tendril/DAG mass —
+       the overwhelming majority of a host graph — in a handful of
+       cheap semi-join passes, before any propagation runs.
+    2. **Forward min-label coloring to fixpoint** — color(v) = min node
+       id (lexicographic) over ancestors-of-v ∪ {v}. All members of an
+       SCC share one ancestor set, hence one color, so colors partition
+       the active nodes into SCC-closed classes; each class root
+       (color(v) == v) is provably a member of its class and reaches
+       every member.
+    3. **Backward sweep within color** — the nodes of class c that can
+       reach the root c are exactly the SCC of c (mutual reachability:
+       root reaches all of its class by step 2). Emit them, drop them,
+       repeat on what is left.
+
+    Every shuffled row in all three phases is a slim (node, label) pair
+    or a (src, dst) edge — no payload columns; per-round frontiers are
+    ``localCheckpoint``-ed to cut iterative lineage (the same discipline
+    as ``pagerank``/``dedup_clusters``). Termination: each outer round
+    removes at least every class root, so rounds ≤ #SCCs; ``max_iters``
+    is a backstop that raises rather than returning a partial labeling.
+
+    Returns (node, scc_id, scc_size) — scc_id is the lexicographic min
+    member, the same deterministic representative DuckDB's closure
+    oracle computes. Reference has no graph ops (SURVEY §2.2 note);
+    this serves the north rule's frontier prioritization layer.
+    """
+    e_all = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))  # self-loops never change SCCs
+        .distinct()
+        .localCheckpoint()
+    )
+    active_n = (
+        e_all.select(F.col("src").alias("node"))
+        .unionByName(e_all.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    active_e = e_all
+    done: DataFrame | None = None
+    stats = {"outer_rounds": 0, "trimmed_per_round": [], "color_rounds": []}
+
+    def _emit(part: DataFrame) -> None:
+        nonlocal done
+        done = part if done is None else done.unionByName(part)
+
+    for _outer in range(max_iters):
+        # --- 1. trim the DAG fringe to fixpoint -------------------------
+        trimmed_total = 0
+        while True:
+            has_out = active_e.select(F.col("src").alias("node")).distinct()
+            has_in = active_e.select(F.col("dst").alias("node")).distinct()
+            cyclic = has_out.join(has_in, "node").localCheckpoint(eager=True)
+            trimmed = active_n.join(cyclic, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            n_trim = trimmed.count()
+            trimmed_total += n_trim
+            if n_trim == 0:
+                break
+            _emit(trimmed.select("node", F.col("node").alias("scc_id")))
+            active_n = active_n.join(cyclic, "node", "left_semi").localCheckpoint()
+            active_e = (
+                active_e.join(
+                    active_n.select(F.col("node").alias("src")), "src", "left_semi"
+                )
+                .join(active_n.select(F.col("node").alias("dst")), "dst", "left_semi")
+                .localCheckpoint()
+            )
+        stats["trimmed_per_round"].append(trimmed_total)
+        stats["outer_rounds"] = _outer + 1
+        if active_n.isEmpty():
+            break
+        # --- 2. forward min-ancestor coloring to fixpoint ---------------
+        labels = active_n.select("node", F.col("node").alias("color"))
+        color_rounds = 0
+        while True:
+            color_rounds += 1
+            inc = (
+                active_e.join(
+                    labels.select(F.col("node").alias("src"), "color"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("color").alias("in_min"))
+            )
+            nxt = (
+                labels.join(inc, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("color"), F.coalesce("in_min", "color")).alias(
+                        "new_color"
+                    ),
+                    (F.coalesce("in_min", "color") < F.col("color")).alias("chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = nxt.filter(F.col("chg")).count()
+            labels = nxt.select("node", F.col("new_color").alias("color"))
+            if changed == 0:
+                labels = labels.localCheckpoint()
+                break
+        stats["color_rounds"].append(color_rounds)
+        # --- 3. backward sweep: who reaches their color root? -----------
+        same_color_e = (
+            active_e.join(
+                labels.select(F.col("node").alias("src"), F.col("color").alias("sc")),
+                "src",
+            )
+            .join(
+                labels.select(F.col("node").alias("dst"), F.col("color").alias("dc")),
+                "dst",
+            )
+            .filter(F.col("sc") == F.col("dc"))
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        reach = labels.filter(F.col("node") == F.col("color")).select("node")
+        reach = reach.localCheckpoint()
+        frontier = reach
+        while True:
+            fresh = (
+                same_color_e.join(
+                    frontier.select(F.col("node").alias("dst")), "dst"
+                )
+                .select(F.col("src").alias("node"))
+                .distinct()
+                .join(reach, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if fresh.isEmpty():
+                break
+            reach = reach.unionByName(fresh).localCheckpoint()
+            frontier = fresh
+        members = labels.join(reach, "node", "left_semi")
+        _emit(members.select("node", F.col("color").alias("scc_id")))
+        active_n = active_n.join(reach, "node", "left_anti").localCheckpoint()
+        if active_n.isEmpty():
+            break
+        active_e = (
+            active_e.join(
+                active_n.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(active_n.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    else:  # pragma: no cover - max_iters backstop
+        raise RuntimeError(
+            f"scc: {max_iters} peeling rounds exhausted with nodes still active"
+        )
+    LAST_SCC_STATS.clear()
+    LAST_SCC_STATS.update(stats)
+    if done is None:
+        return e_all.select(
+            F.col("src").alias("node"),
+            F.col("src").alias("scc_id"),
+            F.lit(0).cast("long").alias("scc_size"),
+        ).limit(0)
+    sizes = done.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return done.join(sizes, "scc_id").select(
+        "node", "scc_id", F.col("scc_size").cast("long").alias("scc_size")
+    )
+
+
+def bowtie(
+    edges: DataFrame,
+    max_iters: int = 100,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Bow-tie decomposition of the host graph (Broder, Kumar, Maghoul,
+    Raghavan, Rajagopalan, Stata, Tomkins & Wiener, WWW 2000 "Graph
+    structure in the Web") — the canonical macro-map a crawl planner
+    budgets against: CORE gets recrawl budget, IN is where new seeds
+    pay off, OUT/TENDRIL mass signals trap-like expansion.
+
+    Parts, computed exactly as the paper operationalizes them:
+
+    - **CORE** — the largest SCC (ties broken by lexicographic min
+      scc_id, so the choice is a pure function of the data);
+    - **IN** — reaches CORE, not in it; **OUT** — reachable from CORE,
+      not in it (a node with both properties would be in CORE);
+    - of the remainder: **TUBE** — reachable from IN and reaching OUT
+      (an IN→OUT path that bypasses CORE); **TENDRIL** — one of the two
+      but not both; **DISC** — neither (disconnected from the bow-tie).
+
+    All reachability sweeps are layered frontier BFS (``seed_distance``)
+    over slim (node, depth) rows — forward from CORE, backward from
+    CORE, forward from IN, backward from OUT — so total work per sweep
+    is Σ out-degree visited once, not rounds × |E|. Returns (node, part).
+    """
+    comp = scc(edges, max_iters=max_iters, src_col=src_col, dst_col=dst_col)
+    comp = comp.localCheckpoint()
+    top = (
+        comp.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("scc_id"))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return comp.select("node", F.lit("DISC").alias("part")).limit(0)
+    core_id = top[0]["scc_id"]
+    core = comp.filter(F.col("scc_id") == F.lit(core_id)).select("node")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nodes = comp.select("node")
+
+    def _reach(edge_df: DataFrame, seeds: DataFrame) -> DataFrame:
+        return seed_distance(
+            edge_df, seeds, max_depth=max_iters, src_col="src", dst_col="dst"
+        ).select("node")
+
+    fwd = _reach(e, core).join(core, "node", "left_anti")      # OUT
+    bwd = _reach(rev, core).join(core, "node", "left_anti")    # IN
+    fwd = fwd.localCheckpoint()
+    bwd = bwd.localCheckpoint()
+    rest = (
+        nodes.join(core, "node", "left_anti")
+        .join(fwd, "node", "left_anti")
+        .join(bwd, "node", "left_anti")
+        .localCheckpoint()
+    )
+    from_in = _reach(e, bwd).join(rest, "node", "left_semi")
+    to_out = _reach(rev, fwd).join(rest, "node", "left_semi")
+    flagged = (
+        nodes.join(core.withColumn("is_core", F.lit(1)), "node", "left")
+        .join(bwd.withColumn("is_in", F.lit(1)), "node", "left")
+        .join(fwd.withColumn("is_out", F.lit(1)), "node", "left")
+        .join(from_in.withColumn("is_fi", F.lit(1)), "node", "left")
+        .join(to_out.withColumn("is_to", F.lit(1)), "node", "left")
+    )
+    part = (
+        F.when(F.col("is_core") == 1, F.lit("CORE"))
+        .when(F.col("is_in") == 1, F.lit("IN"))
+        .when(F.col("is_out") == 1, F.lit("OUT"))
+        .when((F.col("is_fi") == 1) & (F.col("is_to") == 1), F.lit("TUBE"))
+        .when((F.col("is_fi") == 1) | (F.col("is_to") == 1), F.lit("TENDRIL"))
+        .otherwise(F.lit("DISC"))
+    )
+    return flagged.select("node", part.alias("part"))
