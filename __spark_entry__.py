@@ -13034,8 +13034,79 @@ SELECT n.node,
 FROM nodes n ORDER BY n.node"""
 
 
-_QUERIES.update({"gr_scc": _q_gr_scc, "gr_bowtie": _q_gr_bowtie})
-_ORACLES.update({"gr_scc": _SQL_GR_SCC, "gr_bowtie": _SQL_GR_BOWTIE})
+def _q_wet_export(spark, sf_dir):
+    """WET conversion-record export (plans/report.wet_records) — the
+    extracted-text leg of the Common Crawl WARC/WAT/WET triple, completing
+    oracle certification of all three (WARC: s_warc_scan / cc_warc_revisit,
+    WAT: cc_wat_export). Pages synthesized from events with multibyte text
+    so the Content-Length octet contract (bytes, not chars) is itself
+    value-certified; every-7th page has NULL text and must be absent."""
+    from web_crawler_spark.plans import report as R
+
+    e = _t(spark, sf_dir, "events")
+    ts = F.to_timestamp(F.lit("2025-01-01 00:00:00")) + F.make_interval(
+        secs=F.col("event_id").cast("double")
+    )
+    base = e.select(
+        F.concat(
+            F.lit("https://host"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/p/"), F.col("event_id").cast("string"),
+        ).alias("canonical_url"),
+        ts.alias("fetch_ts"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.concat(
+                F.lit("doc "), F.col("event_id").cast("string"),
+                F.lit(" — naïve café №"), (F.col("user_id") % 5).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    return R.wet_records(base).orderBy("url")
+
+
+_SQL_WET_EXPORT = """
+WITH base AS (
+  SELECT concat('https://host', CAST(user_id % 20 AS VARCHAR),
+                '.example.com/p/', CAST(event_id AS VARCHAR)) AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         concat('doc ', CAST(event_id AS VARCHAR),
+                ' — naïve café №', CAST(user_id % 5 AS VARCHAR)) AS body
+  FROM events WHERE event_id % 7 <> 0
+), ids AS (
+  SELECT url, body,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+         md5(concat('wet|', url, '|', CAST(ts AS VARCHAR))) AS h
+  FROM base
+)
+SELECT url,
+       concat('WARC/1.0', chr(13), chr(10),
+              'WARC-Type: conversion', chr(13), chr(10),
+              'WARC-Target-URI: ', url, chr(13), chr(10),
+              'WARC-Date: ', wdate, chr(13), chr(10),
+              'WARC-Record-ID: <urn:uuid:', substr(h,1,8), '-', substr(h,9,4),
+              '-', substr(h,13,4), '-', substr(h,17,4), '-', substr(h,21,12),
+              '>', chr(13), chr(10),
+              'Content-Type: text/plain', chr(13), chr(10),
+              'Content-Length: ', CAST(strlen(body) AS VARCHAR),
+              chr(13), chr(10), chr(13), chr(10),
+              body, chr(13), chr(10), chr(13), chr(10)) AS record
+FROM ids ORDER BY url"""
+
+
+_QUERIES.update(
+    {
+        "gr_scc": _q_gr_scc,
+        "gr_bowtie": _q_gr_bowtie,
+        "cc_wet_export": _q_wet_export,
+    }
+)
+_ORACLES.update(
+    {
+        "gr_scc": _SQL_GR_SCC,
+        "gr_bowtie": _SQL_GR_BOWTIE,
+        "cc_wet_export": _SQL_WET_EXPORT,
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
