@@ -188,6 +188,12 @@ HEADLINE = [
     # co-citation related hosts: distinct collapse + degree-window cap +
     # keyed self-join + capped-set Jaccard (Dean-Henzinger WWW'99)
     "gr_cocitation_hosts",
+    # WET conversion-record export: pure-Column record build over every
+    # event page (prices the Common-Crawl text-sidecar string assembly;
+    # gr_scc/gr_bowtie are deliberately NOT legged — like seed_distance
+    # they price per-round job latency, constant in data size, and that
+    # floor is already priced by the seed-distance leg)
+    "cc_wet_export",
 ]
 
 
