@@ -13093,11 +13093,71 @@ SELECT url,
 FROM ids ORDER BY url"""
 
 
+def _q_trawl_cores(spark, sf_dir):
+    """(i,j) bipartite-core trawling, j=3 (operators/graph.trawl_cores;
+    Kumar-Raghavan-Rajagopalan-Tomkins WWW 1999): center triples co-linked
+    by >= 3 distinct fans. Fixture plants a (4,3)-core {x0,x1,x2}, three
+    exactly-at-threshold (3,3)-cores through x3, a 2-fan structure the
+    min_fans gate must reject, one fan-private triple, and a dense
+    events-derived noise block (17 fans x 5 centers -> all C(5,3) triples
+    at n_fans=17). Pruning is output-inert by the paper's argument (a
+    pruned center's triples are all sub-threshold; a fan linking a
+    surviving triple keeps degree >= 3 so is never pruned), so the oracle
+    is the direct triple count with HAVING - the same algebra DuckDB runs.
+    Centers emit as a '|'-joined ascending string (array reprs differ
+    between pandas/duckdb under the driver's value hash)."""
+    from web_crawler_spark.operators import graph as G
+
+    ev = _t(spark, sf_dir, "events")
+    lit = [
+        ("f0", "x0"), ("f0", "x1"), ("f0", "x2"), ("f0", "x3"), ("f0", "nc0"),
+        ("f1", "x0"), ("f1", "x1"), ("f1", "x2"), ("f1", "x3"),
+        ("f2", "x0"), ("f2", "x1"), ("f2", "x2"), ("f2", "x3"),
+        ("f3", "x0"), ("f3", "x1"), ("f3", "x2"),
+        ("w0", "y0"), ("w0", "y1"), ("w0", "y2"),
+        ("w1", "y0"), ("w1", "y1"), ("w1", "y2"),
+    ]
+    edges = ev.select(
+        F.concat(F.lit("nf"), (F.col("event_id") % 17).cast("string")).alias("src"),
+        F.concat(F.lit("nc"), (F.col("event_id") % 5).cast("string")).alias("dst"),
+    ).unionByName(spark.createDataFrame(lit, "src string, dst string"))
+    cores = G.trawl_cores(
+        edges, j=3, min_fans=3, max_degree=32, src_col="src", dst_col="dst"
+    )
+    return cores.select(
+        F.concat_ws("|", "centers").alias("centers"), "n_fans"
+    ).orderBy("centers")
+
+
+_SQL_TRAWL_CORES = """
+WITH e AS (
+  SELECT DISTINCT fan, ctr FROM (
+    SELECT concat('nf', CAST(event_id % 17 AS VARCHAR)) AS fan,
+           concat('nc', CAST(event_id % 5 AS VARCHAR)) AS ctr FROM events
+    UNION ALL SELECT * FROM (VALUES
+      ('f0','x0'),('f0','x1'),('f0','x2'),('f0','x3'),('f0','nc0'),
+      ('f1','x0'),('f1','x1'),('f1','x2'),('f1','x3'),
+      ('f2','x0'),('f2','x1'),('f2','x2'),('f2','x3'),
+      ('f3','x0'),('f3','x1'),('f3','x2'),
+      ('w0','y0'),('w0','y1'),('w0','y2'),
+      ('w1','y0'),('w1','y1'),('w1','y2')) v(fan, ctr)
+  )
+)
+SELECT concat(a.ctr, '|', b.ctr, '|', c.ctr) AS centers,
+       CAST(COUNT(*) AS BIGINT) AS n_fans
+FROM e a
+JOIN e b ON a.fan = b.fan AND a.ctr < b.ctr
+JOIN e c ON a.fan = c.fan AND b.ctr < c.ctr
+GROUP BY 1 HAVING COUNT(*) >= 3
+ORDER BY centers"""
+
+
 _QUERIES.update(
     {
         "gr_scc": _q_gr_scc,
         "gr_bowtie": _q_gr_bowtie,
         "cc_wet_export": _q_wet_export,
+        "gr_trawl_cores": _q_trawl_cores,
     }
 )
 _ORACLES.update(
@@ -13105,6 +13165,7 @@ _ORACLES.update(
         "gr_scc": _SQL_GR_SCC,
         "gr_bowtie": _SQL_GR_BOWTIE,
         "cc_wet_export": _SQL_WET_EXPORT,
+        "gr_trawl_cores": _SQL_TRAWL_CORES,
     }
 )
 
