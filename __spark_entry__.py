@@ -9439,10 +9439,12 @@ def _q_label_propagation(spark, sf_dir):
     ).orderBy("node")
 
 
-def _lpa_sql(rounds: int = 4) -> str:
+def _lpa_sql(rounds: int = 4, tail: str | None = None) -> str:
     """Unrolled synchronous LPA — the exact algebra of
     operators/graph.py::label_propagation with unit weights (edge weight
-    = raw row multiplicity after symmetrization)."""
+    = raw row multiplicity after symmetrization). ``tail`` replaces the
+    final SELECT to build downstream oracles (modularity) on the same
+    label CTE chain."""
     head = """
 WITH ed AS (
   SELECT CASE user_id % 3
@@ -9480,8 +9482,12 @@ l{t} AS MATERIALIZED (
     FROM v{t}
   ) WHERE rn = 1
 )""")
-    parts.append(f"""
-SELECT node, label FROM l{rounds} ORDER BY node""")
+    parts.append(
+        tail.format(rounds=rounds)
+        if tail is not None
+        else f"""
+SELECT node, label FROM l{rounds} ORDER BY node"""
+    )
     return "".join(parts)
 
 
@@ -13093,6 +13099,61 @@ SELECT url,
 FROM ids ORDER BY url"""
 
 
+def _q_lpa_modularity(spark, sf_dir):
+    """Per-community Newman-Girvan modularity contributions
+    (operators/graph.community_modularity) over the round-4 synchronous
+    LPA labels on the certified two-cliques-plus-bridge fixture — the
+    community QUALITY metric paired with the detection op. Oracle: the
+    same unrolled LPA CTE chain (_lpa_sql tail) + exact integer
+    sufficient statistics (2·e_c, d_c over the symmetrized multigraph)
+    folded into the identical fixed-order double expression
+    intra2/2m - (d/2m)^2 — no cross-row double accumulation anywhere."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    u, ev = F.col("user_id"), F.col("event_id")
+    fam = u % 3
+    src = (
+        F.when(fam == 0, F.concat(F.lit("c"), (ev % 6).cast("string")))
+        .when(fam == 1, F.concat(F.lit("d"), (ev % 6).cast("string")))
+        .otherwise(F.when(ev % 2 == 0, F.lit("c0")).otherwise(F.lit("x0")))
+    )
+    dst = (
+        F.when(fam == 0, F.concat(
+            F.lit("c"), ((ev % 6 + ev % 5 + 1) % 6).cast("string")))
+        .when(fam == 1, F.concat(
+            F.lit("d"), ((ev % 6 + ev % 5 + 1) % 6).cast("string")))
+        .otherwise(F.when(ev % 2 == 0, F.lit("d0")).otherwise(F.lit("x1")))
+    )
+    edges = e.select(src.alias("src_host"), dst.alias("dst_host"))
+    labels = G.label_propagation(edges, rounds=4, weight_col=None)
+    return G.community_modularity(edges, labels, weight_col=None).orderBy(
+        "label"
+    )
+
+
+_SQL_LPA_MODULARITY_TAIL = """,
+lab AS (SELECT node, label FROM l{rounds}),
+tmv AS (SELECT CAST(SUM(w) AS BIGINT) AS tm FROM sym),
+degc AS (SELECT l.label, CAST(SUM(s.w) AS BIGINT) AS deg_w
+         FROM sym s JOIN lab l ON l.node = s.u GROUP BY 1),
+intrac AS (SELECT lu.label, CAST(SUM(s.w) AS BIGINT) AS intra2_w
+           FROM sym s JOIN lab lu ON lu.node = s.u
+                      JOIN lab lv ON lv.node = s.v
+           WHERE lu.label = lv.label GROUP BY 1),
+nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1)
+SELECT n.label, n.n_nodes,
+       CAST(COALESCE(i.intra2_w, 0) AS BIGINT) AS intra2_w,
+       d.deg_w,
+       CAST(COALESCE(i.intra2_w, 0) AS DOUBLE) / t.tm
+         - (CAST(d.deg_w AS DOUBLE) / t.tm) * (CAST(d.deg_w AS DOUBLE) / t.tm)
+         AS q_contrib
+FROM nn n JOIN degc d ON d.label = n.label
+LEFT JOIN intrac i ON i.label = n.label
+CROSS JOIN tmv t
+ORDER BY n.label"""
+
+
 def _q_trawl_cores(spark, sf_dir):
     """(i,j) bipartite-core trawling, j=3 (operators/graph.trawl_cores;
     Kumar-Raghavan-Rajagopalan-Tomkins WWW 1999): center triples co-linked
@@ -13158,6 +13219,7 @@ _QUERIES.update(
         "gr_bowtie": _q_gr_bowtie,
         "cc_wet_export": _q_wet_export,
         "gr_trawl_cores": _q_trawl_cores,
+        "gr_lpa_modularity": _q_lpa_modularity,
     }
 )
 _ORACLES.update(
@@ -13166,6 +13228,7 @@ _ORACLES.update(
         "gr_bowtie": _SQL_GR_BOWTIE,
         "cc_wet_export": _SQL_WET_EXPORT,
         "gr_trawl_cores": _SQL_TRAWL_CORES,
+        "gr_lpa_modularity": _lpa_sql(4, tail=_SQL_LPA_MODULARITY_TAIL),
     }
 )
 
