@@ -13099,6 +13099,96 @@ SELECT url,
 FROM ids ORDER BY url"""
 
 
+_SCRIPT_SPICE = [
+    (0, " привет мир"),            # cyrillic block
+    (1, " αβγ δεζ ηθι"),           # greek
+    (2, " مرحبا بالعالم"),          # arabic
+    (3, " paypаl sеcure lоgin"),   # homoglyph spoof: Cyrillic а/е/о in Latin words
+]
+
+
+def _q_script_mix(spark, sf_dir):
+    """Mixed-script profiling over documents (functions/text.script_profile):
+    per-script character counts, dominant script (argmax, alphabetical
+    tie-break), mixed flag (>=2 scripts each holding >10% of script chars,
+    exact integer compare), and the homoglyph-spoof flag (Latin-dominant
+    text containing ANY Cyrillic — the TR#39 confusable signal; the
+    fixture's doc_id%11==3 rows plant 'paypаl sеcure lоgin' with Cyrillic
+    а/е/о). Zero shuffles: five regexp_replace+length projections and
+    integer algebra. Oracle is GENERATED from the same SCRIPT_BLOCKS
+    table, so extending the block list updates both engines."""
+    from web_crawler_spark.functions.text import SCRIPT_BLOCKS, script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    spice = F.lit("")
+    for k, s in _SCRIPT_SPICE:
+        spice = F.when(F.col("doc_id") % 11 == k, F.lit(s)).otherwise(spice)
+    t = F.concat(F.coalesce(F.col("text"), F.lit("")), spice)
+    prof = script_profile(t)
+    counts = dict(prof)
+    total = None
+    for _, c in prof:
+        total = c if total is None else total + c
+    best = F.greatest(*counts.values())
+    dom = F.when(total == 0, F.lit("none"))
+    for name, _ in SCRIPT_BLOCKS:
+        dom = dom.when(counts[name] == best, F.lit(name))
+    over10 = None
+    for _, c in prof:
+        o = F.when(10 * c > total, F.lit(1)).otherwise(F.lit(0))
+        over10 = o if over10 is None else over10 + o
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in prof],
+        total.cast("long").alias("n_script_chars"),
+        dom.otherwise(F.lit("none")).alias("dominant"),
+        (over10 >= 2).alias("mixed"),
+        ((dom.otherwise(F.lit("none")) == "latin") & (counts["cyrillic"] > 0)).alias(
+            "homoglyph_flag"
+        ),
+    ).orderBy("doc_id")
+
+
+def _script_mix_sql() -> str:
+    from web_crawler_spark.functions.text import SCRIPT_BLOCKS
+
+    spice = " ".join(
+        f"WHEN doc_id % 11 = {k} THEN '{s}'" for k, s in _SCRIPT_SPICE
+    )
+    cnts = ",\n         ".join(
+        f"length(regexp_replace(t, '[^{rng}]', '', 'g')) AS {name}"
+        for name, rng in SCRIPT_BLOCKS
+    )
+    names = [n for n, _ in SCRIPT_BLOCKS]
+    total = " + ".join(names)
+    dom = " ".join(f"WHEN {n} = best THEN '{n}'" for n in names)
+    over10 = " + ".join(
+        f"(CASE WHEN 10 * {n} > total THEN 1 ELSE 0 END)" for n in names
+    )
+    return f"""
+WITH spiced AS (
+  SELECT doc_id,
+         concat(COALESCE(text, ''),
+                CASE {spice} ELSE '' END) AS t
+  FROM documents
+), cnt AS (
+  SELECT doc_id,
+         {cnts}
+  FROM spiced
+), tot AS (
+  SELECT *, {total} AS total,
+         GREATEST({', '.join(names)}) AS best
+  FROM cnt
+)
+SELECT doc_id, {', '.join(names)},
+       CAST(total AS BIGINT) AS n_script_chars,
+       CASE WHEN total = 0 THEN 'none' {dom} ELSE 'none' END AS dominant,
+       ({over10}) >= 2 AS mixed,
+       (CASE WHEN total = 0 THEN 'none' {dom} ELSE 'none' END) = 'latin'
+         AND cyrillic > 0 AS homoglyph_flag
+FROM tot ORDER BY doc_id"""
+
+
 def _q_lpa_modularity(spark, sf_dir):
     """Per-community Newman-Girvan modularity contributions
     (operators/graph.community_modularity) over the round-4 synchronous
@@ -13220,6 +13310,7 @@ _QUERIES.update(
         "cc_wet_export": _q_wet_export,
         "gr_trawl_cores": _q_trawl_cores,
         "gr_lpa_modularity": _q_lpa_modularity,
+        "tx_script_mix": _q_script_mix,
     }
 )
 _ORACLES.update(
@@ -13229,6 +13320,7 @@ _ORACLES.update(
         "cc_wet_export": _SQL_WET_EXPORT,
         "gr_trawl_cores": _SQL_TRAWL_CORES,
         "gr_lpa_modularity": _lpa_sql(4, tail=_SQL_LPA_MODULARITY_TAIL),
+        "tx_script_mix": _script_mix_sql(),
     }
 )
 

@@ -464,3 +464,31 @@ def gopher_stopword_flag(text: Column) -> Column:
     return F.struct(
         n.alias("n_stop_present"), (n >= 2).alias("flag_stopwords")
     )
+
+
+# Unicode script blocks for mixed-script profiling, shared with the DuckDB
+# oracle generator (same literal codepoint ranges in both engines — the
+# SCRIPT_RANGES portability discipline). Alphabetical: the dominant-script
+# argmax tie-breaks in this order.
+SCRIPT_BLOCKS = [
+    ("arabic", "؀-ۿ"),                 # U+0600–U+06FF
+    ("cjk", "぀-ヿ一-鿿가-힣"),          # kana + CJK unified + hangul
+    ("cyrillic", "Ѐ-ӿ"),               # U+0400–U+04FF
+    ("greek", "Ͱ-Ͽ"),                  # U+0370–U+03FF
+    ("latin", "A-Za-zÀ-ÖØ-öø-ÿ"),      # ASCII + Latin-1 letters
+]
+
+
+def script_profile(text: Column) -> list[tuple[str, Column]]:
+    """Per-script character counts over SCRIPT_BLOCKS — the input to
+    mixed-script spam profiling (homoglyph spoofing seeds Cyrillic
+    lookalikes inside Latin words: Unicode TR#39 confusable guidance;
+    spam/cloaking surveys: Gyöngyi & Garcia-Molina AIRWeb 2005). Each
+    count is one JVM regexp_replace+length projection — zero shuffles,
+    exact integers, engine-portable by the same literal-range trick as
+    detect_language."""
+    t = text.cast("string")
+    return [
+        (name, F.length(F.regexp_replace(t, f"[^{rng}]", "")).cast("long"))
+        for name, rng in SCRIPT_BLOCKS
+    ]
