@@ -2271,8 +2271,16 @@ ORDER BY d.doc_id
     )
 
 
-def _minhash_sql() -> str:
-    k, bands, n, thr = 8, 4, 5, 0.18
+def _minhash_sql(
+    src: str = "SELECT doc_id, text FROM documents",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 5,
+    thr: float = 0.18,
+) -> str:
+    """Portable-md5 MinHash-LSH pair oracle, parametrized by a (doc_id,
+    text) source CTE so structural variants (DOM tag sequences) reuse the
+    same certified algebra."""
     rows = k // bands
     sig_exprs = ",\n         ".join(
         f"list_min([md5(concat('s{i}:', g)) for g in grams]) AS s{i}" for i in range(k)
@@ -2285,7 +2293,7 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM ({src})
   WHERE trim(text) <> ''
 ), sh AS (
   SELECT doc_id,
@@ -13099,6 +13107,83 @@ SELECT url,
 FROM ids ORDER BY url"""
 
 
+# three DOM template families with structural jitter every 7th doc — the
+# cross-host CMS/template-family fixture for x_dom_template_families
+_DOM_FAMS = [
+    (
+        "<html><head><title>T</title></head><body><div><h1>H</h1><p>a</p><p>b</p>",
+        "<p>e</p>",
+        "</div><footer><a>l</a></footer></body></html>",
+    ),
+    (
+        "<html><body><table><tr><td>1</td><td>2</td></tr>",
+        "<tr><td>5</td></tr>",
+        "<tr><td>3</td><td>4</td></tr></table></body></html>",
+    ),
+    (
+        "<html><body><ul><li>i</li><li>j</li>",
+        "<li>k</li>",
+        "</ul><span>s</span></body></html>",
+    ),
+]
+
+_DOM_TAG_RE = "<([a-zA-Z][a-zA-Z0-9]*)"
+
+
+def _q_dom_template_families(spark, sf_dir):
+    """Cross-host DOM template-family detection: pages are grouped by the
+    STRUCTURE of their markup, not its text — tag-sequence extraction →
+    structural 3-gram shingles → the certified portable MinHash-LSH pair
+    machinery (operators/dedup.minhash_lsh_pairs; shingling boilerplate
+    structure rather than words is the Gibson-Punera-Tomkins template
+    premise applied cross-host, where line-frequency can't see). Fixture:
+    three template families synthesized over documents (doc_id<120), every
+    7th page carrying a structural jitter tag — within-family pairs must
+    survive the 0.5 tag-Jaccard threshold, cross-family must not. Oracle:
+    the SAME parametrized _minhash_sql algebra over the same tag text."""
+    from web_crawler_spark.operators import dedup as D2
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    fam = F.col("doc_id") % 3
+    jit = F.col("doc_id") % 7 == 0
+    html = (
+        F.when(fam == 0, F.concat(F.lit(_DOM_FAMS[0][0]),
+                                  F.when(jit, F.lit(_DOM_FAMS[0][1])).otherwise(F.lit("")),
+                                  F.lit(_DOM_FAMS[0][2])))
+        .when(fam == 1, F.concat(F.lit(_DOM_FAMS[1][0]),
+                                 F.when(jit, F.lit(_DOM_FAMS[1][1])).otherwise(F.lit("")),
+                                 F.lit(_DOM_FAMS[1][2])))
+        .otherwise(F.concat(F.lit(_DOM_FAMS[2][0]),
+                            F.when(jit, F.lit(_DOM_FAMS[2][1])).otherwise(F.lit("")),
+                            F.lit(_DOM_FAMS[2][2])))
+    )
+    tag_text = F.array_join(
+        F.regexp_extract_all(html, F.lit(_DOM_TAG_RE), 1), " "
+    )
+    base = d.select("doc_id", tag_text.alias("text"))
+    return D2.minhash_lsh_pairs(
+        base, "text", "doc_id", n=3, k=8, bands=4, threshold=0.5,
+        portable_hash=True,
+    ).orderBy("id_a", "id_b")
+
+
+def _dom_template_sql() -> str:
+    cases = []
+    for i, (head, jitter, tail) in enumerate(_DOM_FAMS):
+        body = (
+            f"concat('{head}', CASE WHEN doc_id % 7 = 0 THEN '{jitter}' "
+            f"ELSE '' END, '{tail}')"
+        )
+        cases.append(f"WHEN doc_id % 3 = {i} THEN {body}")
+    src = f"""
+SELECT doc_id,
+       array_to_string(
+         regexp_extract_all(CASE {' '.join(cases)} END, '{_DOM_TAG_RE}', 1),
+         ' ') AS text
+FROM documents WHERE doc_id < 120"""
+    return _minhash_sql(src=src, k=8, bands=4, n=3, thr=0.5)
+
+
 _SCRIPT_SPICE = [
     (0, " привет мир"),            # cyrillic block
     (1, " αβγ δεζ ηθι"),           # greek
@@ -13311,6 +13396,7 @@ _QUERIES.update(
         "gr_trawl_cores": _q_trawl_cores,
         "gr_lpa_modularity": _q_lpa_modularity,
         "tx_script_mix": _q_script_mix,
+        "x_dom_template_families": _q_dom_template_families,
     }
 )
 _ORACLES.update(
@@ -13321,6 +13407,7 @@ _ORACLES.update(
         "gr_trawl_cores": _SQL_TRAWL_CORES,
         "gr_lpa_modularity": _lpa_sql(4, tail=_SQL_LPA_MODULARITY_TAIL),
         "tx_script_mix": _script_mix_sql(),
+        "x_dom_template_families": _dom_template_sql(),
     }
 )
 

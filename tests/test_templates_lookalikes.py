@@ -113,3 +113,18 @@ def test_lookalikes_hot_variant_cap(spark):
     full = host_lookalikes(_hosts(spark, names), max_bucket=64).collect()
     assert len(full) == 10  # C(5,2), each dist... substitution = 1
     assert all(r["dist"] == 1 for r in full)
+
+
+def test_dom_template_families_grouping(spark):
+    """x_dom_template_families: within-family pairs survive the structural
+    tag-Jaccard threshold, cross-family pairs never appear."""
+    import __spark_entry__ as E
+
+    rows = E._q_dom_template_families(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected within-family structural pairs"
+    for r in rows:
+        assert r["id_a"] % 3 == r["id_b"] % 3, "cross-family pair leaked"
+        assert r["jaccard"] >= 0.5
+    # identical-structure pairs (same jitter class) must score exactly 1.0
+    same = [r for r in rows if (r["id_a"] % 7 == 0) == (r["id_b"] % 7 == 0)]
+    assert same and all(r["jaccard"] == 1.0 for r in same)
