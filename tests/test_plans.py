@@ -312,3 +312,34 @@ def test_template_burden_text_pruned_before_exchange(spark):
     import re
     for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m, m
+
+
+def test_trawl_cores_no_cartesian_slim_joins(spark):
+    """trawl_cores: candidate enumeration must stay keyed self-equi-joins
+    on fan — no cartesian, no nested-loop — and the shuffled rows are slim
+    string tuples (no payload columns in the exchange)."""
+    from web_crawler_spark.operators.graph import trawl_cores
+
+    e = spark.createDataFrame(
+        [(f"f{i}", f"c{(i * 3 + k) % 7}") for i in range(12) for k in range(4)],
+        ["src_host", "dst_host"],
+    )
+    plan = _plan(trawl_cores(e, j=3, min_fans=2, prune_rounds=0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_community_modularity_label_keyed_aggs(spark):
+    """community_modularity: degree/intra stages are label-keyed aggs after
+    slim label joins — no cartesian, no nested-loop anywhere."""
+    from web_crawler_spark.operators.graph import community_modularity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src_host", "dst_host"]
+    )
+    lab = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y")], ["node", "label"]
+    )
+    plan = _plan(community_modularity(e, lab))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
