@@ -194,6 +194,10 @@ HEADLINE = [
     # they price per-round job latency, constant in data size, and that
     # floor is already priced by the seed-distance leg)
     "cc_wet_export",
+    # mixed-script + homoglyph profiling: five regexp_replace+length
+    # projections and integer algebra over every document — prices the
+    # zero-shuffle multi-regex scan shape
+    "tx_script_mix",
 ]
 
 
