@@ -1292,6 +1292,11 @@ def scc(
         if active_n.isEmpty():
             break
         # --- 2. forward min-ancestor coloring to fixpoint ---------------
+        # each round: neighbor-min step + pointer-doubling shortcut
+        # (color(v) <- min(color(v), color(color(v))) — valid because
+        # color(v)=u means u reaches v, so u's ancestors are v's ancestors;
+        # the same label-shortcutting as redirects.resolve_redirects) —
+        # fixpoint in O(log diameter) rounds instead of O(diameter)
         labels = active_n.select("node", F.col("node").alias("color"))
         color_rounds = 0
         while True:
@@ -1303,18 +1308,34 @@ def scc(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("color").alias("in_min"))
             )
+            stepped = labels.join(inc, "node", "left").select(
+                "node",
+                F.least(F.col("color"), F.coalesce("in_min", "color")).alias(
+                    "color"
+                ),
+            )
             nxt = (
-                labels.join(inc, "node", "left")
+                stepped.alias("s")
+                .join(
+                    labels.select(
+                        F.col("node").alias("color"), F.col("color").alias("cc")
+                    ).alias("t"),
+                    "color",
+                    "left",
+                )
                 .select(
                     "node",
-                    F.least(F.col("color"), F.coalesce("in_min", "color")).alias(
+                    F.least(F.col("color"), F.coalesce("cc", "color")).alias(
                         "new_color"
                     ),
-                    (F.coalesce("in_min", "color") < F.col("color")).alias("chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = nxt.filter(F.col("chg")).count()
+            changed = (
+                nxt.join(labels, "node")
+                .filter(F.col("new_color") != F.col("color"))
+                .count()
+            )
             labels = nxt.select("node", F.col("new_color").alias("color"))
             if changed == 0:
                 labels = labels.localCheckpoint()
