@@ -13107,6 +13107,99 @@ SELECT url,
 FROM ids ORDER BY url"""
 
 
+def _q_cloaking_flags(spark, sf_dir):
+    """Cloaking detection (operators/urlfilter.cloaking_flags; Wu &
+    Davison WWW 2005): URLs serving bot and browser audiences DISJOINT
+    content fingerprints, with the multi-copy dynamism guard. Fixture
+    classes by event_id%50: cloaked (stable-but-different per side),
+    clean shared, partial-overlap (one shared fp must clear the flag),
+    fully-dynamic (unique fp per fetch — must NOT flag), and bot-only
+    (no browser copies — must NOT flag). Exact integers throughout:
+    shared fingerprints via inclusion-exclusion d_bot+d_browser-d_all."""
+    from web_crawler_spark.operators.urlfilter import cloaking_flags
+
+    ev = _t(spark, sf_dir, "events")
+    c = F.col("event_id") % 50
+    u = F.col("user_id")
+    agent = F.when(c >= 45, F.lit("bot")).otherwise(
+        F.when(u % 2 == 0, F.lit("bot")).otherwise(F.lit("browser"))
+    )
+    base = ev.select(
+        F.concat(F.lit("https://ex.com/p"), c.cast("string")).alias("url"),
+        agent.alias("agent_class"),
+        c.alias("c"),
+        u.alias("u"),
+        F.col("event_id").alias("eid"),
+    )
+    cs = F.col("c").cast("string")
+    fp = (
+        F.when(
+            F.col("c") < 10,
+            F.when(
+                F.col("agent_class") == "bot", F.concat(F.lit("bot-v"), cs)
+            ).otherwise(F.concat(F.lit("brw-v"), cs)),
+        )
+        .when(F.col("c") < 30, F.concat(F.lit("common"), cs))
+        .when(
+            F.col("c") < 40,
+            F.when(
+                (F.col("agent_class") == "bot") & (F.col("u") % 3 == 0),
+                F.concat(F.lit("v1-"), cs),
+            ).otherwise(F.concat(F.lit("v2-"), cs)),
+        )
+        .when(F.col("c") < 45, F.md5(F.col("eid").cast("string")))
+        .otherwise(F.concat(F.lit("b"), cs))
+    )
+    fetches = base.select("url", "agent_class", fp.alias("content_fp"))
+    return cloaking_flags(fetches).orderBy("url")
+
+
+_SQL_CLOAKING = """
+WITH f AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 50 AS VARCHAR)) AS url,
+         CASE WHEN event_id % 50 >= 45 THEN 'bot'
+              WHEN user_id % 2 = 0 THEN 'bot' ELSE 'browser' END AS agent,
+         event_id % 50 AS c, user_id, event_id
+  FROM events
+), g AS (
+  SELECT url,
+         CASE WHEN agent = 'bot' THEN 1 ELSE 0 END AS is_bot,
+         CASE WHEN c < 10 THEN
+                CASE WHEN agent = 'bot' THEN concat('bot-v', CAST(c AS VARCHAR))
+                     ELSE concat('brw-v', CAST(c AS VARCHAR)) END
+              WHEN c < 30 THEN concat('common', CAST(c AS VARCHAR))
+              WHEN c < 40 THEN
+                CASE WHEN agent = 'bot' AND user_id % 3 = 0
+                     THEN concat('v1-', CAST(c AS VARCHAR))
+                     ELSE concat('v2-', CAST(c AS VARCHAR)) END
+              WHEN c < 45 THEN md5(CAST(event_id AS VARCHAR))
+              ELSE concat('b', CAST(c AS VARCHAR)) END AS fp
+  FROM f
+), per AS (
+  SELECT url, COUNT(*) AS n_fetches, SUM(is_bot) AS n_bot,
+         COUNT(DISTINCT fp) AS d_all
+  FROM g GROUP BY url
+), sides AS (
+  SELECT url,
+         SUM(CASE WHEN is_bot = 1 THEN 1 ELSE 0 END) AS d_bot,
+         SUM(CASE WHEN is_bot = 0 THEN 1 ELSE 0 END) AS d_browser
+  FROM (SELECT DISTINCT url, is_bot, fp FROM g) GROUP BY url
+)
+SELECT p.url,
+       CAST(p.n_fetches AS BIGINT) AS n_fetches,
+       CAST(p.n_bot AS BIGINT) AS n_bot,
+       CAST(p.n_fetches - p.n_bot AS BIGINT) AS n_browser,
+       CAST(s.d_bot AS BIGINT) AS d_bot,
+       CAST(s.d_browser AS BIGINT) AS d_browser,
+       CAST(s.d_bot + s.d_browser - p.d_all AS BIGINT) AS shared_fps,
+       p.d_all = p.n_fetches AS dynamic,
+       p.n_bot > 0 AND p.n_fetches - p.n_bot > 0
+         AND s.d_bot + s.d_browser - p.d_all = 0
+         AND NOT (p.d_all = p.n_fetches) AS cloaked
+FROM per p JOIN sides s ON s.url = p.url
+ORDER BY p.url"""
+
+
 # three DOM template families with structural jitter every 7th doc — the
 # cross-host CMS/template-family fixture for x_dom_template_families
 _DOM_FAMS = [
@@ -13397,6 +13490,7 @@ _QUERIES.update(
         "gr_lpa_modularity": _q_lpa_modularity,
         "tx_script_mix": _q_script_mix,
         "x_dom_template_families": _q_dom_template_families,
+        "url_cloaking_flags": _q_cloaking_flags,
     }
 )
 _ORACLES.update(
@@ -13408,6 +13502,7 @@ _ORACLES.update(
         "gr_lpa_modularity": _lpa_sql(4, tail=_SQL_LPA_MODULARITY_TAIL),
         "tx_script_mix": _script_mix_sql(),
         "x_dom_template_families": _dom_template_sql(),
+        "url_cloaking_flags": _SQL_CLOAKING,
     }
 )
 

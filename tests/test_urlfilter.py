@@ -258,3 +258,33 @@ def test_mirror_hosts_min_shared_and_key_cap(spark):
              for j in range(3)]
     out = mirror_hosts(_mirror_pages(spark, under)).collect()
     assert len(out) == 3 and all(r["is_mirror"] for r in out)
+
+
+def test_cloaking_flags_classes(spark):
+    """cloaking_flags (Wu & Davison): disjoint-sides flagged; shared fp,
+    full dynamism, and one-sided fetch histories must all clear."""
+    from web_crawler_spark.operators.urlfilter import cloaking_flags
+
+    rows = [
+        # cloaked: stable per side, disjoint across sides
+        ("u_cloak", "bot", "A"), ("u_cloak", "bot", "A"),
+        ("u_cloak", "browser", "B"), ("u_cloak", "browser", "B"),
+        # clean: one shared fingerprint
+        ("u_clean", "bot", "S"), ("u_clean", "browser", "S"),
+        # partial overlap: one shared fp clears the flag
+        ("u_part", "bot", "X"), ("u_part", "bot", "S2"),
+        ("u_part", "browser", "S2"),
+        # dynamic: every fetch unique -> guard holds even though disjoint
+        ("u_dyn", "bot", "d1"), ("u_dyn", "browser", "d2"),
+        ("u_dyn", "bot", "d3"), ("u_dyn", "browser", "d4"),
+        # bot-only history
+        ("u_bot", "bot", "Z"), ("u_bot", "bot", "Z"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "agent_class", "content_fp"])
+    got = {r["url"]: r for r in cloaking_flags(df).collect()}
+    assert got["u_cloak"]["cloaked"] and got["u_cloak"]["shared_fps"] == 0
+    assert not got["u_clean"]["cloaked"] and got["u_clean"]["shared_fps"] == 1
+    assert not got["u_part"]["cloaked"] and got["u_part"]["shared_fps"] == 1
+    assert not got["u_dyn"]["cloaked"] and got["u_dyn"]["dynamic"]
+    assert not got["u_bot"]["cloaked"] and got["u_bot"]["n_browser"] == 0
+    assert got["u_part"]["d_bot"] == 2 and got["u_part"]["d_browser"] == 1

@@ -587,3 +587,73 @@ def host_lookalikes(
         .withColumn("dist", F.levenshtein("host_a", "host_b").cast("int"))
         .filter(F.col("dist") <= 1)
     )
+
+
+def cloaking_flags(
+    fetches: DataFrame,
+    url_col: str = "url",
+    agent_col: str = "agent_class",
+    fp_col: str = "content_fp",
+    bot_class: str = "bot",
+) -> DataFrame:
+    """Cloaking detection by bot-vs-browser content divergence (Wu &
+    Davison, WWW 2005 "Cloaking and Redirection: A Preliminary Look" —
+    fetch each URL as a crawler AND as a browser; a page that serves the
+    two audiences disjoint content is cloaked, while ordinary dynamism
+    churns content for everyone alike).
+
+    Exact integer set algebra per URL over distinct (side, fingerprint)
+    rows — shared fingerprints between sides by inclusion-exclusion
+    (d_bot + d_browser − d_all), so no set intersection ever materializes:
+
+    ``cloaked`` = fetched on both sides ∧ zero shared fingerprints ∧ not
+    fully dynamic (``dynamic`` = every fetch produced a distinct
+    fingerprint — the Wu-Davison multi-copy guard against flagging
+    per-request content as cloaking).
+
+    Scale shape: one distinct collapse to (url, side, fp) + two
+    url-keyed combiner aggs; only the fingerprint (pass an md5, not the
+    body) crosses a shuffle. Returns (url, n_fetches, n_bot, n_browser,
+    d_bot, d_browser, shared_fps, dynamic, cloaked).
+    """
+    side = (F.col(agent_col) == bot_class).cast("int").alias("is_bot")
+    base = fetches.select(
+        F.col(url_col).alias("url"), side, F.col(fp_col).alias("fp")
+    )
+    per_url = base.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum("is_bot").cast("long").alias("n_bot"),
+        F.count_distinct("fp").alias("d_all"),
+    )
+    sides = (
+        base.select("url", "is_bot", "fp")
+        .distinct()
+        .groupBy("url")
+        .agg(
+            F.sum(F.when(F.col("is_bot") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("d_bot"),
+            F.sum(F.when(F.col("is_bot") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("d_browser"),
+        )
+    )
+    out = per_url.join(sides, "url")
+    shared = F.col("d_bot") + F.col("d_browser") - F.col("d_all")
+    dynamic = F.col("d_all") == F.col("n_fetches")
+    return out.select(
+        "url",
+        F.col("n_fetches").cast("long").alias("n_fetches"),
+        "n_bot",
+        (F.col("n_fetches") - F.col("n_bot")).cast("long").alias("n_browser"),
+        "d_bot",
+        "d_browser",
+        shared.cast("long").alias("shared_fps"),
+        dynamic.alias("dynamic"),
+        (
+            (F.col("n_bot") > 0)
+            & (F.col("n_fetches") - F.col("n_bot") > 0)
+            & (shared == 0)
+            & ~dynamic
+        ).alias("cloaked"),
+    )
