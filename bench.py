@@ -198,6 +198,10 @@ HEADLINE = [
     # projections and integer algebra over every document — prices the
     # zero-shuffle multi-regex scan shape
     "tx_script_mix",
+    # cloaking flags: distinct collapse + two url-keyed combiner aggs
+    # with inclusion-exclusion shared-fp algebra (Wu-Davison) — prices
+    # the md5-only two-agg audit shape
+    "url_cloaking_flags",
 ]
 
 
