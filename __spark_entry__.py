@@ -13481,8 +13481,67 @@ GROUP BY 1 HAVING COUNT(*) >= 3
 ORDER BY centers"""
 
 
+def _q_degree_powerlaw(spark, sf_dir):
+    """In-degree power-law exponent (operators/graph.degree_powerlaw;
+    Clauset-Shalizi-Newman 2009 discrete MLE, the Broder WWW 2000
+    measurement). Fixture: a heavy-tailed synthetic in-degree field —
+    u = (event_id·31153) mod 65536 is a bijection on event_id mod 2^16,
+    dst = floor(65536/(u+1)) gives P(dst=k) = 1/(k(k+1)), the classic
+    reciprocal-rank tail; src fans out over 997 hosts. Everything up to
+    the single ln-fold is exact integer algebra (distinct pairs, degree
+    agg, histogram), and the fold is ordered by ascending degree value —
+    the oracle replays it with list_reduce ORDER BY d."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    u = (F.col("event_id") * F.lit(31153)) % F.lit(65536)
+    edges = e.select(
+        F.concat(
+            F.lit("s"), (F.col("event_id") % 997).cast("string"),
+            F.lit(".com"),
+        ).alias("src_host"),
+        F.concat(
+            F.lit("d"),
+            F.floor(F.lit(65536.0) / (u + F.lit(1))).cast("string"),
+            F.lit(".com"),
+        ).alias("dst_host"),
+    )
+    return G.degree_powerlaw(edges, dmin=2, direction="in")
+
+
+_SQL_DEGREE_POWERLAW = """
+WITH e AS (
+  SELECT DISTINCT
+    concat('s', CAST(event_id % 997 AS VARCHAR), '.com') AS src,
+    concat('d', CAST(CAST(floor(65536.0 /
+        ((event_id * 31153) % 65536 + 1)) AS BIGINT) AS VARCHAR),
+        '.com') AS dst
+  FROM events
+),
+deg AS (SELECT dst AS node, COUNT(*) AS d FROM e
+        WHERE src <> dst GROUP BY dst),
+hist AS (SELECT d, COUNT(*) AS c FROM deg GROUP BY d),
+s AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN d >= 2 THEN c END), 0) AS BIGINT)
+           AS n_tail,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_degree,
+         list_reduce(
+           list(CAST(c AS DOUBLE) * ln(CAST(d AS DOUBLE) / 1.5)
+                ORDER BY d) FILTER (WHERE d >= 2),
+           (a, b) -> a + b) AS lnsum
+  FROM hist
+)
+SELECT CAST(2 AS BIGINT) AS dmin, n_tail, n_nodes, max_degree,
+       CASE WHEN n_tail > 0
+            THEN ROUND(1.0 + CAST(n_tail AS DOUBLE) / lnsum, 6) END AS alpha
+FROM s
+"""
+
+
 _QUERIES.update(
     {
+        "gr_degree_powerlaw": _q_degree_powerlaw,
         "gr_scc": _q_gr_scc,
         "gr_bowtie": _q_gr_bowtie,
         "cc_wet_export": _q_wet_export,
@@ -13495,6 +13554,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_degree_powerlaw": _SQL_DEGREE_POWERLAW,
         "gr_scc": _SQL_GR_SCC,
         "gr_bowtie": _SQL_GR_BOWTIE,
         "cc_wet_export": _SQL_WET_EXPORT,
