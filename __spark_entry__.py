@@ -13539,8 +13539,60 @@ FROM s
 """
 
 
+def _q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced corpus subsample (operators/similarity.
+    cluster_quota_sample; SemDeDup/DataComp curation stage): md5-picked
+    portable centroids, zero-join argmin assignment, near-equal
+    per-cluster quotas (100 over 8 clusters -> 13/13/13/13/12/12/12/12),
+    deterministic lowest-md5-draw selection within each cluster. The
+    oracle replays centroid pick order, round-6 assignment distances,
+    quota arithmetic, and the md5 draw exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cluster_quota_sample(
+        emb, n_keep=100, n_clusters=8, portable=True
+    ).orderBy("cid", "rk")
+
+
+def _sql_cluster_sample(n_keep: int = 100, k: int = 8, seed: int = 77,
+                        salt: str = "cqs") -> str:
+    base, rem = divmod(n_keep, k)
+    l2_assign = (
+        "round(sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1), "
+        "i -> power(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i], 2)))), 6)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY ord, vec_id) - 1 AS cid, cvec
+  FROM (SELECT md5(concat('cqs{seed}:', CAST(vec_id AS VARCHAR))) AS ord,
+               vec_id, embedding::DOUBLE[] AS cvec
+        FROM embeddings ORDER BY 1, 2 LIMIT {k})
+),
+dists AS (
+  SELECT e.vec_id, c.cid, {l2_assign} AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists) WHERE rn = 1
+),
+sel AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY cid
+             ORDER BY md5(concat('{salt}:', CAST(vec_id AS VARCHAR))),
+                      vec_id) AS rk
+  FROM assigned
+)
+SELECT vec_id, cid, rk FROM sel
+WHERE rk <= {base} + (CASE WHEN cid < {rem} THEN 1 ELSE 0 END)
+ORDER BY cid, rk
+"""
+
+
 _QUERIES.update(
     {
+        "tx_cluster_sample": _q_cluster_sample,
         "gr_degree_powerlaw": _q_degree_powerlaw,
         "gr_scc": _q_gr_scc,
         "gr_bowtie": _q_gr_bowtie,
@@ -13554,6 +13606,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_cluster_sample": _sql_cluster_sample(),
         "gr_degree_powerlaw": _SQL_DEGREE_POWERLAW,
         "gr_scc": _SQL_GR_SCC,
         "gr_bowtie": _SQL_GR_BOWTIE,

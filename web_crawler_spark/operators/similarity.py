@@ -1351,3 +1351,119 @@ def rocchio_topk(
         for i in range(len(query_vec))
     ]
     return cosine_topk(df, qp, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def cluster_quota_sample(
+    df: DataFrame,
+    n_keep: int,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 77,
+    centroids: list[list[float]] | None = None,
+    portable: bool = False,
+    salt: str = "cqs",
+) -> DataFrame:
+    """Cluster-balanced corpus subsampling — the diversity-preserving
+    selection stage of cluster-curated pipelines (SemDeDup, Abbas et al.
+    2023 §4; DataComp curation tracks): instead of a uniform sample that
+    reproduces the corpus's cluster skew (boilerplate-heavy clusters
+    dominate), assign every embedding to its nearest centroid and take an
+    (almost-)EQUAL quota from each cluster, so rare topical clusters
+    survive the cut. Quota for cluster c = ⌊n_keep/K⌋ (+1 for the first
+    n_keep mod K cids in ascending cid order); a cluster smaller than its
+    quota yields all its members — no redistribution, so the output size
+    is Σ min(quota_c, |c|) ≤ n_keep, documented semantics the oracle
+    replays. Within a cluster the kept members are the lowest
+    md5(salt:id) draws (deterministic on any engine), tie-broken by id.
+
+    Returns (vec_id, cid, rk) — rk is the within-cluster selection rank.
+
+    Scale shape: assignment is the zero-join argmin over the broadcast
+    centroid literal (ivf_topk's discipline — no row inflation, stays in
+    whole-stage codegen). Selection is two-level: each scan partition
+    keeps only its LOCAL per-cluster top-(quota) by the md5 draw, so the
+    per-cid global rank window orders ≤ partitions × quota survivors —
+    a hot mega-cluster never serializes through one window task (the
+    zipf_fit / refresh_allocation rank discipline). K is the trained
+    centroid count (breadth of the codebook, not the corpus), so the
+    quota map literal is driver-bounded by construction.
+    """
+    from pyspark.sql import Window
+
+    cent_sel = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    if centroids is not None:
+        cent_list = [(i, [float(x) for x in cv]) for i, cv in enumerate(centroids)]
+    else:
+        if portable:
+            cent_sel = cent_sel.orderBy(
+                F.md5(F.concat(F.lit(f"cqs{seed}:"), F.col("cid").cast("string"))),
+                F.col("cid"),
+            )
+        else:
+            cent_sel = cent_sel.orderBy(
+                F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(1_000_003))
+            )
+        rows = cent_sel.limit(n_clusters).collect()
+        cent_list = [
+            (i, [float(x) for x in r["cvec"]]) for i, r in enumerate(rows)
+        ]
+    empty = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.lit(None).cast("int").alias("cid"),
+        F.lit(None).cast("int").alias("rk"),
+    ).limit(0)
+    if not cent_list or n_keep <= 0:
+        return empty
+    cent_arr = F.array(*[
+        F.struct(
+            F.array(*[F.lit(x) for x in cv]).alias("cvec"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in cent_list
+    ])
+
+    def dist_expr(c):
+        d = V.l2_distance(F.col(vec_col), c["cvec"])
+        return F.round(d, 6) if portable else d
+
+    nearest = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(dist_expr(c).alias("d"), c["cid"].alias("cid")),
+        )
+    )["cid"]
+
+    k = len(cent_list)
+    base, rem = divmod(int(n_keep), k)
+    quota = {
+        cid: base + (1 if i < rem else 0)
+        for i, (cid, _) in enumerate(sorted(cent_list, key=lambda t: t[0]))
+    }
+    qmax = max(quota.values())
+    quota_expr = F.lit(base) if rem == 0 else F.element_at(
+        F.create_map(
+            *[x for cid, q in quota.items() for x in (F.lit(cid), F.lit(q))]
+        ),
+        F.col("cid"),
+    )
+    draw = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"),
+        nearest.alias("cid"),
+        draw.alias("u"),
+    )
+    w_local = Window.partitionBy(F.spark_partition_id(), "cid").orderBy(
+        "u", "vec_id"
+    )
+    pruned = (
+        assigned.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= qmax)
+        .drop("__lr")
+    )
+    w = Window.partitionBy("cid").orderBy("u", "vec_id")
+    return (
+        pruned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota_expr)
+        .select("vec_id", "cid", "rk")
+    )
