@@ -13590,8 +13590,57 @@ ORDER BY cid, rk
 """
 
 
+def _q_postings_vbyte(spark, sf_dir):
+    """Per-term index-size planning under delta-gap + vbyte encoding
+    (operators/corpus.postings_vbyte_size; Witten-Moffat-Bell d-gaps,
+    Scholer et al. SIGIR'02) — exact integer algebra end to end (gap
+    thresholds as 2^(7k) comparisons), restricted to the index-dominating
+    terms df >= 5. High-df terms compress densest (small gaps), the
+    textbook prediction the fixture exhibits."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.postings_vbyte_size(d, min_df=5).orderBy("term")
+
+
+_SQL_POSTINGS_VBYTE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+post AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+gaps AS (
+  SELECT term,
+         doc_id - lag(doc_id, 1, -1)
+             OVER (PARTITION BY term ORDER BY doc_id) AS gap
+  FROM post
+),
+per AS (
+  SELECT term, COUNT(*) AS df_docs,
+         SUM(1 + (CASE WHEN gap >= 128 THEN 1 ELSE 0 END)
+               + (CASE WHEN gap >= 16384 THEN 1 ELSE 0 END)
+               + (CASE WHEN gap >= 2097152 THEN 1 ELSE 0 END)
+               + (CASE WHEN gap >= 268435456 THEN 1 ELSE 0 END)
+               + (CASE WHEN gap >= 34359738368 THEN 1 ELSE 0 END)
+               + (CASE WHEN gap >= 4398046511104 THEN 1 ELSE 0 END)
+               + (CASE WHEN gap >= 562949953421312 THEN 1 ELSE 0 END)
+               + (CASE WHEN gap >= 72057594037927936 THEN 1 ELSE 0 END)
+         ) AS vbyte_bytes
+  FROM gaps GROUP BY term
+)
+SELECT term,
+       CAST(df_docs AS BIGINT) AS df_docs,
+       CAST(8 * df_docs AS BIGINT) AS raw_bytes,
+       CAST(vbyte_bytes AS BIGINT) AS vbyte_bytes,
+       CAST(floor(1000.0 * vbyte_bytes / (8 * df_docs)) AS BIGINT)
+         AS ratio_milli
+FROM per WHERE df_docs >= 5 ORDER BY term
+"""
+
+
 _QUERIES.update(
     {
+        "tx_postings_vbyte": _q_postings_vbyte,
         "tx_cluster_sample": _q_cluster_sample,
         "gr_degree_powerlaw": _q_degree_powerlaw,
         "gr_scc": _q_gr_scc,
@@ -13606,6 +13655,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_postings_vbyte": _SQL_POSTINGS_VBYTE,
         "tx_cluster_sample": _sql_cluster_sample(),
         "gr_degree_powerlaw": _SQL_DEGREE_POWERLAW,
         "gr_scc": _SQL_GR_SCC,

@@ -2495,3 +2495,61 @@ def tokenizer_fertility(
             F.floor(F.lit(1000) * F.col("n_chars") / F.col("n_tokens")),
         ).cast("long").alias("chars_per_token_milli"),
     )
+
+
+def postings_vbyte_size(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Index-compression size planning: per-term postings-list size under
+    delta-gap + variable-byte encoding (Scholer et al. SIGIR 2002; the
+    d-gap scheme of Witten-Moffat-Bell "Managing Gigabytes") vs raw
+    64-bit ids — the number that decides whether a 100 TB corpus's
+    inverted index fits the serving tier. For each term the doc ids are
+    sorted ascending, gap₁ = id₁ + 1 (delta from −1, so a zero id still
+    encodes ≥ 1) and gapᵢ = idᵢ − idᵢ₋₁; a gap of g costs
+    ⌈bits(g)/7⌉ bytes, computed as 1 + Σ_k [g ≥ 2^(7k)] — EXACT integer
+    algebra end to end, no floats anywhere, so the oracle replays it
+    row-for-row. Returns (term, df_docs, raw_bytes = 8·df, vbyte_bytes,
+    ratio_milli = ⌊1000·vbyte/raw⌋), densest-compression terms are the
+    high-df ones (small gaps) exactly as the textbook predicts.
+
+    Scale shape: the postings build shuffles on (term, doc) with map-side
+    combine; the gap window carries ONLY (term, doc_id) longs — a hot
+    stopword term streams its sorted posting list through one window
+    task, the inherent sequential dependency of any gap encoder (the
+    physical encoder at scale has the same per-term order requirement);
+    ``min_df`` exists to restrict the report to the index-dominating
+    terms, not to bound the window.
+    """
+    post = inverted_index(df, text_col, id_col).select(
+        "term", F.col("doc_id").cast("long").alias("doc_id")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gap = F.col("doc_id") - F.lag("doc_id", 1, -1).over(w)
+    g = F.col("gap")
+    nbytes = F.lit(1) + sum(
+        (g >= F.lit(1 << (7 * k))).cast("int") for k in range(1, 9)
+    )
+    per_term = (
+        post.withColumn("gap", gap)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_docs"),
+            F.sum(nbytes).alias("vbyte_bytes"),
+        )
+    )
+    return (
+        per_term.filter(F.col("df_docs") >= int(min_df))
+        .select(
+            "term",
+            F.col("df_docs").cast("long").alias("df_docs"),
+            (F.lit(8) * F.col("df_docs")).cast("long").alias("raw_bytes"),
+            F.col("vbyte_bytes").cast("long").alias("vbyte_bytes"),
+            F.floor(
+                F.lit(1000) * F.col("vbyte_bytes") / (F.lit(8) * F.col("df_docs"))
+            ).cast("long").alias("ratio_milli"),
+        )
+    )
