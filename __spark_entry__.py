@@ -13638,8 +13638,59 @@ FROM per WHERE df_docs >= 5 ORDER BY term
 """
 
 
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing rates (operators/corpus.
+    temperature_mix_rates; Arivazhagan et al. 2019, the mT5/PaLM
+    balancing rule) at tau=2 over the documents sources: q_s proportional
+    to sqrt(token share), budget 5000 tokens, per-source allocation
+    capped at availability. tau=2 keeps the root sqrt (correctly-rounded
+    IEEE) and the q normalizer is an ordered fold over sources sorted by
+    name, so every double is a pure function of the data."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.temperature_mix_rates(d, budget_tokens=5000, tau=2.0).orderBy(
+        "source"
+    )
+
+
+_SQL_TEMPERATURE_MIX = r"""
+WITH tok AS (
+  SELECT source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM per),
+qs AS (
+  SELECT list_reduce(
+           list(sqrt(CAST(n_tokens AS DOUBLE) / t.total) ORDER BY source),
+           (a, b) -> a + b) AS qsum
+  FROM per, tot t
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       ROUND(sqrt(CAST(p.n_tokens AS DOUBLE) / t.total) / q.qsum, 6)
+         AS q_rate,
+       LEAST(
+         CAST(floor(5000.0 * (sqrt(CAST(p.n_tokens AS DOUBLE) / t.total)
+                              / q.qsum)) AS BIGINT),
+         p.n_tokens) AS alloc_tokens,
+       (CAST(floor(5000.0 * (sqrt(CAST(p.n_tokens AS DOUBLE) / t.total)
+                             / q.qsum)) AS BIGINT) > p.n_tokens) AS capped
+FROM per p, tot t, qs q
+ORDER BY p.source
+"""
+
+
 _QUERIES.update(
     {
+        "tx_temperature_mix": _q_temperature_mix,
         "tx_postings_vbyte": _q_postings_vbyte,
         "tx_cluster_sample": _q_cluster_sample,
         "gr_degree_powerlaw": _q_degree_powerlaw,
@@ -13655,6 +13706,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_temperature_mix": _SQL_TEMPERATURE_MIX,
         "tx_postings_vbyte": _SQL_POSTINGS_VBYTE,
         "tx_cluster_sample": _sql_cluster_sample(),
         "gr_degree_powerlaw": _SQL_DEGREE_POWERLAW,

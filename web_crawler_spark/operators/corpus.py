@@ -2553,3 +2553,94 @@ def postings_vbyte_size(
             ).cast("long").alias("ratio_milli"),
         )
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    budget_tokens: int,
+    tau: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    token_counter: str = "ws",
+) -> DataFrame:
+    """Temperature-scaled source mixing (Arivazhagan et al. 2019 §4;
+    the mT5/PaLM multilingual data-balancing rule): sampling rate
+    q_s ∝ p_s^(1/τ) where p_s is source s's token share — τ=1 keeps the
+    natural (head-dominated) mix, τ→∞ flattens to uniform; τ∈[2,5] is
+    the published sweet spot that up-weights tail languages/sources
+    without swamping the head. Returns one row per source:
+    (source, n_docs, n_tokens, q_rate, alloc_tokens, capped) where
+    alloc_tokens = min(⌊budget·q_s⌋, T_s) — a source allocated more than
+    it has is ``capped`` (the caller re-runs with the residual budget or
+    accepts the shortfall; no silent redistribution).
+
+    Float discipline: token totals are exact longs; p_s = T_s/ΣT is one
+    exact-operand double division; the q normalizer Σ p^(1/τ) is an
+    ordered fold over sources sorted by name (1-row agg — the fold array
+    holds one element per SOURCE, bounded by the mix's source count);
+    for the default τ=2 the root is computed with sqrt (correctly-rounded
+    IEEE, bit-identical on any engine) — fractional τ≠2 goes through
+    pow, whose last ulp is libm-specific (declared, and masked by the
+    6dp round in practice). Two driver fetches of 1-row scalars (ΣT and
+    the normalizer), the repo's documented scalar-fetch pattern.
+
+    Scale shape: one (source)-keyed combiner agg over three slim columns
+    + a 1-row fold + a per-source projection — corpus text never crosses
+    a shuffle; works unchanged for per-domain weighting (10^5 sources):
+    the fold array is the source table, not the corpus.
+    """
+    per = (
+        _token_frame(df, text_col, id_col, source_col, token_counter)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+    def _root(x):
+        if float(tau) == 2.0:
+            return F.sqrt(x)
+        return F.pow(x, 1.0 / float(tau))
+
+    tot_row = per.agg(F.sum("n_tokens").alias("t")).collect()
+    total = int(tot_row[0]["t"] or 0) if tot_row else 0
+    if total <= 0:
+        return per.select(
+            "source", "n_docs", "n_tokens",
+            F.lit(None).cast("double").alias("q_rate"),
+            F.lit(None).cast("long").alias("alloc_tokens"),
+            F.lit(None).cast("boolean").alias("capped"),
+        )
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("source").alias("s"), F.col("n_tokens").alias("t"))
+        )
+    )
+    qsum = float(
+        per.agg(
+            F.aggregate(
+                F.transform(
+                    arr,
+                    lambda e: _root(
+                        e["t"].cast("double") / F.lit(float(total))
+                    ),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("qsum")
+        ).collect()[0]["qsum"]
+    )
+    q = _root(F.col("n_tokens").cast("double") / F.lit(float(total))) / F.lit(
+        qsum
+    )
+    raw_alloc = F.floor(F.lit(float(int(budget_tokens))) * q).cast("long")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(q, 6).alias("q_rate"),
+        F.least(raw_alloc, F.col("n_tokens")).alias("alloc_tokens"),
+        (raw_alloc > F.col("n_tokens")).alias("capped"),
+    )
