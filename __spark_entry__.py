@@ -13688,8 +13688,90 @@ ORDER BY p.source
 """
 
 
+def _q_densification(spark, sf_dir):
+    """Densification power-law fit over crawl epochs (operators/graph.
+    densification_fit; Leskovec-Kleinberg-Faloutsos KDD'05): cumulative
+    distinct nodes/edges per epoch, then OLS of ln E on ln N — the
+    exponent says whether the crawl is discovering structure (a > 1) or
+    fringe. Fixture: a growing host graph (one new host per 100 events,
+    targets drawn among already-existing hosts via an integer hash, so
+    edges densify superlinearly); epochs are event_id div 1250. Every
+    stage is exact integer algebra; the OLS sums are epoch-ordered folds
+    (zipf_fit discipline)."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    host_of = F.floor(F.col("event_id") / F.lit(100)).cast("long")
+    edges = e.select(
+        F.concat(F.lit("h"), host_of.cast("string")).alias("src_host"),
+        F.concat(
+            F.lit("h"),
+            ((F.col("event_id") * F.lit(31153)) % (host_of + F.lit(1)))
+            .cast("string"),
+        ).alias("dst_host"),
+        F.floor(F.col("event_id") / F.lit(1250)).cast("long").alias("epoch"),
+    )
+    return G.densification_fit(edges)
+
+
+_SQL_DENSIFICATION = """
+WITH e AS (
+  SELECT concat('h', CAST(event_id // 100 AS VARCHAR)) AS src,
+         concat('h', CAST((event_id * 31153) % (event_id // 100 + 1)
+                          AS VARCHAR)) AS dst,
+         CAST(event_id // 1250 AS BIGINT) AS ep
+  FROM events
+),
+ef AS (SELECT src, dst, MIN(ep) AS fe FROM e WHERE src <> dst
+       GROUP BY src, dst),
+nf AS (SELECT node, MIN(ep) AS fe FROM (
+         SELECT src AS node, ep FROM e WHERE src <> dst
+         UNION ALL SELECT dst, ep FROM e WHERE src <> dst)
+       GROUP BY node),
+ne AS (SELECT fe AS epoch, COUNT(*) AS new_edges FROM ef GROUP BY fe),
+nn AS (SELECT fe AS epoch, COUNT(*) AS new_nodes FROM nf GROUP BY fe),
+growth AS (
+  SELECT ne.epoch,
+         SUM(COALESCE(nn.new_nodes, 0)) OVER (ORDER BY ne.epoch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nodes,
+         SUM(ne.new_edges) OVER (ORDER BY ne.epoch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_edges
+  FROM ne LEFT JOIN nn ON nn.epoch = ne.epoch
+),
+pts AS (
+  SELECT epoch, ln(CAST(cum_nodes AS DOUBLE)) AS x,
+         ln(CAST(cum_edges AS DOUBLE)) AS y, cum_nodes, cum_edges
+  FROM growth
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_epochs,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         list_reduce(list(x ORDER BY epoch), (a, b) -> a + b) AS sx,
+         list_reduce(list(y ORDER BY epoch), (a, b) -> a + b) AS sy,
+         list_reduce(list(x * x ORDER BY epoch), (a, b) -> a + b) AS sxx,
+         list_reduce(list(y * y ORDER BY epoch), (a, b) -> a + b) AS syy,
+         list_reduce(list(x * y ORDER BY epoch), (a, b) -> a + b) AS sxy,
+         CAST(MAX(cum_nodes) AS BIGINT) AS cum_nodes,
+         CAST(MAX(cum_edges) AS BIGINT) AS cum_edges
+  FROM pts
+)
+SELECT n_epochs,
+       CASE WHEN n_epochs >= 2 THEN
+         ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) END AS exponent,
+       CASE WHEN n_epochs >= 2 THEN
+         ROUND((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n,
+               6) END AS intercept,
+       CASE WHEN n_epochs >= 2 THEN
+         ROUND((sxy - sx * sy / n) * (sxy - sx * sy / n)
+               / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) END AS r2,
+       cum_nodes, cum_edges
+FROM s
+"""
+
+
 _QUERIES.update(
     {
+        "gr_densification": _q_densification,
         "tx_temperature_mix": _q_temperature_mix,
         "tx_postings_vbyte": _q_postings_vbyte,
         "tx_cluster_sample": _q_cluster_sample,
@@ -13706,6 +13788,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_densification": _SQL_DENSIFICATION,
         "tx_temperature_mix": _SQL_TEMPERATURE_MIX,
         "tx_postings_vbyte": _SQL_POSTINGS_VBYTE,
         "tx_cluster_sample": _sql_cluster_sample(),

@@ -1734,3 +1734,139 @@ def degree_powerlaw(
             ),
         ).alias("alpha"),
     )
+
+
+def densification(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Graph growth curve over crawl epochs — per epoch, the cumulative
+    number of distinct nodes and distinct directed edges first seen at or
+    before it (self-loops dropped). The raw material of the densification
+    power law E(t) ∝ N(t)^a (Leskovec, Kleinberg & Faloutsos KDD 2005):
+    real growing graphs densify (a > 1, superlinear edges), so a crawl
+    whose host graph grows with a ≈ 1 is adding isolated fringe, not
+    discovering structure. Returns (epoch, new_nodes, new_edges,
+    cum_nodes, cum_edges) at every epoch where at least one new edge
+    appeared — a node's first epoch is the first epoch of any edge
+    touching it, so node-epochs ⊆ edge-epochs and nothing is lost.
+
+    All counts are exact integers; the cumulative window orders the
+    per-epoch histogram (one row per epoch — bounded by the crawl's
+    epoch count, never by the graph).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(epoch_col).cast("long").alias("ep"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+    )
+    first_edge = e.groupBy("src", "dst").agg(F.min("ep").alias("fe"))
+    first_node = (
+        e.select(F.col("src").alias("node"), "ep")
+        .unionAll(e.select(F.col("dst").alias("node"), "ep"))
+        .groupBy("node")
+        .agg(F.min("ep").alias("fe"))
+    )
+    ne = first_edge.groupBy(F.col("fe").alias("epoch")).agg(
+        F.count(F.lit(1)).alias("new_edges")
+    )
+    nn = first_node.groupBy(F.col("fe").alias("epoch")).agg(
+        F.count(F.lit(1)).alias("new_nodes")
+    )
+    w = Window.orderBy("epoch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ne.join(nn, "epoch", "left")
+        .select(
+            "epoch",
+            F.coalesce("new_nodes", F.lit(0)).cast("long").alias("new_nodes"),
+            F.col("new_edges").cast("long").alias("new_edges"),
+        )
+        .withColumn("cum_nodes", F.sum("new_nodes").over(w).cast("long"))
+        .withColumn("cum_edges", F.sum("new_edges").over(w).cast("long"))
+    )
+
+
+def densification_fit(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Densification exponent: OLS of ln(cum_edges) on ln(cum_nodes)
+    across epochs (Leskovec et al. KDD'05 eq. 1 — the log-log slope IS
+    the exponent a). One row (n_epochs, exponent, intercept, r2, final
+    cum_nodes/cum_edges), rounded to 6dp; the five OLS sums are ordered
+    folds over the epoch sequence (the zipf_fit discipline), so the fit
+    is a pure function of the data on any engine. The fold array holds
+    one element per epoch — driver-bounded by the crawl calendar.
+    """
+    growth = densification(edges, src_col, dst_col, epoch_col).select(
+        "epoch",
+        F.log(F.col("cum_nodes").cast("double")).alias("x"),
+        F.log(F.col("cum_edges").cast("double")).alias("y"),
+        "cum_nodes",
+        "cum_edges",
+    )
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col("epoch").alias("r"), "x", "y"))
+    )
+
+    def _fold(field):
+        return F.aggregate(
+            F.transform(pairs, lambda s: s[field]),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    def _fold2(fa, fb):
+        return F.aggregate(
+            F.transform(pairs, lambda s: s[fa] * s[fb]),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    agg = growth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_epochs"),
+        _fold("x").alias("sx"),
+        _fold("y").alias("sy"),
+        _fold2("x", "x").alias("sxx"),
+        _fold2("y", "y").alias("syy"),
+        _fold2("x", "y").alias("sxy"),
+        F.max("cum_nodes").cast("long").alias("cum_nodes"),
+        F.max("cum_edges").cast("long").alias("cum_edges"),
+    )
+    n = F.col("n_epochs").cast("double")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    return agg.select(
+        "n_epochs",
+        F.when(F.col("n_epochs") >= 2, F.round(slope, 6)).alias("exponent"),
+        F.when(
+            F.col("n_epochs") >= 2,
+            F.round((F.col("sy") - slope * F.col("sx")) / n, 6),
+        ).alias("intercept"),
+        F.when(
+            F.col("n_epochs") >= 2,
+            F.round(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+                * (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+                / (
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+                    * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+                ),
+                6,
+            ),
+        ).alias("r2"),
+        "cum_nodes",
+        "cum_edges",
+    )
