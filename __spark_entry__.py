@@ -13769,8 +13769,60 @@ FROM s
 """
 
 
+def _q_bloom_plan(spark, sf_dir):
+    """Per-shard bloom seen-set capacity plan (operators/dedup.
+    bloom_capacity_plan; Bloom CACM 1970 optimal m/k) over the canonical
+    URL key space: 16 md5 hash_bucket shards, 1% false-positive target.
+    DISTINCT keys per shard (duplicate sightings don't inflate capacity);
+    ln-constants are Python literals folded into the plan so every float
+    op is per-row fixed-order — the oracle replays m = ceil(-n ln p /
+    (ln 2)^2), k = floor(m/n ln2 + 1/2), bytes = (m+7) div 8 exactly."""
+    from web_crawler_spark.operators import dedup as DD
+
+    e = _t(spark, sf_dir, "events")
+    urls = e.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 97).cast("string"),
+            F.lit(".com/p/"), F.col("event_id").cast("string"),
+        ).alias("url_hash")
+    )
+    return DD.bloom_capacity_plan(
+        urls, n_partitions=16, target_fpp=0.01
+    ).orderBy("partition_id")
+
+
+_SQL_BLOOM_PLAN = """
+WITH k AS (
+  SELECT DISTINCT
+    concat('https://h', CAST(user_id % 97 AS VARCHAR), '.com/p/',
+           CAST(event_id AS VARCHAR)) AS k
+  FROM events
+),
+b AS (
+  SELECT TRY_CAST(concat('0x', substr(md5(concat('bplan:', k)), 1, 4))
+                  AS INT) % 16 AS partition_id,
+         COUNT(*) AS n_keys
+  FROM k GROUP BY 1
+),
+m AS (
+  SELECT partition_id, CAST(n_keys AS BIGINT) AS n_keys,
+         CAST(ceil(CAST(n_keys AS DOUBLE) * 4.605170185988091
+                   / 0.4804530139182014) AS BIGINT) AS m_bits
+  FROM b
+)
+SELECT CAST(partition_id AS BIGINT) AS partition_id, n_keys, m_bits,
+       GREATEST(CAST(1 AS BIGINT),
+                CAST(floor(CAST(m_bits AS DOUBLE) / CAST(n_keys AS DOUBLE)
+                           * 0.6931471805599453 + 0.5) AS BIGINT))
+         AS k_hashes,
+       CAST((m_bits + 7) // 8 AS BIGINT) AS mem_bytes
+FROM m ORDER BY partition_id
+"""
+
+
 _QUERIES.update(
     {
+        "f8_bloom_plan": _q_bloom_plan,
         "gr_densification": _q_densification,
         "tx_temperature_mix": _q_temperature_mix,
         "tx_postings_vbyte": _q_postings_vbyte,
@@ -13788,6 +13840,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "f8_bloom_plan": _SQL_BLOOM_PLAN,
         "gr_densification": _SQL_DENSIFICATION,
         "tx_temperature_mix": _SQL_TEMPERATURE_MIX,
         "tx_postings_vbyte": _SQL_POSTINGS_VBYTE,

@@ -202,6 +202,13 @@ HEADLINE = [
     # with inclusion-exclusion shared-fp algebra (Wu-Davison) — prices
     # the md5-only two-agg audit shape
     "url_cloaking_flags",
+    # cluster-balanced subsample (SemDeDup/DataComp curation): zero-join
+    # argmin assignment over every embedding + two-level per-cluster
+    # quota windows — prices the codegen argmin + slim rank-window pair
+    "tx_cluster_sample",
+    # postings vbyte sizing: (term,doc) combiner agg + per-term gap
+    # window over (term, doc_id) longs — prices the d-gap encoder shape
+    "tx_postings_vbyte",
 ]
 
 

@@ -1728,3 +1728,64 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
             F.expr("(1000 * unique_bytes) div total_bytes"),
         ).alias("stored_ratio_milli"),
     )
+
+
+def bloom_capacity_plan(
+    df: DataFrame,
+    key: str = "url_hash",
+    n_partitions: int = 16,
+    target_fpp: float = 0.01,
+    salt: str = "bplan",
+) -> DataFrame:
+    """Per-partition bloom seen-set capacity plan from observed lineage
+    counts — the information-theoretically optimal parameters (Bloom CACM
+    1970; Broder & Mitzenmacher's survey): for n keys at false-positive
+    target p, m = ⌈−n·ln p / (ln 2)²⌉ bits and k = ⌊m/n·ln 2 + ½⌋
+    probes. This is the planning twin of ``bloom_size_bits`` (which
+    clamps to power-of-two broadcast shapes at runtime): given a frontier
+    snapshot it reports, per seen-set shard, exactly how much executor
+    memory the next epoch's pre-filter needs — the number a 10^10-URL
+    deployment reads before choosing shard counts.
+
+    Shard assignment uses the md5 ``hash_bucket`` (engine-portable, the
+    sampling-family discipline); counts are DISTINCT keys per shard
+    (duplicate sightings don't inflate capacity). ln p and the ln 2
+    constants are Python-computed literals folded into the plan, so every
+    float op is per-row with a fixed operand order — oracle-replayable
+    exactly. Returns (partition_id, n_keys, m_bits, k_hashes, mem_bytes)
+    with mem_bytes = (m_bits + 7) div 8 in exact integers.
+
+    Scale shape: one distinct + one (bucket)-keyed combiner agg over two
+    slim columns; output is shard-count-sized.
+    """
+    import math as _m
+
+    from ..functions.sampling import hash_bucket
+
+    neg_ln_p = -_m.log(float(target_fpp))
+    ln2 = _m.log(2.0)
+    ln2sq = ln2 * ln2
+    per = (
+        df.select(F.col(key).cast("string").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .withColumn("partition_id", hash_bucket(F.col("k"), n_partitions, salt))
+        .groupBy("partition_id")
+        .agg(F.countDistinct("k").alias("n_keys"))
+    )
+    m_bits = F.ceil(
+        F.col("n_keys").cast("double") * F.lit(neg_ln_p) / F.lit(ln2sq)
+    ).cast("long")
+    return per.select(
+        F.col("partition_id").cast("long").alias("partition_id"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        m_bits.alias("m_bits"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                m_bits.cast("double") / F.col("n_keys").cast("double")
+                * F.lit(ln2)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("k_hashes"),
+        ((m_bits + F.lit(7)) / F.lit(8)).cast("long").alias("mem_bytes"),
+    )
