@@ -9193,11 +9193,15 @@ def _q_harmonic_hyperball(spark, sf_dir):
     return G.hyperball(edges, rounds=5, p=6).orderBy("node")
 
 
-def _hyperball_sql(rounds: int = 5) -> str:
+def _hyperball_sql(rounds: int = 5, nf_tail: bool = False,
+                   quantile_milli: int = 900) -> str:
     """Unrolled HyperBall register algebra — the exact computation of
     operators/graph.py::hyperball at p=6 (m=64, α=0.709): per round one
     register-max along edges + the α·m²/ΣZ estimator with linear-counting
-    small-range branch, 6dp-rounded before the harmonic accumulation."""
+    small-range branch, 6dp-rounded before the harmonic accumulation.
+    With ``nf_tail`` the same register chain ends in the ANF global
+    neighborhood-function read (micro-unit integer sums per round +
+    effective-radius quantile test) instead of the per-node state."""
     head = """
 WITH ee AS (
   SELECT DISTINCT
@@ -9256,6 +9260,22 @@ state{t} AS (
            AS harmonic
   FROM state{t-1} s JOIN est{t} x ON x.node = s.node
 )""")
+    if nf_tail:
+        rows = " UNION ALL ".join(
+            f"SELECT {t} AS r, SUM(CAST(round(est * 1000000.0, 0) AS BIGINT))"
+            f" AS nf_micro FROM est{t}"
+            for t in range(rounds + 1)
+        )
+        parts.append(f""",
+nf AS ({rows})
+SELECT r, nf_micro,
+       CAST(floor(1000 * nf_micro / (SELECT MAX(nf_micro) FROM nf))
+            AS BIGINT) AS frac_milli,
+       r = (SELECT MIN(r) FROM nf
+            WHERE 1000 * nf_micro >= {quantile_milli} *
+                  (SELECT MAX(nf_micro) FROM nf)) AS is_effective_radius
+FROM nf ORDER BY r""")
+        return "".join(parts)
     parts.append(f"""
 SELECT node, ROUND(ball, 6) AS ball_est, ROUND(harmonic, 6) AS harmonic
 FROM state{rounds} ORDER BY node""")
@@ -13820,8 +13840,34 @@ FROM m ORDER BY partition_id
 """
 
 
+def _q_neighborhood_fn(spark, sf_dir):
+    """ANF global neighborhood function + effective diameter
+    (operators/graph.neighborhood_function; Palmer-Gibbons-Faloutsos
+    KDD'02, Leskovec et al. KDD'05 'shrinking diameters') over the same
+    12-host ring graph the hyperball leg certifies — identical register
+    algebra, read globally: per-round ball estimates to exact micro-unit
+    longs, integer sums, and the 90th-percentile radius test all in
+    integer algebra the oracle replays via the unrolled-CTE chain."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    u, ev = F.col("user_id"), F.col("event_id")
+    edges = e.select(
+        F.concat(F.lit("h"), (u % 12).cast("string"), F.lit(".com"))
+        .alias("src_host"),
+        F.concat(
+            F.lit("h"),
+            ((u % 12 + F.when(ev % 2 == 0, F.lit(1)).otherwise(F.lit(4)))
+             % 12).cast("string"),
+            F.lit(".com"),
+        ).alias("dst_host"),
+    )
+    return G.neighborhood_function(edges, rounds=5, p=6).orderBy("r")
+
+
 _QUERIES.update(
     {
+        "gr_neighborhood_fn": _q_neighborhood_fn,
         "f8_bloom_plan": _q_bloom_plan,
         "gr_densification": _q_densification,
         "tx_temperature_mix": _q_temperature_mix,
@@ -13840,6 +13886,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_neighborhood_fn": _hyperball_sql(5, nf_tail=True),
         "f8_bloom_plan": _SQL_BLOOM_PLAN,
         "gr_densification": _SQL_DENSIFICATION,
         "tx_temperature_mix": _SQL_TEMPERATURE_MIX,

@@ -1870,3 +1870,110 @@ def densification_fit(
         "cum_nodes",
         "cum_edges",
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    rounds: int = 5,
+    p: int = 6,
+    quantile_milli: int = 900,
+    unit_pow10: int = 6,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Approximate neighborhood function N(r) and effective diameter —
+    ANF (Palmer, Gibbons & Faloutsos KDD 2002) via the same per-node HLL
+    register algebra as :func:`hyperball`, read globally instead of
+    per-node: N(r) = Σ_v |B(v,r)| is the number of reachable pairs within
+    r hops, and the effective diameter is the smallest r with N(r) ≥
+    q·N(R) (q = ``quantile_milli``/1000, classically 0.9) — the
+    "shrinking diameters" measurement of Leskovec et al. KDD 2005, the
+    distance-side companion of :func:`densification_fit`.
+
+    Float discipline: each node's round ball estimate is rounded to 6dp
+    (exactly as hyperball does), converted to EXACT micro-unit longs
+    (round(est·10⁶)), and the global per-round sum is an integer sum —
+    order-free, so the whole curve including the quantile test
+    1000·N(r) ≥ q·N(R) is exact integer algebra the oracle replays.
+    Returns one row per round r ∈ [0, rounds]: (r, nf_micro, frac_milli
+    = ⌊1000·N(r)/N(R)⌋, is_effective_radius) — ``is_effective_radius``
+    marks the single smallest r meeting the quantile.
+
+    Scale shape: identical to hyperball — per round one slim register
+    join + register-max agg, O(E·2^p) shuffle rows independent of corpus
+    size; the output is (rounds+1) rows, and the final quantile windows
+    run over that constant-size frame. ``unit_pow10`` sets the fixed-point
+    precision of the reported sums: micro units (6) keep sub-estimate
+    resolution but bound Σ est·10⁶ to a long — N·n ≤ 9.2·10¹⁸, i.e.
+    graphs to ~10⁶ nodes; at web scale pass 0 (whole-unit sums, exact to
+    ~10¹⁸ pairs — the quantile test loses nothing that survives HLL's
+    ~1% error anyway).
+    """
+    from .sketches import _hll_fields, hll_estimate
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    bucket, rho = _hll_fields(F.col("node").cast("string"), p)
+    regs = nodes.select("node", bucket, rho).localCheckpoint()
+
+    scale = float(10 ** int(unit_pow10))
+
+    def _nf(est_frame: DataFrame, r: int) -> DataFrame:
+        micro = F.round(
+            F.round(F.col("distinct_est"), 6) * F.lit(scale), 0
+        )
+        return est_frame.agg(
+            F.lit(int(r)).cast("long").alias("r"),
+            F.coalesce(F.sum(micro.cast("long")), F.lit(0))
+            .cast("long").alias("nf_micro"),
+        )
+
+    per_round = [_nf(hll_estimate(regs, p=p, group_cols=("node",)), 0)]
+    for r in range(1, rounds + 1):
+        contribs = (
+            e.join(regs.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "bucket", "rho")
+        )
+        regs = (
+            regs.unionByName(contribs)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+        per_round.append(
+            _nf(hll_estimate(regs, p=p, group_cols=("node",)), r)
+        )
+    curve = per_round[0]
+    for f in per_round[1:]:
+        curve = curve.unionByName(f)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    frac = F.floor(
+        F.lit(1000) * F.col("nf_micro") / F.max("nf_micro").over(w_all)
+    ).cast("long")
+    met = F.when(
+        F.lit(1000) * F.col("nf_micro")
+        >= F.lit(int(quantile_milli)) * F.max("nf_micro").over(w_all),
+        F.col("r"),
+    )
+    return (
+        curve.withColumn("frac_milli", frac)
+        .withColumn("__met", met)
+        .withColumn(
+            "is_effective_radius",
+            F.col("r") == F.min("__met").over(w_all),
+        )
+        .drop("__met")
+    )
