@@ -13865,8 +13865,72 @@ def _q_neighborhood_fn(spark, sf_dir):
     return G.neighborhood_function(edges, rounds=5, p=6).orderBy("r")
 
 
+def _q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.train_kn_lm /
+    kn_score_docs; Kneser & Ney 1995, Chen & Goodman 1999 — the
+    KenLM-grade estimator CCNet's published pipeline uses): trained on
+    the doc_id%10<8 slice, every document scored; discount 0.75,
+    continuation distribution add-one floored, OOV contexts back off to
+    the continuation distribution. Per-bigram ln P is one fixed-order
+    per-row expression floored to int64 fixed point, so per-doc sums are
+    exact integers the oracle replays value-for-value. Held-out docs
+    exercise unseen pairs, unseen contexts and the continuation floor."""
+    from web_crawler_spark.operators import lm as L
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 < 8)
+    pairs, ctx, cont, nbt, v = L.train_kn_lm(train)
+    return (
+        L.kn_score_docs(d, pairs, ctx, cont, nbt, v)
+        .select("doc_id", "n_bigrams", "logprob_fp", "avg_logprob")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_KN_PERPLEXITY = """
+WITH tok AS (
+  SELECT doc_id,
+         ['<s>'] || regexp_extract_all(lower(text), '[a-z0-9]+') || ['</s>']
+           AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM tok, LATERAL unnest(generate_series(1, len(w)-1)) AS t(i)
+), train AS (SELECT * FROM bg WHERE doc_id % 10 < 8),
+cnt AS (SELECT w1, w2, count(*) AS c FROM train GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx_c, count(*) AS n_succ
+        FROM cnt GROUP BY 1),
+cont AS (SELECT w2, count(*) AS n_prec FROM cnt GROUP BY 1),
+nbt AS (SELECT count(*) AS n FROM cnt),
+v AS (SELECT count(DISTINCT t) + 1 AS vs
+      FROM (SELECT w1 AS t FROM cnt UNION ALL SELECT w2 FROM cnt)),
+lp AS (
+  SELECT bg.doc_id,
+         CAST(floor(ln(
+           CASE WHEN COALESCE(ctx.ctx_c, 0) > 0
+                THEN (greatest(CAST(COALESCE(cnt.c, 0) AS DOUBLE) - 0.75,
+                               0.0)
+                      + 0.75 * CAST(COALESCE(ctx.n_succ, 0) AS DOUBLE)
+                        * (CAST(COALESCE(cont.n_prec, 0) + 1 AS DOUBLE)
+                           / CAST((SELECT n FROM nbt) + (SELECT vs FROM v)
+                                  AS DOUBLE)))
+                     / CAST(ctx.ctx_c AS DOUBLE)
+                ELSE CAST(COALESCE(cont.n_prec, 0) + 1 AS DOUBLE)
+                     / CAST((SELECT n FROM nbt) + (SELECT vs FROM v)
+                            AS DOUBLE)
+           END) * 1000000) AS BIGINT) AS lp
+  FROM bg LEFT JOIN cnt USING (w1, w2) LEFT JOIN ctx USING (w1)
+          LEFT JOIN cont USING (w2)
+)
+SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS logprob_fp,
+       sum(lp) / (count(*) * 1000000.0) AS avg_logprob
+FROM lp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _QUERIES.update(
     {
+        "tx_kn_perplexity": _q_kn_perplexity,
         "gr_neighborhood_fn": _q_neighborhood_fn,
         "f8_bloom_plan": _q_bloom_plan,
         "gr_densification": _q_densification,
@@ -13886,6 +13950,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_kn_perplexity": _SQL_KN_PERPLEXITY,
         "gr_neighborhood_fn": _hyperball_sql(5, nf_tail=True),
         "f8_bloom_plan": _SQL_BLOOM_PLAN,
         "gr_densification": _SQL_DENSIFICATION,

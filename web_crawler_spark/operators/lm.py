@@ -379,3 +379,124 @@ def ccnet_filter(
         docs, tri, bi, uni, alpha, id_col, text_col, keep_cols=(lang_col,)
     )
     return ccnet_buckets(scored, lang_col=lang_col, id_col=id_col)
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM — the KenLM-grade estimator
+# --------------------------------------------------------------------------
+
+KN_D = 0.75  # the standard absolute discount (Chen & Goodman 1999 tables)
+
+
+def train_kn_lm(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """Interpolated Kneser-Ney bigram statistics (Kneser & Ney ICASSP
+    1995; Chen & Goodman 1999's interpolated form — the estimator family
+    KenLM implements and CCNet's quality scoring is built on; upgrade of
+    this module's add-alpha and Stupid-Backoff models to the
+    discount+continuation estimator that actually wins perplexity
+    evaluations).
+
+    Four count aggregations over the exploded bigram stream, each with
+    map-side combine: pair counts c(v,w); per-context totals c(v) AND
+    distinct-successor counts N1+(v·) (one agg produces both); distinct-
+    PREDECESSOR counts N1+(·w) — the continuation counts: how many
+    contexts a word follows, the novel-continuation signal that makes KN
+    famously robust to topical burstiness ("francisco" has huge c but
+    tiny N1+(·w)). Scalars: n_bigram_types = N1+(··) and V (types + 1
+    unseen slot) — two driver counts, the train_bigram_lm discipline.
+
+    Returns ``(bigrams, contexts, continuations, n_bigram_types, V)``.
+    """
+    bg = _bigrams(docs, text_col, [])
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    pairs = pairs.localCheckpoint()
+    contexts = pairs.groupBy("w1").agg(
+        F.sum("c").alias("ctx_c"),
+        F.count(F.lit(1)).alias("n_succ"),
+    )
+    continuations = pairs.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n_prec")
+    )
+    n_bigram_types = pairs.count()
+    vocab_size = (
+        pairs.select(F.explode(F.array("w1", "w2")).alias("t"))
+        .distinct()
+        .count()
+        + 1
+    )
+    return pairs, contexts, continuations, n_bigram_types, vocab_size
+
+
+def kn_score_docs(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    continuations: DataFrame,
+    n_bigram_types: int,
+    vocab_size: int,
+    discount: float = KN_D,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_contexts: bool = False,
+) -> DataFrame:
+    """Per-document log-probability / perplexity under interpolated KN:
+
+        P(w|v) = (max(c(v,w) − D, 0) + D · N1+(v·) · Pc(w)) / c(v)
+
+    with the continuation distribution add-one smoothed for the OOV
+    floor, ``Pc(w) = (N1+(·w) + 1) / (N1+(··) + V)`` (declared variant:
+    positivity for unseen words without an <unk> pass — the add-alpha
+    discipline of this module), and an OOV CONTEXT backing off to
+    ``Pc(w)`` alone (its interpolation weight is 1 when c(v) = 0).
+
+    Determinism: each bigram's ln P is one fixed-operand-order per-row
+    double expression floored to int64 fixed point (``LP_SCALE``), so
+    per-document sums are exact integer arithmetic — the module's
+    cross-engine discipline; an SQL oracle replays every value.
+
+    Scale shape: same joins as :func:`score_docs` (pair-keyed left join +
+    context join, both against vocabulary-bounded tables) plus one more
+    vocabulary-bounded join on w2 for the continuation counts.
+    """
+    bg = _bigrams(docs, text_col, [id_col])
+    ctx = contexts
+    cont = continuations
+    if broadcast_contexts:
+        ctx = F.broadcast(ctx)
+        cont = F.broadcast(cont)
+    joined = (
+        bg.join(bigrams, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+    )
+    pc = (F.coalesce(F.col("n_prec"), F.lit(0)) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(n_bigram_types + vocab_size))
+    d = F.lit(float(discount))
+    seen_p = (
+        F.greatest(F.coalesce(F.col("c"), F.lit(0)).cast("double") - d,
+                   F.lit(0.0))
+        + d * F.coalesce(F.col("n_succ"), F.lit(0)).cast("double") * pc
+    ) / F.col("ctx_c").cast("double")
+    p = F.when(
+        F.coalesce(F.col("ctx_c"), F.lit(0)) > 0, seen_p
+    ).otherwise(pc)
+    lp_fp = F.floor(F.log(p) * F.lit(LP_SCALE)).cast("long")
+    out = (
+        joined.select(F.col(id_col), lp_fp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_lp").alias("logprob_fp"),
+        )
+    )
+    avg = F.col("logprob_fp") / (F.col("n_bigrams") * F.lit(LP_SCALE))
+    return out.select(
+        id_col,
+        "n_bigrams",
+        "logprob_fp",
+        avg.alias("avg_logprob"),
+        F.exp(-avg).alias("perplexity"),
+    )
