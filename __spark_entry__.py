@@ -13928,8 +13928,65 @@ FROM lp GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_lpa_conductance(spark, sf_dir):
+    """Per-community conductance (operators/graph.community_conductance;
+    Shi-Malik normalized cut; Leskovec et al. WWW'08 NCP score) paired
+    with the same round-4 LPA labels as gr_lpa_modularity — the cut-side
+    quality metric certifying alongside the density-side one. Oracle:
+    the unrolled-LPA CTE chain extended with the exact integer cut/vol
+    algebra and the single rounded division."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    u, ev = F.col("user_id"), F.col("event_id")
+    fam = u % 3
+    src = (
+        F.when(fam == 0, F.concat(F.lit("c"), (ev % 6).cast("string")))
+        .when(fam == 1, F.concat(F.lit("d"), (ev % 6).cast("string")))
+        .otherwise(F.when(ev % 2 == 0, F.lit("c0")).otherwise(F.lit("x0")))
+    )
+    dst = (
+        F.when(fam == 0, F.concat(
+            F.lit("c"), ((ev % 6 + ev % 5 + 1) % 6).cast("string")))
+        .when(fam == 1, F.concat(
+            F.lit("d"), ((ev % 6 + ev % 5 + 1) % 6).cast("string")))
+        .otherwise(F.when(ev % 2 == 0, F.lit("d0")).otherwise(F.lit("x1")))
+    )
+    edges = e.select(src.alias("src_host"), dst.alias("dst_host"))
+    labels = G.label_propagation(edges, rounds=4, weight_col=None)
+    return G.community_conductance(edges, labels, weight_col=None).orderBy(
+        "label"
+    )
+
+
+_SQL_LPA_CONDUCTANCE_TAIL = """,
+lab AS (SELECT node, label FROM l{rounds}),
+tmv AS (SELECT CAST(SUM(w) AS BIGINT) AS tm FROM sym),
+j AS (SELECT lu.label AS lu, lv.label AS lv, s.w
+      FROM sym s JOIN lab lu ON lu.node = s.u
+                 JOIN lab lv ON lv.node = s.v),
+per AS (SELECT lu AS label, CAST(SUM(w) AS BIGINT) AS vol_w,
+               CAST(COALESCE(SUM(CASE WHEN lu <> lv THEN w END), 0)
+                    AS BIGINT) AS cut_w
+        FROM j GROUP BY 1),
+nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       FROM lab GROUP BY 1)
+SELECT n.label, n.n_nodes,
+       CAST(COALESCE(p.cut_w, 0) AS BIGINT) AS cut_w,
+       CAST(COALESCE(p.vol_w, 0) AS BIGINT) AS vol_w,
+       CASE WHEN least(COALESCE(p.vol_w, 0),
+                       t.tm - COALESCE(p.vol_w, 0)) > 0
+            THEN ROUND(CAST(COALESCE(p.cut_w, 0) AS DOUBLE)
+                       / CAST(least(p.vol_w, t.tm - p.vol_w) AS DOUBLE), 6)
+       END AS conductance
+FROM nn n LEFT JOIN per p ON p.label = n.label
+CROSS JOIN tmv t
+ORDER BY n.label"""
+
+
 _QUERIES.update(
     {
+        "gr_lpa_conductance": _q_lpa_conductance,
         "tx_kn_perplexity": _q_kn_perplexity,
         "gr_neighborhood_fn": _q_neighborhood_fn,
         "f8_bloom_plan": _q_bloom_plan,
@@ -13950,6 +14007,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_lpa_conductance": _lpa_sql(4, tail=_SQL_LPA_CONDUCTANCE_TAIL),
         "tx_kn_perplexity": _SQL_KN_PERPLEXITY,
         "gr_neighborhood_fn": _hyperball_sql(5, nf_tail=True),
         "f8_bloom_plan": _SQL_BLOOM_PLAN,
