@@ -13984,8 +13984,52 @@ CROSS JOIN tmv t
 ORDER BY n.label"""
 
 
+def _q_cdx_shard_plan(spark, sf_dir):
+    """CDX shard-split publishing plan (sources/cdx.cdx_shard_plan — the
+    cc-index cdx-NNNNN.gz + cluster.idx layout): global (urlkey, ts)
+    rank via the distributed prefix sum, equal-count contiguous cuts,
+    inclusive boundary keys per shard. Exact integer shard algebra
+    floor((rank-1)*S/n); oracle replays rank, cuts and boundaries."""
+    from web_crawler_spark.sources.cdx import cdx_records, cdx_shard_plan
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.lower(F.col("source")),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.col("text").cast("binary").alias("html"),
+    )
+    return cdx_shard_plan(cdx_records(pages), n_shards=8)
+
+
+_SQL_CDX_SHARD_PLAN = """
+WITH idx AS (
+  SELECT concat('com,example,', lower(source), ')/doc/',
+                CAST(doc_id AS VARCHAR)) AS urlkey,
+         strftime(to_timestamp(1700000000 + doc_id), '%Y%m%d%H%M%S') AS ts
+  FROM documents
+),
+r AS (
+  SELECT urlkey,
+         row_number() OVER (ORDER BY urlkey, ts) AS rank,
+         (SELECT count(*) FROM idx) AS n
+  FROM idx
+)
+SELECT CAST(((rank - 1) * 8) // n AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(urlkey) AS start_urlkey,
+       max(urlkey) AS end_urlkey
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 _QUERIES.update(
     {
+        "cc_cdx_shard_plan": _q_cdx_shard_plan,
         "gr_lpa_conductance": _q_lpa_conductance,
         "tx_kn_perplexity": _q_kn_perplexity,
         "gr_neighborhood_fn": _q_neighborhood_fn,
@@ -14007,6 +14051,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "cc_cdx_shard_plan": _SQL_CDX_SHARD_PLAN,
         "gr_lpa_conductance": _lpa_sql(4, tail=_SQL_LPA_CONDUCTANCE_TAIL),
         "tx_kn_perplexity": _SQL_KN_PERPLEXITY,
         "gr_neighborhood_fn": _hyperball_sql(5, nf_tail=True),

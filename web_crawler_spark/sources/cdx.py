@@ -206,3 +206,55 @@ def cdx_lookup(spark: SparkSession, path: str, prefix: str) -> DataFrame:
     return _parse_lines(spark.read.text(keep)).filter(
         F.col("urlkey").startswith(prefix)
     )
+
+
+def cdx_shard_plan(
+    index: DataFrame,
+    n_shards: int = 8,
+    key_col: str = "urlkey",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CDX index shard-split plan — the publishing layout of a
+    Common-Crawl-style capture index (the public cc-index is exactly
+    this: SURT-ordered cdx-NNNNN.gz shards plus a cluster.idx of shard
+    boundary keys): rank every record in (urlkey, ts) order, cut into
+    ``n_shards`` equal-count contiguous ranges, and report each shard's
+    row count and inclusive [start, end] boundary keys — what a lookup
+    service loads to binary-search the right shard.
+
+    (key, ts) must be unique per record (CDX semantics: one capture per
+    (urlkey, timestamp); revisit records carry distinct ts) — the global
+    rank rides :func:`~web_crawler_spark.operators.prefixsum.prefix_sum`'s
+    range-exchange scan, so no single-partition window anywhere; shard
+    assignment is exact integer algebra ⌊(rank−1)·S / n⌋ (balanced to
+    ±1 row by construction). One scalar count fetch for n (the repo's
+    documented pattern). Returns (shard_id, n_rows, start_urlkey,
+    end_urlkey) ordered by shard.
+    """
+    from ..operators.prefixsum import prefix_sum
+
+    n = index.count()
+    if n == 0 or n_shards <= 0:
+        return index.sparkSession.createDataFrame(
+            [],
+            "shard_id long, n_rows long, start_urlkey string, "
+            "end_urlkey string",
+        )
+    s = int(n_shards)
+    ranked = prefix_sum(
+        index.select(key_col, ts_col).withColumn("__one", F.lit(1)),
+        [key_col, ts_col],
+        "__one",
+        out_col="__rank",
+    )
+    shard = F.expr(f"((__rank - 1) * {s}) div {n}").cast("long")
+    return (
+        ranked.withColumn("shard_id", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(key_col).alias("start_urlkey"),
+            F.max(key_col).alias("end_urlkey"),
+        )
+        .orderBy("shard_id")
+    )
