@@ -14027,8 +14027,82 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_microdata(spark, sf_dir):
+    """Schema.org microdata extraction (plans/structured.
+    microdata_records — the third Web Data Commons format beside the
+    certified JSON-LD and OpenGraph ops): itemtype declarations + every
+    itemprop with content-attribute-else-immediate-text values, both
+    attribute orders, nested-markup text cut at the first '<' (declared
+    RE2 subset). Pure regexp projection, zero shuffles; the oracle runs
+    the identical RE2 patterns."""
+    from web_crawler_spark.plans.structured import microdata_records
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    html = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Product">'
+              '<span itemprop="name">P'),
+        F.col("doc_id").cast("string"),
+        F.lit('</span><meta itemprop="price" content="'),
+        F.col("doc_id").cast("string"),
+        F.lit('.50"><span itemprop="brand">B'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" <b>x</b></span>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<meta content="USD" itemprop="currency">'),
+        ).otherwise(F.lit("")),
+        F.lit("</div>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://m.example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return microdata_records(pages).orderBy("url", "kind", "name")
+
+
+_SQL_MICRODATA = r"""
+WITH pages AS (
+  SELECT concat('https://m.example.com/p/', CAST(doc_id AS VARCHAR)) AS url,
+         concat('<div itemscope itemtype="https://schema.org/Product">',
+                '<span itemprop="name">P', CAST(doc_id AS VARCHAR),
+                '</span><meta itemprop="price" content="',
+                CAST(doc_id AS VARCHAR), '.50"><span itemprop="brand">B',
+                CAST(doc_id % 7 AS VARCHAR), ' <b>x</b></span>',
+                CASE WHEN doc_id % 3 = 0
+                     THEN '<meta content="USD" itemprop="currency">'
+                     ELSE '' END,
+                '</div>') AS html
+  FROM documents WHERE doc_id < 400
+),
+tags AS (
+  SELECT url, unnest(regexp_extract_all(html,
+           '(?s)<[^>]*\sitemprop="[^"]*"[^>]*>[^<]*', 0)) AS m
+  FROM pages
+),
+props AS (
+  SELECT url, 'itemprop' AS kind,
+         regexp_extract(m, 'itemprop="([^"]+)"', 1) AS name,
+         CASE WHEN regexp_matches(m, 'content="')
+              THEN regexp_extract(m, 'content="([^"]*)"', 1)
+              ELSE trim(regexp_extract(m, '>([^<]*)$', 1)) END AS value
+  FROM tags
+  WHERE regexp_extract(m, 'itemprop="([^"]+)"', 1) <> ''
+),
+types AS (
+  SELECT url, 'itemtype' AS kind,
+         unnest(regexp_extract_all(html, 'itemtype="([^"]+)"', 1)) AS name,
+         CAST(NULL AS VARCHAR) AS value
+  FROM pages
+)
+SELECT * FROM types UNION ALL SELECT * FROM props
+ORDER BY url, kind, name
+"""
+
+
 _QUERIES.update(
     {
+        "x_microdata_extract": _q_microdata,
         "cc_cdx_shard_plan": _q_cdx_shard_plan,
         "gr_lpa_conductance": _q_lpa_conductance,
         "tx_kn_perplexity": _q_kn_perplexity,
@@ -14051,6 +14125,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "x_microdata_extract": _SQL_MICRODATA,
         "cc_cdx_shard_plan": _SQL_CDX_SHARD_PLAN,
         "gr_lpa_conductance": _lpa_sql(4, tail=_SQL_LPA_CONDUCTANCE_TAIL),
         "tx_kn_perplexity": _SQL_KN_PERPLEXITY,

@@ -97,3 +97,59 @@ def opengraph_tags(
         .filter(F.col("tag").rlike('content="'))
         .drop("tag")
     )
+
+
+# microdata: whole itemprop-tag isolation (plus its immediate text node),
+# attributes pulled per-tag afterwards — RE2-portable, no backreferences
+ITEMTYPE_RE = r'itemtype="([^"]+)"'
+ITEMPROP_TAG_RE = r'(?s)<[^>]*\sitemprop="[^"]*"[^>]*>[^<]*'
+ITEMPROP_NAME_RE = r'itemprop="([^"]+)"'
+ITEMPROP_TEXT_RE = r">([^<]*)$"
+
+
+def microdata_records(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Schema.org HTML microdata — the third leg of the Web Data Commons
+    structured-data triple (JSON-LD + OpenGraph + microdata; WDC's CC
+    extractions report microdata as the highest-volume format of the
+    three). Flat extraction, declared subset: one row per ``itemtype``
+    declaration (kind='itemtype', name=the vocabulary URL, value NULL)
+    and one per ``itemprop`` (kind='itemprop', value = the ``content``
+    attribute when present — the <meta>/<link> convention — else the
+    element's IMMEDIATE text node, text up to the first '<'; nested-tag
+    item trees are not reassembled, the documented subset since RE2 has
+    no backreferences for matching closing tags). Attribute-order
+    independent by whole-tag isolation, zero shuffles.
+    """
+    t = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(ITEMPROP_TAG_RE), 0
+            )
+        ).alias("m"),
+    )
+    props = (
+        t.select(
+            "url",
+            F.lit("itemprop").alias("kind"),
+            F.regexp_extract("m", ITEMPROP_NAME_RE, 1).alias("name"),
+            F.when(
+                F.col("m").rlike('content="'),
+                F.regexp_extract("m", META_CONTENT_RE, 1),
+            )
+            .otherwise(F.trim(F.regexp_extract("m", ITEMPROP_TEXT_RE, 1)))
+            .alias("value"),
+        )
+        .filter(F.col("name") != "")
+    )
+    types = pages.select(
+        F.col(url_col).alias("url"),
+        F.lit("itemtype").alias("kind"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(ITEMTYPE_RE), 1)
+        ).alias("name"),
+        F.lit(None).cast("string").alias("value"),
+    )
+    return types.unionByName(props)
