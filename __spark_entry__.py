@@ -14100,8 +14100,47 @@ ORDER BY url, kind, name
 """
 
 
+def _q_langid_eval(spark, sf_dir):
+    """Language-ID evaluation against the corpus ground truth: confusion
+    matrix (true lang, detected lang, n) with per-cell recall_milli -
+    the measurement discipline of tx_retrieval_eval applied to the text
+    family (a langid whose confusion drifts flags corpus shift before
+    any downstream gate misfires). Exact integer counts; recall_milli =
+    floor(1000*n/class_total) exact integer algebra over a
+    languages^2-bounded frame. Oracle composes the certified
+    _langid_pieces() CASE with the count/window replay."""
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select(
+        "lang", T.detect_language(F.col("text")).alias("detected")
+    )
+    cell = pred.groupBy("lang", "detected").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang", "detected", "n",
+        F.floor(F.lit(1000) * F.col("n") / F.sum("n").over(w))
+        .cast("long").alias("recall_milli"),
+    ).orderBy("lang", "detected")
+
+
+def _langid_eval_sql() -> str:
+    hit_exprs, case = _langid_pieces()
+    return f"""
+WITH h AS (SELECT doc_id, lang, {", ".join(hit_exprs)} FROM documents),
+p AS (SELECT lang, {case} AS detected FROM h),
+cell AS (SELECT lang, detected, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1, 2)
+SELECT lang, detected, n,
+       CAST(floor(1000 * n / (SUM(n) OVER (PARTITION BY lang))) AS BIGINT)
+         AS recall_milli
+FROM cell ORDER BY lang, detected
+"""
+
+
 _QUERIES.update(
     {
+        "tx_langid_eval": _q_langid_eval,
         "x_microdata_extract": _q_microdata,
         "cc_cdx_shard_plan": _q_cdx_shard_plan,
         "gr_lpa_conductance": _q_lpa_conductance,
@@ -14125,6 +14164,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_langid_eval": _langid_eval_sql(),
         "x_microdata_extract": _SQL_MICRODATA,
         "cc_cdx_shard_plan": _SQL_CDX_SHARD_PLAN,
         "gr_lpa_conductance": _lpa_sql(4, tail=_SQL_LPA_CONDUCTANCE_TAIL),
