@@ -14138,8 +14138,76 @@ FROM cell ORDER BY lang, detected
 """
 
 
+def _q_arc_scan(spark, sf_dir):
+    """Legacy ARC ingest on REAL bytes (sources/warc.parse_arc — the
+    pre-WARC Internet Archive container, Common Crawl 2008-2012): three
+    .arc.gz shards with filedesc version blocks, v1 header lines and
+    HTTP-wrapped payloads, generated deterministically from the customer
+    table and parsed back via the distributed binaryFile + mapInPandas
+    scan; the oracle recomputes every (url, ip, arc_date, http_status,
+    body) row from the same table — the whole legacy read path is
+    value-certified, completing the WARC/WET/WAT/CDX/ARC interop set."""
+    import tempfile
+
+    from web_crawler_spark.sources.warc import (
+        arc_filedesc_bytes,
+        arc_record_bytes,
+        arc_scan,
+        warc_gz_bytes,
+    )
+
+    rows = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="arc_scan_")
+    shards: list[list[bytes]] = [
+        [arc_filedesc_bytes(f"shard_{i}.arc")] for i in range(3)
+    ]
+    for r in rows:
+        k = int(r["c_custkey"])
+        body = f"<html><body>c{k}:{r['c_name']}</body></html>".encode()
+        shards[k % 3].append(
+            arc_record_bytes(
+                f"http://legacy.example.com/c{k}",
+                f"10.0.{k % 256}.{(k * 7) % 256}",
+                f"200801{k % 28 + 1:02d}120000",
+                body,
+            )
+        )
+    for i, recs in enumerate(shards):
+        with open(os.path.join(d, f"shard_{i}.arc.gz"), "wb") as f:
+            f.write(warc_gz_bytes(recs))
+    return (
+        arc_scan(spark, d)
+        .filter(F.col("arc_type") == "response")
+        .select(
+            "url", "ip", "arc_date", "http_status",
+            F.col("payload").cast("string").alias("body"),
+        )
+        .orderBy("url")
+    )
+
+
+_SQL_ARC_SCAN = """
+SELECT concat('http://legacy.example.com/c', CAST(c_custkey AS VARCHAR))
+         AS url,
+       concat('10.0.', CAST(c_custkey % 256 AS VARCHAR), '.',
+              CAST((c_custkey * 7) % 256 AS VARCHAR)) AS ip,
+       concat('200801', lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0'),
+              '120000') AS arc_date,
+       200 AS http_status,
+       concat('<html><body>c', CAST(c_custkey AS VARCHAR), ':', c_name,
+              '</body></html>') AS body
+FROM customer ORDER BY url
+"""
+
+
 _QUERIES.update(
     {
+        "s_arc_scan": _q_arc_scan,
         "tx_langid_eval": _q_langid_eval,
         "x_microdata_extract": _q_microdata,
         "cc_cdx_shard_plan": _q_cdx_shard_plan,
@@ -14164,6 +14232,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "s_arc_scan": _SQL_ARC_SCAN,
         "tx_langid_eval": _langid_eval_sql(),
         "x_microdata_extract": _SQL_MICRODATA,
         "cc_cdx_shard_plan": _SQL_CDX_SHARD_PLAN,

@@ -302,3 +302,150 @@ def wet_text(spark, path: str):
             F.col("payload").cast("string").alias("text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ARC v1/v2 — the legacy Internet Archive / pre-2008 Common Crawl container
+# --------------------------------------------------------------------------
+
+
+def parse_arc(data: bytes, max_bytes: int = MAX_WARC_BYTES) -> list[dict]:
+    """ARC bytes (optionally gzipped, incl. the member-per-record .arc.gz
+    layout) → record dicts in document order: ``{arc_type, url, ip,
+    arc_date, mime, http_status, payload}``. The format every pre-WARC
+    web archive shipped (Internet Archive ARC_IA spec; Common Crawl's
+    2008–2012 corpora): a space-separated header line
+    ``url ip date mime length`` (v1, 5 fields) or the 10-field v2 variant
+    (result code 5th, archive-length last), then exactly ``length``
+    payload bytes. HTTP payloads get the same header-split +
+    chunked-decode treatment as WARC response records; the leading
+    ``filedesc://`` version block surfaces as arc_type='filedesc' so
+    callers can filter it without losing archive provenance. Malformed
+    records raise — per-FILE isolation lives in the scan stage.
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_bounded(data, max_bytes)
+    records, pos, n = [], 0, len(data)
+    while pos < n:
+        while pos < n and data[pos] in b"\r\n":
+            pos += 1
+        if pos >= n:
+            break
+        eol = data.find(b"\n", pos)
+        if eol == -1:
+            raise ValueError(f"truncated ARC header line at offset {pos}")
+        fields = data[pos:eol].decode("latin-1").rstrip("\r").split(" ")
+        if len(fields) not in (5, 10):
+            raise ValueError(
+                f"ARC header has {len(fields)} fields at offset {pos}"
+            )
+        url, ip, ts, mime = fields[0], fields[1], fields[2], fields[3]
+        try:
+            length = int(fields[-1])
+        except ValueError as exc:
+            raise ValueError(f"bad ARC length: {exc}") from exc
+        body_start = eol + 1
+        if body_start + length > n:
+            raise ValueError("truncated ARC payload")
+        body = data[body_start : body_start + length]
+        pos = body_start + length
+        if url.startswith("filedesc://"):
+            records.append({
+                "arc_type": "filedesc", "url": url, "ip": ip,
+                "arc_date": ts, "mime": mime, "http_status": None,
+                "payload": body,
+            })
+            continue
+        status, payload = _split_http_payload(body)
+        if status is None and len(fields) == 10 and fields[4].isdigit():
+            status = int(fields[4])
+        records.append({
+            "arc_type": "response", "url": url, "ip": ip, "arc_date": ts,
+            "mime": mime, "http_status": status, "payload": payload,
+        })
+    return records
+
+
+def arc_record_bytes(
+    url: str,
+    ip: str,
+    ts14: str,
+    body: bytes,
+    mime: str = "text/html",
+    http_status: int = 200,
+    http_wrap: bool = True,
+) -> bytes:
+    """One ARC v1 record as bytes — fixture/export helper mirroring
+    ``warc_record_bytes``. ``http_wrap`` wraps the body in a minimal
+    HTTP/1.1 message (how real ARC http captures are stored)."""
+    if http_wrap:
+        payload = (
+            f"HTTP/1.1 {http_status} OK\r\nContent-Type: {mime}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+    else:
+        payload = body
+    head = f"{url} {ip} {ts14} {mime} {len(payload)}\n".encode()
+    return head + payload + b"\n"
+
+
+def arc_filedesc_bytes(name: str = "archive.arc") -> bytes:
+    """The leading ARC version block (v1)."""
+    meta = b"1 0 InternetArchive\nURL IP-address Archive-date Content-type Archive-length\n"
+    head = (
+        f"filedesc://{name} 0.0.0.0 20080101000000 text/plain {len(meta)}\n"
+    ).encode()
+    return head + meta + b"\n"
+
+
+def arc_rows_stage(df):
+    """(path, content binary) → (arc_path, arc_type, url, ip, arc_date,
+    mime, http_status, payload binary) — the warc_rows_stage shape for
+    the legacy container, same Arrow batching and per-file isolation."""
+    import pandas as pd
+
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("arc_path", ST.StringType()),
+            ST.StructField("arc_type", ST.StringType()),
+            ST.StructField("url", ST.StringType()),
+            ST.StructField("ip", ST.StringType()),
+            ST.StructField("arc_date", ST.StringType()),
+            ST.StructField("mime", ST.StringType()),
+            ST.StructField("http_status", ST.IntegerType()),
+            ST.StructField("payload", ST.BinaryType()),
+        ]
+    )
+    cols = ("arc_type", "url", "ip", "arc_date", "mime", "http_status",
+            "payload")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"arc_path": []}
+            out.update({k: [] for k in cols})
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    recs = parse_arc(bytes(content))
+                except Exception as exc:  # noqa: BLE001 — isolate bad file
+                    recs = [{
+                        "arc_type": "error",
+                        "url": f"{type(exc).__name__}: {exc}",
+                        "ip": None, "arc_date": None, "mime": None,
+                        "http_status": None, "payload": None,
+                    }]
+                for r in recs:
+                    out["arc_path"].append(path)
+                    for k in cols:
+                        out[k].append(r[k])
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(gen, schema)
+
+
+def arc_scan(spark, path: str):
+    """Distributed ARC ingest: binaryFile rows → arc_rows_stage."""
+    return arc_rows_stage(
+        spark.read.format("binaryFile").load(path).select("path", "content")
+    )
