@@ -14205,8 +14205,83 @@ FROM customer ORDER BY url
 """
 
 
+def _q_timemap(spark, sf_dir):
+    """Memento-style TimeMap summary per URL over the CDX capture index
+    (RFC 7089's TimeMap, the Wayback capture-list view): n_captures,
+    first/last ts14, distinct content digests, and revisit_ratio_milli =
+    floor(1000*(n - distinct_digests)/n) - the unchanged-content revisit
+    share that drives fetch-dedup savings (cc_warc_revisit's accounting
+    read). Captures synthesized from documents with doc_id%4+1 revisits
+    each (every second revisit altering content); exact integer algebra
+    end to end."""
+    from web_crawler_spark.sources.cdx import cdx_records
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    reps = d.select(
+        "doc_id", "text",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+        ).alias("rep"),
+    )
+    pages = reps.select(
+        F.concat(F.lit("https://tm.example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("doc_id") * 100 + F.col("rep")
+        ).alias("warc_ts"),
+        F.when(
+            F.col("rep") % 2 == 0, F.col("text")
+        ).otherwise(F.concat(F.col("text"), F.lit("!v2"))).cast("binary")
+        .alias("html"),
+    )
+    idx = cdx_records(pages)
+    n = F.count(F.lit(1)).cast("long")
+    nd = F.countDistinct("digest").cast("long")
+    return (
+        idx.groupBy("url")
+        .agg(
+            n.alias("n_captures"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            nd.alias("n_digests"),
+        )
+        .select(
+            "url", "n_captures", "first_ts", "last_ts", "n_digests",
+            F.floor(
+                F.lit(1000) * (F.col("n_captures") - F.col("n_digests"))
+                / F.col("n_captures")
+            ).cast("long").alias("revisit_ratio_milli"),
+        )
+        .orderBy("url")
+    )
+
+
+_SQL_TIMEMAP = """
+WITH caps AS (
+  SELECT concat('https://tm.example.com/doc/', CAST(doc_id AS VARCHAR))
+           AS url,
+         strftime(to_timestamp(1700000000 + doc_id * 100 + rep),
+                  '%Y%m%d%H%M%S') AS ts,
+         md5(CASE WHEN rep % 2 = 0 THEN text ELSE concat(text, '!v2') END)
+           AS digest
+  FROM documents,
+       LATERAL unnest(generate_series(0, doc_id % 4)) AS t(rep)
+  WHERE doc_id < 200
+)
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_captures,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       CAST(count(DISTINCT digest) AS BIGINT) AS n_digests,
+       CAST(floor(1000 * (count(*) - count(DISTINCT digest))
+                  / count(*)) AS BIGINT) AS revisit_ratio_milli
+FROM caps GROUP BY url ORDER BY url
+"""
+
+
 _QUERIES.update(
     {
+        "cc_timemap": _q_timemap,
         "s_arc_scan": _q_arc_scan,
         "tx_langid_eval": _q_langid_eval,
         "x_microdata_extract": _q_microdata,
@@ -14232,6 +14307,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "cc_timemap": _SQL_TIMEMAP,
         "s_arc_scan": _SQL_ARC_SCAN,
         "tx_langid_eval": _langid_eval_sql(),
         "x_microdata_extract": _SQL_MICRODATA,
