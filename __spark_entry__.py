@@ -14279,8 +14279,76 @@ FROM caps GROUP BY url ORDER BY url
 """
 
 
+def _q_code_detect(spark, sf_dir):
+    """Code-likeness profiling (functions/text.code_profile — The Stack /
+    StarCoder-era prose-vs-source curation signal, the symbol-ratio
+    family of Gopher): indent/terminator code-line counts, keyword hits,
+    symbol chars, code_frac_milli and the is_codey gate — all exact
+    integer regexp counts over a fixture that plants a Python/JS snippet
+    on every 5th document; zero shuffles, RE2 patterns shared verbatim
+    with the oracle."""
+    from web_crawler_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    planted = F.concat(
+        F.col("text"),
+        F.lit("\ndef f(x):\n    return x + 1\nimport os\n"
+              "let v = {a: 1};\n"),
+    )
+    body = F.when(F.col("doc_id") % 5 == 0, planted).otherwise(
+        F.col("text")
+    )
+    prof = d.select("doc_id", *T.code_profile(body))
+    frac = F.floor(
+        F.lit(1000) * F.col("code_lines") / F.col("n_lines")
+    ).cast("long")
+    return prof.select(
+        "doc_id", "n_lines", "code_lines", "kw_hits", "sym_chars",
+        frac.alias("code_frac_milli"),
+        ((F.lit(1000) * F.col("code_lines") >= F.lit(300) * F.col("n_lines"))
+         | (F.col("kw_hits") >= 3)).alias("is_codey"),
+    ).orderBy("doc_id")
+
+
+def _code_detect_sql() -> str:
+    from web_crawler_spark.functions.text import (
+        CODE_KEYWORD_RE,
+        CODE_LINE_RE,
+        CODE_SYMBOL_RE,
+    )
+
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN concat(text, chr(10), 'def f(x):', chr(10),
+                          '    return x + 1', chr(10), 'import os',
+                          chr(10), 'let v = {{a: 1}};', chr(10))
+              ELSE text END AS t
+  FROM documents WHERE doc_id < 300
+),
+p AS (
+  SELECT doc_id,
+         CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(regexp_extract_all(t, '{CODE_LINE_RE}', 0)) AS BIGINT)
+           AS code_lines,
+         CAST(len(regexp_extract_all(t, '{CODE_KEYWORD_RE}', 0)) AS BIGINT)
+           AS kw_hits,
+         CAST(strlen(t) - strlen(regexp_replace(t, '{CODE_SYMBOL_RE}', '',
+                                                'g')) AS BIGINT) AS sym_chars
+  FROM b
+)
+SELECT doc_id, n_lines, code_lines, kw_hits, sym_chars,
+       CAST(floor(1000 * code_lines / n_lines) AS BIGINT)
+         AS code_frac_milli,
+       (1000 * code_lines >= 300 * n_lines OR kw_hits >= 3) AS is_codey
+FROM p ORDER BY doc_id
+"""
+
+
 _QUERIES.update(
     {
+        "tx_code_detect": _q_code_detect,
         "cc_timemap": _q_timemap,
         "s_arc_scan": _q_arc_scan,
         "tx_langid_eval": _q_langid_eval,
@@ -14307,6 +14375,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_code_detect": _code_detect_sql(),
         "cc_timemap": _SQL_TIMEMAP,
         "s_arc_scan": _SQL_ARC_SCAN,
         "tx_langid_eval": _langid_eval_sql(),

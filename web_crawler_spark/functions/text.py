@@ -492,3 +492,44 @@ def script_profile(text: Column) -> list[tuple[str, Column]]:
         (name, F.length(F.regexp_replace(t, f"[^{rng}]", "")).cast("long"))
         for name, rng in SCRIPT_BLOCKS
     ]
+
+
+# --------------------------------------------------------------------------
+# Code detection — The Stack / StarCoder-era corpus curation signal
+# --------------------------------------------------------------------------
+
+# RE2-portable signals, shared verbatim with the SQL oracle. A "code
+# line" starts with >=4 spaces or a tab (block indentation), or ends in
+# one of the statement terminators/openers ; { } (trailing whitespace
+# tolerated).
+CODE_LINE_RE = r"(?m)^(?:    |\t).*|^.*[;{}][ \t]*$"
+CODE_KEYWORD_RE = (
+    r"\b(?:def|class|function|return|import|#include|const|var|let|"
+    r"public|void|printf|lambda|elif|fn|struct|impl)\b"
+)
+CODE_SYMBOL_RE = r"[{}();=<>\[\]]"
+
+
+def code_profile(text) -> list:
+    """Per-document code-likeness counts as pure column expressions:
+    (n_lines, code_lines, kw_hits, sym_chars, n_chars). The corpus-
+    curation signal for separating prose from source listings (the
+    pre-classifier heuristic of The Stack / StarCoder data pipelines and
+    Gopher's "symbol-to-word ratio" family) — all exact integer regexp
+    counts, zero shuffles, patterns shared with the oracle."""
+    from pyspark.sql import functions as F
+
+    t = text.cast("string")
+    lines = F.split(t, "\n")
+    return [
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.regexp_extract_all(t, F.lit(CODE_LINE_RE), 0))
+        .cast("long").alias("code_lines"),
+        F.size(F.regexp_extract_all(t, F.lit(CODE_KEYWORD_RE), 0))
+        .cast("long").alias("kw_hits"),
+        F.length(t).cast("long").alias("n_chars"),
+        (
+            F.length(t)
+            - F.length(F.regexp_replace(t, CODE_SYMBOL_RE, ""))
+        ).cast("long").alias("sym_chars"),
+    ]
