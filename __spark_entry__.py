@@ -14346,8 +14346,79 @@ FROM p ORDER BY doc_id
 """
 
 
+def _q_seed_attribution(spark, sf_dir):
+    """Seed provenance (operators/graph.seed_attribution): competing
+    seeds n0 (root) and n5 (internal) over the 63-node binary tree +
+    shortcut + capped chain + disconnected chain of the seed-distance
+    fixture - attribution is min over (depth, seed) with the string
+    tie-break, so n5's subtree flips to n5, the shortcut keeps n62 at
+    (1, n0), the chain crosses the depth cap and the disconnected chain
+    never appears. Oracle: recursive closure carrying seed, min pair via
+    rank. Exact integers only."""
+    from web_crawler_spark.operators import graph as G
+
+    ev = _t(spark, sf_dir, "events")
+
+    def n(c):
+        return F.concat(F.lit("n"), c.cast("string"))
+
+    k = F.col("event_id") % 31
+    c = F.col("event_id") % 12
+    d = F.col("event_id") % 3
+    edges = (
+        ev.select(n(k).alias("src"), n(k * 2 + 1).alias("dst"))
+        .unionByName(ev.select(n(k).alias("src"), n(k * 2 + 2).alias("dst")))
+        .unionByName(ev.select(n(c + 1000).alias("src"), n(c + 1001).alias("dst")))
+        .unionByName(ev.select(n(d + 2000).alias("src"), n(d + 2001).alias("dst")))
+        .unionByName(
+            spark.createDataFrame(
+                [("n0", "n62"), ("n0", "n1000")], "src string, dst string"
+            )
+        )
+    )
+    seeds = spark.createDataFrame([("n0",), ("n5",)], "node string")
+    return G.seed_attribution(
+        edges, seeds, max_depth=8, src_col="src", dst_col="dst"
+    ).orderBy("node")
+
+
+_SQL_SEED_ATTRIBUTION = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT concat('n', CAST(event_id % 31 AS VARCHAR)) AS src,
+           concat('n', CAST((event_id % 31) * 2 + 1 AS VARCHAR)) AS dst
+    FROM events
+    UNION ALL
+    SELECT concat('n', CAST(event_id % 31 AS VARCHAR)),
+           concat('n', CAST((event_id % 31) * 2 + 2 AS VARCHAR)) FROM events
+    UNION ALL
+    SELECT concat('n', CAST(event_id % 12 + 1000 AS VARCHAR)),
+           concat('n', CAST(event_id % 12 + 1001 AS VARCHAR)) FROM events
+    UNION ALL
+    SELECT concat('n', CAST(event_id % 3 + 2000 AS VARCHAR)),
+           concat('n', CAST(event_id % 3 + 2001 AS VARCHAR)) FROM events
+    UNION ALL SELECT 'n0', 'n62'
+    UNION ALL SELECT 'n0', 'n1000'
+  )
+),
+bfs AS (
+  SELECT node, node AS seed, 0 AS depth
+  FROM (VALUES ('n0'), ('n5')) s(node)
+  UNION
+  SELECT e.dst, bfs.seed, bfs.depth + 1
+  FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.depth < 8
+)
+SELECT node, CAST(depth AS INT) AS depth, seed FROM (
+  SELECT node, depth, seed,
+         row_number() OVER (PARTITION BY node ORDER BY depth, seed) AS rn
+  FROM bfs) WHERE rn = 1
+ORDER BY node"""
+
+
 _QUERIES.update(
     {
+        "gr_seed_attribution": _q_seed_attribution,
         "tx_code_detect": _q_code_detect,
         "cc_timemap": _q_timemap,
         "s_arc_scan": _q_arc_scan,
@@ -14375,6 +14446,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_seed_attribution": _SQL_SEED_ATTRIBUTION,
         "tx_code_detect": _code_detect_sql(),
         "cc_timemap": _SQL_TIMEMAP,
         "s_arc_scan": _SQL_ARC_SCAN,

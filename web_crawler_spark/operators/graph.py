@@ -2059,3 +2059,58 @@ def community_conductance(
             ),
         ),
     )
+
+
+def seed_attribution(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 8,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Seed provenance: which seed discovered each node — attribution =
+    the lexicographic minimum over (distance, seed id) of all seed paths,
+    i.e. the nearest seed with a deterministic smallest-id tie-break.
+    The crawl-diagnostics companion of :func:`seed_distance` (Cho &
+    Garcia-Molina's seed-bias question made queryable: a host set
+    attributed overwhelmingly to one seed is that seed's bias; removing
+    a seed whose attribution set is empty is free).
+
+    Correctness of frontier-only min-label propagation: every minimum-
+    depth-d path to v ends in a predecessor at depth exactly d−1 (a
+    shallower predecessor would shorten v), and each such predecessor's
+    label is already the min seed reaching it — so min over the frontier
+    predecessors' labels IS the min seed among v's depth-d paths. Same
+    Σ-out-degree work bound and slim (node, seed) shuffle rows as
+    seed_distance; one extra min-agg per round.
+
+    Returns (node, depth, seed) for nodes reachable within ``max_depth``
+    (seeds self-attributed at depth 0); unreachable nodes absent.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint()
+    assigned = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("depth"), F.col("node").alias("seed"))
+        .localCheckpoint()
+    )
+    frontier = assigned.select("node", "seed")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("seed").alias("seed"))
+        )
+        fresh = (
+            nxt.join(assigned.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).alias("depth"), "seed")
+            .localCheckpoint(eager=True)
+        )
+        if fresh.count() == 0:
+            break
+        assigned = assigned.unionByName(fresh).localCheckpoint()
+        frontier = fresh.select("node", "seed")
+    return assigned
