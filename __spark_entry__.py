@@ -14416,8 +14416,74 @@ SELECT node, CAST(depth AS INT) AS depth, seed FROM (
 ORDER BY node"""
 
 
+def _q_mime_mismatch(spark, sf_dir):
+    """Extension-vs-content MIME audit (the crawl-hygiene / cloaking
+    signal: a .jpg URL serving HTML is a masquerade; Web servers
+    mislabeling content is why WHATWG sniffing exists at all): sniffed
+    magic-byte MIME (functions/sniff.content_type_sniff, already
+    value-certified by s_content_sniff) against the extension's declared
+    type. Bodies alternate PNG-magic/HTML by doc_id parity, extensions
+    cycle .png/.html/.gif - so match and mismatch classes are ground
+    truth by construction and the oracle derives both from the same
+    arithmetic."""
+    from web_crawler_spark.functions import sniff as S
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    body = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.unhex(F.lit("89504E470D0A1A0A")),
+            F.col("text").cast("binary"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("<html><body>"), F.col("text"),
+                 F.lit("</body></html>")).cast("binary")
+    )
+    ext = F.element_at(
+        F.array(F.lit(".png"), F.lit(".html"), F.lit(".gif")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    expected = (
+        F.when(ext == ".png", F.lit("image/png"))
+        .when(ext == ".html", F.lit("text/html"))
+        .otherwise(F.lit("image/gif"))
+    )
+    sniffed = S.content_type_sniff(body)
+    return d.select(
+        F.concat(F.lit("https://x.example.com/f"),
+                 F.col("doc_id").cast("string"), ext).alias("url"),
+        ext.alias("ext"),
+        sniffed.alias("sniffed_mime"),
+        expected.alias("expected_mime"),
+        (sniffed != expected).alias("mismatch"),
+    ).orderBy("url")
+
+
+_SQL_MIME_MISMATCH = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+              ELSE 'text/html' END AS sniffed,
+         CASE doc_id % 3 WHEN 0 THEN '.png' WHEN 1 THEN '.html'
+              ELSE '.gif' END AS ext
+  FROM documents WHERE doc_id < 300
+)
+SELECT concat('https://x.example.com/f', CAST(doc_id AS VARCHAR), ext)
+         AS url,
+       ext,
+       sniffed AS sniffed_mime,
+       CASE ext WHEN '.png' THEN 'image/png' WHEN '.html' THEN 'text/html'
+            ELSE 'image/gif' END AS expected_mime,
+       sniffed <> CASE ext WHEN '.png' THEN 'image/png'
+                       WHEN '.html' THEN 'text/html'
+                       ELSE 'image/gif' END AS mismatch
+FROM b ORDER BY url
+"""
+
+
 _QUERIES.update(
     {
+        "url_mime_mismatch": _q_mime_mismatch,
         "gr_seed_attribution": _q_seed_attribution,
         "tx_code_detect": _q_code_detect,
         "cc_timemap": _q_timemap,
@@ -14446,6 +14512,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "url_mime_mismatch": _SQL_MIME_MISMATCH,
         "gr_seed_attribution": _SQL_SEED_ATTRIBUTION,
         "tx_code_detect": _code_detect_sql(),
         "cc_timemap": _SQL_TIMEMAP,
