@@ -9071,7 +9071,8 @@ _SQL_HOST_EDGES_E = """e AS (
 
 
 def _pagerank_sql(
-    iterations: int = 10, damping: float = 0.85, edges_with: str | None = None
+    iterations: int = 10, damping: float = 0.85,
+    edges_with: str | None = None, residual_tail: bool = False,
 ) -> str:
     """Unrolled power iteration — the exact algebra of
     operators/graph.py::pagerank (weighted transitions, uniform teleport,
@@ -9102,6 +9103,18 @@ r{i} AS MATERIALIZED (
   FROM nodes n CROSS JOIN nn CROSS JOIN f{i}
   LEFT JOIN c{i} c ON c.dst = n.node
 )""")
+    if residual_tail:
+        rows = " UNION ALL ".join(
+            f"SELECT CAST({i} AS BIGINT) AS iteration, "
+            f"(SELECT CAST(COALESCE(SUM(CAST(round(abs(round(a.rank, 6) "
+            f"- round(b.rank, 6)) * 1000000, 0) AS BIGINT)), 0) AS BIGINT) "
+            f"FROM r{i} a JOIN r{i-1} b ON b.node = a.node) "
+            f"AS l1_residual_micro"
+            for i in range(1, iterations + 1)
+        )
+        parts.append(f"""
+SELECT * FROM ({rows}) ORDER BY iteration""")
+        return "".join(parts)
     parts.append(f"""
 SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}
 ORDER BY rank DESC, node""")
@@ -14481,8 +14494,23 @@ FROM b ORDER BY url
 """
 
 
+def _q_pagerank_residuals(spark, sf_dir):
+    """PageRank convergence telemetry (operators/graph.
+    pagerank_residuals): per-iteration L1 residual of the host-graph
+    power iteration in exact micro-units over the 6dp-rounded ranks (the
+    published precision, so the integer algebra is engine-exact; full-
+    precision diffs would inherit the inflow sum's accumulation order).
+    Oracle: the unrolled _pagerank_sql chain with a residual tail - the
+    convergence curve certifies alongside the ranks themselves."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = G.host_graph(_host_edges(spark, sf_dir))
+    return G.pagerank_residuals(edges, iterations=10).orderBy("iteration")
+
+
 _QUERIES.update(
     {
+        "gr_pagerank_residuals": _q_pagerank_residuals,
         "url_mime_mismatch": _q_mime_mismatch,
         "gr_seed_attribution": _q_seed_attribution,
         "tx_code_detect": _q_code_detect,
@@ -14512,6 +14540,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_pagerank_residuals": _pagerank_sql(10, residual_tail=True),
         "url_mime_mismatch": _SQL_MIME_MISMATCH,
         "gr_seed_attribution": _SQL_SEED_ATTRIBUTION,
         "tx_code_detect": _code_detect_sql(),
