@@ -14508,8 +14508,95 @@ def _q_pagerank_residuals(spark, sf_dir):
     return G.pagerank_residuals(edges, iterations=10).orderBy("iteration")
 
 
+def _q_host_wcc(spark, sf_dir):
+    """Weakly connected components of the host graph - the Broder WWW'00
+    'one giant component + islands' macro measurement, via the certified
+    min-label component machinery (operators/dedup.dedup_clusters, star
+    algorithm for adversarial chains available). Fixture: a 40-host
+    chained giant component + three 5-host islands + an isolated pair;
+    output is the per-component size table (component = min host id)
+    with the deterministic is_giant flag (max size, min-id tie-break).
+    Oracle: recursive undirected closure, component = min reachable
+    member. Exact integers only."""
+    from web_crawler_spark.operators import dedup as DD
+
+    e = _t(spark, sf_dir, "events")
+    u, ev = F.col("user_id"), F.col("event_id")
+    giant = e.select(
+        F.concat(F.lit("g"), (ev % 40).cast("string")).alias("id_a"),
+        F.concat(F.lit("g"), ((ev % 40 + 1) % 40).cast("string"))
+        .alias("id_b"),
+    )
+    isles = e.select(
+        F.concat(F.lit("i"), (u % 3).cast("string"), F.lit("h"),
+                 (ev % 5).cast("string")).alias("id_a"),
+        F.concat(F.lit("i"), (u % 3).cast("string"), F.lit("h"),
+                 ((ev % 5 + 1) % 5).cast("string")).alias("id_b"),
+    )
+    pair = spark.createDataFrame([("z0", "z1")], "id_a string, id_b string")
+    pairs = giant.unionByName(isles).unionByName(pair).filter(
+        F.col("id_a") != F.col("id_b")
+    ).distinct()
+    labels = DD.dedup_clusters(pairs)
+    comp = labels.groupBy(F.col("cluster_id").alias("component")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts")
+    )
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    max_n = F.max("n_hosts").over(w)
+    best_comp = F.min(
+        F.when(F.col("n_hosts") == max_n, F.col("component"))
+    ).over(w)
+    return comp.select(
+        "component", "n_hosts",
+        (F.col("component") == best_comp).alias("is_giant"),
+    ).orderBy("component")
+
+
+_SQL_HOST_WCC = """
+WITH RECURSIVE ep AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT concat('g', CAST(event_id % 40 AS VARCHAR)) AS id_a,
+           concat('g', CAST((event_id % 40 + 1) % 40 AS VARCHAR)) AS id_b
+    FROM events
+    UNION ALL
+    SELECT concat('i', CAST(user_id % 3 AS VARCHAR), 'h',
+                  CAST(event_id % 5 AS VARCHAR)),
+           concat('i', CAST(user_id % 3 AS VARCHAR), 'h',
+                  CAST((event_id % 5 + 1) % 5 AS VARCHAR))
+    FROM events
+    UNION ALL SELECT 'z0', 'z1'
+  ) WHERE id_a <> id_b
+),
+e AS (SELECT id_a AS u, id_b AS v FROM ep
+      UNION SELECT id_b, id_a FROM ep),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+reach AS (
+  SELECT node, node AS peer FROM nodes
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN e ON e.u = r.peer
+),
+comp AS (
+  SELECT node, MIN(peer) AS component FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_hosts
+  FROM comp GROUP BY component
+),
+best AS (
+  SELECT component AS bc FROM sizes
+  ORDER BY n_hosts DESC, component ASC LIMIT 1
+)
+SELECT s.component, s.n_hosts, s.component = b.bc AS is_giant
+FROM sizes s CROSS JOIN best b
+ORDER BY s.component
+"""
+
+
 _QUERIES.update(
     {
+        "gr_host_wcc": _q_host_wcc,
         "gr_pagerank_residuals": _q_pagerank_residuals,
         "url_mime_mismatch": _q_mime_mismatch,
         "gr_seed_attribution": _q_seed_attribution,
@@ -14540,6 +14627,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_host_wcc": _SQL_HOST_WCC,
         "gr_pagerank_residuals": _pagerank_sql(10, residual_tail=True),
         "url_mime_mismatch": _SQL_MIME_MISMATCH,
         "gr_seed_attribution": _SQL_SEED_ATTRIBUTION,
