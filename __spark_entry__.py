@@ -14594,8 +14594,53 @@ ORDER BY s.component
 """
 
 
+def _q_source_dup_rates(spark, sf_dir):
+    """Per-source duplication accounting: exact-dup rate by provenance -
+    the curation lens that tells a corpus team WHICH feed is flooding
+    the mix with copies (RefinedWeb/FineWeb report dedup rates per dump
+    for exactly this reason). (source, n_docs, n_distinct, dup_docs,
+    dup_ratio_milli) over md5 content fingerprints; one (source, fp)
+    combiner agg + one source rollup, exact integers end to end."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.md5(F.col("text")).alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            (F.sum("n") - F.count(F.lit(1))).cast("long").alias("dup_docs"),
+        )
+        .select(
+            "source", "n_docs", "n_distinct", "dup_docs",
+            F.floor(F.lit(1000) * F.col("dup_docs") / F.col("n_docs"))
+            .cast("long").alias("dup_ratio_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SOURCE_DUP_RATES = """
+WITH per AS (
+  SELECT source, md5(text) AS fp, COUNT(*) AS n
+  FROM documents GROUP BY source, md5(text)
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_docs,
+       CAST(floor(1000 * (SUM(n) - COUNT(*)) / SUM(n)) AS BIGINT)
+         AS dup_ratio_milli
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 _QUERIES.update(
     {
+        "tx_source_dup_rates": _q_source_dup_rates,
         "gr_host_wcc": _q_host_wcc,
         "gr_pagerank_residuals": _q_pagerank_residuals,
         "url_mime_mismatch": _q_mime_mismatch,
@@ -14627,6 +14672,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_source_dup_rates": _SQL_SOURCE_DUP_RATES,
         "gr_host_wcc": _SQL_HOST_WCC,
         "gr_pagerank_residuals": _pagerank_sql(10, residual_tail=True),
         "url_mime_mismatch": _SQL_MIME_MISMATCH,
