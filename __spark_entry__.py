@@ -14638,8 +14638,59 @@ FROM per GROUP BY source ORDER BY source
 """
 
 
+def _q_degree_histogram(spark, sf_dir):
+    """In/out-degree distribution of the host graph - the raw artifact
+    behind gr_degree_powerlaw's MLE (Broder et al. WWW'00 figure 1: both
+    directions published as (degree, count) tables). Distinct directed
+    pairs, self-loops dropped (graph_summary semantics), exact integer
+    histogram per direction over the same heavy-tailed fixture as the
+    power-law query."""
+    e = _t(spark, sf_dir, "events")
+    u = (F.col("event_id") * F.lit(31153)) % F.lit(65536)
+    edges = e.select(
+        F.concat(F.lit("s"), (F.col("event_id") % 997).cast("string"),
+                 F.lit(".com")).alias("src"),
+        F.concat(F.lit("d"),
+                 F.floor(F.lit(65536.0) / (u + F.lit(1))).cast("string"),
+                 F.lit(".com")).alias("dst"),
+    ).distinct()
+    def hist(col, name):
+        return (
+            edges.groupBy(F.col(col).alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n_hosts"))
+            .select(F.lit(name).alias("direction"),
+                    F.col("d").cast("long").alias("degree"),
+                    F.col("n_hosts").cast("long").alias("n_hosts"))
+        )
+    return hist("dst", "in").unionByName(hist("src", "out")).orderBy(
+        "direction", "degree")
+
+
+_SQL_DEGREE_HISTOGRAM = """
+WITH e AS (
+  SELECT DISTINCT
+    concat('s', CAST(event_id % 997 AS VARCHAR), '.com') AS src,
+    concat('d', CAST(CAST(floor(65536.0 /
+        ((event_id * 31153) % 65536 + 1)) AS BIGINT) AS VARCHAR),
+        '.com') AS dst
+  FROM events
+),
+ind AS (SELECT dst AS node, COUNT(*) AS d FROM e GROUP BY dst),
+outd AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src)
+SELECT 'in' AS direction, CAST(d AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts FROM ind GROUP BY d
+UNION ALL
+SELECT 'out', CAST(d AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM outd GROUP BY d
+ORDER BY direction, degree
+"""
+
+
 _QUERIES.update(
     {
+        "gr_degree_histogram": _q_degree_histogram,
         "tx_source_dup_rates": _q_source_dup_rates,
         "gr_host_wcc": _q_host_wcc,
         "gr_pagerank_residuals": _q_pagerank_residuals,
@@ -14672,6 +14723,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_degree_histogram": _SQL_DEGREE_HISTOGRAM,
         "tx_source_dup_rates": _SQL_SOURCE_DUP_RATES,
         "gr_host_wcc": _SQL_HOST_WCC,
         "gr_pagerank_residuals": _pagerank_sql(10, residual_tail=True),

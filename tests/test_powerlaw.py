@@ -83,3 +83,21 @@ def test_dmin_one_uses_half_shift(spark):
     row = G.degree_powerlaw(_edges(spark, pairs), dmin=1).collect()[0]
     assert row["n_tail"] == 2
     assert row["alpha"] == pytest.approx(_alpha([2, 1], 1), abs=1e-9)
+
+
+def test_degree_histogram_consistency(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["gr_degree_histogram"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ins = [r for r in rows if r["direction"] == "in"]
+    outs = [r for r in rows if r["direction"] == "out"]
+    assert ins and outs
+    # Σ degree·n_hosts over a direction = number of distinct edges, and
+    # must agree between the two directions
+    n_in = sum(r["degree"] * r["n_hosts"] for r in ins)
+    n_out = sum(r["degree"] * r["n_hosts"] for r in outs)
+    assert n_in == n_out > 0
+    # heavy tail present: some in-degree >= 10 while out-degrees are flat
+    assert max(r["degree"] for r in ins) >= 10
