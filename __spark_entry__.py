@@ -14688,8 +14688,49 @@ ORDER BY direction, degree
 """
 
 
+def _q_jain_fairness(spark, sf_dir):
+    """Jain's fairness index of per-host frontier service (Jain-Chiu-Hawe
+    1984; operators/aggregate.jain_fairness) over the same skewed
+    frontier as the Gini leg - the Gini/Jain pair reads inequality and
+    fairness of the fetch scheduler together. Exact integer sufficient
+    statistics, one rounded double expression."""
+    from web_crawler_spark.operators.aggregate import jain_fairness
+
+    e = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("event_id") % 5 == 0, 0).otherwise(
+        F.col("user_id") % 20
+    )
+    frontier = e.select(
+        F.concat(F.lit("h"), hot.cast("string")).alias("host")
+    )
+    return jain_fairness(frontier)
+
+
+_SQL_JAIN_FAIRNESS = """
+WITH frontier AS (
+  SELECT concat('h', CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                          ELSE user_id % 20 END AS VARCHAR)) AS host
+  FROM events
+),
+per AS (SELECT host, COUNT(*) AS x FROM frontier GROUP BY host),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+         CAST(COALESCE(SUM(x), 0) AS BIGINT) AS total,
+         CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sum_sq
+  FROM per
+)
+SELECT n_hosts, total, sum_sq,
+       CASE WHEN n_hosts > 0 AND sum_sq > 0
+            THEN ROUND(CAST(total AS DOUBLE) * CAST(total AS DOUBLE)
+                       / (CAST(n_hosts AS DOUBLE)
+                          * CAST(sum_sq AS DOUBLE)), 6) END AS jain
+FROM agg
+"""
+
+
 _QUERIES.update(
     {
+        "a18_jain_fairness": _q_jain_fairness,
         "gr_degree_histogram": _q_degree_histogram,
         "tx_source_dup_rates": _q_source_dup_rates,
         "gr_host_wcc": _q_host_wcc,
@@ -14723,6 +14764,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "a18_jain_fairness": _SQL_JAIN_FAIRNESS,
         "gr_degree_histogram": _SQL_DEGREE_HISTOGRAM,
         "tx_source_dup_rates": _SQL_SOURCE_DUP_RATES,
         "gr_host_wcc": _SQL_HOST_WCC,

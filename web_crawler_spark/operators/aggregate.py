@@ -456,3 +456,43 @@ def concentration_stats(
             )
         ).cast("long").alias("effective_keys_milli"),
     )
+
+
+def jain_fairness(
+    frontier: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Jain's fairness index over per-host allocation counts — J =
+    (Σxᵢ)² / (n·Σxᵢ²) (Jain, Chiu & Hawe, DEC TR-301 1984, the standard
+    scheduling-fairness number): 1 when every host gets equal service,
+    → 1/n when one host hogs everything; k/n exactly when k hosts share
+    equally. The fetch-scheduler fairness companion of
+    :func:`frontier_gini` (Gini reads inequality of the queue, Jain
+    reads fairness of the service) — the number an operator watches
+    to prove politeness isn't starving the tail.
+
+    Sufficient statistics are exact integers (n, Σx, Σx²) from one
+    host-keyed combiner agg + a 1-row rollup; J is ONE double expression
+    rounded to 6dp — no cross-row float accumulation. Σx² bounds: a
+    10^10-URL frontier with a 10^9-URL hot host is ~10^18 < 2^63.
+    """
+    per = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("total"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0))
+        .cast("long").alias("sum_sq"),
+    )
+    return agg.select(
+        "n_hosts", "total", "sum_sq",
+        F.when(
+            (F.col("n_hosts") > 0) & (F.col("sum_sq") > 0),
+            F.round(
+                F.col("total").cast("double") * F.col("total").cast("double")
+                / (F.col("n_hosts").cast("double")
+                   * F.col("sum_sq").cast("double")),
+                6,
+            ),
+        ).alias("jain"),
+    )
