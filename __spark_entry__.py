@@ -14728,8 +14728,69 @@ FROM agg
 """
 
 
+def _q_heading_outline(spark, sf_dir):
+    """Document-order h1-h6 outline extraction (plans/structured.
+    heading_outline - the section-structure signal RAG chunking and
+    quality models read): whole-element isolation (closing tag matched
+    as any </h1-6>, declared RE2 subset), inline markup stripped,
+    whitespace collapsed, empty headings kept. Fixture plants an h1 with
+    inline <em>, per-class h2/h3 sections and an empty h4; pure regexp
+    projection, zero shuffles, patterns shared verbatim with the
+    oracle."""
+    from web_crawler_spark.plans.structured import heading_outline
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit("<h1>Title <em>no. "),
+        F.col("doc_id").cast("string"),
+        F.lit("</em></h1><p>intro</p><h2>Section A</h2><p>text</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<h3>Sub "), (F.col("doc_id") % 7).cast("string"),
+                     F.lit("</h3>")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("<h4></h4>")).otherwise(
+            F.lit("")
+        ),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://o.example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return heading_outline(pages).orderBy("url", "pos")
+
+
+_SQL_HEADING_OUTLINE = r"""
+WITH pages AS (
+  SELECT concat('https://o.example.com/p/', CAST(doc_id AS VARCHAR)) AS url,
+         concat('<h1>Title <em>no. ', CAST(doc_id AS VARCHAR),
+                '</em></h1><p>intro</p><h2>Section A</h2><p>text</p>',
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat('<h3>Sub ', CAST(doc_id % 7 AS VARCHAR),
+                                 '</h3>') ELSE '' END,
+                CASE WHEN doc_id % 5 = 0 THEN '<h4></h4>' ELSE '' END)
+           AS html
+  FROM documents WHERE doc_id < 300
+),
+m AS (
+  SELECT url, unnest(regexp_extract_all(html,
+           '(?is)<h[1-6][^>]*>.*?</h[1-6]>', 0)) AS m,
+         generate_subscripts(regexp_extract_all(html,
+           '(?is)<h[1-6][^>]*>.*?</h[1-6]>', 0), 1) - 1 AS pos
+  FROM pages
+)
+SELECT url, CAST(pos AS INT) AS pos,
+       CAST(regexp_extract(m, '(?i)<h([1-6])', 1) AS INT) AS level,
+       trim(regexp_replace(regexp_replace(m, '<[^>]+>', '', 'g'),
+                           '\s+', ' ', 'g')) AS heading
+FROM m ORDER BY url, pos
+"""
+
+
 _QUERIES.update(
     {
+        "x_heading_outline": _q_heading_outline,
         "a18_jain_fairness": _q_jain_fairness,
         "gr_degree_histogram": _q_degree_histogram,
         "tx_source_dup_rates": _q_source_dup_rates,
@@ -14764,6 +14825,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "x_heading_outline": _SQL_HEADING_OUTLINE,
         "a18_jain_fairness": _SQL_JAIN_FAIRNESS,
         "gr_degree_histogram": _SQL_DEGREE_HISTOGRAM,
         "tx_source_dup_rates": _SQL_SOURCE_DUP_RATES,

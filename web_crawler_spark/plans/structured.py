@@ -153,3 +153,42 @@ def microdata_records(
         F.lit(None).cast("string").alias("value"),
     )
     return types.unionByName(props)
+
+
+# whole h-element isolation in document order; level + inner text pulled
+# per match (closing tag matched as any </h1-6> — RE2 has no
+# backreferences; mis-nested heading pairs are a declared subset)
+HEADING_RE = r"(?is)<h[1-6][^>]*>.*?</h[1-6]>"
+HEADING_LEVEL_RE = r"(?i)<h([1-6])"
+TAG_STRIP_RE = r"<[^>]+>"
+
+
+def heading_outline(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Document-order heading outline — (url, pos, level, heading) for
+    every ``<h1>``–``<h6>`` element: the structure signal for
+    section-aware passage chunking (RAG corpora chunk at headings
+    before falling back to fixed windows — this is the table
+    ``passage_windows`` composes with) and for title/outline features in
+    quality models. Inline markup inside a heading is stripped, entities
+    left as-is, whitespace collapsed; empty headings kept (pos is the
+    structural position, presence is the signal). Pure regexp projection,
+    zero shuffles, RE2 patterns shared verbatim with the oracle.
+    """
+    t = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(HEADING_RE), 0)
+        ).alias("pos", "m"),
+    )
+    return t.select(
+        "url",
+        "pos",
+        F.regexp_extract("m", HEADING_LEVEL_RE, 1).cast("int").alias("level"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("m", TAG_STRIP_RE, ""), r"\s+", " "
+            )
+        ).alias("heading"),
+    )
