@@ -14788,8 +14788,108 @@ FROM m ORDER BY url, pos
 """
 
 
+def _q_shrinking_diameter(spark, sf_dir):
+    """Shrinking-diameters trend (operators/graph.shrinking_diameter;
+    Leskovec et al. KDD'05 second law) over the SAME growing host-graph
+    fixture the densification fit certifies on: effective radius at
+    cumulative epoch cutoffs 0/3/7 via hyperball's register algebra,
+    exact fixed-point integer sums end to end. Oracle: three prefixed
+    unrolled register chains in one WITH, each ending in the ANF
+    quantile read."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    host_of = F.floor(F.col("event_id") / F.lit(100)).cast("long")
+    edges = e.select(
+        F.concat(F.lit("h"), host_of.cast("string")).alias("src_host"),
+        F.concat(
+            F.lit("h"),
+            ((F.col("event_id") * F.lit(31153)) % (host_of + F.lit(1)))
+            .cast("string"),
+        ).alias("dst_host"),
+        F.floor(F.col("event_id") / F.lit(1250)).cast("long").alias("epoch"),
+    )
+    return G.shrinking_diameter(edges, cutoffs=[0, 3, 7], rounds=5).orderBy(
+        "epoch"
+    )
+
+
+def _shrinking_diameter_sql(cutoffs=(0, 3, 7), rounds: int = 5) -> str:
+    """Per-cutoff prefixed hyperball register chains (the _hyperball_sql
+    algebra verbatim: p=6, m=64, alpha 0.709, linear-counting branch,
+    6dp round) ending in the ANF effective-radius read."""
+    ctes, finals = [], []
+    for c in cutoffs:
+        x = f"c{c}_"
+        ctes.append(f"""
+{x}e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT concat('h', CAST(event_id // 100 AS VARCHAR)) AS src,
+           concat('h', CAST((event_id * 31153) % (event_id // 100 + 1)
+                            AS VARCHAR)) AS dst
+    FROM events WHERE event_id // 1250 <= {c}
+  ) WHERE src <> dst
+),
+{x}nodes AS (SELECT src AS node FROM {x}e UNION SELECT dst FROM {x}e),
+{x}regs0 AS (
+  SELECT node,
+         TRY_CAST(concat('0x', substr(md5(concat('hll:', node)), 1, 8))
+                  AS BIGINT) % 64 AS bucket,
+         CASE WHEN TRY_CAST(concat('0x', substr(md5(concat('hll:', node)),
+                            9, 8)) AS BIGINT) = 0 THEN 33
+              ELSE 33 - length(bin(TRY_CAST(concat('0x',
+                   substr(md5(concat('hll:', node)), 9, 8)) AS BIGINT)))
+         END AS rho
+  FROM {x}nodes
+)""")
+        for t in range(1, rounds + 1):
+            ctes.append(f"""
+{x}regs{t} AS MATERIALIZED (
+  SELECT node, bucket, MAX(rho) AS rho FROM (
+    SELECT node, bucket, rho FROM {x}regs{t-1}
+    UNION ALL
+    SELECT e.dst AS node, r.bucket, r.rho
+    FROM {x}e e JOIN {x}regs{t-1} r ON r.node = e.src
+  ) GROUP BY node, bucket
+)""")
+        for t in range(rounds + 1):
+            ctes.append(f"""
+{x}agg{t} AS (
+  SELECT node, COUNT(*) AS present, SUM(power(2.0, -rho)) AS s_present
+  FROM {x}regs{t} GROUP BY node
+),
+{x}est{t} AS (
+  SELECT node,
+         ROUND(CASE WHEN e_raw <= 160.0 AND v > 0
+                    THEN 64.0 * ln(64.0 / v) ELSE e_raw END, 6) AS est
+  FROM (SELECT node,
+               0.709 * 4096.0 / ((64.0 - present) + s_present) AS e_raw,
+               64 - present AS v
+        FROM {x}agg{t})
+)""")
+        nf_rows = " UNION ALL ".join(
+            f"SELECT {t} AS r, CAST(COALESCE(SUM(CAST(round(est * 1000000.0,"
+            f" 0) AS BIGINT)), 0) AS BIGINT) AS nf_micro FROM {x}est{t}"
+            for t in range(rounds + 1)
+        )
+        ctes.append(f"""
+{x}nf AS ({nf_rows})""")
+        finals.append(
+            f"SELECT CAST({c} AS BIGINT) AS epoch, "
+            f"CAST((SELECT MIN(r) FROM {x}nf WHERE 1000 * nf_micro >= 900 * "
+            f"(SELECT MAX(nf_micro) FROM {x}nf)) AS BIGINT) "
+            f"AS effective_radius, "
+            f"CAST((SELECT MAX(nf_micro) FROM {x}nf) AS BIGINT) "
+            f"AS nf_final_micro"
+        )
+    body = " UNION ALL ".join(finals)
+    return "WITH " + ",".join(ctes) + f"""
+SELECT * FROM ({body}) ORDER BY epoch"""
+
+
 _QUERIES.update(
     {
+        "gr_shrinking_diameter": _q_shrinking_diameter,
         "x_heading_outline": _q_heading_outline,
         "a18_jain_fairness": _q_jain_fairness,
         "gr_degree_histogram": _q_degree_histogram,
@@ -14825,6 +14925,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_shrinking_diameter": _shrinking_diameter_sql(),
         "x_heading_outline": _SQL_HEADING_OUTLINE,
         "a18_jain_fairness": _SQL_JAIN_FAIRNESS,
         "gr_degree_histogram": _SQL_DEGREE_HISTOGRAM,

@@ -2206,3 +2206,55 @@ def pagerank_residuals(
     for f in res_frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def shrinking_diameter(
+    edges: DataFrame,
+    cutoffs: list[int],
+    epoch_col: str = "epoch",
+    rounds: int = 5,
+    p: int = 6,
+    quantile_milli: int = 900,
+    unit_pow10: int = 6,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Effective diameter tracked over crawl epochs — the second half of
+    Leskovec, Kleinberg & Faloutsos KDD 2005 (densification is the edge
+    count's law, SHRINKING DIAMETERS is the distance law: as real graphs
+    densify, the 90th-percentile distance falls). For each cumulative
+    cutoff (edges first seen at epoch ≤ c) this runs
+    :func:`neighborhood_function` and reads off the effective radius —
+    one row per cutoff: (epoch, effective_radius, nf_final_micro). A
+    crawl whose diameter is NOT shrinking as epochs accumulate is
+    collecting fringe, the same diagnosis densification_fit makes from
+    the edge side; the pair certifies together on the same growing
+    fixture.
+
+    Scale shape: cutoffs × the hyperball loop (each O(E·2^p) register
+    shuffles); everything else inherits neighborhood_function's exact
+    fixed-point integer discipline, so the whole trend is
+    oracle-replayable.
+    """
+    frames = []
+    for c in cutoffs:
+        sub = edges.filter(F.col(epoch_col) <= int(c)).select(
+            src_col, dst_col
+        )
+        nf = neighborhood_function(
+            sub, rounds=rounds, p=p, quantile_milli=quantile_milli,
+            unit_pow10=unit_pow10, src_col=src_col, dst_col=dst_col,
+        )
+        frames.append(
+            nf.agg(
+                F.lit(int(c)).cast("long").alias("epoch"),
+                F.min(
+                    F.when(F.col("is_effective_radius"), F.col("r"))
+                ).cast("long").alias("effective_radius"),
+                F.max("nf_micro").cast("long").alias("nf_final_micro"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
