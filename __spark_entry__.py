@@ -14887,8 +14887,80 @@ def _shrinking_diameter_sql(cutoffs=(0, 3, 7), rounds: int = 5) -> str:
 SELECT * FROM ({body}) ORDER BY epoch"""
 
 
+def _q_license_detect(spark, sf_dir):
+    """License detection (functions/text.license_detect - The Stack /
+    StarCoder permissive-only admission filter; CC-BY screening for web
+    text): per-family hit counts, first-hit-wins license_class with SPDX
+    tags beating prose headers, declared spdx_id surfaced. Fixture
+    plants one family per doc_id%6 class (class 4 = clean). Oracle is
+    GENERATED from the same LICENSE_PATTERNS table, so extending the
+    table updates both engines."""
+    from web_crawler_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    plant = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit("\nSPDX-License-Identifier: BSD-3-Clause\n"))
+        .when(F.col("doc_id") % 6 == 1,
+              F.lit("\nMIT License\nPermission is hereby granted, free "
+                    "of charge\n"))
+        .when(F.col("doc_id") % 6 == 2,
+              F.lit("\nApache License, Version 2.0\n"))
+        .when(F.col("doc_id") % 6 == 3,
+              F.lit("\nGNU General Public License v3\n"))
+        .when(F.col("doc_id") % 6 == 5,
+              F.lit("\nCreative Commons Attribution 4.0 International\n"))
+        .otherwise(F.lit(""))
+    )
+    body = F.concat(F.col("text"), plant)
+    return d.select("doc_id", *T.license_detect(body)).orderBy("doc_id")
+
+
+def _license_detect_sql() -> str:
+    from web_crawler_spark.functions.text import LICENSE_PATTERNS
+
+    hits = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}', 0)) AS BIGINT) AS "
+        f"n_{name.replace('-', '_').replace('.', '_')}"
+        for name, pat in LICENSE_PATTERNS
+    )
+    case = "CASE " + " ".join(
+        f"WHEN n_{name.replace('-', '_').replace('.', '_')} > 0 "
+        f"THEN '{name}'"
+        for name, _ in LICENSE_PATTERNS
+    ) + " END"
+    spdx_pat = LICENSE_PATTERNS[0][1]
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         concat(text,
+                CASE doc_id % 6
+                  WHEN 0 THEN concat(chr(10),
+                    'SPDX-License-Identifier: BSD-3-Clause', chr(10))
+                  WHEN 1 THEN concat(chr(10), 'MIT License', chr(10),
+                    'Permission is hereby granted, free of charge', chr(10))
+                  WHEN 2 THEN concat(chr(10),
+                    'Apache License, Version 2.0', chr(10))
+                  WHEN 3 THEN concat(chr(10),
+                    'GNU General Public License v3', chr(10))
+                  WHEN 5 THEN concat(chr(10),
+                    'Creative Commons Attribution 4.0 International',
+                    chr(10))
+                  ELSE '' END) AS t
+  FROM documents WHERE doc_id < 300
+),
+h AS (SELECT doc_id, t, {hits} FROM b)
+SELECT doc_id, * EXCLUDE (doc_id, t),
+       {case} AS license_class,
+       CASE WHEN regexp_extract(t, '{spdx_pat}', 1) <> ''
+            THEN regexp_extract(t, '{spdx_pat}', 1) END AS spdx_id
+FROM h ORDER BY doc_id
+"""
+
+
 _QUERIES.update(
     {
+        "tx_license_detect": _q_license_detect,
         "gr_shrinking_diameter": _q_shrinking_diameter,
         "x_heading_outline": _q_heading_outline,
         "a18_jain_fairness": _q_jain_fairness,
@@ -14925,6 +14997,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_license_detect": _license_detect_sql(),
         "gr_shrinking_diameter": _shrinking_diameter_sql(),
         "x_heading_outline": _SQL_HEADING_OUTLINE,
         "a18_jain_fairness": _SQL_JAIN_FAIRNESS,

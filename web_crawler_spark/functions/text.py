@@ -533,3 +533,53 @@ def code_profile(text) -> list:
             - F.length(F.regexp_replace(t, CODE_SYMBOL_RE, ""))
         ).cast("long").alias("sym_chars"),
     ]
+
+
+# --------------------------------------------------------------------------
+# License detection — The Stack-style code-corpus curation filter
+# --------------------------------------------------------------------------
+
+# (license_id, RE2 pattern) in priority order; first hit wins. SPDX tags
+# beat prose headers (they are the declared intent).
+LICENSE_PATTERNS = [
+    ("spdx", r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"),
+    ("mit", r"(?i)\bMIT License\b|\bPermission is hereby granted, free of charge\b"),
+    ("apache-2.0", r"(?i)\bApache License\b.{0,40}\bVersion 2\.0\b"),
+    ("gpl", r"(?i)\bGNU General Public License\b"),
+    ("bsd", r"(?i)\bRedistribution and use in source and binary forms\b"),
+    ("cc-by", r"(?i)\bCreative Commons Attribution\b|\bCC BY\b"),
+    ("public-domain", r"(?i)\bpublic domain\b|\bThe Unlicense\b"),
+]
+
+
+def license_detect(text) -> list:
+    """Per-document license detection — the filter The Stack / StarCoder
+    pipelines apply before admitting source files (permissive-only
+    corpora), and the CC-BY screen for web text. Emits one hit-count
+    column per pattern family plus ``license_class`` (first family in
+    priority order with a hit, SPDX tags winning over prose headers;
+    NULL = none) and ``spdx_id`` (the declared identifier when an SPDX
+    tag is present). Pure regexp projection, RE2 patterns shared
+    verbatim with the oracle, zero shuffles."""
+    from pyspark.sql import functions as F
+
+    t = text.cast("string")
+    cols = []
+    first = None
+    for name, pat in LICENSE_PATTERNS:
+        hit = F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+        cols.append(hit.alias(f"n_{name.replace('-', '_').replace('.', '_')}"))
+        cond = hit > 0
+        first = (
+            F.when(cond, F.lit(name))
+            if first is None
+            else first.when(cond, F.lit(name))
+        )
+    cols.append(first.alias("license_class"))
+    cols.append(
+        F.when(
+            F.regexp_extract(t, LICENSE_PATTERNS[0][1], 1) != "",
+            F.regexp_extract(t, LICENSE_PATTERNS[0][1], 1),
+        ).alias("spdx_id")
+    )
+    return cols
