@@ -14958,8 +14958,83 @@ FROM h ORDER BY doc_id
 """
 
 
+def _q_heading_sections(spark, sf_dir):
+    """Heading-delimited section chunks (plans/structured.
+    heading_sections - the structure-aware RAG chunking unit; splits on
+    the same RE2 heading pattern as x_heading_outline so the two tables
+    always agree): preamble row 0 when non-empty, each heading paired
+    with its following markup, tags stripped, whitespace collapsed.
+    Same fixture family as the outline query plus inter-section
+    paragraphs; zero shuffles."""
+    from web_crawler_spark.plans.structured import heading_sections
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("<p>lead paragraph</p>")).otherwise(F.lit("")),
+        F.lit("<h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>alpha</p><p>beta</p><h2>Part <em>two</em></h2>"
+              "<ul><li>item</li></ul>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<h2>Extra</h2><p>tail "),
+                     (F.col("doc_id") % 7).cast("string"), F.lit("</p>")),
+        ).otherwise(F.lit("<p>closing</p>")),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://sec.example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return heading_sections(pages).orderBy("url", "section_idx")
+
+
+_SQL_HEADING_SECTIONS = r"""
+WITH pages AS (
+  SELECT concat('https://sec.example.com/p/', CAST(doc_id AS VARCHAR))
+           AS url,
+         concat(CASE WHEN doc_id % 4 = 0 THEN '<p>lead paragraph</p>'
+                     ELSE '' END,
+                '<h1>Doc ', CAST(doc_id AS VARCHAR),
+                '</h1><p>alpha</p><p>beta</p><h2>Part <em>two</em></h2>',
+                '<ul><li>item</li></ul>',
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat('<h2>Extra</h2><p>tail ',
+                                 CAST(doc_id % 7 AS VARCHAR), '</p>')
+                     ELSE '<p>closing</p>' END) AS html
+  FROM documents WHERE doc_id < 300
+),
+base AS (
+  SELECT url,
+         regexp_extract_all(html, '(?is)<h[1-6][^>]*>.*?</h[1-6]>', 0) AS h,
+         string_split_regex(html, '(?is)<h[1-6][^>]*>.*?</h[1-6]>') AS f
+  FROM pages
+),
+sec AS (
+  SELECT url,
+         CAST(i AS INT) AS section_idx,
+         trim(regexp_replace(regexp_replace(h[i], '<[^>]+>', '', 'g'),
+                             '\s+', ' ', 'g')) AS title,
+         trim(regexp_replace(regexp_replace(f[i + 1], '<[^>]+>', '', 'g'),
+                             '\s+', ' ', 'g')) AS body
+  FROM base, LATERAL unnest(generate_series(1, len(h))) AS t(i)
+),
+pre AS (
+  SELECT url, 0 AS section_idx, CAST(NULL AS VARCHAR) AS title,
+         trim(regexp_replace(regexp_replace(f[1], '<[^>]+>', '', 'g'),
+                             '\s+', ' ', 'g')) AS body
+  FROM base
+)
+SELECT * FROM pre WHERE body <> ''
+UNION ALL SELECT * FROM sec
+ORDER BY url, section_idx
+"""
+
+
 _QUERIES.update(
     {
+        "x_heading_sections": _q_heading_sections,
         "tx_license_detect": _q_license_detect,
         "gr_shrinking_diameter": _q_shrinking_diameter,
         "x_heading_outline": _q_heading_outline,
@@ -14997,6 +15072,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "x_heading_sections": _SQL_HEADING_SECTIONS,
         "tx_license_detect": _license_detect_sql(),
         "gr_shrinking_diameter": _shrinking_diameter_sql(),
         "x_heading_outline": _SQL_HEADING_OUTLINE,

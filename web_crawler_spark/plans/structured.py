@@ -192,3 +192,49 @@ def heading_outline(
             )
         ).alias("heading"),
     )
+
+
+def heading_sections(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Heading-delimited section chunks — (url, section_idx, title,
+    body): the structure-aware chunking unit RAG pipelines prefer over
+    fixed windows when the page declares its own outline (section_idx 0
+    is the pre-heading preamble, emitted only when non-empty, title
+    NULL; sections 1..n pair each heading with the markup that follows
+    it up to the next heading). Titles and bodies are tag-stripped and
+    whitespace-collapsed; splitting uses the same RE2 heading pattern as
+    :func:`heading_outline`, so the two tables always agree on what a
+    heading is. Pure regexp projection + one generator, zero shuffles.
+    """
+    def clean(c):
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(c, TAG_STRIP_RE, ""), r"\s+", " "
+            )
+        )
+
+    h = F.regexp_extract_all(F.col(html_col), F.lit(HEADING_RE), 0)
+    frags = F.split(F.col(html_col), HEADING_RE)
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        h.alias("__h"),
+        frags.alias("__f"),
+    )
+    sections = base.select(
+        "url",
+        F.posexplode("__h").alias("i", "m"),
+        F.col("__f").alias("__f"),
+    ).select(
+        "url",
+        (F.col("i") + 1).cast("int").alias("section_idx"),
+        clean(F.col("m")).alias("title"),
+        clean(F.col("__f")[F.col("i") + 1]).alias("body"),
+    )
+    preamble = base.select(
+        "url",
+        F.lit(0).cast("int").alias("section_idx"),
+        F.lit(None).cast("string").alias("title"),
+        clean(F.col("__f")[0]).alias("body"),
+    ).filter(F.col("body") != "")
+    return preamble.unionByName(sections)
