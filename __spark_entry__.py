@@ -14782,7 +14782,7 @@ m AS (
 )
 SELECT url, CAST(pos AS INT) AS pos,
        CAST(regexp_extract(m, '(?i)<h([1-6])', 1) AS INT) AS level,
-       trim(regexp_replace(regexp_replace(m, '<[^>]+>', '', 'g'),
+       trim(regexp_replace(regexp_replace(m, '<[^>]+>', ' ', 'g'),
                            '\s+', ' ', 'g')) AS heading
 FROM m ORDER BY url, pos
 """
@@ -15014,15 +15014,15 @@ base AS (
 sec AS (
   SELECT url,
          CAST(i AS INT) AS section_idx,
-         trim(regexp_replace(regexp_replace(h[i], '<[^>]+>', '', 'g'),
+         trim(regexp_replace(regexp_replace(h[i], '<[^>]+>', ' ', 'g'),
                              '\s+', ' ', 'g')) AS title,
-         trim(regexp_replace(regexp_replace(f[i + 1], '<[^>]+>', '', 'g'),
+         trim(regexp_replace(regexp_replace(f[i + 1], '<[^>]+>', ' ', 'g'),
                              '\s+', ' ', 'g')) AS body
   FROM base, LATERAL unnest(generate_series(1, len(h))) AS t(i)
 ),
 pre AS (
   SELECT url, 0 AS section_idx, CAST(NULL AS VARCHAR) AS title,
-         trim(regexp_replace(regexp_replace(f[1], '<[^>]+>', '', 'g'),
+         trim(regexp_replace(regexp_replace(f[1], '<[^>]+>', ' ', 'g'),
                              '\s+', ' ', 'g')) AS body
   FROM base
 )

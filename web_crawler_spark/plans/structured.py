@@ -188,7 +188,7 @@ def heading_outline(
         F.regexp_extract("m", HEADING_LEVEL_RE, 1).cast("int").alias("level"),
         F.trim(
             F.regexp_replace(
-                F.regexp_replace("m", TAG_STRIP_RE, ""), r"\s+", " "
+                F.regexp_replace("m", TAG_STRIP_RE, " "), r"\s+", " "
             )
         ).alias("heading"),
     )
@@ -208,9 +208,11 @@ def heading_sections(
     heading is. Pure regexp projection + one generator, zero shuffles.
     """
     def clean(c):
+        # tags become spaces (block boundaries must separate words), then
+        # whitespace collapses — '<p>a</p><p>b</p>' reads "a b", not "ab"
         return F.trim(
             F.regexp_replace(
-                F.regexp_replace(c, TAG_STRIP_RE, ""), r"\s+", " "
+                F.regexp_replace(c, TAG_STRIP_RE, " "), r"\s+", " "
             )
         )
 
