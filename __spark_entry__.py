@@ -15032,8 +15032,68 @@ ORDER BY url, section_idx
 """
 
 
+def _q_crawl_roi(spark, sf_dir):
+    """Crawl ROI per host: bytes fetched per extracted token - the
+    operational efficiency ranking that decides which hosts deserve
+    budget (a host serving 1 MB pages yielding 50 tokens of text is
+    paying for boilerplate; the inverse of the freshness value models).
+    (host, n_pages, bytes_fetched, tokens_extracted, tokens_per_mib,
+    rank) - exact integers, floor ratios, dense rank by ROI desc with
+    host tie-break. Fixture derives page bytes and token yields from
+    event arithmetic so every number is ground truth by construction."""
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 15).cast("string"))
+    page_bytes = (F.col("event_id") % 900 + 100) * F.lit(64)
+    tokens = F.when(
+        F.col("user_id") % 15 < 3, (F.col("event_id") % 20)
+    ).otherwise(F.col("event_id") % 400 + 50)
+    per = (
+        e.select(host.alias("host"), page_bytes.alias("b"),
+                 tokens.alias("t"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum("b").cast("long").alias("bytes_fetched"),
+            F.sum("t").cast("long").alias("tokens_extracted"),
+        )
+    )
+    tpm = F.floor(
+        F.col("tokens_extracted") * F.lit(1048576) / F.col("bytes_fetched")
+    ).cast("long")
+    w = Window.orderBy(F.desc("tokens_per_mib"), "host")
+    return (
+        per.withColumn("tokens_per_mib", tpm)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy("rank")
+    )
+
+
+_SQL_CRAWL_ROI = """
+WITH per AS (
+  SELECT concat('h', CAST(user_id % 15 AS VARCHAR)) AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_pages,
+         CAST(SUM((event_id % 900 + 100) * 64) AS BIGINT) AS bytes_fetched,
+         CAST(SUM(CASE WHEN user_id % 15 < 3 THEN event_id % 20
+                       ELSE event_id % 400 + 50 END) AS BIGINT)
+           AS tokens_extracted
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT host, n_pages, bytes_fetched, tokens_extracted,
+         CAST(floor(tokens_extracted * 1048576 / bytes_fetched) AS BIGINT)
+           AS tokens_per_mib
+  FROM per
+)
+SELECT host, n_pages, bytes_fetched, tokens_extracted, tokens_per_mib,
+       CAST(row_number() OVER (ORDER BY tokens_per_mib DESC, host)
+            AS BIGINT) AS rank
+FROM r ORDER BY rank
+"""
+
+
 _QUERIES.update(
     {
+        "a19_crawl_roi": _q_crawl_roi,
         "x_heading_sections": _q_heading_sections,
         "tx_license_detect": _q_license_detect,
         "gr_shrinking_diameter": _q_shrinking_diameter,
@@ -15072,6 +15132,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "a19_crawl_roi": _SQL_CRAWL_ROI,
         "x_heading_sections": _SQL_HEADING_SECTIONS,
         "tx_license_detect": _license_detect_sql(),
         "gr_shrinking_diameter": _shrinking_diameter_sql(),
