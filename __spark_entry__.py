@@ -15091,8 +15091,77 @@ FROM r ORDER BY rank
 """
 
 
+def _q_politeness_audit(spark, sf_dir):
+    """Politeness COMPLIANCE audit over an executed fetch log - the
+    after-the-fact check that the scheduler's promises held (the f3
+    family plans delays; this verifies a log against the policy, the
+    thing an operator greps when a webmaster complains): per host,
+    fetch gaps under the 2000 ms policy are violations. Fixture plants
+    violations deterministically (every 7th gap on hosts user_id%10<2
+    is 500 ms). Exact integer milliseconds, lag window per host, counts
+    + worst gap + violation_milli rate."""
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+    seq = F.row_number().over(
+        Window.partitionBy(F.col("user_id") % 10).orderBy("event_id")
+    )
+    gap_ms = F.when(
+        (F.col("user_id") % 10 < 2) & (seq % 7 == 0), F.lit(500)
+    ).otherwise(F.lit(2000) + (F.col("event_id") % 1000))
+    log = e.select(host.alias("host"), seq.alias("seq"),
+                   gap_ms.alias("gap_ms"))
+    viol = F.when((F.col("seq") > 1) & (F.col("gap_ms") < 2000), 1).otherwise(0)
+    per = (
+        log.select("host", "seq", "gap_ms", viol.alias("v"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.sum("v").cast("long").alias("n_violations"),
+            F.min(F.when(F.col("seq") > 1, F.col("gap_ms")))
+            .cast("long").alias("worst_gap_ms"),
+        )
+    )
+    return per.select(
+        "host", "n_fetches", "n_violations", "worst_gap_ms",
+        F.floor(
+            F.lit(1000) * F.col("n_violations") / (F.col("n_fetches") - 1)
+        ).cast("long").alias("violation_milli"),
+    ).orderBy("host")
+
+
+_SQL_POLITENESS_AUDIT = """
+WITH log AS (
+  SELECT concat('h', CAST(user_id % 10 AS VARCHAR)) AS host,
+         row_number() OVER (PARTITION BY user_id % 10 ORDER BY event_id)
+           AS seq,
+         user_id, event_id
+  FROM events
+),
+g AS (
+  SELECT host, seq,
+         CASE WHEN user_id % 10 < 2 AND seq % 7 = 0 THEN 500
+              ELSE 2000 + event_id % 1000 END AS gap_ms
+  FROM log
+),
+per AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_fetches,
+         CAST(SUM(CASE WHEN seq > 1 AND gap_ms < 2000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations,
+         CAST(MIN(CASE WHEN seq > 1 THEN gap_ms END) AS BIGINT)
+           AS worst_gap_ms
+  FROM g GROUP BY host
+)
+SELECT host, n_fetches, n_violations, worst_gap_ms,
+       CAST(floor(1000 * n_violations / (n_fetches - 1)) AS BIGINT)
+         AS violation_milli
+FROM per ORDER BY host
+"""
+
+
 _QUERIES.update(
     {
+        "f3_politeness_audit": _q_politeness_audit,
         "a19_crawl_roi": _q_crawl_roi,
         "x_heading_sections": _q_heading_sections,
         "tx_license_detect": _q_license_detect,
@@ -15132,6 +15201,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "f3_politeness_audit": _SQL_POLITENESS_AUDIT,
         "a19_crawl_roi": _SQL_CRAWL_ROI,
         "x_heading_sections": _SQL_HEADING_SECTIONS,
         "tx_license_detect": _license_detect_sql(),
