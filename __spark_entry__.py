@@ -15159,8 +15159,78 @@ FROM per ORDER BY host
 """
 
 
+def _q_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size histogram - the standard dedup report
+    (how much of the corpus sits in clusters of size k; FineWeb/RefinedWeb
+    publish exactly this curve): certified min-label components over a
+    planted pair graph (one 12-doc mega-cluster + doc_id%50-keyed small
+    clusters), rolled to (cluster_size, n_clusters, n_docs). Exact
+    integers; oracle recomputes via recursive closure."""
+    from web_crawler_spark.operators import dedup as DD
+
+    e = _t(spark, sf_dir, "events")
+    small = e.select(
+        F.concat(F.lit("d"), (F.col("event_id") % 50).cast("string"))
+        .alias("id_a"),
+        F.concat(F.lit("d"),
+                 ((F.col("event_id") % 50) + (F.col("event_id") % 2) * 50)
+                 .cast("string")).alias("id_b"),
+    )
+    mega = spark.createDataFrame(
+        [(f"m{i}", f"m{i+1}") for i in range(11)],
+        "id_a string, id_b string",
+    )
+    pairs = small.unionByName(mega).filter(
+        F.col("id_a") != F.col("id_b")
+    ).distinct()
+    labels = DD.dedup_clusters(pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+_SQL_CLUSTER_SIZE_HISTOGRAM = """
+WITH RECURSIVE ep AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT concat('d', CAST(event_id % 50 AS VARCHAR)) AS id_a,
+           concat('d', CAST(event_id % 50 + (event_id % 2) * 50
+                            AS VARCHAR)) AS id_b
+    FROM events
+    UNION ALL
+    SELECT concat('m', CAST(i AS VARCHAR)),
+           concat('m', CAST(i + 1 AS VARCHAR))
+    FROM unnest(generate_series(0, 10)) AS t(i)
+  ) WHERE id_a <> id_b
+),
+e AS (SELECT id_a AS u, id_b AS v FROM ep UNION SELECT id_b, id_a FROM ep),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+reach AS (
+  SELECT node, node AS peer FROM nodes
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN e ON e.u = r.peer
+),
+comp AS (SELECT node, MIN(peer) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz ORDER BY cluster_size
+"""
+
+
 _QUERIES.update(
     {
+        "dd_cluster_size_histogram": _q_cluster_size_histogram,
         "f3_politeness_audit": _q_politeness_audit,
         "a19_crawl_roi": _q_crawl_roi,
         "x_heading_sections": _q_heading_sections,
@@ -15201,6 +15271,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "dd_cluster_size_histogram": _SQL_CLUSTER_SIZE_HISTOGRAM,
         "f3_politeness_audit": _SQL_POLITENESS_AUDIT,
         "a19_crawl_roi": _SQL_CRAWL_ROI,
         "x_heading_sections": _SQL_HEADING_SECTIONS,
