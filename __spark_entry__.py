@@ -15228,8 +15228,102 @@ FROM sizes GROUP BY sz ORDER BY cluster_size
 """
 
 
+def _q_page_meta(spark, sf_dir):
+    """Page metadata table - <title> + meta description (+ canonical
+    href): the SERP-field triple every index stores beside the og: tags
+    (plans/structured.opengraph_tags covers the social variants; this
+    covers the HTML-native ones). First title wins, whole-tag isolation
+    for the metas so attribute order never matters, tag-stripped +
+    whitespace-collapsed values; zero shuffles, RE2 shared with the
+    oracle."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit("<head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" | Site</title>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<meta name="description" content="Summary '),
+                     (F.col("doc_id") % 13).cast("string"), F.lit('">')),
+        ).otherwise(
+            F.concat(F.lit('<meta content="Alt '),
+                     (F.col("doc_id") % 7).cast("string"),
+                     F.lit('" name="description">')),
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<link rel="canonical" href="https://c.example.com/'),
+                     F.col("doc_id").cast("string"), F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://pm.example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    title = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract("html", r"(?is)<title[^>]*>(.*?)</title>", 1),
+                "<[^>]+>", " "),
+            r"\s+", " "))
+    desc_tag = F.regexp_extract(
+        "html", r'(?is)<meta\s[^>]*name="description"[^>]*>', 0)
+    desc = F.when(
+        desc_tag != "", F.regexp_extract(desc_tag, r'content="([^"]*)"', 1)
+    )
+    canon_tag = F.regexp_extract(
+        "html", r'(?is)<link\s[^>]*rel="canonical"[^>]*>', 0)
+    canon = F.when(
+        canon_tag != "", F.regexp_extract(canon_tag, r'href="([^"]*)"', 1)
+    )
+    return pages.select(
+        "url", title.alias("title"), desc.alias("description"),
+        canon.alias("canonical"),
+    ).orderBy("url")
+
+
+_SQL_PAGE_META = r"""
+WITH pages AS (
+  SELECT concat('https://pm.example.com/p/', CAST(doc_id AS VARCHAR)) AS url,
+         concat('<head><title>Doc ', CAST(doc_id AS VARCHAR),
+                ' | Site</title>',
+                CASE WHEN doc_id % 2 = 0
+                     THEN concat('<meta name="description" content="Summary ',
+                                 CAST(doc_id % 13 AS VARCHAR), '">')
+                     ELSE concat('<meta content="Alt ',
+                                 CAST(doc_id % 7 AS VARCHAR),
+                                 '" name="description">') END,
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat('<link rel="canonical" ',
+                                 'href="https://c.example.com/',
+                                 CAST(doc_id AS VARCHAR), '">')
+                     ELSE '' END,
+                '</head>') AS html
+  FROM documents WHERE doc_id < 300
+)
+SELECT url,
+       trim(regexp_replace(regexp_replace(
+           regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+           '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS title,
+       CASE WHEN regexp_extract(html,
+                '(?is)<meta\s[^>]*name="description"[^>]*>', 0) <> ''
+            THEN regexp_extract(regexp_extract(html,
+                '(?is)<meta\s[^>]*name="description"[^>]*>', 0),
+                'content="([^"]*)"', 1) END AS description,
+       CASE WHEN regexp_extract(html,
+                '(?is)<link\s[^>]*rel="canonical"[^>]*>', 0) <> ''
+            THEN regexp_extract(regexp_extract(html,
+                '(?is)<link\s[^>]*rel="canonical"[^>]*>', 0),
+                'href="([^"]*)"', 1) END AS canonical
+FROM pages ORDER BY url
+"""
+
+
 _QUERIES.update(
     {
+        "x_page_meta": _q_page_meta,
         "dd_cluster_size_histogram": _q_cluster_size_histogram,
         "f3_politeness_audit": _q_politeness_audit,
         "a19_crawl_roi": _q_crawl_roi,
@@ -15271,6 +15365,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "x_page_meta": _SQL_PAGE_META,
         "dd_cluster_size_histogram": _SQL_CLUSTER_SIZE_HISTOGRAM,
         "f3_politeness_audit": _SQL_POLITENESS_AUDIT,
         "a19_crawl_roi": _SQL_CRAWL_ROI,
