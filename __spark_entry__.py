@@ -15321,8 +15321,68 @@ FROM pages ORDER BY url
 """
 
 
+def _q_dust_rewrite(spark, sf_dir):
+    """DUST mine-then-rewrite end to end (operators/urlfilter.
+    insignificant_params -> dust_rewrite; Bar-Yossef et al. 2007): mine
+    which params never change content on the certified dust fixture
+    (sid/utm must mine insignificant, page must stay), strip them
+    corpus-wide, report the URL-space collapse - (params_stripped,
+    n_urls, n_canonical, saved_milli): distinct (path,page,sid,utm)
+    URL variants collapse to distinct (path,page) canonicals. The mined
+    rule list is a bounded driver artifact; the oracle states the
+    construction's ground truth."""
+    from web_crawler_spark.operators import urlfilter as UF
+
+    e = _t(spark, sf_dir, "events")
+    pid = (F.col("event_id") % 11).cast("string")
+    page = (F.col("event_id") % 5).cast("string")
+    sid = (F.col("event_id") % 7).cast("string")
+    utm = (F.col("event_id") % 3).cast("string")
+    pages = e.select(
+        F.concat(F.lit("https://h.com/p/"), pid, F.lit("?page="), page,
+                 F.lit("&sid="), sid, F.lit("&utm="), utm).alias("url"),
+        F.md5(F.concat(F.lit("content-"), pid, F.lit("-"), page)
+              ).alias("fingerprint"),
+    )
+    mined = UF.insignificant_params(pages)
+    rules = sorted(
+        r["param"] for r in mined.filter(F.col("insignificant")).collect()
+    )
+    rewritten = UF.dust_rewrite(pages, rules)
+    return rewritten.agg(
+        F.lit(",".join(rules)).alias("params_stripped"),
+        F.countDistinct("url").cast("long").alias("n_urls"),
+        F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+        F.floor(
+            F.lit(1000)
+            * (F.countDistinct("url") - F.countDistinct("canonical_url"))
+            / F.countDistinct("url")
+        ).cast("long").alias("saved_milli"),
+    )
+
+
+_SQL_DUST_REWRITE = """
+WITH u AS (
+  SELECT DISTINCT event_id % 11 AS pid, event_id % 5 AS page,
+                  event_id % 7 AS sid, event_id % 3 AS utm
+  FROM events
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_urls,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT DISTINCT pid, page FROM u)) AS n_canonical
+  FROM u
+)
+SELECT 'sid,utm' AS params_stripped, n_urls, n_canonical,
+       CAST(floor(1000 * (n_urls - n_canonical) / n_urls) AS BIGINT)
+         AS saved_milli
+FROM c
+"""
+
+
 _QUERIES.update(
     {
+        "url_dust_rewrite": _q_dust_rewrite,
         "x_page_meta": _q_page_meta,
         "dd_cluster_size_histogram": _q_cluster_size_histogram,
         "f3_politeness_audit": _q_politeness_audit,
@@ -15365,6 +15425,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "url_dust_rewrite": _SQL_DUST_REWRITE,
         "x_page_meta": _SQL_PAGE_META,
         "dd_cluster_size_histogram": _SQL_CLUSTER_SIZE_HISTOGRAM,
         "f3_politeness_audit": _SQL_POLITENESS_AUDIT,

@@ -657,3 +657,42 @@ def cloaking_flags(
             & ~dynamic
         ).alias("cloaked"),
     )
+
+
+def dust_rewrite(
+    pages: DataFrame,
+    strip_params: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply learned DUST rules corpus-wide — the actionable half of
+    :func:`insignificant_params` (Bar-Yossef et al. 2007 §6: once a
+    parameter is known content-inert, strip it and collapse the URL
+    space BEFORE fetching): every listed query parameter is removed and
+    the URL rebuilt (query dropped entirely when nothing survives).
+    Returns the input plus ``canonical_url``.
+
+    Pure column algebra — base split at '?', query exploded to a param
+    array, one HOF filter against the bounded rule list, rejoin — no
+    UDF, no shuffle; the rule list is the mining output (≤ #distinct
+    param keys, a driver-bounded artifact by the same argument as the
+    LSH plane lists).
+    """
+    url = F.col(url_col).cast("string")
+    base = F.regexp_extract(url, r"^([^?]*)", 1)
+    query = F.regexp_extract(url, r"\?(.*)$", 1)
+    parts = F.when(query == "", F.array().cast("array<string>")).otherwise(
+        F.split(query, "&")
+    )
+    keys = [p + "=" for p in strip_params]
+    kept = F.filter(parts, lambda x: ~_any_prefix(x, keys))
+    rebuilt = F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+    return pages.withColumn("canonical_url", rebuilt)
+
+
+def _any_prefix(x, keys: list[str]):
+    expr = F.lit(False)
+    for k in keys:
+        expr = expr | x.startswith(k)
+    return expr
