@@ -15380,8 +15380,85 @@ FROM c
 """
 
 
+def _q_ct_langid(spark, sf_dir):
+    """Cavnar-Trenkle rank-order n-gram language ID (operators/corpus.
+    cavnar_trenkle_profiles/_classify; SDAIR 1994 - the textcat
+    algorithm, a genuinely different method from the stopword/script
+    langid, so the engine carries both classic families): profiles from
+    the doc_id%10<8 slice at k=30 char-3-grams, all docs classified by
+    out-of-place distance with the k-penalty realized arithmetically
+    (inner gram join only, no per-language replication, no cross join).
+    EXACT integer algebra end to end - the full train+classify chain
+    replays in SQL."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 < 8)
+    prof = C.cavnar_trenkle_profiles(train, k=30)
+    return C.cavnar_trenkle_classify(d, prof, k=30).orderBy("doc_id")
+
+
+_SQL_CT_LANGID = """
+WITH tr AS (
+  SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 10 < 8
+),
+tg AS (
+  SELECT lang, substr(t, CAST(i AS INT), 3) AS gram
+  FROM tr, LATERAL unnest(generate_series(1, greatest(length(t) - 2, 0)))
+       AS x(i)
+),
+lc AS (SELECT lang, gram, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+lp AS (
+  SELECT lang, gram, rank FROM (
+    SELECT lang, gram,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram)
+             AS rank
+    FROM lc) WHERE rank <= 30
+),
+dd AS (SELECT doc_id, lower(text) AS t FROM documents),
+dgr AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+  FROM dd, LATERAL unnest(generate_series(1, greatest(length(t) - 2, 0)))
+       AS x(i)
+),
+dc AS (SELECT doc_id, gram, COUNT(*) AS c FROM dgr GROUP BY 1, 2),
+dp AS (
+  SELECT doc_id, gram, drank FROM (
+    SELECT doc_id, gram,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram)
+             AS drank
+    FROM dc) WHERE drank <= 30
+),
+ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM dp GROUP BY doc_id),
+matched AS (
+  SELECT dp.doc_id, lp.lang,
+         SUM(abs(dp.drank - lp.rank)) AS s_disp,
+         COUNT(*) AS n_matched
+  FROM dp JOIN lp USING (gram)
+  GROUP BY 1, 2
+),
+dist AS (
+  SELECT m.doc_id, m.lang,
+         CAST(m.s_disp + 30 * (ng.n_grams - m.n_matched) AS BIGINT) AS dist
+  FROM matched m JOIN ng USING (doc_id)
+),
+best AS (
+  SELECT doc_id, lang AS predicted_lang, dist AS best_dist FROM (
+    SELECT doc_id, lang, dist,
+           row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang)
+             AS rn
+    FROM dist) WHERE rn = 1
+)
+SELECT d.doc_id, b.predicted_lang, b.best_dist
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN best b USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 _QUERIES.update(
     {
+        "tx_ct_langid": _q_ct_langid,
         "url_dust_rewrite": _q_dust_rewrite,
         "x_page_meta": _q_page_meta,
         "dd_cluster_size_histogram": _q_cluster_size_histogram,
@@ -15425,6 +15502,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_ct_langid": _SQL_CT_LANGID,
         "url_dust_rewrite": _SQL_DUST_REWRITE,
         "x_page_meta": _SQL_PAGE_META,
         "dd_cluster_size_histogram": _SQL_CLUSTER_SIZE_HISTOGRAM,

@@ -2644,3 +2644,130 @@ def temperature_mix_rates(
         F.least(raw_alloc, F.col("n_tokens")).alias("alloc_tokens"),
         (raw_alloc > F.col("n_tokens")).alias("capped"),
     )
+
+
+def cavnar_trenkle_profiles(
+    train: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    k: int = 50,
+    n: int = 3,
+) -> DataFrame:
+    """Cavnar-Trenkle language profiles (SDAIR 1994, "N-Gram-Based Text
+    Categorization" — the classic rank-order method behind textcat and
+    early langid tools): per language, the top-``k`` character n-grams
+    ranked by frequency (count desc, gram asc — deterministic). Returns
+    (lang, gram, rank), a languages×k table. One (lang, gram) combiner
+    agg + a per-lang rank window over gram-count rows (≤ distinct grams
+    per language, never corpus rows); exact integers throughout.
+    """
+    t = F.lower(F.col(text_col).cast("string"))
+    g = (
+        train.select(F.col(lang_col).alias("lang"), t.alias("__t"))
+        .select("lang", F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__t") - (n - 1), F.lit(0)),
+                ),
+                lambda i: F.col("__t").substr(i, F.lit(n)),
+            )
+        ).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "gram")
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("lang", "gram", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cavnar_trenkle_classify(
+    docs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    n: int = 3,
+) -> DataFrame:
+    """Classify documents against Cavnar-Trenkle profiles by OUT-OF-PLACE
+    distance: build each document's own top-``k`` gram ranking the same
+    way, then for every language sum |doc_rank − lang_rank| over the
+    doc's grams (a gram absent from the language profile costs the
+    maximum displacement ``k``); predicted language = argmin distance,
+    ties to the alphabetically first language. EXACT integer algebra end
+    to end (ranks, displacements, sums), so the whole classifier —
+    training ranks, doc ranks, distances, argmin — replays in SQL.
+
+    Returns (doc_id, predicted_lang, best_dist). Scale shape: one
+    (doc, gram) combiner agg + per-doc rank window (the doc's own gram
+    table, ≤ text length rows) + one broadcast join against the
+    languages×k profile table + a (doc, lang) sum and per-doc argmin
+    window — document text never crosses a shuffle after the gram agg.
+    """
+    t = F.lower(F.col(text_col).cast("string"))
+    dg = (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
+        .select("doc_id", F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__t") - (n - 1), F.lit(0)),
+                ),
+                lambda i: F.col("__t").substr(i, F.lit(n)),
+            )
+        ).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("c"), "gram")
+    dp = (
+        dg.withColumn("drank", F.row_number().over(wd))
+        .filter(F.col("drank") <= int(k))
+        .select("doc_id", "gram", "drank")
+    )
+    # dist(doc, lang) = Σ_matched |Δrank| + k·(n_doc_grams − n_matched):
+    # the unmatched-gram penalty is accounted arithmetically, so only an
+    # INNER gram join is needed — no per-language row replication of the
+    # doc profile (and no cross join anywhere, the repo invariant)
+    ng = dp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    matched = (
+        dp.join(F.broadcast(profiles), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.abs(F.col("drank") - F.col("rank"))).alias("s_disp"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    # a zero-match language's dist would be k·n_grams, the MAXIMUM
+    # possible (each matched gram costs ≤ k−1 < k), so any language with
+    # ≥1 match strictly beats every zero-match one — the argmin over
+    # matched languages IS the global argmin; a doc matching no language
+    # at all gets NULL (unknown), the honest answer.
+    dist = (
+        matched.join(ng, "doc_id")
+        .select(
+            "doc_id", "lang",
+            (
+                F.col("s_disp")
+                + F.lit(int(k)) * (F.col("n_grams") - F.col("n_matched"))
+            ).cast("long").alias("dist"),
+        )
+    )
+    wbest = Window.partitionBy("doc_id").orderBy("dist", "lang")
+    best = (
+        dist.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("predicted_lang"),
+            F.col("dist").alias("best_dist"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(best, "doc_id", "left")
+    )
