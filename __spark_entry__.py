@@ -15456,8 +15456,49 @@ ORDER BY d.doc_id
 """
 
 
+def _q_robots_scan(spark, sf_dir):
+    """Real-bytes robots.txt ingest (sources/robots.robots_scan): the
+    reference fixture bodies written as a <host>.txt cache-dump
+    directory, re-ingested through the binaryFile + mapInPandas scan and
+    parsed to rule rows - closing the real-bytes loop for the robots
+    source exactly as sitemap/xlsx/WARC/ARC close theirs. The oracle
+    states the four bodies' RFC 9309 parse as ground truth (group
+    resets, empty-Disallow skip, crawl-delay emission order, unknown
+    directives ignored, zero rows for the allow-all host)."""
+    import tempfile
+
+    from web_crawler_spark.sources.robots import ROBOTS_BODIES, robots_scan
+
+    d = tempfile.mkdtemp(prefix="robots_scan_")
+    for host, body in ROBOTS_BODIES.items():
+        with open(os.path.join(d, f"{host}.txt"), "w") as f:
+            f.write(body)
+    return robots_scan(spark, d).orderBy(
+        "host", "agent", "rule", "path_prefix"
+    )
+
+
+_SQL_ROBOTS_SCAN = """
+SELECT * FROM (VALUES
+  ('data.worldbank.org', '*', 'disallow', '/seed/1',
+   CAST(NULL AS DOUBLE)),
+  ('finance.sina.com.cn', '*', 'disallow', '/', CAST(NULL AS DOUBLE)),
+  ('finance.sina.com.cn', 'sparkcrawl', 'crawl-delay', '', 0.5),
+  ('finance.sina.com.cn', 'sparkcrawl', 'disallow', '/internal/',
+   CAST(NULL AS DOUBLE)),
+  ('markets.businessinsider.com', '*', 'allow', '/private/public-annex/',
+   CAST(NULL AS DOUBLE)),
+  ('markets.businessinsider.com', '*', 'crawl-delay', '', 1.0),
+  ('markets.businessinsider.com', '*', 'disallow', '/private/',
+   CAST(NULL AS DOUBLE))
+) v(host, agent, rule, path_prefix, crawl_delay)
+ORDER BY host, agent, rule, path_prefix
+"""
+
+
 _QUERIES.update(
     {
+        "s_robots_scan": _q_robots_scan,
         "tx_ct_langid": _q_ct_langid,
         "url_dust_rewrite": _q_dust_rewrite,
         "x_page_meta": _q_page_meta,
@@ -15502,6 +15543,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "s_robots_scan": _SQL_ROBOTS_SCAN,
         "tx_ct_langid": _SQL_CT_LANGID,
         "url_dust_rewrite": _SQL_DUST_REWRITE,
         "x_page_meta": _SQL_PAGE_META,
