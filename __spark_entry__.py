@@ -15496,8 +15496,85 @@ ORDER BY host, agent, rule, path_prefix
 """
 
 
+def _q_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl coverage audit per host: how much of what the
+    site DECLARES did we fetch (declared_coverage_milli), and how much
+    of what we fetched was never declared (orphan_milli) - the two
+    numbers a crawl-ops review reads before re-budgeting a host (low
+    coverage = we are missing declared content; high orphan rate = the
+    sitemap is stale or the site leaks undeclared URLs). Fixture:
+    declared = event_id%600 per host, crawled = event_id%500 shifted by
+    100, so the overlap (100..499), the undeclared tail and the
+    uncrawled tail are all exact by construction; full outer join on
+    (host, path), exact integers end to end."""
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string"))
+    declared = e.select(
+        host.alias("host"),
+        (F.col("event_id") % 600).cast("long").alias("path"),
+    ).distinct()
+    crawled = e.select(
+        host.alias("host"),
+        ((F.col("event_id") % 500) + 100).cast("long").alias("path"),
+    ).distinct()
+    j = declared.withColumn("d", F.lit(1)).join(
+        crawled.withColumn("c", F.lit(1)), ["host", "path"], "full_outer"
+    )
+    per = j.groupBy("host").agg(
+        F.sum(F.coalesce("d", F.lit(0))).cast("long").alias("n_declared"),
+        F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("n_crawled"),
+        F.sum(
+            F.when(F.col("d").isNotNull() & F.col("c").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_both"),
+    )
+    return per.select(
+        "host", "n_declared", "n_crawled", "n_both",
+        F.floor(F.lit(1000) * F.col("n_both") / F.col("n_declared"))
+        .cast("long").alias("declared_coverage_milli"),
+        F.floor(
+            F.lit(1000) * (F.col("n_crawled") - F.col("n_both"))
+            / F.col("n_crawled")
+        ).cast("long").alias("orphan_milli"),
+    ).orderBy("host")
+
+
+_SQL_SITEMAP_COVERAGE = """
+WITH d AS (
+  SELECT DISTINCT concat('h', CAST(user_id % 8 AS VARCHAR)) AS host,
+                  CAST(event_id % 600 AS BIGINT) AS path
+  FROM events
+),
+c AS (
+  SELECT DISTINCT concat('h', CAST(user_id % 8 AS VARCHAR)) AS host,
+                  CAST(event_id % 500 + 100 AS BIGINT) AS path
+  FROM events
+),
+j AS (
+  SELECT COALESCE(d.host, c.host) AS host,
+         CASE WHEN d.path IS NOT NULL THEN 1 ELSE 0 END AS dd,
+         CASE WHEN c.path IS NOT NULL THEN 1 ELSE 0 END AS cc
+  FROM d FULL OUTER JOIN c ON c.host = d.host AND c.path = d.path
+),
+per AS (
+  SELECT host, CAST(SUM(dd) AS BIGINT) AS n_declared,
+         CAST(SUM(cc) AS BIGINT) AS n_crawled,
+         CAST(SUM(CASE WHEN dd = 1 AND cc = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both
+  FROM j GROUP BY host
+)
+SELECT host, n_declared, n_crawled, n_both,
+       CAST(floor(1000 * n_both / n_declared) AS BIGINT)
+         AS declared_coverage_milli,
+       CAST(floor(1000 * (n_crawled - n_both) / n_crawled) AS BIGINT)
+         AS orphan_milli
+FROM per ORDER BY host
+"""
+
+
 _QUERIES.update(
     {
+        "crawl_sitemap_coverage": _q_sitemap_coverage,
         "s_robots_scan": _q_robots_scan,
         "tx_ct_langid": _q_ct_langid,
         "url_dust_rewrite": _q_dust_rewrite,
@@ -15543,6 +15620,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "crawl_sitemap_coverage": _SQL_SITEMAP_COVERAGE,
         "s_robots_scan": _SQL_ROBOTS_SCAN,
         "tx_ct_langid": _SQL_CT_LANGID,
         "url_dust_rewrite": _SQL_DUST_REWRITE,
