@@ -9073,6 +9073,7 @@ _SQL_HOST_EDGES_E = """e AS (
 def _pagerank_sql(
     iterations: int = 10, damping: float = 0.85,
     edges_with: str | None = None, residual_tail: bool = False,
+    spearman_tail: bool = False,
 ) -> str:
     """Unrolled power iteration — the exact algebra of
     operators/graph.py::pagerank (weighted transitions, uniform teleport,
@@ -9103,6 +9104,33 @@ r{i} AS MATERIALIZED (
   FROM nodes n CROSS JOIN nn CROSS JOIN f{i}
   LEFT JOIN c{i} c ON c.dst = n.node
 )""")
+    if spearman_tail:
+        return "".join(parts) + f""",
+deg AS (
+  SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS indeg
+  FROM e GROUP BY dst
+),
+ranks AS (
+  SELECT n.node,
+         row_number() OVER (ORDER BY ROUND(r.rank, 6) DESC, n.node)
+           AS pr_rank,
+         row_number() OVER (ORDER BY COALESCE(d.indeg, 0) DESC, n.node)
+           AS deg_rank
+  FROM nodes n JOIN r{iterations} r ON r.node = n.node
+  LEFT JOIN deg d ON d.node = n.node
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((pr_rank - deg_rank) * (pr_rank - deg_rank)) AS BIGINT)
+           AS sd2
+  FROM ranks
+)
+SELECT n, sd2,
+       CASE WHEN n >= 2 THEN
+         ROUND(1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - 1.0)), 6) END AS spearman_rho
+FROM st"""
     if residual_tail:
         rows = " UNION ALL ".join(
             f"SELECT CAST({i} AS BIGINT) AS iteration, "
@@ -15572,8 +15600,58 @@ FROM per ORDER BY host
 """
 
 
+def _q_pagerank_degree_corr(spark, sf_dir):
+    """Spearman rank correlation between in-degree and PageRank over the
+    host graph - the classic 'is PageRank just in-degree?' measurement
+    (Fortunato et al. 2008 studied exactly this; a crawl scheduler whose
+    rho ~ 1 can prioritize by cheap in-degree and skip the iteration).
+    Deterministic row_number ranks with node tie-break (declared variant
+    of the tied-rank formula), rho = 1 - 6*sum(d^2)/(n(n^2-1)) from exact
+    integer sums in ONE rounded double expression. Oracle: the unrolled
+    pagerank chain grown a spearman tail, ordering by the same round-6
+    ranks the Spark side returns."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = G.host_graph(_host_edges(spark, sf_dir))
+    pr = G.pagerank(edges, iterations=10)
+    indeg = edges.groupBy(F.col("dst_host").alias("node")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+    nodes = pr.join(indeg, "node", "left").select(
+        "node", "rank", F.coalesce("indeg", F.lit(0)).alias("indeg")
+    )
+    w_pr = Window.orderBy(F.desc("rank"), "node")
+    w_dg = Window.orderBy(F.desc("indeg"), "node")
+    ranked = nodes.select(
+        "node",
+        F.row_number().over(w_pr).alias("pr_rank"),
+        F.row_number().over(w_dg).alias("deg_rank"),
+    )
+    d2 = (F.col("pr_rank") - F.col("deg_rank")) * (
+        F.col("pr_rank") - F.col("deg_rank")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(d2), F.lit(0)).cast("long").alias("sd2"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "n", "sd2",
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                F.lit(1.0)
+                - F.lit(6.0) * F.col("sd2").cast("double")
+                / (n * (n * n - F.lit(1.0))),
+                6,
+            ),
+        ).alias("spearman_rho"),
+    )
+
+
 _QUERIES.update(
     {
+        "gr_pagerank_degree_corr": _q_pagerank_degree_corr,
         "crawl_sitemap_coverage": _q_sitemap_coverage,
         "s_robots_scan": _q_robots_scan,
         "tx_ct_langid": _q_ct_langid,
@@ -15620,6 +15698,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_pagerank_degree_corr": _pagerank_sql(10, spearman_tail=True),
         "crawl_sitemap_coverage": _SQL_SITEMAP_COVERAGE,
         "s_robots_scan": _SQL_ROBOTS_SCAN,
         "tx_ct_langid": _SQL_CT_LANGID,
