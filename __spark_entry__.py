@@ -15649,8 +15649,48 @@ def _q_pagerank_degree_corr(spark, sf_dir):
     )
 
 
+def _q_entity_decode(spark, sf_dir):
+    """Named-HTML-entity decode (functions/text.decode_entities - the
+    extraction-hygiene pass keeping &amp;/&nbsp; out of training text;
+    numeric references are a declared subset exclusion): fixture plants
+    entity runs incl. a double-escaped '&amp;lt;' that must decode
+    exactly ONE layer (to '&lt;', never '<'). The oracle chain is
+    GENERATED from the same HTML_ENTITIES table."""
+    from web_crawler_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    body = F.concat(
+        F.lit("Tom &amp; Jerry&nbsp;&mdash;&nbsp;&ldquo;S"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("&rdquo; &amp;lt;tag&amp;gt; &copy;"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return d.select(
+        "doc_id", T.decode_entities(body).alias("decoded")
+    ).orderBy("doc_id")
+
+
+def _entity_decode_sql() -> str:
+    from web_crawler_spark.functions.text import HTML_ENTITIES
+
+    expr = "concat('Tom &amp; Jerry&nbsp;&mdash;&nbsp;&ldquo;S', " \
+           "CAST(doc_id % 9 AS VARCHAR), " \
+           "'&rdquo; &amp;lt;tag&amp;gt; &copy;', " \
+           "CAST(doc_id % 4 AS VARCHAR), ' ', text)"
+    for ent, rep in HTML_ENTITIES:
+        rq = rep.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{rq}')"
+    return f"""
+SELECT doc_id, {expr} AS decoded
+FROM documents WHERE doc_id < 300 ORDER BY doc_id
+"""
+
+
 _QUERIES.update(
     {
+        "tx_entity_decode": _q_entity_decode,
         "gr_pagerank_degree_corr": _q_pagerank_degree_corr,
         "crawl_sitemap_coverage": _q_sitemap_coverage,
         "s_robots_scan": _q_robots_scan,
@@ -15698,6 +15738,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_entity_decode": _entity_decode_sql(),
         "gr_pagerank_degree_corr": _pagerank_sql(10, spearman_tail=True),
         "crawl_sitemap_coverage": _SQL_SITEMAP_COVERAGE,
         "s_robots_scan": _SQL_ROBOTS_SCAN,

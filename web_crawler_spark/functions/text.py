@@ -583,3 +583,54 @@ def license_detect(text) -> list:
         ).alias("spdx_id")
     )
     return cols
+
+
+# --------------------------------------------------------------------------
+# HTML entity decoding — extraction hygiene (mojibake_repair's sibling)
+# --------------------------------------------------------------------------
+
+# (entity, replacement) — the named entities that dominate real crawl
+# text (WHATWG core set + typographic ones), applied in list order with
+# '&amp;' LAST: no earlier entity is a substring of another's escaped
+# form, so one pass decodes exactly one escaping layer.
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&hellip;", "…"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&euro;", "€"),
+    ("&pound;", "£"),
+    ("&middot;", "·"),
+    ("&laquo;", "«"),
+    ("&raquo;", "»"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),   # MUST be last: it re-exposes one escaping layer
+]
+
+
+def decode_entities(text) -> "Column":
+    """Named-HTML-entity decode as a fixed JVM replace chain — the
+    extraction-hygiene pass that keeps '&amp;' and '&nbsp;' out of the
+    training corpus (the mojibake_repair discipline applied to entities;
+    numeric &#NNN; references are NOT handled — a declared subset, they
+    are rare in body text and need per-match arithmetic). '&amp;' is
+    replaced LAST so one call decodes exactly one escaping layer —
+    '&amp;lt;' becomes '&lt;', never '<' (lossless w.r.t.
+    double-escaping). Zero shuffles; the chain is generated from
+    HTML_ENTITIES, shared with the oracle."""
+    from pyspark.sql import functions as F
+
+    out = text.cast("string")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
