@@ -15688,8 +15688,105 @@ FROM documents WHERE doc_id < 300 ORDER BY doc_id
 """
 
 
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(k) (Zhou & Mondragon 2004; Colizza et
+    al. Nature Physics 2006): do high-degree hosts link preferentially
+    to EACH OTHER? - the hub-collusion reading of the host graph (a
+    link-farm core shows up as phi spiking at high k; the structural
+    sibling of trawl_cores' bipartite stamp). Undirected simple graph,
+    degree > k membership for k in {1,2,4,8,16}, phi = 2*E_k /
+    (N_k(N_k-1)); exact integer sufficient statistics, one rounded
+    double per k. Same heavy-tailed fixture as the power-law queries."""
+    e = _t(spark, sf_dir, "events")
+    u = (F.col("event_id") * F.lit(31153)) % F.lit(65536)
+    raw = e.select(
+        F.concat(F.lit("s"), (F.col("event_id") % 97).cast("string"))
+        .alias("a"),
+        F.concat(F.lit("d"),
+                 F.floor(F.lit(65536.0) / (u + F.lit(1))).cast("string"))
+        .alias("b"),
+    )
+    und = raw.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).filter(F.col("x") != F.col("y")).distinct().localCheckpoint()
+    deg = (
+        und.select(F.col("x").alias("node"))
+        .unionByName(und.select(F.col("y").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = [1, 2, 4, 8, 16]
+    frames = []
+    for k in ks:
+        rich = deg.filter(F.col("d") > k).select("node")
+        ek = (
+            und.join(rich.withColumnRenamed("node", "x"), "x")
+            .join(rich.withColumnRenamed("node", "y"), "y")
+        )
+        frames.append(
+            rich.agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
+            .withColumn("__k", F.lit(1))
+            .join(
+                ek.agg(F.count(F.lit(1)).cast("long").alias("e_rich"))
+                .withColumn("__k", F.lit(1)),
+                "__k",
+            )
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                "n_rich", "e_rich",
+                F.when(
+                    F.col("n_rich") >= 2,
+                    F.round(
+                        F.lit(2.0) * F.col("e_rich").cast("double")
+                        / (F.col("n_rich").cast("double")
+                           * (F.col("n_rich").cast("double") - F.lit(1.0))),
+                        6,
+                    ),
+                ).alias("phi"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("k")
+
+
+_SQL_RICH_CLUB = """
+WITH raw AS (
+  SELECT concat('s', CAST(event_id % 97 AS VARCHAR)) AS a,
+         concat('d', CAST(CAST(floor(65536.0 /
+             ((event_id * 31153) % 65536 + 1)) AS BIGINT) AS VARCHAR)) AS b
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+  FROM raw WHERE a <> b
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT x AS node FROM und UNION ALL SELECT y FROM und)
+  GROUP BY node
+),
+ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+stats AS (
+  SELECT k.k,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d > k.k) AS n_rich,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM und u
+          JOIN deg dx ON dx.node = u.x AND dx.d > k.k
+          JOIN deg dy ON dy.node = u.y AND dy.d > k.k) AS e_rich
+  FROM ks k
+)
+SELECT CAST(k AS BIGINT) AS k, n_rich, e_rich,
+       CASE WHEN n_rich >= 2 THEN
+         ROUND(2.0 * CAST(e_rich AS DOUBLE)
+               / (CAST(n_rich AS DOUBLE) * (CAST(n_rich AS DOUBLE) - 1.0)),
+               6) END AS phi
+FROM stats ORDER BY k
+"""
+
+
 _QUERIES.update(
     {
+        "gr_rich_club": _q_rich_club,
         "tx_entity_decode": _q_entity_decode,
         "gr_pagerank_degree_corr": _q_pagerank_degree_corr,
         "crawl_sitemap_coverage": _q_sitemap_coverage,
@@ -15738,6 +15835,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_rich_club": _SQL_RICH_CLUB,
         "tx_entity_decode": _entity_decode_sql(),
         "gr_pagerank_degree_corr": _pagerank_sql(10, spearman_tail=True),
         "crawl_sitemap_coverage": _SQL_SITEMAP_COVERAGE,
