@@ -15784,8 +15784,82 @@ FROM stats ORDER BY k
 """
 
 
+def _q_knn_degree_curve(spark, sf_dir):
+    """Average-neighbor-degree curve k_nn(k) (Pastor-Satorras, Vazquez &
+    Vespignani PRL 2001) - the full disassortativity CURVE behind
+    gr_graph_summary's single assortativity number (web graphs: k_nn
+    falls with k, hubs attach to the fringe; a flat or rising tail at
+    high k is hub collusion, the rich-club signal read degree-by-
+    degree). Symmetrized simple graph; per degree value k: the mean over
+    all edge endpoints of degree k of the other endpoint's degree,
+    reported as exact integer sums plus floor-milli mean - no float
+    accumulation anywhere. Same heavy-tailed fixture as the power-law
+    family."""
+    e = _t(spark, sf_dir, "events")
+    u = (F.col("event_id") * F.lit(31153)) % F.lit(65536)
+    raw = e.select(
+        F.concat(F.lit("s"), (F.col("event_id") % 97).cast("string"))
+        .alias("a"),
+        F.concat(F.lit("d"),
+                 F.floor(F.lit(65536.0) / (u + F.lit(1))).cast("string"))
+        .alias("b"),
+    )
+    und = raw.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).filter(F.col("x") != F.col("y")).distinct()
+    sym = und.unionByName(
+        und.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint()
+    deg = (
+        sym.groupBy(F.col("x").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    j = (
+        sym.join(deg.select(F.col("node").alias("x"),
+                            F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("node").alias("y"),
+                         F.col("d").alias("dy")), "y")
+    )
+    per = j.groupBy(F.col("dx").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_endpoints"),
+        F.sum("dy").cast("long").alias("sum_nbr_deg"),
+    )
+    return per.select(
+        "k", "n_endpoints", "sum_nbr_deg",
+        F.floor(F.lit(1000) * F.col("sum_nbr_deg") / F.col("n_endpoints"))
+        .cast("long").alias("knn_milli"),
+    ).orderBy("k")
+
+
+_SQL_KNN_DEGREE_CURVE = """
+WITH raw AS (
+  SELECT concat('s', CAST(event_id % 97 AS VARCHAR)) AS a,
+         concat('d', CAST(CAST(floor(65536.0 /
+             ((event_id * 31153) % 65536 + 1)) AS BIGINT) AS VARCHAR)) AS b
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+  FROM raw WHERE a <> b
+),
+sym AS (SELECT x, y FROM und UNION ALL SELECT y, x FROM und),
+deg AS (SELECT x AS node, COUNT(*) AS d FROM sym GROUP BY x),
+j AS (
+  SELECT dx.d AS k, dy.d AS dy
+  FROM sym s JOIN deg dx ON dx.node = s.x JOIN deg dy ON dy.node = s.y
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+       CAST(SUM(dy) AS BIGINT) AS sum_nbr_deg,
+       CAST(floor(1000 * SUM(dy) / COUNT(*)) AS BIGINT) AS knn_milli
+FROM j GROUP BY k ORDER BY k
+"""
+
+
 _QUERIES.update(
     {
+        "gr_knn_degree_curve": _q_knn_degree_curve,
         "gr_rich_club": _q_rich_club,
         "tx_entity_decode": _q_entity_decode,
         "gr_pagerank_degree_corr": _q_pagerank_degree_corr,
@@ -15835,6 +15909,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_knn_degree_curve": _SQL_KNN_DEGREE_CURVE,
         "gr_rich_club": _SQL_RICH_CLUB,
         "tx_entity_decode": _entity_decode_sql(),
         "gr_pagerank_degree_corr": _pagerank_sql(10, spearman_tail=True),
