@@ -15857,8 +15857,72 @@ FROM j GROUP BY k ORDER BY k
 """
 
 
+def _q_numeric_entities(spark, sf_dir):
+    """Numeric character-reference decode (functions/text.
+    decode_numeric_entities - closes tx_entity_decode's declared
+    subset): split on the reference pattern, convert per match (hex via
+    base conversion; Spark's char() is mod-256 so the codepoint is
+    rebuilt as UTF-8 BYTES arithmetically and decoded), interleave back
+    with an ordered fold. Invalid codepoints (0, surrogates, >10FFFF)
+    keep their literal reference. Fixture plants decimal em-dash, hex
+    euro, a 4-byte emoji, Cyrillic, and all three invalid classes."""
+    from web_crawler_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    body = F.concat(
+        F.lit("v&#8212;"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(" &#x20AC;"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&#x1F600;")).otherwise(
+            F.lit("&#1088;")
+        ),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" bad&#0;&#xD800;&#1114112;")).otherwise(F.lit("")),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return d.select(
+        "doc_id", T.decode_numeric_entities(body).alias("decoded")
+    ).orderBy("doc_id")
+
+
+_SQL_NUMERIC_ENTITIES = r"""
+WITH b AS (
+  SELECT doc_id,
+         concat('v&#8212;', CAST(doc_id % 9 AS VARCHAR), ' &#x20AC;',
+                CASE WHEN doc_id % 3 = 0 THEN '&#x1F600;'
+                     ELSE '&#1088;' END,
+                CASE WHEN doc_id % 5 = 0
+                     THEN ' bad&#0;&#xD800;&#1114112;' ELSE '' END,
+                ' ', text) AS t
+  FROM documents WHERE doc_id < 300
+),
+p AS (
+  SELECT doc_id, t,
+         string_split_regex(t, '&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};')
+           AS frags,
+         regexp_extract_all(t,
+           '(&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};)', 1) AS ents
+  FROM b
+)
+SELECT doc_id,
+  CASE WHEN len(ents) = 0 THEN t ELSE
+    frags[1] || list_reduce(
+      list_transform(range(1, len(ents) + 1), i ->
+        (CASE WHEN (CASE WHEN upper(substr(ents[i], 3, 1)) = 'X' THEN TRY_CAST(concat('0x', substr(ents[i], 4, len(ents[i]) - 4)) AS BIGINT) ELSE TRY_CAST(substr(ents[i], 3, len(ents[i]) - 3) AS BIGINT) END) IS NOT NULL
+                   AND (CASE WHEN upper(substr(ents[i], 3, 1)) = 'X' THEN TRY_CAST(concat('0x', substr(ents[i], 4, len(ents[i]) - 4)) AS BIGINT) ELSE TRY_CAST(substr(ents[i], 3, len(ents[i]) - 3) AS BIGINT) END) BETWEEN 1 AND 1114111
+                   AND NOT ((CASE WHEN upper(substr(ents[i], 3, 1)) = 'X' THEN TRY_CAST(concat('0x', substr(ents[i], 4, len(ents[i]) - 4)) AS BIGINT) ELSE TRY_CAST(substr(ents[i], 3, len(ents[i]) - 3) AS BIGINT) END) BETWEEN 55296 AND 57343)
+              THEN chr(CAST((CASE WHEN upper(substr(ents[i], 3, 1)) = 'X' THEN TRY_CAST(concat('0x', substr(ents[i], 4, len(ents[i]) - 4)) AS BIGINT) ELSE TRY_CAST(substr(ents[i], 3, len(ents[i]) - 3) AS BIGINT) END) AS INT))
+              ELSE ents[i] END) || frags[i + 1]),
+      (a, b) -> a || b)
+  END AS decoded
+FROM p ORDER BY doc_id
+"""
+
+
 _QUERIES.update(
     {
+        "tx_numeric_entities": _q_numeric_entities,
         "gr_knn_degree_curve": _q_knn_degree_curve,
         "gr_rich_club": _q_rich_club,
         "tx_entity_decode": _q_entity_decode,
@@ -15909,6 +15973,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_numeric_entities": _SQL_NUMERIC_ENTITIES,
         "gr_knn_degree_curve": _SQL_KNN_DEGREE_CURVE,
         "gr_rich_club": _SQL_RICH_CLUB,
         "tx_entity_decode": _entity_decode_sql(),

@@ -634,3 +634,85 @@ def decode_entities(text) -> "Column":
     for ent, rep in HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return out
+
+
+# numeric character references: decimal and hex forms, bounded lengths
+NUM_ENTITY_RE = r"&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};"
+
+
+def decode_numeric_entities(text) -> "Column":
+    """Numeric HTML character-reference decode (&#8212; / &#x2014;) —
+    closes :func:`decode_entities`'s declared subset: the text is split
+    on the reference pattern, every reference is converted per-match
+    (hex via base conversion, decimal direct), and fragments are
+    interleaved back with an ordered fold — pure HOF column algebra, no
+    UDF, zero shuffles, replayable in SQL. Invalid codepoints (0,
+    surrogates, > U+10FFFF) keep their ORIGINAL reference text — never a
+    replacement char, so the pass is lossless on garbage.
+    """
+    from pyspark.sql import functions as F
+
+    t = text.cast("string")
+    frags = F.split(t, NUM_ENTITY_RE, -1)
+    ents = F.regexp_extract_all(t, F.lit(f"({NUM_ENTITY_RE})"), 1)
+
+    def _bhex(b):
+        # two-digit hex of a byte value given as an integer Column
+        return F.lpad(F.lower(F.conv(b.cast("string"), 10, 16)), 2, "0")
+
+    def _rep(e):
+        body = F.substring(e, 3, 0x7FFF)
+        num = F.substring(body, 1, F.length(body) - 1)  # drop ';'
+        is_hex = F.upper(F.substring(e, 3, 1)) == "X"
+        code = F.when(
+            is_hex,
+            F.try_to_number(
+                F.conv(F.substring(num, 2, 0x7FFF), 16, 10),
+                F.lit("9999999999"),
+            ),
+        ).otherwise(F.try_to_number(num, F.lit("9999999"))).cast("long")
+        valid = (
+            code.isNotNull()
+            & (code >= 1)
+            & (code <= 0x10FFFF)
+            & ~((code >= 0xD800) & (code <= 0xDFFF))
+        )
+        # Spark's char() is mod-256 ASCII, not a codepoint constructor —
+        # build the UTF-8 byte sequence arithmetically and decode it
+        # (floor-division on exact longs; identical algebra in the oracle)
+        c = code
+        b = F.when(
+            c < 0x80, _bhex(c)
+        ).when(
+            c < 0x800,
+            F.concat(
+                _bhex(F.lit(192) + F.floor(c / 64)),
+                _bhex(F.lit(128) + c % 64),
+            ),
+        ).when(
+            c < 0x10000,
+            F.concat(
+                _bhex(F.lit(224) + F.floor(c / 4096)),
+                _bhex(F.lit(128) + F.floor(c / 64) % 64),
+                _bhex(F.lit(128) + c % 64),
+            ),
+        ).otherwise(
+            F.concat(
+                _bhex(F.lit(240) + F.floor(c / 262144)),
+                _bhex(F.lit(128) + F.floor(c / 4096) % 64),
+                _bhex(F.lit(128) + F.floor(c / 64) % 64),
+                _bhex(F.lit(128) + c % 64),
+            )
+        )
+        return F.when(valid, F.decode(F.unhex(b), "UTF-8")).otherwise(e)
+
+    n = F.size(ents)
+    return F.when(n == 0, t).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.element_at(frags, 1),
+            lambda acc, i: F.concat(
+                acc, _rep(F.element_at(ents, i)), F.element_at(frags, i + 1)
+            ),
+        )
+    )
