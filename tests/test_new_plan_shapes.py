@@ -51,3 +51,26 @@ def test_densification_fit_no_cartesian(spark):
     )
     plan = _plan(G.densification_fit(e))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ct_langid_no_cartesian(spark):
+    tr = spark.createDataFrame(
+        [("en", "the fox and the dog"), ("de", "der fuchs und der hund")],
+        "lang string, text string",
+    )
+    d = spark.createDataFrame([(1, "the dog")], "doc_id long, text string")
+    prof = C.cavnar_trenkle_profiles(tr, k=10)
+    plan = _plan(C.cavnar_trenkle_classify(d, prof, k=10))
+    assert "CartesianProduct" not in plan
+    # the k-penalty is arithmetic: no per-language replication join of
+    # the doc profile (exactly one join against the profile table)
+
+
+def test_decode_entities_zero_shuffle(spark):
+    from web_crawler_spark.functions import text as T
+
+    df = spark.createDataFrame([("a&#65;&amp;b",)], "t string")
+    for expr in (T.decode_entities(F.col("t")),
+                 T.decode_numeric_entities(F.col("t"))):
+        plan = _plan(df.select(expr.alias("d")))
+        assert "Exchange" not in plan and "Join" not in plan
