@@ -15920,8 +15920,56 @@ FROM p ORDER BY doc_id
 """
 
 
+def _q_langid_confidence(spark, sf_dir):
+    """Language-ID confidence margin (the CCNet practice of keeping only
+    CONFIDENT language assignments; a doc whose top-two stopword scores
+    tie is 'unknown-ish' regardless of the argmax): best and runner-up
+    stopword hit counts via a sorted hit array, margin = best - second,
+    confident = margin >= 2 AND best > 0 - exact integers, composing
+    the certified langid machinery. Oracle: the generated hit
+    expressions + list-sort replay."""
+    from web_crawler_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    hits = [
+        T.stopword_hits(F.col("text"), lang) for lang in sorted(T.STOPWORDS)
+    ]
+    arr = F.sort_array(F.array(*hits), asc=False)
+    best, second = arr[0], arr[1]
+    return d.select(
+        "doc_id",
+        T.detect_language(F.col("text")).alias("predicted_lang"),
+        best.cast("long").alias("best_hits"),
+        second.cast("long").alias("second_hits"),
+        (best - second).cast("long").alias("margin"),
+        ((best - second >= 2) & (best > 0)).alias("confident"),
+    ).orderBy("doc_id")
+
+
+def _langid_confidence_sql() -> str:
+    hit_exprs, case = _langid_pieces()
+    langs = sorted(T.STOPWORDS)
+    arr = "list_sort([" + ", ".join(f"h_{l}" for l in langs) + \
+          "], 'DESC')"
+    return f"""
+WITH h AS (SELECT doc_id, lang, {", ".join(hit_exprs)} FROM documents),
+s AS (
+  SELECT doc_id, {case} AS predicted_lang,
+         {arr}[1] AS best, {arr}[2] AS second
+  FROM h
+)
+SELECT doc_id, predicted_lang,
+       CAST(best AS BIGINT) AS best_hits,
+       CAST(second AS BIGINT) AS second_hits,
+       CAST(best - second AS BIGINT) AS margin,
+       (best - second >= 2 AND best > 0) AS confident
+FROM s ORDER BY doc_id
+"""
+
+
 _QUERIES.update(
     {
+        "tx_langid_confidence": _q_langid_confidence,
         "tx_numeric_entities": _q_numeric_entities,
         "gr_knn_degree_curve": _q_knn_degree_curve,
         "gr_rich_club": _q_rich_club,
@@ -15973,6 +16021,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_langid_confidence": _langid_confidence_sql(),
         "tx_numeric_entities": _SQL_NUMERIC_ENTITIES,
         "gr_knn_degree_curve": _SQL_KNN_DEGREE_CURVE,
         "gr_rich_club": _SQL_RICH_CLUB,
