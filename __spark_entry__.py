@@ -15967,8 +15967,103 @@ FROM s ORDER BY doc_id
 """
 
 
+def _q_query_key_stats(spark, sf_dir):
+    """Corpus-wide query-parameter frequency table - which params
+    dominate the URL space (the prioritization feed for DUST mining:
+    mine the heavy params first; also the tracking-param census every
+    crawl ops review starts from). (param, n_urls, n_hosts,
+    url_share_milli) in exact integers; params exploded from the query
+    string, one (param)-keyed agg after a distinct collapse."""
+    e = _t(spark, sf_dir, "events")
+    h = (F.col("user_id") % 23).cast("string")
+    url = F.concat(
+        F.lit("https://k"), h, F.lit(".com/p/"),
+        (F.col("event_id") % 400).cast("string"),
+        F.lit("?page="), (F.col("event_id") % 5).cast("string"),
+        F.when(F.col("event_id") % 2 == 0,
+               F.concat(F.lit("&utm_source=s"),
+                        (F.col("event_id") % 3).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 7 == 0,
+               F.concat(F.lit("&sid="),
+                        (F.col("event_id") % 97).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    pages = e.select(url.alias("url"), F.concat(F.lit("k"), h).alias("host"))
+    n_urls_total = pages.select("url").distinct().count()
+    params = (
+        pages.select(
+            "url", "host",
+            F.explode(
+                F.split(
+                    F.coalesce(
+                        F.try_parse_url(F.col("url"), F.lit("QUERY")),
+                        F.lit(""),
+                    ),
+                    "&",
+                )
+            ).alias("kv"),
+        )
+        .filter(F.col("kv") != "")
+        .select(
+            "url", "host",
+            F.substring_index(F.col("kv"), "=", 1).alias("param"),
+        )
+        .distinct()
+    )
+    return (
+        params.groupBy("param")
+        .agg(
+            F.countDistinct("url").cast("long").alias("n_urls"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+        .select(
+            "param", "n_urls", "n_hosts",
+            F.floor(F.lit(1000) * F.col("n_urls") / F.lit(int(n_urls_total)))
+            .cast("long").alias("url_share_milli"),
+        )
+        .orderBy("param")
+    )
+
+
+_SQL_QUERY_KEY_STATS = """
+WITH pages AS (
+  SELECT DISTINCT
+    concat('https://k', CAST(user_id % 23 AS VARCHAR), '.com/p/',
+           CAST(event_id % 400 AS VARCHAR),
+           '?page=', CAST(event_id % 5 AS VARCHAR),
+           CASE WHEN event_id % 2 = 0
+                THEN concat('&utm_source=s', CAST(event_id % 3 AS VARCHAR))
+                ELSE '' END,
+           CASE WHEN event_id % 7 = 0
+                THEN concat('&sid=', CAST(event_id % 97 AS VARCHAR))
+                ELSE '' END) AS url,
+    concat('k', CAST(user_id % 23 AS VARCHAR)) AS host
+  FROM events
+),
+tot AS (SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS n FROM pages),
+kv AS (
+  SELECT DISTINCT url, host,
+         string_split(p, '=')[1] AS param
+  FROM (SELECT url, host,
+               unnest(string_split(
+                 regexp_extract(url, '\?(.*)$', 1), '&')) AS p
+        FROM pages)
+  WHERE p <> ''
+)
+SELECT param,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(floor(1000 * COUNT(DISTINCT url) / t.n) AS BIGINT)
+         AS url_share_milli
+FROM kv CROSS JOIN tot t
+GROUP BY param, t.n ORDER BY param
+"""
+
+
 _QUERIES.update(
     {
+        "url_query_key_stats": _q_query_key_stats,
         "tx_langid_confidence": _q_langid_confidence,
         "tx_numeric_entities": _q_numeric_entities,
         "gr_knn_degree_curve": _q_knn_degree_curve,
@@ -16021,6 +16116,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "url_query_key_stats": _SQL_QUERY_KEY_STATS,
         "tx_langid_confidence": _langid_confidence_sql(),
         "tx_numeric_entities": _SQL_NUMERIC_ENTITIES,
         "gr_knn_degree_curve": _SQL_KNN_DEGREE_CURVE,
