@@ -16061,8 +16061,47 @@ GROUP BY param, t.n ORDER BY param
 """
 
 
+def _q_clustering_histogram(spark, sf_dir):
+    """Local-clustering-coefficient histogram (Watts-Strogatz banding of
+    operators/graph.triangles' per-node coefficients) on a CLOSED-FORM
+    graph - K5 clique (c=1), 5-ring (c=0), 4-path (c=0), and a triangle
+    with a pendant (two c=1 corners, one c=1/3 hub... exactly: triangle
+    nodes a,b,c plus pendant d on a: a has d=3, T=1, c=2/(3*2)=1/3; b,c
+    have d=2, T=1, c=1) - so every band count is hand-derivable and the
+    oracle is the construction's ground truth. Bands are
+    floor(1000*clustering)."""
+    from web_crawler_spark.operators import graph as G
+
+    k5 = [(f"k{i}", f"k{j}") for i in range(5) for j in range(5) if i < j]
+    ring = [(f"r{i}", f"r{(i + 1) % 5}") for i in range(5)]
+    path = [(f"p{i}", f"p{i+1}") for i in range(3)]
+    tri = [("ta", "tb"), ("tb", "tc"), ("tc", "ta"), ("ta", "td")]
+    edges = spark.createDataFrame(
+        k5 + ring + path + tri, "src_host string, dst_host string"
+    )
+    t = G.triangles(edges)
+    return (
+        t.groupBy(
+            F.floor(F.col("clustering") * 1000).cast("long").alias(
+                "band_milli")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("band_milli")
+    )
+
+
+_SQL_CLUSTERING_HISTOGRAM = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT),    CAST(10 AS BIGINT)),
+  (CAST(333 AS BIGINT),  CAST(1 AS BIGINT)),
+  (CAST(1000 AS BIGINT), CAST(7 AS BIGINT))
+) v(band_milli, n_nodes) ORDER BY band_milli
+"""
+
+
 _QUERIES.update(
     {
+        "gr_clustering_histogram": _q_clustering_histogram,
         "url_query_key_stats": _q_query_key_stats,
         "tx_langid_confidence": _q_langid_confidence,
         "tx_numeric_entities": _q_numeric_entities,
@@ -16116,6 +16155,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_clustering_histogram": _SQL_CLUSTERING_HISTOGRAM,
         "url_query_key_stats": _SQL_QUERY_KEY_STATS,
         "tx_langid_confidence": _langid_confidence_sql(),
         "tx_numeric_entities": _SQL_NUMERIC_ENTITIES,
