@@ -16099,8 +16099,43 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_bowtie_summary(spark, sf_dir):
+    """Bow-tie macro-structure summary - the Broder WWW'00 headline
+    table itself (part sizes + share of the web graph; the original
+    paper's CORE=28%/IN=21%/OUT=21% reading): per-part node counts and
+    share_milli over the certified bow-tie fixture, certified by
+    wrapping the same recursive-closure oracle in a GROUP BY. Exact
+    integers; one count rollup over the (node, part) table."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = _scc_test_edges(spark, sf_dir)
+    parts = G.bowtie(edges, src_col="src", dst_col="dst")
+    total = parts.count()
+    return (
+        parts.groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(
+            "part", "n_nodes",
+            F.floor(F.lit(1000) * F.col("n_nodes") / F.lit(int(total)))
+            .cast("long").alias("share_milli"),
+        )
+        .orderBy("part")
+    )
+
+
+_SQL_BOWTIE_SUMMARY = (
+    "SELECT part, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "CAST(floor(1000 * COUNT(*) / (SELECT COUNT(*) FROM (" +
+    _SQL_GR_BOWTIE.replace("ORDER BY n.node", "") + ") t)) AS BIGINT) "
+    "AS share_milli FROM (" +
+    _SQL_GR_BOWTIE.replace("ORDER BY n.node", "") +
+    ") b GROUP BY part ORDER BY part"
+)
+
+
 _QUERIES.update(
     {
+        "gr_bowtie_summary": _q_bowtie_summary,
         "gr_clustering_histogram": _q_clustering_histogram,
         "url_query_key_stats": _q_query_key_stats,
         "tx_langid_confidence": _q_langid_confidence,
@@ -16155,6 +16190,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_bowtie_summary": _SQL_BOWTIE_SUMMARY,
         "gr_clustering_histogram": _SQL_CLUSTERING_HISTOGRAM,
         "url_query_key_stats": _SQL_QUERY_KEY_STATS,
         "tx_langid_confidence": _langid_confidence_sql(),
