@@ -16133,8 +16133,42 @@ _SQL_BOWTIE_SUMMARY = (
 )
 
 
+def _q_scc_histogram(spark, sf_dir):
+    """SCC size histogram - the component-size distribution the Broder
+    paper reports beside the bow-tie (one giant SCC + a power-law tail
+    of small ones): (scc_size, n_components, n_nodes) rolled up from the
+    certified coloring decomposition; oracle wraps the same recursive-
+    closure chain. Exact integers."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = _scc_test_edges(spark, sf_dir)
+    comp = G.scc(edges, src_col="src", dst_col="dst")
+    sizes = comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("scc_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .select(
+            "scc_size", "n_components",
+            (F.col("scc_size") * F.col("n_components")).cast("long")
+            .alias("n_nodes"),
+        )
+        .orderBy("scc_size")
+    )
+
+
+_SQL_SCC_HISTOGRAM = (
+    "SELECT CAST(sz AS BIGINT) AS scc_size, "
+    "CAST(COUNT(*) AS BIGINT) AS n_components, "
+    "CAST(sz * COUNT(*) AS BIGINT) AS n_nodes FROM ("
+    "SELECT scc_id, COUNT(*) AS sz FROM (" +
+    _SQL_GR_SCC.replace("ORDER BY node", "") +
+    ") t GROUP BY scc_id) u GROUP BY sz ORDER BY scc_size"
+)
+
+
 _QUERIES.update(
     {
+        "gr_scc_histogram": _q_scc_histogram,
         "gr_bowtie_summary": _q_bowtie_summary,
         "gr_clustering_histogram": _q_clustering_histogram,
         "url_query_key_stats": _q_query_key_stats,
@@ -16190,6 +16224,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_scc_histogram": _SQL_SCC_HISTOGRAM,
         "gr_bowtie_summary": _SQL_BOWTIE_SUMMARY,
         "gr_clustering_histogram": _SQL_CLUSTERING_HISTOGRAM,
         "url_query_key_stats": _SQL_QUERY_KEY_STATS,
