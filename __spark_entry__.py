@@ -16166,8 +16166,62 @@ _SQL_SCC_HISTOGRAM = (
 )
 
 
+def _q_depth_histogram(spark, sf_dir):
+    """Crawl-depth histogram - the frontier composition by BFS layer
+    (the depth-budget planning table: how much corpus each extra hop
+    admits; Baeza-Yates/Castillo studied exactly this curve): (depth,
+    n_nodes, cum_nodes) rolled up from the certified seed_distance BFS
+    on its tree+chain fixture; oracle wraps the same recursive chain.
+    Exact integers; cumulative window over the depth histogram only."""
+    from web_crawler_spark.operators import graph as G
+
+    ev = _t(spark, sf_dir, "events")
+
+    def n(c):
+        return F.concat(F.lit("n"), c.cast("string"))
+
+    k = F.col("event_id") % 31
+    c = F.col("event_id") % 12
+    d = F.col("event_id") % 3
+    edges = (
+        ev.select(n(k).alias("src"), n(k * 2 + 1).alias("dst"))
+        .unionByName(ev.select(n(k).alias("src"), n(k * 2 + 2).alias("dst")))
+        .unionByName(ev.select(n(c + 1000).alias("src"),
+                               n(c + 1001).alias("dst")))
+        .unionByName(ev.select(n(d + 2000).alias("src"),
+                               n(d + 2001).alias("dst")))
+        .unionByName(
+            spark.createDataFrame(
+                [("n0", "n62"), ("n0", "n1000")], "src string, dst string"
+            )
+        )
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    dist = G.seed_distance(edges, seeds, max_depth=8,
+                           src_col="src", dst_col="dst")
+    hist = dist.groupBy(F.col("depth").cast("long").alias("depth")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.withColumn(
+        "cum_nodes", F.sum("n_nodes").over(w).cast("long")
+    ).orderBy("depth")
+
+
+_SQL_DEPTH_HISTOGRAM = (
+    "SELECT CAST(depth AS BIGINT) AS depth, "
+    "CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "CAST(SUM(COUNT(*)) OVER (ORDER BY depth "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_nodes FROM (" +
+    _SQL_SEED_DISTANCE.replace("ORDER BY node", "") +
+    ") t GROUP BY depth ORDER BY depth"
+)
+
+
 _QUERIES.update(
     {
+        "gr_depth_histogram": _q_depth_histogram,
         "gr_scc_histogram": _q_scc_histogram,
         "gr_bowtie_summary": _q_bowtie_summary,
         "gr_clustering_histogram": _q_clustering_histogram,
@@ -16224,6 +16278,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "gr_depth_histogram": _SQL_DEPTH_HISTOGRAM,
         "gr_scc_histogram": _SQL_SCC_HISTOGRAM,
         "gr_bowtie_summary": _SQL_BOWTIE_SUMMARY,
         "gr_clustering_histogram": _SQL_CLUSTERING_HISTOGRAM,
