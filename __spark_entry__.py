@@ -16219,8 +16219,59 @@ _SQL_DEPTH_HISTOGRAM = (
 )
 
 
+def _q_tld_census(spark, sf_dir):
+    """Public-suffix census - the TLD distribution table every crawl
+    report opens with (Common Crawl publishes exactly this per snapshot),
+    computed from the certified PSL machinery over the registrable-
+    domain fixture (registry suffixes, wildcard/exception rules, private
+    suffixes, implicit-* unknown TLDs, a bare public suffix): per
+    suffix distinct hosts + share_milli; oracle wraps the full PSL
+    replay in a GROUP BY. Exact integers."""
+    from web_crawler_spark.functions import psl as PSL
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    src = F.lower(F.col("source"))
+    host = (
+        F.when(m == 0, F.concat(src, F.lit(".example.co.uk")))
+        .when(m == 1, F.lit("www.ck"))
+        .when(m == 2, F.concat(src, F.lit(".foo.ck")))
+        .when(m == 3, F.concat(src, F.lit(".github.io")))
+        .when(m == 4, F.concat(F.lit("deep."), src, F.lit(".blogspot.com")))
+        .when(m == 5, F.concat(src, F.lit(".unknowntld")))
+        .otherwise(F.lit("co.uk"))
+    )
+    hosts = d.select("doc_id", host.alias("host"))
+    out = PSL.with_registrable_domain(hosts)
+    n_hosts_total = out.select("host").distinct().count()
+    return (
+        out.groupBy("public_suffix")
+        .agg(F.countDistinct("host").cast("long").alias("n_hosts"))
+        .select(
+            "public_suffix", "n_hosts",
+            F.floor(
+                F.lit(1000) * F.col("n_hosts") / F.lit(int(n_hosts_total))
+            ).cast("long").alias("share_milli"),
+        )
+        .orderBy("public_suffix")
+    )
+
+
+_SQL_TLD_CENSUS = (
+    "SELECT public_suffix, "
+    "CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts, "
+    "CAST(floor(1000 * COUNT(DISTINCT host) / "
+    "(SELECT COUNT(DISTINCT host) FROM (" +
+    _SQL_REGISTRABLE_DOMAIN.replace("ORDER BY doc_id", "") + ") a)) "
+    "AS BIGINT) AS share_milli FROM (" +
+    _SQL_REGISTRABLE_DOMAIN.replace("ORDER BY doc_id", "") +
+    ") b GROUP BY public_suffix ORDER BY public_suffix"
+)
+
+
 _QUERIES.update(
     {
+        "url_tld_census": _q_tld_census,
         "gr_depth_histogram": _q_depth_histogram,
         "gr_scc_histogram": _q_scc_histogram,
         "gr_bowtie_summary": _q_bowtie_summary,
@@ -16278,6 +16329,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "url_tld_census": _SQL_TLD_CENSUS,
         "gr_depth_histogram": _SQL_DEPTH_HISTOGRAM,
         "gr_scc_histogram": _SQL_SCC_HISTOGRAM,
         "gr_bowtie_summary": _SQL_BOWTIE_SUMMARY,
