@@ -16269,8 +16269,102 @@ _SQL_TLD_CENSUS = (
 )
 
 
+def _q_corpus_funnel(spark, sf_dir):
+    """Corpus curation funnel - the survival report every dataset paper
+    publishes (RefinedWeb figure 1: raw -> dedup -> quality, with doc
+    and token mass at each stage): stage 0 all docs, stage 1 exact-dedup
+    survivors (keep-first per md5 fingerprint), stage 2 of those the
+    Gopher flag_pass docs; (stage_idx, stage, n_docs, n_tokens,
+    doc_share_milli) in exact integers, gates applied SEQUENTIALLY so
+    the rows read as the actual pipeline's attrition."""
+    from web_crawler_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "text",
+        T.token_count(F.col("text")).alias("nt"),
+        F.md5("text").alias("fp"),
+    )
+    n_all = base.count()
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = base.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    flags = dedup.select(
+        "doc_id", "nt", *T.gopher_quality_flags(F.col("text"))
+    )
+    gopher = flags.filter(F.col("flag_pass"))
+
+    def stage(df, idx, name):
+        return df.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.floor(
+                F.lit(1000) * F.count(F.lit(1)) / F.lit(int(n_all))
+            ).cast("long").alias("doc_share_milli"),
+        )
+
+    return (
+        stage(base, 0, "all")
+        .unionByName(stage(dedup, 1, "exact_dedup"))
+        .unionByName(stage(gopher, 2, "gopher_pass"))
+        .orderBy("stage_idx")
+    )
+
+
+_SQL_CORPUS_FUNNEL = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+              AS BIGINT) AS nt,
+         md5(text) AS fp
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+dd AS (
+  SELECT * FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM b) WHERE rn = 1
+),
+g AS (
+  SELECT dd.* FROM dd, LATERAL (
+    SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS toks
+  ) x
+  WHERE (len(x.toks) BETWEEN 50 AND 100000)
+    AND len(x.toks) > 0
+    AND coalesce(list_sum(list_transform(x.toks, t -> strlen(t))), 0)
+        BETWEEN 3 * len(x.toks) AND 10 * len(x.toks)
+    AND 5 * len(list_filter(x.toks, t -> regexp_matches(t, '[A-Za-z]')))
+        >= 4 * len(x.toks)
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens,
+         CAST(floor(1000 * COUNT(*) / (SELECT n FROM tot)) AS BIGINT)
+           AS doc_share_milli
+  FROM b
+  UNION ALL
+  SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(nt), 0) AS BIGINT),
+         CAST(floor(1000 * COUNT(*) / (SELECT n FROM tot)) AS BIGINT)
+  FROM dd
+  UNION ALL
+  SELECT 2, 'gopher_pass', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(nt), 0) AS BIGINT),
+         CAST(floor(1000 * COUNT(*) / (SELECT n FROM tot)) AS BIGINT)
+  FROM g
+) ORDER BY stage_idx
+"""
+
+
 _QUERIES.update(
     {
+        "tx_corpus_funnel": _q_corpus_funnel,
         "url_tld_census": _q_tld_census,
         "gr_depth_histogram": _q_depth_histogram,
         "gr_scc_histogram": _q_scc_histogram,
@@ -16329,6 +16423,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "tx_corpus_funnel": _SQL_CORPUS_FUNNEL,
         "url_tld_census": _SQL_TLD_CENSUS,
         "gr_depth_histogram": _SQL_DEPTH_HISTOGRAM,
         "gr_scc_histogram": _SQL_SCC_HISTOGRAM,
