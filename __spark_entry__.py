@@ -16362,8 +16362,79 @@ SELECT * FROM (
 """
 
 
+def _q_www_consolidation(spark, sf_dir):
+    """www/apex host consolidation audit - the classic site-identity
+    split (the same site crawled as both example.com and
+    www.example.com wastes budget and splits rank signals; every
+    canonicalization review starts by pairing them): hosts synthesized
+    with a doc_id%3 mix of apex-only, www-only and split identities;
+    output (apex, n_apex_urls, n_www_urls, split_identity). Exact
+    integers, one self-pairing via full outer join on the stripped
+    apex."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    src = F.lower(F.col("source"))
+    host = (
+        F.when(m == 0, F.concat(src, F.lit(".example.org")))
+        .when(m == 1, F.concat(F.lit("www."), src, F.lit(".example.org")))
+        .otherwise(
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(src, F.lit(".split.org")))
+            .otherwise(F.concat(F.lit("www."), src, F.lit(".split.org")))
+        )
+    )
+    urls = d.select(
+        host.alias("host"),
+        F.concat(F.lit("/d/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    apex = F.regexp_replace(F.col("host"), "^www\\.", "")
+    per = urls.select(
+        apex.alias("apex"),
+        F.col("host").startswith("www.").alias("is_www"),
+    ).groupBy("apex").agg(
+        F.sum(F.when(~F.col("is_www"), 1).otherwise(0)).cast("long")
+        .alias("n_apex_urls"),
+        F.sum(F.when(F.col("is_www"), 1).otherwise(0)).cast("long")
+        .alias("n_www_urls"),
+    )
+    return per.select(
+        "apex", "n_apex_urls", "n_www_urls",
+        ((F.col("n_apex_urls") > 0) & (F.col("n_www_urls") > 0))
+        .alias("split_identity"),
+    ).orderBy("apex")
+
+
+_SQL_WWW_CONSOLIDATION = """
+WITH u AS (
+  SELECT CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN lower(source) || '.example.org'
+           WHEN 1 THEN 'www.' || lower(source) || '.example.org'
+           ELSE CASE WHEN doc_id % 2 = 0
+                     THEN lower(source) || '.split.org'
+                     ELSE 'www.' || lower(source) || '.split.org' END
+         END AS host
+  FROM documents
+),
+p AS (
+  SELECT regexp_replace(host, '^www\.', '') AS apex,
+         host LIKE 'www.%' AS is_www
+  FROM u
+)
+SELECT apex,
+       CAST(SUM(CASE WHEN NOT is_www THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_apex_urls,
+       CAST(SUM(CASE WHEN is_www THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_www_urls,
+       (SUM(CASE WHEN NOT is_www THEN 1 ELSE 0 END) > 0
+        AND SUM(CASE WHEN is_www THEN 1 ELSE 0 END) > 0)
+         AS split_identity
+FROM p GROUP BY apex ORDER BY apex
+"""
+
+
 _QUERIES.update(
     {
+        "url_www_consolidation": _q_www_consolidation,
         "tx_corpus_funnel": _q_corpus_funnel,
         "url_tld_census": _q_tld_census,
         "gr_depth_histogram": _q_depth_histogram,
@@ -16423,6 +16494,7 @@ _QUERIES.update(
 )
 _ORACLES.update(
     {
+        "url_www_consolidation": _SQL_WWW_CONSOLIDATION,
         "tx_corpus_funnel": _SQL_CORPUS_FUNNEL,
         "url_tld_census": _SQL_TLD_CENSUS,
         "gr_depth_histogram": _SQL_DEPTH_HISTOGRAM,
