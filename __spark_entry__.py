@@ -507,7 +507,7 @@ top AS (
   FROM pa
 ), hosts AS (SELECT target, count(DISTINCT src_host) AS n_hosts
              FROM f GROUP BY 1)
-SELECT t.target, t.n_links, h.n_hosts, t.n_anchors,
+SELECT t.target, CAST(t.n_links AS BIGINT) AS n_links, h.n_hosts, t.n_anchors,
        t.top_anchor, t.top_anchor_count
 FROM top t JOIN hosts h USING (target) WHERE rn = 1 ORDER BY target
 """
@@ -723,7 +723,7 @@ lp AS (
          ) * 1000000) AS BIGINT) AS lp
   FROM bg LEFT JOIN cnt USING (w1, w2) LEFT JOIN ctx USING (w1)
 )
-SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS logprob_fp,
+SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS logprob_fp,
        sum(lp) / (count(*) * 1000000.0) AS avg_logprob
 FROM lp GROUP BY doc_id ORDER BY doc_id
 """
@@ -2505,12 +2505,12 @@ WITH per_hash AS (
   FROM ({inner})
   GROUP BY chunk_hash
 )
-SELECT COALESCE(SUM(n), 0) AS n_chunks,
+SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_chunks,
        COUNT(*) AS n_unique_chunks,
-       COALESCE(SUM(n * length), 0) AS total_bytes,
-       COALESCE(SUM(length), 0) AS unique_bytes,
-       CASE WHEN COALESCE(SUM(n * length), 0) > 0
-            THEN (1000 * SUM(length)) // SUM(n * length) END AS stored_ratio_milli
+       CAST(COALESCE(SUM(n * length), 0) AS BIGINT) AS total_bytes,
+       CAST(COALESCE(SUM(length), 0) AS BIGINT) AS unique_bytes,
+       CAST(CASE WHEN COALESCE(SUM(n * length), 0) > 0
+            THEN (1000 * SUM(length)) // SUM(n * length) END AS BIGINT) AS stored_ratio_milli
 FROM per_hash
 """
 
@@ -4985,7 +4985,7 @@ WITH toks AS (
   FROM toks
 )
 SELECT doc_id, shard, n_tokens,
-       (c - n_tokens) AS start_offset,
+       CAST(c - n_tokens AS BIGINT) AS start_offset,
        CAST(floor((c - n_tokens) / 128.0) AS BIGINT) AS first_seq,
        CAST(floor((c - 1) / 128.0) AS BIGINT) AS last_seq
 FROM cum ORDER BY doc_id
@@ -5410,7 +5410,7 @@ per AS (
          list(CAST(n AS DOUBLE) ORDER BY ch) AS nl
   FROM counts GROUP BY doc_id
 )
-SELECT doc_id, n_chars, n_unique_chars,
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, n_unique_chars,
        ROUND(list_reduce(
          list_prepend(0.0, [ (x / n_chars) * (ln(x / n_chars) / 0.6931471805599453)
                              for x in nl ]),
@@ -5436,7 +5436,7 @@ WITH t AS (
 ),
 counts AS (SELECT t, SUM(in_slice) AS n_p, COUNT(*) AS n_q FROM t GROUP BY t),
 tot AS (SELECT SUM(n_p) AS np, SUM(n_q) AS nq, COUNT(*) AS v FROM counts)
-SELECT t AS term, n_p AS n_slice, n_q AS n_corpus,
+SELECT t AS term, CAST(n_p AS BIGINT) AS n_slice, n_q AS n_corpus,
        CAST(ROUND((n_p + 1.0) / (np + v)
                   * ln(((n_p + 1.0) / (np + v)) / ((n_q + 1.0) / (nq + v)))
                   * 1e9, 0) AS BIGINT) AS contribution_nano
@@ -6941,7 +6941,9 @@ per_dst AS (
 frontier AS (
   SELECT * FROM per_dst WHERE dst NOT IN (SELECT url FROM scores)
 )
-SELECT dst AS dst_url, n_inlinks, best_anchor_score, priority,
+SELECT dst AS dst_url, n_inlinks,
+       CAST(best_anchor_score AS BIGINT) AS best_anchor_score,
+       CAST(priority AS BIGINT) AS priority,
        CAST(row_number() OVER (ORDER BY priority DESC, dst) AS INT) AS rank
 FROM frontier ORDER BY rank
 """.replace("{ANCHOR_CASE}", _FOCUS_ANCHOR_CASE)
@@ -7569,7 +7571,8 @@ WITH w AS (
 )
 SELECT doc_id,
        len(toks) AS n_words,
-       coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0) AS sum_word_len,
+       CAST(coalesce(list_sum(list_transform(toks, t -> strlen(t))), 0)
+            AS BIGINT) AS sum_word_len,
        len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha_words,
        len(toks) BETWEEN 50 AND 100000 AS flag_word_count,
        len(toks) > 0
@@ -7609,7 +7612,8 @@ WITH w AS (
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word) AS rn
   FROM c
 )
-SELECT doc_id, word AS top_word, cnt AS top_count, n_words,
+SELECT doc_id, word AS top_word, cnt AS top_count,
+       CAST(n_words AS BIGINT) AS n_words,
        cnt * 100 >= 10 * n_words AS flag_repetitive
 FROM r WHERE rn = 1 ORDER BY doc_id
 """
@@ -7651,7 +7655,7 @@ WITH corpus AS (
   FROM c
 )
 SELECT doc_id, COUNT(*) AS n_chunks,
-       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
 FROM r GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -7701,7 +7705,7 @@ WITH corpus AS (
 SELECT corpus.doc_id,
        COALESCE(agg.clean_text, '') AS clean_text,
        COALESCE(agg.n_chunks, 0) AS n_chunks,
-       COALESCE(agg.n_removed, 0) AS n_removed
+       CAST(COALESCE(agg.n_removed, 0) AS BIGINT) AS n_removed
 FROM corpus LEFT JOIN agg USING (doc_id)
 ORDER BY doc_id
 """
@@ -7798,7 +7802,7 @@ WITH b AS (
            AS cum_bytes
   FROM b
 )
-SELECT doc_id, n_bytes, cum_bytes,
+SELECT doc_id, n_bytes, CAST(cum_bytes AS BIGINT) AS cum_bytes,
        CAST(floor((cum_bytes - n_bytes) / 8192.0) AS BIGINT) AS shard_id
 FROM c ORDER BY doc_id
 """
@@ -7874,7 +7878,8 @@ WITH toks AS (
          CAST((TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 3 + 1) * 1000 AS BIGINT) AS b
   FROM (SELECT DISTINCT source FROM documents)
 )
-SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+SELECT c.doc_id, c.source, c.n_tokens,
+       CAST(c.cum_tokens AS BIGINT) AS cum_tokens
 FROM cum c JOIN budgets b USING (source)
 WHERE c.cum_tokens - c.n_tokens < b.b
 ORDER BY c.doc_id
@@ -9309,7 +9314,7 @@ state{t} AS (
         )
         parts.append(f""",
 nf AS ({rows})
-SELECT r, nf_micro,
+SELECT r, CAST(nf_micro AS BIGINT) AS nf_micro,
        CAST(floor(1000 * nf_micro / (SELECT MAX(nf_micro) FROM nf))
             AS BIGINT) AS frac_milli,
        r = (SELECT MIN(r) FROM nf
@@ -10250,10 +10255,10 @@ def _q_tpch_q12(spark, sf_dir):
 
 _SQL_TPCH_Q12 = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -10809,7 +10814,9 @@ tok AS (
 
 _SQL_DSIR_WEIGHTS = f"""
 WITH {_SQL_DSIR_FEATS}
-SELECT doc_id, n_feats, weight_fp FROM dsir_w ORDER BY doc_id
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       CAST(weight_fp AS BIGINT) AS weight_fp
+FROM dsir_w ORDER BY doc_id
 """
 
 _SQL_DSIR_RESAMPLE = f"""
@@ -10821,7 +10828,8 @@ WITH {_SQL_DSIR_FEATS}, g AS (
                       1, 8)) AS BIGINT) + 1.0) / 4294967297.0)) AS gk
   FROM dsir_w
 )
-SELECT doc_id, n_feats, weight_fp
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       CAST(weight_fp AS BIGINT) AS weight_fp
 FROM g ORDER BY gk DESC, doc_id LIMIT 100
 """
 
@@ -13963,7 +13971,7 @@ lp AS (
   FROM bg LEFT JOIN cnt USING (w1, w2) LEFT JOIN ctx USING (w1)
           LEFT JOIN cont USING (w2)
 )
-SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS logprob_fp,
+SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS logprob_fp,
        sum(lp) / (count(*) * 1000000.0) AS avg_logprob
 FROM lp GROUP BY doc_id ORDER BY doc_id
 """
@@ -16404,7 +16412,7 @@ def _q_www_consolidation(spark, sf_dir):
     ).orderBy("apex")
 
 
-_SQL_WWW_CONSOLIDATION = """
+_SQL_WWW_CONSOLIDATION = r"""
 WITH u AS (
   SELECT CASE CAST(doc_id % 3 AS INT)
            WHEN 0 THEN lower(source) || '.example.org'

@@ -41,3 +41,14 @@ def test_apache_version_proximity(spark):
     # 'Apache License' far from any 'Version 2.0' must not match
     far = "Apache License " + "x" * 100 + " Version 2.0"
     assert _row(spark, far)["n_apache_2_0"] == 0
+
+
+def test_apache_canonical_license_header_multiline(spark):
+    # The canonical LICENSE file puts the two phrases on separate lines —
+    # the pattern must span the newline ([\s\S], not DOTALL-less '.').
+    hdr = ("                 Apache License\n"
+           "           Version 2.0, January 2004\n"
+           "        http://www.apache.org/licenses/\n")
+    r = _row(spark, hdr)
+    assert r["n_apache_2_0"] == 1
+    assert r["license_class"] == "apache-2.0"

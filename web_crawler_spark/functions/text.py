@@ -544,7 +544,10 @@ def code_profile(text) -> list:
 LICENSE_PATTERNS = [
     ("spdx", r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"),
     ("mit", r"(?i)\bMIT License\b|\bPermission is hereby granted, free of charge\b"),
-    ("apache-2.0", r"(?i)\bApache License\b.{0,40}\bVersion 2\.0\b"),
+    # [\s\S] instead of . so the canonical LICENSE header — 'Apache
+    # License' and 'Version 2.0, January 2004' on separate lines — matches
+    # (RE2-portable; no DOTALL flag needed in either engine).
+    ("apache-2.0", r"(?i)\bApache License\b[\s\S]{0,40}\bVersion 2\.0\b"),
     ("gpl", r"(?i)\bGNU General Public License\b"),
     ("bsd", r"(?i)\bRedistribution and use in source and binary forms\b"),
     ("cc-by", r"(?i)\bCreative Commons Attribution\b|\bCC BY\b"),

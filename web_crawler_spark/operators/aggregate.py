@@ -472,26 +472,33 @@ def jain_fairness(
 
     Sufficient statistics are exact integers (n, Σx, Σx²) from one
     host-keyed combiner agg + a 1-row rollup; J is ONE double expression
-    rounded to 6dp — no cross-row float accumulation. Σx² bounds: a
-    10^10-URL frontier with a 10^9-URL hot host is ~10^18 < 2^63.
+    rounded to 6dp — no cross-row float accumulation. The reported
+    ``sum_sq`` long is exact for Σx² ≤ 2^63 ≈ 9.2·10^18 — one 10^9-URL
+    hot host contributes ~10^18, so the bound covers a handful of such
+    hosts, not arbitrarily many; the x² terms are therefore summed in
+    decimal(38,0) (no silent wrap) and J is computed from that exact sum
+    cast to double, so J stays right even where the long rendering of
+    ``sum_sq`` would saturate.
     """
     per = frontier.groupBy(F.col(host_col).alias("host")).agg(
         F.count(F.lit(1)).alias("x")
     )
+    xd = F.col("x").cast("decimal(19,0)")
     agg = per.agg(
         F.count(F.lit(1)).cast("long").alias("n_hosts"),
         F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("total"),
-        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0))
-        .cast("long").alias("sum_sq"),
+        F.coalesce(F.sum(xd * xd), F.lit(0))
+        .cast("decimal(38,0)").alias("sum_sq_dec"),
     )
     return agg.select(
-        "n_hosts", "total", "sum_sq",
+        "n_hosts", "total",
+        F.col("sum_sq_dec").cast("long").alias("sum_sq"),
         F.when(
-            (F.col("n_hosts") > 0) & (F.col("sum_sq") > 0),
+            (F.col("n_hosts") > 0) & (F.col("sum_sq_dec") > 0),
             F.round(
                 F.col("total").cast("double") * F.col("total").cast("double")
                 / (F.col("n_hosts").cast("double")
-                   * F.col("sum_sq").cast("double")),
+                   * F.col("sum_sq_dec").cast("double")),
                 6,
             ),
         ).alias("jain"),

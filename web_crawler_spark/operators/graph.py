@@ -1907,7 +1907,9 @@ def neighborhood_function(
     resolution but bound Σ est·10⁶ to a long — N·n ≤ 9.2·10¹⁸, i.e.
     graphs to ~10⁶ nodes; at web scale pass 0 (whole-unit sums, exact to
     ~10¹⁸ pairs — the quantile test loses nothing that survives HLL's
-    ~1% error anyway).
+    ~1% error anyway). The quantile/frac tests compute their 1000×
+    products in decimal(38,0), so the stated bound is the binding one —
+    the scale-up does not tighten it.
     """
     from .sketches import _hll_fields, hll_estimate
 
@@ -1960,12 +1962,18 @@ def neighborhood_function(
     w_all = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # The 1000× scale-ups run in decimal(38,0): a long product would wrap
+    # past nf_micro ≈ 9.2e15, three orders below the documented N·n bound.
+    # The frac division is double AFTER the exact product, matching the
+    # oracle's HUGEINT-product / float-division shape.
+    nf_dec = F.col("nf_micro").cast("decimal(38,0)")
+    max_dec = F.max("nf_micro").over(w_all).cast("decimal(38,0)")
     frac = F.floor(
-        F.lit(1000) * F.col("nf_micro") / F.max("nf_micro").over(w_all)
+        (nf_dec * F.lit(1000)).cast("double")
+        / F.max("nf_micro").over(w_all).cast("double")
     ).cast("long")
     met = F.when(
-        F.lit(1000) * F.col("nf_micro")
-        >= F.lit(int(quantile_milli)) * F.max("nf_micro").over(w_all),
+        nf_dec * F.lit(1000) >= max_dec * F.lit(int(quantile_milli)),
         F.col("r"),
     )
     return (

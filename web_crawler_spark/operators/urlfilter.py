@@ -678,8 +678,12 @@ def dust_rewrite(
     LSH plane lists).
     """
     url = F.col(url_col).cast("string")
-    base = F.regexp_extract(url, r"^([^?]*)", 1)
-    query = F.regexp_extract(url, r"\?(.*)$", 1)
+    # Fragment split FIRST: '?(.*)$' would otherwise swallow '#frag' into
+    # the query (gluing it to the last param, or dropping it when every
+    # param is stripped). The fragment is carried through untouched.
+    base = F.regexp_extract(url, r"^([^?#]*)", 1)
+    query = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
+    frag = F.regexp_extract(url, r"(#.*)$", 1)
     parts = F.when(query == "", F.array().cast("array<string>")).otherwise(
         F.split(query, "&")
     )
@@ -688,7 +692,7 @@ def dust_rewrite(
     rebuilt = F.when(
         F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(base)
-    return pages.withColumn("canonical_url", rebuilt)
+    return pages.withColumn("canonical_url", F.concat(rebuilt, frag))
 
 
 def _any_prefix(x, keys: list[str]):
