@@ -29,6 +29,20 @@ from ..functions import text as T
 LAST_CLUSTER_STATS: dict = {}
 
 
+def auto_max_df(n_docs: int, floor: int = 1024) -> int:
+    """Hot-key cap sizing for fingerprint/shingle-keyed self-joins (the
+    ``auto_n_planes`` discipline from similarity.py applied to document
+    frequency): cap df at ~N^(1/3) so one boilerplate gram's pair fan-out
+    (df²/2 rows, all landing on ONE join key → one task) stays ≤ N^(2/3)/2
+    — ~2·10^6 rows at a 10^10-doc corpus, bounded per-task work instead of
+    quadratic blow-up. ``floor`` keeps small corpora exact: below
+    ``floor³`` documents the cap exceeds any plausible df, so test-scale
+    results are byte-identical to the uncapped form."""
+    import math
+
+    return max(int(floor), math.ceil(max(n_docs, 1) ** (1.0 / 3.0)))
+
+
 def keep_latest(
     df: DataFrame,
     keys: list[str],
@@ -338,7 +352,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
+    auto_floor: int = 1024,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index
     (explode → join on shingle → count common) — no pairwise cross join.
@@ -346,17 +361,21 @@ def ngram_jaccard_pairs(
 
     ``max_df`` is the stop-shingle cap for corpus scale: a shingle shared
     by d documents contributes d·(d-1)/2 join rows, so ONE shingle in 10^6
-    docs is a 5·10^11-pair hot key. With ``max_df`` set, grams with
-    document frequency > max_df are dropped from the inverted index before
-    the self-join (common shingles carry ~no dedup signal anyway). This
-    bounds per-gram join fan-out at max_df²/2; pairs supported only by
-    stop-shingles are missed — an explicit recall trade, and the exact
-    uncapped form remains the oracle-checked baseline."""
+    docs is a 5·10^11-pair hot key. Grams with document frequency > max_df
+    are dropped from the inverted index before the self-join (common
+    shingles carry ~no dedup signal anyway). This bounds per-gram join
+    fan-out at max_df²/2; pairs supported only by stop-shingles are missed
+    — an explicit recall trade. Default ``"auto"`` derives the cap from
+    the corpus doc count via :func:`auto_max_df` (~N^(1/3), floored at
+    ``auto_floor`` so test-scale corpora stay exact); pass ``None`` to
+    opt in to the exact uncapped form — the oracle-checked baseline."""
     sh = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams"))
         .filter(F.size("grams") > 0)
     )
+    if max_df == "auto":
+        max_df = auto_max_df(df.count(), floor=auto_floor)
     sizes = sh.select("id", F.size("grams").alias("n_grams"))
     inv = sh.select("id", F.explode("grams").alias("gram"))
     if max_df is not None:
@@ -1197,7 +1216,8 @@ def winnow_overlap_pairs(
     k: int = 5,
     w: int = 4,
     min_common: int = 2,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
+    auto_floor: int = 1024,
 ) -> DataFrame:
     """All document pairs sharing ≥ ``min_common`` winnowing fingerprint
     HASHES — MOSS-style overlap detection: because fingerprints are local
@@ -1210,7 +1230,10 @@ def winnow_overlap_pairs(
     score ``n_common / min(n_a, n_b)``. The join carries only (doc_id,
     fp) slim rows. ``max_df`` drops fingerprints shared by more than
     that many docs before the join — the boilerplate-gram hot-key cap,
-    same discipline as ``ngram_jaccard_pairs``; default None = exact.
+    same discipline as ``ngram_jaccard_pairs``. Default ``"auto"``
+    derives the cap from the corpus doc count via :func:`auto_max_df`
+    (~N^(1/3), floored at ``auto_floor`` so test-scale corpora stay
+    exact); pass ``None`` to opt in to the exact uncapped form.
 
     Returns (id_a, id_b, n_common, n_a, n_b, overlap), id_a < id_b.
     """
@@ -1220,6 +1243,10 @@ def winnow_overlap_pairs(
         .distinct()
         .localCheckpoint()
     )
+    if max_df == "auto":
+        max_df = auto_max_df(
+            fps.select("doc_id").distinct().count(), floor=auto_floor
+        )
     counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     if max_df is not None:
         keep = (
