@@ -33,6 +33,36 @@ def test_exact_mix_greedy_cut_and_overshoot_bound(spark):
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in mix)
 
 
+def test_adaptive_plan_picks_window_when_sources_fit(spark):
+    # 10-row max source << default 2M threshold -> window path
+    mix = C.corpus_mix(_corpus(spark), _budgets(spark, 35, 1000)).collect()
+    assert C.LAST_MIX_PLAN["path"] == "window"
+    assert C.LAST_MIX_PLAN["max_source_rows"] == 10
+    assert len(mix) == 9
+
+
+def test_adaptive_plan_prefixsum_engages_on_skewed_fixture(spark):
+    # Skewed fixture: source A holds nearly all rows; with the task-fit
+    # threshold below A's row count the probe must choose the two-level
+    # prefix-sum scan...
+    mix_ps = C.corpus_mix(
+        _corpus(spark), _budgets(spark, 35, 1000), window_path_max_rows=5
+    )
+    got_ps = sorted(r.doc_id for r in mix_ps.collect())
+    assert C.LAST_MIX_PLAN["path"] == "prefixsum"
+    assert C.LAST_MIX_PLAN["max_source_rows"] == 10
+    # ...and the two physical plans are admit-identical.
+    mix_w = C.corpus_mix(
+        _corpus(spark), _budgets(spark, 35, 1000), plan="window"
+    )
+    assert C.LAST_MIX_PLAN["path"] == "window"
+    assert sorted(r.doc_id for r in mix_w.collect()) == got_ps
+    mix_forced = C.corpus_mix(
+        _corpus(spark), _budgets(spark, 35, 1000), plan="prefixsum"
+    )
+    assert sorted(r.doc_id for r in mix_forced.collect()) == got_ps
+
+
 def test_zero_budget_admits_nothing(spark):
     mix = C.corpus_mix(_corpus(spark), _budgets(spark, 0, 0))
     assert mix.count() == 0

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
+# Telemetry from the most recent corpus_mix call: which physical plan the
+# stats probe chose and what it measured (see corpus_mix's docstring).
+LAST_MIX_PLAN: dict = {}
+
 
 def gopher_quality(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -140,6 +144,8 @@ def corpus_mix(
     budget_col: str = "token_budget",
     order_seed: str = "mix",
     token_counter: str = "ws",
+    plan: str = "auto",
+    window_path_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Token-budget corpus mixing (SlimPajama / Pile-style source
     weighting): admit documents per source, in a deterministic md5-shuffled
@@ -151,16 +157,28 @@ def corpus_mix(
 
     ``budgets`` is a tiny (source, token_budget) table — broadcast joined.
 
-    Scale shape: the per-source running total is a grouped two-level
-    scan (``operators/prefixsum.py``): range-partition on (source, ord),
-    per-physical-partition window, slim per-(source, partition) offsets
-    joined back. A 90%-of-corpus source therefore spreads over ~90% of
-    the range partitions instead of serializing through one hot
-    ``Window.partitionBy(source)`` task — the exact greedy-cut semantics
-    at any source skew. The expectation-based percentile variant
-    ``corpus_mix_sampled`` below remains for when a windowless plan is
-    preferred; both make identical admit decisions as the sampled
-    rate → budget/total.
+    Scale shape — ADAPTIVE (``plan="auto"``): the per-source running
+    total has two admit-identical physical plans, and a cheap stats probe
+    (one per-source row count, a map-side-combinable agg collected to the
+    driver) picks between them:
+
+    * ``"window"`` — one ``Window.partitionBy(source)`` running sum.
+      Cheapest constant factors, but the hottest source serializes
+      through ONE task, so it is only chosen when every source's row
+      count fits comfortably in one task (≤ ``window_path_max_rows``).
+    * ``"prefixsum"`` — the grouped two-level scan
+      (``operators/prefixsum.py``): range-partition on (source, ord),
+      per-physical-partition window, slim per-(source, partition)
+      offsets joined back. A 90%-of-corpus source spreads over ~90% of
+      the range partitions instead of one hot window task — the exact
+      greedy-cut semantics at any source skew.
+
+    Both paths compute the identical exact integer prefix sum over the
+    identical order, so admit decisions never depend on the plan chosen.
+    ``LAST_MIX_PLAN`` records the probe result and chosen path. The
+    expectation-based percentile variant ``corpus_mix_sampled`` below
+    remains for when a windowless plan is preferred; it too makes
+    identical admit decisions as the sampled rate → budget/total.
 
     ``token_counter``: the unit the budgets are denominated in —
     ``"ws"`` (whitespace proxy, a Column expression, stays in codegen) or
@@ -175,10 +193,46 @@ def corpus_mix(
         "__ord",
         F.md5(F.concat(F.lit(order_seed), F.lit(":"), F.col("doc_id").cast("string"))),
     )
-    cum = prefix_sum(
-        toks, ["__ord", "doc_id"], "n_tokens",
-        out_col="cum_tokens", partition_cols=["source"],
-    )
+    if plan == "auto":
+        # Stats probe on the RAW input (no tokenization): rows-per-source
+        # is a combiner agg whose output is #sources rows; max() of that
+        # is one driver scalar. Window path only when the hottest source
+        # fits one task.
+        probe = (
+            df.groupBy(F.col(source_col))
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        chosen = (
+            "window"
+            if probe is not None and probe <= int(window_path_max_rows)
+            else "prefixsum"
+        )
+        LAST_MIX_PLAN.update(
+            {"path": chosen, "max_source_rows": probe,
+             "threshold": int(window_path_max_rows)}
+        )
+    elif plan in ("window", "prefixsum"):
+        chosen = plan
+        LAST_MIX_PLAN.update(
+            {"path": chosen, "max_source_rows": None,
+             "threshold": int(window_path_max_rows)}
+        )
+    else:
+        raise ValueError(f"unknown plan {plan!r} (want auto/window/prefixsum)")
+    if chosen == "window":
+        w = (
+            Window.partitionBy("source")
+            .orderBy("__ord", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    else:
+        cum = prefix_sum(
+            toks, ["__ord", "doc_id"], "n_tokens",
+            out_col="cum_tokens", partition_cols=["source"],
+        )
     dim = F.broadcast(
         budgets.select(
             F.col(source_col).alias("source"),
