@@ -466,7 +466,11 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    precomputed: DataFrame | None = None,
+) -> DataFrame:
     """REAL audio sample decoding — not a stub: mono 16-bit PCM WAV data
     chunks decoded with ``numpy.frombuffer`` inside an Arrow-batched
     ``mapInPandas`` stage, then INTEGER signal features so the result is
@@ -484,8 +488,15 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     are one einsum away in the same kernel; the integer core is what the
     correctness gate certifies. Scale shape: stateless 1→1 map over the
     payload scan, no shuffle.
+
+    ``precomputed``: the pluggable decode seam (see ``image_features``) —
+    an externally-computed (url, …features…) table bypasses the WAV
+    kernel, cast/projected to ``AUDIO_FEATURES_SCHEMA``.
     """
     import numpy as np
+
+    if precomputed is not None:
+        return _from_precomputed(df, precomputed, AUDIO_FEATURES_SCHEMA)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -561,6 +572,31 @@ def bmp_bytes(w: int, h: int, key: int) -> bytes:
     return header + info + data
 
 
+def _from_precomputed(
+    df: DataFrame, precomputed: DataFrame, schema: T.StructType
+) -> DataFrame:
+    """Pluggable decode seam: project an EXTERNALLY-computed feature table
+    (the output of a real codec/featurizer run in an environment that has
+    the media libs) into the exact schema the in-repo decode kernel would
+    emit, keyed by url. Coverage follows the scanned corpus: urls absent
+    from the injected table null-route, exactly like a failed decode (F5
+    isolation), so every downstream mm_ operator — neardup banding,
+    feature joins, aggregations — runs unchanged whichever side of the
+    seam produced the features. Payload bytes never enter this path."""
+    cols = [f.name for f in schema.fields]
+    missing = [c for c in cols if c not in precomputed.columns]
+    if missing:
+        raise ValueError(
+            f"precomputed feature table is missing columns {missing}; "
+            f"expected {cols}"
+        )
+    feats = precomputed.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    non_key = [c for c in cols if c != "url"]
+    return df.select("url").join(feats, "url", "left").select("url", *non_key)
+
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -575,7 +611,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    precomputed: DataFrame | None = None,
+) -> DataFrame:
     """REAL pixel decoding — not a stub: uncompressed 24-bpp BMPs decoded
     with numpy (bottom-up row order and 4-byte padding handled), INTEGER
     per-channel mass so the statistics are engine-exact. Compressed
@@ -583,8 +623,18 @@ def image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     container; their METADATA path is `image_dimensions` and the
     perceptual-feature stage stays a declared stub. Anything non-BMP /
     non-24bpp / truncated null-routes (F5 isolation). Stateless 1→1 map
-    over the payload scan, zero shuffle."""
+    over the payload scan, zero shuffle.
+
+    ``precomputed`` is the pluggable decode seam: pass a (url, …feature
+    columns…) table produced by an external featurizer (PIL/libvips/CLIP
+    run where those libs exist) and the decode kernel is bypassed — the
+    table is cast/projected to ``IMAGE_FEATURES_SCHEMA`` and left-joined
+    to the corpus urls, so downstream consumers run unchanged and the
+    in-container codec gap is never load-bearing."""
     import numpy as np
+
+    if precomputed is not None:
+        return _from_precomputed(df, precomputed, IMAGE_FEATURES_SCHEMA)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -649,7 +699,11 @@ IMAGE_DHASH_SCHEMA = T.StructType(
 )
 
 
-def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    precomputed: DataFrame | None = None,
+) -> DataFrame:
     """Perceptual difference-hash (dHash) over REAL decoded BMP pixels —
     the image near-dup fingerprint (Krawetz's dHash, the standard cheap
     perceptual hash): sample a 9×8 grid of integer-luma values, emit one
@@ -665,8 +719,16 @@ def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     rather than needing a resampler; no codec/resize libs in this
     container, declared like the rest of the BMP path). Non-BMP /
     truncated payloads null-route (F5 isolation). Stateless 1→1 map,
-    zero shuffle."""
+    zero shuffle.
+
+    ``precomputed``: the pluggable decode seam (see ``image_features``) —
+    an externally-computed (url, width, height, dhash) table bypasses the
+    BMP kernel, so ``dhash_neardup_pairs`` and every other consumer runs
+    unchanged from real-codec hashes."""
     import numpy as np
+
+    if precomputed is not None:
+        return _from_precomputed(df, precomputed, IMAGE_DHASH_SCHEMA)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
