@@ -16562,6 +16562,121 @@ _ORACLES.update(
 )
 
 
+def _q_fineweb_quality(spark, sf_dir):
+    """FineWeb/RefinedWeb line-level quality signals (operators/corpus.
+    fineweb_line_quality): terminal-punctuation line share, short-line
+    share, and intra-document duplicate-line mass with integer-compare
+    flags. Fixture rebuilds line structure deterministically: sentences
+    split onto lines, doc_id%4==0 gains a repeated boilerplate line pair,
+    doc_id%4==1 a trailing short line — both engines replay the same
+    construction."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.regexp_replace(F.col("text"), r"\. ", ".\n")
+    body = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(base, F.lit(
+                "\nRepeated boilerplate line.\nRepeated boilerplate line."
+            )),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.concat(base, F.lit("\nshort")))
+        .otherwise(base)
+    )
+    return C.fineweb_line_quality(
+        d.withColumn("text", body)
+    ).orderBy("doc_id")
+
+
+_SQL_FINEWEB_QUALITY = r"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN concat(base, chr(10), 'Repeated boilerplate line.',
+                          chr(10), 'Repeated boilerplate line.')
+              WHEN doc_id % 4 = 1 THEN concat(base, chr(10), 'short')
+              ELSE base END AS t
+  FROM (SELECT doc_id,
+               regexp_replace(text, '\. ', '.' || chr(10), 'g') AS base
+        FROM documents)
+), l AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM b
+), per AS (
+  SELECT doc_id, line, COUNT(*) AS cnt FROM l GROUP BY doc_id, line
+), stats AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN regexp_matches(line, '[.!?"'']$')
+                       THEN cnt ELSE 0 END) AS BIGINT) AS n_punct_lines,
+         CAST(SUM(CASE WHEN length(line) < 30 THEN cnt ELSE 0 END)
+              AS BIGINT) AS n_short_lines,
+         CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_lines,
+         CAST(SUM((cnt - 1) * length(line)) AS BIGINT) AS dup_line_chars,
+         CAST(SUM(cnt * length(line)) AS BIGINT) AS total_line_chars
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_punct_lines, n_short_lines, n_dup_lines,
+       dup_line_chars, total_line_chars,
+       n_punct_lines * 100 >= 12 * n_lines AS flag_punct_ratio,
+       n_short_lines * 100 <= 67 * n_lines AS flag_short_lines,
+       (n_dup_lines * 100 <= 30 * n_lines
+        AND dup_line_chars * 100 <= 20 * total_line_chars)
+         AS flag_dup_lines,
+       (n_punct_lines * 100 >= 12 * n_lines)
+         AND (n_short_lines * 100 <= 67 * n_lines)
+         AND (n_dup_lines * 100 <= 30 * n_lines
+              AND dup_line_chars * 100 <= 20 * total_line_chars)
+         AS flag_pass
+FROM stats ORDER BY doc_id
+"""
+
+
+def _q_pack_efficiency(spark, sf_dir):
+    """Per-shard packing-efficiency rollup over the certified
+    pack_sequences plan (operators/corpus.pack_efficiency): windows
+    emitted, tail padding, efficiency_milli — the seq_len-commitment
+    report. Same 128-token / 8-shard plan as tx_pack_sequences."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.pack_efficiency(d, seq_len=128, n_shards=8)
+
+
+_SQL_PACK_EFFICIENCY = (
+    """
+WITH s AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(MAX(last_seq) + 1 AS BIGINT) AS n_seqs
+  FROM ("""
+    + _SQL_PACK_SEQUENCES.replace("FROM cum ORDER BY doc_id", "FROM cum")
+    + """) p
+  GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens, n_seqs,
+       CAST(n_seqs * 128 - total_tokens AS BIGINT) AS pad_tokens,
+       CAST(floor(total_tokens * 1000 / (n_seqs * 128)) AS BIGINT)
+         AS efficiency_milli
+FROM s ORDER BY shard
+"""
+)
+
+
+_QUERIES.update(
+    {
+        "tx_fineweb_quality": _q_fineweb_quality,
+        "tx_pack_efficiency": _q_pack_efficiency,
+    }
+)
+_ORACLES.update(
+    {
+        "tx_fineweb_quality": _SQL_FINEWEB_QUALITY,
+        "tx_pack_efficiency": _SQL_PACK_EFFICIENCY,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver certification-window rotation (round 4). The grading driver
 # snapshots the FIRST 50 entries of queries() each round; 102 distinct

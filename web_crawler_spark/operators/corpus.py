@@ -43,6 +43,81 @@ def gopher_quality(
     )
 
 
+def fineweb_line_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    short_line_chars: int = 30,
+    punct_ratio_pct: int = 12,
+    short_ratio_pct: int = 67,
+    dup_line_pct: int = 30,
+    dup_char_pct: int = 20,
+) -> DataFrame:
+    """FineWeb/RefinedWeb LINE-level quality signals — the newline-
+    structure complement of the word-level :func:`gopher_quality` flags
+    (Penedo et al. 2024 §3.3 filters; Rae et al. 2021 repetition family
+    for the duplicate-line pair): per document, how its lines end, how
+    short they run, and how much of its mass is intra-document repeated
+    lines (nav menus, cookie banners, list boilerplate).
+
+    Returns exact integer sufficient statistics plus integer-compare
+    flags (no float thresholds — cross-multiplied percents, the repo's
+    oracle-portable discipline):
+
+    * ``n_lines``                total line occurrences
+    * ``n_punct_lines``          lines ending in terminal punctuation
+    * ``n_short_lines``          lines shorter than ``short_line_chars``
+    * ``n_dup_lines``            occurrences beyond each line's first
+    * ``dup_line_chars``         characters in those repeat occurrences
+    * ``total_line_chars``       characters in all lines
+    * ``flag_punct_ratio``       punct-terminated share ≥ punct_ratio_pct%
+    * ``flag_short_lines``       short-line share ≤ short_ratio_pct%
+    * ``flag_dup_lines``         dup-line share ≤ dup_line_pct% AND
+                                 dup-char share ≤ dup_char_pct%
+    * ``flag_pass``              all of the above
+
+    Scale shape: one (doc, line)-keyed combiner agg + one doc-keyed
+    combiner agg — no windows, no self-joins; the shuffle carries slim
+    (doc_id, line-hash-sized) rows and both aggs are map-side partial.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    per = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    lc = F.length("line")
+    punct = F.col("line").rlike("[.!?\"']$")
+    stats = per.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.sum(F.when(punct, F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_punct_lines"),
+        F.sum(F.when(lc < short_line_chars, F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_short_lines"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_dup_lines"),
+        F.sum((F.col("cnt") - 1) * lc).cast("long").alias("dup_line_chars"),
+        F.sum(F.col("cnt") * lc).cast("long").alias("total_line_chars"),
+    )
+    f_punct = (
+        F.col("n_punct_lines") * 100 >= F.lit(int(punct_ratio_pct)) * F.col("n_lines")
+    )
+    f_short = (
+        F.col("n_short_lines") * 100 <= F.lit(int(short_ratio_pct)) * F.col("n_lines")
+    )
+    f_dup = (
+        (F.col("n_dup_lines") * 100 <= F.lit(int(dup_line_pct)) * F.col("n_lines"))
+        & (F.col("dup_line_chars") * 100
+           <= F.lit(int(dup_char_pct)) * F.col("total_line_chars"))
+    )
+    return stats.select(
+        "doc_id", "n_lines", "n_punct_lines", "n_short_lines",
+        "n_dup_lines", "dup_line_chars", "total_line_chars",
+        f_punct.alias("flag_punct_ratio"),
+        f_short.alias("flag_short_lines"),
+        f_dup.alias("flag_dup_lines"),
+        (f_punct & f_short & f_dup).alias("flag_pass"),
+    )
+
+
 def top_unigram_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -1208,6 +1283,46 @@ def pack_sequences(
         F.floor(start / seq_len).cast("bigint").alias("first_seq"),
         F.floor((F.col("__cum") - 1) / seq_len).cast("bigint").alias("last_seq"),
     )
+
+
+def pack_efficiency(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_seed: str = "pack",
+    token_counter: str = "ws",
+    eos_tokens: int = 1,
+) -> DataFrame:
+    """Per-shard packing-efficiency report over the :func:`pack_sequences`
+    plan — the number a training-data owner reads before committing a
+    seq_len: how many fixed windows each shard emits and how much of the
+    final window is padding (concat-style packing wastes ONLY the tail of
+    a shard's last sequence, so efficiency ≈ 1 − tail/(n_seqs·L); a
+    seq_len that divides shard mass badly shows up here immediately).
+
+    Returns (shard, n_docs, total_tokens, n_seqs, pad_tokens,
+    efficiency_milli) — all exact integers; efficiency_milli =
+    ⌊1000·total/(n_seqs·L)⌋. One shard-keyed combiner agg over the plan
+    frame — the window work is pack_sequences' own, nothing new shuffles.
+    """
+    plan = pack_sequences(
+        df, seq_len, n_shards, text_col, id_col, order_seed,
+        token_counter, eos_tokens,
+    )
+    agg = plan.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("last_seq") + 1).cast("long").alias("n_seqs"),
+    )
+    cap = F.col("n_seqs") * F.lit(int(seq_len))
+    return agg.select(
+        "shard", "n_docs", "total_tokens", "n_seqs",
+        (cap - F.col("total_tokens")).cast("long").alias("pad_tokens"),
+        F.floor(F.col("total_tokens") * 1000 / cap).cast("long")
+        .alias("efficiency_milli"),
+    ).orderBy("shard")
 
 
 def passage_windows(
