@@ -209,6 +209,10 @@ HEADLINE = [
     # postings vbyte sizing: (term,doc) combiner agg + per-term gap
     # window over (term, doc_id) longs — prices the d-gap encoder shape
     "tx_postings_vbyte",
+    # round-4: FineWeb line-level quality gate — line explode + two
+    # combiner aggs (no windows/self-joins); prices the newline-structure
+    # scan shape next to the word-level c4/gopher legs
+    "tx_fineweb_quality",
 ]
 
 
