@@ -16663,16 +16663,61 @@ FROM s ORDER BY shard
 )
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    """Token-coverage / OOV curve vs vocab size (operators/corpus.
+    vocab_coverage): frequency ranking + cumulative mass through the
+    two-level prefix scan, per-k read-out by rank. The tokenizer-|V|
+    design table; exact integers + floored milli ratios."""
+    from web_crawler_spark.operators import corpus as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.vocab_coverage(d, ks=(100, 300, 1000, 3000, 10000))
+
+
+_SQL_VOCAB_COVERAGE = r"""
+WITH t AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM t GROUP BY token
+), r AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM c
+), tot AS (
+  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c
+), ks(vocab_size) AS (
+  VALUES (100), (300), (1000), (3000), (10000)
+)
+SELECT CAST(k.vocab_size AS BIGINT) AS vocab_size,
+       CAST(COALESCE(r.cum, tot.total_tokens) AS BIGINT) AS covered_tokens,
+       tot.n_types, tot.total_tokens,
+       CAST(floor(COALESCE(r.cum, tot.total_tokens) * 1000
+                  / tot.total_tokens) AS BIGINT) AS coverage_milli,
+       CAST(floor((tot.total_tokens - COALESCE(r.cum, tot.total_tokens))
+                  * 1000 / tot.total_tokens) AS BIGINT) AS oov_milli
+FROM ks k CROSS JOIN tot LEFT JOIN r ON r.rank = k.vocab_size
+ORDER BY vocab_size
+"""
+
+
 _QUERIES.update(
     {
         "tx_fineweb_quality": _q_fineweb_quality,
         "tx_pack_efficiency": _q_pack_efficiency,
+        "tx_vocab_coverage": _q_vocab_coverage,
     }
 )
 _ORACLES.update(
     {
         "tx_fineweb_quality": _SQL_FINEWEB_QUALITY,
         "tx_pack_efficiency": _SQL_PACK_EFFICIENCY,
+        "tx_vocab_coverage": _SQL_VOCAB_COVERAGE,
     }
 )
 

@@ -50,6 +50,34 @@ def test_fineweb_dup_line_mass_flag(spark):
     assert not r["flag_dup_lines"]
 
 
+def test_vocab_coverage_hand_computed(spark):
+    # frequencies: a:4, b:2, c:1, d:1 -> total 8, V=4
+    # ranking (cnt desc, token asc): a(4), b(2), c(1), d(1)
+    rows = [(1, "a a b c"), (2, "a a b d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["vocab_size"]: r
+           for r in C.vocab_coverage(df, ks=(1, 2, 3, 10)).collect()}
+    assert out[1]["covered_tokens"] == 4      # just 'a'
+    assert out[1]["coverage_milli"] == 500
+    assert out[1]["oov_milli"] == 500
+    assert out[2]["covered_tokens"] == 6      # a+b
+    assert out[2]["coverage_milli"] == 750
+    assert out[3]["covered_tokens"] == 7      # a+b+c (tie c<d)
+    assert out[10]["covered_tokens"] == 8     # k >= V: full coverage
+    assert out[10]["coverage_milli"] == 1000 and out[10]["oov_milli"] == 0
+    assert all(r["n_types"] == 4 and r["total_tokens"] == 8
+               for r in out.values())
+
+
+def test_vocab_coverage_monotone_on_corpus(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = C.vocab_coverage(df).collect()
+    covs = [r["coverage_milli"] for r in rows]
+    assert covs == sorted(covs)  # coverage grows with vocab size
+    assert all(r["coverage_milli"] + r["oov_milli"] in (999, 1000)
+               for r in rows)  # floored pair sums to ~1000
+
+
 def test_pack_efficiency_consistent_with_plan(spark):
     rows = [(i, " ".join(["w"] * (5 + i % 7))) for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -1600,6 +1600,71 @@ def readability_scores(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    ks: tuple[int, ...] = (100, 300, 1000, 3000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-coverage / OOV curve vs vocabulary size — the table a
+    tokenizer designer reads before fixing |V| (and the Heaps'-law
+    companion of :func:`vocab_growth`, which varies corpus size instead):
+    for each candidate vocab size k, what share of all token OCCURRENCES
+    the k most frequent types cover, and therefore the OOV rate a
+    closed-vocab model of that size would eat.
+
+    Returns one row per k: (vocab_size, covered_tokens, n_types,
+    total_tokens, coverage_milli, oov_milli) — exact integers; the two
+    milli ratios are single floored double divisions (oracle-portable).
+
+    Scale shape: token explode → (token) combiner agg (hot types like
+    'the' partial-aggregate map-side, never a hot reducer) → the
+    frequency ranking runs through ``prefix_sum``'s two-level range scan
+    (rank AND cumulative token mass in ONE scan via the multi-value
+    form), so a 10^9-type web vocabulary never serializes through one
+    ``Window.orderBy`` task. The per-k read-out filters rank ∈ ks —
+    |ks| rows, broadcast-joined; nothing corpus-sized crosses a
+    single-partition exchange.
+    """
+    from .prefixsum import prefix_sum
+
+    toks = df.select(F.explode(T.tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = prefix_sum(
+        counts.withColumn("__neg", -F.col("cnt")).withColumn("__one", F.lit(1)),
+        ["__neg", "token"],
+        ["cnt", "__one"],
+        out_col=["cum_tokens", "rank"],
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    at_k = ranked.filter(F.col("rank").isin([int(k) for k in ks])).select(
+        F.col("rank").cast("long").alias("vocab_size"),
+        F.col("cum_tokens").cast("long").alias("__cum"),
+    )
+    ksdf = df.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(ks)], "vocab_size long"
+    )
+    covered = F.coalesce(F.col("__cum"), F.col("total_tokens"))
+    return (
+        ksdf.join(F.broadcast(at_k), "vocab_size", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "vocab_size",
+            covered.cast("long").alias("covered_tokens"),
+            "n_types",
+            "total_tokens",
+            F.floor(covered * 1000 / F.col("total_tokens"))
+            .cast("long").alias("coverage_milli"),
+            F.floor((F.col("total_tokens") - covered) * 1000
+                    / F.col("total_tokens"))
+            .cast("long").alias("oov_milli"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
 def vocab_growth(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
