@@ -16706,11 +16706,66 @@ ORDER BY vocab_size
 """
 
 
+def _q_epoch_makespan(spark, sf_dir):
+    """Politeness-bound epoch makespan plan (operators/aggregate.
+    epoch_makespan): per-host busy time n_urls x delay_ms, the binding
+    host, and every host's share of the wall — the pre-epoch scheduling
+    table. Fixture: 20-host frontier with a hot host (every 5th event
+    folds into h0) and three delay classes."""
+    from web_crawler_spark.operators.aggregate import epoch_makespan
+
+    e = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("event_id") % 5 == 0, 0).otherwise(
+        F.col("user_id") % 20
+    )
+    frontier = e.select(
+        F.concat(F.lit("h"), hot.cast("string")).alias("host")
+    )
+    hosts = frontier.select("host").distinct()
+    delays = hosts.select(
+        "host",
+        F.when(F.col("host") == "h0", F.lit(1500))
+        .when(F.substring("host", 2, 10).cast("int") % 2 == 1, F.lit(3000))
+        .otherwise(F.lit(2000)).alias("delay_ms"),
+    )
+    return epoch_makespan(frontier, delays).orderBy("host")
+
+
+_SQL_EPOCH_MAKESPAN = r"""
+WITH frontier AS (
+  SELECT concat('h', CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                          ELSE user_id % 20 END AS VARCHAR)) AS host
+  FROM events
+),
+per AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM frontier GROUP BY host),
+d AS (
+  SELECT host,
+         CAST(CASE WHEN host = 'h0' THEN 1500
+                   WHEN TRY_CAST(substr(host, 2) AS INT) % 2 = 1 THEN 3000
+                   ELSE 2000 END AS BIGINT) AS delay_ms
+  FROM per
+),
+busy AS (
+  SELECT p.host, p.n_urls, d.delay_ms,
+         CAST(p.n_urls * d.delay_ms AS BIGINT) AS host_busy_ms
+  FROM per p JOIN d USING (host)
+),
+top AS (SELECT CAST(MAX(host_busy_ms) AS BIGINT) AS m FROM busy)
+SELECT host, n_urls, delay_ms, host_busy_ms,
+       CAST(floor(host_busy_ms * 1000 / top.m) AS BIGINT)
+         AS share_of_epoch_milli,
+       host_busy_ms = top.m AS is_critical
+FROM busy CROSS JOIN top ORDER BY host
+"""
+
+
 _QUERIES.update(
     {
         "tx_fineweb_quality": _q_fineweb_quality,
         "tx_pack_efficiency": _q_pack_efficiency,
         "tx_vocab_coverage": _q_vocab_coverage,
+        "f2_epoch_makespan": _q_epoch_makespan,
     }
 )
 _ORACLES.update(
@@ -16718,6 +16773,7 @@ _ORACLES.update(
         "tx_fineweb_quality": _SQL_FINEWEB_QUALITY,
         "tx_pack_efficiency": _SQL_PACK_EFFICIENCY,
         "tx_vocab_coverage": _SQL_VOCAB_COVERAGE,
+        "f2_epoch_makespan": _SQL_EPOCH_MAKESPAN,
     }
 )
 

@@ -273,6 +273,57 @@ def host_budget_waterfill(
     )
 
 
+def epoch_makespan(
+    frontier: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    delay_col: str = "delay_ms",
+) -> DataFrame:
+    """Politeness-bound epoch makespan plan — the wall-clock planning
+    table a crawl operator reads before launching an epoch: under
+    per-host sequential fetching with a fixed politeness delay (the F2/F3
+    contract), a host's fetch lane is busy ``n_urls × delay_ms``
+    regardless of cluster size, so the epoch cannot finish before
+    ``max_host(n·delay)`` — adding executors parallelizes ACROSS hosts
+    only. The table names the binding (critical) host and each host's
+    share of the bound, i.e. exactly where to spend scheduling effort
+    (split the hot host by shard-safe mirrors, or re-budget it via
+    :func:`host_budget_waterfill`).
+
+    Returns (host, n_urls, delay_ms, host_busy_ms, share_of_epoch_milli,
+    is_critical) — exact integers; share is one floored double division.
+    Scale shape: one host-keyed combiner count + one host equi-join
+    against the per-host delay table (AQE broadcasts it when small; at
+    10^8 hosts it stays a shuffle join on the slim pair) + a 1-row max
+    agg broadcast back. Ties for the bound all flag critical
+    (deterministic).
+    """
+    per = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+    d = delays.select(
+        F.col(host_col).alias("host"),
+        F.col(delay_col).cast("long").alias("delay_ms"),
+    )
+    busy = per.join(d, "host").withColumn(
+        "host_busy_ms", (F.col("n_urls") * F.col("delay_ms")).cast("long")
+    )
+    # consumed by two plans (the 1-row max and the output projection):
+    # pin the slim per-host frame so the frontier scan runs once
+    busy = busy.localCheckpoint(eager=False)
+    top = busy.agg(F.max("host_busy_ms").alias("__makespan_ms"))
+    return (
+        busy.crossJoin(F.broadcast(top))
+        .select(
+            "host", "n_urls", "delay_ms", "host_busy_ms",
+            F.floor(F.col("host_busy_ms") * 1000 / F.col("__makespan_ms"))
+            .cast("long").alias("share_of_epoch_milli"),
+            (F.col("host_busy_ms") == F.col("__makespan_ms"))
+            .alias("is_critical"),
+        )
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,
