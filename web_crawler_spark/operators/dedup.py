@@ -1244,9 +1244,10 @@ def winnow_overlap_pairs(
         .localCheckpoint()
     )
     if max_df == "auto":
-        max_df = auto_max_df(
-            fps.select("doc_id").distinct().count(), floor=auto_floor
-        )
+        # probe on the INPUT row count (parquet count pushdown — no
+        # fingerprint compute), same as ngram_jaccard_pairs: cap sizing
+        # needs corpus magnitude, not exact fingerprinted-doc count
+        max_df = auto_max_df(df.count(), floor=auto_floor)
     counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     if max_df is not None:
         keep = (
