@@ -16760,12 +16760,65 @@ FROM busy CROSS JOIN top ORDER BY host
 """
 
 
+def _q_version_intervals(spark, sf_dir):
+    """SCD-2 content-version interval table (operators/snapshots.
+    version_intervals): consecutive identical-fingerprint fetches
+    collapse into versions with [valid_from, valid_to) validity and
+    wasted-recrawl counts; same versioned-pages fixture as the
+    change-detection chain it builds on."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    return SN.version_intervals(_versioned_pages(spark, sf_dir)).orderBy(
+        "key", "version_id"
+    )
+
+
+_SQL_VERSION_INTERVALS = r"""
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS key,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         md5(trim(regexp_replace(regexp_replace(lower(
+           concat('body ', CAST(event_id % 3000 AS VARCHAR),
+                  ' rev', CAST(CAST(floor(event_id / 3000 / 2) AS BIGINT) AS VARCHAR))
+         ), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+  FROM events
+), chain AS (
+  SELECT key, ts, fingerprint,
+         (LAG(fingerprint) OVER (PARTITION BY key ORDER BY ts) IS NULL
+          OR fingerprint <> LAG(fingerprint) OVER (PARTITION BY key ORDER BY ts))
+           AS changed
+  FROM pages
+), grouped AS (
+  SELECT key, ts, fingerprint,
+         CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END)
+              OVER (PARTITION BY key ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS version_id
+  FROM chain
+), versions AS (
+  SELECT key, version_id,
+         MIN(fingerprint) AS fingerprint,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_fetches
+  FROM grouped GROUP BY key, version_id
+)
+SELECT key, version_id, fingerprint, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY key ORDER BY version_id)
+         AS valid_to,
+       n_fetches,
+       LEAD(valid_from) OVER (PARTITION BY key ORDER BY version_id) IS NULL
+         AS is_current
+FROM versions ORDER BY key, version_id
+"""
+
+
 _QUERIES.update(
     {
         "tx_fineweb_quality": _q_fineweb_quality,
         "tx_pack_efficiency": _q_pack_efficiency,
         "tx_vocab_coverage": _q_vocab_coverage,
         "f2_epoch_makespan": _q_epoch_makespan,
+        "crawl_version_intervals": _q_version_intervals,
     }
 )
 _ORACLES.update(
@@ -16774,6 +16827,7 @@ _ORACLES.update(
         "tx_pack_efficiency": _SQL_PACK_EFFICIENCY,
         "tx_vocab_coverage": _SQL_VOCAB_COVERAGE,
         "f2_epoch_makespan": _SQL_EPOCH_MAKESPAN,
+        "crawl_version_intervals": _SQL_VERSION_INTERVALS,
     }
 )
 

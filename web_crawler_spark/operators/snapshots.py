@@ -72,6 +72,57 @@ def change_detection(
     )
 
 
+def version_intervals(
+    df: DataFrame,
+    ts_col: str = "warc_ts",
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """SCD-2 content-version interval table over the crawl history — the
+    'what did this URL say at time T' index a reproducible-dataset owner
+    materializes once so every as-of lookup becomes a range probe instead
+    of a per-query latest-version window (the slowly-changing-dimension
+    pattern applied to the page table).
+
+    Built on :func:`change_detection`'s version chain: consecutive
+    fetches with the same normalized-content fingerprint collapse into
+    one version; each version carries its half-open validity interval.
+    Returns (key, version_id, fingerprint, valid_from, valid_to,
+    n_fetches, is_current) — ``version_id`` counts content versions per
+    key from 1, ``valid_to`` is the next version's first-seen ts (NULL =
+    current), ``n_fetches`` counts the fetches that observed this version
+    (n_fetches − 1 per version = wasted recrawls, the refresh-scheduling
+    residual).
+
+    Scale shape: every window/agg is keyed by URL (per-key history is
+    politeness-bounded — a crawler physically cannot fetch one URL more
+    than ~86k/day), so no global or hot partition exists; three slim
+    per-key stages over (key, ts, fingerprint) rows.
+    """
+    chain = change_detection(df, ts_col, key_col, text_col)
+    w = Window.partitionBy("key").orderBy(F.col("ts").asc())
+    grouped = chain.withColumn(
+        "version_id",
+        F.sum(F.col("changed").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    versions = grouped.groupBy("key", "version_id").agg(
+        F.min("ts").alias("valid_from"),
+        # all rows in a (key, version_id) group share one fingerprint by
+        # construction; min() states that deterministically
+        F.min("fingerprint").alias("fingerprint"),
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+    )
+    wv = Window.partitionBy("key").orderBy(F.col("version_id").asc())
+    return versions.select(
+        "key", "version_id", "fingerprint", "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_fetches",
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+
+
 def recrawl_priority(
     df: DataFrame,
     now,
