@@ -16812,6 +16812,51 @@ FROM versions ORDER BY key, version_id
 """
 
 
+def _q_asof_lookup(spark, sf_dir):
+    """Point-in-time range probe against the SCD-2 interval table
+    (operators/snapshots.asof_lookup): every 7th event becomes a (url,
+    ts) probe at a staggered offset; the lookup answers which content
+    version was live — keyed join + interval residual, no window."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    iv = SN.version_intervals(_versioned_pages(spark, sf_dir))
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    probes = e.select(
+        F.concat(F.lit("https://ex.com/p"),
+                 (F.col("event_id") % 3000).cast("string")).alias("key"),
+        (
+            F.timestamp_seconds(
+                F.unix_timestamp(F.lit("2025-01-01 00:00:00"))
+                + (F.col("event_id") * 3) % 10000
+            )
+        ).alias("ts"),
+        F.col("event_id").alias("probe_id"),
+    )
+    return SN.asof_lookup(iv, probes).orderBy("probe_id", "version_id")
+
+
+_SQL_ASOF_LOOKUP = (
+    "WITH iv AS ("
+    + _SQL_VERSION_INTERVALS.replace("FROM versions ORDER BY key, version_id",
+                                     "FROM versions")
+    + """),
+probes AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS key,
+         TIMESTAMP '2025-01-01 00:00:00'
+           + ((event_id * 3) % 10000) * INTERVAL 1 SECOND AS ts,
+         event_id AS probe_id
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT p.key, p.ts, p.probe_id, iv.version_id, iv.fingerprint,
+       iv.valid_from, iv.valid_to, iv.is_current
+FROM probes p JOIN iv ON p.key = iv.key
+  AND iv.valid_from <= p.ts
+  AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+ORDER BY probe_id, version_id
+"""
+)
+
+
 _QUERIES.update(
     {
         "tx_fineweb_quality": _q_fineweb_quality,
@@ -16819,6 +16864,7 @@ _QUERIES.update(
         "tx_vocab_coverage": _q_vocab_coverage,
         "f2_epoch_makespan": _q_epoch_makespan,
         "crawl_version_intervals": _q_version_intervals,
+        "crawl_asof_lookup": _q_asof_lookup,
     }
 )
 _ORACLES.update(
@@ -16828,6 +16874,7 @@ _ORACLES.update(
         "tx_vocab_coverage": _SQL_VOCAB_COVERAGE,
         "f2_epoch_makespan": _SQL_EPOCH_MAKESPAN,
         "crawl_version_intervals": _SQL_VERSION_INTERVALS,
+        "crawl_asof_lookup": _SQL_ASOF_LOOKUP,
     }
 )
 

@@ -38,6 +38,30 @@ def test_intervals_hand_computed(spark):
     assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["n_fetches"] == 1
 
 
+def test_asof_lookup_range_semantics(spark):
+    rows = [
+        ("u1", _ts("2025-01-01T00:00:00"), "A"),
+        ("u1", _ts("2025-01-01T02:00:00"), "B"),
+    ]
+    hist = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    iv = SN.version_intervals(hist)
+    probes = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-12-31T23:00:00"), 0),  # before first: no row
+            ("u1", _ts("2025-01-01T01:00:00"), 1),  # inside v1
+            ("u1", _ts("2025-01-01T02:00:00"), 2),  # boundary: v2 (half-open)
+            ("u1", _ts("2025-01-01T09:00:00"), 3),  # current version
+            ("zz", _ts("2025-01-01T01:00:00"), 4),  # never crawled: no row
+        ],
+        "key string, ts timestamp, probe_id long",
+    )
+    out = {r["probe_id"]: r for r in SN.asof_lookup(iv, probes).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["version_id"] == 1
+    assert out[2]["version_id"] == 2  # valid_from inclusive, valid_to exclusive
+    assert out[3]["version_id"] == 2 and out[3]["is_current"]
+
+
 def test_intervals_reconcile_with_change_detection(spark):
     rows = [
         ("u", _ts("2025-01-01T00:00:00"), f"body rev{int(i // 3)}")

@@ -123,6 +123,43 @@ def version_intervals(
     )
 
 
+def asof_lookup(
+    intervals: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Point-in-time lookup against the :func:`version_intervals` table —
+    the payoff of materializing SCD-2 intervals: 'what did URL u say at
+    time T' is ONE keyed join with a range predicate, not a per-query
+    latest-version window over the raw history. Probes whose ts precedes
+    the first version (or whose key was never crawled) return no row —
+    inner-join semantics, the honest 'nothing was live' answer.
+
+    Scale shape: an equi-join on the URL key carrying the interval
+    predicate (valid_from ≤ ts < valid_to, open-ended current version) as
+    the join residual — each probe meets only its own key's
+    politeness-bounded version list, so the range check is per-key local
+    work on top of one hash exchange; nothing resembles a cross join.
+    Returns the probe columns plus (version_id, fingerprint, valid_from,
+    valid_to, is_current).
+    """
+    iv = intervals.select(
+        F.col("key").alias("__k"), "version_id", "fingerprint",
+        "valid_from", "valid_to", "is_current",
+    )
+    p = probes.select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("ts"),
+        *[c for c in probes.columns if c not in (key_col, ts_col)],
+    )
+    cond = (
+        (p["key"] == iv["__k"])
+        & (iv["valid_from"] <= p["ts"])
+        & (iv["valid_to"].isNull() | (p["ts"] < iv["valid_to"]))
+    )
+    return p.join(iv, cond).drop("__k")
+
+
 def recrawl_priority(
     df: DataFrame,
     now,
