@@ -16857,6 +16857,90 @@ ORDER BY probe_id, version_id
 )
 
 
+def _q_rbo_overlap(spark, sf_dir):
+    """Rank-biased overlap between two frontier-priority rankings
+    (operators/corpus.rbo_overlap; Webber et al. 2010): 10 queries × 60
+    items md5-ranked under two salts — qid%3==0 shares the salt (RBO=1
+    control rows), the rest diverge. p^(d-1) weights come from iterative
+    multiplication in a rank-ordered fold, so the doubles are
+    engine-exact."""
+    from web_crawler_spark.operators import corpus as C
+
+    e = _t(spark, sf_dir, "events")
+    pairs = (
+        e.select(
+            (F.col("user_id") % 10).cast("long").alias("q"),
+            F.concat(F.lit("d"), (F.col("event_id") % 60).cast("string"))
+            .alias("item"),
+        ).distinct()
+    )
+    ka = F.md5(F.concat(F.lit("a:"), F.col("q").cast("string"),
+                        F.lit(":"), F.col("item")))
+    salt_b = F.when(F.col("q") % 3 == 0, F.lit("a:")).otherwise(F.lit("b:"))
+    kb = F.md5(F.concat(salt_b, F.col("q").cast("string"),
+                        F.lit(":"), F.col("item")))
+    wa = Window.partitionBy("q").orderBy(ka, F.col("item"))
+    wb = Window.partitionBy("q").orderBy(kb, F.col("item"))
+    run_a = pairs.select(
+        "q", "item", F.row_number().over(wa).cast("long").alias("rank")
+    )
+    run_b = pairs.select(
+        "q", "item", F.row_number().over(wb).cast("long").alias("rank")
+    )
+    return C.rbo_overlap(
+        run_a, run_b, p=0.9, depth=10, query_col="q", item_col="item"
+    ).orderBy("q")
+
+
+_SQL_RBO_OVERLAP = r"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(user_id % 10 AS BIGINT) AS q,
+         concat('d', CAST(event_id % 60 AS VARCHAR)) AS item
+  FROM events
+), ra AS (
+  SELECT q, item,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q
+           ORDER BY md5(concat('a:', CAST(q AS VARCHAR), ':', item)), item)
+           AS BIGINT) AS ra
+  FROM pairs
+), rb AS (
+  SELECT q, item,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q
+           ORDER BY md5(concat(CASE WHEN q % 3 = 0 THEN 'a:' ELSE 'b:' END,
+                               CAST(q AS VARCHAR), ':', item)), item)
+           AS BIGINT) AS rb
+  FROM pairs
+), m AS (
+  SELECT a.q, greatest(a.ra, b.rb) AS first_d
+  FROM (SELECT * FROM ra WHERE ra <= 10) a
+  JOIN (SELECT * FROM rb WHERE rb <= 10) b
+    ON a.q = b.q AND a.item = b.item
+), cnt AS (
+  SELECT q, t.d, CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM m, LATERAL unnest(generate_series(first_d, 10)) AS t(d)
+  GROUP BY q, t.d
+), grid AS (
+  SELECT g.q, g.d, CAST(COALESCE(cnt.overlap, 0) AS BIGINT) AS overlap
+  FROM (SELECT qs.q, t.d
+        FROM (SELECT DISTINCT q FROM pairs) qs,
+             LATERAL unnest(generate_series(1, 10)) AS t(d)) g
+  LEFT JOIN cnt ON cnt.q = g.q AND cnt.d = g.d
+), folded AS (
+  SELECT q,
+         MAX(CASE WHEN d = 10 THEN overlap END) AS overlap_at_depth,
+         list_reduce(
+           list_prepend([0.0, 1.0],
+             list([CAST(overlap AS DOUBLE), CAST(d AS DOUBLE)] ORDER BY d)),
+           (s, x) -> [s[1] + s[2] * x[1] / x[2], s[2] * 0.9]
+         )[1] AS acc
+  FROM grid GROUP BY q
+)
+SELECT q, CAST(overlap_at_depth AS BIGINT) AS overlap_at_depth,
+       ROUND((1.0 - 0.9) * acc, 6) AS rbo_at_depth
+FROM folded ORDER BY q
+"""
+
+
 _QUERIES.update(
     {
         "tx_fineweb_quality": _q_fineweb_quality,
@@ -16865,6 +16949,7 @@ _QUERIES.update(
         "f2_epoch_makespan": _q_epoch_makespan,
         "crawl_version_intervals": _q_version_intervals,
         "crawl_asof_lookup": _q_asof_lookup,
+        "tx_rbo_overlap": _q_rbo_overlap,
     }
 )
 _ORACLES.update(
@@ -16875,6 +16960,7 @@ _ORACLES.update(
         "f2_epoch_makespan": _SQL_EPOCH_MAKESPAN,
         "crawl_version_intervals": _SQL_VERSION_INTERVALS,
         "crawl_asof_lookup": _SQL_ASOF_LOOKUP,
+        "tx_rbo_overlap": _SQL_RBO_OVERLAP,
     }
 )
 

@@ -2031,6 +2031,90 @@ def bm25_weighted_topk(
     )
 
 
+def rbo_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    p: float = 0.9,
+    depth: int = 10,
+    query_col: str = "qid",
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap at depth D (Webber, Moffat & Zobel TOIS 2010)
+    between two rankings per query — the top-weighted similarity a crawl
+    operator reads to audit frontier-priority drift (old vs new scorer,
+    two engine versions, epoch-over-epoch recrawl ordering): unlike
+    Kendall's τ it is defined for non-conjoint lists and weights rank 1
+    above rank D geometrically.
+
+    RBO@D = (1−p) · Σ_{d=1..D} p^(d−1) · |A_1..d ∩ B_1..d| / d — the
+    prefix-truncated form; inputs are (query, item, rank) runs, ranks
+    beyond ``depth`` ignored. Float discipline: the p^(d−1) weights come
+    from ITERATIVE multiplication inside a rank-ordered left fold
+    (state = [acc, w], w ← w·p each step) — both engines execute the
+    same multiply/add sequence, so the metric is oracle-EXACT, never
+    pow()-library-dependent. Returns (query, overlap_at_depth,
+    rbo_at_depth) rounded to 6dp, one row per query present in either
+    run.
+
+    Scale shape: one (query,item) equi-join of the two depth-filtered
+    runs, one bounded explode (≤ D rows per matched item), one
+    query-keyed combiner agg, one query-keyed fold over ≤ D structs —
+    per-query work is depth-bounded, keys are never hot.
+    """
+    D = int(depth)
+    a = run_a.select(
+        F.col(query_col).alias("q"), F.col(item_col).alias("item"),
+        F.col(rank_col).cast("long").alias("ra"),
+    ).filter(F.col("ra") <= D)
+    b = run_b.select(
+        F.col(query_col).alias("q"), F.col(item_col).alias("item"),
+        F.col(rank_col).cast("long").alias("rb"),
+    ).filter(F.col("rb") <= D)
+    matched = a.join(b, ["q", "item"]).select(
+        "q", F.greatest("ra", "rb").alias("first_d")
+    )
+    counts = (
+        matched.select("q", F.explode(F.sequence("first_d", F.lit(D))).alias("d"))
+        .groupBy("q", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    queries = (
+        a.select("q").unionByName(b.select("q")).distinct()
+        .select("q", F.explode(F.sequence(F.lit(1), F.lit(D))).alias("d"))
+    )
+    grid = queries.join(counts, ["q", "d"], "left").select(
+        "q", "d", F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap")
+    )
+    items = F.sort_array(
+        F.collect_list(F.struct(F.col("d"), F.col("overlap")))
+    )
+    init = F.struct(
+        F.lit(0.0).cast("double").alias("acc"), F.lit(1.0).cast("double").alias("w")
+    )
+    fold = F.aggregate(
+        items,
+        init,
+        lambda s, x: F.struct(
+            (s["acc"] + s["w"] * x["overlap"] / x["d"]).alias("acc"),
+            (s["w"] * F.lit(float(p))).alias("w"),
+        ),
+    )
+    return (
+        grid.groupBy(F.col("q").alias(query_col))
+        .agg(
+            F.max(F.when(F.col("d") == D, F.col("overlap")))
+            .cast("long").alias("overlap_at_depth"),
+            fold.alias("__s"),
+        )
+        .select(
+            query_col,
+            "overlap_at_depth",
+            F.round((1.0 - float(p)) * F.col("__s.acc"), 6).alias("rbo_at_depth"),
+        )
+    )
+
+
 def retrieval_eval(
     run: DataFrame,
     qrels: DataFrame,
