@@ -16857,6 +16857,59 @@ ORDER BY probe_id, version_id
 )
 
 
+def _q_rebalance_audit(spark, sf_dir):
+    """Fleet-resize churn audit (operators/politeness.
+    fetcher_rebalance_audit): HRW assignment over 997 hosts at 16 vs 20
+    lanes — moved-host share vs the theoretical (W'-W)/W' minimum; the
+    pre-resize go/no-go number."""
+    from web_crawler_spark.operators.politeness import fetcher_rebalance_audit
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 997).cast("string"), F.lit(".com")
+        ).alias("host")
+    ).distinct()
+    return fetcher_rebalance_audit(hosts, n_from=16, n_to=20)
+
+
+_SQL_REBALANCE_AUDIT = """
+WITH hosts AS (
+  SELECT DISTINCT concat('h', CAST(user_id % 997 AS VARCHAR), '.com') AS host
+  FROM events
+),
+a AS (
+  SELECT host,
+         CAST(list_position(l, list_aggregate(l, 'max')) - 1 AS INT) AS lane
+  FROM (SELECT host,
+               [md5(host || ':' || CAST(k AS VARCHAR))
+                for k in range(0, 16)] AS l
+        FROM hosts)
+),
+b AS (
+  SELECT host,
+         CAST(list_position(l, list_aggregate(l, 'max')) - 1 AS INT) AS lane_to
+  FROM (SELECT host,
+               [md5(host || ':' || CAST(k AS VARCHAR))
+                for k in range(0, 20)] AS l
+        FROM hosts)
+),
+j AS (
+  SELECT CASE WHEN a.lane <> b.lane_to THEN 1 ELSE 0 END AS moved
+  FROM a JOIN b USING (host)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+         CAST(COALESCE(SUM(moved), 0) AS BIGINT) AS n_moved
+  FROM j
+)
+SELECT n_hosts, n_moved,
+       CAST(floor(n_moved * 1000 / n_hosts) AS BIGINT) AS moved_milli,
+       CAST(200 AS BIGINT) AS expected_moved_milli
+FROM s
+"""
+
+
 def _q_rbo_overlap(spark, sf_dir):
     """Rank-biased overlap between two frontier-priority rankings
     (operators/corpus.rbo_overlap; Webber et al. 2010): 10 queries × 60
@@ -16950,6 +17003,7 @@ _QUERIES.update(
         "crawl_version_intervals": _q_version_intervals,
         "crawl_asof_lookup": _q_asof_lookup,
         "tx_rbo_overlap": _q_rbo_overlap,
+        "f2_rebalance_audit": _q_rebalance_audit,
     }
 )
 _ORACLES.update(
@@ -16961,6 +17015,7 @@ _ORACLES.update(
         "crawl_version_intervals": _SQL_VERSION_INTERVALS,
         "crawl_asof_lookup": _SQL_ASOF_LOOKUP,
         "tx_rbo_overlap": _SQL_RBO_OVERLAP,
+        "f2_rebalance_audit": _SQL_REBALANCE_AUDIT,
     }
 )
 

@@ -416,3 +416,47 @@ def host_fetcher_assign(
         "lane",
         (F.array_position(digests, F.array_max(digests)) - 1).cast("int"),
     )
+
+
+def fetcher_rebalance_audit(
+    hosts: DataFrame,
+    n_from: int,
+    n_to: int,
+    host_col: str = "host",
+) -> DataFrame:
+    """Fleet-resize churn audit for the rendezvous assignment — the
+    number an operator checks BEFORE resizing W→W′ fetchers: how many
+    hosts actually change lanes (each move invalidates that host's
+    warm frontier partition, politeness timer, and connection pool)
+    against HRW's theoretical minimum. For a grow (W′>W) a host moves
+    iff its argmax over W′ lanes lands on a NEW lane — expected
+    (W′−W)/W′ of hosts; for a shrink, iff its old lane was removed —
+    expected (W−W′)/W. Modulo hashing would move ~1−1/W′ of hosts; the
+    gap between ``moved_milli`` and ``expected_moved_milli`` is hash
+    skew, and a large gap means the host-name distribution is fighting
+    the digests (investigate before resizing).
+
+    One row: (n_hosts, n_moved, moved_milli, expected_moved_milli).
+    Scale shape: two zero-shuffle digest projections over the host list
+    joined on host (a self-join on the slim host frame) + one 1-row
+    agg; nothing leaves the host-list scale.
+    """
+    a = host_fetcher_assign(hosts.select(host_col), n_from, host_col)
+    b = host_fetcher_assign(hosts.select(host_col), n_to, host_col).select(
+        F.col(host_col), F.col("lane").alias("lane_to")
+    )
+    j = a.join(b, host_col).select(
+        (F.col("lane") != F.col("lane_to")).cast("int").alias("moved")
+    )
+    # grow: (W'−W)/W'; shrink: (W−W')/W — both are (hi−lo)/hi
+    lo, hi = sorted((int(n_from), int(n_to)))
+    expected_milli = (hi - lo) * 1000 // hi
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.coalesce(F.sum("moved"), F.lit(0)).cast("long").alias("n_moved"),
+    ).select(
+        "n_hosts", "n_moved",
+        F.floor(F.col("n_moved") * 1000 / F.col("n_hosts"))
+        .cast("long").alias("moved_milli"),
+        F.lit(int(expected_milli)).cast("long").alias("expected_moved_milli"),
+    )
