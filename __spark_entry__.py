@@ -16910,6 +16910,72 @@ FROM s
 """
 
 
+def _q_path_rollup(spark, sf_dir):
+    """Hierarchical path-prefix census (operators/urlfilter.
+    path_prefix_rollup): 7 hosts x mixed depth-1/depth-3 URL space,
+    rolled up to max_depth=2 — trap-directory mass shares per site
+    directory node."""
+    from web_crawler_spark.operators import urlfilter as UF
+
+    e = _t(spark, sf_dir, "events")
+    deep = F.concat(
+        F.lit("https://s"), (F.col("user_id") % 7).cast("string"),
+        F.lit(".com/a"), (F.col("event_id") % 3).cast("string"),
+        F.lit("/b"), (F.col("event_id") % 11).cast("string"),
+        F.lit("/p"), (F.col("event_id") % 40).cast("string"),
+    )
+    shallow = F.concat(
+        F.lit("https://s"), (F.col("user_id") % 7).cast("string"),
+        F.lit(".com/top"), (F.col("event_id") % 13).cast("string"),
+    )
+    pages = e.select(
+        F.when(F.col("event_id") % 5 == 0, shallow).otherwise(deep)
+        .alias("url")
+    )
+    return UF.path_prefix_rollup(pages, max_depth=2).orderBy(
+        "host", "depth", "prefix"
+    )
+
+
+_SQL_PATH_ROLLUP = r"""
+WITH pages AS (
+  SELECT DISTINCT CASE WHEN event_id % 5 = 0
+    THEN concat('https://s', CAST(user_id % 7 AS VARCHAR), '.com/top',
+                CAST(event_id % 13 AS VARCHAR))
+    ELSE concat('https://s', CAST(user_id % 7 AS VARCHAR), '.com/a',
+                CAST(event_id % 3 AS VARCHAR), '/b',
+                CAST(event_id % 11 AS VARCHAR), '/p',
+                CAST(event_id % 40 AS VARCHAR)) END AS u
+  FROM events
+), parsed AS (
+  SELECT u,
+         regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+         string_split(
+           regexp_extract(u, '^[a-z][a-z0-9+.-]*://[^/?#]+/([^?#]*)', 1),
+           '/') AS segs
+  FROM pages
+), valid AS (
+  SELECT * FROM parsed
+  WHERE host <> '' AND len(segs) > 0 AND segs[1] <> ''
+), exploded AS (
+  SELECT u, host, t.depth,
+         concat('/', array_to_string(segs[1:t.depth], '/')) AS prefix
+  FROM valid,
+       LATERAL unnest(generate_series(1, least(len(segs), 2))) AS t(depth)
+), per_prefix AS (
+  SELECT host, depth, prefix, CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM exploded GROUP BY host, depth, prefix
+), per_host AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS host_urls FROM valid GROUP BY host
+)
+SELECT p.host, CAST(p.depth AS INT) AS depth, p.prefix, p.n_urls,
+       h.host_urls,
+       CAST(floor(p.n_urls * 1000 / h.host_urls) AS BIGINT) AS share_milli
+FROM per_prefix p JOIN per_host h USING (host)
+ORDER BY host, depth, prefix
+"""
+
+
 def _q_rbo_overlap(spark, sf_dir):
     """Rank-biased overlap between two frontier-priority rankings
     (operators/corpus.rbo_overlap; Webber et al. 2010): 10 queries × 60
@@ -17004,6 +17070,7 @@ _QUERIES.update(
         "crawl_asof_lookup": _q_asof_lookup,
         "tx_rbo_overlap": _q_rbo_overlap,
         "f2_rebalance_audit": _q_rebalance_audit,
+        "url_path_rollup": _q_path_rollup,
     }
 )
 _ORACLES.update(
@@ -17016,6 +17083,7 @@ _ORACLES.update(
         "crawl_asof_lookup": _SQL_ASOF_LOOKUP,
         "tx_rbo_overlap": _SQL_RBO_OVERLAP,
         "f2_rebalance_audit": _SQL_REBALANCE_AUDIT,
+        "url_path_rollup": _SQL_PATH_ROLLUP,
     }
 )
 

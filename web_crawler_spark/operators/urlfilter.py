@@ -138,6 +138,67 @@ def url_family(url: Column | str) -> Column:
     return F.concat(host, norm)
 
 
+def path_prefix_rollup(
+    pages: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 4,
+) -> DataFrame:
+    """Hierarchical URL-path prefix census — page mass at every directory
+    prefix to ``max_depth``: the site-structure table that surfaces trap
+    directories (a /calendar/ prefix holding 40% of a host's URLs at
+    depth 1 with ever-deeper children), budget sinks, and where a
+    path-based crawl scope should cut. The complement of
+    :func:`detect_crawl_traps`' digit-normalized families: this rolls up
+    by the site's OWN directory structure, no normalization.
+
+    Returns (host, depth, prefix, n_urls, host_urls, share_milli) — one
+    row per (host, directory prefix), n_urls counting distinct URLs at
+    or below the prefix, share against the host's distinct-URL mass.
+
+    Scale shape: one distinct on the slim url column, one bounded
+    explode (≤ max_depth rows per URL — a constant), two host/prefix-
+    keyed combiner aggs and one host equi-join; prefixes are grouped
+    under (host, prefix) keys so even a 10^8-URL host fans across the
+    hash space, and nothing is ever per-site serialized.
+    """
+    host = F.regexp_extract(F.col("u"), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(
+        F.col("u"), r"^[a-z][a-z0-9+.-]*://[^/?#]+/([^?#]*)", 1
+    )
+    u = (
+        pages.select(F.col(url_col).cast("string").alias("u"))
+        .distinct()
+        .select(
+            F.col("u"), host.alias("host"),
+            F.split(path, "/").alias("segs"),
+        )
+        .filter((F.col("host") != "") & (F.size("segs") > 0)
+                & (F.col("segs")[0] != ""))
+    )
+    depths = u.select(
+        "u", "host", "segs",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.size("segs"), F.lit(int(max_depth))))
+        ).alias("depth"),
+    ).select(
+        "u", "host", "depth",
+        F.concat(
+            F.lit("/"), F.array_join(F.slice("segs", 1, F.col("depth")), "/")
+        ).alias("prefix"),
+    )
+    per_prefix = depths.groupBy("host", "depth", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+    per_host = u.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("host_urls")
+    )
+    return per_prefix.join(per_host, "host").select(
+        "host", "depth", "prefix", "n_urls", "host_urls",
+        F.floor(F.col("n_urls") * 1000 / F.col("host_urls"))
+        .cast("long").alias("share_milli"),
+    )
+
+
 def detect_crawl_traps(
     pages: DataFrame,
     url_col: str = "url",
