@@ -16976,6 +16976,71 @@ ORDER BY host, depth, prefix
 """
 
 
+def _q_host_quality_wilson(spark, sf_dir):
+    """Source-level quality ranking by the Wilson LOWER bound on the
+    low-quality-document share (Gopher flag_pass rolled up per source
+    through operators/aggregate.host_error_wilson): the crawl-budget
+    demotion ordering — a source with 1-of-1 junk must not outrank one
+    with 300-of-1000. Pure composition of two certified pieces; the
+    oracle replays the flag algebra and the exact double expression."""
+    from web_crawler_spark.functions import text as TX
+    from web_crawler_spark.operators.aggregate import host_error_wilson
+
+    d = _t(spark, sf_dir, "documents")
+    flagged = d.select(
+        F.col("source").alias("host"),
+        *TX.gopher_quality_flags(F.col("text")),
+    )
+    fetches = flagged.select("host", (~F.col("flag_pass")).alias("is_lowq"))
+    return host_error_wilson(fetches, is_error_col="is_lowq").orderBy(
+        F.desc("wilson_lb"), "host"
+    )
+
+
+_SQL_HOST_QUALITY_WILSON = r"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), fl AS (
+  SELECT source AS host,
+         NOT ((len(toks) BETWEEN 50 AND 100000)
+              AND (len(toks) > 0
+                   AND coalesce(list_sum(list_transform(toks,
+                                         x -> strlen(x))), 0)
+                       BETWEEN 3 * len(toks) AND 10 * len(toks))
+              AND (len(toks) > 0
+                   AND 5 * len(list_filter(toks,
+                               x -> regexp_matches(x, '[A-Za-z]')))
+                       >= 4 * len(toks))) AS is_error
+  FROM t
+),
+g AS (
+  SELECT host, COUNT(*) AS n_fetches,
+         SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS n_errors
+  FROM fl GROUP BY host
+),
+w AS (
+  SELECT host, n_fetches, n_errors,
+         CAST(n_errors AS DOUBLE) / CAST(n_fetches AS DOUBLE) AS p,
+         CAST(n_fetches AS DOUBLE) AS n
+  FROM g
+)
+SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       CAST(FLOOR(1000 * n_errors / n_fetches) AS BIGINT) AS err_rate_milli,
+       ROUND(
+         (p + (1.96::DOUBLE * 1.96::DOUBLE) / (2.0 * n)
+            - 1.96::DOUBLE * sqrt(p * (1.0 - p) / n
+                + (1.96::DOUBLE * 1.96::DOUBLE) / (4.0 * n * n)))
+         / (1.0 + (1.96::DOUBLE * 1.96::DOUBLE) / n),
+         6
+       ) AS wilson_lb
+FROM w ORDER BY wilson_lb DESC, host
+"""
+
+
 def _q_rbo_overlap(spark, sf_dir):
     """Rank-biased overlap between two frontier-priority rankings
     (operators/corpus.rbo_overlap; Webber et al. 2010): 10 queries × 60
@@ -17071,6 +17136,7 @@ _QUERIES.update(
         "tx_rbo_overlap": _q_rbo_overlap,
         "f2_rebalance_audit": _q_rebalance_audit,
         "url_path_rollup": _q_path_rollup,
+        "tx_host_quality_wilson": _q_host_quality_wilson,
     }
 )
 _ORACLES.update(
@@ -17084,6 +17150,7 @@ _ORACLES.update(
         "tx_rbo_overlap": _SQL_RBO_OVERLAP,
         "f2_rebalance_audit": _SQL_REBALANCE_AUDIT,
         "url_path_rollup": _SQL_PATH_ROLLUP,
+        "tx_host_quality_wilson": _SQL_HOST_QUALITY_WILSON,
     }
 )
 
