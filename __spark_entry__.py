@@ -17041,6 +17041,58 @@ FROM w ORDER BY wilson_lb DESC, host
 """
 
 
+def _q_outlink_twins(spark, sf_dir):
+    """Identical-outlink-set link-farm stamp (operators/graph.
+    outlink_twins): 3 planted template hosts share one hub target set,
+    11 organic hosts carry wide distinct sets; md5 set fingerprints and
+    group sizes are value-certified."""
+    from web_crawler_spark.operators.graph import outlink_twins
+
+    e = _t(spark, sf_dir, "events")
+    farm = F.col("event_id") % 4 == 0
+    edges = e.select(
+        F.when(farm, F.concat(F.lit("farm"), (F.col("user_id") % 3).cast("string")))
+        .otherwise(F.concat(F.lit("org"), (F.col("user_id") % 11).cast("string")))
+        .alias("src_host"),
+        F.when(farm, F.concat(F.lit("hub"), (F.col("event_id") % 20 % 5).cast("string")))
+        .otherwise(F.concat(
+            F.lit("d"),
+            ((F.col("event_id") * 7 + F.col("user_id")) % 9973).cast("string"),
+        ))
+        .alias("dst_host"),
+    )
+    return outlink_twins(edges).orderBy("group_id", "host")
+
+
+_SQL_OUTLINK_TWINS = """
+WITH edges AS (
+  SELECT DISTINCT
+    CASE WHEN event_id % 4 = 0
+         THEN concat('farm', CAST(user_id % 3 AS VARCHAR))
+         ELSE concat('org', CAST(user_id % 11 AS VARCHAR)) END AS src,
+    CASE WHEN event_id % 4 = 0
+         THEN concat('hub', CAST(event_id % 20 % 5 AS VARCHAR))
+         ELSE concat('d', CAST((event_id * 7 + user_id) % 9973 AS VARCHAR))
+         END AS dst
+  FROM events
+),
+per AS (
+  SELECT src AS host,
+         CAST(COUNT(*) AS BIGINT) AS out_degree,
+         md5(array_to_string(list(dst ORDER BY dst), chr(1))) AS group_id
+  FROM edges GROUP BY src
+  HAVING COUNT(*) <= 10000
+),
+sizes AS (
+  SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM per GROUP BY group_id HAVING COUNT(*) >= 2
+)
+SELECT p.host, p.group_id, s.group_size, p.out_degree
+FROM per p JOIN sizes s USING (group_id)
+ORDER BY group_id, host
+"""
+
+
 def _q_rbo_overlap(spark, sf_dir):
     """Rank-biased overlap between two frontier-priority rankings
     (operators/corpus.rbo_overlap; Webber et al. 2010): 10 queries × 60
@@ -17137,6 +17189,7 @@ _QUERIES.update(
         "f2_rebalance_audit": _q_rebalance_audit,
         "url_path_rollup": _q_path_rollup,
         "tx_host_quality_wilson": _q_host_quality_wilson,
+        "gr_outlink_twins": _q_outlink_twins,
     }
 )
 _ORACLES.update(
@@ -17151,6 +17204,7 @@ _ORACLES.update(
         "f2_rebalance_audit": _SQL_REBALANCE_AUDIT,
         "url_path_rollup": _SQL_PATH_ROLLUP,
         "tx_host_quality_wilson": _SQL_HOST_QUALITY_WILSON,
+        "gr_outlink_twins": _SQL_OUTLINK_TWINS,
     }
 )
 

@@ -2266,3 +2266,55 @@ def shrinking_diameter(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def outlink_twins(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_degree: int = 10_000,
+) -> DataFrame:
+    """Hosts with IDENTICAL outlink sets — the cheapest link-farm stamp
+    (the nepotistic-link signature of Davison 2000 / the template-site
+    fingerprint behind the Kumar et al. trawling cores): farm members
+    are generated from one template, so their outlink SETS collide
+    exactly, long before content similarity or bipartite-core search
+    would find them. Complements :func:`..urlfilter.mirror_hosts_by_path`
+    (content twins) and ``trawl_cores`` (dense-but-not-identical cores).
+
+    Plan: distinct (src, dst) → per-src sorted outlink array → md5 of
+    the joined array = the SET fingerprint → fingerprint-keyed count +
+    re-join, emitting only hosts in groups of ≥2. Hosts with out-degree
+    > ``max_degree`` are dropped BEFORE the collect (a genuine hub is
+    not a farm member, and the cap bounds the per-row array — the same
+    degree-cap discipline as cocitation/coupling). Shuffles carry slim
+    (host, target) then (host, digest) rows only.
+
+    Returns (host, group_id, group_size, out_degree), group_size ≥ 2,
+    group_id = the md5 set fingerprint (stable across runs/engines).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    per = (
+        e.groupBy("src")
+        .agg(
+            F.sort_array(F.collect_set("dst")).alias("outs"),
+            F.count(F.lit(1)).cast("long").alias("out_degree"),
+        )
+        .filter(F.col("out_degree") <= int(max_degree))
+        .select(
+            F.col("src").alias("host"), "out_degree",
+            F.md5(F.array_join("outs", "\x01")).alias("group_id"),
+        )
+    )
+    sizes = per.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    ).filter(F.col("group_size") >= 2)
+    return per.join(sizes, "group_id").select(
+        "host", "group_id", "group_size", "out_degree"
+    )
