@@ -16034,7 +16034,7 @@ def _q_query_key_stats(spark, sf_dir):
     )
 
 
-_SQL_QUERY_KEY_STATS = """
+_SQL_QUERY_KEY_STATS = r"""
 WITH pages AS (
   SELECT DISTINCT
     concat('https://k', CAST(user_id % 23 AS VARCHAR), '.com/p/',
