@@ -17093,6 +17093,57 @@ ORDER BY group_id, host
 """
 
 
+def _q_prototype_confusion(spark, sf_dir):
+    """Nearest-prototype classification eval over the labeled embeddings
+    table (operators/similarity.label_prototype_confusion): micro-unit
+    fixed-point vectors, integer Rocchio-sum prototypes, integer dots —
+    the confusion table is value-certified cell for cell."""
+    from web_crawler_spark.operators.similarity import (
+        label_prototype_confusion,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return label_prototype_confusion(e)
+
+
+_SQL_PROTOTYPE_CONFUSION = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 1000000)
+                                  AS BIGINT)) AS q
+  FROM embeddings
+),
+dims AS (
+  SELECT label, t.pos, q[t.pos] AS val
+  FROM q, LATERAL unnest(generate_series(1, len(q))) AS t(pos)
+),
+sums AS (
+  SELECT label, pos, CAST(SUM(val) AS BIGINT) AS s
+  FROM dims GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS plabel, list(s ORDER BY pos) AS proto
+  FROM sums GROUP BY label
+),
+scored AS (
+  SELECT q.vec_id AS vid, q.label, c.plabel,
+         list_sum([q.q[i] * c.proto[i] for i in range(1, len(q.q) + 1)])
+           AS dot
+  FROM q CROSS JOIN cent c
+),
+pred AS (
+  SELECT label, plabel,
+         ROW_NUMBER() OVER (PARTITION BY vid
+                            ORDER BY dot DESC, plabel) AS rn
+  FROM scored
+)
+SELECT label, plabel AS pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM pred WHERE rn = 1
+GROUP BY label, plabel ORDER BY label, pred_label
+"""
+
+
 def _q_rbo_overlap(spark, sf_dir):
     """Rank-biased overlap between two frontier-priority rankings
     (operators/corpus.rbo_overlap; Webber et al. 2010): 10 queries × 60
@@ -17190,6 +17241,7 @@ _QUERIES.update(
         "url_path_rollup": _q_path_rollup,
         "tx_host_quality_wilson": _q_host_quality_wilson,
         "gr_outlink_twins": _q_outlink_twins,
+        "ann_prototype_confusion": _q_prototype_confusion,
     }
 )
 _ORACLES.update(
@@ -17205,6 +17257,7 @@ _ORACLES.update(
         "url_path_rollup": _SQL_PATH_ROLLUP,
         "tx_host_quality_wilson": _SQL_HOST_QUALITY_WILSON,
         "gr_outlink_twins": _SQL_OUTLINK_TWINS,
+        "ann_prototype_confusion": _SQL_PROTOTYPE_CONFUSION,
     }
 )
 

@@ -1467,3 +1467,78 @@ def cluster_quota_sample(
         .filter(F.col("rk") <= quota_expr)
         .select("vec_id", "cid", "rk")
     )
+
+
+def label_prototype_confusion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-prototype classification confusion matrix over a labeled
+    embedding table — the embedding sanity eval a corpus owner runs
+    before trusting vectors for SemDeDup/clustering/retrieval: if
+    class prototypes can't re-classify their own members, the embedding
+    space is junk and every downstream similarity decision inherits it
+    (the Rocchio/nearest-centroid eval, scored in-engine).
+
+    Exactness: vectors land in micro-unit fixed point (floor(v·10⁶) as
+    long — float32→double→product is the same IEEE sequence in any
+    engine), prototypes are per-label per-dimension INTEGER sums
+    (order-free), scores are integer dot products against the prototype
+    SUM (argmax unchanged vs the mean for within-label comparison bias
+    toward larger classes — declared: prototypes here weight mass, the
+    classic Rocchio sum form), ties break on label asc. Every count in
+    the confusion table is therefore a pure function of the data.
+
+    Returns (label, pred_label, n_vecs) ordered by (label, pred_label).
+    Scale shape: one posexplode + (label, dim)-keyed combiner agg builds
+    the prototypes ((#labels × dim) rows — tiny), broadcast back over
+    the vector scan for an array-fold dot per (vector, label); the only
+    wide data motion is the vector scan itself. int64 bound: dim ·
+    (10⁶)² · n_label_vecs ≤ 9.2·10¹⁸ holds to ~10⁸ vectors per label at
+    dim 10³ for unit-range embeddings.
+    """
+    from pyspark.sql import Window
+
+    q = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * F.lit(1_000_000.0))
+            .cast("long"),
+        ).alias("q"),
+    )
+    dims = q.select(
+        "label", F.posexplode("q").alias("pos", "val")
+    )
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
+        .groupBy(F.col("label").alias("plabel"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("proto")
+        )
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "vid", "label", "plabel",
+        F.aggregate(
+            F.zip_with("q", "proto", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("dot"), F.asc("plabel"))
+    pred = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        pred.groupBy("label", F.col("plabel").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .orderBy("label", "pred_label")
+    )
