@@ -41,14 +41,38 @@ def pagination_edges(
     (absolute / protocol- / root- / document-relative), self-loops
     dropped, one out-edge per src (min target — deterministic when a
     page declares several)."""
-    nxt = U.resolve_url(
-        F.col(url_col), U.rel_link(F.col(html_col), "next")
+    # Staged projections, deliberately: inlining
+    # resolve_url(url, rel_link(html)) into ONE Project duplicates the
+    # rel_link regexp tree (and whatever expression produced html) at
+    # every one of resolve_url's ~8 references to its href argument —
+    # the generated method blows past Janino's limits (~17k lines) and
+    # Spark silently falls back to interpreted eval. Materializing the
+    # head prescan and the raw href as named intermediate columns keeps
+    # each Project small; CollapseProject leaves them split because the
+    # producer expressions are non-cheap and multiply referenced.
+    heads = pages.select(
+        F.col(url_col).alias("src"),
+        F.substring(F.col(html_col).cast("string"), 1, 4096).alias("_head"),
     )
+    hrefs = heads.select(
+        "src", U.rel_link(F.col("_head"), "next").alias("_href")
+    )
+    resolved = hrefs.select(
+        "src", U.resolve_url(F.col("src"), F.col("_href")).alias("dst")
+    )
+    # The dst-validity predicate lives INSIDE the aggregate (null-out,
+    # then drop empty groups) rather than as a pre-agg .filter(): a
+    # Filter would be predicate-pushed below the staged Projects with
+    # the full dst expression substituted in TWICE, rebuilding the
+    # giant fused method the staging exists to avoid.
     return (
-        pages.select(F.col(url_col).alias("src"), nxt.alias("dst"))
-        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
-        .groupBy("src")
-        .agg(F.min("dst").alias("dst"))
+        resolved.groupBy("src")
+        .agg(
+            F.min(
+                F.when(F.col("dst") != F.col("src"), F.col("dst"))
+            ).alias("dst")
+        )
+        .filter(F.col("dst").isNotNull())
     )
 
 
