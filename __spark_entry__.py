@@ -16711,7 +16711,9 @@ def _q_epoch_makespan(spark, sf_dir):
     epoch_makespan): per-host busy time n_urls x delay_ms, the binding
     host, and every host's share of the wall — the pre-epoch scheduling
     table. Fixture: 20-host frontier with a hot host (every 5th event
-    folds into h0) and three delay classes."""
+    folds into h0), three delay classes, and one host (h7) with NO
+    delay row — certifying the incomplete-delay-table visibility
+    contract (h7 surfaces with NULL delay/busy/share, not dropped)."""
     from web_crawler_spark.operators.aggregate import epoch_makespan
 
     e = _t(spark, sf_dir, "events")
@@ -16722,7 +16724,7 @@ def _q_epoch_makespan(spark, sf_dir):
         F.concat(F.lit("h"), hot.cast("string")).alias("host")
     )
     hosts = frontier.select("host").distinct()
-    delays = hosts.select(
+    delays = hosts.filter(F.col("host") != "h7").select(
         "host",
         F.when(F.col("host") == "h0", F.lit(1500))
         .when(F.substring("host", 2, 10).cast("int") % 2 == 1, F.lit(3000))
@@ -16744,18 +16746,19 @@ d AS (
          CAST(CASE WHEN host = 'h0' THEN 1500
                    WHEN TRY_CAST(substr(host, 2) AS INT) % 2 = 1 THEN 3000
                    ELSE 2000 END AS BIGINT) AS delay_ms
-  FROM per
+  FROM per WHERE host <> 'h7'
 ),
 busy AS (
   SELECT p.host, p.n_urls, d.delay_ms,
          CAST(p.n_urls * d.delay_ms AS BIGINT) AS host_busy_ms
-  FROM per p JOIN d USING (host)
+  FROM per p LEFT JOIN d USING (host)
 ),
 top AS (SELECT CAST(MAX(host_busy_ms) AS BIGINT) AS m FROM busy)
 SELECT host, n_urls, delay_ms, host_busy_ms,
-       CAST(floor(host_busy_ms * 1000 / top.m) AS BIGINT)
-         AS share_of_epoch_milli,
-       host_busy_ms = top.m AS is_critical
+       CAST(CASE WHEN host_busy_ms IS NULL THEN NULL
+                 WHEN top.m > 0 THEN floor(host_busy_ms * 1000 / top.m)
+                 ELSE 1000 END AS BIGINT) AS share_of_epoch_milli,
+       COALESCE(host_busy_ms = top.m, FALSE) AS is_critical
 FROM busy CROSS JOIN top ORDER BY host
 """
 
@@ -17093,6 +17096,49 @@ ORDER BY group_id, host
 """
 
 
+def _q_outlink_twins_excluded(spark, sf_dir):
+    """Degree-cap audit companion of gr_outlink_twins (operators/graph.
+    outlink_twins_excluded): the same edge fixture with the cap lowered
+    to 650 so the six widest organic hosts trip it — the report names
+    every host twin detection ruled out, with its out-degree, making the
+    cap an observable policy instead of silent data loss."""
+    from web_crawler_spark.operators.graph import outlink_twins_excluded
+
+    e = _t(spark, sf_dir, "events")
+    farm = F.col("event_id") % 4 == 0
+    edges = e.select(
+        F.when(farm, F.concat(F.lit("farm"), (F.col("user_id") % 3).cast("string")))
+        .otherwise(F.concat(F.lit("org"), (F.col("user_id") % 11).cast("string")))
+        .alias("src_host"),
+        F.when(farm, F.concat(F.lit("hub"), (F.col("event_id") % 20 % 5).cast("string")))
+        .otherwise(F.concat(
+            F.lit("d"),
+            ((F.col("event_id") * 7 + F.col("user_id")) % 9973).cast("string"),
+        ))
+        .alias("dst_host"),
+    )
+    return outlink_twins_excluded(edges, max_degree=650).orderBy("host")
+
+
+_SQL_OUTLINK_TWINS_EXCLUDED = """
+WITH edges AS (
+  SELECT DISTINCT
+    CASE WHEN event_id % 4 = 0
+         THEN concat('farm', CAST(user_id % 3 AS VARCHAR))
+         ELSE concat('org', CAST(user_id % 11 AS VARCHAR)) END AS src,
+    CASE WHEN event_id % 4 = 0
+         THEN concat('hub', CAST(event_id % 20 % 5 AS VARCHAR))
+         ELSE concat('d', CAST((event_id * 7 + user_id) % 9973 AS VARCHAR))
+         END AS dst
+  FROM events
+)
+SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS out_degree
+FROM edges GROUP BY src
+HAVING COUNT(*) > 650
+ORDER BY host
+"""
+
+
 def _q_prototype_confusion(spark, sf_dir):
     """Nearest-prototype classification eval over the labeled embeddings
     table (operators/similarity.label_prototype_confusion): micro-unit
@@ -17241,6 +17287,7 @@ _QUERIES.update(
         "url_path_rollup": _q_path_rollup,
         "tx_host_quality_wilson": _q_host_quality_wilson,
         "gr_outlink_twins": _q_outlink_twins,
+        "gr_outlink_twins_excluded": _q_outlink_twins_excluded,
         "ann_prototype_confusion": _q_prototype_confusion,
     }
 )
@@ -17257,6 +17304,7 @@ _ORACLES.update(
         "url_path_rollup": _SQL_PATH_ROLLUP,
         "tx_host_quality_wilson": _SQL_HOST_QUALITY_WILSON,
         "gr_outlink_twins": _SQL_OUTLINK_TWINS,
+        "gr_outlink_twins_excluded": _SQL_OUTLINK_TWINS_EXCLUDED,
         "ann_prototype_confusion": _SQL_PROTOTYPE_CONFUSION,
     }
 )

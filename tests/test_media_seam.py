@@ -79,3 +79,22 @@ def test_audio_seam_casts_schema(spark):
     assert sorted(map(tuple, via_seam.collect())) == sorted(
         map(tuple, decoded.collect())
     )
+
+
+def test_seam_duplicate_urls_keep_one_row_per_input(spark):
+    # A duplicate url in the injected table must NOT fan the corpus row
+    # out through the left join — the seam de-duplicates deterministically
+    # (struct-min of the feature tuple) to keep the kernels' one-row-per-
+    # payload contract.
+    corpus = _bmp_corpus(spark, n=3)
+    decoded = B.image_features(corpus)
+    dup = decoded.filter(F.col("url") == "u1").withColumn(
+        "width", F.col("width") + 100
+    )
+    injected = decoded.unionByName(dup)  # u1 appears twice, conflicting
+    out = B.image_features(corpus, precomputed=injected)
+    assert out.count() == 3
+    rows = {r["url"]: r for r in out.collect()}
+    # struct-min picks the smaller width variant (the original)
+    base = {r["url"]: r for r in decoded.collect()}
+    assert rows["u1"]["width"] == base["u1"]["width"]

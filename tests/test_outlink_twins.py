@@ -39,3 +39,17 @@ def test_degree_cap_drops_hubs(spark):
 def test_subset_is_not_twin(spark):
     rows = [("a", "x"), ("a", "y"), ("b", "x")]  # b ⊂ a, not equal
     assert outlink_twins(_edges(spark, rows)).count() == 0
+
+
+def test_excluded_report_names_planted_mega_host(spark):
+    from web_crawler_spark.operators.graph import outlink_twins_excluded
+
+    # mega host links 12 targets; the cap at 10 must EXCLUDE it from twin
+    # detection AND report it by name with its out-degree
+    rows = [("mega", f"t{i}") for i in range(12)]
+    rows += [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    edges = spark.createDataFrame(rows, "src_host string, dst_host string")
+    twins = outlink_twins(edges, max_degree=10)
+    assert {r["host"] for r in twins.collect()} == {"a", "b"}
+    excl = outlink_twins_excluded(edges, max_degree=10).collect()
+    assert [(r["host"], r["out_degree"]) for r in excl] == [("mega", 12)]

@@ -45,3 +45,21 @@ def test_mass_weighted_prototype_bias_is_declared_semantics(spark):
            for r in label_prototype_confusion(df).collect()}
     assert out[(1, 0)] == 1  # tiny class absorbed by the heavy prototype
     assert out[(0, 0)] == 9
+
+
+def test_short_vectors_zero_pad_instead_of_nulling(spark):
+    # A vector shorter than the prototype dimension contributes 0 (not
+    # NULL) on its missing dims — it still classifies by its present
+    # dims rather than dropping out of the argmax with a NULL dot.
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.0], 0),
+        (3, [0.0, 1.0], 1), (4, [0.0, 0.9], 1),
+        (5, [0.8], 0),  # short: only dim 0 present -> label 0 side
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {(r["label"], r["pred_label"]): r["n_vecs"]
+           for r in label_prototype_confusion(df).collect()}
+    assert sum(out.values()) == 5          # nothing nulled out
+    assert out[(0, 0)] == 3                # the short vector lands on 0

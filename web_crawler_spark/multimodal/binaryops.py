@@ -594,6 +594,17 @@ def _from_precomputed(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
     non_key = [c for c in cols if c != "url"]
+    # One row per url, enforced: a duplicate url in the injected table
+    # would otherwise fan one corpus row into N output rows through the
+    # left join, breaking the 1-row-per-input contract the decode
+    # kernels guarantee downstream (neardup banding, feature joins).
+    # Deterministic pick: the struct-min of the feature tuple — a
+    # map-side-combinable agg, no window over the feature table.
+    feats = (
+        feats.groupBy("url")
+        .agg(F.min(F.struct(*non_key)).alias("_f"))
+        .select("url", *[F.col(f"_f.{c}").alias(c) for c in non_key])
+    )
     return df.select("url").join(feats, "url", "left").select("url", *non_key)
 
 

@@ -278,6 +278,7 @@ def epoch_makespan(
     delays: DataFrame,
     host_col: str = "host",
     delay_col: str = "delay_ms",
+    default_delay_ms: int | None = None,
 ) -> DataFrame:
     """Politeness-bound epoch makespan plan — the wall-clock planning
     table a crawl operator reads before launching an epoch: under
@@ -292,11 +293,18 @@ def epoch_makespan(
 
     Returns (host, n_urls, delay_ms, host_busy_ms, share_of_epoch_milli,
     is_critical) — exact integers; share is one floored double division.
-    Scale shape: one host-keyed combiner count + one host equi-join
-    against the per-host delay table (AQE broadcasts it when small; at
-    10^8 hosts it stays a shuffle join on the slim pair) + a 1-row max
-    agg broadcast back. Ties for the bound all flag critical
-    (deterministic).
+    EVERY frontier host gets a row: a host with no delay-table entry
+    (the pre-robots-fetch situation) is NOT silently dropped — with
+    ``default_delay_ms`` set it is planned at that delay; otherwise it
+    surfaces with NULL delay/busy/share and ``is_critical = false``, so
+    an incomplete delay table is visible in the plan instead of
+    silently shrinking the makespan bound. When the makespan itself is
+    0 (all delays 0) every host's share is defined as 1000 rather than
+    a 0/0 NULL. Scale shape: one host-keyed combiner count + one host
+    LEFT equi-join against the per-host delay table (AQE broadcasts it
+    when small; at 10^8 hosts it stays a shuffle join on the slim pair)
+    + a 1-row max agg broadcast back. Ties for the bound all flag
+    critical (deterministic).
     """
     per = frontier.groupBy(F.col(host_col).alias("host")).agg(
         F.count(F.lit(1)).cast("long").alias("n_urls")
@@ -305,8 +313,15 @@ def epoch_makespan(
         F.col(host_col).alias("host"),
         F.col(delay_col).cast("long").alias("delay_ms"),
     )
-    busy = per.join(d, "host").withColumn(
-        "host_busy_ms", (F.col("n_urls") * F.col("delay_ms")).cast("long")
+    delay = F.col("delay_ms")
+    if default_delay_ms is not None:
+        delay = F.coalesce(delay, F.lit(int(default_delay_ms)).cast("long"))
+    busy = (
+        per.join(d, "host", "left")
+        .withColumn("delay_ms", delay)
+        .withColumn(
+            "host_busy_ms", (F.col("n_urls") * delay).cast("long")
+        )
     )
     # consumed by two plans (the 1-row max and the output projection):
     # pin the slim per-host frame so the frontier scan runs once
@@ -316,10 +331,18 @@ def epoch_makespan(
         busy.crossJoin(F.broadcast(top))
         .select(
             "host", "n_urls", "delay_ms", "host_busy_ms",
-            F.floor(F.col("host_busy_ms") * 1000 / F.col("__makespan_ms"))
+            F.when(
+                F.col("host_busy_ms").isNull(), F.lit(None)
+            ).when(
+                F.col("__makespan_ms") > 0,
+                F.floor(
+                    F.col("host_busy_ms") * 1000 / F.col("__makespan_ms")
+                ),
+            ).otherwise(F.lit(1000))
             .cast("long").alias("share_of_epoch_milli"),
-            (F.col("host_busy_ms") == F.col("__makespan_ms"))
-            .alias("is_critical"),
+            F.coalesce(
+                F.col("host_busy_ms") == F.col("__makespan_ms"), F.lit(False)
+            ).alias("is_critical"),
         )
     )
 

@@ -364,11 +364,20 @@ def ngram_jaccard_pairs(
     docs is a 5·10^11-pair hot key. Grams with document frequency > max_df
     are dropped from the inverted index before the self-join (common
     shingles carry ~no dedup signal anyway). This bounds per-gram join
-    fan-out at max_df²/2; pairs supported only by stop-shingles are missed
-    — an explicit recall trade. Default ``"auto"`` derives the cap from
-    the corpus doc count via :func:`auto_max_df` (~N^(1/3), floored at
-    ``auto_floor`` so test-scale corpora stay exact); pass ``None`` to
-    opt in to the exact uncapped form — the oracle-checked baseline."""
+    fan-out at max_df²/2. TWO declared effects when the cap binds:
+    (1) recall — pairs supported ONLY by stop-shingles are missed; and
+    (2) score deflation — for pairs that ARE reported, capped grams
+    leave the numerator (n_common) but sizes/n_grams keep the full gram
+    set, so the jaccard of pairs sharing capped grams is systematically
+    UNDER-estimated (never over-), i.e. the threshold acts conservatively
+    on hot-gram pairs. BEHAVIOR CHANGE NOTE: the default switched from
+    ``None`` (exact) to ``"auto"`` — callers on corpora where any gram's
+    document frequency exceeds the ~N^(1/3) floor-1024 cap now get the
+    capped semantics unless they pass ``max_df=None`` explicitly.
+    Default ``"auto"`` derives the cap from the corpus doc count via
+    :func:`auto_max_df` (~N^(1/3), floored at ``auto_floor`` so
+    test-scale corpora stay exact); pass ``None`` to opt in to the exact
+    uncapped form — the oracle-checked baseline."""
     sh = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col).alias("id"), T.shingles(F.col(text_col), n).alias("grams"))
@@ -1230,10 +1239,19 @@ def winnow_overlap_pairs(
     score ``n_common / min(n_a, n_b)``. The join carries only (doc_id,
     fp) slim rows. ``max_df`` drops fingerprints shared by more than
     that many docs before the join — the boilerplate-gram hot-key cap,
-    same discipline as ``ngram_jaccard_pairs``. Default ``"auto"``
-    derives the cap from the corpus doc count via :func:`auto_max_df`
-    (~N^(1/3), floored at ``auto_floor`` so test-scale corpora stay
-    exact); pass ``None`` to opt in to the exact uncapped form.
+    same discipline (and same two declared effects) as
+    ``ngram_jaccard_pairs``: pairs supported only by capped fingerprints
+    are missed (recall trade), and reported pairs sharing capped
+    fingerprints have n_common — but not n_a/n_b — reduced, so their
+    ``overlap`` score is systematically UNDER-estimated; ``min_common``
+    therefore acts conservatively on boilerplate-heavy pairs. BEHAVIOR
+    CHANGE NOTE: the default switched from ``None`` (exact) to
+    ``"auto"`` — corpora with any fingerprint past the ~N^(1/3)
+    floor-1024 cap now get capped semantics unless ``max_df=None`` is
+    passed explicitly. Default ``"auto"`` derives the cap from the
+    corpus doc count via :func:`auto_max_df` (~N^(1/3), floored at
+    ``auto_floor`` so test-scale corpora stay exact); pass ``None`` to
+    opt in to the exact uncapped form.
 
     Returns (id_a, id_b, n_common, n_a, n_b, overlap), id_a < id_b.
     """

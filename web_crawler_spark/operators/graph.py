@@ -2292,6 +2292,10 @@ def outlink_twins(
 
     Returns (host, group_id, group_size, out_degree), group_size ≥ 2,
     group_id = the md5 set fingerprint (stable across runs/engines).
+    The cap's exclusions are OBSERVABLE, not silent: run
+    :func:`outlink_twins_excluded` alongside for the (host, out_degree)
+    side report of every host the cap removed — at 100 TB an operator
+    can audit exactly which hubs were ruled out of farm detection.
     """
     e = (
         edges.select(
@@ -2317,4 +2321,36 @@ def outlink_twins(
     ).filter(F.col("group_size") >= 2)
     return per.join(sizes, "group_id").select(
         "host", "group_id", "group_size", "out_degree"
+    )
+
+
+def outlink_twins_excluded(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_degree: int = 10_000,
+) -> DataFrame:
+    """The side report :func:`outlink_twins` owes its callers: every
+    host the ``max_degree`` cap excluded from twin detection, with its
+    out-degree — so the cap is an audited policy, not a silent data
+    loss. Same distinct + per-src count plan as the main operator WITHOUT
+    the outlink-array collect (no set materialization for mega-hubs —
+    the count agg is all the cap test needs); the result is tiny (hosts
+    past 10k out-degree are rare even at web scale).
+
+    Returns (host, out_degree) with out_degree > ``max_degree``,
+    one row per excluded host.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("out_degree"))
+        .filter(F.col("out_degree") > int(max_degree))
+        .select(F.col("src").alias("host"), "out_degree")
     )

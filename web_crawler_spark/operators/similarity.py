@@ -1495,9 +1495,16 @@ def label_prototype_confusion(
     Scale shape: one posexplode + (label, dim)-keyed combiner agg builds
     the prototypes ((#labels × dim) rows — tiny), broadcast back over
     the vector scan for an array-fold dot per (vector, label); the only
-    wide data motion is the vector scan itself. int64 bound: dim ·
-    (10⁶)² · n_label_vecs ≤ 9.2·10¹⁸ holds to ~10⁸ vectors per label at
-    dim 10³ for unit-range embeddings.
+    wide data motion is the vector scan itself. The dot accumulates in
+    decimal(38,0) (the jain_fairness / neighborhood_function overflow
+    discipline): a long fold would silently wrap past dim·(10⁶)²·
+    n_label_vecs ≈ 9.2·10¹⁸ (~10⁸ vectors per label at dim 10³) while
+    the DuckDB oracle widens to HUGEINT — decimal keeps engine and
+    oracle in lockstep to 38 digits instead of diverging at scale.
+    Vectors shorter than the prototype dimension are ZERO-PADDED (a
+    missing dimension contributes 0 to the dot, not NULL), so a
+    mixed-dimension table degrades gracefully instead of nulling the
+    score out of the argmax.
     """
     from pyspark.sql import Window
 
@@ -1524,11 +1531,17 @@ def label_prototype_confusion(
             ).alias("proto")
         )
     )
+    dec = "decimal(38,0)"
     scored = q.crossJoin(F.broadcast(cent)).select(
         "vid", "label", "plabel",
         F.aggregate(
-            F.zip_with("q", "proto", lambda a, b: a * b),
-            F.lit(0).cast("long"),
+            F.zip_with(
+                "q", "proto",
+                lambda a, b: F.coalesce(
+                    a.cast(dec) * b.cast(dec), F.lit(0).cast(dec)
+                ),
+            ),
+            F.lit(0).cast(dec),
             lambda acc, v: acc + v,
         ).alias("dot"),
     )
