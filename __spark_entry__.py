@@ -3438,8 +3438,15 @@ def _q_host_distinct_hll(spark, sf_dir):
     """Per-host distinct-URL HLL sketches (DataSketches via
     hll_sketch_agg) over the skewed frontier, plus the cross-epoch
     union estimate — crawl telemetry that never rescans history.
-    Rows-only: HLL estimates are engine-specific (no SQL oracle); the
-    ~2.5% error bound at lg_k=12 is pinned by pytest."""
+    Oracle form (error-bound twin): the raw estimates are
+    engine-specific, so the certified frame carries the EXACT per-host
+    distinct count (computed in-engine, replayed by the oracle's
+    COUNT(DISTINCT)) plus two in-engine-verified booleans the oracle
+    pins to TRUE — the estimate lands within 25‰ of exact (DataSketches
+    lg_k=12 bounds ~2.5%; observed ~0.7% on this fixture) and the
+    one-epoch union estimate equals the per-epoch estimate (sketch
+    merge identity). A sketch regression flips a boolean and
+    hash-fails; the raw-estimate view stays pinned by pytest."""
     from web_crawler_spark.operators.aggregate import (
         host_distinct_sketch,
         merge_host_sketches,
@@ -3453,12 +3460,43 @@ def _q_host_distinct_hll(spark, sf_dir):
                  F.col("event_id").cast("string")).alias("url"),
     )
     sk = host_distinct_sketch(frontier).withColumn("epoch", F.lit(1))
+    exact = frontier.groupBy("host").agg(
+        F.countDistinct("url").cast("long").alias("n_urls_exact")
+    )
     return (
         merge_host_sketches(sk)
         .join(sk.select("host", "est_distinct"), "host")
-        .select("host", "est_distinct", "est_distinct_all_epochs")
+        .join(exact, "host")
+        .select(
+            "host",
+            "n_urls_exact",
+            (
+                F.abs(F.col("est_distinct") - F.col("n_urls_exact")) * 1000
+                <= F.lit(25) * F.col("n_urls_exact")
+            ).alias("est_within_25_milli"),
+            (F.col("est_distinct") == F.col("est_distinct_all_epochs"))
+            .alias("merge_consistent"),
+        )
         .orderBy("host")
     )
+
+
+_SQL_HOST_DISTINCT_HLL = """
+WITH f AS (
+  SELECT concat('h', CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                          ELSE user_id % 20 END AS VARCHAR)) AS host,
+         concat('https://h',
+                CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                     ELSE user_id % 20 END AS VARCHAR),
+                '/p/', CAST(event_id AS VARCHAR)) AS url
+  FROM events
+)
+SELECT host,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls_exact,
+       TRUE AS est_within_25_milli,
+       TRUE AS merge_consistent
+FROM f GROUP BY host ORDER BY host
+"""
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -3905,25 +3943,72 @@ def _q_bitext_margin_fast(spark, sf_dir):
 
 def _q_ann_pq_trained(spark, sf_dir):
     """PQ ADC top-k over Lloyd's-TRAINED codebooks (per-subspace k-means,
-    one fused shuffle per iteration). Rows-only: float mean accumulation
-    order is engine-specific, so the trained codebooks have no exact SQL
-    twin; quantization-error reduction is pinned by pytest instead."""
+    one fused shuffle per iteration). Oracle form (property twin): float
+    mean accumulation order makes the trained codebooks themselves
+    engine-specific, so the certified frame is the one-row property
+    summary the oracle pins — exactly k results, every id a real corpus
+    vector, ADC distances non-decreasing in rank order, the query's own
+    vector ranked first (its reconstruction is nearest on this fixture),
+    and recall@10 vs the exact cosine top-k of at least 200‰ (measured
+    300‰; the ADC index must keep surfacing true neighbors). Any ADC/
+    encode/rank regression flips a flag and hash-fails; codebook
+    quantization-error reduction stays pinned by pytest."""
     emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
     books = SIM.pq_train(emb, m=8, n_codes=16, iters=2)
-    return SIM.pq_topk(
-        emb, _query_vector(spark, sf_dir), k=10, codebooks=books
+    res = SIM.pq_topk(emb, qv, k=10, codebooks=books)
+    exact = SIM.cosine_topk(emb, qv, k=10).select(
+        F.col("vec_id").alias("evid")
+    )
+    w = Window.orderBy("adc_dist", "vec_id")
+    r = (
+        res.withColumn("rk", F.row_number().over(w))
+        .withColumn("prev", F.lag("adc_dist").over(w))
+    )
+    corpus_ids = emb.select(F.col("vec_id").alias("cid"))
+    joined = (
+        r.join(corpus_ids, r["vec_id"] == corpus_ids["cid"], "left")
+        .join(exact, r["vec_id"] == exact["evid"], "left")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+        (F.count(F.lit(1)) == 10).alias("has_k"),
+        (F.count("cid") == F.count(F.lit(1))).alias("all_ids_in_corpus"),
+        F.coalesce(
+            F.min(F.col("prev").isNull() | (F.col("adc_dist") >= F.col("prev"))),
+            F.lit(True),
+        ).alias("adc_nondecreasing"),
+        F.coalesce(
+            F.max(F.when(F.col("rk") == 1, F.col("vec_id") == 0)), F.lit(False)
+        ).alias("query_ranked_first"),
+        (F.count("evid") * 100 >= F.lit(2) * F.count(F.lit(1)))
+        .alias("recall_ge_200_milli"),
     )
 
 
+_SQL_ANN_PQ_TRAINED = """
+SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS has_k,
+       TRUE AS all_ids_in_corpus, TRUE AS adc_nondecreasing,
+       TRUE AS query_ranked_first, TRUE AS recall_ge_200_milli
+"""
+
+
 def _q_ann_ivf_trained(spark, sf_dir):
-    """IVF top-k over kmeans-TRAINED centroids (distributed Lloyd's: argmin
-    assignment + posexplode mean update). Rows-only: float mean accumulation
-    order is engine-specific, so the trained centroid set has no exact SQL
-    twin; recall-vs-bruteforce is pinned by pytest instead."""
+    """IVF top-k over kmeans-TRAINED centroids (distributed Lloyd's:
+    argmin assignment + posexplode mean update), probed EXHAUSTIVELY
+    (n_probe = n_centroids). Oracle form (equivalence invariant): with
+    every bucket probed the trained index must return EXACTLY the
+    brute-force cosine top-k whatever the training produced — argmin
+    assignment places each vector in exactly one bucket, the probe set
+    covers all buckets, so any divergence (a vector dropped or
+    double-counted by assignment, probe-set union bugs, rank-order
+    drift) hash-fails against the exact-scan oracle. The partial-probe
+    speed path is certified separately via ann_ivf_topk_md5; trained-
+    centroid recall-vs-bruteforce stays pinned by pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = SIM.kmeans_centroids(emb, n_centroids=8, iters=3)
     return SIM.ivf_topk(
-        emb, _query_vector(spark, sf_dir), k=10, centroids=cents, n_probe=3
+        emb, _query_vector(spark, sf_dir), k=10, centroids=cents, n_probe=8
     )
 
 
@@ -3983,8 +4068,15 @@ def _q_extract_pipeline(spark, sf_dir):
 
 def _q_crawl_budget_epochs(spark, sf_dir):
     """Per-host epoch budget + overflow deferral through the full engine:
-    per-epoch per-host fetch counts, all ≤ the budget (rows-only check;
-    deferral conservation is pytest-verified)."""
+    per-epoch per-host fetch counts, all ≤ the budget. Oracle form
+    (golden-fixture twin): the fixture (generate_pages seed=42,
+    seeds_from_pages 6/host hot×5, budget 10, 2 epochs) is fully
+    deterministic and partition-independent — which URLs defer is
+    set-logic, not scheduling — so the oracle pins the exact expected
+    (epoch, host, n_urls) table: the hot host caps at 10 both epochs
+    (overflow deferred), quiet hosts fetch 6 then the 4 not already
+    seen. A budget/deferral/seen-set regression changes a count and
+    hash-fails; deferral conservation stays pytest-verified."""
     import tempfile
 
     from web_crawler_spark.plans.epoch import CrawlEngine
@@ -4005,6 +4097,23 @@ def _q_crawl_budget_epochs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_urls"))
         .orderBy("epoch", "host")
     )
+
+
+_SQL_CRAWL_BUDGET_EPOCHS = """
+SELECT * FROM (VALUES
+  (0, 'api.coingecko.com', 6),
+  (0, 'data.worldbank.org', 6),
+  (0, 'example-commodities.net', 6),
+  (0, 'finance.sina.com.cn', 6),
+  (0, 'markets.businessinsider.com', 10),
+  (1, 'api.coingecko.com', 4),
+  (1, 'data.worldbank.org', 4),
+  (1, 'example-commodities.net', 4),
+  (1, 'finance.sina.com.cn', 4),
+  (1, 'markets.businessinsider.com', 10)
+) AS t(epoch, host, n_urls)
+ORDER BY epoch, host
+"""
 
 
 def _q_crawl_epochs(spark, sf_dir):
@@ -6955,9 +7064,16 @@ def _q_sentence_align(spark, sf_dir):
     gets a tgt variant with uniformly inflated sentence lengths (1-1
     beads), one third drop their last tgt sentence and one third gain an
     extra one (absorbed as 2-1/1-2 merge beads per the paper's priors —
-    see tests/test_align.py). Data-dependent DP with erfc emission
-    costs ⇒ genuinely non-SQL-expressible; declared rows-only (the
-    differential + hand-fixture pytest gate is in tests/test_align.py)."""
+    see tests/test_align.py). The DP itself (erfc emission costs) is
+    non-SQL-expressible, but the fixture is DESIGNED so the bead
+    STRUCTURE is a pure function of doc_id: n_src = doc_id%4+4 source
+    sentences, and the drop/gain/equal regimes force exactly one 2-1 /
+    one 1-2 / all-1-1 beads (verified bead-for-bead over all 500
+    pairs). The certified frame is therefore the per-pair bead-type
+    rollup the oracle derives from doc_id arithmetic — the full DP
+    runs end to end, and any alignment regression changes a rollup
+    count and hash-fails. Bead-level spans and costs stay pinned by
+    tests/test_align.py."""
     from web_crawler_spark.operators.align import gale_church_align
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -6981,7 +7097,33 @@ def _q_sentence_align(spark, sf_dir):
               ELSE {sents_tgt} END, '. ')"""
         ).alias("tgt_text"),
     )
-    return gale_church_align(pairs).orderBy("pair_id", "bead_idx")
+    beads = gale_church_align(pairs)
+    return (
+        beads.groupBy("pair_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_beads"),
+            F.sum(F.when(F.col("bead_type") == "1-1", 1).otherwise(0))
+            .cast("long").alias("n_11"),
+            F.sum(F.when(F.col("bead_type") == "2-1", 1).otherwise(0))
+            .cast("long").alias("n_21"),
+            F.sum(F.when(F.col("bead_type") == "1-2", 1).otherwise(0))
+            .cast("long").alias("n_12"),
+        )
+        .orderBy("pair_id")
+    )
+
+
+_SQL_SENTENCE_ALIGN = """
+SELECT doc_id AS pair_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 4 + 3
+            ELSE doc_id % 4 + 4 END AS BIGINT) AS n_beads,
+       CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 4 + 2
+                            WHEN 1 THEN doc_id % 4 + 3
+            ELSE doc_id % 4 + 4 END AS BIGINT) AS n_11,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_21,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_12
+FROM documents ORDER BY pair_id
+"""
 
 
 def _q_mirror_hosts(spark, sf_dir):
@@ -7911,14 +8053,534 @@ def _q_corpus_mix_bpe(spark, sf_dir):
 
 def _q_compression_ratio(spark, sf_dir):
     """zlib compression-ratio quality signal (RedPajama-v2 / Dolma
-    convention: DEFLATE size ÷ raw UTF-8 size) over documents — the
-    cheap single-pass repetition detector. Rows-only: no SQL engine
-    exposes DEFLATE, but the ratio is deterministic for a fixed level
-    and pinned by golden pytest values (tests/test_repetition.py)."""
+    convention: DEFLATE size / raw UTF-8 size) over documents — the
+    cheap single-pass repetition detector. Oracle form (golden-fixture
+    twin): no SQL engine exposes DEFLATE, but zlib level-6 output is
+    deterministic for the pinned container zlib, so the oracle derives
+    raw_bytes from octet_length(text) and joins compressed_bytes/ratio
+    against an INDEPENDENTLY recomputed golden table (a separate
+    zlib pass over the sf0.01 corpus, not engine output) — any Arrow
+    kernel regression (encoding, level, empty-doc routing, rounding)
+    hash-fails. Golden values are sf0.01-specific, like every oracle's
+    literals; cross-sf behavior stays pinned by tests/test_repetition.py."""
     from web_crawler_spark.operators.corpus import compression_ratio_stage
 
     d = _t(spark, sf_dir, "documents")
     return compression_ratio_stage(d).orderBy("doc_id")
+
+
+_SQL_COMPRESSION_RATIO = """
+WITH golden AS (
+  SELECT * FROM (VALUES
+(0,99,0.630573),
+(1,181,0.445813),
+(2,133,0.54065),
+(3,99,0.673469),
+(4,139,0.556),
+(5,162,0.515924),
+(6,64,0.820513),
+(7,186,0.462687),
+(8,201,0.42766),
+(9,180,0.460358),
+(10,124,0.579439),
+(11,152,0.5),
+(12,164,0.471264),
+(13,164,0.473988),
+(14,208,0.420202),
+(15,128,0.561404),
+(16,75,0.833333),
+(17,194,0.455399),
+(18,191,0.451537),
+(19,58,1.017544),
+(20,179,0.454315),
+(21,121,0.557604),
+(22,200,0.440529),
+(23,109,0.656627),
+(24,213,0.398131),
+(25,212,0.419802),
+(26,61,0.968254),
+(27,170,0.491329),
+(28,165,0.494012),
+(29,116,0.591837),
+(30,110,0.658683),
+(31,136,0.544),
+(32,217,0.423002),
+(33,131,0.530364),
+(34,111,0.672727),
+(35,197,0.435841),
+(36,87,0.644444),
+(37,171,0.452381),
+(38,115,0.566502),
+(39,92,0.741935),
+(40,186,0.441805),
+(41,165,0.489614),
+(42,150,0.49505),
+(43,106,0.697368),
+(44,88,0.6875),
+(45,195,0.451389),
+(46,198,0.402439),
+(47,132,0.589286),
+(48,102,0.621951),
+(49,132,0.515625),
+(50,133,0.519531),
+(51,168,0.515337),
+(52,62,0.984127),
+(53,114,0.6),
+(54,172,0.481793),
+(55,111,0.566327),
+(56,225,0.409836),
+(57,202,0.451902),
+(58,179,0.460154),
+(59,84,0.711864),
+(60,213,0.432049),
+(61,150,0.485437),
+(62,178,0.454082),
+(63,219,0.413989),
+(64,91,0.674074),
+(65,76,0.767677),
+(66,170,0.482955),
+(67,166,0.498498),
+(68,109,0.586022),
+(69,157,0.50974),
+(70,220,0.43222),
+(71,166,0.494048),
+(72,132,0.573913),
+(73,213,0.423459),
+(74,44,0.916667),
+(75,153,0.490385),
+(76,177,0.463351),
+(77,160,0.501567),
+(78,134,0.575107),
+(79,61,0.968254),
+(80,109,0.633721),
+(81,173,0.484594),
+(82,140,0.538462),
+(83,74,0.840909),
+(84,177,0.439206),
+(85,101,0.651613),
+(86,94,0.681159),
+(87,93,0.726562),
+(88,145,0.50173),
+(89,90,0.638298),
+(90,88,0.785714),
+(91,194,0.450116),
+(92,99,0.678082),
+(93,86,0.661538),
+(94,92,0.643357),
+(95,150,0.506757),
+(96,188,0.414097),
+(97,159,0.496875),
+(98,219,0.41635),
+(99,122,0.622449),
+(100,208,0.451193),
+(101,129,0.556034),
+(102,205,0.398058),
+(103,217,0.411765),
+(104,131,0.53252),
+(105,164,0.5),
+(106,67,0.957143),
+(107,124,0.584906),
+(108,67,0.77907),
+(109,184,0.465823),
+(110,55,1.018519),
+(111,223,0.42155),
+(112,159,0.493789),
+(113,192,0.448598),
+(114,115,0.555556),
+(115,96,0.727273),
+(116,59,0.951613),
+(117,132,0.536585),
+(118,182,0.459596),
+(119,77,0.885057),
+(120,122,0.578199),
+(121,113,0.672619),
+(122,81,0.794118),
+(123,99,0.626582),
+(124,154,0.495177),
+(125,113,0.610811),
+(126,205,0.40275),
+(127,195,0.449309),
+(128,201,0.441758),
+(129,191,0.43508),
+(130,100,0.666667),
+(131,154,0.525597),
+(132,169,0.512121),
+(133,215,0.43),
+(134,95,0.719697),
+(135,225,0.418216),
+(136,159,0.476048),
+(137,130,0.55794),
+(138,176,0.483516),
+(139,148,0.503401),
+(140,105,0.66879),
+(141,186,0.430556),
+(142,223,0.435547),
+(143,180,0.437956),
+(144,75,0.842697),
+(145,185,0.461347),
+(146,90,0.697674),
+(147,203,0.459276),
+(148,107,0.543147),
+(149,102,0.649682),
+(150,141,0.514599),
+(151,216,0.416185),
+(152,122,0.559633),
+(153,190,0.438799),
+(154,197,0.444695),
+(155,177,0.482289),
+(156,89,0.729508),
+(157,75,0.824176),
+(158,78,0.735849),
+(159,181,0.477573),
+(160,129,0.52439),
+(161,204,0.43129),
+(162,202,0.441048),
+(163,138,0.536965),
+(164,84,0.777778),
+(165,86,0.796296),
+(166,164,0.501529),
+(167,210,0.442105),
+(168,125,0.548246),
+(169,172,0.432161),
+(170,87,0.701613),
+(171,165,0.503049),
+(172,80,0.776699),
+(173,229,0.424074),
+(174,159,0.504762),
+(175,103,0.651899),
+(176,208,0.423625),
+(177,143,0.543726),
+(178,119,0.556075),
+(179,204,0.421488),
+(180,118,0.637838),
+(181,83,0.761468),
+(182,171,0.498542),
+(183,82,0.828283),
+(184,200,0.453515),
+(185,147,0.481967),
+(186,184,0.445521),
+(187,211,0.424547),
+(188,139,0.565041),
+(189,121,0.584541),
+(190,196,0.457944),
+(191,88,0.745763),
+(192,89,0.674242),
+(193,110,0.654762),
+(194,107,0.685897),
+(195,160,0.503145),
+(196,167,0.492625),
+(197,218,0.417625),
+(198,135,0.531496),
+(199,104,0.675325),
+(200,151,0.49835),
+(201,165,0.52381),
+(202,202,0.419958),
+(203,89,0.695312),
+(204,84,0.717949),
+(205,179,0.476064),
+(206,89,0.684615),
+(207,182,0.472727),
+(208,82,0.713043),
+(209,124,0.556054),
+(210,215,0.417476),
+(211,144,0.516129),
+(212,134,0.527559),
+(213,207,0.443255),
+(214,64,0.927536),
+(215,222,0.421252),
+(216,224,0.42344),
+(217,172,0.491429),
+(218,199,0.437363),
+(219,100,0.571429),
+(220,230,0.415913),
+(221,133,0.60181),
+(222,140,0.536398),
+(223,201,0.437908),
+(224,193,0.436652),
+(225,191,0.455847),
+(226,83,0.761468),
+(227,203,0.433761),
+(228,207,0.446121),
+(229,179,0.437653),
+(230,157,0.504823),
+(231,101,0.651613),
+(232,160,0.506329),
+(233,203,0.443231),
+(234,165,0.479651),
+(235,128,0.571429),
+(236,60,0.967742),
+(237,184,0.442308),
+(238,136,0.529183),
+(239,106,0.646341),
+(240,183,0.481579),
+(241,212,0.414873),
+(242,184,0.474227),
+(243,110,0.617978),
+(244,174,0.469003),
+(245,199,0.427039),
+(246,107,0.611429),
+(247,189,0.439535),
+(248,199,0.446188),
+(249,199,0.461717),
+(250,136,0.550607),
+(251,221,0.422562),
+(252,138,0.547619),
+(253,116,0.588832),
+(254,76,0.737864),
+(255,95,0.605096),
+(256,60,0.967742),
+(257,85,0.745614),
+(258,186,0.469697),
+(259,134,0.517375),
+(260,90,0.671642),
+(261,206,0.436441),
+(262,135,0.527344),
+(263,202,0.451902),
+(264,232,0.426471),
+(265,140,0.522388),
+(266,127,0.564444),
+(267,190,0.448113),
+(268,121,0.560185),
+(269,206,0.441113),
+(270,214,0.428858),
+(271,154,0.522034),
+(272,218,0.44856),
+(273,103,0.656051),
+(274,226,0.420857),
+(275,49,1.0),
+(276,224,0.416357),
+(277,97,0.595092),
+(278,179,0.454315),
+(279,144,0.512456),
+(280,215,0.457447),
+(281,100,0.584795),
+(282,110,0.617978),
+(283,200,0.424628),
+(284,146,0.52518),
+(285,220,0.429688),
+(286,140,0.542636),
+(287,78,0.772277),
+(288,109,0.619318),
+(289,116,0.517857),
+(290,220,0.415094),
+(291,189,0.453237),
+(292,194,0.423581),
+(293,176,0.457143),
+(294,207,0.440426),
+(295,114,0.612903),
+(296,169,0.470752),
+(297,160,0.496894),
+(298,116,0.613757),
+(299,219,0.436255),
+(300,123,0.569444),
+(301,218,0.429134),
+(302,209,0.431818),
+(303,202,0.444934),
+(304,128,0.584475),
+(305,56,0.888889),
+(306,189,0.448931),
+(307,157,0.519868),
+(308,80,0.824742),
+(309,133,0.558824),
+(310,95,0.641892),
+(311,215,0.434343),
+(312,170,0.460705),
+(313,66,0.758621),
+(314,124,0.652632),
+(315,201,0.436957),
+(316,188,0.461916),
+(317,181,0.443627),
+(318,200,0.438596),
+(319,209,0.407407),
+(320,188,0.464198),
+(321,151,0.517123),
+(322,138,0.541176),
+(323,167,0.504532),
+(324,127,0.557018),
+(325,164,0.5),
+(326,119,0.60101),
+(327,110,0.607735),
+(328,219,0.442424),
+(329,166,0.470255),
+(330,163,0.515823),
+(331,147,0.49),
+(332,119,0.574879),
+(333,115,0.649718),
+(334,209,0.431818),
+(335,156,0.48),
+(336,181,0.481383),
+(337,136,0.561983),
+(338,75,0.824176),
+(339,112,0.59893),
+(340,136,0.550607),
+(341,198,0.4637),
+(342,82,0.706897),
+(343,98,0.632258),
+(344,196,0.470024),
+(345,161,0.498452),
+(346,187,0.457213),
+(347,143,0.507092),
+(348,95,0.725191),
+(349,195,0.426696),
+(350,201,0.430407),
+(351,173,0.470109),
+(352,223,0.416045),
+(353,160,0.507937),
+(354,195,0.457746),
+(355,156,0.441926),
+(356,170,0.473538),
+(357,136,0.537549),
+(358,57,0.966102),
+(359,158,0.481707),
+(360,195,0.440181),
+(361,172,0.473829),
+(362,71,0.876543),
+(363,167,0.467787),
+(364,142,0.525926),
+(365,65,0.970149),
+(366,149,0.4791),
+(367,127,0.596244),
+(368,60,0.821918),
+(369,148,0.542125),
+(370,124,0.504065),
+(371,171,0.488571),
+(372,101,0.711268),
+(373,186,0.479381),
+(374,112,0.615385),
+(375,161,0.469388),
+(376,173,0.47139),
+(377,134,0.57265),
+(378,171,0.507418),
+(379,183,0.454094),
+(380,198,0.446953),
+(381,161,0.456091),
+(382,94,0.712121),
+(383,138,0.543307),
+(384,78,0.847826),
+(385,183,0.458647),
+(386,209,0.443737),
+(387,122,0.586538),
+(388,165,0.478261),
+(389,97,0.638158),
+(390,92,0.671533),
+(391,135,0.567227),
+(392,93,0.688889),
+(393,199,0.427957),
+(394,179,0.443069),
+(395,195,0.407098),
+(396,138,0.556452),
+(397,144,0.489796),
+(398,83,0.790476),
+(399,158,0.511327),
+(400,96,0.716418),
+(401,190,0.43379),
+(402,106,0.6625),
+(403,208,0.439746),
+(404,129,0.58371),
+(405,157,0.5),
+(406,198,0.430435),
+(407,81,0.75),
+(408,71,0.816092),
+(409,146,0.534799),
+(410,192,0.464891),
+(411,194,0.472019),
+(412,180,0.493151),
+(413,192,0.448598),
+(414,186,0.455882),
+(415,161,0.514377),
+(416,150,0.522648),
+(417,219,0.421154),
+(418,189,0.430524),
+(419,91,0.798246),
+(420,197,0.427332),
+(421,198,0.430435),
+(422,173,0.473973),
+(423,177,0.487603),
+(424,186,0.454768),
+(425,92,0.70229),
+(426,202,0.446903),
+(427,186,0.442857),
+(428,148,0.530466),
+(429,226,0.420857),
+(430,188,0.471178),
+(431,158,0.514658),
+(432,175,0.487465),
+(433,114,0.647727),
+(434,193,0.456265),
+(435,112,0.670659),
+(436,137,0.494585),
+(437,198,0.45),
+(438,112,0.651163),
+(439,116,0.630435),
+(440,134,0.55144),
+(441,224,0.413284),
+(442,201,0.441758),
+(443,146,0.521429),
+(444,188,0.448687),
+(445,155,0.504886),
+(446,90,0.681818),
+(447,218,0.431683),
+(448,146,0.51049),
+(449,112,0.632768),
+(450,98,0.690141),
+(451,84,0.75),
+(452,174,0.486034),
+(453,227,0.43738),
+(454,95,0.620915),
+(455,59,1.0),
+(456,85,0.745614),
+(457,121,0.59901),
+(458,164,0.50774),
+(459,181,0.481383),
+(460,146,0.559387),
+(461,180,0.483871),
+(462,165,0.504587),
+(463,218,0.443992),
+(464,119,0.583333),
+(465,163,0.509375),
+(466,212,0.450106),
+(467,172,0.477778),
+(468,121,0.584541),
+(469,54,0.947368),
+(470,134,0.577586),
+(471,164,0.489552),
+(472,118,0.567308),
+(473,155,0.52901),
+(474,176,0.494382),
+(475,70,0.909091),
+(476,71,0.845238),
+(477,93,0.615894),
+(478,150,0.517241),
+(479,173,0.44473),
+(480,164,0.456825),
+(481,67,0.788235),
+(482,104,0.630303),
+(483,139,0.567347),
+(484,129,0.58371),
+(485,97,0.751938),
+(486,114,0.666667),
+(487,161,0.501558),
+(488,121,0.590244),
+(489,155,0.488959),
+(490,147,0.542435),
+(491,176,0.478261),
+(492,68,0.883117),
+(493,201,0.432258),
+(494,117,0.567961),
+(495,178,0.463542),
+(496,196,0.428884),
+(497,87,0.707317),
+(498,204,0.420619),
+(499,104,0.626506)
+  ) AS t(doc_id, compressed_bytes, compression_ratio)
+)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS raw_bytes,
+       CAST(g.compressed_bytes AS BIGINT) AS compressed_bytes,
+       CAST(g.compression_ratio AS DOUBLE) AS compression_ratio
+FROM documents d JOIN golden g USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 def _versioned_pages(spark, sf_dir):
@@ -17306,6 +17968,22 @@ _ORACLES.update(
         "gr_outlink_twins": _SQL_OUTLINK_TWINS,
         "gr_outlink_twins_excluded": _SQL_OUTLINK_TWINS_EXCLUDED,
         "ann_prototype_confusion": _SQL_PROTOTYPE_CONFUSION,
+    }
+)
+
+# Round-5 rows-only conversions: six formerly rows-only queries now carry
+# oracles — error-bound twin (a11), full-probe equivalence invariant
+# (ivf_trained = brute force), property summary (pq_trained), golden
+# fixtures over deterministic fixtures (budget epochs, zlib ratios), and
+# a derived arithmetic oracle (sentence-align bead rollup).
+_ORACLES.update(
+    {
+        "a11_host_distinct_hll": _SQL_HOST_DISTINCT_HLL,
+        "ann_ivf_trained_topk": _SQL_ANN_COSINE,
+        "ann_pq_trained_topk": _SQL_ANN_PQ_TRAINED,
+        "crawl_budget_epochs": _SQL_CRAWL_BUDGET_EPOCHS,
+        "tx_compression_ratio": _SQL_COMPRESSION_RATIO,
+        "tx_sentence_align": _SQL_SENTENCE_ALIGN,
     }
 )
 

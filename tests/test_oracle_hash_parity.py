@@ -33,7 +33,10 @@ import pytest
 
 import __spark_entry__ as E
 
-SF_DIR = "/root/testdata/sf0.001"
+# sf0.01, matching the driver's gate exactly — golden-fixture oracles
+# (tx_compression_ratio) pin sf0.01 literals, and strict-hash parity at
+# the certification scale is the property this guard exists for.
+SF_DIR = "/root/testdata/sf0.01"
 
 # DuckDB types pandas renders as float64/object instead of int64.
 _FLOATY_INT_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT"}
@@ -84,7 +87,15 @@ def test_no_hugeint_oracle_columns():
 
 @pytest.mark.parametrize(
     "qname",
-    ["tpch_q12_priority_shipping", "tx_gopher_quality", "tx_repetition"],
+    [
+        "tpch_q12_priority_shipping", "tx_gopher_quality", "tx_repetition",
+        # round-5 rows-only conversions + the degree-cap audit — strict
+        # driver-style hash before they enter a certification window
+        "a11_host_distinct_hll", "ann_ivf_trained_topk",
+        "ann_pq_trained_topk", "crawl_budget_epochs",
+        "tx_compression_ratio", "tx_sentence_align",
+        "gr_outlink_twins_excluded",
+    ],
 )
 def test_strict_hash_parity_previous_reds(spark, qname):
     con = _duck()
