@@ -17971,6 +17971,210 @@ _ORACLES.update(
     }
 )
 
+def _q_recrawl_sitemap_plan(spark, sf_dir):
+    """Sitemap-delta recrawl planner (operators/snapshots.
+    recrawl_sitemap_plan): the sitemap-refresh candidates joined with
+    the observed version history — 'new' URLs at fixed top priority,
+    'stale' URLs priced by declared staleness with a 1.25× boost when
+    the history shows ≥2 content versions (declare-AND-demonstrate
+    outranks declare-only). Same versioned-pages + sitemap fixture as
+    crawl_sitemap_refresh / crawl_version_intervals; the oracle
+    replays candidates, per-URL version stats and the integer priority
+    algebra end to end."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    hist = _versioned_pages(spark, sf_dir)
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    k = F.col("event_id")
+    loc = F.when(k % 7 == 0,
+                 F.concat(F.lit("https://ex.com/new"), k.cast("string"))
+                 ).otherwise(
+                 F.concat(F.lit("https://ex.com/p"), k.cast("string")))
+    lastmod = (
+        F.when(k % 35 == 1, F.lit("not-a-date"))
+        .when(k % 5 == 0, F.lit("2025-02-01T00:00:00"))
+        .when(k % 5 == 1, F.lit("2024-12-31"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    entries = e.select(loc.alias("loc"), lastmod.alias("lastmod"))
+    return SN.recrawl_sitemap_plan(hist, entries).orderBy("url")
+
+
+_SQL_RECRAWL_SITEMAP_PLAN = """
+WITH pages AS (
+  SELECT concat('https://ex.com/p', CAST(event_id % 3000 AS VARCHAR)) AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + (event_id * INTERVAL 1 SECOND) AS ts,
+         CAST(floor(event_id / 3000 / 2) AS BIGINT) AS rev
+  FROM events
+), latest AS (
+  SELECT url, max(ts) AS last_fetch_ts FROM pages GROUP BY url
+), stats AS (
+  SELECT url, CAST(COUNT(DISTINCT rev) AS BIGINT) AS n_versions,
+         CAST(COUNT(*) - COUNT(DISTINCT rev) AS BIGINT) AS wasted_fetches
+  FROM pages GROUP BY url
+), entries AS (
+  SELECT CASE WHEN event_id % 7 = 0
+              THEN concat('https://ex.com/new', CAST(event_id AS VARCHAR))
+              ELSE concat('https://ex.com/p', CAST(event_id AS VARCHAR)) END AS loc,
+         CASE WHEN event_id % 35 = 1 THEN 'not-a-date'
+              WHEN event_id % 5 = 0 THEN '2025-02-01T00:00:00'
+              WHEN event_id % 5 = 1 THEN '2024-12-31'
+         END AS lastmod
+  FROM events WHERE event_id < 3000
+), cand AS (
+  SELECT e.loc AS url, TRY_CAST(e.lastmod AS TIMESTAMP) AS lastmod_ts,
+         l.last_fetch_ts,
+         CASE WHEN l.last_fetch_ts IS NULL THEN 'new'
+              WHEN TRY_CAST(e.lastmod AS TIMESTAMP) IS NOT NULL
+                   AND TRY_CAST(e.lastmod AS TIMESTAMP) > l.last_fetch_ts
+              THEN 'stale' END AS reason
+  FROM entries e LEFT JOIN latest l ON l.url = e.loc
+), plan AS (
+  SELECT c.url, c.reason,
+         COALESCE(s.n_versions, 0) AS n_versions,
+         COALESCE(s.wasted_fetches, 0) AS wasted_fetches,
+         CASE WHEN c.reason = 'stale'
+              THEN CAST(epoch(c.lastmod_ts) AS BIGINT)
+                   - CAST(epoch(c.last_fetch_ts) AS BIGINT)
+              ELSE 0 END AS staleness_sec
+  FROM cand c LEFT JOIN stats s USING (url)
+  WHERE c.reason IS NOT NULL
+)
+SELECT url, reason, n_versions, wasted_fetches,
+       CAST(staleness_sec AS BIGINT) AS staleness_sec,
+       CAST(CASE WHEN reason = 'new' THEN 1000000
+            ELSE floor(staleness_sec *
+                       (CASE WHEN n_versions >= 2 THEN 1250 ELSE 1000 END)
+                       / 1000) END AS BIGINT) AS priority_milli
+FROM plan ORDER BY url
+"""
+
+
+def _q_quality_budget(spark, sf_dir):
+    """Quality-capped budget allocation (operators/aggregate.
+    quality_capped_allocation): frontier demand × politeness capacity
+    (60 s epoch / per-host delay) × Wilson-demoted health weights over
+    a 600-fetch budget. Fixture: the makespan 20-host hot-skew
+    frontier; h7 has NO delay row (budget 0, NULL cap visible), h11 has
+    no fetch history (full innocent weight), h5 fails half its fetches
+    (demoted share). The oracle replays counts, the Wilson bound, and
+    the min(demand, cap, floor-share) algebra."""
+    from web_crawler_spark.operators.aggregate import (
+        quality_capped_allocation,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("event_id") % 5 == 0, 0).otherwise(
+        F.col("user_id") % 20
+    )
+    frontier = e.select(
+        F.concat(F.lit("h"), hot.cast("string")).alias("host")
+    )
+    hosts = frontier.select("host").distinct()
+    delays = hosts.filter(F.col("host") != "h7").select(
+        "host",
+        F.when(F.col("host") == "h0", F.lit(1500))
+        .when(F.substring("host", 2, 10).cast("int") % 2 == 1, F.lit(3000))
+        .otherwise(F.lit(2000)).alias("delay_ms"),
+    )
+    hid = F.col("user_id") % 20
+    fetches = e.filter(hid != 11).select(
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+        F.when(hid == 5, F.col("event_id") % 2 == 0)
+        .otherwise((F.col("event_id") + F.col("user_id")) % 9 == 0)
+        .alias("is_error"),
+    )
+    return quality_capped_allocation(
+        frontier, delays, fetches, total_budget=600, epoch_ms=60_000
+    ).orderBy("host")
+
+
+_SQL_QUALITY_BUDGET = """
+WITH frontier AS (
+  SELECT concat('h', CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                          ELSE user_id % 20 END AS VARCHAR)) AS host
+  FROM events
+),
+demand AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_demand
+           FROM frontier GROUP BY host),
+d AS (
+  SELECT host,
+         CAST(CASE WHEN host = 'h0' THEN 1500
+                   WHEN TRY_CAST(substr(host, 2) AS INT) % 2 = 1 THEN 3000
+                   ELSE 2000 END AS BIGINT) AS delay_ms
+  FROM demand WHERE host <> 'h7'
+),
+fl AS (
+  SELECT concat('h', CAST(user_id % 20 AS VARCHAR)) AS host,
+         CASE WHEN user_id % 20 = 5 THEN event_id % 2 = 0
+              ELSE (event_id + user_id) % 9 = 0 END AS is_error
+  FROM events WHERE user_id % 20 <> 11
+),
+g AS (
+  SELECT host, COUNT(*) AS n_fetches,
+         SUM(CASE WHEN is_error THEN 1 ELSE 0 END) AS n_errors
+  FROM fl GROUP BY host
+),
+w AS (
+  SELECT host, n_fetches, n_errors,
+         ROUND(
+           (CAST(n_errors AS DOUBLE) / CAST(n_fetches AS DOUBLE)
+              + (1.96::DOUBLE * 1.96::DOUBLE) / (2.0 * CAST(n_fetches AS DOUBLE))
+              - 1.96::DOUBLE * sqrt(
+                  (CAST(n_errors AS DOUBLE) / CAST(n_fetches AS DOUBLE))
+                  * (1.0 - CAST(n_errors AS DOUBLE) / CAST(n_fetches AS DOUBLE))
+                  / CAST(n_fetches AS DOUBLE)
+                  + (1.96::DOUBLE * 1.96::DOUBLE)
+                    / (4.0 * CAST(n_fetches AS DOUBLE)
+                       * CAST(n_fetches AS DOUBLE))))
+           / (1.0 + (1.96::DOUBLE * 1.96::DOUBLE)
+                    / CAST(n_fetches AS DOUBLE)),
+           6
+         ) AS wilson_lb
+  FROM g
+),
+base AS (
+  SELECT dm.host, dm.n_demand,
+         CASE WHEN dd.delay_ms > 0
+              THEN CAST(floor(60000 / dd.delay_ms) AS BIGINT)
+              WHEN dd.delay_ms = 0 THEN dm.n_demand END AS cap_politeness,
+         COALESCE(w.n_fetches, 0) AS n_fetches,
+         COALESCE(w.n_errors, 0) AS n_errors,
+         CAST(greatest(0, 1000 - floor(1000 * COALESCE(w.wilson_lb, 0.0)))
+              AS BIGINT) AS weight_milli
+  FROM demand dm
+  LEFT JOIN d dd USING (host)
+  LEFT JOIN w USING (host)
+),
+tot AS (SELECT SUM(weight_milli) AS sum_w FROM base
+        WHERE cap_politeness IS NOT NULL)
+SELECT b.host, b.n_demand, b.cap_politeness,
+       CAST(b.n_fetches AS BIGINT) AS n_fetches,
+       CAST(b.n_errors AS BIGINT) AS n_errors,
+       b.weight_milli,
+       CAST(CASE WHEN b.cap_politeness IS NULL THEN 0
+            WHEN t.sum_w > 0 THEN least(
+              b.n_demand, b.cap_politeness,
+              CAST(floor(600 * b.weight_milli / t.sum_w) AS BIGINT))
+            ELSE 0 END AS BIGINT) AS budget
+FROM base b CROSS JOIN tot t ORDER BY host
+"""
+
+
+_QUERIES.update(
+    {
+        "crawl_recrawl_sitemap_plan": _q_recrawl_sitemap_plan,
+        "f2_quality_budget": _q_quality_budget,
+    }
+)
+_ORACLES.update(
+    {
+        "crawl_recrawl_sitemap_plan": _SQL_RECRAWL_SITEMAP_PLAN,
+        "f2_quality_budget": _SQL_QUALITY_BUDGET,
+    }
+)
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

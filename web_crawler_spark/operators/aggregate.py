@@ -485,6 +485,105 @@ def host_error_wilson(
     )
 
 
+def quality_capped_allocation(
+    frontier: DataFrame,
+    delays: DataFrame,
+    fetches: DataFrame,
+    total_budget: int,
+    epoch_ms: int,
+    host_col: str = "host",
+    delay_col: str = "delay_ms",
+    is_error_col: str = "is_error",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-host crawl-budget OPTIMIZER for the next epoch — the
+    composition of the three signals a budget decision actually needs:
+    frontier demand (URLs waiting per host), the politeness capacity
+    bound (an epoch of ``epoch_ms`` can physically fetch at most
+    ``floor(epoch_ms / delay_ms)`` URLs from one host — the
+    :func:`epoch_makespan` constraint read as a cap), and crawl health
+    (the :func:`host_error_wilson` lower bound, so a host that has been
+    failing gets its share demoted by EVIDENCE, not by a raw rate a
+    single fetch can saturate).
+
+    Allocation is one-shot proportional-capped, deterministic integer
+    algebra: ``weight_milli = 1000 − floor(1000·wilson_lb)`` (never
+    below 0; hosts with no fetch history weigh the full 1000 —
+    innocent until proven), and ``budget = min(n_demand,
+    cap_politeness, floor(total_budget · w_h / Σw))``. Remainder from
+    the floors stays unspent by design (a second waterfill pass is
+    :func:`host_budget_waterfill`'s job); Σ budget ≤ total_budget
+    always. A host with NO delay row keeps its row with NULL
+    cap_politeness and budget 0 — the epoch_makespan visibility
+    discipline: an incomplete delay table must be seen, not silently
+    planned around.
+
+    Returns (host, n_demand, cap_politeness, n_fetches, n_errors,
+    weight_milli, budget) ordered by host. Scale shape: three slim
+    host-keyed combiner aggs + two host equi-joins + a broadcast 1-row
+    weight sum; nothing shuffles wider than (host, longs).
+    """
+    demand = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_demand")
+    )
+    d = delays.select(
+        F.col(host_col).alias("host"),
+        F.col(delay_col).cast("long").alias("delay_ms"),
+    )
+    wil = host_error_wilson(fetches, host_col, is_error_col, z).select(
+        "host", "n_fetches", "n_errors", "wilson_lb"
+    )
+    base = (
+        demand.join(d, "host", "left")
+        .join(wil, "host", "left")
+        .withColumn(
+            "cap_politeness",
+            F.when(
+                F.col("delay_ms") > 0,
+                F.floor(F.lit(int(epoch_ms)) / F.col("delay_ms")),
+            ).when(F.col("delay_ms") == 0, F.col("n_demand"))
+            .cast("long"),
+        )
+        .withColumn(
+            "weight_milli",
+            F.greatest(
+                F.lit(0),
+                F.lit(1000)
+                - F.floor(
+                    F.lit(1000) * F.coalesce(F.col("wilson_lb"), F.lit(0.0))
+                ),
+            ).cast("long"),
+        )
+    )
+    base = base.localCheckpoint(eager=False)
+    tot = base.filter(F.col("cap_politeness").isNotNull()).agg(
+        F.sum("weight_milli").alias("__sum_w")
+    )
+    share = F.floor(
+        F.lit(int(total_budget)) * F.col("weight_milli") / F.col("__sum_w")
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "n_demand",
+            "cap_politeness",
+            F.coalesce(F.col("n_fetches"), F.lit(0)).cast("long")
+            .alias("n_fetches"),
+            F.coalesce(F.col("n_errors"), F.lit(0)).cast("long")
+            .alias("n_errors"),
+            "weight_milli",
+            F.when(F.col("cap_politeness").isNull(), F.lit(0))
+            .when(
+                F.col("__sum_w") > 0,
+                F.least(F.col("n_demand"), F.col("cap_politeness"), share),
+            )
+            .otherwise(F.lit(0))
+            .cast("long").alias("budget"),
+        )
+    )
+
+
 def concentration_stats(
     df: DataFrame,
     key_col: str = "host",

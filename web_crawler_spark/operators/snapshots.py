@@ -292,6 +292,78 @@ def sitemap_refresh_candidates(
     )
 
 
+def recrawl_sitemap_plan(
+    history: DataFrame,
+    sitemap_entries: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    new_priority_milli: int = 1_000_000,
+    change_boost_milli: int = 1250,
+) -> DataFrame:
+    """Sitemap-delta recrawl PLANNER — the composition a refresh
+    scheduler actually runs, joining the site's own declarations
+    (:func:`sitemap_refresh_candidates`: never-captured 'new' URLs and
+    declared-'stale' URLs) with the crawl's OBSERVED content history
+    (:func:`version_intervals`: how many content versions each URL has
+    really had, and how many fetches were wasted re-reading an
+    unchanged page). Declared staleness alone over-trusts sites that
+    stamp lastmod on every deploy; observed change alone misses pages
+    that announce updates the crawler hasn't seen. The plan prices
+    both:
+
+    * ``new``   → fixed top priority (``new_priority_milli``) — no
+      history exists, the sitemap is the only evidence;
+    * ``stale`` → ``priority_milli = floor(staleness_sec · boost /
+      1000)`` where staleness_sec is the declared lastmod minus the
+      last capture and boost is ``change_boost_milli`` (default 1.25×)
+      for URLs whose history shows ≥2 content versions — a page that
+      both declares AND demonstrates churn outranks a declare-only one
+      at equal staleness. Exact integer algebra end to end.
+
+    Returns (url, reason, n_versions, wasted_fetches, staleness_sec,
+    priority_milli) — n_versions/wasted_fetches are 0 for 'new' URLs.
+    Scale shape: both inputs reduce to slim URL-keyed frames before one
+    left equi-join; the sitemap side is host-bounded (a sitemap file
+    caps at 50k URLs), the history side is the version_intervals rollup
+    whose windows are URL-keyed and politeness-bounded. Nothing joins
+    wider than (url, a few longs).
+    """
+    cand = sitemap_refresh_candidates(
+        history, sitemap_entries, url_col, ts_col, loc_col, lastmod_col
+    )
+    iv = version_intervals(history, ts_col, url_col, text_col)
+    stats = iv.groupBy(F.col("key").alias("url")).agg(
+        F.max("version_id").cast("long").alias("n_versions"),
+        (F.sum("n_fetches") - F.max("version_id"))
+        .cast("long").alias("wasted_fetches"),
+    )
+    joined = cand.join(stats, "url", "left")
+    staleness = F.when(
+        F.col("reason") == "stale",
+        F.unix_timestamp("lastmod_ts") - F.unix_timestamp("last_fetch_ts"),
+    ).otherwise(F.lit(0))
+    boost = F.when(
+        F.coalesce(F.col("n_versions"), F.lit(0)) >= 2,
+        F.lit(int(change_boost_milli)),
+    ).otherwise(F.lit(1000))
+    priority = F.when(
+        F.col("reason") == "new", F.lit(int(new_priority_milli))
+    ).otherwise(F.floor(staleness * boost / F.lit(1000)))
+    return joined.select(
+        "url",
+        "reason",
+        F.coalesce(F.col("n_versions"), F.lit(0)).cast("long")
+        .alias("n_versions"),
+        F.coalesce(F.col("wasted_fetches"), F.lit(0)).cast("long")
+        .alias("wasted_fetches"),
+        staleness.cast("long").alias("staleness_sec"),
+        priority.cast("long").alias("priority_milli"),
+    )
+
+
 def revalidation_fetch(
     history: DataFrame,
     corpus: DataFrame,
