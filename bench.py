@@ -213,6 +213,14 @@ HEADLINE = [
     # combiner aggs (no windows/self-joins); prices the newline-structure
     # scan shape next to the word-level c4/gopher legs
     "tx_fineweb_quality",
+    # round-5: sitemap-delta recrawl planner — sitemap candidates joined
+    # with the version-interval rollup (prices the candidates + history
+    # composition: two url-keyed windows/aggs + one slim left join)
+    "crawl_recrawl_sitemap_plan",
+    # round-5: quality-capped budget allocator — three host-keyed
+    # combiner aggs + two host joins + broadcast weight-sum (prices the
+    # demand x capacity x Wilson-weight composition shape)
+    "f2_quality_budget",
 ]
 
 
