@@ -18161,16 +18161,61 @@ FROM base b CROSS JOIN tot t ORDER BY host
 """
 
 
+def _q_dim_budget_eval(spark, sf_dir):
+    """Matryoshka-style dimension-budget retrieval eval (operators/
+    similarity.dim_budget_eval; Kusupati et al. 2022): recall@10 of
+    prefix-dim cosine rankings (d = 4/8/16/32/64) against the full
+    64-dim ranking — the storage/compute dim-budget design table.
+    Round-6 cosines with id tie-breaks and NULL→-2 coalescing make
+    every per-dim top-k and the integer recall arithmetic replay
+    exactly in the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.dim_budget_eval(
+        emb, _query_vector(spark, sf_dir), dims=[4, 8, 16, 32, 64], k=10
+    )
+
+
+def _sql_dim_budget_eval(dims=(4, 8, 16, 32, 64), k=10) -> str:
+    def topk(d):
+        sl = f"(embedding::DOUBLE[])[1:{d}]"
+        qv = f"qv[1:{d}]"
+        return (
+            f"SELECT vec_id FROM (SELECT vec_id, COALESCE(ROUND("
+            f"list_dot_product({sl}, {qv}) / (sqrt(list_dot_product({sl}, {sl}))"
+            f" * sqrt(list_dot_product({qv}, {qv}))), 6), -2.0) AS c "
+            f"FROM embeddings, q ORDER BY c DESC, vec_id LIMIT {k})"
+        )
+
+    full = max(dims)
+    legs = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS dim, "
+        f"CAST((SELECT COUNT(*) FROM t{d} JOIN ref USING (vec_id)) AS BIGINT)"
+        f" AS n_overlap, "
+        f"CAST(floor((SELECT COUNT(*) FROM t{d} JOIN ref USING (vec_id))"
+        f" * 1000 / {k}) AS BIGINT) AS recall_milli"
+        for d in dims
+    )
+    ctes = ",\n".join(f"t{d} AS ({topk(d)})" for d in dims)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+ref AS ({topk(full)}),
+{ctes}
+SELECT * FROM ({legs}) ORDER BY dim
+"""
+
+
 _QUERIES.update(
     {
         "crawl_recrawl_sitemap_plan": _q_recrawl_sitemap_plan,
         "f2_quality_budget": _q_quality_budget,
+        "ann_dim_budget_eval": _q_dim_budget_eval,
     }
 )
 _ORACLES.update(
     {
         "crawl_recrawl_sitemap_plan": _SQL_RECRAWL_SITEMAP_PLAN,
         "f2_quality_budget": _SQL_QUALITY_BUDGET,
+        "ann_dim_budget_eval": _sql_dim_budget_eval(),
     }
 )
 

@@ -1555,3 +1555,82 @@ def label_prototype_confusion(
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
         .orderBy("label", "pred_label")
     )
+
+
+def dim_budget_eval(
+    df: DataFrame,
+    query_vec: list[float],
+    dims: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style dimension-budget retrieval eval (Kusupati et al.
+    2022, "Matryoshka Representation Learning", public paper) — the
+    design table an embedding owner reads before committing a storage/
+    compute dim budget for 10^10-vector search: for each candidate
+    prefix length d, rank the corpus by cosine over the FIRST d
+    components only and measure recall@k against the full-dimension
+    ranking. MRL-trained embeddings hold recall at small d; if recall
+    craters, the vectors are not truncation-safe and the cheap index
+    tier needs PQ instead.
+
+    Exactness: every per-dim ranking uses round-6 cosines with id
+    tie-breaks (the cosine_topk discipline), NULL cosines (zero-norm
+    prefixes) coalesced to -2 so both engines sort them last; the
+    recall arithmetic is pure integers. Returns one row per d:
+    (dim, n_overlap, recall_milli), ordered by dim.
+
+    Scale shape: one TakeOrderedAndProject top-k pass per probed dim —
+    top-k via per-partition partial selection, NO global sort and no
+    shuffle wider than k rows per partition. (The tempting one-scan
+    alternative — explode a per-row array of all d cosines and rank
+    with a per-dim window — replaces |dims| cheap column-pruned scans
+    with |dims| FULL global sorts; partial top-k wins at corpus
+    scale.) The tiny k-row frames join broadcast-style; the reference
+    ranking is computed once.
+    """
+    def _cos_safe(a, b):
+        # ANSI mode: a zero-norm prefix must yield NULL (-> -2), not a
+        # DIVIDE_BY_ZERO error killing the scan
+        return F.try_divide(V.dot(a, b), V.norm(a) * V.norm(b))
+
+    ref = (
+        df.select(
+            F.col(id_col).alias("__rid"),
+            F.coalesce(
+                F.round(_cos_safe(F.col(vec_col), _query_lit(query_vec)), 6),
+                F.lit(-2.0),
+            ).alias("__rc"),
+        )
+        .orderBy(F.desc("__rc"), F.col("__rid"))
+        .limit(k)
+        .select("__rid")
+    )
+    out = None
+    for d in sorted(int(x) for x in dims):
+        q_d = _query_lit([float(x) for x in query_vec[:d]])
+        top_d = (
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.coalesce(
+                    F.round(
+                        _cos_safe(F.slice(F.col(vec_col), 1, d), q_d), 6
+                    ),
+                    F.lit(-2.0),
+                ).alias("__c"),
+            )
+            .orderBy(F.desc("__c"), F.col("__id"))
+            .limit(k)
+        )
+        row = (
+            top_d.join(F.broadcast(ref), top_d["__id"] == ref["__rid"], "left")
+            .agg(
+                F.lit(int(d)).cast("long").alias("dim"),
+                F.count("__rid").cast("long").alias("n_overlap"),
+                F.floor(F.count("__rid") * 1000 / F.lit(int(k)))
+                .cast("long").alias("recall_milli"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")
