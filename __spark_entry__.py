@@ -18204,11 +18204,62 @@ SELECT * FROM ({legs}) ORDER BY dim
 """
 
 
+def _q_sitemap_robots_conflict(spark, sf_dir):
+    """Sitemap-vs-robots conflict audit (operators/robots.
+    sitemap_robots_conflicts): URLs a site advertises in its sitemap
+    yet disallows in robots.txt — same rules fixture as robots_filter
+    (h0/h1: Disallow /private/ with an Allow /private/annex/ override;
+    h2/h3 ruleless), sitemap = every frontier URL. Conflicts are
+    exactly the h0/h1 /private/ non-annex URLs; the audit runs the
+    SAME longest-match decision machinery as the crawl gate, so the
+    oracle's arithmetic complement certifies both directions."""
+    from web_crawler_spark.operators import robots as RB
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 4).cast("string"), F.lit(".com"))
+    path = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit("/private/"), F.col("event_id").cast("string")),
+    ).when(
+        F.col("event_id") % 3 == 1,
+        F.concat(F.lit("/private/annex/"), F.col("event_id").cast("string")),
+    ).otherwise(F.concat(F.lit("/pub/"), F.col("event_id").cast("string")))
+    entries = e.select(
+        F.concat(F.lit("https://"), host, path).alias("loc")
+    )
+    robots_txt = "User-agent: *\nDisallow: /private/\nAllow: /private/annex/\n"
+    robots_pages = spark.createDataFrame(
+        [(f"h{i}.com", robots_txt) for i in range(2)], "host string, body string"
+    )
+    rules = RB.parse_robots(robots_pages)
+    return RB.sitemap_robots_conflicts(entries, rules, "anybot").orderBy(
+        "host", "url"
+    )
+
+
+_SQL_SITEMAP_ROBOTS_CONFLICT = """
+WITH entries AS (
+  SELECT event_id,
+         concat('h', CAST(user_id % 4 AS VARCHAR), '.com') AS host,
+         CASE WHEN event_id % 3 = 0 THEN concat('/private/', CAST(event_id AS VARCHAR))
+              WHEN event_id % 3 = 1 THEN concat('/private/annex/', CAST(event_id AS VARCHAR))
+              ELSE concat('/pub/', CAST(event_id AS VARCHAR)) END AS path
+  FROM events
+)
+SELECT host, concat('https://', host, path) AS url,
+       '/private/' AS disallow_prefix
+FROM entries
+WHERE host IN ('h0.com', 'h1.com') AND event_id % 3 = 0
+ORDER BY host, url
+"""
+
+
 _QUERIES.update(
     {
         "crawl_recrawl_sitemap_plan": _q_recrawl_sitemap_plan,
         "f2_quality_budget": _q_quality_budget,
         "ann_dim_budget_eval": _q_dim_budget_eval,
+        "robots_sitemap_conflict": _q_sitemap_robots_conflict,
     }
 )
 _ORACLES.update(
@@ -18216,6 +18267,7 @@ _ORACLES.update(
         "crawl_recrawl_sitemap_plan": _SQL_RECRAWL_SITEMAP_PLAN,
         "f2_quality_budget": _SQL_QUALITY_BUDGET,
         "ann_dim_budget_eval": _sql_dim_budget_eval(),
+        "robots_sitemap_conflict": _SQL_SITEMAP_ROBOTS_CONFLICT,
     }
 )
 

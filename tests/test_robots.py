@@ -210,3 +210,25 @@ def test_meta_robots_header_channel(spark):
     got = {r["doc_id"]: r["noindex"]
            for r in meta_robots_flags(df, header_col="x_robots_tag").collect()}
     assert got == {1: True, 2: False}
+
+
+def test_sitemap_robots_conflicts_audit(spark):
+    from web_crawler_spark.operators import robots as RB
+
+    rules = RB.parse_robots(spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /hidden/\nAllow: /hidden/ok/\n")],
+        "host string, body string",
+    ))
+    entries = spark.createDataFrame(
+        [("https://a.com/hidden/1",),      # advertised AND disallowed
+         ("https://A.com/hidden/2",),      # host case-folds, still caught
+         ("https://a.com/hidden/ok/3",),   # allow override -> not a conflict
+         ("https://a.com/pub/4",),         # unmatched -> allowed
+         ("https://b.com/hidden/5",)],     # no rules for b.com -> allowed
+        "loc string",
+    )
+    out = RB.sitemap_robots_conflicts(entries, rules).collect()
+    assert sorted((r["url"], r["disallow_prefix"]) for r in out) == [
+        ("https://A.com/hidden/2", "/hidden/"),
+        ("https://a.com/hidden/1", "/hidden/"),
+    ]

@@ -112,14 +112,18 @@ def parse_robots(robots_pages: DataFrame, host_col: str = "host",
     return robots_pages.select(host_col, body_col).mapInPandas(gen, ROBOTS_SCHEMA)
 
 
-def apply_robots(
+def robots_decisions(
     frontier: DataFrame,
     rules: DataFrame,
     agent: str = "*",
     host_col: str = "host",
     url_col: str = "canonical_url",
 ) -> DataFrame:
-    """Filter the frontier to robots-allowed URLs.
+    """Per-URL robots decision WITHOUT filtering — the frontier plus
+    ``robots_allowed`` and, when a rule matched, ``matched_rule``
+    (allow/disallow) and ``matched_prefix`` (the winning pattern).
+    :func:`apply_robots` is this plus a filter; audits
+    (:func:`sitemap_robots_conflicts`) read the decision bit directly.
 
     Longest-match-wins over allow/disallow prefixes for the given agent
     (falling back to the ``*`` group when no agent-specific group exists);
@@ -182,10 +186,64 @@ def apply_robots(
             F.col("rule").isNull() | (F.col("rule") == "allow"),
         )
     )
-    return decided.filter(F.col("robots_allowed")).drop(
-        "__path", "__rn", "r_host", "agent", "rule", "path_prefix",
-        "is_plain", "path_regex",
-        "prefix_len", "agent_specificity", "best_spec", "robots_allowed",
+    return (
+        decided.withColumn("matched_rule", F.col("rule"))
+        .withColumn("matched_prefix", F.col("path_prefix"))
+        .drop(
+            "__path", "__rn", "r_host", "agent", "rule", "path_prefix",
+            "is_plain", "path_regex",
+            "prefix_len", "agent_specificity", "best_spec",
+        )
+    )
+
+
+def apply_robots(
+    frontier: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    url_col: str = "canonical_url",
+) -> DataFrame:
+    """Filter the frontier to robots-allowed URLs (the crawl-side gate;
+    see :func:`robots_decisions` for the unfiltered per-URL decision
+    table)."""
+    return (
+        robots_decisions(frontier, rules, agent, host_col, url_col)
+        .filter(F.col("robots_allowed"))
+        .drop("robots_allowed", "matched_rule", "matched_prefix")
+    )
+
+
+def sitemap_robots_conflicts(
+    sitemap_entries: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    loc_col: str = "loc",
+) -> DataFrame:
+    """URLs a site ADVERTISES in its sitemap yet DISALLOWS in its
+    robots.txt — the standard site-misconfiguration audit (search
+    consoles flag exactly this): the sitemap invites crawlers to URLs
+    the robots gate will refuse to fetch, so they silently never enter
+    the corpus and the site owner wonders why. A crawl operator reads
+    this table to (a) skip wasting frontier slots on them and (b)
+    report the conflict upstream.
+
+    One decision pass (:func:`robots_decisions` — the same broadcast
+    longest-match machinery the crawl gate itself runs, so the audit
+    can never disagree with the gate) over the sitemap locs, filtered
+    to disallowed. Returns (host, url, disallow_prefix) — the winning
+    disallow pattern named so the fix is obvious. Scale shape: rule
+    tables broadcast; the sitemap scan is the only wide side.
+    """
+    fr = sitemap_entries.select(
+        F.lower(
+            F.try_parse_url(F.col(loc_col), F.lit("HOST"))
+        ).alias("host"),
+        F.col(loc_col).alias("url"),
+    ).filter(F.col("host").isNotNull())
+    dec = robots_decisions(fr, rules, agent, "host", "url")
+    return dec.filter(~F.col("robots_allowed")).select(
+        "host", "url", F.col("matched_prefix").alias("disallow_prefix")
     )
 
 
