@@ -18254,12 +18254,69 @@ ORDER BY host, url
 """
 
 
+def _q_canonical_robots_conflict(spark, sf_dir):
+    """Canonical-target-vs-robots conflict audit (operators/robots.
+    canonical_robots_conflicts): pages declaring rel=canonical to a
+    robots-disallowed URL — consolidation can never land on the
+    declared copy. Same pages fixture as cc_canonical_dedup (three
+    declaration regimes incl. both attribute orders and two href
+    forms); host3/host7 disallow /p/1, so conflicts are exactly their
+    pages whose target number starts with digit 1; the oracle derives
+    the set arithmetically."""
+    from web_crawler_spark.operators import robots as RB
+
+    e = _t(spark, sf_dir, "events")
+    h = (F.col("user_id") % 20).cast("string")
+    gid = (F.col("event_id") - F.col("event_id") % 3).cast("string")
+    v = F.col("event_id") % 3
+    pages = e.select(
+        F.concat(F.lit("https://host"), h, F.lit(".example.com/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.when(v == 0, F.lit("<html><head></head><body>x</body></html>"))
+        .when(v == 1, F.concat(
+            F.lit('<html><head><link rel="canonical" href="/p/'), gid,
+            F.lit('"></head><body>x</body></html>')))
+        .otherwise(F.concat(
+            F.lit('<html><head><link href="//host'), h,
+            F.lit(".example.com/p/"), gid,
+            F.lit('" rel=canonical></head><body>x</body></html>'))).alias("html"),
+    )
+    robots_txt = "User-agent: *\nDisallow: /p/1\n"
+    robots_pages = spark.createDataFrame(
+        [("host3.example.com", robots_txt), ("host7.example.com", robots_txt)],
+        "host string, body string",
+    )
+    rules = RB.parse_robots(robots_pages)
+    return RB.canonical_robots_conflicts(pages, rules, "anybot").orderBy("url")
+
+
+_SQL_CANONICAL_ROBOTS_CONFLICT = """
+WITH p AS (
+  SELECT concat('host', CAST(user_id % 20 AS VARCHAR), '.example.com')
+           AS hostd,
+         user_id % 20 AS hn, event_id,
+         CASE WHEN event_id % 3 = 0 THEN event_id
+              ELSE event_id - event_id % 3 END AS tgt_n
+  FROM events
+)
+SELECT concat('https://', hostd, '/p/', CAST(event_id AS VARCHAR)) AS url,
+       concat('https://', hostd, '/p/', CAST(tgt_n AS VARCHAR))
+         AS canonical_target,
+       '/p/1' AS disallow_prefix,
+       event_id % 3 <> 0 AS is_cross_page
+FROM p
+WHERE hn IN (3, 7) AND substr(CAST(tgt_n AS VARCHAR), 1, 1) = '1'
+ORDER BY url
+"""
+
+
 _QUERIES.update(
     {
         "crawl_recrawl_sitemap_plan": _q_recrawl_sitemap_plan,
         "f2_quality_budget": _q_quality_budget,
         "ann_dim_budget_eval": _q_dim_budget_eval,
         "robots_sitemap_conflict": _q_sitemap_robots_conflict,
+        "robots_canonical_conflict": _q_canonical_robots_conflict,
     }
 )
 _ORACLES.update(
@@ -18268,6 +18325,7 @@ _ORACLES.update(
         "f2_quality_budget": _SQL_QUALITY_BUDGET,
         "ann_dim_budget_eval": _sql_dim_budget_eval(),
         "robots_sitemap_conflict": _SQL_SITEMAP_ROBOTS_CONFLICT,
+        "robots_canonical_conflict": _SQL_CANONICAL_ROBOTS_CONFLICT,
     }
 )
 

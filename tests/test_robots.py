@@ -232,3 +232,32 @@ def test_sitemap_robots_conflicts_audit(spark):
         ("https://A.com/hidden/2", "/hidden/"),
         ("https://a.com/hidden/1", "/hidden/"),
     ]
+
+
+def test_canonical_robots_conflicts_audit(spark):
+    from web_crawler_spark.operators import robots as RB
+
+    rules = RB.parse_robots(spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /hidden/\n")],
+        "host string, body string",
+    ))
+    pages = spark.createDataFrame([
+        # declares canonical into the disallowed tree -> conflict, cross-page
+        ("https://a.com/dup1",
+         '<html><head><link rel="canonical" href="/hidden/main"></head></html>'),
+        # self-canonical inside the disallowed tree -> conflict, not cross
+        ("https://a.com/hidden/self",
+         '<html><head><link rel="canonical" href="/hidden/self"></head></html>'),
+        # canonical to an allowed target -> no conflict
+        ("https://a.com/dup2",
+         '<html><head><link rel="canonical" href="/ok/main"></head></html>'),
+        # no declaration -> self-canonical, allowed -> no conflict
+        ("https://a.com/plain", "<html><head></head></html>"),
+    ], "url string, html string")
+    out = {r["url"]: r for r in
+           RB.canonical_robots_conflicts(pages, rules).collect()}
+    assert set(out) == {"https://a.com/dup1", "https://a.com/hidden/self"}
+    assert out["https://a.com/dup1"]["is_cross_page"] is True
+    assert out["https://a.com/dup1"]["canonical_target"] == "https://a.com/hidden/main"
+    assert out["https://a.com/hidden/self"]["is_cross_page"] is False
+    assert out["https://a.com/dup1"]["disallow_prefix"] == "/hidden/"

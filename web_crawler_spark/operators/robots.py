@@ -247,6 +247,66 @@ def sitemap_robots_conflicts(
     )
 
 
+def canonical_robots_conflicts(
+    pages: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Pages whose declared ``rel=canonical`` TARGET is robots-disallowed
+    — the consolidation-breaking misconfiguration class next to
+    :func:`sitemap_robots_conflicts`: the site tells crawlers "the real
+    copy lives at T" while its robots.txt forbids fetching T, so dedup/
+    rank signals can never consolidate onto the declared canonical and
+    every variant page keeps competing with its siblings.
+
+    Plan: head-prescan → canonical-href extract → resolve, as STAGED
+    projections (the pagination-assembly codegen discipline — one fused
+    Project would re-inline the regexp tree past Janino's limits);
+    targets are DISTINCT-collapsed before the robots decision join, so
+    the longest-match machinery (the same :func:`robots_decisions` the
+    crawl gate runs) prices per distinct target, not per page. Returns
+    (url, canonical_target, disallow_prefix, is_cross_page) —
+    is_cross_page marks targets on a different URL than the declaring
+    page (the consolidation-loss case; a disallowed self-canonical is
+    just a disallowed page).
+    """
+    from ..functions import urltools as U
+
+    heads = pages.select(
+        F.col(url_col).alias("url"),
+        F.substring(F.col(html_col).cast("string"), 1, 4096).alias("_head"),
+    )
+    hrefs = heads.select(
+        "url", U.rel_canonical(F.col("_head")).alias("_href")
+    )
+    resolved = hrefs.select(
+        "url",
+        F.coalesce(
+            U.resolve_url(F.col("url"), F.col("_href")), F.col("url")
+        ).alias("canonical_target"),
+    )
+    targets = resolved.select("canonical_target").distinct().select(
+        F.lower(
+            F.try_parse_url(F.col("canonical_target"), F.lit("HOST"))
+        ).alias("host"),
+        F.col("canonical_target").alias("t_url"),
+    ).filter(F.col("host").isNotNull())
+    dec = robots_decisions(targets, rules, agent, "host", "t_url")
+    bad = dec.filter(~F.col("robots_allowed")).select(
+        F.col("t_url"), F.col("matched_prefix").alias("disallow_prefix")
+    )
+    return resolved.join(
+        bad, resolved["canonical_target"] == bad["t_url"]
+    ).select(
+        "url",
+        "canonical_target",
+        "disallow_prefix",
+        (F.col("url") != F.col("canonical_target")).alias("is_cross_page"),
+    )
+
+
 def crawl_delays(rules: DataFrame, agent: str = "*",
                  default_delay: float = 2.0) -> DataFrame:
     """(host, delay_seconds): agent-specific Crawl-delay beats '*', beats
