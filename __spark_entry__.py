@@ -18330,6 +18330,40 @@ _ORACLES.update(
 )
 
 
+def _q_link_reciprocity(spark, sf_dir):
+    """Per-host link reciprocity audit (operators/graph.link_reciprocity):
+    fraction of each host's distinct out-neighbors that link back —
+    the link-exchange-ring demotion signal. Same synthetic 12-host
+    graph as the pagerank/hits family (`_host_edges`); integer
+    fixed-point reciprocity_milli replays exactly in the oracle."""
+    from web_crawler_spark.operators import graph as G
+
+    edges = G.host_graph(_host_edges(spark, sf_dir))
+    return G.link_reciprocity(edges).orderBy("host")
+
+
+_SQL_LINK_RECIPROCITY = f"""
+WITH {_SQL_HOST_EDGES_E},
+rec AS (
+  SELECT e.src, COUNT(*) AS n_rec
+  FROM e JOIN e b ON e.src = b.dst AND e.dst = b.src
+  GROUP BY e.src
+)
+SELECT e.src AS host,
+       CAST(COUNT(*) AS BIGINT) AS out_degree,
+       CAST(COALESCE(MAX(rec.n_rec), 0) AS BIGINT) AS n_reciprocal,
+       CAST(floor(1000 * COALESCE(MAX(rec.n_rec), 0) / COUNT(*)) AS BIGINT)
+         AS reciprocity_milli
+FROM e LEFT JOIN rec ON e.src = rec.src
+GROUP BY e.src
+ORDER BY host
+"""
+
+
+_QUERIES.update({"gr_link_reciprocity": _q_link_reciprocity})
+_ORACLES.update({"gr_link_reciprocity": _SQL_LINK_RECIPROCITY})
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

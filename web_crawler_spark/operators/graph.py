@@ -2354,3 +2354,61 @@ def outlink_twins_excluded(
         .filter(F.col("out_degree") > int(max_degree))
         .select(F.col("src").alias("host"), "out_degree")
     )
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host link reciprocity — the link-exchange audit the spam
+    family was missing. Organic web linking is strongly asymmetric
+    (reciprocity of the host graph sits far below 1); link-exchange
+    rings and nepotistic partnerships (Davison 2000) produce hosts
+    whose out-neighbors overwhelmingly link BACK. This reports, per
+    host, how much of its out-neighborhood is mutual, so a ranking
+    pipeline can demote high-reciprocity hubs the way ``spam_mass`` /
+    ``trustrank`` demote badly-connected mass (the reference has no
+    link analysis at all — its graph is implicit in scraped tables;
+    north-rule scale addition).
+
+    Plan: distinct slim (src, dst) pairs → left-semi join against the
+    REVERSED pair set on the same composite key → per-src counts. Two
+    hash exchanges over 2-string rows, no arrays, no degree caps
+    needed (the semi join never materializes neighborhoods). At 10^10
+    edges both sides hash-partition on (src, dst); AQE handles the
+    skewed hubs because the join output is at most the input.
+
+    Returns (host, out_degree, n_reciprocal, reciprocity_milli):
+    out_degree = distinct out-neighbors, n_reciprocal = those that
+    link back, reciprocity_milli = floor(1000·n_reciprocal/out_degree)
+    — integer fixed-point so engine and oracle agree bit-for-bit.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    back = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(back, ["src", "dst"], "left_semi")
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree")
+    )
+    rec = mutual.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reciprocal")
+    )
+    return (
+        deg.join(rec, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            "out_degree",
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias("n_reciprocal"),
+            F.floor(
+                1000 * F.coalesce("n_reciprocal", F.lit(0)) / F.col("out_degree")
+            ).cast("long").alias("reciprocity_milli"),
+        )
+    )
