@@ -18364,6 +18364,61 @@ _QUERIES.update({"gr_link_reciprocity": _q_link_reciprocity})
 _ORACLES.update({"gr_link_reciprocity": _SQL_LINK_RECIPROCITY})
 
 
+def _q_robots_rule_churn(spark, sf_dir):
+    """Robots-policy churn between two robots.txt snapshots (operators/
+    robots.robots_rule_churn): per-(host, agent) added/removed
+    allow/disallow counts + crawl-delay before/after, classified
+    tightened/loosened/mixed/delay_only; no-change groups omitted.
+    Hosts = events user_id % 40, five policy-evolution regimes by
+    host index; BOTH epochs run the real mapInPandas robots parse, so
+    the arithmetic oracle certifies parse + set-diff together."""
+    from web_crawler_spark.operators import robots as RB
+
+    e = _t(spark, sf_dir, "events")
+    hn = F.col("hn")
+    hosts = e.select((F.col("user_id") % 40).alias("hn")).distinct()
+    host = F.concat(F.lit("h"), hn.cast("string"), F.lit(".com"))
+    before = "User-agent: *\nDisallow: /a/\nDisallow: /b/\nCrawl-delay: 1\n"
+    after = (
+        F.when(hn % 5 == 1, F.lit(before + "Disallow: /c/\n"))
+        .when(hn % 5 == 2, F.lit(
+            "User-agent: *\nDisallow: /a/\nAllow: /a/x/\nCrawl-delay: 1\n"))
+        .when(hn % 5 == 3, F.lit(
+            "User-agent: *\nDisallow: /a/\nDisallow: /c/\nCrawl-delay: 1\n"))
+        .when(hn % 5 == 4, F.lit(
+            "User-agent: *\nDisallow: /a/\nDisallow: /b/\nCrawl-delay: 5\n"))
+        .otherwise(F.lit(before))
+    )
+    pages_b = hosts.select(host.alias("host"), F.lit(before).alias("body"))
+    pages_a = hosts.select(host.alias("host"), after.alias("body"))
+    return RB.robots_rule_churn(
+        RB.parse_robots(pages_b), RB.parse_robots(pages_a)
+    ).orderBy("host")
+
+
+_SQL_ROBOTS_RULE_CHURN = """
+WITH h AS (SELECT DISTINCT user_id % 40 AS hn FROM events),
+c AS (SELECT hn, CAST(hn % 5 AS INT) AS cls FROM h WHERE hn % 5 <> 0)
+SELECT concat('h', CAST(hn AS VARCHAR), '.com') AS host,
+       '*' AS agent,
+       CAST(CASE WHEN cls IN (1, 3) THEN 1 ELSE 0 END AS BIGINT)
+         AS n_added_disallow,
+       CAST(CASE WHEN cls IN (2, 3) THEN 1 ELSE 0 END AS BIGINT)
+         AS n_removed_disallow,
+       CAST(CASE WHEN cls = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_added_allow,
+       CAST(0 AS BIGINT) AS n_removed_allow,
+       CAST(1 AS DOUBLE) AS delay_before,
+       CAST(CASE WHEN cls = 4 THEN 5 ELSE 1 END AS DOUBLE) AS delay_after,
+       CASE cls WHEN 1 THEN 'tightened' WHEN 2 THEN 'loosened'
+                WHEN 3 THEN 'mixed' ELSE 'delay_only' END AS change_class
+FROM c ORDER BY host
+"""
+
+
+_QUERIES.update({"robots_rule_churn": _q_robots_rule_churn})
+_ORACLES.update({"robots_rule_churn": _SQL_ROBOTS_RULE_CHURN})
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

@@ -261,3 +261,65 @@ def test_canonical_robots_conflicts_audit(spark):
     assert out["https://a.com/dup1"]["canonical_target"] == "https://a.com/hidden/main"
     assert out["https://a.com/hidden/self"]["is_cross_page"] is False
     assert out["https://a.com/dup1"]["disallow_prefix"] == "/hidden/"
+
+
+def test_robots_rule_churn_classes(spark):
+    before = spark.createDataFrame(
+        [
+            ("tight.com", "User-agent: *\nDisallow: /a/\n"),
+            ("loose.com", "User-agent: *\nDisallow: /a/\nDisallow: /b/\n"),
+            ("mixed.com", "User-agent: *\nDisallow: /a/\nAllow: /a/x/\n"),
+            ("delay.com", "User-agent: *\nDisallow: /a/\nCrawl-delay: 2\n"),
+            ("same.com", "User-agent: *\nDisallow: /a/\n"),
+            ("gone.com", "User-agent: *\nDisallow: /a/\n"),
+        ],
+        "host string, body string",
+    )
+    after = spark.createDataFrame(
+        [
+            ("tight.com", "User-agent: *\nDisallow: /a/\nDisallow: /b/\n"),
+            ("loose.com", "User-agent: *\nDisallow: /a/\n"),
+            # drops the Allow override AND drops a Disallow -> mixed
+            ("mixed.com", "User-agent: *\nDisallow: /b/\n"),
+            ("delay.com", "User-agent: *\nDisallow: /a/\nCrawl-delay: 7\n"),
+            ("same.com", "User-agent: *\nDisallow: /a/\n"),
+            # gone.com vanished entirely: whole group reads as removed
+        ],
+        "host string, body string",
+    )
+    got = {
+        (r.host, r.agent): (
+            r.n_added_disallow, r.n_removed_disallow,
+            r.n_added_allow, r.n_removed_allow,
+            r.delay_before, r.delay_after, r.change_class,
+        )
+        for r in RB.robots_rule_churn(
+            RB.parse_robots(before), RB.parse_robots(after)
+        ).collect()
+    }
+    assert got[("tight.com", "*")] == (1, 0, 0, 0, None, None, "tightened")
+    assert got[("loose.com", "*")] == (0, 1, 0, 0, None, None, "loosened")
+    assert got[("mixed.com", "*")] == (1, 1, 0, 1, None, None, "mixed")
+    assert got[("delay.com", "*")] == (0, 0, 0, 0, 2.0, 7.0, "delay_only")
+    assert ("same.com", "*") not in got
+    assert got[("gone.com", "*")] == (0, 1, 0, 0, None, None, "loosened")
+
+
+def test_robots_rule_churn_per_agent_groups(spark):
+    body_b = (
+        "User-agent: a\nDisallow: /x/\n\n"
+        "User-agent: b\nDisallow: /y/\n"
+    )
+    body_a = (
+        "User-agent: a\nDisallow: /x/\nDisallow: /z/\n\n"
+        "User-agent: b\nDisallow: /y/\n"
+    )
+    before = spark.createDataFrame([("h.com", body_b)], "host string, body string")
+    after = spark.createDataFrame([("h.com", body_a)], "host string, body string")
+    rows = RB.robots_rule_churn(
+        RB.parse_robots(before), RB.parse_robots(after)
+    ).collect()
+    # only agent a's group changed
+    assert [(r.host, r.agent, r.change_class) for r in rows] == [
+        ("h.com", "a", "tightened")
+    ]

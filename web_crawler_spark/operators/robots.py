@@ -456,3 +456,93 @@ def meta_robots_flags(
     noindex = tok("noindex") | tok("none")
     nofollow = tok("nofollow") | tok("none")
     return df.select("*", noindex.alias("noindex"), nofollow.alias("nofollow"))
+
+
+def robots_rule_churn(
+    rules_before: DataFrame,
+    rules_after: DataFrame,
+) -> DataFrame:
+    """Robots-policy churn between two robots.txt snapshots — the
+    epoch-over-epoch audit a recrawl planner needs before trusting a
+    cached decision (pairs with ``robots_cache_policy``, which prices
+    WHEN to refetch; this reports WHAT changed once refetched). A host
+    that tightened its policy invalidates frontier URLs admitted under
+    the old rules; one that loosened frees crawl budget; a crawl-delay
+    change re-prices the politeness schedule without touching the
+    allow/disallow gate.
+
+    Input: two ``parse_robots`` rules tables. Granularity is the
+    (host, agent) robots group — the unit RFC 9309 scopes rules to.
+
+    Plan: allow/disallow rows reduce to distinct (host, agent, rule,
+    path_prefix) keys; a full-outer self-shape join on that composite
+    key marks each rule added/removed; one per-(host, agent) combiner
+    agg counts the four churn cells. Crawl-delay rows reduce per group
+    by max() separately on each side (no join explosion) and re-join.
+    All exchanges carry slim string keys; rules tables are ~KB/host so
+    at 10^10-URL scale this is dwarfed by any frontier scan.
+
+    Returns one row per (host, agent) group whose policy changed:
+    (host, agent, n_added_disallow, n_removed_disallow, n_added_allow,
+    n_removed_allow, delay_before, delay_after, change_class) with
+    change_class ∈ tightened | loosened | mixed | delay_only.
+    Unchanged groups are omitted (at web scale almost every robots
+    fetch is a no-change revisit — emitting them would drown the
+    signal).
+    """
+
+    def keyset(rules: DataFrame) -> DataFrame:
+        return (
+            rules.filter(F.col("rule").isin("allow", "disallow"))
+            .select("host", "agent", "rule", "path_prefix")
+            .distinct()
+        )
+
+    def delays(rules: DataFrame, out: str) -> DataFrame:
+        return (
+            rules.filter(F.col("rule") == "crawl-delay")
+            .groupBy("host", "agent")
+            .agg(F.max("crawl_delay").alias(out))
+        )
+
+    b = keyset(rules_before).withColumn("in_b", F.lit(1))
+    a = keyset(rules_after).withColumn("in_a", F.lit(1))
+    fo = b.join(a, ["host", "agent", "rule", "path_prefix"], "full_outer")
+    added = F.col("in_a").isNotNull() & F.col("in_b").isNull()
+    removed = F.col("in_b").isNotNull() & F.col("in_a").isNull()
+    dis = F.col("rule") == "disallow"
+    cells = fo.groupBy("host", "agent").agg(
+        F.sum((added & dis).cast("long")).alias("n_added_disallow"),
+        F.sum((removed & dis).cast("long")).alias("n_removed_disallow"),
+        F.sum((added & ~dis).cast("long")).alias("n_added_allow"),
+        F.sum((removed & ~dis).cast("long")).alias("n_removed_allow"),
+    )
+    d = delays(rules_before, "delay_before").join(
+        delays(rules_after, "delay_after"), ["host", "agent"], "full_outer"
+    )
+    out = cells.join(d, ["host", "agent"], "full_outer").select(
+        "host", "agent",
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in (
+                "n_added_disallow", "n_removed_disallow",
+                "n_added_allow", "n_removed_allow",
+            )
+        ],
+        "delay_before", "delay_after",
+    )
+    tighten = (F.col("n_added_disallow") > 0) | (F.col("n_removed_allow") > 0)
+    loosen = (F.col("n_removed_disallow") > 0) | (F.col("n_added_allow") > 0)
+    delay_changed = ~(
+        F.col("delay_before").eqNullSafe(F.col("delay_after"))
+    )
+    cls = (
+        F.when(tighten & loosen, F.lit("mixed"))
+        .when(tighten, F.lit("tightened"))
+        .when(loosen, F.lit("loosened"))
+        .when(delay_changed, F.lit("delay_only"))
+    )
+    return (
+        out.withColumn("change_class", cls)
+        .filter(F.col("change_class").isNotNull())
+    )
