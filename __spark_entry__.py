@@ -18419,6 +18419,58 @@ _QUERIES.update({"robots_rule_churn": _q_robots_rule_churn})
 _ORACLES.update({"robots_rule_churn": _SQL_ROBOTS_RULE_CHURN})
 
 
+def _q_frontier_starvation(spark, sf_dir):
+    """Frontier starvation audit (operators/aggregate.
+    frontier_starvation): hosts whose queue stayed non-empty while the
+    scheduler fetched nothing, for a trailing run of epochs — the
+    observability report for the waterfill/quality-budget allocators.
+    25 hosts × 5 dense epochs from events, five service regimes by
+    host index (always served / starved last 1 / last 2 / never
+    served / served only at the end); the oracle derives streaks
+    arithmetically per regime."""
+    from web_crawler_spark.operators import aggregate as AG
+
+    e = _t(spark, sf_dir, "events")
+    hn = F.col("hn")
+    grid = (
+        e.select((F.col("user_id") % 25).alias("hn")).distinct()
+        .select("hn", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("ep"))
+    )
+    host = F.concat(F.lit("h"), hn.cast("string"), F.lit(".com"))
+    demand = grid.select(
+        host.alias("host"), F.col("ep").alias("epoch"),
+        (hn + F.col("ep") + 1).alias("n_queued"),
+    )
+    cls = hn % 5
+    fetched = grid.filter(
+        (cls == 0)
+        | ((cls == 1) & (F.col("ep") <= 3))
+        | ((cls == 2) & (F.col("ep") <= 2))
+        | ((cls == 4) & (F.col("ep") == 4))
+    )
+    fetches = fetched.select(
+        host.alias("host"), F.col("ep").alias("epoch"), F.lit(2).alias("n_fetched")
+    )
+    return AG.frontier_starvation(demand, fetches).orderBy("host")
+
+
+_SQL_FRONTIER_STARVATION = """
+WITH h AS (SELECT DISTINCT user_id % 25 AS hn FROM events),
+c AS (SELECT hn, CAST(hn % 5 AS INT) AS cls FROM h WHERE hn % 5 IN (1, 2, 3))
+SELECT concat('h', CAST(hn AS VARCHAR), '.com') AS host,
+       CAST(CASE cls WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 5 END AS BIGINT)
+         AS epochs_starved,
+       CAST(CASE cls WHEN 1 THEN 4 WHEN 2 THEN 3 ELSE 0 END AS BIGINT)
+         AS first_starved_epoch,
+       CAST(hn + 5 AS BIGINT) AS queued_now
+FROM c ORDER BY host
+"""
+
+
+_QUERIES.update({"f2_starvation_audit": _q_frontier_starvation})
+_ORACLES.update({"f2_starvation_audit": _SQL_FRONTIER_STARVATION})
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

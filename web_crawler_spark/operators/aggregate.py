@@ -676,3 +676,76 @@ def jain_fairness(
             ),
         ).alias("jain"),
     )
+
+
+def frontier_starvation(
+    demand: DataFrame,
+    fetches: DataFrame,
+    host_col: str = "host",
+    epoch_col: str = "epoch",
+    queued_col: str = "n_queued",
+    fetched_col: str = "n_fetched",
+) -> DataFrame:
+    """Frontier starvation audit — hosts with queued demand that the
+    scheduler has not touched for a trailing run of epochs. The
+    waterfill/quality-budget allocators (``host_budget_waterfill``,
+    ``quality_capped_budget``) can legitimately zero a host's budget
+    for one epoch; a host zeroed EVERY epoch while its queue stays
+    non-empty is starving, and at 10^10-URL scale that is how whole
+    long-tail domains silently drop out of the corpus. This is the
+    side report that makes the allocation policy observable.
+
+    Inputs: per-epoch frontier snapshots ``demand(host, epoch,
+    n_queued)`` — dense on the epoch grid while a host has a queue —
+    and the fetch log ``fetches(host, epoch, n_fetched)``. An epoch is
+    *starved* for a host when n_queued > 0 and no fetch row (or a zero
+    one) exists. The trailing streak runs backward from the global max
+    epoch E; a served or demand-free epoch breaks it.
+
+    Plan: demand ⟕ fetches on (host, epoch) — slim keyed exchange —
+    then ONE per-host combiner agg (max served epoch, first snapshot
+    epoch, queue at E, presence at E) against the broadcast singleton
+    max-epoch row; no windows, no per-epoch driver loop. Scale-safe:
+    everything after the join is a per-host reduction.
+
+    Returns (host, epochs_starved, first_starved_epoch, queued_now)
+    for hosts starved at E (epochs_starved ≥ 1), where queued_now is
+    the queue depth at E.
+    """
+    d = demand.select(
+        F.col(host_col).alias("host"),
+        F.col(epoch_col).cast("long").alias("epoch"),
+        F.col(queued_col).cast("long").alias("n_queued"),
+    )
+    f = fetches.groupBy(
+        F.col(host_col).alias("host"), F.col(epoch_col).cast("long").alias("epoch")
+    ).agg(F.sum(F.col(fetched_col)).cast("long").alias("n_fetched"))
+    j = d.join(f, ["host", "epoch"], "left").select(
+        "host", "epoch", "n_queued",
+        F.coalesce("n_fetched", F.lit(0)).alias("n_fetched"),
+    )
+    served = (F.col("n_queued") <= 0) | (F.col("n_fetched") > 0)
+    per_host = j.groupBy("host").agg(
+        F.max(F.when(served, F.col("epoch"))).alias("last_ok"),
+        F.min("epoch").alias("first_epoch"),
+        F.max("epoch").alias("last_epoch"),
+        F.max_by("n_queued", "epoch").alias("queued_last"),
+        F.max(F.when(~served, F.col("epoch"))).alias("last_starved"),
+    )
+    emax = j.agg(F.max("epoch").alias("emax"))
+    out = per_host.join(F.broadcast(emax))
+    streak = F.col("emax") - F.coalesce(
+        F.col("last_ok"), F.col("first_epoch") - 1
+    )
+    return (
+        out.filter(
+            (F.col("last_epoch") == F.col("emax"))
+            & (F.col("last_starved") == F.col("emax"))
+        )
+        .select(
+            "host",
+            streak.cast("long").alias("epochs_starved"),
+            (F.col("emax") - streak + 1).cast("long").alias("first_starved_epoch"),
+            F.col("queued_last").cast("long").alias("queued_now"),
+        )
+    )
