@@ -18471,6 +18471,89 @@ _QUERIES.update({"f2_starvation_audit": _q_frontier_starvation})
 _ORACLES.update({"f2_starvation_audit": _SQL_FRONTIER_STARVATION})
 
 
+def _q_hreflang_reciprocity(spark, sf_dir):
+    """hreflang return-link audit (operators/hreflang.
+    hreflang_reciprocity): non-reciprocated variant declarations,
+    classified missing_return (target crawled, no return tag) vs
+    uncrawled_target (crawl gap). Variant triples en/fr/de per 3-event
+    group, four declaration regimes by group id (fully reciprocal
+    incl. a self row / one-way to a crawled sibling / one-way to an
+    external URL / silent); incomplete trailing triples are excluded
+    via the broadcast max-event guard on both sides."""
+    from web_crawler_spark.operators import hreflang as HL
+
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.max("event_id").alias("_mx"))
+    e = e.join(F.broadcast(mx)).filter(
+        F.col("event_id") - F.col("event_id") % 3 + 2 <= F.col("_mx")
+    )
+    gid = F.col("event_id") - F.col("event_id") % 3
+    v = F.col("event_id") % 3
+    regime = gid % 4
+    host = F.concat(F.lit("hl"), (gid % 9).cast("string"), F.lit(".com"))
+
+    def u(i):
+        return F.concat(
+            F.lit("https://"), host, F.lit("/p/"), (gid + i).cast("string")
+        )
+
+    def tag(lang, href):
+        return F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lang}" href="'),
+            href, F.lit('">'),
+        )
+
+    l0, l1, l2 = tag("en", u(0)), tag("fr", u(1)), tag("de", u(2))
+    ext = tag(
+        "fr",
+        F.concat(F.lit("https://ext"), gid.cast("string"),
+                 F.lit(".example.org/p")),
+    )
+    decl = (
+        F.when((regime == 0) & (v == 0), F.concat(l0, l1, l2))
+        .when((regime == 0) & (v == 1), F.concat(l0, l2))
+        .when((regime == 0) & (v == 2), F.concat(l0, l1))
+        .when((regime == 1) & (v == 0), F.concat(l1, l2))
+        .when((regime == 1) & (v == 1), l0)
+        .when((regime == 2) & (v == 0), ext)
+        .otherwise(F.lit(""))
+    )
+    pages = e.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.concat(F.lit("<html><head>"), decl,
+                 F.lit("</head><body>x</body></html>")).alias("html"),
+    )
+    return HL.hreflang_reciprocity(pages).orderBy("url")
+
+
+_SQL_HREFLANG_RECIPROCITY = """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+g AS (
+  SELECT DISTINCT event_id - event_id % 3 AS gid FROM events, mx
+  WHERE event_id - event_id % 3 + 2 <= m
+),
+b AS (
+  SELECT gid, CAST(gid % 4 AS INT) AS regime,
+         concat('hl', CAST(gid % 9 AS VARCHAR), '.com') AS host
+  FROM g WHERE gid % 4 IN (1, 2)
+)
+SELECT concat('https://', host, '/p/', CAST(gid AS VARCHAR)) AS url,
+       CASE WHEN regime = 1 THEN 'de' ELSE 'fr' END AS lang,
+       CASE WHEN regime = 1
+            THEN concat('https://', host, '/p/', CAST(gid + 2 AS VARCHAR))
+            ELSE concat('https://ext', CAST(gid AS VARCHAR), '.example.org/p')
+       END AS variant_url,
+       CASE WHEN regime = 1 THEN 'missing_return'
+            ELSE 'uncrawled_target' END AS status
+FROM b ORDER BY url
+"""
+
+
+_QUERIES.update({"url_hreflang_reciprocity": _q_hreflang_reciprocity})
+_ORACLES.update({"url_hreflang_reciprocity": _SQL_HREFLANG_RECIPROCITY})
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

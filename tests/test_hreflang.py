@@ -5,6 +5,7 @@ declarations closed transitively, singletons, x-default handling."""
 from web_crawler_spark.operators.hreflang import (
     hreflang_clusters,
     hreflang_edges,
+    hreflang_reciprocity,
 )
 
 
@@ -64,3 +65,47 @@ def test_mutual_declarations_one_cluster(spark):
     ])
     got = {r.url: r.cluster_id for r in hreflang_clusters(pages).collect()}
     assert set(got.values()) == {"https://s.com/en/b"}
+
+
+def _recip(spark, rows):
+    df = spark.createDataFrame(rows, "url string, html string")
+    return {
+        (r.url, r.variant_url): (r.lang, r.status)
+        for r in hreflang_reciprocity(df).collect()
+    }
+
+
+def _page(*links):
+    return "<html><head>" + "".join(
+        f'<link rel="alternate" hreflang="{l}" href="{h}">' for l, h in links
+    ) + "</head><body>x</body></html>"
+
+
+def test_reciprocity_classes(spark):
+    a, b, c = "https://s.com/en", "https://s.com/fr", "https://s.com/de"
+    ext = "https://other.com/ja"
+    rows = [
+        # a<->b reciprocal (b declares back), a->c one-way (c silent),
+        # a->ext one-way (ext never crawled), plus a self row (dropped)
+        (a, _page(("en", a), ("fr", b), ("de", c), ("ja", ext))),
+        (b, _page(("en", a))),
+        (c, _page()),
+    ]
+    got = _recip(spark, rows)
+    assert got == {
+        (a, c): ("de", "missing_return"),
+        (a, ext): ("ja", "uncrawled_target"),
+    }
+
+
+def test_reciprocity_any_lang_counts(spark):
+    # return tag with a DIFFERENT lang label still reciprocates
+    a, b = "https://s.com/a", "https://s.com/b"
+    rows = [(a, _page(("en-us", b))), (b, _page(("x-default", a)))]
+    assert _recip(spark, rows) == {}
+
+
+def test_relative_href_resolution(spark):
+    a, b = "https://s.com/dir/a", "https://s.com/dir/b"
+    rows = [(a, _page(("fr", "b"))), (b, _page())]
+    assert _recip(spark, rows) == {(a, b): ("fr", "missing_return")}

@@ -108,3 +108,52 @@ def hreflang_clusters(
             F.coalesce("n_langs", F.lit(0)).alias("n_langs"),
         )
     )
+
+
+def hreflang_reciprocity(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Return-link audit over the declared variant graph. Search engines
+    only honor an hreflang annotation when the target page annotates
+    BACK (the "return tag" requirement) — a one-way declaration is
+    dead weight in the page head and a broken cluster for the
+    translation-pair miner built on ``hreflang_clusters``. This
+    reports every non-reciprocated declaration, split into the two
+    actionable cases: the target was crawled and simply doesn't
+    declare back (site bug — ``missing_return``) vs the target isn't
+    in the corpus at all (crawl gap — ``uncrawled_target``: fix by
+    scheduling the URL, not by blaming the site).
+
+    Plan: ``hreflang_edges`` extraction (regexp prescan + array HOFs,
+    all codegen) → distinct slim (url, variant) pairs → left-anti
+    join against the REVERSED pair set (reciprocity requires a return
+    edge with ANY lang, matching the engines' behavior) → left-semi
+    style membership join against the crawled URL set to classify.
+    Self-declarations (the standard x-default/self row) are dropped.
+    Every exchange carries 2–3 string columns; nothing corpus-shaped
+    shuffles.
+
+    Returns (url, lang, variant_url, status) for non-reciprocated
+    declarations, status ∈ missing_return | uncrawled_target.
+    """
+    edges = (
+        hreflang_edges(pages, url_col=url_col, html_col=html_col)
+        .filter(F.col("url") != F.col("variant_url"))
+        .select("url", "lang", "variant_url")
+        .distinct()
+    )
+    back = edges.select(
+        F.col("variant_url").alias("url"), F.col("url").alias("variant_url")
+    ).distinct()
+    nonrec = edges.join(back, ["url", "variant_url"], "left_anti")
+    crawled = pages.select(
+        F.col(url_col).alias("variant_url"), F.lit(1).alias("_crawled")
+    ).distinct()
+    return nonrec.join(crawled, "variant_url", "left").select(
+        "url", "lang", "variant_url",
+        F.when(F.col("_crawled").isNotNull(), F.lit("missing_return"))
+        .otherwise(F.lit("uncrawled_target"))
+        .alias("status"),
+    )
