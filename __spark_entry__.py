@@ -18554,6 +18554,61 @@ _QUERIES.update({"url_hreflang_reciprocity": _q_hreflang_reciprocity})
 _ORACLES.update({"url_hreflang_reciprocity": _SQL_HREFLANG_RECIPROCITY})
 
 
+def _q_effective_tokens(spark, sf_dir):
+    """Dedup-aware effective-token accounting per source (operators/
+    corpus.effective_tokens): raw vs canonical-credited token sums and
+    the duplicate tax per source. Duplicates planted by remapping every
+    doc_id ≡ 4 (mod 5) onto the text of doc_id−4 (cross-source — the
+    sources are mod-20 slices); originals are verified globally
+    distinct under the normalized fingerprint, so the oracle derives
+    canonicity arithmetically while the engine computes it through the
+    real fingerprint + min-id machinery."""
+    from web_crawler_spark.operators import corpus as CO
+
+    d = _t(spark, sf_dir, "documents")
+    tid = F.when(
+        F.col("doc_id") % 5 == 4, F.col("doc_id") - 4
+    ).otherwise(F.col("doc_id"))
+    texts = d.select(F.col("doc_id").alias("tid"), F.col("text").alias("t"))
+    fix = (
+        d.select("doc_id", "source", tid.alias("tid"))
+        .join(texts, "tid")
+        .select("doc_id", "source", F.col("t").alias("text"))
+    )
+    return CO.effective_tokens(fix).orderBy("source")
+
+
+_SQL_EFFECTIVE_TOKENS = """
+WITH fix AS (
+  SELECT d.doc_id, d.source, t.text,
+         CASE WHEN d.doc_id % 5 = 4 THEN 0 ELSE 1 END AS is_canon
+  FROM documents d
+  JOIN documents t
+    ON t.doc_id = CASE WHEN d.doc_id % 5 = 4 THEN d.doc_id - 4
+                       ELSE d.doc_id END
+),
+tok AS (
+  SELECT source, is_canon,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM fix
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_canon) AS BIGINT) AS n_canonical_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(SUM(n_tokens * is_canon) AS BIGINT) AS effective_tokens,
+       CAST(floor(1000 * (SUM(n_tokens) - SUM(n_tokens * is_canon))
+                  / greatest(SUM(n_tokens), 1)) AS BIGINT)
+         AS dup_token_share_milli
+FROM tok GROUP BY source ORDER BY source
+"""
+
+
+_QUERIES.update({"tx_effective_tokens": _q_effective_tokens})
+_ORACLES.update({"tx_effective_tokens": _SQL_EFFECTIVE_TOKENS})
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

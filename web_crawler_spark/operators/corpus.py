@@ -3089,3 +3089,60 @@ def cavnar_trenkle_classify(
         .distinct()
         .join(best, "doc_id", "left")
     )
+
+
+def effective_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Dedup-aware effective-token accounting per source — the number
+    that actually matters when pricing a source's contribution to a
+    training mix. Raw token counts double-pay duplicated content; the
+    *effective* count credits each duplicate cluster's tokens once, to
+    the source holding its canonical (min-id) copy — the same survivor
+    rule as ``exact_dedup``, so this table is exactly "what
+    ``keep_canonical`` would leave, priced in tokens" without
+    materializing the deduped corpus. The gap between the two columns
+    is each source's duplicate tax (mirrors, boilerplate reprints,
+    syndication), the first thing a 100 TB corpus datasheet should
+    show next to ``source_dup_rates``.
+
+    Plan: one scan computes whitespace token counts (codegen regex)
+    and the normalized content fingerprint; a (fingerprint)-keyed
+    min-id agg finds canonicals — slim (fp, id, tokens) rows, full
+    map-side combine; a same-key self-join marks survivors; one final
+    source-keyed agg. Two slim shuffles total, both on keys the
+    workload already uses.
+
+    Returns one row per source: (source, n_docs, n_canonical_docs,
+    raw_tokens, effective_tokens, dup_token_share_milli) with
+    dup_token_share_milli = floor(1000·(raw−effective)/raw) (0 when a
+    source holds no tokens).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        T.token_count(F.col(text_col)).alias("n_tokens"),
+        T.content_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    canon = base.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canon_id")
+    )
+    marked = base.join(canon, "fingerprint").withColumn(
+        "is_canon", (F.col("doc_id") == F.col("canon_id")).cast("long")
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_canon").cast("long").alias("n_canonical_docs"),
+        F.sum("n_tokens").cast("long").alias("raw_tokens"),
+        F.sum(F.col("n_tokens") * F.col("is_canon")).cast("long").alias(
+            "effective_tokens"
+        ),
+        F.floor(
+            1000
+            * (F.sum("n_tokens") - F.sum(F.col("n_tokens") * F.col("is_canon")))
+            / F.greatest(F.sum("n_tokens"), F.lit(1))
+        ).cast("long").alias("dup_token_share_milli"),
+    )
