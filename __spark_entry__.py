@@ -18609,6 +18609,125 @@ _QUERIES.update({"tx_effective_tokens": _q_effective_tokens})
 _ORACLES.update({"tx_effective_tokens": _SQL_EFFECTIVE_TOKENS})
 
 
+def _q_split_leakage(spark, sf_dir):
+    """Cross-split near-duplicate leakage audit (operators/dedup.
+    split_leakage): pairs spanning train/valid/test assignments,
+    normalized per unordered split combo with quarantine-set sizes.
+    Pairs planted as (doc_id−4, doc_id) for doc_id ≡ 4 (mod 5); split
+    by doc_id mod 3 — the mod-4 gap guarantees every pair crosses
+    splits, exercising all three combos."""
+    from web_crawler_spark.operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("train"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    asg = d.select("doc_id", split.alias("split"))
+    pairs = d.filter(F.col("doc_id") % 5 == 4).select(
+        (F.col("doc_id") - 4).alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return D.split_leakage(asg, pairs).orderBy("split_a", "split_b")
+
+
+_SQL_SPLIT_LEAKAGE = """
+WITH b AS (
+  SELECT doc_id - 4 AS ia, doc_id AS ib FROM documents WHERE doc_id % 5 = 4
+),
+lab AS (
+  SELECT ia, ib,
+         CASE CAST(ia % 3 AS INT) WHEN 0 THEN 'train' WHEN 1 THEN 'valid'
+              ELSE 'test' END AS sa,
+         CASE CAST(ib % 3 AS INT) WHEN 0 THEN 'train' WHEN 1 THEN 'valid'
+              ELSE 'test' END AS sb
+  FROM b
+)
+SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN sa <= sb THEN ia ELSE ib END) AS BIGINT)
+         AS n_docs_a,
+       CAST(COUNT(DISTINCT CASE WHEN sa <= sb THEN ib ELSE ia END) AS BIGINT)
+         AS n_docs_b
+FROM lab WHERE sa <> sb GROUP BY split_a, split_b ORDER BY split_a, split_b
+"""
+
+
+_QUERIES.update({"dd_split_leakage": _q_split_leakage})
+_ORACLES.update({"dd_split_leakage": _SQL_SPLIT_LEAKAGE})
+
+
+def _q_scheme_consolidation(spark, sf_dir):
+    """http↔https site-identity audit (operators/urlfilter.
+    scheme_consolidation): per-host scheme mass, both-scheme path
+    overlap, migration-state classification. 30 hosts from events in
+    four regimes (http-only / https-only / migrating with paired
+    paths via the block construction / mixed-disjoint); the oracle
+    replays the construction and both aggregations in SQL."""
+    from web_crawler_spark.operators import urlfilter as UF
+
+    e = _t(spark, sf_dir, "events")
+    hn = F.col("event_id") % 30
+    c = hn % 4
+    blk = F.floor(F.col("event_id") / 30).cast("long")
+    alt = F.when(blk % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    scheme = (
+        F.when(c == 0, F.lit("http"))
+        .when(c == 1, F.lit("https"))
+        .otherwise(alt)
+    )
+    path = F.when(
+        c == 2,
+        F.concat(F.lit("/p/"),
+                 F.floor(F.col("event_id") / 60).cast("long").cast("string")),
+    ).otherwise(F.concat(F.lit("/p/"), F.col("event_id").cast("string")))
+    urls = e.select(
+        F.concat(scheme, F.lit("://h"), hn.cast("string"), F.lit(".net"), path)
+        .alias("url")
+    )
+    return UF.scheme_consolidation(urls).orderBy("host")
+
+
+_SQL_SCHEME_CONSOLIDATION = """
+WITH u AS (
+  SELECT DISTINCT
+    CASE CAST((event_id % 30) % 4 AS INT)
+      WHEN 0 THEN 'http' WHEN 1 THEN 'https'
+      ELSE CASE WHEN (event_id // 30) % 2 = 0 THEN 'http' ELSE 'https' END
+    END AS scheme,
+    concat('h', CAST(event_id % 30 AS VARCHAR), '.net') AS host,
+    CASE WHEN CAST((event_id % 30) % 4 AS INT) = 2
+         THEN concat('/p/', CAST(event_id // 60 AS VARCHAR))
+         ELSE concat('/p/', CAST(event_id AS VARCHAR)) END AS path
+  FROM events
+),
+pp AS (
+  SELECT host, path,
+         SUM(CASE WHEN scheme = 'http' THEN 1 ELSE 0 END) AS n_http,
+         SUM(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END) AS n_https
+  FROM u GROUP BY host, path
+),
+ph AS (
+  SELECT host,
+         CAST(SUM(n_http) AS BIGINT) AS n_http_urls,
+         CAST(SUM(n_https) AS BIGINT) AS n_https_urls,
+         CAST(SUM(CASE WHEN n_http > 0 AND n_https > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_paths
+  FROM pp GROUP BY host
+)
+SELECT host, n_http_urls, n_https_urls, n_dup_paths,
+       CASE WHEN n_http_urls = 0 THEN 'https_only'
+            WHEN n_https_urls = 0 THEN 'http_only'
+            WHEN n_dup_paths > 0 THEN 'migrating'
+            ELSE 'mixed_disjoint' END AS state
+FROM ph ORDER BY host
+"""
+
+
+_QUERIES.update({"url_scheme_consolidation": _q_scheme_consolidation})
+_ORACLES.update({"url_scheme_consolidation": _SQL_SCHEME_CONSOLIDATION})
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

@@ -1835,3 +1835,62 @@ def bloom_capacity_plan(
         ).alias("k_hashes"),
         ((m_bits + F.lit(7)) / F.lit(8)).cast("long").alias("mem_bytes"),
     )
+
+
+def split_leakage(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Cross-split near-duplicate leakage audit — the eval-integrity
+    check that must run AFTER ``dataset_split``: a test document whose
+    near-duplicate sits in train is memorization leak, and benchmark
+    numbers computed on it are inflated (the reason Lee et al. 2022
+    deduplicate before splitting). Feed it the split assignment and
+    ANY pair list this module produces (exact fingerprint twins,
+    MinHash/SimHash candidates, winnow overlaps, embedding near-dups) —
+    the audit is pair-source-agnostic.
+
+    Plan: distinct undirected pairs → two id-keyed joins against the
+    slim (id, split) assignment — at 10^10 docs these are
+    shuffle-hash joins on the id key the dedup stages already
+    partition by; same-split pairs drop BEFORE the aggregation; one
+    combiner agg per unordered split combo. Nothing wider than
+    (id, id, split, split) ever shuffles.
+
+    Returns one row per leaking split combo, lexicographically
+    normalized: (split_a, split_b, n_pairs, n_docs_a, n_docs_b) —
+    n_docs_x = distinct documents of that split involved in the leak
+    (the set to quarantine or re-assign).
+    """
+    asg = assignments.select(
+        F.col(id_col).alias("_id"), F.col(split_col).alias("_s")
+    ).distinct()
+    p = (
+        pairs.select(F.col(a_col).alias("ia"), F.col(b_col).alias("ib"))
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("ia"), F.greatest("ia", "ib").alias("ib")
+        )
+        .distinct()
+    )
+    j = (
+        p.join(asg.select(F.col("_id").alias("ia"), F.col("_s").alias("sa")), "ia")
+        .join(asg.select(F.col("_id").alias("ib"), F.col("_s").alias("sb")), "ib")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    flip = F.col("sa") < F.col("sb")
+    norm = j.select(
+        F.least("sa", "sb").alias("split_a"),
+        F.greatest("sa", "sb").alias("split_b"),
+        F.when(flip, F.col("ia")).otherwise(F.col("ib")).alias("doc_a"),
+        F.when(flip, F.col("ib")).otherwise(F.col("ia")).alias("doc_b"),
+    )
+    return norm.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_distinct("doc_a").cast("long").alias("n_docs_a"),
+        F.count_distinct("doc_b").cast("long").alias("n_docs_b"),
+    )

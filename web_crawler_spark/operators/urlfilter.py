@@ -761,3 +761,58 @@ def _any_prefix(x, keys: list[str]):
     for k in keys:
         expr = expr | x.startswith(k)
     return expr
+
+
+def scheme_consolidation(
+    pages: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """http↔https site-identity audit — the protocol sibling of the
+    www/apex consolidation report: a site crawled under both schemes
+    wastes frontier budget and splits dedup/rank signals exactly like
+    an apex/www split, and the overlap set is the first thing an HTTPS
+    migration review asks for. Per host this reports how much of the
+    corpus sits under each scheme and how many PATHS are served under
+    BOTH (the true duplicate set a canonicalizer would collapse),
+    classifying each host's migration state.
+
+    Plan: one distinct over the slim url column → regexp scheme/host/
+    path split (codegen) → a (host, path)-keyed combiner agg marking
+    both-scheme paths → one host-keyed agg. Two slim shuffles on keys
+    a canonicalization pipeline already partitions by; no joins at
+    all. Non-http(s) schemes are ignored.
+
+    Returns (host, n_http_urls, n_https_urls, n_dup_paths, state),
+    state ∈ https_only | http_only | migrating (both schemes, shared
+    paths) | mixed_disjoint (both schemes, zero path overlap).
+    """
+    scheme = F.regexp_extract(F.col("u"), r"^([a-z][a-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(F.col("u"), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(F.col("u"), r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    u = (
+        pages.select(F.lower(F.col(url_col).cast("string")).alias("u"))
+        .distinct()
+        .select(scheme.alias("scheme"), host.alias("host"), path.alias("path"))
+        .filter(F.col("scheme").isin("http", "https") & (F.col("host") != ""))
+    )
+    per_path = u.groupBy("host", "path").agg(
+        F.sum((F.col("scheme") == "http").cast("long")).alias("n_http"),
+        F.sum((F.col("scheme") == "https").cast("long")).alias("n_https"),
+    )
+    per_host = per_path.groupBy("host").agg(
+        F.sum("n_http").cast("long").alias("n_http_urls"),
+        F.sum("n_https").cast("long").alias("n_https_urls"),
+        F.sum(
+            ((F.col("n_http") > 0) & (F.col("n_https") > 0)).cast("long")
+        ).cast("long").alias("n_dup_paths"),
+    )
+    state = (
+        F.when(F.col("n_http_urls") == 0, F.lit("https_only"))
+        .when(F.col("n_https_urls") == 0, F.lit("http_only"))
+        .when(F.col("n_dup_paths") > 0, F.lit("migrating"))
+        .otherwise(F.lit("mixed_disjoint"))
+    )
+    return per_host.select(
+        "host", "n_http_urls", "n_https_urls", "n_dup_paths",
+        state.alias("state"),
+    )
