@@ -18831,11 +18831,14 @@ _R5_WINDOW = [
     "tpch_q17_small_quantity", "tpch_q19_disjunctive_revenue",
     "tpch_q20_part_promotion", "tpch_q21_waiting_supplier",
     "tpch_q22_sales_opportunity",
-    # -- breadth: frontier / robots / cc / streaming / ann / dedup --
-    "f2_frontier_select", "f3_aimd_delay", "f7_circuit_breaker",
-    "robots_cache_policy", "cc_surt_key", "cc_cdx_index",
-    "tx_ccnet_perplexity", "st_heavy_hitters", "st_stateful_seen_ttl",
-    "ann_knn_join", "dd_semdedup_md5",
+    # -- late-r5 operators (landed after the first rotation; the judge's
+    #    directive is new operators go straight into the round window) --
+    "ann_dim_budget_eval", "robots_sitemap_conflict",
+    "robots_canonical_conflict", "gr_link_reciprocity",
+    "robots_rule_churn", "f2_starvation_audit", "url_hreflang_reciprocity",
+    "tx_effective_tokens", "dd_split_leakage", "url_scheme_consolidation",
+    # -- breadth: streaming variant --
+    "st_stateful_seen_ttl",
 ]
 
 
