@@ -18728,6 +18728,78 @@ _QUERIES.update({"url_scheme_consolidation": _q_scheme_consolidation})
 _ORACLES.update({"url_scheme_consolidation": _SQL_SCHEME_CONSOLIDATION})
 
 
+_CHANGEFREQ_NAMES = [
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never",
+    "bogus",
+]
+
+
+def _q_changefreq_calibration(spark, sf_dir):
+    """Declared-vs-observed change-rate calibration (operators/
+    snapshots.changefreq_calibration): per sitemap changefreq bucket,
+    how honest the declaration is — integer fixed-point calibration
+    against the policy map. Declarations cycle all seven tokens plus
+    an invalid one by event_id mod 8; every ninth URL has no
+    observation row (counted, excluded from the rate)."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    e = _t(spark, sf_dir, "events")
+    cf = F.element_at(
+        F.array(*[F.lit(n) for n in _CHANGEFREQ_NAMES]),
+        (F.col("event_id") % 8 + 1).cast("int"),
+    )
+    url = F.concat(F.lit("/u/"), F.col("event_id").cast("string"))
+    declared = e.select(url.alias("url"), cf.alias("changefreq"))
+    observed = e.filter(F.col("event_id") % 9 != 0).select(
+        url.alias("url"),
+        F.lit(10).alias("n_epochs"),
+        (F.col("event_id") % 30).alias("n_changes"),
+    )
+    return SN.changefreq_calibration(declared, observed).orderBy("changefreq")
+
+
+_SQL_CHANGEFREQ_CALIBRATION = """
+WITH s AS (
+  SELECT event_id, CAST(event_id % 8 AS INT) AS c FROM events
+),
+named AS (
+  SELECT event_id,
+         CASE c WHEN 0 THEN 'always' WHEN 1 THEN 'hourly' WHEN 2 THEN 'daily'
+                WHEN 3 THEN 'weekly' WHEN 4 THEN 'monthly'
+                WHEN 5 THEN 'yearly' WHEN 6 THEN 'never'
+                ELSE 'invalid' END AS changefreq,
+         CASE c WHEN 0 THEN 48000 WHEN 1 THEN 24000 WHEN 2 THEN 1000
+                WHEN 3 THEN 142 WHEN 4 THEN 33 WHEN 5 THEN 2
+                WHEN 6 THEN 0 ELSE NULL END AS expected_milli,
+         CASE WHEN event_id % 9 <> 0 THEN 10 ELSE NULL END AS n_epochs,
+         CASE WHEN event_id % 9 <> 0 THEN event_id % 30 ELSE NULL
+         END AS n_changes
+  FROM s
+),
+agg AS (
+  SELECT changefreq,
+         CAST(COUNT(*) AS BIGINT) AS n_urls,
+         CAST(SUM(CASE WHEN n_epochs IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_observed,
+         CAST(MAX(expected_milli) AS BIGINT) AS expected_milli,
+         SUM(COALESCE(n_changes, 0)) AS ch,
+         SUM(COALESCE(n_epochs, 0)) AS ep
+  FROM named GROUP BY changefreq
+)
+SELECT changefreq, n_urls, n_observed, expected_milli,
+       CAST(CASE WHEN ep > 0 THEN floor(1000 * ch / ep) END AS BIGINT)
+         AS observed_rate_milli,
+       CAST(CASE WHEN expected_milli > 0 AND ep > 0
+                 THEN floor(1000 * floor(1000 * ch / ep) / expected_milli)
+            END AS BIGINT) AS calibration_milli
+FROM agg ORDER BY changefreq
+"""
+
+
+_QUERIES.update({"crawl_changefreq_calibration": _q_changefreq_calibration})
+_ORACLES.update({"crawl_changefreq_calibration": _SQL_CHANGEFREQ_CALIBRATION})
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

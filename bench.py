@@ -221,6 +221,28 @@ HEADLINE = [
     # combiner aggs + two host joins + broadcast weight-sum (prices the
     # demand x capacity x Wilson-weight composition shape)
     "f2_quality_budget",
+    # late round-5: link reciprocity — distinct slim pairs + left-semi
+    # vs the reversed pair set (prices the composite-key self-semi-join)
+    "gr_link_reciprocity",
+    # late round-5: robots-policy churn — two mapInPandas robots parses
+    # + full-outer keyset diff + per-group combiner agg (prices the
+    # set-diff-through-Python-parse shape)
+    "robots_rule_churn",
+    # late round-5: frontier starvation — demand ⟕ fetch-log join + one
+    # per-host combiner agg (with max_by) vs broadcast singleton max
+    "f2_starvation_audit",
+    # late round-5: hreflang return-link audit — tag HOF extraction +
+    # reversed-pair anti-join + crawled-set membership classify
+    "url_hreflang_reciprocity",
+    # late round-5: effective tokens — one scan fusing token counts +
+    # content fingerprints, fp-keyed min-id agg + survivor join
+    "tx_effective_tokens",
+    # late round-5: split leakage — two id-keyed assignment joins over
+    # distinct undirected pairs + per-combo agg
+    "dd_split_leakage",
+    # late round-5: scheme consolidation — zero-join (host,path) then
+    # host combiner aggs over the distinct url scan
+    "url_scheme_consolidation",
 ]
 
 

@@ -786,3 +786,100 @@ def frontier_ucb(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# sitemaps.org changefreq → expected changes per 24h epoch, integer milli
+# (always ≈ twice-hourly, never = 0; the table is a POLICY input, override
+# per deployment via the `expected_milli` parameter)
+CHANGEFREQ_EXPECTED_MILLI = {
+    "always": 48000,
+    "hourly": 24000,
+    "daily": 1000,
+    "weekly": 142,     # floor(1000*24/168)
+    "monthly": 33,     # floor(1000*24/720)
+    "yearly": 2,       # floor(1000*24/8760)
+    "never": 0,
+}
+
+
+def changefreq_calibration(
+    sitemap_entries: DataFrame,
+    change_log: DataFrame,
+    url_col: str = "url",
+    changefreq_col: str = "changefreq",
+    epochs_col: str = "n_epochs",
+    changes_col: str = "n_changes",
+    expected_milli: dict[str, int] | None = None,
+) -> DataFrame:
+    """Declared-vs-observed change-rate calibration per sitemap
+    ``changefreq`` bucket — sites routinely stamp every URL
+    ``daily`` regardless of reality, and a recrawl planner that
+    trusts the declaration over-fetches static pages while starving
+    genuinely hot ones. This is the table that says, per declared
+    bucket, how honest the declaration is, so the refresh allocator
+    (``recrawl_priority`` / ``refresh_allocation``) can discount or
+    trust ``changefreq`` per corpus. Pure integer fixed-point
+    throughout so the audit replays bit-for-bit at any scale.
+
+    Inputs: sitemap declarations ``(url, changefreq)`` and the
+    observed per-URL change log ``(url, n_epochs, n_changes)`` (the
+    aggregation ``poisson_change_rate`` already computes). Unknown
+    changefreq tokens are bucketed as ``invalid``; declared URLs with
+    no observation rows are counted but excluded from the rate.
+
+    Plan: url-keyed equi-join of the two slim tables + one broadcast
+    lookup of the 7-row policy map + ONE changefreq-keyed combiner
+    agg. At 10^10 URLs the url join is the only real exchange and it
+    carries three longs and a short string per row.
+
+    Returns (changefreq, n_urls, n_observed, expected_milli,
+    observed_rate_milli, calibration_milli): observed_rate_milli =
+    floor(1000·Σchanges/Σepochs) over observed URLs,
+    calibration_milli = floor(1000·observed_rate_milli /
+    expected_milli) (NULL for never/invalid or no observations) —
+    1000 = perfectly honest, above = hotter than declared.
+    """
+    exp = expected_milli or CHANGEFREQ_EXPECTED_MILLI
+    spark = sitemap_entries.sparkSession
+    exp_df = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(exp.items())],
+        "cf string, expected_milli long",
+    )
+    s = sitemap_entries.select(
+        F.col(url_col).alias("url"),
+        F.lower(F.col(changefreq_col)).alias("cf"),
+    )
+    o = change_log.select(
+        F.col(url_col).alias("url"),
+        F.col(epochs_col).cast("long").alias("n_epochs"),
+        F.col(changes_col).cast("long").alias("n_changes"),
+    )
+    j = (
+        s.join(o, "url", "left")
+        .join(F.broadcast(exp_df), "cf", "left")
+        .select(
+            F.when(F.col("expected_milli").isNotNull(), F.col("cf"))
+            .otherwise(F.lit("invalid")).alias("changefreq"),
+            "expected_milli", "n_epochs", "n_changes",
+        )
+    )
+    agg = j.groupBy("changefreq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(F.col("n_epochs").isNotNull().cast("long")).cast("long")
+        .alias("n_observed"),
+        F.max("expected_milli").cast("long").alias("expected_milli"),
+        F.sum(F.coalesce("n_changes", F.lit(0))).alias("_changes"),
+        F.sum(F.coalesce("n_epochs", F.lit(0))).alias("_epochs"),
+    )
+    observed_rate = F.when(
+        F.col("_epochs") > 0,
+        F.floor(1000 * F.col("_changes") / F.col("_epochs")),
+    ).cast("long")
+    return agg.select(
+        "changefreq", "n_urls", "n_observed", "expected_milli",
+        observed_rate.alias("observed_rate_milli"),
+        F.when(
+            (F.col("expected_milli") > 0) & (F.col("_epochs") > 0),
+            F.floor(1000 * observed_rate / F.col("expected_milli")),
+        ).cast("long").alias("calibration_milli"),
+    )
