@@ -18909,8 +18909,7 @@ _R5_WINDOW = [
     "robots_canonical_conflict", "gr_link_reciprocity",
     "robots_rule_churn", "f2_starvation_audit", "url_hreflang_reciprocity",
     "tx_effective_tokens", "dd_split_leakage", "url_scheme_consolidation",
-    # -- breadth: streaming variant --
-    "st_stateful_seen_ttl",
+    "crawl_changefreq_calibration",
 ]
 
 

@@ -143,6 +143,11 @@ def hreflang_reciprocity(
         .filter(F.col("url") != F.col("variant_url"))
         .select("url", "lang", "variant_url")
         .distinct()
+        # materialize the slim edge list once: `back` and the anti-join
+        # both consume it, and without the cut the regexp tag-extraction
+        # lineage re-runs over the full corpus per consumer (measured 2x
+        # on the bench leg)
+        .localCheckpoint()
     )
     back = edges.select(
         F.col("variant_url").alias("url"), F.col("url").alias("variant_url")
