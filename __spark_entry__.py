@@ -18800,6 +18800,72 @@ _QUERIES.update({"crawl_changefreq_calibration": _q_changefreq_calibration})
 _ORACLES.update({"crawl_changefreq_calibration": _SQL_CHANGEFREQ_CALIBRATION})
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty vs earlier documents (operators/corpus.
+    ngram_novelty, n=6): seen-before share of each doc's distinct word
+    6-grams in ingestion order. Full duplicates planted by the mod-5
+    text remap (doc_id ≡ 4 mod 5 carries doc_id−4's text), so planted
+    copies score novelty 0 while organic partial overlaps exercise the
+    mid-range; the oracle replays grams + min-id first-occurrence in
+    SQL."""
+    from web_crawler_spark.operators import corpus as CO
+
+    d = _t(spark, sf_dir, "documents")
+    tid = F.when(
+        F.col("doc_id") % 5 == 4, F.col("doc_id") - 4
+    ).otherwise(F.col("doc_id"))
+    texts = d.select(F.col("doc_id").alias("tid"), F.col("text").alias("t"))
+    fix = (
+        d.select("doc_id", tid.alias("tid"))
+        .join(texts, "tid")
+        .select("doc_id", F.col("t").alias("text"))
+    )
+    return CO.ngram_novelty(fix, n=6).orderBy("doc_id")
+
+
+_SQL_NGRAM_NOVELTY = """
+WITH fix AS (
+  SELECT d.doc_id, t.text
+  FROM documents d
+  JOIN documents t
+    ON t.doc_id = CASE WHEN d.doc_id % 5 = 4 THEN d.doc_id - 4
+                       ELSE d.doc_id END
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM fix
+  WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+5], ' ')
+                        for i in range(1, greatest(len(w)-5, 0) + 1)]) AS grams
+  FROM toks
+),
+inv AS (
+  SELECT doc_id, unnest(grams) AS gram FROM sh WHERE len(grams) > 0
+),
+first AS (SELECT gram, MIN(doc_id) AS first_id FROM inv GROUP BY gram),
+per AS (
+  SELECT i.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.first_id < i.doc_id THEN 1 ELSE 0 END)
+           AS n_seen_before
+  FROM inv i JOIN first f USING (gram) GROUP BY i.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_seen_before, 0) AS BIGINT) AS n_seen_before,
+       CAST(CASE WHEN COALESCE(p.n_grams, 0) > 0
+                 THEN floor(1000 * (p.n_grams - p.n_seen_before) / p.n_grams)
+            END AS BIGINT) AS novelty_milli
+FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+_QUERIES.update({"tx_ngram_novelty": _q_ngram_novelty})
+_ORACLES.update({"tx_ngram_novelty": _SQL_NGRAM_NOVELTY})
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

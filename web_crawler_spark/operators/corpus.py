@@ -3146,3 +3146,68 @@ def effective_tokens(
             / F.greatest(F.sum("n_tokens"), F.lit(1))
         ).cast("long").alias("dup_token_share_milli"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty profile — for each document, the
+    share of its distinct word n-grams never seen in any EARLIER
+    document (id order = ingestion order). This is the corpus-level
+    memorization/novelty curve (the unit behind Lee et al. 2022's
+    duplicated-substring analyses): exact/near dedup answers "is this
+    document a copy", novelty answers "how much of this document is
+    new text at all" — syndication wrappers, quote-heavy pages and
+    template-stitched articles score low without any pair ever
+    passing a Jaccard threshold. Downstream: novelty-weighted
+    sampling, ingestion-order curriculum audits, and pricing what an
+    incremental epoch truly adds (the token-level complement of
+    ``crawl_epoch_novelty``).
+
+    Plan: one scan builds the distinct gram array (``T.shingles``,
+    codegen) and explodes to slim (doc_id, md5(gram)) rows; a
+    gram-keyed min-id combiner agg finds each gram's first document;
+    one same-key join back + one doc-keyed agg. Grams cross the wire
+    as 16-byte digests, never text. The min-id agg is the same
+    first-occurrence discipline as ``exact_dedup``, lifted from
+    documents to grams.
+
+    Returns one row per input document: (doc_id, n_grams,
+    n_seen_before, novelty_milli) with novelty_milli =
+    floor(1000·(n_grams−n_seen_before)/n_grams), NULL when the
+    document is shorter than n tokens (no grams).
+    """
+    inv = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.shingles(F.col(text_col), n)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("fp"))
+    first = inv.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    per = (
+        inv.join(first, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("first_id") < F.col("doc_id")).cast("long"))
+            .cast("long").alias("n_seen_before"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_seen_before", F.lit(0)).cast("long")
+            .alias("n_seen_before"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.floor(
+                    1000 * (F.col("n_grams") - F.col("n_seen_before"))
+                    / F.col("n_grams")
+                ),
+            ).cast("long").alias("novelty_milli"),
+        )
+    )
