@@ -18866,6 +18866,138 @@ _QUERIES.update({"tx_ngram_novelty": _q_ngram_novelty})
 _ORACLES.update({"tx_ngram_novelty": _SQL_NGRAM_NOVELTY})
 
 
+def _q_host_quality_trend(spark, sf_dir):
+    """Per-host quality drift across epochs (operators/aggregate.
+    trend_by_key): closed-form OLS slope from combiner-aggregated
+    integer sums in decimal(38,0) — the leading indicator that catches
+    hosts decaying into spam before their mean crosses the gate.
+    15 hosts × 8 epochs from events in three regimes (rising ≈+10/
+    epoch, falling ≈−12, flat) with deterministic mod-5 noise; the
+    oracle replays the exact sum algebra in HUGEINT."""
+    from web_crawler_spark.operators import aggregate as AG
+
+    e = _t(spark, sf_dir, "events")
+    hn = F.col("user_id") % 15
+    ep = F.col("event_id") % 8
+    noise = F.col("event_id") % 5
+    quality = (
+        F.when(hn % 3 == 0, 100 + 10 * ep + noise)
+        .when(hn % 3 == 1, 200 - 12 * ep + noise)
+        .otherwise(150 + noise)
+    )
+    d = e.select(
+        F.concat(F.lit("h"), hn.cast("string"), F.lit(".com")).alias("host"),
+        ep.alias("epoch"), quality.alias("quality"),
+    )
+    return AG.trend_by_key(d).orderBy("host")
+
+
+_SQL_HOST_QUALITY_TREND = """
+WITH d AS (
+  SELECT concat('h', CAST(user_id % 15 AS VARCHAR), '.com') AS host,
+         event_id % 8 AS x,
+         CASE CAST((user_id % 15) % 3 AS INT)
+           WHEN 0 THEN 100 + 10 * (event_id % 8) + event_id % 5
+           WHEN 1 THEN 200 - 12 * (event_id % 8) + event_id % 5
+           ELSE 150 + event_id % 5 END AS y
+  FROM events
+),
+a AS (
+  SELECT host, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM d GROUP BY host
+)
+SELECT host, CAST(n AS BIGINT) AS n_points,
+       CAST(floor(1000 * sy / n) AS BIGINT) AS mean_y_milli,
+       CAST(CASE WHEN n * sxx - sx * sx <> 0
+                 THEN floor(1000 * (n * sxy - sx * sy)
+                            / (n * sxx - sx * sx)) END AS BIGINT)
+         AS slope_milli
+FROM a ORDER BY host
+"""
+
+
+_QUERIES.update({"tx_host_quality_trend": _q_host_quality_trend})
+_ORACLES.update({"tx_host_quality_trend": _SQL_HOST_QUALITY_TREND})
+
+
+def _q_canonical_cluster_conflicts(spark, sf_dir):
+    """Canonical-declaration conflicts within near-dup clusters
+    (operators/dedup.canonical_cluster_conflicts): do a duplicate
+    group's rel=canonical targets agree? Page triples from events
+    (zero-padded urls so min-label = numeric min), three declaration
+    regimes (all agree / one dissents / one silent); pairs are the
+    within-triple edges, clustering + extraction + resolution all run
+    the real machinery while the oracle derives the per-regime answer
+    arithmetically."""
+    from web_crawler_spark.operators import dedup as D
+
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.max("event_id").alias("_mx"))
+    e = e.join(F.broadcast(mx)).filter(
+        F.col("event_id") - F.col("event_id") % 3 + 2 <= F.col("_mx")
+    )
+    gid = F.col("event_id") - F.col("event_id") % 3
+    g3 = F.floor(gid / 3).cast("long")
+    v = F.col("event_id") % 3
+    regime = g3 % 3
+    host = F.concat(F.lit("host"), (g3 % 20).cast("string"),
+                    F.lit(".example.com"))
+
+    def u(num):
+        return F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.lpad(num.cast("string"), 5, "0"),
+        )
+
+    tgt_num = F.when((regime == 1) & (v == 2), gid + 1).otherwise(gid)
+    declares = ~((regime == 2) & (v == 0))
+    html = F.when(
+        declares,
+        F.concat(
+            F.lit('<html><head><link rel="canonical" href="'),
+            u(tgt_num), F.lit('"></head><body>x</body></html>'),
+        ),
+    ).otherwise(F.lit("<html><head></head><body>x</body></html>"))
+    pages = e.select(u(F.col("event_id")).alias("url"), html.alias("html"))
+    pairs = e.filter(v != 0).select(
+        u(gid).alias("id_a"), u(F.col("event_id")).alias("id_b")
+    )
+    return D.canonical_cluster_conflicts(pages, pairs).orderBy("cluster_id")
+
+
+_SQL_CANONICAL_CLUSTER_CONFLICTS = """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+g AS (
+  SELECT DISTINCT event_id - event_id % 3 AS gid FROM events, mx
+  WHERE event_id - event_id % 3 + 2 <= m
+),
+b AS (
+  SELECT gid, CAST((gid // 3) % 3 AS INT) AS regime,
+         concat('host', CAST((gid // 3) % 20 AS VARCHAR), '.example.com')
+           AS host
+  FROM g
+)
+SELECT concat('https://', host, '/p/',
+              lpad(CAST(gid AS VARCHAR), 5, '0')) AS cluster_id,
+       CAST(3 AS BIGINT) AS n_pages,
+       CAST(CASE WHEN regime = 2 THEN 2 ELSE 3 END AS BIGINT)
+         AS n_declaring,
+       CAST(CASE WHEN regime = 1 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_distinct_targets,
+       regime = 1 AS conflicted
+FROM b ORDER BY cluster_id
+"""
+
+
+_QUERIES.update(
+    {"cc_canonical_cluster_conflicts": _q_canonical_cluster_conflicts}
+)
+_ORACLES.update(
+    {"cc_canonical_cluster_conflicts": _SQL_CANONICAL_CLUSTER_CONFLICTS}
+)
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

@@ -41,3 +41,47 @@ def test_unassigned_ids_drop(spark):
     assignments = [(1, "train")]
     pairs = [(1, 99)]                           # 99 has no split row
     assert _run(spark, assignments, pairs) == {}
+
+
+def test_canonical_cluster_conflicts(spark):
+    pages = spark.createDataFrame(
+        [
+            # agree-cluster: both declare /c
+            ("https://s.com/a1",
+             '<html><head><link rel="canonical" href="/c"></head></html>'),
+            ("https://s.com/a2",
+             '<html><head><link rel="canonical" href="/c"></head></html>'),
+            # conflict-cluster: members point at different targets
+            ("https://s.com/b1",
+             '<html><head><link rel="canonical" href="/x"></head></html>'),
+            ("https://s.com/b2",
+             '<html><head><link rel="canonical" href="/y"></head></html>'),
+            # silent member does not conflict
+            ("https://s.com/c1",
+             '<html><head><link rel="canonical" href="/z"></head></html>'),
+            ("https://s.com/c2", "<html><head></head></html>"),
+            # singleton: excluded from the report
+            ("https://s.com/solo",
+             '<html><head><link rel="canonical" href="/q"></head></html>'),
+        ],
+        "url string, html string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("https://s.com/a1", "https://s.com/a2"),
+            ("https://s.com/b1", "https://s.com/b2"),
+            ("https://s.com/c1", "https://s.com/c2"),
+        ],
+        "id_a string, id_b string",
+    )
+    got = {
+        r.cluster_id: (
+            r.n_pages, r.n_declaring, r.n_distinct_targets, r.conflicted
+        )
+        for r in D.canonical_cluster_conflicts(pages, pairs).collect()
+    }
+    assert got == {
+        "https://s.com/a1": (2, 2, 1, False),
+        "https://s.com/b1": (2, 2, 2, True),
+        "https://s.com/c1": (2, 1, 1, False),
+    }

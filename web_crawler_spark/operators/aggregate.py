@@ -749,3 +749,55 @@ def frontier_starvation(
             F.col("queued_last").cast("long").alias("queued_now"),
         )
     )
+
+
+def trend_by_key(
+    df: DataFrame,
+    key_col: str = "host",
+    x_col: str = "epoch",
+    y_col: str = "quality",
+) -> DataFrame:
+    """Per-key least-squares trend — the closed-form OLS slope computed
+    entirely from combiner-aggregated integer sums, one shuffle, no
+    windows, no per-key iteration. The crawl-ops use: quality drift per
+    host across epochs (a host whose docs score worse every epoch is
+    decaying into spam or template rot — demote BEFORE its mean
+    crosses the gate threshold; the mean is a lagging indicator, the
+    slope is the leading one). Works for any (key, x, y) integer
+    triple: bytes-per-epoch, latency-per-epoch, novelty-per-epoch.
+
+    Slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), emitted as fixed-point
+    milli. The cross products are computed in decimal(38,0) (the
+    jain_fairness discipline): at 10^10 rows per key the int64 product
+    n·Σxy silently wraps while DuckDB widens to HUGEINT — the decimal
+    cast keeps engine and oracle in exact agreement at any scale
+    instead of diverging past 9.2e18.
+
+    Returns (key, n_points, mean_y_milli, slope_milli); slope NULL
+    when all x are equal (vertical/degenerate fit), keys with a single
+    point included with NULL slope.
+    """
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    agg = d.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+    )
+    n = F.col("n").cast(dec)
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        F.col("key").alias(key_col),
+        F.col("n").alias("n_points"),
+        F.floor(1000 * F.col("sy") / F.col("n")).cast("long")
+        .alias("mean_y_milli"),
+        F.when(den != 0, F.floor(1000 * num / den)).cast("long")
+        .alias("slope_milli"),
+    )

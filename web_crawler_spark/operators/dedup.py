@@ -1894,3 +1894,66 @@ def split_leakage(
         F.count_distinct("doc_a").cast("long").alias("n_docs_a"),
         F.count_distinct("doc_b").cast("long").alias("n_docs_b"),
     )
+
+
+def canonical_cluster_conflicts(
+    pages: DataFrame,
+    pairs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Canonical-declaration conflicts WITHIN near-duplicate clusters —
+    members of one duplicate group declaring DIFFERENT rel=canonical
+    targets. Engines resolve this by ignoring some declarations
+    (consolidation splits), and a dedup pipeline that trusts
+    rel=canonical as the survivor key silently keeps two copies. The
+    audit composes two certified primitives: connected components over
+    any near-dup pair list (``dedup_clusters``) and the pure-column
+    rel=canonical extraction/resolution (``urltools.rel_canonical`` /
+    ``resolve_url``), then asks one per-cluster question: do the
+    declared targets agree?
+
+    Plan: cluster labels via min-label propagation (slim id pairs),
+    one codegen projection for per-page targets, one url-keyed join,
+    ONE cluster-keyed combiner agg. Nothing page-sized crosses the
+    cluster exchange.
+
+    Returns one row per multi-page cluster: (cluster_id, n_pages,
+    n_declaring, n_distinct_targets, conflicted) — conflicted ⇔
+    declared targets disagree (>1 distinct); undeclared pages don't
+    conflict, they just don't vote.
+    """
+    from ..functions import urltools as U
+
+    targets = pages.select(
+        F.col(url_col).alias("url"),
+        U.resolve_url(
+            F.col(url_col), U.rel_canonical(F.col(html_col))
+        ).alias("tgt"),
+    )
+    p = pairs.select(
+        F.col(a_col).alias("id_a"), F.col(b_col).alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b")).distinct()
+    labs = dedup_clusters(
+        p,
+        docs=pages.select(F.col(url_col).alias("doc_id")),
+        id_col="doc_id",
+        max_iters=max_iters,
+    ).select(F.col("doc_id").alias("url"), "cluster_id")
+    agg = (
+        labs.join(targets, "url", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum(F.col("tgt").isNotNull().cast("long")).cast("long")
+            .alias("n_declaring"),
+            F.count_distinct("tgt").cast("long").alias("n_distinct_targets"),
+        )
+    )
+    return agg.filter(F.col("n_pages") >= 2).select(
+        "cluster_id", "n_pages", "n_declaring", "n_distinct_targets",
+        (F.col("n_distinct_targets") > 1).alias("conflicted"),
+    )
