@@ -18998,6 +18998,51 @@ _ORACLES.update(
 )
 
 
+def _q_content_flapping(spark, sf_dir):
+    """Flapping-content detector (operators/snapshots.content_flapping):
+    URLs returning to previously-seen payload states across epochs —
+    the refresh-budget thieves the Poisson change model mis-prices.
+    2000 URLs × 5 dense epochs from events in three regimes (stable /
+    linearly evolving / A-B alternating); only the alternators flap,
+    and the oracle derives their counts arithmetically."""
+    from web_crawler_spark.operators import snapshots as SN
+
+    e = _t(spark, sf_dir, "events")
+    un = F.col("event_id") % 2000
+    ep = F.floor(F.col("event_id") / 2000).cast("long")
+    c = un % 3
+    digest = (
+        F.when(c == 0, F.lit("d0"))
+        .when(c == 1, F.concat(F.lit("d"), ep.cast("string")))
+        .otherwise(F.concat(F.lit("d"), (ep % 2).cast("string")))
+    )
+    fetches = e.select(
+        F.concat(F.lit("https://f.com/u/"), un.cast("string")).alias("url"),
+        ep.alias("epoch"), digest.alias("payload_digest"),
+    )
+    return SN.content_flapping(fetches).orderBy("url")
+
+
+_SQL_CONTENT_FLAPPING = """
+WITH u AS (
+  SELECT DISTINCT event_id % 2000 AS un,
+         COUNT(*) OVER (PARTITION BY event_id % 2000) AS nf
+  FROM events
+),
+fl AS (SELECT un, nf FROM u WHERE un % 3 = 2 AND nf >= 3)
+SELECT concat('https://f.com/u/', CAST(un AS VARCHAR)) AS url,
+       CAST(nf AS BIGINT) AS n_fetches,
+       CAST(2 AS BIGINT) AS n_distinct_payloads,
+       CAST(nf - 1 AS BIGINT) AS n_transitions,
+       CAST(nf - 2 AS BIGINT) AS wasted_fetches
+FROM fl ORDER BY url
+"""
+
+
+_QUERIES.update({"crawl_content_flapping": _q_content_flapping})
+_ORACLES.update({"crawl_content_flapping": _SQL_CONTENT_FLAPPING})
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

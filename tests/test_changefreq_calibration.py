@@ -50,3 +50,27 @@ def test_policy_map_override(spark):
         spark, declared, observed, expected_milli={"daily": 500}
     )
     assert got == {"daily": (1, 1, 500, 2000, 4000)}
+
+
+def test_content_flapping_regimes(spark):
+    rows = (
+        [("stable", e, "A") for e in range(4)]
+        + [("evolve", e, f"v{e}") for e in range(4)]
+        + [("flap", 0, "A"), ("flap", 1, "B"), ("flap", 2, "A"),
+           ("flap", 3, "B")]
+        # returns to an OLD state after two new ones: still flapping
+        + [("drift_back", 0, "A"), ("drift_back", 1, "B"),
+           ("drift_back", 2, "C"), ("drift_back", 3, "A")]
+        # two fetches, two states: a single transition is not flapping
+        + [("pair", 0, "A"), ("pair", 1, "B")]
+    )
+    df = spark.createDataFrame(rows, "url string, epoch long, payload_digest string")
+    got = {
+        r.url: (r.n_fetches, r.n_distinct_payloads, r.n_transitions,
+                r.wasted_fetches)
+        for r in SN.content_flapping(df).collect()
+    }
+    assert got == {
+        "flap": (4, 2, 3, 2),
+        "drift_back": (4, 3, 3, 1),
+    }

@@ -883,3 +883,54 @@ def changefreq_calibration(
             F.floor(1000 * observed_rate / F.col("expected_milli")),
         ).cast("long").alias("calibration_milli"),
     )
+
+
+def content_flapping(
+    fetches: DataFrame,
+    url_col: str = "url",
+    epoch_col: str = "epoch",
+    digest_col: str = "payload_digest",
+) -> DataFrame:
+    """Flapping-content detector — URLs that keep RETURNING to a
+    previously-seen payload state (A→B→A→B…): load-balancer variant
+    skew, rotating ad shells, A/B buckets, cloaking. Change detection
+    treats every transition as fresh content and keeps paying for
+    refetches; the Poisson refresh model (``poisson_change_rate``)
+    assumes changes produce NEW content, so flappers inflate its λ and
+    steal budget from genuinely evolving pages. A URL evolving
+    linearly (every state new) is NOT flapping — the test is
+    transitions exceeding distinct-states−1, which is exactly "some
+    state was revisited".
+
+    Plan: one url-keyed lag window over epoch order (the exchange the
+    crawl-history tables already partition by) + ONE per-url combiner
+    agg; the report filters to flappers, so output is proportional to
+    the pathology, not the corpus.
+
+    Returns flapping URLs only: (url, n_fetches, n_distinct_payloads,
+    n_transitions, wasted_fetches) — wasted_fetches =
+    n_fetches − n_distinct_payloads, the refetch budget that bought
+    already-seen bytes.
+    """
+    d = fetches.select(
+        F.col(url_col).alias("url"),
+        F.col(epoch_col).cast("long").alias("epoch"),
+        F.col(digest_col).alias("digest"),
+    )
+    w = Window.partitionBy("url").orderBy("epoch")
+    lagged = d.withColumn("prev", F.lag("digest").over(w))
+    agg = lagged.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.count_distinct("digest").cast("long").alias("n_distinct_payloads"),
+        F.sum(
+            (F.col("prev").isNotNull() & (F.col("prev") != F.col("digest")))
+            .cast("long")
+        ).cast("long").alias("n_transitions"),
+    )
+    return agg.filter(
+        F.col("n_transitions") > F.col("n_distinct_payloads") - 1
+    ).select(
+        "url", "n_fetches", "n_distinct_payloads", "n_transitions",
+        (F.col("n_fetches") - F.col("n_distinct_payloads")).cast("long")
+        .alias("wasted_fetches"),
+    )
