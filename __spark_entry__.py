@@ -19043,6 +19043,184 @@ _QUERIES.update({"crawl_content_flapping": _q_content_flapping})
 _ORACLES.update({"crawl_content_flapping": _SQL_CONTENT_FLAPPING})
 
 
+def _q_frontier_funnel(spark, sf_dir):
+    """Single-pass frontier admission funnel (operators/urlfilter.
+    frontier_funnel): raw → batch-dedup → seen-filter → robots as one
+    4-row table. Candidates carry surface variants (upper-case
+    scheme/host + fragment on the second copy) so canonicalization
+    does real collapse work; every 4th canonical key is pre-seen and
+    every 5th path is robots-disallowed; the oracle derives all four
+    stage counts arithmetically."""
+    from web_crawler_spark.functions import urltools as U
+    from web_crawler_spark.operators import robots as RB
+    from web_crawler_spark.operators import urlfilter as UF
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id") % 4000
+    hn = k % 10
+    path = F.concat(
+        F.when(k % 5 == 0, F.lit("/priv/")).otherwise(F.lit("/p/")),
+        k.cast("string"),
+    )
+    base = F.concat(F.lit("https://h"), hn.cast("string"), F.lit(".com"), path)
+    variant = F.concat(
+        F.lit("HTTPS://H"), hn.cast("string"), F.lit(".COM"), path, F.lit("#z")
+    )
+    candidates = e.select(
+        F.when(F.col("event_id") >= 4000, variant).otherwise(base).alias("url")
+    )
+    seen = (
+        e.filter(k % 4 == 1)
+        .select(U.canonicalize_url(base).alias("canonical_url"))
+        .distinct()
+    )
+    robots_txt = "User-agent: *\nDisallow: /priv/\n"
+    robots_pages = spark.createDataFrame(
+        [(f"h{i}.com", robots_txt) for i in range(10)],
+        "host string, body string",
+    )
+    rules = RB.parse_robots(robots_pages)
+    return UF.frontier_funnel(candidates, seen, rules, "anybot").orderBy(
+        "stage_id"
+    )
+
+
+_SQL_FRONTIER_FUNNEL = """
+WITH c AS (SELECT event_id % 4000 AS k FROM events),
+a AS (
+  SELECT COUNT(*) AS n_raw,
+         COUNT(DISTINCT k) AS n_unique,
+         COUNT(DISTINCT CASE WHEN k % 4 <> 1 THEN k END) AS n_unseen,
+         COUNT(DISTINCT CASE WHEN k % 4 <> 1 AND k % 5 <> 0 THEN k END)
+           AS n_admitted
+  FROM c
+),
+s AS (
+  SELECT 0 AS stage_id, 'raw_candidates' AS stage, n_raw AS n_urls,
+         0 AS n_dropped, 0 AS prev FROM a
+  UNION ALL
+  SELECT 1, 'after_batch_dedup', n_unique, n_raw - n_unique, n_raw FROM a
+  UNION ALL
+  SELECT 2, 'after_seen_filter', n_unseen, n_unique - n_unseen, n_unique
+  FROM a
+  UNION ALL
+  SELECT 3, 'after_robots', n_admitted, n_unseen - n_admitted, n_unseen
+  FROM a
+)
+SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_dropped AS BIGINT) AS n_dropped,
+       CAST(CASE WHEN prev > 0 THEN floor(1000 * n_dropped / prev)
+                 ELSE 0 END AS BIGINT) AS drop_share_milli
+FROM s ORDER BY stage_id
+"""
+
+
+_QUERIES.update({"f8_frontier_funnel": _q_frontier_funnel})
+_ORACLES.update({"f8_frontier_funnel": _SQL_FRONTIER_FUNNEL})
+
+
+def _q_link_rot(spark, sf_dir):
+    """Per-host link-rot audit (operators/graph.link_rot): outlink
+    targets classified ok / broken / never-fetched per source host.
+    Same 12-host edge fixture as the graph family; target status by
+    event number mod 7 (four ok codes incl. a 301, a 404, a 500, and
+    a never-fetched residue) — the oracle derives the class census
+    arithmetically."""
+    from web_crawler_spark.operators import graph as G
+
+    e = _t(spark, sf_dir, "events")
+    edges = _host_edges(spark, sf_dir)
+    m = F.col("event_id") % 7
+    status = (
+        F.when(m == 0, 200).when(m == 1, 200).when(m == 2, 301)
+        .when(m == 3, 200).when(m == 4, 404).when(m == 5, 500)
+    )
+    fetch_status = e.filter(m != 6).select(
+        F.concat(
+            F.lit("https://h"),
+            ((F.col("user_id") + F.col("event_id")) % 12).cast("string"),
+            F.lit(".com/q/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        status.alias("status"),
+    )
+    return G.link_rot(edges, fetch_status).orderBy("host")
+
+
+_SQL_LINK_ROT = """
+WITH e AS (
+  SELECT concat('h', CAST(user_id % 12 AS VARCHAR), '.com') AS host,
+         CAST(event_id % 7 AS INT) AS m
+  FROM events
+  WHERE user_id % 12 IS NOT NULL
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_outlinks,
+       CAST(SUM(CASE WHEN m IN (0, 1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ok,
+       CAST(SUM(CASE WHEN m IN (4, 5) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_broken,
+       CAST(SUM(CASE WHEN m = 6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unfetched,
+       CAST(floor(1000 * SUM(CASE WHEN m IN (4, 5) THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS broken_share_milli
+FROM e GROUP BY host ORDER BY host
+"""
+
+
+_QUERIES.update({"gr_link_rot": _q_link_rot})
+_ORACLES.update({"gr_link_rot": _SQL_LINK_ROT})
+
+
+def _q_robots_complexity(spark, sf_dir):
+    """Per-host robots.txt complexity census (operators/robots.
+    robots_complexity): groups, rule counts, wildcard share,
+    crawl-delay, sitemaps — through the REAL mapInPandas parse. 24
+    hosts from events in four body regimes (simple / two-group with
+    delay / wildcard+sitemap / empty); empty-body hosts publish no
+    directives and are absent, per the contract."""
+    from web_crawler_spark.operators import robots as RB
+
+    e = _t(spark, sf_dir, "events")
+    hosts = e.select((F.col("user_id") % 24).alias("hn")).distinct()
+    hn = F.col("hn")
+    host = F.concat(F.lit("r"), hn.cast("string"), F.lit(".com"))
+    body = (
+        F.when(hn % 4 == 0, F.lit("User-agent: *\nDisallow: /a/\n"))
+        .when(hn % 4 == 1, F.lit(
+            "User-agent: bot\nDisallow: /x/\nAllow: /x/pub/\n"
+            "Crawl-delay: 2\n\nUser-agent: *\nDisallow: /y/\n"))
+        .when(hn % 4 == 2, F.concat(
+            F.lit("User-agent: *\nDisallow: /*.php$\nAllow: /p*q/\n"
+                  "Sitemap: https://r"),
+            hn.cast("string"), F.lit(".com/sm.xml\n")))
+        .otherwise(F.lit(""))
+    )
+    pages = hosts.select(host.alias("host"), body.alias("body"))
+    return RB.robots_complexity(RB.parse_robots(pages)).orderBy("host")
+
+
+_SQL_ROBOTS_COMPLEXITY = """
+WITH h AS (SELECT DISTINCT user_id % 24 AS hn FROM events),
+c AS (SELECT hn, CAST(hn % 4 AS INT) AS cls FROM h WHERE hn % 4 <> 3)
+SELECT concat('r', CAST(hn AS VARCHAR), '.com') AS host,
+       CAST(CASE cls WHEN 1 THEN 2 ELSE 1 END AS BIGINT) AS n_groups,
+       CAST(CASE cls WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 2 END AS BIGINT)
+         AS n_rules,
+       CAST(CASE cls WHEN 0 THEN 0 ELSE 1 END AS BIGINT) AS n_allow,
+       CAST(CASE cls WHEN 1 THEN 2 ELSE 1 END AS BIGINT) AS n_disallow,
+       CAST(CASE cls WHEN 2 THEN 2 ELSE 0 END AS BIGINT)
+         AS n_wildcard_rules,
+       cls = 1 AS has_crawl_delay,
+       CAST(CASE cls WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS n_sitemaps
+FROM c ORDER BY host
+"""
+
+
+_QUERIES.update({"robots_complexity": _q_robots_complexity})
+_ORACLES.update({"robots_complexity": _SQL_ROBOTS_COMPLEXITY})
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

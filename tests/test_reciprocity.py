@@ -46,3 +46,37 @@ def test_self_loops_and_duplicates_ignored(spark):
     pairs = [("x", "x"), ("x", "y"), ("x", "y"), ("y", "x"), ("y", "x")]
     got = _run(spark, pairs)
     assert got == {"x": (1, 1, 1000), "y": (1, 1, 1000)}
+
+
+def test_link_rot_classes(spark):
+    edges = spark.createDataFrame(
+        [
+            ("https://s.com/a", "https://t.com/ok"),
+            ("https://s.com/b", "https://t.com/moved"),
+            ("https://s.com/c", "https://t.com/gone"),
+            ("https://s.com/d", "https://t.com/err"),
+            ("https://s.com/e", "https://t.com/pending"),
+            # duplicate edge collapses
+            ("https://s.com/a2", "https://t.com/ok"),
+            ("https://other.com/x", "https://t.com/gone"),
+        ],
+        "from_url string, resolved_url string",
+    )
+    status = spark.createDataFrame(
+        [
+            ("https://t.com/ok", 200),
+            ("https://t.com/moved", 301),
+            ("https://t.com/gone", 404),
+            ("https://t.com/err", 503),
+        ],
+        "url string, status long",
+    )
+    got = {
+        r.host: (r.n_outlinks, r.n_ok, r.n_broken, r.n_unfetched,
+                 r.broken_share_milli)
+        for r in G.link_rot(edges, status).collect()
+    }
+    assert got == {
+        "s.com": (5, 2, 2, 1, 400),
+        "other.com": (1, 0, 1, 0, 1000),
+    }

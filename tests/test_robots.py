@@ -323,3 +323,31 @@ def test_robots_rule_churn_per_agent_groups(spark):
     assert [(r.host, r.agent, r.change_class) for r in rows] == [
         ("h.com", "a", "tightened")
     ]
+
+
+def test_robots_complexity_census(spark):
+    pages = spark.createDataFrame(
+        [
+            ("simple.com", "User-agent: *\nDisallow: /a/\n"),
+            ("multi.com",
+             "User-agent: bot\nDisallow: /x/\nAllow: /x/pub/\n"
+             "Crawl-delay: 1.5\n\nUser-agent: *\nDisallow: /y/\n"),
+            ("wild.com",
+             "User-agent: *\nDisallow: /*.php$\nAllow: /p*q/\n"
+             "Sitemap: https://wild.com/a.xml\n"
+             "Sitemap: https://wild.com/b.xml\n"),
+            ("empty.com", "# comments only\n"),
+        ],
+        "host string, body string",
+    )
+    got = {
+        r.host: (r.n_groups, r.n_rules, r.n_allow, r.n_disallow,
+                 r.n_wildcard_rules, r.has_crawl_delay, r.n_sitemaps)
+        for r in RB.robots_complexity(RB.parse_robots(pages)).collect()
+    }
+    assert got == {
+        "simple.com": (1, 1, 0, 1, 0, False, 0),
+        "multi.com": (2, 3, 1, 2, 0, True, 0),
+        "wild.com": (1, 2, 1, 1, 2, False, 2),
+    }
+    assert "empty.com" not in got

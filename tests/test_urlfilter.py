@@ -288,3 +288,39 @@ def test_cloaking_flags_classes(spark):
     assert not got["u_dyn"]["cloaked"] and got["u_dyn"]["dynamic"]
     assert not got["u_bot"]["cloaked"] and got["u_bot"]["n_browser"] == 0
     assert got["u_part"]["d_bot"] == 2 and got["u_part"]["d_browser"] == 1
+
+
+def test_frontier_funnel_stages(spark):
+    from web_crawler_spark.operators import robots as RB
+    from web_crawler_spark.operators import urlfilter as UF
+
+    candidates = spark.createDataFrame(
+        [
+            # two surface variants of one URL (case + fragment)
+            ("https://a.com/p/1",), ("HTTPS://A.COM/p/1#frag",),
+            ("https://a.com/p/2",),          # already in the seen set
+            ("https://a.com/priv/3",),       # robots-disallowed
+            ("https://b.com/priv/4",),       # no rules host: allowed
+            ("https://a.com/p/5",),
+        ],
+        "url string",
+    )
+    seen = spark.createDataFrame(
+        [("https://a.com/p/2",)], "canonical_url string"
+    )
+    rules = RB.parse_robots(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /priv/\n")],
+            "host string, body string",
+        )
+    )
+    rows = {
+        r.stage: (r.stage_id, r.n_urls, r.n_dropped, r.drop_share_milli)
+        for r in UF.frontier_funnel(candidates, seen, rules).collect()
+    }
+    assert rows == {
+        "raw_candidates": (0, 6, 0, 0),
+        "after_batch_dedup": (1, 5, 1, 166),
+        "after_seen_filter": (2, 4, 1, 200),
+        "after_robots": (3, 3, 1, 250),
+    }

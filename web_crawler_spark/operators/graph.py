@@ -2412,3 +2412,58 @@ def link_reciprocity(
             ).cast("long").alias("reciprocity_milli"),
         )
     )
+
+
+def link_rot(
+    edges: DataFrame,
+    fetch_status: DataFrame,
+    src_col: str = "from_url",
+    dst_col: str = "resolved_url",
+    url_col: str = "url",
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-host link-rot audit — where do a site's outlinks actually
+    lead? Broken targets (4xx/5xx) measure page decay (the classic
+    link-rot studies); never-fetched targets measure FRONTIER debt
+    (discovered but not yet crawled — budget, not rot). The two are
+    different actions — fix/deprioritize the rotting host vs schedule
+    the unfetched mass — so they are reported separately, per source
+    host, with the rot share in fixed-point.
+
+    Plan: distinct slim (src_host, target) pairs → one target-keyed
+    left join against the slim (url, status) fetch log → ONE host
+    combiner agg. The target join key is the same canonical-URL key
+    the seen-set uses, so at 10^10 edges this rides the existing
+    partitioning; only 2-string + 1-long rows shuffle.
+
+    Returns (host, n_outlinks, n_ok, n_broken, n_unfetched,
+    broken_share_milli): ok = 2xx/3xx, broken = 4xx/5xx,
+    broken_share_milli = floor(1000·n_broken/n_outlinks).
+    """
+    from ..functions import urltools as U
+
+    e = (
+        edges.select(
+            U.url_host(F.col(src_col)).alias("host"),
+            F.col(dst_col).alias("target"),
+        )
+        .filter(F.col("host").isNotNull() & F.col("target").isNotNull())
+        .distinct()
+    )
+    st = fetch_status.select(
+        F.col(url_col).alias("target"),
+        F.col(status_col).cast("long").alias("status"),
+    ).distinct()
+    j = e.join(st, "target", "left")
+    ok = (F.col("status") >= 200) & (F.col("status") < 400)
+    broken = F.col("status") >= 400
+    return j.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_outlinks"),
+        F.sum(ok.cast("long")).cast("long").alias("n_ok"),
+        F.sum(broken.cast("long")).cast("long").alias("n_broken"),
+        F.sum(F.col("status").isNull().cast("long")).cast("long")
+        .alias("n_unfetched"),
+        F.floor(
+            1000 * F.sum(broken.cast("long")) / F.count(F.lit(1))
+        ).cast("long").alias("broken_share_milli"),
+    )

@@ -546,3 +546,44 @@ def robots_rule_churn(
         out.withColumn("change_class", cls)
         .filter(F.col("change_class").isNotNull())
     )
+
+
+def robots_complexity(rules: DataFrame) -> DataFrame:
+    """Per-host robots.txt complexity census over a parsed rules table —
+    the policy-surface inventory an ops review reads before trusting
+    the gate: how many agent groups and rules each host publishes, how
+    much of the surface uses RFC 9309 special characters (`*` runs,
+    `$` anchors — the rows that take the regex path in
+    ``robots_decisions`` instead of the cheap startswith), whether a
+    crawl-delay overrides the politeness default, and how many
+    sitemaps are advertised. Hosts with pathological rule counts are
+    where the broadcast-rules assumption should be re-checked, and a
+    sudden complexity jump is the cheap tripwire that triggers
+    ``robots_rule_churn``'s detailed diff.
+
+    Plan: ONE host-keyed combiner agg over the (already tiny) rules
+    table; no joins, no windows.
+
+    Returns (host, n_groups, n_rules, n_allow, n_disallow,
+    n_wildcard_rules, has_crawl_delay, n_sitemaps) — one row per host
+    that published at least one parseable directive.
+    """
+    is_rule = F.col("rule").isin("allow", "disallow")
+    wildcard = is_rule & (
+        F.col("path_prefix").contains("*") | F.col("path_prefix").endswith("$")
+    )
+    return rules.groupBy("host").agg(
+        F.count_distinct(
+            F.when(is_rule | (F.col("rule") == "crawl-delay"), F.col("agent"))
+        ).cast("long").alias("n_groups"),
+        F.sum(is_rule.cast("long")).cast("long").alias("n_rules"),
+        F.sum((F.col("rule") == "allow").cast("long")).cast("long")
+        .alias("n_allow"),
+        F.sum((F.col("rule") == "disallow").cast("long")).cast("long")
+        .alias("n_disallow"),
+        F.sum(wildcard.cast("long")).cast("long").alias("n_wildcard_rules"),
+        F.max((F.col("rule") == "crawl-delay").cast("boolean"))
+        .alias("has_crawl_delay"),
+        F.sum((F.col("rule") == "sitemap").cast("long")).cast("long")
+        .alias("n_sitemaps"),
+    )

@@ -816,3 +816,85 @@ def scheme_consolidation(
         "host", "n_http_urls", "n_https_urls", "n_dup_paths",
         state.alias("state"),
     )
+
+
+def frontier_funnel(
+    candidates: DataFrame,
+    seen: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    seen_col: str = "canonical_url",
+) -> DataFrame:
+    """Single-pass frontier admission funnel — how many candidate URLs
+    survive each gate of the admission pipeline (canonicalize +
+    within-batch dedup → seen-set anti-join → robots), as ONE table.
+    Every stage is individually certified elsewhere; this is the
+    COMPOSITION audit an operator reads every epoch: where did the
+    outlink expansion's volume go, and is a sudden drop a seen-set
+    regression or a robots change?
+
+    Plan: one scan canonicalizes and derives three flags — first
+    occurrence within the batch (row_number over the canonical key),
+    seen-set membership (left join marker on the canonical URL, the
+    same slim key the production anti-join uses), and the robots
+    decision (``robots_decisions``' broadcast longest-match kernel,
+    unfiltered) — then ONE combiner agg + a 4-row unpivot. No stage
+    re-reads the input, so the funnel costs one pass over the batch
+    regardless of corpus size.
+
+    Returns 4 rows: (stage_id, stage, n_urls, n_dropped,
+    drop_share_milli) with drop shares relative to the PREVIOUS stage
+    (floor fixed-point; 0 when the previous stage was empty).
+    """
+    from ..functions import urltools as U
+    from .robots import robots_decisions
+
+    canon = candidates.select(
+        U.canonicalize_url(F.col(url_col)).alias("canonical_url")
+    ).filter(F.col("canonical_url").isNotNull())
+    raw = canon.agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    # the decision kernel contracts on a DISTINCT frontier (it keeps one
+    # row per (host, url)) — collapse first, count dups via the raw agg
+    uniq = canon.distinct()
+    seen_k = seen.select(
+        F.col(seen_col).alias("canonical_url"), F.lit(1).alias("_seen")
+    ).distinct()
+    flagged = uniq.join(seen_k, "canonical_url", "left").withColumn(
+        "host", U.url_host(F.col("canonical_url"))
+    )
+    dec = robots_decisions(flagged, rules, agent).select(
+        "_seen", "robots_allowed"
+    )
+    a = dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum((F.col("_seen").isNull()).cast("long")).cast("long")
+        .alias("n_unseen"),
+        F.sum(
+            (F.col("_seen").isNull() & F.col("robots_allowed")).cast("long")
+        ).cast("long").alias("n_admitted"),
+    ).join(F.broadcast(raw))
+    share = lambda cur, prev: F.when(  # noqa: E731
+        F.col(prev) > 0,
+        F.floor(1000 * (F.col(prev) - F.col(cur)) / F.col(prev)),
+    ).otherwise(F.lit(0)).cast("long")
+    stages = a.select(
+        F.expr(
+            "stack(4, "
+            "0L, 'raw_candidates', n_raw, CAST(0 AS BIGINT), "
+            "1L, 'after_batch_dedup', n_unique, n_raw - n_unique, "
+            "2L, 'after_seen_filter', n_unseen, n_unique - n_unseen, "
+            "3L, 'after_robots', n_admitted, n_unseen - n_admitted) "
+            "AS (stage_id, stage, n_urls, n_dropped)"
+        ),
+        share("n_unique", "n_raw").alias("_s1"),
+        share("n_unseen", "n_unique").alias("_s2"),
+        share("n_admitted", "n_unseen").alias("_s3"),
+    )
+    return stages.select(
+        "stage_id", "stage", "n_urls", "n_dropped",
+        F.when(F.col("stage_id") == 1, F.col("_s1"))
+        .when(F.col("stage_id") == 2, F.col("_s2"))
+        .when(F.col("stage_id") == 3, F.col("_s3"))
+        .otherwise(F.lit(0)).cast("long").alias("drop_share_milli"),
+    )
