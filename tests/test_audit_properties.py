@@ -120,3 +120,79 @@ def test_content_flapping_matches_replay(spark, specs):
         for r in SN.content_flapping(df).collect()
     }
     assert got == ref
+
+
+@settings(**_SET)
+@given(st.lists(
+    st.tuples(
+        st.integers(0, 20),
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0,
+                 max_size=5),
+    ),
+    min_size=1, max_size=15, unique_by=lambda t: t[0],
+))
+def test_effective_tokens_matches_bruteforce(spark, docs):
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "",
+                                          t.lower())).strip()
+
+    rows = [(i, s, " ".join(ws)) for i, s, ws in docs]
+    canon = {}
+    for i, _, t in sorted(rows):
+        canon.setdefault(norm(t), i)
+    ref = {}
+    for i, s, t in rows:
+        n_tok = len(t.split())
+        e = ref.setdefault(s, [0, 0, 0, 0])
+        e[0] += 1
+        e[2] += n_tok
+        if canon[norm(t)] == i:
+            e[1] += 1
+            e[3] += n_tok
+    ref = {
+        s: (a, b, c, d, 1000 * (c - d) // max(c, 1))
+        for s, (a, b, c, d) in ref.items()
+    }
+    from web_crawler_spark.operators import corpus as CO
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: (r.n_docs, r.n_canonical_docs, r.raw_tokens,
+                   r.effective_tokens, r.dup_token_share_milli)
+        for r in CO.effective_tokens(df).collect()
+    }
+    assert got == ref
+
+
+@settings(**_SET)
+@given(st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=8),
+    min_size=1, max_size=10,
+))
+def test_ngram_novelty_matches_bruteforce(spark, token_lists):
+    n = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    first = {}
+    per = {}
+    for i, toks in enumerate(token_lists):
+        grams = {tuple(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+        seen = 0
+        for g in sorted(grams):
+            first.setdefault(g, i)
+        for g in grams:
+            if first[g] < i:
+                seen += 1
+        ng = len(grams)
+        per[i] = (ng, seen,
+                  1000 * (ng - seen) // ng if ng else None)
+    from web_crawler_spark.operators import corpus as CO
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_seen_before, r.novelty_milli)
+        for r in CO.ngram_novelty(df, n=n).collect()
+    }
+    assert got == per
