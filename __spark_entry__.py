@@ -19221,6 +19221,108 @@ _QUERIES.update({"robots_complexity": _q_robots_complexity})
 _ORACLES.update({"robots_complexity": _SQL_ROBOTS_COMPLEXITY})
 
 
+def _q_host_latency_slo(spark, sf_dir):
+    """Per-host fetch-latency tail report (operators/politeness.
+    host_latency_slo): discrete rank-⌈q·n⌉ p50/p95/p99 + SLO verdict —
+    integer-ms in, integer-ms out, no interpolation, so the oracle
+    replays the rank pick exactly. 18 hosts from events with a
+    deterministic latency spread plus a per-host offset so breach
+    verdicts vary."""
+    from web_crawler_spark.operators import politeness as PL
+
+    e = _t(spark, sf_dir, "events")
+    hn = F.col("user_id") % 18
+    lat = (F.col("event_id") * 37) % 997 + hn * 60
+    fetches = e.select(
+        F.concat(F.lit("h"), hn.cast("string"), F.lit(".com")).alias("host"),
+        lat.alias("latency_ms"),
+    )
+    return PL.host_latency_slo(fetches, slo_p95_ms=1500).orderBy("host")
+
+
+_SQL_HOST_LATENCY_SLO = """
+WITH d AS (
+  SELECT concat('h', CAST(user_id % 18 AS VARCHAR), '.com') AS host,
+         (event_id * 37) % 997 + (user_id % 18) * 60 AS lat
+  FROM events
+),
+r AS (
+  SELECT host, lat,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY lat, host) AS rn,
+         COUNT(*) OVER (PARTITION BY host) AS n
+  FROM d
+),
+a AS (
+  SELECT host, MAX(n) AS n_fetches,
+         MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN lat END)
+           AS p50_ms,
+         MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN lat END)
+           AS p95_ms,
+         MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN lat END)
+           AS p99_ms
+  FROM r GROUP BY host
+)
+SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(p50_ms AS BIGINT) AS p50_ms,
+       CAST(p95_ms AS BIGINT) AS p95_ms,
+       CAST(p99_ms AS BIGINT) AS p99_ms,
+       p95_ms > 1500 AS slo_breach
+FROM a ORDER BY host
+"""
+
+
+def _q_write_layout_plan(spark, sf_dir):
+    """Output-layout advisor (operators/corpus.write_layout_plan): per
+    partition key, target file count, rows per file, and the
+    tiny/balanced/capped action class — the small-files planner for a
+    partitioned 100 TB write. Run over documents by source with a
+    small target so every class appears at sf0.01; the oracle replays
+    the integer arithmetic."""
+    from web_crawler_spark.operators import corpus as CO
+
+    d = _t(spark, sf_dir, "documents")
+    return CO.write_layout_plan(
+        d, target_file_bytes=16_384, max_files_per_key=3
+    ).orderBy("partition_key")
+
+
+_SQL_WRITE_LAYOUT_PLAN = """
+WITH a AS (
+  SELECT source AS partition_key, COUNT(*) AS n_rows,
+         SUM(length(text)) AS est_bytes
+  FROM documents GROUP BY source
+),
+p AS (
+  SELECT partition_key, n_rows, est_bytes,
+         CAST(ceil(est_bytes / 16384.0) AS BIGINT) AS raw_files
+  FROM a
+)
+SELECT partition_key, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(est_bytes AS BIGINT) AS est_bytes,
+       CAST(greatest(least(raw_files, 3), 1) AS BIGINT) AS n_files,
+       CAST(ceil(n_rows * 1.0 / greatest(least(raw_files, 3), 1))
+            AS BIGINT) AS rows_per_file,
+       CASE WHEN est_bytes < 2048 THEN 'tiny'
+            WHEN raw_files > 3 THEN 'capped'
+            ELSE 'balanced' END AS layout_class
+FROM p ORDER BY partition_key
+"""
+
+
+_QUERIES.update(
+    {
+        "f7_host_latency_slo": _q_host_latency_slo,
+        "tx_write_layout_plan": _q_write_layout_plan,
+    }
+)
+_ORACLES.update(
+    {
+        "f7_host_latency_slo": _SQL_HOST_LATENCY_SLO,
+        "tx_write_layout_plan": _SQL_WRITE_LAYOUT_PLAN,
+    }
+)
+
+
 # Round-5 rows-only conversions: six formerly rows-only queries now carry
 # oracles — error-bound twin (a11), full-probe equivalence invariant
 # (ivf_trained = brute force), property summary (pq_trained), golden

@@ -51,3 +51,46 @@ def test_zero_fetch_row_counts_as_starved(spark):
     demand = [("h", 0, 4), ("h", 1, 4)]
     fetches = [("h", 0, 1), ("h", 1, 0)]         # explicit zero row at E
     assert _run(spark, demand, fetches) == {"h": (1, 1, 4)}
+
+
+def test_host_latency_slo_discrete_quantiles(spark):
+    from web_crawler_spark.operators import politeness as PL
+
+    rows = (
+        [("fast", v) for v in [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]]
+        + [("tail", v) for v in [10, 10, 10, 10, 10, 10, 10, 10, 10, 5000]]
+        + [("one", 7)]
+    )
+    df = spark.createDataFrame(rows, "host string, latency_ms long")
+    got = {
+        r.host: (r.n_fetches, r.p50_ms, r.p95_ms, r.p99_ms, r.slo_breach)
+        for r in PL.host_latency_slo(df, slo_p95_ms=2000).collect()
+    }
+    # n=10: p50 -> rank ceil(5.0)=5, p95/p99 -> ceil(9.5)/ceil(9.9)=10
+    assert got["fast"] == (10, 50, 100, 100, False)
+    assert got["tail"] == (10, 10, 5000, 5000, True)
+    assert got["one"] == (1, 7, 7, 7, False)
+
+
+def test_write_layout_plan_classes(spark):
+    from web_crawler_spark.operators import corpus as CO
+
+    rows = (
+        [(f"big{i}", "bulk", "x" * 1000) for i in range(50)]     # 50 KB
+        + [(f"mid{i}", "mid", "y" * 1000) for i in range(8)]     # 8 KB
+        + [("t1", "dust", "z" * 100)]                            # 100 B
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = {
+        r.partition_key: (r.n_rows, r.est_bytes, r.n_files,
+                          r.rows_per_file, r.layout_class)
+        for r in CO.write_layout_plan(
+            df, key_col="source", target_file_bytes=4000,
+            max_files_per_key=4,
+        ).collect()
+    }
+    assert got == {
+        "bulk": (50, 50000, 4, 13, "capped"),     # 13 files wanted, cap 4
+        "mid": (8, 8000, 2, 4, "balanced"),
+        "dust": (1, 100, 1, 1, "tiny"),
+    }

@@ -3211,3 +3211,55 @@ def ngram_novelty(
             ).cast("long").alias("novelty_milli"),
         )
     )
+
+
+def write_layout_plan(
+    docs: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+    target_file_bytes: int = 512 * 1024 * 1024,
+    max_files_per_key: int = 10_000,
+) -> DataFrame:
+    """Output-layout advisor — the small-files planner a 100 TB write
+    needs BEFORE ``df.write.partitionBy(key)``: per partition key, how
+    many files to aim for (⌈bytes/target⌉, capped), how many rows per
+    file that implies, and a class telling the writer what to do —
+    ``tiny`` keys (< target/8) should be coalesced with siblings
+    rather than each emitting a dust file, ``capped`` keys hit the
+    per-key file ceiling and need a salt/sub-partition, ``balanced``
+    keys can just repartition to ``n_files``. A partitioned write
+    without this either produces millions of KB files (NameNode/
+    listing death at corpus scale) or 100 GB monoliths no executor
+    can read-shard; both are silent until production.
+
+    Plan: ONE key-combiner agg over (key, length) — byte sizes come
+    from the text column's length as the uncompressed estimate — then
+    a pure projection of integer arithmetic. Nothing else shuffles;
+    the plan table is keys-sized.
+
+    Returns (partition_key, n_rows, est_bytes, n_files,
+    rows_per_file, layout_class).
+    """
+    d = docs.select(
+        F.col(key_col).alias("partition_key"),
+        F.length(F.col(text_col)).cast("long").alias("b"),
+    )
+    agg = d.groupBy("partition_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("b").cast("long").alias("est_bytes"),
+    )
+    raw_files = F.ceil(F.col("est_bytes") / F.lit(int(target_file_bytes)))
+    n_files = F.greatest(
+        F.least(raw_files, F.lit(int(max_files_per_key))), F.lit(1)
+    ).cast("long")
+    cls = (
+        F.when(F.col("est_bytes") < int(target_file_bytes) // 8, F.lit("tiny"))
+        .when(raw_files > int(max_files_per_key), F.lit("capped"))
+        .otherwise(F.lit("balanced"))
+    )
+    return agg.select(
+        "partition_key", "n_rows", "est_bytes",
+        n_files.alias("n_files"),
+        F.ceil(F.col("n_rows") / n_files).cast("long").alias("rows_per_file"),
+        cls.alias("layout_class"),
+    )

@@ -460,3 +460,54 @@ def fetcher_rebalance_audit(
         .cast("long").alias("moved_milli"),
         F.lit(int(expected_milli)).cast("long").alias("expected_moved_milli"),
     )
+
+
+def host_latency_slo(
+    fetches: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    slo_p95_ms: int = 2000,
+) -> DataFrame:
+    """Per-host fetch-latency tail report with an SLO verdict — the
+    table a fetcher-fleet operator reads to find hosts that need a
+    longer timeout, a dedicated lane, or demotion (a host whose p99
+    is 30× its p50 stalls whole politeness lanes; the mean hides it).
+    Quantiles are DISCRETE (value at rank ⌈q·n⌉, 1-based) — no
+    interpolation, so integer-ms inputs produce integer-ms outputs
+    that replay bit-for-bit in any engine, the same exactness
+    discipline as the fixed-point milli columns elsewhere.
+
+    Plan: one host-partitioned rank window over latency (the exchange
+    is on the politeness family's native key) + ONE per-host
+    conditional agg picking the three rank positions. No self-joins;
+    per-host state is two longs per row.
+
+    Returns (host, n_fetches, p50_ms, p95_ms, p99_ms, slo_breach)
+    with slo_breach ⇔ p95 > ``slo_p95_ms``.
+    """
+    d = fetches.select(
+        F.col(host_col).alias("host"),
+        F.col(latency_col).cast("long").alias("lat"),
+    )
+    wr = Window.partitionBy("host").orderBy("lat", "host")
+    wc = Window.partitionBy("host")
+    ranked = d.select(
+        "host", "lat",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def q(p):
+        rank = F.ceil(F.col("n") * F.lit(p)).cast("long")
+        return F.max(F.when(F.col("rn") == rank, F.col("lat"))).cast("long")
+
+    agg = ranked.groupBy("host").agg(
+        F.max("n").cast("long").alias("n_fetches"),
+        q(0.5).alias("p50_ms"),
+        q(0.95).alias("p95_ms"),
+        q(0.99).alias("p99_ms"),
+    )
+    return agg.select(
+        "host", "n_fetches", "p50_ms", "p95_ms", "p99_ms",
+        (F.col("p95_ms") > int(slo_p95_ms)).alias("slo_breach"),
+    )
